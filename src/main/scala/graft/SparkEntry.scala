@@ -1,13 +1,843 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Names, NestedRewrite}
+import graft.ops.{Dedup, Multimodal, Rounding, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is one operator from SURVEY.md §2 / §7.5; the
+  * matching [[oracleSql]] entry is equivalent ANSI SQL for DuckDB 1.0 over
+  * the same parquet tables. Determinism rules (SURVEY §7.4): every query
+  * ends in an ORDER BY on a unique key; doubles that aggregate across rows
+  * are rounded; timestamps are UTC on both sides; Spark column types are
+  * aligned with DuckDB result types (sums of ints cast to BIGINT, etc.).
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright. Read nanos as long and rebuild the µs timestamp with integer
+    * division (ns-since-epoch exceeds 2^53, so float division would corrupt
+    * it). DuckDB side: CAST(ts AS TIMESTAMP) truncates identically.
+    */
+  private def EV(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_agg_group")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** The reference's column sanitizer as a pure expression chain
+    * (popelines/main.py:180-191): digit-prefix, [. ]->_, strip others.
+    */
+  private def sanitizeExpr(messy: Column): Column = {
+    val prefixed = when(substring(messy, 1, 1).between("0", "9"), concat(lit("_"), messy))
+      .otherwise(messy)
+    regexp_replace(regexp_replace(prefixed, "[. ]", "_"), "[^a-zA-Z0-9_]", "")
+  }
+
+  /** DuckDB rendering of the same sanitizer over column expression `m`. */
+  private def sanitizeSql(m: String): String =
+    s"regexp_replace(regexp_replace(CASE WHEN substring($m,1,1) BETWEEN '0' AND '9' " +
+    s"THEN '_' || $m ELSE $m END, '[. ]', '_', 'g'), '[^a-zA-Z0-9_]', '', 'g')"
+
+  /** DuckDB word-3-shingle CTE over `documents` (mirrors
+    * TextAnalysis.wordShingles + array_distinct).
+    */
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+      |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+      |        FROM documents))""".stripMargin
+
+  /** DuckDB per-language ngram-presence score over column `padded`
+    * (mirrors TextAnalysis.languageId).
+    */
+  private def langScoreSql(lang: String): String =
+    TextAnalysis.langProfiles(lang)
+      .map(g => s"(CASE WHEN strpos(padded, '$g') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / projection / filter ----
+    "q_scan_project" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_filter_pred" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .where(col("l_quantity") >= 45 && col("l_discount") < 0.05 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- joins ----
+    "q_join_inner" -> ((s, dir) =>
+      T(s, dir, "orders").join(T(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_join_left" -> ((s, dir) =>
+      T(s, dir, "customer").join(T(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).alias("n_orders"),
+          Rounding.roundAway(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).alias("total_spent"))
+        .orderBy(col("c_custkey"))),
+
+    "q_join_semi" -> ((s, dir) =>
+      T(s, dir, "customer").join(
+          T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q_join_anti" -> ((s, dir) =>
+      T(s, dir, "customer").join(
+          T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q_join_broadcast" -> ((s, dir) =>
+      T(s, dir, "customer").join(broadcast(T(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).alias("n_cust"),
+          Rounding.roundAway(sum(col("c_acctbal")), 4).alias("sum_bal"))
+        .orderBy(col("n_name"))),
+
+    "q_join_theta" -> ((s, dir) => {
+      val n = T(s, dir, "nation")
+      val a = n.select(col("n_nationkey").alias("k_a"), col("n_name").alias("nation_a"))
+      val b = n.select(col("n_nationkey").alias("k_b"), col("n_name").alias("nation_b"))
+      a.join(b, col("k_a") < col("k_b"))
+        .select(col("k_a"), col("k_b"), col("nation_a"), col("nation_b"))
+        .orderBy(col("k_a"), col("k_b"))
+    }),
+
+    "q_join_range" -> ((s, dir) =>
+      T(s, dir, "lineitem").join(T(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").between(col("o_orderdate"),
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          Rounding.roundAway(sum(col("l_extendedprice")), 4).alias("revenue"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- aggregation ----
+    "q_agg_group" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Rounding.roundAway(sum(col("l_quantity")), 4).alias("sum_qty"),
+          Rounding.roundAway(sum(col("l_extendedprice")), 4).alias("sum_base"),
+          Rounding.roundAway(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("sum_disc"),
+          Rounding.roundAway(avg(col("l_quantity")), 6).alias("avg_qty"),
+          Rounding.roundAway(avg(col("l_discount")), 6).alias("avg_disc"),
+          count(lit(1)).alias("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_agg_distinct" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).alias("n_cust"),
+          countDistinct(col("o_orderpriority")).alias("n_prio"),
+          count(lit(1)).alias("n"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"), Rounding.roundAway(sum(col("o_totalprice")), 4).alias("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).alias("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).alias("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))),
+
+    "q_cube" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"), Rounding.roundAway(sum(col("l_quantity")), 4).alias("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).alias("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).alias("lstatus"),
+          col("n"), col("qty"))
+        .orderBy(col("rflag"), col("lstatus"))),
+
+    // ---- windows ----
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").alias("rn"),
+          rank().over(w).cast("long").alias("rk"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).alias("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).alias("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_window_frame" -> ((s, dir) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ma = base.rowsBetween(-2, Window.currentRow)
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          Rounding.roundAway(sum(col("o_totalprice")).over(cum), 4).alias("running_total"),
+          Rounding.roundAway(avg(col("o_totalprice")).over(ma), 4).alias("ma3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- sort / limit / set ops ----
+    "q_topk" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    "q_union_all" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), lit("high").alias("tag"))
+        .unionAll(o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), lit("urgent").alias("tag")))
+        .orderBy(col("o_orderkey"), col("tag"))
+    }),
+
+    "q_intersect" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").alias("nationkey"))
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").alias("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_except" -> ((s, dir) =>
+      T(s, dir, "nation").select(col("n_nationkey").alias("nationkey"))
+        .except(T(s, dir, "supplier").select(col("s_nationkey").alias("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(EV(s, dir), Seq("user_id", "event_type"), "event_id")
+        .orderBy(col("event_id"))),
+
+    // ---- scalar functions ----
+    "q_string_fns" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        upper(col("c_name")).alias("up_name"),
+        lower(col("c_mktsegment")).alias("lo_seg"),
+        substring(col("c_name"), 3, 8).alias("sub_name"),
+        length(col("c_name")).cast("long").alias("name_len"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).alias("cat"),
+        lpad(col("c_mktsegment"), 12, "*").alias("pad"),
+        regexp_replace(col("c_name"), "[0-9]+", "N").alias("rep"))
+        .orderBy(col("c_custkey"))),
+
+    "q_sanitize_names" -> ((s, dir) => {
+      val messy = concat(col("event_type"), lit("."), col("props"))
+      EV(s, dir)
+        .select(col("event_id"), messy.alias("messy"), sanitizeExpr(messy).alias("sanitized"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_udf_sanitize" -> ((s, dir) => {
+      // the reference's callback surface = arbitrary functions over keys
+      // (popelines/main.py:245-262); here the engine's Scala function runs
+      // as a distributed UDF
+      val sanitize = udf(Names.sanitizeBqName _)
+      val messy = concat(col("user_id").cast("string"), lit("."), col("event_type"),
+        lit("!"), col("props"))
+      EV(s, dir)
+        .select(col("event_id"), messy.alias("messy"), sanitize(messy).alias("sanitized"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_math_fns" -> ((s, dir) =>
+      T(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Rounding.roundAway(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4)
+            .alias("charge"),
+          ceil(col("l_extendedprice")).alias("ceil_price"),
+          floor(col("l_extendedprice")).alias("floor_price"),
+          Rounding.roundAway(abs(col("l_quantity") - 25.0), 4).alias("dev"),
+          (col("l_orderkey") % 7).alias("mod7"),
+          Rounding.roundAway(pow(col("l_quantity"), 2), 4).alias("qty_sq"),
+          Rounding.roundAway(sqrt(col("l_extendedprice")), 6).alias("sqrt_price"),
+          Rounding.roundAway(log(col("l_extendedprice")), 6).alias("ln_price"),
+          greatest(col("l_tax"), col("l_discount")).alias("hi_rate"),
+          least(col("l_tax"), col("l_discount")).alias("lo_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_date_fns" -> ((s, dir) =>
+      T(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").alias("yr"),
+        month(col("o_orderdate")).cast("long").alias("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").alias("dom"),
+        weekday(col("o_orderdate")).cast("long").alias("wd"),
+        date_trunc("month", col("o_orderdate")).alias("month_start"),
+        last_day(col("o_orderdate")).alias("month_end"),
+        date_add(col("o_orderdate"), 30).alias("plus30"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).cast("long")
+          .alias("days_to_98"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_array_fns" -> ((s, dir) =>
+      T(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").alias("n_dims"),
+        element_at(col("embedding"), 1).alias("first_val"),
+        element_at(col("embedding"), -1).alias("last_val"),
+        array_max(col("embedding")).alias("max_val"),
+        array_min(col("embedding")).alias("min_val"),
+        Rounding.roundAway(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+          lit(0.0), (a, x) => a + x), 4).alias("sum_sq"),
+        Rounding.roundAway(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x), 6).alias("sum_val"))
+        .orderBy(col("vec_id"))),
+
+    "q_map_fns" -> ((s, dir) => {
+      val m = map(lit("click"), lit(1), lit("error"), lit(2), lit("purchase"), lit(3),
+        lit("signup"), lit(4), lit("view"), lit(5))
+      EV(s, dir).select(col("event_id"),
+        element_at(m, col("event_type")).cast("long").alias("type_code"),
+        size(m).cast("long").alias("m_size"),
+        concat_ws(",", map_keys(m)).alias("keys_cat"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_json_extract" -> ((s, dir) =>
+      EV(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").alias("k_val"),
+        to_json(struct(col("event_id").alias("id"), col("event_type").alias("t"))).alias("js"))
+        .orderBy(col("event_id"))),
+
+    "q_rename_nested" -> ((s, dir) => {
+      val nested = EV(s, dir).select(col("event_id"),
+        struct(col("ts").alias("created at"),
+          struct(col("user_id").alias("user id"), col("event_type").alias("e.type"))
+            .alias("who is")).alias("meta info"))
+      NestedRewrite.renameKeys(nested, Names.sanitizeBqName).orderBy(col("event_id"))
+    }),
+
+    "q_explode_unnest" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).alias("tok"))
+        .where(col("tok") =!= "")
+        .orderBy(col("doc_id"), col("tok"))),
+
+    // ---- popelines-specific ----
+    "q_find_last_entry" -> ((s, dir) =>
+      EV(s, dir).agg(max(col("ts")).alias("last_ts"))),
+
+    "q_chunk_date_range" -> ((s, dir) =>
+      EV(s, dir)
+        .agg(date_trunc("day", min(col("ts"))).alias("mn"),
+          date_trunc("day", max(col("ts"))).alias("mx"))
+        .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 3 DAYS")))
+          .alias("chunk_start"), col("mx"))
+        .select(col("chunk_start"),
+          least(col("chunk_start") + expr("INTERVAL 3 DAYS"), col("mx")).alias("chunk_end"))
+        .orderBy(col("chunk_start"))),
+
+    "q_incremental_delta" -> ((s, dir) => {
+      val events = EV(s, dir)
+      val wm = events.where(col("event_id") < 5000).agg(max(col("ts")).alias("wm"))
+      events.crossJoin(broadcast(wm)).where(col("ts") > col("wm"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_tumbling" -> ((s, dir) =>
+      EV(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).alias("n"), Rounding.roundAway(sum(col("value")), 4).alias("sum_value"))
+        .select(col("window.start").alias("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
+
+    // ---- dedup extensions ----
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      T(s, dir, "documents").select(col("doc_id"), md5(norm).alias("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).alias("doc_id"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(T(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, k = 64, bands = 16, minJaccard = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents").where(col("doc_id") < 500),
+          "text", "doc_id", n = 3, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      // norms precomputed per VECTOR (linear), so the quadratic pair stage
+      // does exactly one dot product per pair; same float-op order as the
+      // oracle's dot/(sqrt(na)*sqrt(nb))
+      val e = T(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").alias("v"))
+        .withColumn("n2", Similarity.sumSq(col("v")))
+      val a = e.select(col("vec_id").alias("id_a"), col("v").alias("va"), col("n2").alias("n2a"))
+      val b = e.select(col("vec_id").alias("id_b"), col("v").alias("vb"), col("n2").alias("n2b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Rounding.roundAway(
+            Similarity.dotFast(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b"))),
+            6).alias("cosine"))
+        .where(col("cosine") >= 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+    "q_similarity_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").alias("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Rounding.roundAway(Similarity.cosine(col("embedding").cast("array<double>"), col("qv")), 6)
+            .alias("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_similarity_ivf" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toIndexedSeq
+      val (indexed, centroids) = Similarity.buildIvfIndex(e, "embedding", "vec_id", nCells = 8)
+      Similarity.ivfTopK(indexed, centroids, "embedding", "vec_id", q, k = 10, nProbe = 2)
+    }),
+
+    // ---- text analysis ----
+    "q_text_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).alias("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).alias("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)),
+
+    "q_text_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"),
+        TextAnalysis.approxBpeTokenCount(col("text")).alias("bpe_tokens"),
+        Rounding.roundAway(TextAnalysis.stopwordRatio(col("text")), 6).alias("stop_ratio"),
+        Rounding.roundAway(TextAnalysis.meanWordLength(col("text")), 6).alias("mean_wlen"),
+        TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).alias("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q_docs_join" -> ((s, dir) =>
+      T(s, dir, "documents").join(T(s, dir, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).alias("n"),
+          Rounding.roundAway(avg(col("label").cast("double")), 6).alias("avg_label"),
+          Rounding.roundAway(avg(col("n_chars").cast("double")), 4).alias("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // ---- multimodal plumbing ----
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticAssets(s, 500), everyMs = 2500)
+        .orderBy(col("asset_id"), col("frame_idx")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity >= 45 AND l_discount < 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b,
+        |  a.n_name AS nation_a, b.n_name AS nation_b
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |ORDER BY k_a, k_b""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT o_orderkey, 'high' AS tag FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, tag""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type,
+        |  e.value, e.props
+        |FROM events e JOIN (
+        |  SELECT user_id, event_type, min(event_id) AS event_id
+        |  FROM events GROUP BY user_id, event_type) m
+        |ON e.user_id = m.user_id AND e.event_type = m.event_type AND e.event_id = m.event_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg,
+        |  substring(c_name, 3, 8) AS sub_name, length(c_name) AS name_len,
+        |  c_name || '#' || c_mktsegment AS cat, lpad(c_mktsegment, 12, '*') AS pad,
+        |  regexp_replace(c_name, '[0-9]+', 'N', 'g') AS rep
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sanitize_names" ->
+      s"""SELECT event_id, messy, ${sanitizeSql("messy")} AS sanitized
+         |FROM (SELECT event_id, event_type || '.' || props AS messy FROM events)
+         |ORDER BY event_id""".stripMargin,
+
+    "q_udf_sanitize" ->
+      s"""SELECT event_id, messy, ${sanitizeSql("messy")} AS sanitized
+         |FROM (SELECT event_id,
+         |  CAST(user_id AS VARCHAR) || '.' || event_type || '!' || props AS messy
+         |  FROM events)
+         |ORDER BY event_id""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  round(abs(l_quantity - 25.0), 4) AS dev,
+        |  l_orderkey % 7 AS mod7,
+        |  round(pow(l_quantity, 2), 4) AS qty_sq,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  greatest(l_tax, l_discount) AS hi_rate,
+        |  least(l_tax, l_discount) AS lo_rate
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+        |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  datediff('day', o_orderdate, DATE '1998-01-01') AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT vec_id, len(embedding) AS n_dims,
+        |  embedding[1] AS first_val, embedding[-1] AS last_val,
+        |  list_aggregate(embedding, 'max') AS max_val,
+        |  list_aggregate(embedding, 'min') AS min_val,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4) AS sum_sq,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_map_fns" ->
+      """SELECT event_id,
+        |  CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS BIGINT) AS type_code,
+        |  CAST(5 AS BIGINT) AS m_size,
+        |  'click,error,purchase,signup,view' AS keys_cat
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  '{"id":' || event_id || ',"t":"' || event_type || '"}' AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rename_nested" ->
+      """SELECT event_id,
+        |  {'created_at': CAST(ts AS TIMESTAMP),
+        |   'who_is': {'user_id': user_id, 'e_type': event_type}} AS meta_info
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_explode_unnest" ->
+      """SELECT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> '' ORDER BY doc_id, tok""".stripMargin,
+
+    "q_find_last_entry" ->
+      "SELECT CAST(max(ts) AS TIMESTAMP) AS last_ts FROM events",
+
+    "q_chunk_date_range" ->
+      """WITH b AS (SELECT date_trunc('day', CAST(min(ts) AS TIMESTAMP)) AS mn,
+        |  date_trunc('day', CAST(max(ts) AS TIMESTAMP)) AS mx FROM events)
+        |SELECT u.cs AS chunk_start, least(u.cs + INTERVAL 3 DAY, b.mx) AS chunk_end
+        |FROM b, unnest(generate_series(b.mn, b.mx, INTERVAL 3 DAY)) AS u(cs)
+        |ORDER BY chunk_start""".stripMargin,
+
+    "q_incremental_delta" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 5000)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS doc_id, fp FROM (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE a.doc_id < 500 AND b.doc_id < 500
+         |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, q)
+        |SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0)) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_text_quality" -> {
+      val stops = TextAnalysis.stopwordsSql
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |r AS (SELECT doc_id, text, toks,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |      x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END AS stop_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit_raw
+         |  FROM t)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CAST(list_aggregate(list_transform(toks, x -> CAST(ceil(len(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_tokens,
+         |  round(stop_raw, 6) AS stop_ratio,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE round(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+         |      / len(toks), 6) END AS mean_wlen,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least(stop_raw * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_langid" -> {
+      val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS s_$l").mkString(",\n")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+         |s AS (SELECT doc_id,
+         |$scoreCols
+         |FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
+         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+         |    WHEN s_es >= s_en THEN 'es'
+         |    ELSE 'en' END AS lang_id
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce([0]::BIGINT[] ||
+        |    list_transform(list_filter(str_split(text, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)),
+        |    (a, c) -> (a * 257 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_join" ->
+      """SELECT lang, count(*) AS n,
+        |  round(avg(CAST(label AS DOUBLE)), 6) AS avg_label,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT id AS asset_id, CAST(off / 2500 AS INTEGER) AS frame_idx, off AS offset_ms
+        |FROM (SELECT id, unnest(generate_series(0, id * 1000 % 10000, 2500)) AS off
+        |      FROM range(500) t(id) WHERE id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin
+  )
 }

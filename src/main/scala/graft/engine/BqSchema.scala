@@ -1,0 +1,123 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** A BigQuery-API-representation schema field, the reference's
+  * schema-as-data unit (list of `{name, type, mode, fields?}` dicts —
+  * popelines/main.py:75, main.py:83-98, main.py:125-130).
+  *
+  * `mode` axis: NULLABLE / REQUIRED / REPEATED (copy_table.py:12,20,63).
+  */
+final case class BqField(
+    name: String,
+    fieldType: String,
+    mode: String = "NULLABLE",
+    fields: Seq[BqField] = Nil)
+
+final class GraftSchemaException(msg: String) extends RuntimeException(msg)
+
+/** BQ-schema-JSON <-> StructType codec.
+  *
+  * Type universe = the reference's legacy->standard map
+  * (copy_table.py:1-9); anything else raised a bare `KeyError` there
+  * (copy_table.py:21,23) — we throw a descriptive [[GraftSchemaException]]
+  * instead.
+  */
+object BqSchema {
+
+  /** Legacy BQ type -> standard SQL type (copy_table.py:1-9). */
+  val legacyToStandard: Map[String, String] = Map(
+    "INTEGER"   -> "INT64",
+    "STRING"    -> "STRING",
+    "RECORD"    -> "STRUCT",
+    "TIMESTAMP" -> "TIMESTAMP",
+    "BOOLEAN"   -> "BOOLEAN",
+    "FLOAT"     -> "FLOAT64",
+    "DATE"      -> "DATE")
+
+  /** Legacy BQ scalar type -> Spark type (SURVEY §1.2). */
+  private val toSpark: Map[String, DataType] = Map(
+    "INTEGER"   -> LongType,
+    "FLOAT"     -> DoubleType,
+    "STRING"    -> StringType,
+    "BOOLEAN"   -> BooleanType,
+    "TIMESTAMP" -> TimestampType,
+    "DATE"      -> DateType)
+
+  private val fromSpark: Map[DataType, String] =
+    toSpark.map(_.swap) ++ Map[DataType, String](
+      // widths BQ can't distinguish collapse to the nearest legacy type
+      IntegerType -> "INTEGER", ShortType -> "INTEGER", ByteType -> "INTEGER",
+      FloatType   -> "FLOAT")
+
+  def toStructType(fields: Seq[BqField]): StructType =
+    StructType(fields.map(toStructField))
+
+  private def toStructField(f: BqField): StructField = {
+    val base: DataType = f.fieldType.toUpperCase match {
+      case "RECORD" | "STRUCT" => toStructType(f.fields)
+      case t =>
+        toSpark.getOrElse(t, throw new GraftSchemaException(
+          s"unsupported BigQuery type '${f.fieldType}' for field '${f.name}'; " +
+          s"supported: ${legacyToStandard.keys.toSeq.sorted.mkString(", ")}"))
+    }
+    f.mode.toUpperCase match {
+      case "REPEATED" => StructField(f.name, ArrayType(base, containsNull = true), nullable = true)
+      case "REQUIRED" => StructField(f.name, base, nullable = false)
+      case _          => StructField(f.name, base, nullable = true)
+    }
+  }
+
+  def fromStructType(st: StructType): Seq[BqField] = st.fields.toSeq.map(fromStructField)
+
+  private def fromStructField(f: StructField): BqField = f.dataType match {
+    case ArrayType(et, _) =>
+      fromStructField(StructField(f.name, et, nullable = true)).copy(mode = "REPEATED")
+    case st: StructType =>
+      BqField(f.name, "RECORD", if (f.nullable) "NULLABLE" else "REQUIRED", fromStructType(st))
+    case dt =>
+      val t = fromSpark.getOrElse(dt, throw new GraftSchemaException(
+        s"Spark type ${dt.simpleString} of field '${f.name}' has no BigQuery legacy equivalent"))
+      BqField(f.name, t, if (f.nullable) "NULLABLE" else "REQUIRED")
+  }
+
+  // ---- JSON codec (the `[{name, type, mode, fields}]` wire format) ----
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(fields: Seq[BqField]): String = {
+    def render(f: BqField): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("name", f.name)
+      o.put("type", f.fieldType)
+      o.put("mode", f.mode)
+      if (f.fields.nonEmpty) {
+        val arr = o.putArray("fields")
+        f.fields.foreach(sf => arr.add(render(sf)))
+      }
+      o
+    }
+    val arr = mapper.createArrayNode()
+    fields.foreach(f => arr.add(render(f)))
+    mapper.writeValueAsString(arr)
+  }
+
+  def fromJson(json: String): Seq[BqField] = {
+    def parse(n: JsonNode): BqField = BqField(
+      name = Option(n.get("name")).map(_.asText).getOrElse(
+        throw new GraftSchemaException("schema field missing 'name'")),
+      fieldType = Option(n.get("type")).map(_.asText).getOrElse(
+        throw new GraftSchemaException("schema field missing 'type'")),
+      mode = Option(n.get("mode")).map(_.asText).getOrElse("NULLABLE"),
+      fields = Option(n.get("fields")).map(_.elements.asScala.map(parse).toSeq).getOrElse(Nil))
+    mapper.readTree(json) match {
+      case a: ArrayNode => a.elements.asScala.map(parse).toSeq
+      case o: ObjectNode if o.has("fields") => // tolerate {"fields": [...]} wrapping
+        o.get("fields").elements.asScala.map(parse).toSeq
+      case _ => throw new GraftSchemaException("expected a JSON array of schema fields")
+    }
+  }
+}

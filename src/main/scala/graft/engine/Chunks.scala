@@ -1,0 +1,33 @@
+package graft.engine
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+/** Date-range chunking for incremental backfills.
+  *
+  * Faithful re-expression of `popeline.chunk_date_range`
+  * (popelines/main.py:208-223), semantics verified by execution:
+  * for n in 0..(end-start).days (whole days, truncating), at every multiple
+  * of `chunkSize` emit the window `(start+n, start+n+chunkSize)`, clamping
+  * the upper bound to `end` when `start+n+chunkSize >= end`. Quirks kept:
+  *  - a span that divides evenly emits a degenerate `(end, end)` tail;
+  *  - `start == end` yields the single degenerate window `(start, start)`.
+  */
+object Chunks {
+
+  def chunkDateRange(
+      start: LocalDateTime,
+      end: LocalDateTime,
+      chunkSizeDays: Int): Iterator[(LocalDateTime, LocalDateTime)] = {
+    require(chunkSizeDays > 0, s"chunkSizeDays must be positive, got $chunkSizeDays")
+    if (end.isBefore(start)) return Iterator.empty // timedelta.days floors negative spans -> empty range
+    val spanDays = ChronoUnit.DAYS.between(start, end) // truncates like .days
+    (0L to spanDays).iterator
+      .filter(_ % chunkSizeDays == 0)
+      .map { n =>
+        val s = start.plusDays(n)
+        val e = start.plusDays(n + chunkSizeDays)
+        (s, if (e.isBefore(end)) e else end)
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.engine
+
+/** Faithful generator of the reference's `CREATE OR REPLACE TABLE … AS
+  * (SELECT …)` rename SQL (popelines/main.py:288-310 + copy_table.py:11-97),
+  * kept as a golden-tested curiosity. The generated text reproduces the
+  * reference's two confirmed defects ON PURPOSE (SURVEY §2.2):
+  *  1. top-level scalar columns are referenced by their POST-rename name
+  *     against the OLD table (copy_table.py:87-89);
+  *  2. repeated records go through `LEFT JOIN UNNEST` + `[STRUCT(…)]`
+  *     re-wrap, changing cardinality (copy_table.py:38,53,63-65).
+  * The semantically correct rename lives in [[NestedRewrite]]; this class
+  * exists to document the reference's exact output format.
+  *
+  * String manipulation mirrors Python semantics: `strip(chars)` removes any
+  * of the given characters from both ends, not a prefix/suffix.
+  */
+object CtasText {
+
+  private def pyStripLeft(s: String, chars: String): String = s.dropWhile(chars.contains(_))
+  private def pyStripRight(s: String, chars: String): String =
+    s.reverse.dropWhile(chars.contains(_)).reverse
+  private def pyStrip(s: String, chars: String): String =
+    pyStripRight(pyStripLeft(s, chars), chars)
+
+  /** copy_table.py:11-34 — typed `STRUCT<…>` / `ARRAY<STRUCT<…>>` DDL text
+    * with RENAMED subfield names.
+    */
+  private def processStructType(field: BqField, spaces: Int, cb: String => String): String = {
+    val pad = " " * spaces
+    val sub = " " * (spaces + 2)
+    val open = if (field.mode == "REPEATED") s"\n${pad}ARRAY<STRUCT<\n" else s"\n${pad}STRUCT<\n"
+    val body = new StringBuilder(open)
+    field.fields.foreach { sf =>
+      if (sf.fieldType != "RECORD") {
+        val t = BqSchema.legacyToStandard.getOrElse(sf.fieldType,
+          throw new GraftSchemaException(s"unsupported BigQuery type '${sf.fieldType}'"))
+        if (sf.mode == "REPEATED") body ++= s"$sub`${cb(sf.name)}` ARRAY<$t>,\n"
+        else body ++= s"$sub`${cb(sf.name)}` $t,\n"
+      } else {
+        body ++= s"$sub`${cb(sf.name)}` ${processStructType(sf, spaces + 2, cb)},\n"
+      }
+    }
+    val trimmed = pyStripRight(pyStripRight(body.toString, ",\n"), ",")
+    trimmed + (if (field.mode == "REPEATED") s"\n$pad>>" else s"\n$pad>")
+  }
+
+  /** copy_table.py:36-57 — the value constructor with ORIGINAL names;
+    * REPEATED resets the path to the UNNEST alias and wraps in `[STRUCT(…)]`.
+    */
+  private def processStructData(field: BqField, parentCols0: Seq[String], spaces: Int): String = {
+    val pad = " " * spaces
+    val sub = " " * (spaces + 2)
+    val (open, parentCols) =
+      if (field.mode == "REPEATED") (s"\n$pad[STRUCT(\n", Seq(field.name))
+      else (s"\n${pad}STRUCT(\n", parentCols0)
+    val body = new StringBuilder(open)
+    field.fields.foreach { sf =>
+      if (sf.fieldType != "RECORD") {
+        val path = (parentCols :+ sf.name).map(x => s"`$x`").mkString(".")
+        body ++= s"$sub${pyStrip(path, ",")},\n"
+      } else {
+        body ++= s"$sub${processStructData(sf, parentCols :+ sf.name, spaces + 2)}"
+      }
+    }
+    pyStrip(body.toString, ",\n") + (if (field.mode == "REPEATED") ")],\n" else "),\n")
+  }
+
+  /** copy_table.py:59-82 — `LEFT JOIN UNNEST` clauses for repeated records,
+    * recursing with alias chaining, deduplicated in first-seen order.
+    */
+  private def processCrossJoins(field: BqField, parentTable: String): Seq[String] = {
+    val own =
+      if (field.mode == "REPEATED" && field.fieldType == "RECORD")
+        Seq(s"\nLEFT JOIN UNNEST($parentTable.${field.name}) ${field.name}")
+      else Seq.empty
+    if (field.fieldType == "RECORD") {
+      val nextParent =
+        if (field.mode == "REPEATED") field.name else s"$parentTable.${field.name}"
+      field.fields.foldLeft(own) { (acc, sf) =>
+        acc ++ processCrossJoins(sf, nextParent).filterNot(acc.contains)
+      }
+    } else own
+  }
+
+  /** copy_table.py:84-97 — per-top-level-field SELECT text. A callback
+    * returning ""/null DROPS the column (the falsy guard).
+    */
+  private def processField(field: BqField, cb: String => String): String = {
+    if (field.fieldType != "RECORD") {
+      Option(cb(field.name)).filter(_.nonEmpty)
+        .map(n => s"  `copy_table`.`$n`,\n").getOrElse("")
+    } else {
+      val typeQ = processStructType(field, 2, cb)
+      val dataQ = pyStripLeft(processStructData(field, Seq(field.name), 2).stripLeading(), "\nSTRUC")
+      val combined = pyStrip(pyStripRight(typeQ, ",\n") + dataQ, ",\n")
+      combined + s" `${field.name.toLowerCase}`,\n"
+    }
+  }
+
+  /** popelines/main.py:288-310 — assemble the full CTAS statement. */
+  def copyAndReplaceKeysSql(table: String, schema: Seq[BqField], cb: String => String): String = {
+    val fieldsText = schema.map(processField(_, cb)).mkString
+    val crossJoins = schema.foldLeft(Seq.empty[String]) { (acc, f) =>
+      acc ++ processCrossJoins(f, "copy_table").filterNot(acc.contains)
+    }
+    val header = s"CREATE OR REPLACE TABLE `$table` AS (\nSELECT \n"
+    pyStrip(header + fieldsText, ",\n") +
+      s"\nFROM\n  `$table` copy_table" + crossJoins.mkString + ")"
+  }
+}

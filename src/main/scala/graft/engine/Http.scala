@@ -1,0 +1,60 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** REST extraction source (popelines/main.py:193-206 `call_api`): one HTTP
+  * request, body parsed as JSON; a non-JSON body returns None there — here
+  * `callApi` returns the raw body and `readJsonApi` surfaces a parse error
+  * through Spark's JSON reader (`_corrupt_record`), which is more useful
+  * than swallowing it.
+  *
+  * `fetchPartitioned` is the scale path: the URL list is distributed and
+  * each EXECUTOR does its own fetching via `mapPartitions` — the driver
+  * never touches the payload bytes.
+  */
+object Http {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  def callApi(
+      url: String,
+      method: String = "GET",
+      headers: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty,
+      data: Option[String] = None): String = {
+    val qs =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString(if (url.contains("?")) "&" else "?", "&", "")
+    val b = HttpRequest.newBuilder(URI.create(url + qs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val body = data.map(HttpRequest.BodyPublishers.ofString(_))
+      .getOrElse(HttpRequest.BodyPublishers.noBody())
+    client.send(b.method(method.toUpperCase, body).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** Driver-side fetch -> DataFrame of the (array or object) JSON body. */
+  def readJsonApi(spark: SparkSession, url: String): DataFrame = {
+    import spark.implicits._
+    val body = callApi(url)
+    spark.read.json(Seq(body).toDS())
+  }
+
+  /** Executor-side parallel fetch of many endpoints. */
+  def fetchPartitioned(spark: SparkSession, urls: Seq[String], parallelism: Int = 16): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(urls).repartition(math.min(parallelism, math.max(1, urls.size)))
+      .mapPartitions { it =>
+        val c = HttpClient.newHttpClient()
+        it.map { u =>
+          c.send(HttpRequest.newBuilder(URI.create(u)).GET().build(),
+            HttpResponse.BodyHandlers.ofString()).body()
+        }
+      }
+  }
+}

@@ -1,0 +1,35 @@
+package graft.engine
+
+/** Identifier sanitization, re-expressing the reference's BigQuery
+  * column/table name rules.
+  *
+  * Semantics verified against the reference by execution:
+  *  - `prep_json_for_BQ_callback` (popelines/main.py:180-191):
+  *    1. leading numeric char gets a `_` prefix (checked BEFORE other
+  *       rewrites, so `"!9abc"` does NOT get a prefix);
+  *    2. `.` and space become `_`;
+  *    3. every remaining char outside `[A-Za-z0-9_]` is dropped.
+  *    Examples: `9lives -> _9lives`, `a.b.c -> a_b_c`,
+  *    `weird!@#key -> weirdkey`, `ok_key -> ok_key`.
+  *  - `write_to_bq` table-name normalization (popelines/main.py:109):
+  *    lowercase + `-` -> `_`.
+  */
+object Names {
+
+  /** Column-name sanitizer (popelines/main.py:180-191). The reference
+    * throws on an empty key (`key[0]`); we return "" instead — documented
+    * deviation (a proper error beats an IndexError).
+    */
+  def sanitizeBqName(key: String): String = {
+    if (key.isEmpty) return ""
+    val prefixed = if (key.head.isDigit) "_" + key else key
+    val underscored = prefixed.map(c => if (c == '.' || c == ' ') '_' else c)
+    underscored.filter(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_')
+  }
+
+  /** Table-name normalization (popelines/main.py:109). */
+  def normalizeTableName(name: String): String =
+    name.toLowerCase.replace("-", "_")
+}

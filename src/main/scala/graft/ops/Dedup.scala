@@ -1,0 +1,344 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions, BASELINE.json:6). Five flavors, cheapest first:
+  *
+  *  1. exact        — hash group-by on content (one shuffle on the hash);
+  *  2. fingerprint  — exact after normalization (rolling hash);
+  *  3. SimHash      — near-dup via Hamming-close 64-bit sketches;
+  *  4. MinHash+LSH  — near-dup via banded minhash signatures:
+  *                    shingle → k minhashes → b bands → bucket-join;
+  *  5. n-gram Jaccard / embedding-cosine — verification metrics for
+  *     candidate pairs out of (3)/(4).
+  *
+  * Scale design: every flavor is shuffle-bounded by the BUCKET key (band
+  * hash / simhash block), never by all-pairs comparison — candidate
+  * generation is O(rows·bands) and the quadratic comparison happens only
+  * inside buckets. That is the published MinHash-LSH design (Broder 1997;
+  * Leskovec et al., "Mining of Massive Datasets" ch.3) and survives 100 TB
+  * as long as bucket skew is monitored (hot buckets ⇒ raise bands' hash
+  * width or salt).
+  */
+object Dedup {
+
+  // ---------- 1. exact ----------
+
+  /** Exact dedup on arbitrary columns: keep the first row per key ordered
+    * by `tieBreak`. Uses min-by-key (shuffle + single reduce) rather than
+    * Window row_number to keep it a plain aggregate (partial map-side
+    * combine applies).
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols: _*)
+      .agg(min(col(tieBreak)).alias(tieBreak))
+      .join(df, keys :+ tieBreak, "inner")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** dropDuplicates flavor — Spark's built-in exact dedup. */
+  def exactAny(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
+
+  // ---------- 2. normalized fingerprint ----------
+
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "[^a-z0-9 ]|\\s+", " ")
+
+  /** Keep one doc per normalized-content fingerprint (lowest id wins). */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(normalizeText(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  // ---------- 3. SimHash ----------
+
+  /** 64-bit SimHash of the token multiset (Charikar 2002; Manku et al.
+    * WWW'07 for the dedup application). For every bit b, sum ±1 weighted by
+    * token hash bit b; sign → bit. Expressed with aggregate() over the
+    * token array — no UDF.
+    */
+  /** Per-token 64-bit hashes; feed to [[simhashFromHashes]]. Kept separate
+    * so the hash array is materialized ONCE per row instead of once per
+    * sketch bit.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(normalizeText(text)), t => xxhash64(t))
+
+  /** Fold token hashes into the SimHash sketch.
+    *
+    * Deliberately a scalar UDF, not an expression tree: the expression
+    * formulation needs 64 array-aggregates per row (one per bit), which
+    * Spark evaluates INTERPRETED (higher-order functions don't join
+    * whole-stage codegen) and which bloats task binaries to >10 MiB. A
+    * JIT-compiled while-loop over the already-hashed array is ~100× faster
+    * and bit-identical; determinism is unaffected (pure arithmetic).
+    */
+  def simhashFromHashes(hashes: Column, bits: Int = 64): Column = {
+    require(bits <= 64)
+    val f = udf { hs: Seq[Long] =>
+      val counters = new Array[Int](bits)
+      hs.foreach { h =>
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < bits) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    f(hashes)
+  }
+
+  def simhash(text: Column, bits: Int = 64): Column =
+    simhashFromHashes(tokenHashes(text), bits)
+
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: split the 64-bit sketch into `blocks`
+    * pieces; two docs within Hamming distance `blocks-1` share at least one
+    * block (pigeonhole) → join on (blockIdx, blockValue), verify Hamming.
+    */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val bitsPerBlock = 64 / blocks
+    val withSig = df.select(col(idCol), tokenHashes(col(textCol)).alias("th"))
+      .select(col(idCol), simhashFromHashes(col("th")).alias("sig"))
+    val exploded = withSig.select(
+      col(idCol), col("sig"),
+      explode(array((0 until blocks).map { i =>
+        struct(lit(i).alias("block_idx"),
+          shiftright(col("sig"), i * bitsPerBlock)
+            .bitwiseAND((1L << bitsPerBlock) - 1).alias("block_val"))
+      }: _*)).alias("blk"))
+      .select(col(idCol), col("sig"), col("blk.block_idx"), col("blk.block_val"))
+    val l = exploded.alias("l")
+    val r = exploded.alias("r")
+    l.join(r,
+        col("l.block_idx") === col("r.block_idx") &&
+        col("l.block_val") === col("r.block_val") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+        hammingDistance(col("l.sig"), col("r.sig")).alias("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---------- 4. MinHash + LSH ----------
+
+  /** Distinct 64-bit hashes of the word n-gram shingle set, in one JIT'd
+    * pass (tokenize -> shingle -> hash). The expression formulation
+    * re-evaluates the captured token array inside the transform lambda on
+    * every element access (interpreted HOFs do no CSE), going O(tokens²)
+    * per document — this is the single hottest path of LSH dedup, so it
+    * earns the UDF. Token semantics match `TextAnalysis.tokens(lower(_))`:
+    * split on \s+, drop empties. Hash = two murmur3-32 seeds packed to 64
+    * bits: set cardinalities (and so jaccard) equal the string-set values
+    * up to 2^-64 collisions.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val f = udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val out = new scala.collection.mutable.LinkedHashSet[Long]
+          var i = 0
+          while (i <= toks.length - n) {
+            val s = toks.slice(i, i + n).mkString(" ")
+            val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+            val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+            out += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }
+    f(text)
+  }
+
+  /** k minhashes of the shingle set via the standard affine-rehash trick:
+    * minhash_i = min over shingles of h_i(s), h_i(s) = (a_i·x + b_i) mod p
+    * with x = xxhash64(shingle). One pass, no UDF, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int = 64): Column = {
+    // (a·x32 + b) mod p with p prime > 2^32, a < 2^30, x32 < 2^32: the
+    // product stays under 2^62, no 64-bit overflow. Scalar UDF for the same
+    // reason as simhashFromHashes: k=64 interpreted array-aggregates per row
+    // is orders of magnitude slower than one JIT'd loop. Base hash is
+    // 32-bit murmur3: stable across JVMs and runs.
+    val p = 4294967311L
+    val rnd = new scala.util.Random(42) // fixed seed: signatures must be stable across runs
+    val ab = Array.fill(k)((rnd.nextInt(1 << 30).toLong.max(1L), rnd.nextInt(1 << 30).toLong))
+    val f = udf { sh: Seq[String] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val x32 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL
+        var i = 0
+        while (i < k) {
+          val v = (ab(i)._1 * x32 + ab(i)._2) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    f(shingles)
+  }
+
+  /** Same affine minhash over pre-hashed (64-bit) shingles. */
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int = 64): Column = {
+    val p = 4294967311L
+    val rnd = new scala.util.Random(42) // same seed family as minhashSignature
+    val ab = Array.fill(k)((rnd.nextInt(1 << 30).toLong.max(1L), rnd.nextInt(1 << 30).toLong))
+    val f = udf { sh: Seq[Long] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { h =>
+        val x32 = h & 0xffffffffL
+        var i = 0
+        while (i < k) {
+          val v = (ab(i)._1 * x32 + ab(i)._2) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    f(shingleHashes)
+  }
+
+  /** Fused minhash-signature + banding: one UDF evaluation per row emits
+    * the `bands` band hashes directly (index = array position). Keeping
+    * signature and banding in separate expressions makes the planner
+    * re-evaluate the signature UDF once PER BAND (expressions referencing
+    * the same non-trivial child are not CSE'd), a 16× overhead measured on
+    * the sf0.1 bench.
+    */
+  def minhashBandHashes(shingleHashes: Column, k: Int = 64, bands: Int = 16): Column = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val p = 4294967311L
+    val rnd = new scala.util.Random(42) // same seed family as minhashSignature
+    val ab = Array.fill(k)((rnd.nextInt(1 << 30).toLong.max(1L), rnd.nextInt(1 << 30).toLong))
+    val f = udf { sh: Seq[Long] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      sh.foreach { h =>
+        val x32 = h & 0xffffffffL
+        var i = 0
+        while (i < k) {
+          val v = (ab(i)._1 * x32 + ab(i)._2) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        var acc = 1125899906842597L // FNV-ish fold of the band's minhashes
+        var r = 0
+        while (r < rowsPerBand) {
+          acc = acc * 31 + sig(b * rowsPerBand + r)
+          r += 1
+        }
+        acc
+      }
+    }
+    f(shingleHashes)
+  }
+
+  /** Band the signature and emit (band_idx, band_hash) candidate keys. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).alias("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).alias("band_hash"))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification on the
+    * candidates only.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): DataFrame = {
+    // shingles reduced to 64-bit hashes up front: set ops on longs are far
+    // cheaper than on strings, and (crucially at scale) the banded join
+    // below shuffles only (id, band_idx, band_hash) triples — never the
+    // shingle arrays
+    val withShingles = df.select(col(idCol),
+      shingleHashes(col(textCol), shingleSize).alias("sh"))
+      .where(size(col("sh")) > 0)
+    val withBands = withShingles
+      .select(col(idCol), posexplode(minhashBandHashes(col("sh"), k, bands)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+    val l = withBands.alias("l")
+    val r = withBands.alias("r")
+    val candidates = l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val a = withShingles.select(col(idCol).alias("id_a"), col("sh").alias("sh_a"))
+    val b = withShingles.select(col(idCol).alias("id_b"), col("sh").alias("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", Rounding.roundAway(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard for ALL pairs of a (small or pre-bucketed) frame
+    * — the verification/oracle path. At scale this runs only on LSH
+    * candidates; the all-pairs form exists for tests and oracles.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // shingle sets as 64-bit hashes: counts (and thus jaccard) are equal to
+    // string-set counts up to 2^-64 collisions, and the N² intersects get
+    // integer-compare speed
+    val withShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))
+    val l = withShingles.alias("l")
+    val r = withShingles.alias("r")
+    l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+        Rounding.roundAway(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          greatest(size(array_union(col("l.sh"), col("r.sh"))), lit(1)), 6).alias("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ---------- 5. embedding-cosine near-dup ----------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidate
+    * generation via random-hyperplane LSH signs (so the join key bounds the
+    * shuffle); exact cosine verifies. `dims` must match the embedding
+    * width.
+    */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, planes: Int = 16, minCosine: Double = 0.95): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), dims, planes)
+    val withSig = df.select(col(idCol), col(vecCol).cast("array<double>").alias("__v"),
+        sig.alias("sig"))
+      .withColumn("__n2", Similarity.sumSq(col("__v")))
+    val l = withSig.alias("l")
+    val r = withSig.alias("r")
+    l.join(r, col("l.sig") === col("r.sig") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+        Rounding.roundAway(
+          Similarity.dotFast(col("l.__v"), col("r.__v")) /
+            (sqrt(col("l.__n2")) * sqrt(col("r.__n2"))), 6).alias("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star extensions, BASELINE.json:6).
+  *
+  * Design: image/audio/video payloads are opaque `binary` columns carried
+  * next to typed metadata (media type, width/height/duration, codec). The
+  * decode / feature-extract steps are pluggable [[MediaDecoder]]s executed
+  * per-partition (`mapPartitions`) so the heavy native library is
+  * initialized ONCE per task, not per row — the Scala analogue of a
+  * batch-shaped Pandas UDF. The container has no image/audio codecs, so
+  * the shipped decoder is [[StubDecoder]]: a clearly-marked deterministic
+  * fake; the Spark-side plumbing (schema, batching, partitioning, output
+  * shape) is real and tested.
+  *
+  * Scale notes: payload columns are huge — always project them away before
+  * any shuffle-heavy op (Parquet column pruning makes metadata-only scans
+  * free), repartition by size estimate before decode to balance tasks, and
+  * never collect payloads to the driver.
+  */
+object Multimodal {
+
+  /** The canonical media-asset schema. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  /** A decoded fixed-size feature vector per asset. */
+  case class MediaFeatures(asset_id: Long, media_type: String, n_bytes: Long,
+      features: Array[Float])
+
+  /** Decoder contract: bytes -> feature vector. Implementations must be
+    * deterministic per input for testability.
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(mediaType: String, payload: Array[Byte]): Array[Float]
+  }
+
+  /** STUB — the container ships no image/audio libraries. Deterministic
+    * fake: byte histogram folded to `featureDim` buckets, normalized.
+    * Replace with a JNI/FFI-backed decoder in production; the plumbing
+    * around it does not change.
+    */
+  final class StubDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](featureDim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          acc((payload(i) & 0xff) % featureDim) += 1f
+          i += 1
+        }
+        val n = math.max(1, payload.length)
+        var j = 0
+        while (j < featureDim) { acc(j) /= n; j += 1 }
+      }
+      acc
+    }
+  }
+
+  /** Decode assets into feature vectors, batch-shaped: one decoder per
+    * partition, payload column pruned immediately after use.
+    */
+  def extractFeatures(assets: DataFrame, decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder is deserialized once per task — per-partition init point
+        it.map { case (id, mt, payload) =>
+          MediaFeatures(id, mt,
+            if (payload == null) 0L else payload.length.toLong,
+            decoder.decode(mt, payload))
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video: rows (asset_id, frame_idx, offset_ms)
+    * — the downstream decode fetches only sampled offsets. Pure expression
+    * (sequence + explode), no payload touched.
+    */
+  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
+    assets
+      .where(col("media_type") === "video" && col("meta.duration_ms").isNotNull)
+      .select(col("asset_id"),
+        posexplode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
+      .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "offset_ms"))
+
+  /** Deterministic synthetic asset frame for tests/benchmarks. */
+  def syntheticAssets(spark: SparkSession, n: Int, payloadBytes: Int = 256): DataFrame = {
+    val rows = spark.range(n.toLong).select(
+      col("id").alias("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).alias("media_type"),
+      // deterministic pseudo-payload: repeated sha2 hex of the id (opaque
+      // bytes are all that matters here)
+      repeat(sha2(col("id").cast("string"), 256), math.max(1, payloadBytes / 64))
+        .cast("binary").alias("payload"),
+      struct(
+        lit(64).alias("width"), lit(48).alias("height"),
+        (col("id") * 1000 % 10000).alias("duration_ms"),
+        lit("stub").alias("codec")).alias("meta"))
+    rows
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions, BASELINE.json:6). All built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so they stay inside
+  * WholeStageCodegen and scale linearly with input splits: every operator
+  * here is a narrow per-row projection (no shuffle at all) until the caller
+  * aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty strings filtered like most tokenizers. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count without a vocab: words are split at
+    * letter/digit/punct boundaries, then length-capped chunks approximate
+    * merges (a public heuristic: ~4 chars per token).
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val pieces = filter(split(text, "(?U)(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), p => length(trim(p)) > 0)
+    aggregate(
+      transform(pieces, p => ceil(length(p) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Character-class ratios used by quality filters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "this")
+
+  /** The stopword list as a DuckDB list literal (for oracle SQL). */
+  def stopwordsSql: String = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the C4/Gopher-style shape
+    * (length + stopword presence − punctuation/digit noise), deliberately
+    * simple and fully inspectable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text)
+    val noiseScore = greatest(lit(0.0), lit(1.0) - noise * 2.0)
+    Rounding.roundAway(lenScore * 0.4 + stopScore * 0.3 + noiseScore * 0.3, 6)
+  }
+
+  /** Character n-grams of the whitespace-collapsed text. `sequence(1, 0)`
+    * counts DOWN in Spark, so the empty case needs an explicit guard.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = regexp_replace(text, "\\s+", " ")
+    val count = length(s) - (n - 1)
+    when(count >= 1, transform(sequence(lit(1), count), i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Trigram-profile language ID over a tiny built-in profile table.
+    * Real systems load per-language frequency models; the heuristic here —
+    * score = number of profile n-grams present — is the published n-gram
+    * text-categorization approach (Cavnar & Trenkle 1994) reduced to a
+    * codegen-friendly expression.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ción", " qu"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"))
+
+  def languageId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map(g => when(padded.contains(g), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.alias("score"), lit(lang).alias("lang"))
+    }
+    // argmax by (score, lang) — deterministic tie-break on language code;
+    // no profile hit at all -> "und"
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Rolling polynomial (Rabin-Karp-style) fingerprint of the whole
+    * document: hash = Σ c_i·B^(n-i) mod M, computed with `aggregate` so it
+    * stays a scalar expression. Deterministic and portable (no JVM
+    * hashCode).
+    */
+  def fingerprint(text: Column, base: Long = 257L, mod: Long = 1000000007L): Column = {
+    val chars = split(text, "")
+    aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * base + ascii(c), lit(mod)))
+  }
+
+  /** Word-level shingles (n-grams of tokens), the dedup building block.
+    *
+    * NOTE: interpreted higher-order lambdas re-evaluate the captured token
+    * expression on every element, so this is O(tokens²) per document — fine
+    * for tests and one-off queries, but the LSH dedup hot path uses the
+    * one-pass `Dedup.shingleHashes` UDF instead.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val count = size(toks) - (n - 1)
+    when(count >= 1, transform(sequence(lit(1), count), i =>
+      concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Annotate a documents frame with the full feature set. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("approx_bpe_tokens", approxBpeTokenCount(t))
+      .withColumn("punct_ratio", Rounding.roundAway(punctRatio(t), 6))
+      .withColumn("stopword_ratio", Rounding.roundAway(stopwordRatio(t), 6))
+      .withColumn("mean_word_len", Rounding.roundAway(meanWordLength(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", languageId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

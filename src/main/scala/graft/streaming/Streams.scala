@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's incremental
+  * pattern (find_last_entry + chunk_date_range, popelines/main.py:208-234)
+  * plus the north-star streaming extensions: tumbling / sliding / session
+  * windows with watermarked late-data handling.
+  *
+  * The reference's "streaming" is incremental batch: remember MAX(ts),
+  * re-extract (last, now], append. Structured Streaming subsumes it —
+  * `readStream` + `withWatermark` IS a continuously-maintained high-water
+  * mark with bounded state.
+  */
+object Streams {
+
+  /** Tumbling-window counts; equivalent batch query: groupBy(date_trunc). */
+  def tumblingCounts(events: DataFrame, tsCol: String, every: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), every))
+      .agg(count(lit(1)).alias("n"), sum(col("value")).alias("sum_value"))
+      .select(col("window.start").alias("window_start"), col("n"), col("sum_value"))
+
+  def slidingCounts(events: DataFrame, tsCol: String, length: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), length, slide))
+      .agg(count(lit(1)).alias("n"))
+      .select(col("window.start").alias("window_start"), col("window.end").alias("window_end"), col("n"))
+
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String, keyCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).alias("n"))
+      .select(col(keyCol), col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_end"), col("n"))
+
+  /** Custom state: running per-key high-water mark + count, the
+    * mapGroupsWithState analogue of find_last_entry maintained online.
+    */
+  case class KeyState(maxTs: Long, n: Long)
+  case class KeyUpdate(key: String, maxTs: java.sql.Timestamp, n: Long)
+
+  def highWaterMarkPerKey(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"), col(tsCol).cast("timestamp"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(Long.MinValue, 0L))
+          var mx = prev.maxTs; var n = prev.n
+          rows.foreach { case (_, ts) => if (ts.getTime > mx) mx = ts.getTime; n += 1 }
+          state.update(KeyState(mx, n))
+          KeyUpdate(key, new java.sql.Timestamp(mx), n)
+      }.toDF()
+  }
+
+  /** Batch equivalent of [[tumblingCounts]] for oracle comparison. */
+  def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
+    events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))
+      .agg(count(lit(1)).alias("n"), sum(col("value")).alias("sum_value"))
+}

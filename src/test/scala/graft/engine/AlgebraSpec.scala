@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import java.time.LocalDateTime
+
+/** Pure-algebra units + properties: the reference's verified semantics
+  * (SURVEY §1.3, §2.1; fixtures FIXTURES.md §B).
+  *
+  * Properties are sampled from raw scalacheck Gens (the scalatest bridge
+  * artifact isn't in the offline cache), 200 deterministic samples each.
+  */
+class AlgebraSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+
+  // ---- Names.sanitizeBqName (main.py:180-191 semantics) ----
+
+  test("sanitize fixture pairs (FIXTURES B1)") {
+    assert(Names.sanitizeBqName("9lives") == "_9lives")
+    assert(Names.sanitizeBqName("first name") == "first_name")
+    assert(Names.sanitizeBqName("a.b.c") == "a_b_c")
+    assert(Names.sanitizeBqName("weird!@#key") == "weirdkey")
+    assert(Names.sanitizeBqName("ok_key") == "ok_key")
+  }
+
+  test("sanitize output always matches ^[A-Za-z_][A-Za-z0-9_]*$|^$ and is idempotent") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val out = Names.sanitizeBqName(s)
+      assert(out.isEmpty || out.matches("^[A-Za-z_][A-Za-z0-9_]*$") || out.matches("^[0-9].*"))
+      // leading digit survives only when the ORIGINAL head wasn't a digit
+      // (the reference checks the prefix before stripping: "!9abc" -> "9abc")
+      if (s.nonEmpty && s.head.isDigit) assert(out.head == '_')
+      assert(Names.sanitizeBqName(out) == (if (out.nonEmpty && out.head.isDigit) "_" + out else out))
+    }
+  }
+
+  test("normalizeTableName lowercases and maps dash") {
+    assert(Names.normalizeTableName("My-Table") == "my_table")
+  }
+
+  // ---- Chunks.chunkDateRange (main.py:208-223 verified quirks) ----
+
+  private def d(s: String) = LocalDateTime.parse(s + "T00:00:00")
+
+  test("chunk fixtures (FIXTURES B3)") {
+    assert(Chunks.chunkDateRange(d("2018-03-01"), d("2018-03-08"), 3).toList ==
+      List((d("2018-03-01"), d("2018-03-04")), (d("2018-03-04"), d("2018-03-07")),
+        (d("2018-03-07"), d("2018-03-08"))))
+    assert(Chunks.chunkDateRange(d("2018-03-01"), d("2018-03-03"), 1).toList ==
+      List((d("2018-03-01"), d("2018-03-02")), (d("2018-03-02"), d("2018-03-03")),
+        (d("2018-03-03"), d("2018-03-03"))))
+    assert(Chunks.chunkDateRange(d("2018-03-01"), d("2018-03-01"), 1).toList ==
+      List((d("2018-03-01"), d("2018-03-01"))))
+  }
+
+  test("chunks tile [start, end) with stride chunkSize") {
+    val gen = for {
+      days <- Gen.choose(0, 50)
+      chunk <- Gen.choose(1, 10)
+    } yield (days, chunk)
+    forAll(gen) { case (days, chunk) =>
+      val start = d("2020-01-01")
+      val end = start.plusDays(days.toLong)
+      val ws = Chunks.chunkDateRange(start, end, chunk).toList
+      assert(ws.nonEmpty)
+      assert(ws.head._1 == start)
+      assert(ws.last._2 == end)
+      ws.sliding(2).foreach {
+        case List((_, e1), (s2, _)) => assert(e1 == s2 || s2.isBefore(e1.plusDays(1)))
+        case _ =>
+      }
+      // every window bounded by end, strides of chunk days
+      ws.zipWithIndex.foreach { case ((s0, e0), i) =>
+        assert(s0 == start.plusDays(i.toLong * chunk))
+        assert(!e0.isAfter(end) || e0 == end)
+      }
+    }
+  }
+
+  // ---- SchemaMerge (main.py:77-98 verified semantics, FIXTURES B2) ----
+
+  test("merge fixture B2: old-wins, nested add, tail append") {
+    val old = Seq(
+      BqField("a", "INTEGER"),
+      BqField("r", "RECORD", "REPEATED", Seq(BqField("x", "STRING"))))
+    val nw = Seq(
+      BqField("a", "STRING"),
+      BqField("b", "FLOAT"),
+      BqField("r", "RECORD", "REPEATED", Seq(BqField("x", "STRING"), BqField("y", "INTEGER"))))
+    val merged = SchemaMerge.additive(old, nw)
+    assert(merged.map(_.name) == Seq("a", "r", "b"))
+    assert(merged.head.fieldType == "INTEGER") // old-wins
+    assert(merged(1).fields.map(_.name) == Seq("x", "y")) // nested add
+    assert(merged(2).fieldType == "FLOAT")
+  }
+
+  test("merge is idempotent and preserves old order") {
+    val fieldGen: Gen[BqField] = for {
+      name <- Gen.oneOf("a", "b", "c", "d", "e")
+      t <- Gen.oneOf("INTEGER", "STRING", "FLOAT", "BOOLEAN")
+    } yield BqField(name, t)
+    val schemaGen = Gen.listOf(fieldGen).map(_.distinctBy(_.name))
+    forAll(schemaGen, schemaGen) { (old, nw) =>
+      val m = SchemaMerge.additive(old, nw)
+      assert(m.take(old.size).map(_.name) == old.map(_.name))
+      assert(old.forall(f => m.find(_.name == f.name).get.fieldType == f.fieldType))
+      assert(SchemaMerge.additive(m, m) == m)
+      assert(SchemaMerge.additive(m, nw) == m)
+    }
+  }
+
+  // ---- BqSchema codec ----
+
+  test("codec round-trips the B1-shaped schema") {
+    val schema = Seq(
+      BqField("id", "INTEGER"),
+      BqField("meta", "RECORD", "NULLABLE", Seq(
+        BqField("created_at", "TIMESTAMP"),
+        BqField("geo", "RECORD", "NULLABLE", Seq(
+          BqField("lat", "FLOAT"), BqField("lon", "FLOAT"))))),
+      BqField("items", "RECORD", "REPEATED", Seq(
+        BqField("sku", "STRING"), BqField("qty", "INTEGER"))))
+    val st = BqSchema.toStructType(schema)
+    assert(BqSchema.fromStructType(st) == schema)
+    assert(BqSchema.fromJson(BqSchema.toJson(schema)) == schema)
+  }
+
+  test("unknown type raises a descriptive error (not a KeyError)") {
+    val e = intercept[GraftSchemaException] {
+      BqSchema.toStructType(Seq(BqField("g", "GEOGRAPHY")))
+    }
+    assert(e.getMessage.contains("GEOGRAPHY"))
+    assert(e.getMessage.contains("g"))
+  }
+
+  // ---- CtasText golden (FIXTURES B4 / SURVEY §2.2) ----
+
+  test("CTAS text reproduces the reference's generator, bugs included") {
+    val schema = Seq(
+      BqField("id", "INTEGER"),
+      BqField("bad key", "STRING"),
+      BqField("tags", "STRING", "REPEATED"),
+      BqField("meta", "RECORD", "NULLABLE", Seq(
+        BqField("created at", "TIMESTAMP"),
+        BqField("geo", "RECORD", "NULLABLE", Seq(
+          BqField("lat", "FLOAT"), BqField("lon", "FLOAT"))))),
+      BqField("items", "RECORD", "REPEATED", Seq(
+        BqField("sku", "STRING"), BqField("qty", "INTEGER"))))
+    val sql = CtasText.copyAndReplaceKeysSql("ds.events", schema, _.replace(" ", "_"))
+    // the reference's confirmed defect #1: top-level scalar referenced by
+    // its POST-rename name against the OLD table
+    assert(sql.contains("`copy_table`.`bad_key`"))
+    // renamed names in the TYPE text, original names in the DATA refs
+    assert(sql.contains("`created_at` TIMESTAMP"))
+    assert(sql.contains("`meta`.`created at`"))
+    // defect #2 shape: repeated record goes through UNNEST + [STRUCT(...)]
+    assert(sql.contains("LEFT JOIN UNNEST(copy_table.items) items"))
+    assert(sql.contains("ARRAY<STRUCT<"))
+    assert(sql.contains("[STRUCT("))
+    assert(sql.startsWith("CREATE OR REPLACE TABLE `ds.events` AS (\nSELECT \n"))
+    assert(sql.endsWith(")"))
+    // repeated scalar stays ARRAY<T> with no unnest
+    assert(sql.contains("`copy_table`.`tags`"))
+    assert(!sql.contains("UNNEST(copy_table.tags)"))
+  }
+
+  test("CTAS drop-on-falsy removes top-level scalars") {
+    val schema = Seq(BqField("keep", "STRING"), BqField("drop", "STRING"))
+    val sql = CtasText.copyAndReplaceKeysSql("d.t", schema,
+      k => if (k == "drop") "" else k)
+    assert(sql.contains("`copy_table`.`keep`"))
+    assert(!sql.contains("`drop`"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.engine
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Ingestion surface: NDJSON round-trip with keep-nulls inference, managed
+  * table append/truncate with additive evolution, ignore-unknown-values —
+  * the write_to_json -> write_to_bq loop (popelines/main.py:100-178).
+  */
+class IngestSpec extends SparkSpecBase {
+
+  private def writeNdjson(lines: Seq[String]): String = {
+    val f = Files.createTempFile("graft", ".ndjson")
+    Files.writeString(f, lines.mkString("", "\n", "\n"))
+    f.toString
+  }
+
+  test("NDJSON inference keeps all-null columns (generate-schema --keep_nulls)") {
+    val path = writeNdjson(Seq(
+      """{"a": 1, "b": null, "nested": {"x": null}}""",
+      """{"a": 2, "b": null, "nested": {"x": null}}"""))
+    val schema = SchemaInfer.inferNdjson(spark, path)
+    assert(schema.fieldNames.toSeq == Seq("a", "b", "nested"))
+    assert(schema("b").dataType == StringType) // all-null lands as string
+  }
+
+  test("NDJSON round-trip preserves rows") {
+    val pope = new Popeline(spark, tmpDir("wh"))
+    val df = spark.range(5).select(col("id"), concat(lit("u"), col("id")).alias("name"))
+    val out = tmpDir("json")
+    pope.writeToJson(df, out)
+    val back = SchemaInfer.readNdjson(spark, out)
+    assert(back.count() == 5)
+    assert(back.columns.sorted.toSeq == Seq("id", "name"))
+  }
+
+  test("writeToJson prepForBq sanitizes nested keys on the way out") {
+    val pope = new Popeline(spark, tmpDir("wh"))
+    val df = spark.range(1).select(
+      struct(lit(1).alias("bad key"), lit("x").alias("a.b")).alias("9meta"))
+    val out = tmpDir("json2")
+    pope.writeToJson(df, out, prepForBq = true)
+    val back = SchemaInfer.readNdjson(spark, out)
+    assert(back.schema.fieldNames.toSeq == Seq("_9meta"))
+    val inner = back.schema("_9meta").dataType.asInstanceOf[StructType]
+    assert(inner.fieldNames.sorted.toSeq == Seq("a_b", "bad_key"))
+  }
+
+  test("append with evolution: new column added, old type wins, old rows null-filled") {
+    val store = new TableStore(spark, tmpDir("wh"))
+    val v1 = spark.range(3).select(col("id"), lit("a").alias("tag"))
+    store.write("T-1", v1, append = false)
+    // v2 adds `extra`, and tries to flip id to string (old-wins: stays long)
+    val v2 = spark.range(3, 5).select(col("id").cast("string").alias("id"),
+      lit("b").alias("tag"), lit(7.5).alias("extra"))
+    store.write("T-1", v2, append = true)
+    val read = store.read("t_1")
+    assert(read.count() == 5)
+    assert(read.schema("id").dataType == LongType)
+    assert(read.schema("extra").dataType == DoubleType)
+    assert(read.where(col("extra").isNull).count() == 3)
+  }
+
+  test("truncate replaces content; ignoreUnknownValues drops extras") {
+    val store = new TableStore(spark, tmpDir("wh"))
+    store.write("t2", spark.range(10).toDF(), append = false)
+    store.write("t2", spark.range(2).toDF(), append = false)
+    assert(store.read("t2").count() == 2)
+    val withExtra = spark.range(2, 4).select(col("id"), lit("zzz").alias("unknown_col"))
+    store.write("t2", withExtra, append = true, ignoreUnknownValues = true)
+    assert(store.read("t2").count() == 4)
+    assert(!store.read("t2").columns.contains("unknown_col"))
+  }
+
+  test("findLastEntry returns the max watermark") {
+    val pope = new Popeline(spark, tmpDir("wh"))
+    pope.writeTable("ev", spark.range(10).select(col("id"),
+      (lit(1000) + col("id")).alias("ts")))
+    assert(pope.findLastEntry("ev", "ts") == 1009L)
+  }
+
+  test("copyAndReplaceKeys deep-renames a stored table in place, cardinality preserved") {
+    val pope = new Popeline(spark, tmpDir("wh"))
+    val df = spark.range(2).select(col("id"),
+      array(struct(lit("s").alias("sku code"), lit(2).alias("qty"))).alias("items"))
+    pope.writeTable("orders", df, append = false)
+    pope.copyAndReplaceKeys("orders", Names.sanitizeBqName)
+    val out = pope.table("orders")
+    val itemsType = out.schema("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(itemsType.fieldNames.toSeq == Seq("sku_code", "qty"))
+    assert(out.count() == 2) // NOT exploded (reference defect #2 fixed)
+    assert(out.select(size(col("items"))).head().getInt(0) == 1)
+  }
+
+  test("bq_query equivalent: registered views are SQL-queryable") {
+    val pope = new Popeline(spark, tmpDir("wh"))
+    pope.writeTable("Q-T", spark.range(4).toDF())
+    pope.registerViews(Seq("Q-T"))
+    assert(pope.query("SELECT count(*) AS n FROM q_t").head().getLong(0) == 4)
+  }
+}

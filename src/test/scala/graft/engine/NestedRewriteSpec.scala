@@ -1,0 +1,72 @@
+package graft.engine
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The fix_json_keys / fix_json_values walkers as Column-tree rewrites
+  * (popelines/main.py:245-286), on the FIXTURES B1 messy-key shape.
+  */
+class NestedRewriteSpec extends SparkSpecBase {
+
+  private lazy val messy = {
+    import spark.implicits._
+    val json =
+      """{"9lives": 1, "first name": "Ada", "a.b.c": true, "weird!@#key": null,
+        | "meta": {"created at": "2024-01-01T00:00:00Z",
+        |          "geo": {"lat": 1.5, "lon": 2.5}},
+        | "items": [{"sku": "x", "qty": 2}, {"sku": "y", "qty": 3}]}""".stripMargin.replace("\n", "")
+    spark.read.json(Seq(json).toDS())
+  }
+
+  test("renameKeys sanitizes every depth (FIXTURES B1 expected keys)") {
+    val out = NestedRewrite.renameKeys(messy, Names.sanitizeBqName)
+    assert(out.schema.fieldNames.sorted.toSeq ==
+      Seq("_9lives", "a_b_c", "first_name", "items", "meta", "weirdkey"))
+    val meta = out.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq == Seq("created_at", "geo"))
+    val items = out.schema("items").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(items.fieldNames.toSeq == Seq("qty", "sku"))
+    // values survive the rebuild
+    val row = out.select(col("first_name"), col("meta.geo.lat"), size(col("items"))).head()
+    assert(row.getString(0) == "Ada" && row.getDouble(1) == 1.5 && row.getInt(2) == 2)
+  }
+
+  test("renameKeys keeps null structs null") {
+    import spark.implicits._
+    val df = spark.read.json(Seq("""{"a": {"x y": 1}}""", """{"a": null}""").toDS())
+    val out = NestedRewrite.renameKeys(df, Names.sanitizeBqName)
+    assert(out.where(col("a").isNull).count() == 1)
+  }
+
+  test("renameKeys round-trips under an injective callback") {
+    val fwd = NestedRewrite.renameKeys(messy, k => "p_" + k)
+    val back = NestedRewrite.renameKeys(fwd, k => k.stripPrefix("p_"))
+    assert(back.schema == messy.schema)
+    assert(back.collect().toSeq == messy.collect().toSeq)
+  }
+
+  test("renameKeysDropping drops top-level falsy renames only") {
+    val out = NestedRewrite.renameKeysDropping(messy,
+      k => if (k == "first name") "" else Names.sanitizeBqName(k))
+    assert(!out.schema.fieldNames.contains("first_name"))
+    assert(out.schema.fieldNames.contains("meta"))
+  }
+
+  test("mapLeaves rewrites typed leaves at every depth (fix_json_values)") {
+    val out = NestedRewrite.mapLeaves(messy,
+      on = _ == DoubleType, f = (c, _) => c * 2)
+    assert(out.select(col("meta.geo.lat")).head().getDouble(0) == 3.0)
+    assert(out.select(col("meta.geo.lon")).head().getDouble(0) == 5.0)
+    // other types untouched
+    assert(out.select(col("first name")).head().getString(0) == "Ada")
+  }
+
+  test("mapLeaves reaches array-of-struct leaves, shape preserved") {
+    val out = NestedRewrite.mapLeaves(messy,
+      on = _ == LongType, f = (c, name) => if (name == "qty") c + 100 else c)
+    val qtys = out.select(col("items.qty")).head().getSeq[Long](0)
+    assert(qtys == Seq(102L, 103L))
+  }
+}

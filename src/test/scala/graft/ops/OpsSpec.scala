@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Extension operators: dedup family, similarity search, text analysis,
+  * multimodal plumbing (north-star, BASELINE.json:6).
+  */
+class OpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer rules and plans"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "yet another unrelated document mentioning minhash lsh banding techniques")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id row per key deterministically") {
+    val df = Seq((5L, "k1", "x"), (2L, "k1", "y"), (9L, "k2", "z"))
+      .toDF("id", "key", "payload")
+    val out = Dedup.exact(df, Seq("key"), "id").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 9L))
+  }
+
+  test("byFingerprint removes exact dups after normalization") {
+    val out = Dedup.byFingerprint(docs, "text", "doc_id")
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L)) // 3 dropped (dup of 0)
+  }
+
+  test("minhash LSH surfaces the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L))) // exact dup certainly captured
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).alias("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated low") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7 && pairs((0L, 1L)) < 1.0)
+    assert(pairs((0L, 2L)) == 0.0)
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) += 0.01f
+    val seq = Seq(
+      (0L, base), (1L, near),
+      (2L, Array.fill(16)(rnd.nextGaussian().toFloat)),
+      (3L, Array.fill(16)(rnd.nextGaussian().toFloat)),
+      (4L, base.map(-_)))
+    seq.toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup finds the perturbed copy only") {
+    val out = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", dims = 16,
+        minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("brute-force topk ranks the near vector first; lsh agrees on top hit") {
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 3)
+      .select("vec_id").as[Long].collect()
+    assert(brute.take(2).toSeq == Seq(0L, 1L))
+    val lsh = Similarity.lshTopK(vecs, "embedding", "vec_id", q, 3, maxBits = 4)
+      .select("vec_id").as[Long].collect()
+    assert(lsh.headOption.contains(0L))
+  }
+
+  test("IVF index probes a subset yet finds the true neighbor") {
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val (indexed, cents) = Similarity.buildIvfIndex(vecs, "embedding", "vec_id",
+      nCells = 2, sampleN = 5, iterations = 3)
+    val top = Similarity.ivfTopK(indexed, cents, "embedding", "vec_id", q, k = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(0L))
+  }
+
+  test("text analysis features are sane on a known sentence") {
+    val df = Seq((1L, "The quick brown fox! It is a fox, 42 times.")).toDF("doc_id", "text")
+    val row = TextAnalysis.annotate(df).head()
+    val get = row.getValuesMap[Any](Seq("n_tokens", "punct_ratio", "stopword_ratio", "lang_id"))
+    assert(get("n_tokens") == 10)
+    assert(get("lang_id") == "en")
+    assert(get("punct_ratio").asInstanceOf[Double] > 0)
+    assert(get("stopword_ratio").asInstanceOf[Double] > 0.2)
+  }
+
+  test("fingerprint matches a reference rolling-hash computed in plain Scala") {
+    val s = "abc"
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 257 + c.toLong) % 1000000007L)
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("multimodal: stub decode is deterministic, batch-shaped, payload-sized") {
+    val assets = Multimodal.syntheticAssets(spark, 12, payloadBytes = 128)
+    val feats = Multimodal.extractFeatures(assets, new Multimodal.StubDecoder(8))
+    val rows = feats.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.n_bytes > 0))
+    val again = Multimodal.extractFeatures(assets, new Multimodal.StubDecoder(8)).collect()
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling emits only video assets with step-aligned offsets") {
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 30), 2500)
+    val rows = frames.select("asset_id", "offset_ms").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, off) => id % 3 == 2 && off % 2500 == 0 })
+  }
+}

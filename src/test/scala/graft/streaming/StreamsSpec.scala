@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming units (FIXTURES B5): tumbling windows match the
+  * batch date_trunc query; watermark drops late rows; session windows and
+  * the mapGroupsWithState high-water mark behave.
+  */
+class StreamsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  import StreamsSpec.Ev
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts equal the batch date_trunc query") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts(5), 1, 1.0), Ev(ts(20), 1, 2.0), Ev(ts(61), 2, 3.0), Ev(ts(95), 2, 4.0))
+    mem.addData(events: _*)
+    val q = Streams.tumblingCounts(mem.toDF(), "ts", "1 hour")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling")
+      .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    val batch = Streams.tumblingCountsBatch(events.toDF("ts", "user_id", "value"), "ts", lit("hour"))
+      .select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed(ts(0)) == 2 && streamed(ts(60)) == 2)
+  }
+
+  test("watermark drops a too-late row in append mode") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), "ts", "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    mem.addData(Ev(ts(5), 1, 1.0), Ev(ts(50), 1, 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts(130), 1, 1.0)) // advances watermark to 02:00
+    q.processAllAvailable()
+    mem.addData(Ev(ts(6), 9, 99.0)) // late beyond watermark -> dropped
+    q.processAllAvailable()
+    mem.addData(Ev(ts(200), 1, 1.0))
+    q.processAllAvailable()
+    val out = spark.table("late").select("window_start", "n").as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(out(ts(0)) == 2) // the late row did NOT bump hour 0
+  }
+
+  test("session windows split on gap; high-water mark state updates per key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(ts(1), 7, 1.0), Ev(ts(3), 7, 1.0), Ev(ts(40), 7, 1.0))
+    val q = Streams.sessionCounts(mem.toDF(), "ts", "5 minutes", "user_id")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    q.processAllAvailable()
+    val sessions = spark.table("sessions").select("n").as[Long].collect().sorted
+    q.stop()
+    assert(sessions.toSeq == Seq(1L, 2L)) // [1,3] then [40]
+
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(Ev(ts(1), 1, 1.0), Ev(ts(9), 1, 1.0), Ev(ts(4), 2, 1.0))
+    val q2 = Streams.highWaterMarkPerKey(mem2.toDF(), "user_id", "ts")
+      .writeStream.format("memory").queryName("hwm").outputMode("update").start()
+    q2.processAllAvailable()
+    val hwm = spark.table("hwm").select("key", "maxTs").as[(String, Timestamp)].collect().toMap
+    q2.stop()
+    assert(hwm("1") == ts(9) && hwm("2") == ts(4))
+  }
+}
+
+object StreamsSpec {
+  case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+}

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: after `sbt "runMain
+graft.Verify <sfDir> <outDir>"`, compare each result parquet against its
+DuckDB oracle (columns sorted by name, exact value compare)."""
+import json, sys, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name, sql in sorted(oracle.items()):
+    res_path = f"{out_dir}/{name}"
+    if not glob.glob(f"{res_path}/*.parquet"):
+        fails.append((name, "NO RESULT PARQUET (query crashed?)"))
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM '{res_path}/*.parquet'").fetch_arrow_table()
+        exp = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        fails.append((name, f"EXEC ERROR: {e}"))
+        continue
+    g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
+    if g_cols != e_cols:
+        fails.append((name, f"COLUMNS differ: spark={g_cols} oracle={e_cols}"))
+        continue
+    got, exp = got.select(g_cols), exp.select(e_cols)
+    if got.num_rows != exp.num_rows:
+        fails.append((name, f"ROWS differ: spark={got.num_rows} oracle={exp.num_rows}"))
+        continue
+    gs, es = {f.name: str(f.type) for f in got.schema}, {f.name: str(f.type) for f in exp.schema}
+    type_diff = {c: (gs[c], es[c]) for c in g_cols if gs[c] != es[c]}
+    gp, ep = got.to_pylist(), exp.to_pylist()
+    bad = [(i, gp[i], ep[i]) for i in range(len(gp)) if gp[i] != ep[i]]
+    if bad:
+        fails.append((name, f"VALUES differ at {len(bad)}/{len(gp)} rows; first: {bad[0]}"
+                            + (f"; TYPE diff {type_diff}" if type_diff else "")))
+    elif type_diff:
+        fails.append((name, f"TYPES differ (values equal): {type_diff}"))
+    else:
+        passes.append(name)
+
+for n in passes:
+    print(f"PASS {n}")
+for n, why in fails:
+    print(f"FAIL {n}: {why}")
+print(f"\n{len(passes)} passed, {len(fails)} failed, oracle count {len(oracle)}")
+sys.exit(1 if fails else 0)
