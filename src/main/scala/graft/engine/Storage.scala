@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Object-storage sink, re-expressing `write_to_gcs`
+  * (popelines/main.py:157-166): upload a local file to a bucket path. The
+  * Spark-native generalization targets any Hadoop FileSystem URI
+  * (`gs://`, `s3a://`, `hdfs://`, `file://`) — the same abstraction Spark
+  * itself writes through, so cluster deployments inherit the connector,
+  * credentials, and committer configuration from the Hadoop conf.
+  */
+final class Storage(spark: SparkSession) {
+
+  private def fs(uri: String): FileSystem =
+    new Path(uri).getFileSystem(hadoopConf)
+
+  private def hadoopConf: Configuration = spark.sparkContext.hadoopConfiguration
+
+  /** write_to_gcs equivalent: copy one local file to the target URI
+    * (`bucketBase` plays the bucket role; default bucket = dataset id in
+    * the reference, main.py:160-163).
+    */
+  def uploadFile(localPath: String, targetUri: String): Unit = {
+    val src = new Path("file://" + new java.io.File(localPath).getAbsolutePath)
+    val dst = new Path(targetUri)
+    val dstFs = fs(targetUri)
+    dstFs.mkdirs(dst.getParent)
+    FileUtil.copy(src.getFileSystem(hadoopConf), src, dstFs, dst,
+      /* deleteSource = */ false, /* overwrite = */ true, hadoopConf)
+  }
+
+  def readText(uri: String): String = {
+    val p = new Path(uri)
+    val in = fs(uri).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def exists(uri: String): Boolean = fs(uri).exists(new Path(uri))
+}

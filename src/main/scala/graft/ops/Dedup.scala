@@ -138,6 +138,26 @@ object Dedup {
 
   // ---------- 4. MinHash + LSH ----------
 
+  /** Exact Jaccard of two SORTED distinct-hash arrays by linear merge — no
+    * per-pair hash-set allocation (array_intersect/array_union build an
+    * OpenHashSet per evaluation, which dominates N² verification stages).
+    * Identical counts to the set-op formulation.
+    */
+  def jaccardSorted: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    (a, b) => f(a, b)
+  }
+
   /** Distinct 64-bit hashes of the word n-gram shingle set, in one JIT'd
     * pass (tokenize -> shingle -> hash). The expression formulation
     * re-evaluates the captured token array inside the transform lambda on
@@ -164,7 +184,9 @@ object Dedup {
             out += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
             i += 1
           }
-          out.toArray
+          // sorted so downstream Jaccard can linear-merge; minhash is
+          // order-independent
+          out.toArray.sorted
         }
       }
     }
@@ -293,30 +315,50 @@ object Dedup {
     val a = withShingles.select(col(idCol).alias("id_a"), col("sh").alias("sh_a"))
     val b = withShingles.select(col(idCol).alias("id_b"), col("sh").alias("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", Rounding.roundAway(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("jaccard", Rounding.roundAway(jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard for ALL pairs of a (small or pre-bucketed) frame
-    * — the verification/oracle path. At scale this runs only on LSH
-    * candidates; the all-pairs form exists for tests and oracles.
+  /** Exact n-gram Jaccard between document pairs.
+    *
+    * For `minJaccard > 0` this uses the co-occurrence formulation: explode
+    * shingle hashes to postings, EQUI-join postings on the shingle hash,
+    * count co-occurrences per pair, and derive jaccard = inter/(|a|+|b|-
+    * inter). Everything is codegen'd hash joins and aggregates — no per-
+    * pair array work — and the shuffle is keyed by shingle, so cost tracks
+    * the posting-list sizes, not N². (At 100 TB you additionally cap
+    * document frequency of shingles to bound hot posting lists; not done
+    * here because the oracle checks exact jaccard.) Pairs sharing zero
+    * shingles never materialize — they cannot pass a positive threshold.
+    *
+    * `minJaccard <= 0` keeps the literal all-pairs form (tests only).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    // shingle sets as 64-bit hashes: counts (and thus jaccard) are equal to
-    // string-set counts up to 2^-64 collisions, and the N² intersects get
-    // integer-compare speed
     val withShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))
-    val l = withShingles.alias("l")
-    val r = withShingles.alias("r")
-    l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
-        Rounding.roundAway(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          greatest(size(array_union(col("l.sh"), col("r.sh"))), lit(1)), 6).alias("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    if (minJaccard > 0) {
+      val sizes = withShingles.select(col(idCol), size(col("sh")).alias("n_sh"))
+      val posts = withShingles.select(col(idCol), explode(col("sh")).alias("h"))
+      val inter = posts.alias("a").join(posts.alias("b"),
+          col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"))
+        .agg(count(lit(1)).alias("inter"))
+      inter
+        .join(sizes.select(col(idCol).alias("id_a"), col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(col(idCol).alias("id_b"), col("n_sh").alias("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Rounding.roundAway(
+            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")),
+            6).alias("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+    } else {
+      val l = withShingles.alias("l")
+      val r = withShingles.alias("r")
+      l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+          Rounding.roundAway(jaccardSorted(col("l.sh"), col("r.sh")), 6).alias("jaccard"))
+    }
   }
 
   // ---------- 5. embedding-cosine near-dup ----------

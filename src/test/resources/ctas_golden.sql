@@ -1,0 +1,26 @@
+CREATE OR REPLACE TABLE `ds.events` AS (
+SELECT 
+  `copy_table`.`id`,
+  `copy_table`.`bad_key`,
+  `copy_table`.`tags`,
+  STRUCT<
+    `created_at` TIMESTAMP,
+    `geo` 
+    STRUCT<
+      `lat` FLOAT64,
+      `lon` FLOAT64
+    >
+  >(
+    `meta`.`created at`,
+        STRUCT(
+      `meta`.`geo`.`lat`,
+      `meta`.`geo`.`lon`)) `meta`,
+  ARRAY<STRUCT<
+    `sku` STRING,
+    `qty` INT64
+  >>[STRUCT(
+    `items`.`sku`,
+    `items`.`qty`)] `items`
+FROM
+  `ds.events` copy_table
+LEFT JOIN UNNEST(copy_table.items) items)

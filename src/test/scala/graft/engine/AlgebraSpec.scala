@@ -170,6 +170,12 @@ class AlgebraSpec extends AnyFunSuite {
     // repeated scalar stays ARRAY<T> with no unnest
     assert(sql.contains("`copy_table`.`tags`"))
     assert(!sql.contains("UNNEST(copy_table.tags)"))
+    // byte-exact against the output of the reference's own generator
+    // (src/test/resources/ctas_golden.sql, produced by executing
+    // copy_table.py:84-97 + main.py:296-309 on this schema)
+    val golden = new String(
+      getClass.getResourceAsStream("/ctas_golden.sql").readAllBytes(), "UTF-8")
+    assert(sql == golden)
   }
 
   test("CTAS drop-on-falsy removes top-level scalars") {

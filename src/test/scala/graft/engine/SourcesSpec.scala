@@ -1,0 +1,61 @@
+package graft.engine
+
+import graft.SparkSpecBase
+import com.sun.net.httpserver.HttpServer
+import java.net.InetSocketAddress
+import org.apache.spark.sql.functions._
+
+/** REST extraction source (popelines/main.py:193-206) against a local stub
+  * server, the object-storage sink (main.py:157-166) via file://, and the
+  * approx-distinct aggregate (SURVEY §2.4, unit-only: not hash-stable vs
+  * the oracle).
+  */
+class SourcesSpec extends SparkSpecBase {
+
+  private def withStubServer(body: String)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/api", exchange => {
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://localhost:${server.getAddress.getPort}/api")
+    finally server.stop(0)
+  }
+
+  test("callApi fetches a body; readJsonApi lands it as a DataFrame") {
+    withStubServer("""[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""") { url =>
+      assert(Http.callApi(url).startsWith("""[{"id""""))
+      val df = Http.readJsonApi(spark, url)
+      assert(df.count() == 2)
+      assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    }
+  }
+
+  test("fetchPartitioned pulls many endpoints on executors") {
+    withStubServer("""{"ok": true}""") { url =>
+      val bodies = Http.fetchPartitioned(spark, Seq.fill(6)(url), parallelism = 3).collect()
+      assert(bodies.length == 6)
+      assert(bodies.forall(_ == """{"ok": true}"""))
+    }
+  }
+
+  test("storage sink round-trips a file through a FileSystem URI") {
+    val storage = new Storage(spark)
+    val local = java.nio.file.Files.createTempFile("graft", ".txt")
+    java.nio.file.Files.writeString(local, "payload-123")
+    val target = s"file://${tmpDir("bucket")}/exports/out.txt"
+    storage.uploadFile(local.toString, target)
+    assert(storage.exists(target))
+    assert(storage.readText(target) == "payload-123")
+  }
+
+  test("approx_count_distinct tracks the exact count within rsd") {
+    val df = spark.range(10000).select((col("id") % 500).alias("k"))
+    val approx = df.agg(approx_count_distinct(col("k"), 0.05)).head().getLong(0)
+    assert(math.abs(approx - 500) <= 500 * 0.15)
+  }
+}

@@ -54,6 +54,18 @@ class StreamsSpec extends SparkSpecBase {
     assert(out(ts(0)) == 2) // the late row did NOT bump hour 0
   }
 
+  test("sliding windows overlap: each event lands in length/slide buckets") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(ts(35), 1, 1.0))
+    val q = Streams.slidingCounts(mem.toDF(), "ts", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    q.processAllAvailable()
+    val wins = spark.table("sliding").select("window_start").as[Timestamp].collect().sorted
+    q.stop()
+    assert(wins.toSeq == Seq(ts(0), ts(30))) // 00:35 falls into [00:00,01:00) and [00:30,01:30)
+  }
+
   test("session windows split on gap; high-water mark state updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
