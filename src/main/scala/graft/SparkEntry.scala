@@ -146,6 +146,21 @@ object SparkEntry {
           Rounding.roundAway(sum(col("l_extendedprice")), 4).alias("revenue"))
         .orderBy(col("o_orderpriority"))),
 
+    "q_join_asof" -> ((s, dir) => {
+      // for each purchase, the most recent prior click by the same user —
+      // the as-of join every event pipeline needs; one shuffle by user_id
+      val ev = EV(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.ops.AsofJoin.lastBefore(purchases, clicks,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts", valueCols = Seq("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").alias("last_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- aggregation ----
     "q_agg_group" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -417,7 +432,8 @@ object SparkEntry {
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           Rounding.roundAway(
-            Similarity.dotFast(col("va"), col("vb")) / (sqrt(col("n2a")) * sqrt(col("n2b"))),
+            graft.expressions.VectorExpressions.dotNative(col("va"), col("vb")) /
+              (sqrt(col("n2a")) * sqrt(col("n2b"))),
             6).alias("cosine"))
         .where(col("cosine") >= 0.45)
         .orderBy(col("id_a"), col("id_b"))
@@ -537,6 +553,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  CAST(c.ts AS TIMESTAMP) AS last_click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,

@@ -69,16 +69,9 @@ final class Popeline(val spark: SparkSession, warehouseDir: String, val datasetI
     * preserving repeated-record cardinality. Drop-on-falsy kept for
     * top-level fields, like the reference's guard (copy_table.py:88).
     */
-  def copyAndReplaceKeys(tableName: String, cb: String => String): Unit = {
-    val renamed = NestedRewrite.renameKeysDropping(store.read(tableName), cb)
-    // Parquet self-overwrite needs a materialization barrier: localCheckpoint
-    // would pin executors; for a library-managed table the simple safe path
-    // is staging to a temp dir then swapping via the overwrite write.
-    val staged = renamed.cache()
-    staged.count() // materialize before truncating the source
-    store.write(tableName, staged, append = false)
-    staged.unpersist()
-  }
+  def copyAndReplaceKeys(tableName: String, cb: String => String): Unit =
+    store.replace(tableName,
+      NestedRewrite.renameKeysDropping(store.read(tableName), cb))
 
   /** The faithful CTAS text for the stored table (golden curiosity). */
   def copyAndReplaceKeysSql(tableName: String, cb: String => String): String =

@@ -50,6 +50,22 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     df.select(cols: _*)
   }
 
+  /** Rewrite a table from a frame derived from ITSELF: write to a staging
+    * directory (source still readable), then swap via delete+rename. Never
+    * materializes the table in memory — the only viable shape for in-place
+    * rewrites of 100 TB tables (plus it keeps the old data intact until the
+    * new copy is fully committed).
+    */
+  def replace(table: String, df: DataFrame): Unit = {
+    val path = new Path(tablePath(table))
+    val staging = new Path(tablePath(table) + ".__staging")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(path, true)
+    if (!fs.rename(staging, path))
+      throw new java.io.IOException(s"failed to swap staging into place for table '$table'")
+  }
+
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
   def write(
       table: String,

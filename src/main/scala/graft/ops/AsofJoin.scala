@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach values from the latest right row
+  * with the same key and `rightTs <= leftTs`.
+  *
+  * Spark has no native as-of operator; the scalable formulation is the
+  * union-and-carry-forward trick: tag both inputs, union them, and run one
+  * window per key ordered by (ts, side) taking `last(value, ignoreNulls)`
+  * over the preceding frame. Exactly ONE shuffle (by key) regardless of
+  * how many right rows precede each left row — versus a range join, which
+  * explodes to pairs. Same-timestamp ties resolve right-before-left, i.e.
+  * a right row AT the left timestamp matches (<= semantics), which is also
+  * how DuckDB's ASOF JOIN (`ON l.ts >= r.ts`) resolves.
+  */
+object AsofJoin {
+
+  /** Left as-of-join right: returns all left columns plus, per `valueCols`
+    * entry `c`, a column `asof_c` holding the value from the most recent
+    * right row at-or-before the left timestamp (null when none precedes).
+    */
+  def lastBefore(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val restCols = left.columns.toSeq.filterNot(keyCols.contains)
+    val sideTs = "__asof_ts"
+    val sideTag = "__asof_side"
+
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).alias(sideTs), lit(0).alias(sideTag)) ++
+        valueCols.map(c => col(c).alias(s"__r_$c")) ++
+        restCols.map(c => lit(null).cast(left.schema(c).dataType).alias(c)): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).alias(sideTs), lit(1).alias(sideTag)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__r_$c")) ++
+        restCols.map(col): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(sideTs), col(sideTag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val outCols: Seq[Column] =
+      (keyCols ++ restCols).map(col) ++
+        valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).alias(s"asof_$c")) :+
+        col(sideTag)
+
+    taggedRight.unionByName(taggedLeft)
+      .select(outCols: _*)
+      .where(col(sideTag) === 1)
+      .drop(sideTag)
+  }
+}

@@ -379,7 +379,7 @@ object Dedup {
     l.join(r, col("l.sig") === col("r.sig") && col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
         Rounding.roundAway(
-          Similarity.dotFast(col("l.__v"), col("r.__v")) /
+          graft.expressions.VectorExpressions.dotNative(col("l.__v"), col("r.__v")) /
             (sqrt(col("l.__n2")) * sqrt(col("r.__n2"))), 6).alias("cosine"))
       .where(col("cosine") >= minCosine)
   }

@@ -1,0 +1,16 @@
+/* Lives under org.apache.spark.sql deliberately: the Column <-> Expression
+ * conversion utilities are private[sql], and placing this two-method bridge
+ * inside the package is the conventional way for extension libraries to
+ * construct Columns from custom Catalyst expressions without forking Spark.
+ * Nothing else in the engine reaches into Spark internals.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
