@@ -200,6 +200,62 @@ object SparkEntry {
           col("n"), col("qty"))
         .orderBy(col("rflag"), col("lstatus"))),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    "q_quantiles" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Rounding.roundAway(expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+          Rounding.roundAway(expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+          Rounding.roundAway(expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q_stats_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Rounding.roundAway(stddev(col("l_quantity")), 6).alias("sd_qty"),
+          Rounding.roundAway(var_samp(col("l_quantity")), 6).alias("var_qty"),
+          Rounding.roundAway(corr(col("l_quantity"), col("l_extendedprice")), 6).alias("corr_qp"),
+          Rounding.roundAway(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .alias("cov_qp"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_collect" -> ((s, dir) =>
+      EV(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).alias("types"),
+          count(lit(1)).alias("n"))
+        .orderBy(col("user_id"))),
+
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = EV(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).alias(t)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    "q_unpivot" -> ((s, dir) =>
+      T(s, dir, "lineitem").where(col("l_orderkey") < 200)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
     // ---- windows ----
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -397,6 +453,15 @@ object SparkEntry {
         .select(col("window.start").alias("window_start"), col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
 
+    "q_window_session" -> ((s, dir) =>
+      // batch sessionization with the same session_window operator the
+      // streaming path uses; oracle reproduces it as gaps-and-islands SQL
+      EV(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).alias("n"))
+        .select(col("user_id"), col("session_window.start").alias("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // ---- dedup extensions ----
     "q_dedup_fingerprint" -> ((s, dir) => {
       val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
@@ -591,6 +656,68 @@ object SparkEntry {
         |  count(*) AS n, round(sum(l_quantity), 4) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 200
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
 
     "q_window_rank" ->
       """SELECT * FROM (

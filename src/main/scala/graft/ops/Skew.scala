@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution has hot keys — the
+  * situation AQE's skew-join handles for sort-merge joins at runtime, made
+  * explicit for when the planner can't (e.g. pre-partitioned pipelines or
+  * aggregation-heavy stages).
+  *
+  * Salting: the skewed (big) side gets a random salt in [0, factor); the
+  * small side is replicated `factor` times with every salt value; the join
+  * key becomes (key, salt), spreading each hot key over `factor` reducers.
+  * Replication cost is |small| × factor — use for dimension-sized right
+  * sides only.
+  */
+object Skew {
+
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      keys: Seq[String], factor: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(factor > 0)
+    val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key. Spark already does partial aggregation
+    * map-side; explicit salting additionally splits a hot REDUCER key
+    * across `factor` tasks — needed when one key dominates a groupBy whose
+    * aggregate state is large (e.g. collect-like or distinct-heavy aggs).
+    */
+  def saltedCountSum(
+      df: DataFrame, keys: Seq[String], sumCol: String, factor: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(42) * factor).cast("int"))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).alias("__n"), sum(col(sumCol)).alias("__s"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).alias("n"), sum(col("__s")).alias(s"sum_$sumCol"))
+  }
+}

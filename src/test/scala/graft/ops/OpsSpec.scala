@@ -129,6 +129,37 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("salted join equals the plain join; salted agg equals plain groupBy") {
+    val big = spark.range(2000).select((col("id") % 3).alias("k"), col("id").alias("v"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 4)
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+
+    val aggPlain = big.groupBy("k").agg(count(lit(1)).alias("n"), sum("v").alias("sum_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val aggSalted = Skew.saltedCountSum(big, Seq("k"), "v", factor = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(aggSalted == aggPlain)
+  }
+
+  test("asof join carries the latest prior right value per key") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(5), "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t(8), 100.0), (1L, t(25), 200.0), (2L, t(7), 300.0))
+      .toDF("k", "rts", "price")
+    val out = AsofJoin.lastBefore(left, right, Seq("k"), "ts", "rts", Seq("price"))
+      .select("tag", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(100.0)) // t8 <= t10
+    assert(out("p2").contains(200.0)) // t25 <= t30
+    assert(out("p3").isEmpty)         // t7 > t5: nothing prior
+  }
+
   test("frame sampling emits only video assets with step-aligned offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 30), 2500)
     val rows = frames.select("asset_id", "offset_ms").as[(Long, Long)].collect()
