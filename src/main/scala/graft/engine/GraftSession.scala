@@ -1,0 +1,32 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder for the engine — the settings a
+  * 100 TB deployment wants on from day one. Harness mains (Verify/Bench)
+  * configure their own sessions; this is for library users.
+  */
+object GraftSession {
+
+  /** @param shufflePartitions start near 2-3× total executor cores; AQE
+    *                          coalesces downward at runtime
+    */
+  def builder(
+      appName: String = "graft",
+      shufflePartitions: Int = 200): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      // AQE: runtime re-planning — coalesce post-shuffle partitions, convert
+      // to broadcast when a side turns out small, split skewed partitions
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // stable wall-clock semantics regardless of cluster locale
+      .config("spark.sql.session.timeZone", "UTC")
+      // bound single-task input so stragglers stay retryable at 100 TB
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      // nested-column pruning for the deep-struct workloads this engine runs
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+}

@@ -361,6 +361,49 @@ object Dedup {
     }
   }
 
+  /** End-to-end near-dup REMOVAL: LSH candidates -> duplicate clusters ->
+    * keep one representative (min id) per cluster.
+    *
+    * Clustering is label propagation over the candidate-pair graph: every
+    * node starts as its own representative; each round joins labels across
+    * edges and takes the min; stop when no label changes. Rounds needed =
+    * graph diameter — near-dup clusters are small (pairs/chains), so this
+    * converges in 2-3 rounds; each round is one shuffle-bounded join, the
+    * standard large-scale connected-components loop (no driver-side graph).
+    */
+  def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.8, maxRounds: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = minhashCandidates(df, textCol, idCol, minJaccard = minJaccard)
+      .select(col("id_a"), col("id_b"))
+    // undirected edges, both directions
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))).cache()
+    var labels = df.select(col(idCol).alias("id"), col(idCol).alias("rep"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "id_b", "rep" -> "nrep")), "id_b")
+        .groupBy(col("id_a").alias("id"))
+        .agg(min(col("nrep")).alias("minNeighborRep"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("rep", "oldRep"), "id")
+        .where(col("rep") =!= col("oldRep")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    val keep = labels.where(col("id") === col("rep")).select(col("id").alias(idCol))
+    val out = df.join(keep, idCol, "left_semi")
+    edges.unpersist(false)
+    out
+  }
+
   // ---------- 5. embedding-cosine near-dup ----------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidate

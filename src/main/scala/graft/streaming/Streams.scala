@@ -64,6 +64,32 @@ object Streams {
       }.toDF()
   }
 
+  /** Streaming ingestion: the reference's NDJSON->table load loop
+    * (write_to_json + write_to_bq, popelines/main.py:100-178) as a
+    * continuously-running stream. New files dropped into `srcDir` append
+    * into the parquet table exactly once (checkpointed offsets replace the
+    * find_last_entry bookkeeping). Schema must be supplied — streaming
+    * sources don't infer — so evolution happens by restarting with the
+    * additively-merged schema (SchemaMerge) like the batch path.
+    */
+  def ingestNdjsonStream(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32) // bound batch size like chunked backfills
+      .json(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch equivalent of [[tumblingCounts]] for oracle comparison. */
   def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
     events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))

@@ -39,6 +39,12 @@ class OpsSpec extends SparkSpecBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("dropNearDuplicates keeps one representative per dup cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id", minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L)) // {0,1,3} collapse to 0
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).alias("sig"))

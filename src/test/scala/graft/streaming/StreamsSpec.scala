@@ -66,6 +66,23 @@ class StreamsSpec extends SparkSpecBase {
     assert(wins.toSeq == Seq(ts(0), ts(30))) // 00:35 falls into [00:00,01:00) and [00:30,01:30)
   }
 
+  test("streaming NDJSON ingestion lands files into a parquet table exactly once") {
+    val src = java.nio.file.Files.createTempDirectory("stream-src")
+    val table = tmpDir("stream-table")
+    val ckpt = tmpDir("stream-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING")
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      "{\"id\": 1, \"name\": \"x\"}\n{\"id\": 2, \"name\": \"y\"}\n")
+    Streams.ingestNdjsonStream(spark, src.toString, schema, table, ckpt).awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+    // second batch: only the new file is ingested (checkpoint = exactly once)
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"), "{\"id\": 3, \"name\": \"z\"}\n")
+    Streams.ingestNdjsonStream(spark, src.toString, schema, table, ckpt).awaitTermination()
+    val rows = spark.read.parquet(table)
+    assert(rows.count() == 3)
+    assert(rows.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("session windows split on gap; high-water mark state updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
