@@ -409,6 +409,16 @@ object SparkEntry {
         to_json(struct(col("event_id").alias("id"), col("event_type").alias("t"))).alias("js"))
         .orderBy(col("event_id"))),
 
+    "q_variant_json" -> ((s, dir) =>
+      // Spark 4's VariantType: parse once, extract typed paths — the
+      // shredded-JSON path for semi-structured columns at scale
+      EV(s, dir)
+        .select(col("event_id"), parse_json(col("props")).alias("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "long").alias("k_long"),
+          is_variant_null(col("v")).alias("v_null"))
+        .orderBy(col("event_id"))),
+
     "q_rename_nested" -> ((s, dir) => {
       val nested = EV(s, dir).select(col("event_id"),
         struct(col("ts").alias("created at"),
@@ -833,6 +843,12 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  '{"id":' || event_id || ',"t":"' || event_type || '"}' AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_variant_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |  false AS v_null
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_rename_nested" ->

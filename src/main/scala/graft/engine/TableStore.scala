@@ -66,6 +66,23 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       throw new java.io.IOException(s"failed to swap staging into place for table '$table'")
   }
 
+  /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`
+    * files by `bucketCols` at write time, registered in the session
+    * catalog. Joins and aggregations keyed on the bucket columns then run
+    * WITHOUT a shuffle (verified by plan in the spec) — the way repeated
+    * big-big joins are made affordable at 100 TB: pay the partitioning once
+    * at ingest, reuse it every query.
+    */
+  def writeBucketed(table: String, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int = 32): Unit = {
+    val name = Names.normalizeTableName(table)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", tablePath(name))
+      .saveAsTable(name)
+  }
+
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
   def write(
       table: String,

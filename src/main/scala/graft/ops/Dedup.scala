@@ -65,12 +65,25 @@ object Dedup {
     * token hash bit b; sign → bit. Expressed with aggregate() over the
     * token array — no UDF.
     */
-  /** Per-token 64-bit hashes; feed to [[simhashFromHashes]]. Kept separate
-    * so the hash array is materialized ONCE per row instead of once per
-    * sketch bit.
+  /** Per-token 64-bit hashes; feed to [[simhashFromHashes]]. Single JIT'd
+    * pass (normalize+tokenize+hash) for the same reason as
+    * [[shingleHashes]]; token semantics match
+    * `TextAnalysis.tokens(normalizeText(_))`.
     */
-  def tokenHashes(text: Column): Column =
-    transform(TextAnalysis.tokens(normalizeText(text)), t => xxhash64(t))
+  def tokenHashes(text: Column): Column = {
+    val f = udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9 ]|\\s+", " ")
+        .split("\\s+").iterator.filter(_.nonEmpty)
+        .map { tok =>
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0x85ebca6b)
+          (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        }.toArray
+    }
+    f(text)
+  }
 
   /** Fold token hashes into the SimHash sketch.
     *

@@ -95,6 +95,22 @@ class IngestSpec extends SparkSpecBase {
     assert(out.select(size(col("items"))).head().getInt(0) == 1)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    val store = new TableStore(spark, tmpDir("wh-bucketed"))
+    val left = spark.range(1000).select(col("id").alias("k"), (col("id") * 2).alias("x"))
+    val right = spark.range(1000).select(col("id").alias("k"), (col("id") * 3).alias("y"))
+    store.writeBucketed("bl", left, Seq("k"), buckets = 4)
+    store.writeBucketed("br", right, Seq("k"), buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bl").join(spark.table("br"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bq_query equivalent: registered views are SQL-queryable") {
     val pope = new Popeline(spark, tmpDir("wh"))
     pope.writeTable("Q-T", spark.range(4).toDF())
