@@ -1,0 +1,99 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Fully dynamic `fix_json_values` (popelines/main.py:264-286): run an
+  * arbitrary callback over EVERY value of a JSON tree, including container
+  * values, preserving the reference's verified call order — the callback
+  * receives a container (list/dict) BEFORE recursion into its (possibly
+  * replaced) result, a top-level scalar passes through untouched, and
+  * scalar ELEMENTS of lists never reach the callback (the reference's list
+  * branch only recurses, main.py:272-275).
+  *
+  * The typed, codegen-friendly path is [[NestedRewrite.mapLeaves]]; this
+  * UDF variant exists for callbacks that genuinely need dynamic typing
+  * (the reference's callbacks are arbitrary Python). Values surface to the
+  * callback as Scala types: Map[String, Any], Seq[Any], String, Long,
+  * Double, Boolean, null.
+  */
+object JsonValueRewrite {
+
+  type Callback = (Any, String) => Any
+
+  private def rewrite(obj: Any, cb: Callback): Any = obj match {
+    case l: Seq[_] => l.map(item => rewrite(item, cb))
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        v match {
+          case _: Seq[_] | _: Map[_, _] => k -> rewrite(cb(v, k), cb)
+          case scalar => k -> cb(scalar, k)
+        }
+      }
+    case scalar => scalar // main.py:285-286 — top-level scalars untouched
+  }
+
+  private def fromJackson(n: com.fasterxml.jackson.databind.JsonNode): Any = {
+    import com.fasterxml.jackson.databind.node._
+    n match {
+      case o: ObjectNode =>
+        o.fieldNames().asScala.map(k => k -> fromJackson(o.get(k))).toMap
+      case a: ArrayNode => a.elements().asScala.map(fromJackson).toSeq
+      case t: TextNode => t.asText
+      case b: BooleanNode => b.asBoolean
+      case _: NullNode | _: MissingNode => null
+      case num: NumericNode =>
+        if (num.isIntegralNumber) num.asLong else num.asDouble
+      case other => other.asText
+    }
+  }
+
+  private def toJackson(mapper: ObjectMapper, v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+    case null => mapper.nullNode()
+    case m: Map[_, _] =>
+      val o = mapper.createObjectNode()
+      // set's generic return type infers as Nothing in Scala -> pin it
+      m.asInstanceOf[Map[String, Any]].foreach { case (k, x) =>
+        o.set[com.fasterxml.jackson.databind.JsonNode](k, toJackson(mapper, x))
+      }
+      o
+    case s: Seq[_] =>
+      val a = mapper.createArrayNode()
+      s.foreach(x => a.add(toJackson(mapper, x)))
+      a
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+    case i: Int => mapper.getNodeFactory.numberNode(i.toLong)
+    case l: Long => mapper.getNodeFactory.numberNode(l)
+    case d: Double => mapper.getNodeFactory.numberNode(d)
+    case f: Float => mapper.getNodeFactory.numberNode(f.toDouble)
+    case other => mapper.getNodeFactory.textNode(other.toString)
+  }
+
+  /** Rewrite a JSON-string column through the callback. */
+  def onJsonColumn(json: Column, cb: Callback): Column = {
+    val f = udf { s: String =>
+      if (s == null) null
+      else {
+        val mapper = new ObjectMapper()
+        val parsed = fromJackson(mapper.readTree(s))
+        mapper.writeValueAsString(toJackson(mapper, rewrite(parsed, cb)))
+      }
+    }
+    f(json)
+  }
+
+  /** Rewrite whole rows: struct -> json -> callback walk -> json, returning
+    * a frame with the same schema (values re-read through the original
+    * schema, so type-changing callbacks surface as nulls rather than
+    * corrupting columns).
+    */
+  def onRows(df: DataFrame, cb: Callback): DataFrame = {
+    val rewritten = df
+      .select(onJsonColumn(to_json(struct(df.columns.map(col).toIndexedSeq: _*)), cb).alias("j"))
+      .select(from_json(col("j"), df.schema).alias("s"))
+    rewritten.select(df.columns.map(c => col(s"s.`$c`").alias(c)).toIndexedSeq: _*)
+  }
+}

@@ -14,13 +14,19 @@ import org.apache.spark.sql.types._
   */
 object SchemaInfer {
 
+  // inferTimestamp: ISO-8601 strings land as TimestampType, matching
+  // bigquery_schema_generator's TIMESTAMP inference (off by default in
+  // Spark for scan-speed reasons; the reference's semantics need it)
   def inferNdjson(spark: SparkSession, path: String): StructType =
     spark.read
       .option("dropFieldIfAllNull", false)
+      .option("inferTimestamp", true)
       .json(path).schema
 
   def readNdjson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
-    val r = spark.read.option("dropFieldIfAllNull", false)
+    val r = spark.read
+      .option("dropFieldIfAllNull", false)
+      .option("inferTimestamp", true)
     schema.fold(r.json(path))(s => r.schema(s).json(path))
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.engine.{JsonValueRewrite, Names, Popeline, SchemaInfer}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.3 — the reference's real-life loop, end to end on the actual
+  * events fixture: read parquet -> parse the JSON payload -> sanitize keys
+  * -> export NDJSON -> re-ingest with inferred schema -> evolve-append into
+  * a managed table -> read the high-water mark.
+  */
+class E2eSpec extends SparkSpecBase {
+
+  test("flagship ingest loop over the sf0.001 events fixture") {
+    val pope = new Popeline(spark, tmpDir("e2e-wh"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    // parse props into a struct with a messy key, then sanitize every key
+    val parsed = events.select(col("event_id"), col("ts"),
+      struct(get_json_object(col("props"), "$.k").cast("long").alias("k value"))
+        .alias("payload.data"))
+    val sanitized = pope.fixJsonKeys(parsed, Names.sanitizeBqName)
+    assert(sanitized.columns.toSeq == Seq("event_id", "ts", "payload_data"))
+
+    // export NDJSON, re-ingest with inferred schema (keep-nulls), append
+    val ndjson = tmpDir("e2e-json")
+    pope.writeToJson(sanitized, ndjson)
+    pope.ingestNdjson("Event-Log", ndjson, append = true)
+    assert(pope.table("event_log").count() == 1000)
+
+    // evolution: second batch carries a new column; old rows null-filled
+    val extra = sanitized.limit(10).withColumn("source", lit("replay"))
+    pope.writeTable("event_log", extra, append = true)
+    val evolved = pope.table("event_log")
+    assert(evolved.count() == 1010)
+    assert(evolved.schema.fieldNames.contains("source"))
+    assert(evolved.where(col("source").isNull).count() == 1000)
+
+    // high-water mark matches the source max
+    val hwm = pope.findLastEntry("event_log", "ts").asInstanceOf[java.sql.Timestamp]
+    val expected = events.agg(max(col("ts"))).head().getTimestamp(0)
+    assert(hwm.getTime == expected.getTime)
+  }
+
+  test("dynamic fix_json_values rewrites containers and scalars in reference order") {
+    import spark.implicits._
+    val df = Seq((1L, """{"a": 2, "nested": {"b": 3}, "arr": [1, 2]}""")).toDF("id", "js")
+    // callback: double every integral scalar; tag containers by adding a key
+    val cb: JsonValueRewrite.Callback = {
+      case (l: Long, _) => l * 2
+      case (m: Map[_, _], _) => m.asInstanceOf[Map[String, Any]] + ("seen" -> true)
+      case (v, _) => v
+    }
+    val out = df.select(JsonValueRewrite.onJsonColumn(col("js"), cb).alias("r"))
+      .head().getString(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(out)
+    assert(node.get("a").asLong == 4)
+    assert(node.get("nested").get("b").asLong == 6)   // recursed into replaced container
+    assert(node.get("nested").get("seen").asBoolean)  // callback saw the container itself
+    // reference quirk kept (main.py:272-275): the list branch only recurses,
+    // so scalar ELEMENTS of arrays never reach the callback
+    assert(node.get("arr").get(0).asLong == 1 && node.get("arr").get(1).asLong == 2)
+  }
+
+  test("row-level dynamic rewrite preserves schema") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "name", "score")
+    val out = JsonValueRewrite.onRows(df, {
+      case (d: Double, "score") => d + 1.0
+      case (v, _) => v
+    })
+    // from_json relaxes nullability; names and types survive
+    assert(out.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(out.orderBy("id").select("score").as[Double].collect().toSeq == Seq(3.5, 4.5))
+  }
+}

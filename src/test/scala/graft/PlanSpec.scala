@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Regression locks on the PHYSICAL plans of representative queries — the
+  * scale properties (pushdown, pruning, broadcast, top-k heaps) must not
+  * silently degrade as queries evolve.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formattedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_filter_pred pushes every predicate into the parquet scan") {
+    val plan = formattedPlan("q_filter_pred")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    assert(plan.contains("LessThan(l_discount,0.05)"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q_scan_project prunes the scan to selected columns") {
+    val plan = formattedPlan("q_scan_project")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"))
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast builds a broadcast hash join") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_agg_group is a two-phase hash aggregate with one data shuffle") {
+    val plan = planOf("q_agg_group")
+    assert(plan.contains("HashAggregate"))
+    // partial + final: the aggregate appears twice around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q_dedup_minhash never shuffles shingle arrays through the band join") {
+    val plan = formattedPlan("q_dedup_minhash")
+    // exchanges in the candidate path carry only id/band columns; the `sh`
+    // arrays join back AFTER candidates are deduplicated
+    val exchangeSections = plan.split("\\(\\d+\\) Exchange").drop(1)
+    val shShuffles = exchangeSections.count(s => s.takeWhile(_ != '(').contains("sh#"))
+    assert(shShuffles <= 2, s"shingle arrays crossing >2 exchanges:\n$plan")
+  }
+
+  test("q_join_asof uses a single shuffle (window), not a pair join") {
+    val plan = planOf("q_join_asof")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"))
+  }
+}
