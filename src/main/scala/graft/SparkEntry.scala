@@ -552,6 +552,15 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).alias("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_repetition" -> ((s, dir) =>
+      T(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(lower(col("text"))))).cast("long")
+          .alias("n_distinct"),
+        Rounding.roundAway(TextAnalysis.tokenRepetitionRatio(col("text")), 6)
+          .alias("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
@@ -969,6 +978,17 @@ object SparkEntry {
          |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(str_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END
+        |    AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted

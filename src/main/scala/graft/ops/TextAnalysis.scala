@@ -137,6 +137,16 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Within-document repetition: 1 - distinct/total over tokens — the
+    * Gopher-style repetition filter signal (high values flag boilerplate
+    * and spam). O(tokens) per row.
+    */
+  def tokenRepetitionRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
   /** Annotate a documents frame with the full feature set. */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -178,6 +178,28 @@ class AlgebraSpec extends AnyFunSuite {
     assert(sql == golden)
   }
 
+  test("CTAS text matches the executed reference on 40 random schemas") {
+    // src/test/resources/ctas_fuzz.jsonl: random nested schemas + three
+    // callback families, SQL produced by running the reference's own
+    // copy_table.py functions (pure Python, executed locally)
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/ctas_fuzz.jsonl"), "UTF-8")
+    val cases = try src.getLines().toList finally src.close()
+    val callbacks: Map[Int, String => String] = Map(
+      0 -> (k => k.replace(" ", "_")),
+      1 -> (k => k.replace(".", "_").toLowerCase),
+      2 -> (k => if (k.startsWith("a")) "" else k))
+    assert(cases.size == 40)
+    cases.zipWithIndex.foreach { case (line, i) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(line)
+      val schema = BqSchema.fromJson(node.get("schema").toString)
+      val sql = CtasText.copyAndReplaceKeysSql(
+        node.get("table").asText, schema, callbacks(node.get("cb").asInt))
+      assert(sql == node.get("sql").asText, s"fuzz case $i diverged")
+    }
+  }
+
   test("CTAS drop-on-falsy removes top-level scalars") {
     val schema = Seq(BqField("keep", "STRING"), BqField("drop", "STRING"))
     val sql = CtasText.copyAndReplaceKeysSql("d.t", schema,
