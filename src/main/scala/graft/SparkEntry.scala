@@ -332,6 +332,44 @@ object SparkEntry {
         regexp_replace(col("c_name"), "[0-9]+", "N").alias("rep"))
         .orderBy(col("c_custkey"))),
 
+    "q_string_regex" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).alias("digits"),
+        col("c_name").like("%5%").alias("has5"),
+        col("c_name").startsWith("Customer").alias("is_cust"),
+        col("c_mktsegment").endsWith("G").alias("ends_g"),
+        col("c_name").contains("00").alias("has00"),
+        split(col("c_name"), "#").getItem(0).alias("prefix"))
+        .orderBy(col("c_custkey"))),
+
+    "q_conditional_fns" -> ((s, dir) =>
+      EV(s, dir).select(col("event_id"),
+        when(col("value") > 150, "high").when(col("value") > 50, "mid")
+          .otherwise("low").alias("band"),
+        nullif(col("event_type"), lit("click")).alias("non_click"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("CLICKED")).alias("label"),
+        (col("value") between(50, 150)).alias("in_range"))
+        .orderBy(col("event_id"))),
+
+    "q_bitwise" -> ((s, dir) =>
+      T(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255).alias("and255"),
+          col("o_orderkey").bitwiseOR(16).alias("or16"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).alias("xor_cust"),
+          shiftleft(col("o_orderkey"), 2).alias("shl2"),
+          shiftright(col("o_orderkey"), 3).alias("shr3"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_union_distinct" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.where(col("o_totalprice") > 400000).select(col("o_custkey").alias("custkey"))
+        .union(o.where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").alias("custkey")))
+        .distinct()
+        .orderBy(col("custkey"))
+    }),
+
     "q_sanitize_names" -> ((s, dir) => {
       val messy = concat(col("event_type"), lit("."), col("props"))
       EV(s, dir)
@@ -794,6 +832,40 @@ object SparkEntry {
         |  c_name || '#' || c_mktsegment AS cat, lpad(c_mktsegment, 12, '*') AS pad,
         |  regexp_replace(c_name, '[0-9]+', 'N', 'g') AS rep
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_string_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  c_name LIKE '%5%' AS has5,
+        |  starts_with(c_name, 'Customer') AS is_cust,
+        |  ends_with(c_mktsegment, 'G') AS ends_g,
+        |  contains(c_name, '00') AS has00,
+        |  str_split(c_name, '#')[1] AS prefix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_conditional_fns" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 150 THEN 'high' WHEN value > 50 THEN 'mid'
+        |    ELSE 'low' END AS band,
+        |  nullif(event_type, 'click') AS non_click,
+        |  coalesce(nullif(event_type, 'click'), 'CLICKED') AS label,
+        |  value BETWEEN 50 AND 150 AS in_range
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, o_custkey) AS xor_cust,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
 
     "q_sanitize_names" ->
       s"""SELECT event_id, messy, ${sanitizeSql("messy")} AS sanitized

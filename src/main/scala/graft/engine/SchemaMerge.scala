@@ -18,12 +18,17 @@ import org.apache.spark.sql.types._
   */
 object SchemaMerge {
 
-  /** Faithful merge over the BQ-API representation. */
+  /** Faithful merge over the BQ-API representation. The reference recurses
+    * ONLY through list-valued metadata keys present on the OLD field
+    * (main.py:90-96): an old scalar colliding with a new RECORD stays a
+    * scalar with no subfields — verified by cross-language fuzz
+    * (src/test/resources/merge_fuzz.jsonl).
+    */
   def additive(old: Seq[BqField], incoming: Seq[BqField]): Seq[BqField] = {
     val oldNames = old.map(_.name).toSet
     val appended = old ++ incoming.filterNot(f => oldNames.contains(f.name))
     appended.map { oldF =>
-      if (oldF.fields.nonEmpty || incoming.exists(n => n.name == oldF.name && n.fields.nonEmpty))
+      if (oldF.fields.nonEmpty)
         incoming.find(_.name == oldF.name) match {
           case Some(newF) => oldF.copy(fields = additive(oldF.fields, newF.fields))
           case None       => oldF

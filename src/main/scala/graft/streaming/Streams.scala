@@ -64,6 +64,17 @@ object Streams {
       }.toDF()
   }
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted — the streaming face of Dedup.exact for
+    * at-least-once sources.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming ingestion: the reference's NDJSON->table load loop
     * (write_to_json + write_to_bq, popelines/main.py:100-178) as a
     * continuously-running stream. New files dropped into `srcDir` append

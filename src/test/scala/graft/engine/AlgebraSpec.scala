@@ -117,6 +117,48 @@ class AlgebraSpec extends AnyFunSuite {
     }
   }
 
+  // ---- cross-language fuzz: goldens produced by EXECUTING the reference
+  // (google/requests stubbed; popeline instantiated via __new__) ----
+
+  private def fuzzCases(resource: String): List[com.fasterxml.jackson.databind.JsonNode] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(resource), "UTF-8")
+    try src.getLines().map(mapper.readTree).toList finally src.close()
+  }
+
+  test("merge matches the executed reference on 60 random schema pairs") {
+    fuzzCases("/merge_fuzz.jsonl").zipWithIndex.foreach { case (c, i) =>
+      val merged = SchemaMerge.additive(
+        BqSchema.fromJson(c.get("old").toString),
+        BqSchema.fromJson(c.get("new").toString))
+      val expected = BqSchema.fromJson(c.get("merged").toString)
+      assert(merged == expected, s"merge fuzz case $i diverged")
+    }
+  }
+
+  test("sanitizer matches the executed reference on 300 random strings") {
+    fuzzCases("/sanitize_fuzz.jsonl").zipWithIndex.foreach { case (c, i) =>
+      val out = Names.sanitizeBqName(c.get("in").asText)
+      assert(out == c.get("out").asText,
+        s"sanitize fuzz case $i diverged on input '${c.get("in").asText}'")
+    }
+  }
+
+  test("chunker matches the executed reference on 60 random ranges") {
+    fuzzCases("/chunks_fuzz.jsonl").zipWithIndex.foreach { case (c, i) =>
+      val got = Chunks.chunkDateRange(
+        LocalDateTime.parse(c.get("start").asText),
+        LocalDateTime.parse(c.get("end").asText),
+        c.get("size").asInt).toList
+      val expected = (0 until c.get("windows").size).map { j =>
+        val w = c.get("windows").get(j)
+        (LocalDateTime.parse(w.get(0).asText), LocalDateTime.parse(w.get(1).asText))
+      }.toList
+      assert(got == expected, s"chunks fuzz case $i diverged")
+    }
+  }
+
   // ---- BqSchema codec ----
 
   test("codec round-trips the B1-shaped schema") {

@@ -66,6 +66,20 @@ class StreamsSpec extends SparkSpecBase {
     assert(wins.toSeq == Seq(ts(0), ts(30))) // 00:35 falls into [00:00,01:00) and [00:30,01:30)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupStream(mem.toDF(), Seq("user_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(Ev(ts(1), 7, 1.0), Ev(ts(2), 7, 2.0), Ev(ts(3), 8, 3.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts(10), 7, 4.0)) // still within watermark -> duplicate, dropped
+    q.processAllAvailable()
+    val vals = spark.table("dedup").select("value").as[Double].collect().sorted
+    q.stop()
+    assert(vals.toSeq == Seq(1.0, 3.0)) // one row per user, first wins
+  }
+
   test("streaming NDJSON ingestion lands files into a parquet table exactly once") {
     val src = java.nio.file.Files.createTempDirectory("stream-src")
     val table = tmpDir("stream-table")
