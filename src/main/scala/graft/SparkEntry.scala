@@ -174,6 +174,24 @@ object SparkEntry {
           count(lit(1)).alias("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    "q_decimal_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,6)")
+            .alias("dec_sum"),
+          min(col("l_extendedprice").cast("decimal(18,4)")).alias("dec_min"),
+          max(col("l_extendedprice").cast("decimal(18,4)")).alias("dec_max"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_null_semantics" -> ((s, dir) =>
+      EV(s, dir).select(col("event_id"),
+        nullif(col("event_type"), lit("click")).alias("nc"),
+        col("event_type") <=> "click" alias "eq_click",
+        nullif(col("event_type"), lit("click")) <=> lit(null) alias "nc_is_null",
+        coalesce(nullif(col("event_type"), lit("click")), lit("X")).alias("co"))
+        .orderBy(col("event_id"))),
+
     "q_agg_distinct" -> ((s, dir) =>
       T(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -694,6 +712,21 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS dec_sum,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,4))) AS dec_min,
+        |  max(CAST(l_extendedprice AS DECIMAL(18,4))) AS dec_max
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT event_id,
+        |  nullif(event_type, 'click') AS nc,
+        |  event_type IS NOT DISTINCT FROM 'click' AS eq_click,
+        |  nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS nc_is_null,
+        |  coalesce(nullif(event_type, 'click'), 'X') AS co
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,

@@ -31,6 +31,20 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** list_tables equivalent (popelines/main.py:119). */
+  def listTables(): Seq[String] = {
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq
+      .filterNot(_.endsWith(".__staging")).sorted
+  }
+
+  def dropTable(table: String): Boolean = {
+    val p = new Path(tablePath(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   def read(table: String): DataFrame =
     spark.read.option("mergeSchema", true).parquet(tablePath(table))
 

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed custom aggregates (the reference's "UDF surface" is arbitrary
+  * callbacks — SURVEY §2.4 maps the aggregate flavor onto Spark
+  * `Aggregator`, which runs with partial aggregation and map-side combine
+  * like any built-in agg).
+  */
+object Udafs {
+
+  /** Weighted mean: Σ(v·w)/Σw with a mergeable (sum, weightSum) buffer. */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) 0.0 else r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column form: weightedMean(value, weight). */
+  def weightedMean(value: Column, weight: Column): Column = {
+    val f = udaf(WeightedMean)
+    f(value, weight)
+  }
+
+  /** Geometric mean via log-space sums (stable, mergeable). */
+  object GeometricMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def geometricMean(value: Column): Column = {
+    val f = udaf(GeometricMean)
+    f(value)
+  }
+}

@@ -74,6 +74,16 @@ class IngestSpec extends SparkSpecBase {
     assert(!store.read("t2").columns.contains("unknown_col"))
   }
 
+  test("listTables and dropTable manage the warehouse") {
+    val store = new TableStore(spark, tmpDir("wh-mgmt"))
+    store.write("T-A", spark.range(1).toDF(), append = false)
+    store.write("t_b", spark.range(1).toDF(), append = false)
+    assert(store.listTables() == Seq("t_a", "t_b"))
+    assert(store.dropTable("T-A"))
+    assert(store.listTables() == Seq("t_b"))
+    assert(!store.exists("t_a"))
+  }
+
   test("findLastEntry returns the max watermark") {
     val pope = new Popeline(spark, tmpDir("wh"))
     pope.writeTable("ev", spark.range(10).select(col("id"),

@@ -135,6 +135,26 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("typed UDAFs: weighted mean and geometric mean merge correctly") {
+    val df = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0)).toDF("v", "w")
+      .repartition(3) // force buffer merges across partitions
+    val wm = df.agg(Udafs.weightedMean(col("v"), col("w"))).head().getDouble(0)
+    assert(math.abs(wm - 2.5) < 1e-12) // (1*1 + 3*3) / 4
+    val gm = Seq(2.0, 8.0).toDF("v").repartition(2)
+      .agg(Udafs.geometricMean(col("v"))).head().getDouble(0)
+    assert(math.abs(gm - 4.0) < 1e-12)
+  }
+
+  test("generator via typed flatMap matches the explode expression path") {
+    val df = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val viaFlatMap = df.as[(Long, String)]
+      .flatMap { case (id, text) => text.split(" ").map(t => (id, t)) }
+      .toDF("doc_id", "tok")
+    val viaExplode = df.select(col("doc_id"), explode(split(col("text"), " ")).alias("tok"))
+    assert(viaFlatMap.orderBy("doc_id", "tok").collect().toSeq ==
+      viaExplode.orderBy("doc_id", "tok").collect().toSeq)
+  }
+
   test("salted join equals the plain join; salted agg equals plain groupBy") {
     val big = spark.range(2000).select((col("id") % 3).alias("k"), col("id").alias("v"))
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
