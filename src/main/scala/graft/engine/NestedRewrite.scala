@@ -24,12 +24,24 @@ import org.apache.spark.sql.types._
   */
 object NestedRewrite {
 
-  /** Rename every key at every depth with `cb`. */
+  /** Rename every key at every depth with `cb`. When two keys rename to
+    * the same target, the LAST one (in field order) wins — the reference
+    * builds a Python dict in iteration order (main.py:259-261), so a later
+    * assignment overwrites an earlier one.
+    */
   def renameKeys(df: DataFrame, cb: String => String): DataFrame = {
-    val cols = df.schema.fields.map { f =>
-      rewriteNames(col(quote(f.name)), f.dataType, cb).alias(cb(f.name))
-    }
-    df.select(cols.toIndexedSeq: _*)
+    val cols = collapseCollisions(df.schema.fields.toIndexedSeq.map { f =>
+      cb(f.name) -> rewriteNames(col(quote(f.name)), f.dataType, cb)
+    }).map { case (n, c) => c.alias(n) }
+    df.select(cols: _*)
+  }
+
+  /** Keep the last column per target name, preserving first-seen position
+    * (dict update semantics: value replaced, position kept).
+    */
+  private def collapseCollisions(named: Seq[(String, Column)]): Seq[(String, Column)] = {
+    val lastByName = named.groupBy(_._1).map { case (n, cs) => n -> cs.last._2 }
+    named.map(_._1).distinct.map(n => n -> lastByName(n))
   }
 
   /** Rename with drop-on-falsy semantics of the CTAS generator: a callback
@@ -50,9 +62,9 @@ object NestedRewrite {
     case st: StructType =>
       // `when(isNotNull, ...)` keeps a null struct null instead of
       // materializing a struct of nulls.
-      when(c.isNotNull, struct(st.fields.toIndexedSeq.map { f =>
-        rewriteNames(c.getField(f.name), f.dataType, cb).alias(cb(f.name))
-      }: _*))
+      when(c.isNotNull, struct(collapseCollisions(st.fields.toIndexedSeq.map { f =>
+        cb(f.name) -> rewriteNames(c.getField(f.name), f.dataType, cb)
+      }).map { case (n, cc) => cc.alias(n) }: _*))
     case ArrayType(et, _) if isRewritable(et) =>
       transform(c, x => rewriteNames(x, et, cb))
     case _ => c

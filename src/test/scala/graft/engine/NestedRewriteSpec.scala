@@ -33,6 +33,18 @@ class NestedRewriteSpec extends SparkSpecBase {
     assert(row.getString(0) == "Ada" && row.getDouble(1) == 1.5 && row.getInt(2) == 2)
   }
 
+  test("renameKeys collision: last key wins at first key's position (dict semantics)") {
+    import spark.implicits._
+    val df = spark.read.json(Seq("""{"a.b": 1, "z": 0, "a_b": 2, "inner": {"x y": 3, "x_y": 4}}""").toDS())
+    val out = NestedRewrite.renameKeys(df, Names.sanitizeBqName)
+    // top level: a.b and a_b both -> a_b; a.b seen first (alphabetical json
+    // schema order: a.b, a_b, inner, z), last value (a_b = 2) wins
+    assert(out.schema.fieldNames.count(_ == "a_b") == 1)
+    assert(out.select("a_b").head().getLong(0) == 2L)
+    val inner = out.select("inner.x_y").head().getLong(0)
+    assert(inner == 4L)
+  }
+
   test("renameKeys keeps null structs null") {
     import spark.implicits._
     val df = spark.read.json(Seq("""{"a": {"x y": 1}}""", """{"a": null}""").toDS())
