@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The capstone composite: prepare a raw document corpus for training —
+  * annotate, quality-filter, language-filter, near-dup-removal — as one
+  * declarative pipeline. Each stage is a narrow projection or a
+  * shuffle-bounded op from this package; nothing collects to the driver,
+  * so the pipeline shape is the same at 500 rows and at 100 TB.
+  */
+object CorpusPipeline {
+
+  /** @param minQuality   drop docs scoring below (TextAnalysis.qualityScore)
+    * @param maxRepetition drop docs with more within-doc token repetition
+    * @param langs        keep only these language ids (empty = keep all)
+    * @param dedupJaccard near-dup threshold for MinHash-LSH removal;
+    *                     <= 0 disables dedup
+    */
+  case class Config(
+      minQuality: Double = 0.3,
+      maxRepetition: Double = 0.95,
+      langs: Set[String] = Set.empty,
+      dedupJaccard: Double = 0.8,
+      textCol: String = "text",
+      idCol: String = "doc_id")
+
+  /** Returns the filtered corpus plus the per-stage survival counts (one
+    * action per stage boundary is avoided — counts come from a single
+    * aggregation over stage flags).
+    */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val t = col(cfg.textCol)
+    val annotated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(t))
+      .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
+      .withColumn("lang_id", TextAnalysis.languageId(t))
+    val filtered = annotated
+      .where(col("quality") >= cfg.minQuality)
+      .where(col("rep_ratio") <= cfg.maxRepetition)
+      .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
+    if (cfg.dedupJaccard > 0)
+      Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol, cfg.dedupJaccard)
+    else filtered
+  }
+
+  /** Stage-survival report for a prepared corpus (diagnostics). */
+  def stageReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val t = col(cfg.textCol)
+    docs
+      .withColumn("quality_ok", TextAnalysis.qualityScore(t) >= cfg.minQuality)
+      .withColumn("repetition_ok", TextAnalysis.tokenRepetitionRatio(t) <= cfg.maxRepetition)
+      .withColumn("lang_ok",
+        if (cfg.langs.isEmpty) lit(true)
+        else TextAnalysis.languageId(t).isInCollection(cfg.langs))
+      .agg(
+        count(lit(1)).alias("total"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).alias("pass_quality"),
+        sum(when(col("repetition_ok"), 1L).otherwise(0L)).alias("pass_repetition"),
+        sum(when(col("quality_ok") && col("repetition_ok") && col("lang_ok"), 1L)
+          .otherwise(0L)).alias("pass_all_filters"))
+  }
+}

@@ -135,6 +135,23 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("corpus pipeline filters junk and removes near-dups end to end") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water tonight"), // near-dup of 0
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetitive
+      (3L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"), // pure punctuation junk
+      (4L, "an entirely different and rather pleasant document about the weather in the mountains with plenty of words")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.6, dedupJaccard = 0.7))
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 4L)) // 1 deduped, 2 repetitive, 3 low quality
+    val report = CorpusPipeline.stageReport(corpus,
+      CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.6)).head()
+    assert(report.getLong(0) == 5 && report.getLong(3) == 3) // 0,1,4 pass filters
+  }
+
   test("typed UDAFs: weighted mean and geometric mean merge correctly") {
     val df = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0)).toDF("v", "w")
       .repartition(3) // force buffer merges across partitions

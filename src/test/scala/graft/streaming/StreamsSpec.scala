@@ -66,6 +66,27 @@ class StreamsSpec extends SparkSpecBase {
     assert(wins.toSeq == Seq(ts(0), ts(30))) // 00:35 falls into [00:00,01:00) and [00:30,01:30)
   }
 
+  test("stream-stream interval join pairs purchases with recent clicks") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").alias("c_user"), col("ts").alias("c_ts"))
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("user_id").alias("p_user"), col("ts").alias("p_ts"), col("value"))
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES") &&
+      col("c_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    clicks.addData(Ev(ts(10), 1, 0.0), Ev(ts(50), 2, 0.0))
+    purchases.addData(Ev(ts(20), 1, 9.0), Ev(ts(25), 2, 7.0)) // user2 click is LATER -> no pair
+    q.processAllAvailable()
+    val rows = spark.table("ssj").select("p_user", "value").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 9.0)))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
