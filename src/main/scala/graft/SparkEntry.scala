@@ -577,7 +577,8 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>").alias("qv"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          Rounding.roundAway(Similarity.cosine(col("embedding").cast("array<double>"), col("qv")), 6)
+          Rounding.roundAway(
+            graft.expressions.VectorExpressions.cosineNative(col("embedding"), col("qv")), 6)
             .alias("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)

@@ -53,7 +53,8 @@ object Similarity {
       query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     df.select(col(idCol),
-        Rounding.roundAway(cosine(col(vecCol).cast("array<double>"), q), 6).alias("cosine"))
+        Rounding.roundAway(
+          graft.expressions.VectorExpressions.cosineNative(col(vecCol), q), 6).alias("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: the LSH dedup path on a 20k-document synthetic corpus with
+  * planted near-duplicates — asserts recall on the planted pairs and that
+  * the candidate set stays bucket-bounded (no quadratic blowup), i.e. the
+  * properties that must hold when this runs on billions of documents.
+  */
+class ScaleSmokeSpec extends SparkSpecBase {
+
+  test("minhash dedup on 20k docs: planted dups found, candidates bounded") {
+    // base docs are pairwise token-disjoint (tokens encode the doc id), so
+    // the ONLY near-dup structure is the planted copy of each base doc
+    val base = spark.range(10000).select(col("id").alias("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(100000)), lit(s"p$j"))): _*)
+        .alias("text"))
+    val copies = base.select((col("doc_id") + 10000).alias("doc_id"),
+      concat(col("text"), lit(" zulu")).alias("text")) // +1 token ≈ 0.93 jaccard
+    val corpus = base.unionByName(copies)
+
+    val pairs = Dedup.minhashCandidates(corpus, "text", "doc_id", minJaccard = 0.7)
+      .cache()
+    val total = pairs.count()
+    val planted = pairs.where(col("id_b") === col("id_a") + 10000).count()
+    assert(planted == 10000L, s"planted-pair recall: $planted/10000")
+    assert(total == 10000L, s"false-positive pairs: ${total - planted}")
+    pairs.unpersist()
+
+    val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id", minJaccard = 0.7).count()
+    assert(kept == 10000L, s"dedup kept $kept of 20000")
+  }
+}
