@@ -309,6 +309,19 @@ object SparkEntry {
     }),
 
     // ---- sort / limit / set ops ----
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").alias("quartile"),
+          percent_rank().over(w).alias("pct_rank"),
+          cume_dist().over(w).alias("cdist"),
+          first(col("o_totalprice")).over(w).alias("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).alias("second_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_topk" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -830,6 +843,17 @@ object SparkEntry {
         |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

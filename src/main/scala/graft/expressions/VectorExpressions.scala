@@ -124,4 +124,15 @@ object VectorExpressions {
     Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Make `graft_dot` / `graft_cosine` callable from SQL text. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def asDouble(e: Expression) = Cast(e, ArrayType(DoubleType))
+    Bridge.registerFunction(spark, "graft_dot",
+      args => DotProduct(asDouble(args(0)), asDouble(args(1))))
+    Bridge.registerFunction(spark, "graft_cosine",
+      args => CosineSimilarity(asDouble(args(0)), asDouble(args(1))))
+  }
 }

@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a Catalyst expression builder,
+    * so custom expressions are reachable from `spark.sql(...)` text as well
+    * as the Column API. (The supported long-term route is
+    * SparkSessionExtensions.injectFunction at session build; this session-
+    * scoped registration serves library users who receive an existing
+    * session.)
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

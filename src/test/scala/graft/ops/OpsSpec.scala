@@ -135,6 +135,14 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("custom expressions are callable from SQL text after registration") {
+    graft.expressions.VectorExpressions.registerSqlFunctions(spark)
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 1.0)
+  }
+
   test("corpus pipeline filters junk and removes near-dups end to end") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
