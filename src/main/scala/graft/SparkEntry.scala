@@ -560,6 +560,14 @@ object SparkEntry {
           "text", "doc_id", n = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_shingle_df" -> ((s, dir) =>
+      // document-frequency histogram of word-3-shingles: how many shingles
+      // occur in exactly df documents (df>1 = shared/boilerplate text)
+      Dedup.shingleDocFrequency(T(s, dir, "documents"), "text", "doc_id")
+        .groupBy(col("df"))
+        .agg(count(lit(1)).alias("n_shingles"))
+        .orderBy(col("df"))),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashCandidates(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1049,6 +1057,14 @@ object SparkEntry {
          |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_shingle_df" ->
+      s"""$shingleCte,
+         |docfreq AS (
+         |  SELECT u.s AS shingle, count(DISTINCT sh.doc_id) AS df
+         |  FROM sh, unnest(sh.s) AS u(s) GROUP BY u.s)
+         |SELECT df, count(*) AS n_shingles FROM docfreq
+         |GROUP BY df ORDER BY df""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),

@@ -374,6 +374,18 @@ object Dedup {
     }
   }
 
+  /** Shingle document-frequency view — the boilerplate detector: shingles
+    * appearing in many documents are templates/headers/spam. One explode +
+    * one groupBy (shuffle keyed by shingle hash); at scale this is also
+    * where you derive the df-cap list that bounds hot posting lists in
+    * [[ngramJaccardPairs]].
+    */
+  def shingleDocFrequency(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleHashes(col(textCol), n)).alias("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).alias("df"))
+
   /** End-to-end near-dup REMOVAL: LSH candidates -> duplicate clusters ->
     * keep one representative (min id) per cluster.
     *

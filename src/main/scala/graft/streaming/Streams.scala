@@ -101,6 +101,32 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingestion WITH schema evolution: each micro-batch goes
+    * through TableStore.write, so a batch whose frame carries new columns
+    * additively widens the live table exactly like the batch path
+    * (old-wins on type conflicts). The read schema is fixed per stream
+    * run; widen it on restart via SchemaMerge like the reference re-infers
+    * per load.
+    */
+  def ingestNdjsonStreamEvolving(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      store: graft.engine.TableStore,
+      table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32)
+      .json(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.write(table, batch, append = true)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Batch equivalent of [[tumblingCounts]] for oracle comparison. */
   def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
     events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))

@@ -118,6 +118,27 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("evolving streaming ingestion widens the table across restarts") {
+    import graft.engine.TableStore
+    val src = java.nio.file.Files.createTempDirectory("evs-src")
+    val store = new TableStore(spark, tmpDir("evs-wh"))
+    val ckpt = tmpDir("evs-ckpt")
+    val s1 = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING")
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"), "{\"id\": 1, \"name\": \"x\"}\n")
+    Streams.ingestNdjsonStreamEvolving(spark, src.toString, s1, store, "ev_t", ckpt)
+      .awaitTermination()
+    // restart with a WIDER schema, like the reference re-inferring per load
+    val s2 = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING, score DOUBLE")
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      "{\"id\": 2, \"name\": \"y\", \"score\": 1.5}\n")
+    Streams.ingestNdjsonStreamEvolving(spark, src.toString, s2, store, "ev_t", ckpt)
+      .awaitTermination()
+    val t = store.read("ev_t")
+    assert(t.count() == 2)
+    assert(t.schema.fieldNames.contains("score"))
+    assert(t.where(col("score").isNull).count() == 1) // old row null-filled
+  }
+
   test("session windows split on gap; high-water mark state updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
