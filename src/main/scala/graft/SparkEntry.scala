@@ -462,6 +462,34 @@ object SparkEntry {
           lit(0.0), (a, x) => a + x), 6).alias("sum_val"))
         .orderBy(col("vec_id"))),
 
+    "q_array_hof" -> ((s, dir) =>
+      T(s, dir, "embeddings").select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").alias("n_pos"),
+        exists(col("embedding"), x => x > 0.5).alias("any_big"),
+        forall(col("embedding"), x => abs(x) <= 1.0).alias("all_unit"),
+        Rounding.roundAway(
+          aggregate(filter(col("embedding"), x => x > 0),
+            lit(0.0), (a, x) => a + x.cast("double")), 6).alias("pos_sum"))
+        .orderBy(col("vec_id"))),
+
+    "q_string_more" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        reverse(col("c_mktsegment")).alias("rev_seg"),
+        repeat(col("c_mktsegment"), 2).alias("seg2"),
+        instr(col("c_name"), "0").cast("long").alias("pos0"),
+        translate(col("c_name"), "0123456789", "##########").alias("masked"))
+        .orderBy(col("c_custkey"))),
+
+    "q_math_trig" -> ((s, dir) =>
+      T(s, dir, "lineitem").where(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Rounding.roundAway(sin(col("l_discount")), 6).alias("sin_d"),
+          Rounding.roundAway(cos(col("l_tax")), 6).alias("cos_t"),
+          Rounding.roundAway(atan2(col("l_discount"), col("l_tax") + 0.01), 6).alias("at2"),
+          Rounding.roundAway(degrees(col("l_discount")), 4).alias("deg"),
+          Rounding.roundAway(radians(col("l_quantity")), 6).alias("rad"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "q_map_fns" -> ((s, dir) => {
       val m = map(lit("click"), lit(1), lit("error"), lit(2), lit("purchase"), lit(3),
         lit("signup"), lit(4), lit("view"), lit(5))
@@ -978,6 +1006,33 @@ object SparkEntry {
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4) AS sum_sq,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 6) AS sum_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+        |  len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding) AS all_unit,
+        |  round(list_aggregate(list_transform(list_filter(embedding, x -> x > 0),
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 6) AS pos_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_string_more" ->
+      """SELECT c_custkey,
+        |  reverse(c_mktsegment) AS rev_seg,
+        |  repeat(c_mktsegment, 2) AS seg2,
+        |  instr(c_name, '0') AS pos0,
+        |  translate(c_name, '0123456789', '##########') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_math_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(l_discount), 6) AS sin_d,
+        |  round(cos(l_tax), 6) AS cos_t,
+        |  round(atan2(l_discount, l_tax + 0.01), 6) AS at2,
+        |  round(degrees(l_discount), 4) AS deg,
+        |  round(radians(l_quantity), 6) AS rad
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_map_fns" ->
       """SELECT event_id,
