@@ -238,6 +238,13 @@ object SparkEntry {
           Rounding.roundAway(expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"))
         .orderBy(col("o_orderstatus"))),
 
+    "q_median" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(Rounding.roundAway(median(col("o_totalprice")), 4).alias("med_price"),
+          count(lit(1)).alias("n"))
+        .orderBy(col("o_orderpriority"))),
+
     "q_stats_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -811,6 +818,11 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_median" ->
+      """SELECT o_orderpriority, round(median(o_totalprice), 4) AS med_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,
