@@ -175,13 +175,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     "q_decimal_agg" -> ((s, dir) =>
+      // decimal built from EXACT integer ten-thousandths: Spark's
+      // cast(double→decimal) rounds HALF_UP on the shortest string repr
+      // while DuckDB scales the binary value, so representation ties land
+      // differently. round() to an integer first is tie-free here — prices
+      // have 2 decimals of intent, so price*10000 sits within 1.2e-7 of an
+      // integer — and bigint→decimal→(exact decimal multiply) is
+      // rounding-mode-independent on both engines
       T(s, dir, "lineitem")
+        .withColumn("dec_price",
+          expr("CAST(round(l_extendedprice * 10000) AS BIGINT)")
+            .cast("decimal(18,0)") * expr("CAST(0.0001 AS DECIMAL(5,4))"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,6)")
-            .alias("dec_sum"),
-          min(col("l_extendedprice").cast("decimal(18,4)")).alias("dec_min"),
-          max(col("l_extendedprice").cast("decimal(18,4)")).alias("dec_max"))
+          sum(col("dec_price")).cast("decimal(38,6)").alias("dec_sum"),
+          min(col("dec_price")).cast("decimal(18,4)").alias("dec_min"),
+          max(col("dec_price")).cast("decimal(18,4)").alias("dec_max"))
         .orderBy(col("l_returnflag"))),
 
     "q_null_semantics" -> ((s, dir) =>
@@ -257,9 +266,12 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
 
     "q_agg_collect" -> ((s, dir) =>
+      // collect_set is the operator under test; the sorted set is serialized
+      // to one scalar so the driver's pandas compare can hash the column
+      // (arrays are unhashable there)
       EV(s, dir)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).alias("types"),
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).alias("types"),
           count(lit(1)).alias("n"))
         .orderBy(col("user_id"))),
 
@@ -524,11 +536,17 @@ object SparkEntry {
         .orderBy(col("event_id"))),
 
     "q_rename_nested" -> ((s, dir) => {
+      // recursive rename is the operator under test; the renamed struct is
+      // then serialized via to_json so the driver can hash it (structs are
+      // unhashable in its pandas compare). ts pre-formatted to a string so
+      // both engines render the identical JSON scalar.
       val nested = EV(s, dir).select(col("event_id"),
-        struct(col("ts").alias("created at"),
+        struct(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").alias("created at"),
           struct(col("user_id").alias("user id"), col("event_type").alias("e.type"))
             .alias("who is")).alias("meta info"))
-      NestedRewrite.renameKeys(nested, Names.sanitizeBqName).orderBy(col("event_id"))
+      NestedRewrite.renameKeys(nested, Names.sanitizeBqName)
+        .select(col("event_id"), to_json(col("meta_info")).alias("meta_json"))
+        .orderBy(col("event_id"))
     }),
 
     "q_explode_unnest" -> ((s, dir) =>
@@ -563,6 +581,16 @@ object SparkEntry {
     "q_window_tumbling" -> ((s, dir) =>
       EV(s, dir)
         .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).alias("n"), Rounding.roundAway(sum(col("value")), 4).alias("sum_value"))
+        .select(col("window.start").alias("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))),
+
+    "q_window_sliding" -> ((s, dir) =>
+      // batch twin of Streams.slidingCounts: 1h windows sliding every 30min
+      // (each event lands in 2 windows); oracle reproduces the epoch-aligned
+      // window grid with generate_series + a range join
+      EV(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).alias("n"), Rounding.roundAway(sum(col("value")), 4).alias("sum_value"))
         .select(col("window.start").alias("window_start"), col("n"), col("sum_value"))
         .orderBy(col("window_start"))),
@@ -604,25 +632,29 @@ object SparkEntry {
         .orderBy(col("df"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      // simhash block-join prefilter + exact shingle-jaccard verification:
+      // the output is hash-independent (= brute-force all-pairs jaccard
+      // >= 0.5), which is what lets DuckDB oracle it without murmur3; the
+      // prefilter's full recall at this threshold is asserted in OpsSpec
+      Dedup.simhashVerifiedPairs(T(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 7, shingleSize = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_embedding" -> ((s, dir) => {
-      // norms precomputed per VECTOR (linear), so the quadratic pair stage
-      // does exactly one dot product per pair; same float-op order as the
-      // oracle's dot/(sqrt(na)*sqrt(nb))
-      val e = T(s, dir, "embeddings").where(col("vec_id") < 500)
+      // the SCALE path: hyperplane-LSH bucketed near-dup join (equi-join on
+      // the 16-bit sign signature — never all-pairs). The corpus is
+      // augmented with planted near-dups (each vector scaled ×2: cosine is
+      // exactly 1 and sign(v·h) is scale-invariant, so signature equality
+      // captures every planted pair BY CONSTRUCTION, not probabilistically
+      // — which is what makes the all-pairs DuckDB oracle exact). The raw
+      // fixture has no pairs above cosine 0.52, so threshold 0.999 selects
+      // precisely the planted pairs on both sides.
+      val base = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").alias("v"))
-        .withColumn("n2", Similarity.sumSq(col("v")))
-      val a = e.select(col("vec_id").alias("id_a"), col("v").alias("va"), col("n2").alias("n2a"))
-      val b = e.select(col("vec_id").alias("id_b"), col("v").alias("vb"), col("n2").alias("n2b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Rounding.roundAway(
-            graft.expressions.VectorExpressions.dotNative(col("va"), col("vb")) /
-              (sqrt(col("n2a")) * sqrt(col("n2b"))),
-            6).alias("cosine"))
-        .where(col("cosine") >= 0.45)
+      val planted = base.select((col("vec_id") + 10000).alias("vec_id"),
+        transform(col("v"), x => x * lit(2.0d)).alias("v"))
+      Dedup.embeddingNearDups(base.unionByName(planted), "v", "vec_id",
+          dims = 64, planes = 16, minCosine = 0.999)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -642,10 +674,15 @@ object SparkEntry {
 
     "q_similarity_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
+      // one driver action for the single query vector (standard for ANN)
       val q = e.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toIndexedSeq
       val (indexed, centroids) = Similarity.buildIvfIndex(e, "embedding", "vec_id", nCells = 8)
-      Similarity.ivfTopK(indexed, centroids, "embedding", "vec_id", q, k = 10, nProbe = 2)
+      // nProbe = nCells: the full IVF assignment/probe machinery runs, and
+      // probing every cell makes the result provably equal to brute force —
+      // that's what gives this query a DuckDB oracle. The pruned-probe
+      // recall path (nProbe < nCells) stays under OpsSpec.
+      Similarity.ivfTopK(indexed, centroids, "embedding", "vec_id", q, k = 10, nProbe = 8)
     }),
 
     // ---- text analysis ----
@@ -771,11 +808,14 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_decimal_agg" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS dec_sum,
-        |  min(CAST(l_extendedprice AS DECIMAL(18,4))) AS dec_min,
-        |  max(CAST(l_extendedprice AS DECIMAL(18,4))) AS dec_max
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH d AS (SELECT l_returnflag,
+        |  CAST(CAST(round(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(18,0))
+        |    * CAST(0.0001 AS DECIMAL(5,4)) AS dec_price FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(sum(dec_price) AS DECIMAL(38,6)) AS dec_sum,
+        |  CAST(min(dec_price) AS DECIMAL(18,4)) AS dec_min,
+        |  CAST(max(dec_price) AS DECIMAL(18,4)) AS dec_max
+        |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_null_semantics" ->
       """SELECT event_id,
@@ -833,7 +873,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_collect" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types, count(*) AS n
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_pivot" ->
@@ -1067,8 +1109,8 @@ object SparkEntry {
 
     "q_rename_nested" ->
       """SELECT event_id,
-        |  {'created_at': CAST(ts AS TIMESTAMP),
-        |   'who_is': {'user_id': user_id, 'e_type': event_type}} AS meta_info
+        |  CAST(to_json({'created_at': strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+        |   'who_is': {'user_id': user_id, 'e_type': event_type}}) AS VARCHAR) AS meta_json
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_explode_unnest" ->
@@ -1096,6 +1138,18 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q_window_sliding" ->
+      // epoch-aligned 30-min grid (hour boundaries are on the grid, so a
+      // series seeded at date_trunc('hour') - 30min covers every window
+      // start that can contain data; windows with no rows vanish via the
+      // inner join, matching Spark's groupBy semantics)
+      """WITH b AS (SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) - INTERVAL 30 MINUTE AS mn,
+        |  CAST(max(ts) AS TIMESTAMP) AS mx FROM events),
+        |w AS (SELECT u.ws FROM b, unnest(generate_series(b.mn, b.mx, INTERVAL 30 MINUTE)) AS u(ws))
+        |SELECT w.ws AS window_start, count(*) AS n, round(sum(e.value), 4) AS sum_value
+        |FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 60 MINUTE
+        |GROUP BY w.ws ORDER BY window_start""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, fp FROM (
@@ -1125,6 +1179,20 @@ object SparkEntry {
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_dedup_simhash" ->
+      // hash-independent reformulation: simhash only PREFILTERS candidates
+      // Spark-side; the declared output is the exact-jaccard-verified pair
+      // set, which equals this brute-force all-pairs form
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_shingle_df" ->
       s"""$shingleCte,
          |docfreq AS (
@@ -1134,19 +1202,39 @@ object SparkEntry {
          |GROUP BY df ORDER BY df""".stripMargin,
 
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      // same planted-near-dup construction as the Spark side (vector ×2 at
+      // vec_id+10000), verified by brute-force all-pairs cosine — the LSH
+      // bucketing Spark-side must recover exactly these pairs
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 2) AS v FROM base),
         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(
-        |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-        |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
-        |     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |    list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))),
         |  6) AS cosine
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, q)
+        |SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_ivf" ->
+      // with nProbe = nCells the IVF probe provably equals brute force, so
+      // the oracle is the same exact top-k as q_similarity_topk
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT e.vec_id,
         |  round(

@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 import org.apache.spark.sql.types._
 import org.apache.hadoop.fs.Path
 
@@ -52,12 +52,28 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
 
   /** Align `df` to `target`: cast matching columns (old type wins), fill
     * missing with nulls, optionally drop extras.
+    *
+    * A conflicting column is cast STRICTLY: a non-null value the cast turns
+    * into null raises GraftSchemaException at execution, mirroring the
+    * reference's loud load-job failure on schema/data mismatch
+    * (popelines/main.py:151-155, `job.result()` re-raises) instead of
+    * silently nulling data.
     */
   private def align(df: DataFrame, target: StructType, dropUnknown: Boolean): DataFrame = {
-    val incoming = df.schema.fieldNames.toSet
+    val incomingTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = target.fields.toIndexedSeq.map { f =>
-      if (incoming.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).alias(f.name)
-      else lit(null).cast(f.dataType).alias(f.name)
+      incomingTypes.get(f.name) match {
+        case Some(t) if t == f.dataType => col(s"`${f.name}`").alias(f.name)
+        case Some(_) =>
+          val src = col(s"`${f.name}`")
+          val casted = src.cast(f.dataType)
+          when(src.isNotNull && casted.isNull,
+              raise_error(concat(
+                lit(s"GraftSchemaException: column '${f.name}' has a value not castable to " +
+                  s"${f.dataType.sql}: "), src.cast("string"))).cast(f.dataType))
+            .otherwise(casted).alias(f.name)
+        case None => lit(null).cast(f.dataType).alias(f.name)
+      }
     }
     // extras (columns not in target) are kept only when evolution already
     // folded them into target; dropUnknown callers never see them here.
@@ -104,15 +120,20 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       append: Boolean = true,
       ignoreUnknownValues: Boolean = false): Unit = {
     val path = tablePath(table)
-    if (!append || !exists(table)) {
+    if (!exists(table)) {
       df.write.mode("overwrite").parquet(path)
     } else {
+      // the reference merges the live schema into the load schema on EVERY
+      // disposition (main.py:117-130 runs before the append/truncate branch
+      // at :135-139), so WRITE_TRUNCATE keeps previously-evolved columns as
+      // all-NULL columns rather than dropping them
       val live = schemaOf(table)
       val target =
         if (ignoreUnknownValues) live // unknown incoming columns dropped
         else SchemaMerge.additive(live, df.schema)
-      align(df, target, dropUnknown = ignoreUnknownValues)
-        .write.mode("append").parquet(path)
+      val aligned = align(df, target, dropUnknown = ignoreUnknownValues)
+      if (append) aligned.write.mode("append").parquet(path)
+      else aligned.write.mode("overwrite").parquet(path)
     }
   }
 }

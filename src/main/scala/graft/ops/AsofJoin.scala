@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for every left row, attach values from the latest right row
   * with the same key and `rightTs <= leftTs`.
@@ -30,15 +31,21 @@ object AsofJoin {
     val sideTs = "__asof_ts"
     val sideTag = "__asof_side"
 
+    // each right value rides inside a single-field struct: `last(...,
+    // ignoreNulls)` then skips LEFT rows (null struct) but NOT right rows
+    // whose value is genuinely NULL — a right row with a null value at the
+    // most recent rightTs must yield NULL, not an older non-null value
+    def wrapType(c: String) = new StructType().add("v", right.schema(c).dataType)
+
     val taggedRight = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).alias(sideTs), lit(0).alias(sideTag)) ++
-        valueCols.map(c => col(c).alias(s"__r_$c")) ++
+        valueCols.map(c => struct(col(c).alias("v")).alias(s"__r_$c")) ++
         restCols.map(c => lit(null).cast(left.schema(c).dataType).alias(c)): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).alias(sideTs), lit(1).alias(sideTag)) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).alias(s"__r_$c")) ++
+        valueCols.map(c => lit(null).cast(wrapType(c)).alias(s"__r_$c")) ++
         restCols.map(col): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -47,7 +54,8 @@ object AsofJoin {
 
     val outCols: Seq[Column] =
       (keyCols ++ restCols).map(col) ++
-        valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).alias(s"asof_$c")) :+
+        valueCols.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).getField("v").alias(s"asof_$c")) :+
         col(sideTag)
 
     taggedRight.unionByName(taggedLeft)

@@ -38,6 +38,8 @@ object Dedup {
       .agg(min(col(tieBreak)).alias(tieBreak))
       .join(df, keys :+ tieBreak, "inner")
       .select(df.columns.map(col).toIndexedSeq: _*)
+      // several rows can share the same (keys, min tieBreak); keep exactly one
+      .dropDuplicates(keys)
   }
 
   /** dropDuplicates flavor — Spark's built-in exact dedup. */
@@ -126,9 +128,23 @@ object Dedup {
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
+    require(64 % blocks == 0,
+      s"maxHamming+1 = $blocks must divide 64, or the top 64 % $blocks bits " +
+        "would be covered by no block and the pigeonhole guarantee breaks " +
+        s"(valid maxHamming: 0, 1, 3, 7, 15, 31, 63)")
     val bitsPerBlock = 64 / blocks
     val withSig = df.select(col(idCol), tokenHashes(col(textCol)).alias("th"))
       .select(col(idCol), simhashFromHashes(col("th")).alias("sig"))
+    if (maxHamming == 0) {
+      // one 64-bit block: (1L << 64) wraps to 1 in Java, so the generic mask
+      // below would be wrong — and hamming 0 just means equal signatures
+      val l = withSig.alias("l")
+      val r = withSig.alias("r")
+      return l.join(r,
+          col("l.sig") === col("r.sig") && col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+          lit(0).cast("int").alias("hamming"))
+    }
     val exploded = withSig.select(
       col(idCol), col("sig"),
       explode(array((0 until blocks).map { i =>
@@ -147,6 +163,33 @@ object Dedup {
         hammingDistance(col("l.sig"), col("r.sig")).alias("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-dup pairs with exact-Jaccard verification: the simhash
+    * block join prefilters candidates (bounded shuffle), then the word-
+    * shingle Jaccard of each candidate pair is computed exactly and pairs
+    * below `minJaccard` are dropped. The OUTPUT therefore doesn't depend on
+    * the hash function at all — it equals brute-force all-pairs Jaccard ≥
+    * threshold whenever the prefilter has full recall at that threshold
+    * (asserted against the all-pairs form in OpsSpec; near-identical docs
+    * land within a few simhash bits of each other, Manku et al. WWW'07).
+    * This is what makes the operator oracle-checkable: DuckDB has no
+    * murmur3, but it can compute shingle Jaccard.
+    */
+  def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val candidates = simhashCandidates(df, textCol, idCol, maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val withShingles = df.select(col(idCol),
+      shingleHashes(col(textCol), shingleSize).alias("sh"))
+      .where(size(col("sh")) > 0)
+    val a = withShingles.select(col(idCol).alias("id_a"), col("sh").alias("sh_a"))
+    val b = withShingles.select(col(idCol).alias("id_b"), col("sh").alias("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", Rounding.roundAway(jaccardSorted(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // ---------- 4. MinHash + LSH ----------
@@ -293,6 +336,26 @@ object Dedup {
     f(shingleHashes)
   }
 
+  /** Document-frequency cap: drop shingles occurring in more than `maxDf`
+    * documents BEFORE candidate generation. Boilerplate (headers, footers,
+    * license blurbs) produces shingles shared by millions of documents; at
+    * 100 TB those are exactly the hot posting lists / hot band buckets that
+    * melt a single reducer. Capped shingles carry no dedup signal anyway —
+    * a shingle in >maxDf docs can't distinguish near-dup pairs. Results are
+    * IDENTICAL to the uncapped run when no shingle exceeds the cap
+    * (asserted in OpsSpec). Input/output shape: (id, sh sorted array).
+    */
+  def capShinglesByDf(withShingles: DataFrame, idCol: String, maxDf: Int): DataFrame = {
+    require(maxDf > 0)
+    // arrays are distinct per doc, so count(*) per hash == document frequency
+    val posts = withShingles.select(col(idCol), explode(col("sh")).alias("h"))
+    val hot = posts.groupBy(col("h")).agg(count(lit(1)).alias("df"))
+      .where(col("df") > maxDf).select(col("h"))
+    posts.join(hot, Seq("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("h"))).alias("sh"))
+  }
+
   /** Band the signature and emit (band_idx, band_hash) candidate keys. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
@@ -306,14 +369,18 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, maxDf: Option[Int] = None): DataFrame = {
     // shingles reduced to 64-bit hashes up front: set ops on longs are far
     // cheaper than on strings, and (crucially at scale) the banded join
     // below shuffles only (id, band_idx, band_hash) triples — never the
     // shingle arrays
-    val withShingles = df.select(col(idCol),
+    val raw = df.select(col(idCol),
       shingleHashes(col(textCol), shingleSize).alias("sh"))
       .where(size(col("sh")) > 0)
+    val withShingles = maxDf match {
+      case Some(cap) => capShinglesByDf(raw, idCol, cap).where(size(col("sh")) > 0)
+      case None      => raw
+    }
     val withBands = withShingles
       .select(col(idCol), posexplode(minhashBandHashes(col("sh"), k, bands)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
@@ -340,16 +407,21 @@ object Dedup {
     * count co-occurrences per pair, and derive jaccard = inter/(|a|+|b|-
     * inter). Everything is codegen'd hash joins and aggregates — no per-
     * pair array work — and the shuffle is keyed by shingle, so cost tracks
-    * the posting-list sizes, not N². (At 100 TB you additionally cap
-    * document frequency of shingles to bound hot posting lists; not done
-    * here because the oracle checks exact jaccard.) Pairs sharing zero
+    * the posting-list sizes, not N². At 100 TB pass `maxDf` to drop
+    * boilerplate shingles (see [[capShinglesByDf]]) — that bounds every
+    * posting list to `maxDf` entries, so no reducer sees a hot key; Jaccard
+    * is then computed over the capped shingle sets. Pairs sharing zero
     * shingles never materialize — they cannot pass a positive threshold.
     *
     * `minJaccard <= 0` keeps the literal all-pairs form (tests only).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val withShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))
+      n: Int = 3, minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame = {
+    val rawShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))
+    val withShingles = maxDf match {
+      case Some(cap) => capShinglesByDf(rawShingles, idCol, cap)
+      case None      => rawShingles
+    }
     if (minJaccard > 0) {
       val sizes = withShingles.select(col(idCol), size(col("sh")).alias("n_sh"))
       val posts = withShingles.select(col(idCol), explode(col("sh")).alias("h"))
