@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, when}
 import org.apache.spark.sql.types._
 import org.apache.hadoop.fs.Path
 
@@ -66,7 +66,11 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
         case Some(t) if t == f.dataType => col(s"`${f.name}`").alias(f.name)
         case Some(_) =>
           val src = col(s"`${f.name}`")
-          val casted = src.cast(f.dataType)
+          // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+          // throws its own error before the when() guard can run; with ANSI
+          // off it nulls silently. try_cast yields null in both modes, so
+          // the guard below raises the same GraftSchemaException regardless.
+          val casted = expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
           when(src.isNotNull && casted.isNull,
               raise_error(concat(
                 lit(s"GraftSchemaException: column '${f.name}' has a value not castable to " +

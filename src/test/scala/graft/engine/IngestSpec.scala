@@ -74,6 +74,35 @@ class IngestSpec extends SparkSpecBase {
     assert(!store.read("t2").columns.contains("unknown_col"))
   }
 
+  test("truncate keeps previously-evolved columns as all-NULL (reference merges on every disposition)") {
+    val store = new TableStore(spark, tmpDir("wh-trunc"))
+    store.write("t3", spark.range(3).select(col("id"), lit("a").alias("tag")), append = false)
+    store.write("t3", spark.range(3, 5).select(col("id"), lit("b").alias("tag"),
+      lit(1.5).alias("extra")), append = true)
+    // truncate with a NARROWER frame: live-only columns survive as nulls
+    store.write("t3", spark.range(7, 9).toDF(), append = false)
+    val read = store.read("t3")
+    assert(read.count() == 2)
+    assert(read.columns.sorted.toSeq == Seq("extra", "id", "tag"))
+    assert(read.where(col("tag").isNull && col("extra").isNull).count() == 2)
+  }
+
+  test("append with a value not castable to the live type fails loudly, not null-silently") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-strict"))
+    store.write("t4", spark.range(3).toDF(), append = false) // id: bigint
+    def messages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.toString).mkString("\n")
+    val ex = intercept[Exception] {
+      store.write("t4", Seq("abc").toDF("id"), append = true)
+    }
+    assert(messages(ex).contains("GraftSchemaException"), messages(ex).take(500))
+    // a CASTABLE conflicting value still appends fine (old type wins)
+    store.write("t5", spark.range(1).toDF(), append = false)
+    store.write("t5", Seq("7").toDF("id"), append = true)
+    assert(store.read("t5").where(col("id") === 7L).count() == 1)
+  }
+
   test("listTables and dropTable manage the warehouse") {
     val store = new TableStore(spark, tmpDir("wh-mgmt"))
     store.write("T-A", spark.range(1).toDF(), append = false)

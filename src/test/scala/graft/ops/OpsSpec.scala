@@ -25,6 +25,14 @@ class OpsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 9L))
   }
 
+  test("exact dedup keeps exactly one row when duplicates tie on the min tieBreak") {
+    val df = Seq((2L, "k1", "x"), (2L, "k1", "y"), (2L, "k1", "z"), (9L, "k2", "w"))
+      .toDF("id", "key", "payload")
+    val out = Dedup.exact(df, Seq("key"), "id").collect()
+    assert(out.length == 2) // one per key, despite three rows tied at (k1, 2)
+    assert(out.map(_.getString(1)).sorted.toSeq == Seq("k1", "k2"))
+  }
+
   test("byFingerprint removes exact dups after normalization") {
     val out = Dedup.byFingerprint(docs, "text", "doc_id")
     val kept = out.select("doc_id").as[Long].collect().sorted
@@ -55,6 +63,61 @@ class OpsSpec extends SparkSpecBase {
     val cands = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((0L, 3L)))
+  }
+
+  test("simhash guard: non-divisor block counts rejected; maxHamming=0 is a sig-equality join") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 2) // blocks=3 ∤ 64
+    }
+    val pairs0 = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs0.exists(p => p._1 == 0L && p._2 == 3L)) // exact dup: identical sig
+    assert(pairs0.forall(_._3 == 0))
+  }
+
+  test("simhashVerifiedPairs equals brute-force all-pairs jaccard at the threshold") {
+    // the prefilter must have full recall here so the OUTPUT (exact-jaccard
+    // verified) is hash-independent — this is the equivalence the DuckDB
+    // oracle for q_dedup_simhash relies on
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val brute = pairMap(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3))
+      .filter(_._2 >= 0.5)
+    val verified = pairMap(Dedup.simhashVerifiedPairs(docs, "text", "doc_id",
+      maxHamming = 7, shingleSize = 3, minJaccard = 0.5))
+    assert(verified.keySet == brute.keySet)
+    brute.foreach { case (k, j) => assert(math.abs(verified(k) - j) < 1e-6) }
+  }
+
+  test("df-cap: identity below the cap, boilerplate shingles dropped above it") {
+    val boiler = Seq(
+      (0L, "copyright acme corp all rights reserved the quick brown fox"),
+      (1L, "copyright acme corp all rights reserved jumps over lazy dogs"),
+      (2L, "copyright acme corp all rights reserved completely different text here"),
+      (3L, "copyright acme corp all rights reserved another unique document body")
+    ).toDF("doc_id", "text")
+    val raw = boiler.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).alias("sh"))
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sh").as[(Long, Seq[Long])].collect()
+        .map(t => t._1 -> t._2.toSet).toMap
+    val rawSets = sets(raw)
+    // cap not binding (no shingle in MORE than 4 of 4 docs): identical output
+    assert(sets(Dedup.capShinglesByDf(raw, "doc_id", maxDf = 4)) == rawSets)
+    // cap binding: the 4 shingles inside the shared 6-word prefix vanish
+    val capped = sets(Dedup.capShinglesByDf(raw, "doc_id", maxDf = 3))
+    val common = rawSets.values.reduce(_ intersect _)
+    assert(common.size == 4)
+    capped.foreach { case (id, sh) =>
+      assert(sh == rawSets(id) -- common, s"doc $id should lose exactly the common shingles")
+    }
+    // end-to-end: a non-binding cap leaves minhash candidates unchanged
+    val plain = Dedup.minhashCandidates(docs, "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cappedCands = Dedup.minhashCandidates(docs, "text", "doc_id",
+        minJaccard = 0.5, maxDf = Some(100))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedCands == plain)
   }
 
   test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated low") {
@@ -209,6 +272,49 @@ class OpsSpec extends SparkSpecBase {
     assert(out("p1").contains(100.0)) // t8 <= t10
     assert(out("p2").contains(200.0)) // t25 <= t30
     assert(out("p3").isEmpty)         // t7 > t5: nothing prior
+  }
+
+  test("asof join yields NULL when the latest prior right value is genuinely NULL") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, t(10), "early"), (1L, t(30), "late")).toDF("k", "ts", "tag")
+    val right = Seq((1L, t(8), Some(100.0)), (1L, t(25), None: Option[Double]))
+      .toDF("k", "rts", "price")
+    val out = AsofJoin.lastBefore(left, right, Seq("k"), "ts", "rts", Seq("price"))
+      .select("tag", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(out("early").contains(100.0)) // t8 is latest at t10
+    assert(out("late").isEmpty)          // t25 row IS the latest — its null must win
+  }
+
+  test("salted join spreads a single hot key across multiple shuffle partitions") {
+    // 90% of rows share key 0; the key expression depends on `id` so Catalyst
+    // cannot constant-fold it away (a foldable key turns the equi-join into a
+    // nested-loop join and the partition histogram means nothing)
+    val big = spark.range(20000).select(
+      when(col("id") % 10 < lit(9), lit(0L)).otherwise(col("id") % 10).alias("k"),
+      col("id").alias("v"))
+    val small = (0L to 9L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.rdd.mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0).toSeq
+      // plain join: ONE reducer owns all 18000 hot-key rows
+      val plainSizes = partSizes(big.join(small, Seq("k")).select("v"))
+      assert(plainSizes.max == 18000, s"expected a hot reducer: $plainSizes")
+      // salted join (factor 8): no reducer sees more than a fraction of it
+      val sizes = partSizes(Skew.saltedJoin(big, small, Seq("k"), factor = 8).select("v"))
+      assert(sizes.max <= 18000 / 3, s"hot key not spread: partition sizes $sizes")
+      assert(sizes.length > plainSizes.length, s"plain=$plainSizes salted=$sizes")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   test("frame sampling emits only video assets with step-aligned offsets") {
