@@ -632,12 +632,16 @@ object SparkEntry {
         .orderBy(col("df"))),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      // simhash block-join prefilter + exact shingle-jaccard verification:
-      // the output is hash-independent (= brute-force all-pairs jaccard
-      // >= 0.5), which is what lets DuckDB oracle it without murmur3; the
-      // prefilter's full recall at this threshold is asserted in OpsSpec
+      // TRUE simhash semantics (Manku et al.): pairs within hamming 3 of the
+      // 60-bit signature, verified by exact shingle-jaccard >= 0.5. The
+      // output is hash-DEPENDENT, so the portable rolling-hash tokenizer is
+      // used: the DuckDB oracle rebuilds the identical signatures with
+      // list_reduce and replays the same hamming+jaccard predicate — the
+      // whole operator (signature, block join, verification) is under
+      // oracle test, not just the verification tail.
       Dedup.simhashVerifiedPairs(T(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 7, shingleSize = 3, minJaccard = 0.5)
+          maxHamming = 3, shingleSize = 3, minJaccard = 0.5,
+          bits = 60, hasher = Dedup.portableTokenHashes)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_embedding" -> ((s, dir) => {
@@ -1180,14 +1184,42 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" ->
-      // hash-independent reformulation: simhash only PREFILTERS candidates
-      // Spark-side; the declared output is the exact-jaccard-verified pair
-      // set, which equals this brute-force all-pairs form
-      s"""$shingleCte
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      // full replay of the simhash operator: the portable 60-bit signatures
+      // (two char-level rolling hashes per token, ±1 vote per bit, sign →
+      // bit) are rebuilt here exactly, then the same hamming<=3 AND
+      // jaccard>=0.5 predicate is applied — DuckDB independently verifies
+      // the hash-dependent pair set, not just the jaccard tail
+      s"""$shingleCte,
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 1073741824
+         |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
+         |  FROM toks),
+         |bitsum AS (
+         |  SELECT doc_id, r.range AS b,
+         |    sum(CASE WHEN (h >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, range(60) r GROUP BY doc_id, r.range),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bitsum GROUP BY doc_id),
+         |cand AS (
+         |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         |    CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+         |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+         |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 3)
+         |SELECT c.id_a, c.id_b, c.hamming,
          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |FROM cand c
+         |JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
          |WHERE len(a.s) > 0 AND len(b.s) > 0
          |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5

@@ -118,6 +118,36 @@ object Dedup {
   def simhash(text: Column, bits: Int = 64): Column =
     simhashFromHashes(tokenHashes(text), bits)
 
+  /** Portable 60-bit token hashes: two character-level rolling hashes (mod
+    * two <2^30 primes) packed as h1·2^30 + h2. Same tokenization as
+    * [[tokenHashes]]. Weaker and slower than murmur3 — its point is that any
+    * engine with a per-char fold reproduces it bit-for-bit (the DuckDB
+    * oracle for q_dedup_simhash does via list_reduce), which makes
+    * hash-DEPENDENT simhash output oracle-checkable end to end. Use
+    * [[tokenHashes]] for production corpora; use this when an external
+    * system must agree on the signatures.
+    */
+  def portableTokenHashes(text: Column): Column = {
+    val f = udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9 ]|\\s+", " ")
+        .split("\\s+").iterator.filter(_.nonEmpty)
+        .map { tok =>
+          var h1 = 0L; var h2 = 0L
+          var i = 0
+          while (i < tok.length) {
+            val c = tok.charAt(i).toLong
+            h1 = (h1 * 257 + c) % 1000000007L
+            h2 = (h2 * 263 + c) % 998244353L
+            i += 1
+          }
+          h1 * (1L << 30) + h2
+        }.toArray
+    }
+    f(text)
+  }
+
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
@@ -126,15 +156,16 @@ object Dedup {
     * block (pigeonhole) → join on (blockIdx, blockValue), verify Hamming.
     */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64,
+      hasher: Column => Column = tokenHashes): DataFrame = {
     val blocks = maxHamming + 1
-    require(64 % blocks == 0,
-      s"maxHamming+1 = $blocks must divide 64, or the top 64 % $blocks bits " +
-        "would be covered by no block and the pigeonhole guarantee breaks " +
-        s"(valid maxHamming: 0, 1, 3, 7, 15, 31, 63)")
-    val bitsPerBlock = 64 / blocks
-    val withSig = df.select(col(idCol), tokenHashes(col(textCol)).alias("th"))
-      .select(col(idCol), simhashFromHashes(col("th")).alias("sig"))
+    require(bits % blocks == 0,
+      s"maxHamming+1 = $blocks must divide bits=$bits, or the top bits % " +
+        "blocks bits would be covered by no block and the pigeonhole " +
+        "guarantee breaks")
+    val bitsPerBlock = bits / blocks
+    val withSig = df.select(col(idCol), hasher(col(textCol)).alias("th"))
+      .select(col(idCol), simhashFromHashes(col("th"), bits).alias("sig"))
     if (maxHamming == 0) {
       // one 64-bit block: (1L << 64) wraps to 1 in Java, so the generic mask
       // below would be wrong — and hamming 0 just means equal signatures
@@ -165,22 +196,23 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash near-dup pairs with exact-Jaccard verification: the simhash
-    * block join prefilters candidates (bounded shuffle), then the word-
-    * shingle Jaccard of each candidate pair is computed exactly and pairs
-    * below `minJaccard` are dropped. The OUTPUT therefore doesn't depend on
-    * the hash function at all — it equals brute-force all-pairs Jaccard ≥
-    * threshold whenever the prefilter has full recall at that threshold
-    * (asserted against the all-pairs form in OpsSpec; near-identical docs
-    * land within a few simhash bits of each other, Manku et al. WWW'07).
-    * This is what makes the operator oracle-checkable: DuckDB has no
-    * murmur3, but it can compute shingle Jaccard.
+  /** SimHash near-dup pairs with exact-Jaccard verification — the Manku et
+    * al. WWW'07 shape: the simhash block join yields candidates within
+    * `maxHamming` signature bits (bounded shuffle, pigeonhole-complete for
+    * that radius), then each candidate's exact word-shingle Jaccard is
+    * computed and pairs below `minJaccard` are dropped. The declared
+    * semantics are therefore "sig-hamming ≤ k AND jaccard ≥ t" — the output
+    * DEPENDS on the hash function, which is why the `hasher` is pluggable:
+    * with [[portableTokenHashes]] (and `bits = 60`) an external engine can
+    * recompute the signatures exactly, so even the hash-dependent pair set
+    * is oracle-checkable (q_dedup_simhash's DuckDB oracle rebuilds the sigs
+    * with list_reduce and replays the same hamming+jaccard predicate).
     */
   def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, shingleSize: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
-    val candidates = simhashCandidates(df, textCol, idCol, maxHamming)
-      .select(col("id_a"), col("id_b"))
+      maxHamming: Int = 3, shingleSize: Int = 3, minJaccard: Double = 0.5,
+      bits: Int = 64, hasher: Column => Column = tokenHashes): DataFrame = {
+    val candidates = simhashCandidates(df, textCol, idCol, maxHamming, bits, hasher)
+      .select(col("id_a"), col("id_b"), col("hamming"))
     val withShingles = df.select(col(idCol),
       shingleHashes(col(textCol), shingleSize).alias("sh"))
       .where(size(col("sh")) > 0)
@@ -189,7 +221,7 @@ object Dedup {
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", Rounding.roundAway(jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "hamming", "jaccard")
   }
 
   // ---------- 4. MinHash + LSH ----------

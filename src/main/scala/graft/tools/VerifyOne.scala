@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump ONE declared query's result parquet at a given sf dir so
+  * its DuckDB oracle can be replayed against an arbitrary scale factor
+  * (tools/verify_local.py checks the full set at one sf; this spot-checks a
+  * single query at another).
+  * usage: runMain graft.tools.VerifyOne <queryName> <sfDir> <outDir>
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args(1)
+    val outDir = args(2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    println(s"[verifyone] wrote $outDir/$name")
+    spark.stop()
+  }
+}

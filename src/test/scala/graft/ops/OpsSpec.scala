@@ -75,19 +75,28 @@ class OpsSpec extends SparkSpecBase {
     assert(pairs0.forall(_._3 == 0))
   }
 
-  test("simhashVerifiedPairs equals brute-force all-pairs jaccard at the threshold") {
-    // the prefilter must have full recall here so the OUTPUT (exact-jaccard
-    // verified) is hash-independent — this is the equivalence the DuckDB
-    // oracle for q_dedup_simhash relies on
-    def pairMap(df: org.apache.spark.sql.DataFrame) =
-      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
-        .map(t => (t._1, t._2) -> t._3).toMap
-    val brute = pairMap(Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3))
-      .filter(_._2 >= 0.5)
-    val verified = pairMap(Dedup.simhashVerifiedPairs(docs, "text", "doc_id",
-      maxHamming = 7, shingleSize = 3, minJaccard = 0.5))
-    assert(verified.keySet == brute.keySet)
-    brute.foreach { case (k, j) => assert(math.abs(verified(k) - j) < 1e-6) }
+  test("simhashVerifiedPairs implements hamming<=k AND jaccard>=t exactly (portable hash)") {
+    // independently recompute the declared semantics: all-pairs jaccard
+    // intersected with a brute-force hamming filter over the SAME portable
+    // signatures — the pair set and both measures must agree. This is the
+    // equivalence the q_dedup_simhash DuckDB oracle replays in SQL.
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhashFromHashes(Dedup.portableTokenHashes(col("text")), 60).alias("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expected = jac.filter { case ((a, b), j) => j >= 0.5 && ham(a, b) <= 3 }
+    val got = Dedup.simhashVerifiedPairs(docs, "text", "doc_id",
+        maxHamming = 3, shingleSize = 3, minJaccard = 0.5,
+        bits = 60, hasher = Dedup.portableTokenHashes)
+      .select("id_a", "id_b", "hamming", "jaccard").as[(Long, Long, Int, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == expected.keySet)
+    assert(got.nonEmpty) // the fixture's near-dups must actually surface
+    got.foreach { case (a, b, h, j) =>
+      assert(h == ham(a, b) && math.abs(j - expected((a, b))) < 1e-6)
+    }
   }
 
   test("df-cap: identity below the cap, boilerplate shingles dropped above it") {
