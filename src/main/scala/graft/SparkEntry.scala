@@ -146,6 +146,27 @@ object SparkEntry {
           Rounding.roundAway(sum(col("l_extendedprice")), 4).alias("revenue"))
         .orderBy(col("o_orderpriority"))),
 
+    "q_join_range_binned" -> ((s, dir) => {
+      // interval join with NO equi-key (unlike q_join_range): every urgent
+      // 1996 order's 7-day ship window vs every lineitem ship date. Spark
+      // would plan the raw BETWEEN as a nested loop — O(N·M), dead at
+      // 100 TB; RangeJoin bins the date axis and makes it an equi-join.
+      val day0 = to_date(lit("1992-01-01"))
+      val points = T(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), day0).alias("ship_day"))
+      val intervals = T(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), day0).alias("start_day"),
+          (datediff(col("o_orderdate"), day0) + 6).alias("end_day"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+          "ship_day", "start_day", "end_day", binWidth = 7L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).alias("n_shipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // for each purchase, the most recent prior click by the same user —
       // the as-of join every event pipeline needs; one shuffle by user_id
@@ -791,6 +812,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_range_binned" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 6 DAY
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large×large interval joins without a nested-loop plan.
+  *
+  * Spark has no range-join optimization: a join whose only predicate is
+  * `point BETWEEN start AND end` plans as BroadcastNestedLoopJoin (or a
+  * cartesian product when neither side fits in a broadcast) — O(N·M) and
+  * dead at 100 TB. The standard fix (same idea as Databricks' range-join
+  * binning hint) is to discretize the range dimension into fixed-width
+  * bins: each point lands in exactly one bin, each interval is exploded
+  * across the bins it overlaps, and the join becomes a shuffled EQUI-join
+  * on the bin id with the exact predicate re-applied as a post-filter.
+  *
+  * Cost model: an interval of width `w` explodes into `w/binWidth + 1`
+  * rows, and a bin pairs each point in it with each interval overlapping
+  * it. Pick `binWidth` on the order of the TYPICAL interval width: much
+  * smaller explodes the interval side; much larger degrades toward
+  * all-pairs within a bin. Both inputs shuffle once, by bin — the plan is
+  * a plain SortMergeJoin, which AQE can split further on skewed bins.
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` on
+    * `points(pointCol) BETWEEN intervals(startCol) AND intervals(endCol)`
+    * (inclusive both ends) plus an optional extra predicate, using
+    * `binWidth`-sized bins of the range dimension.
+    *
+    * `pointCol`/`startCol`/`endCol` must be numeric (cast timestamps to
+    * epoch seconds first); column names must be disjoint between the two
+    * inputs. Intervals with `end < start` match nothing (sequence() would
+    * throw on a negative step, so they are filtered, matching the
+    * BETWEEN semantics that would also never match).
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long,
+      extra: Column = lit(true)): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val i = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(startCol) / binWidth).cast("long"),
+          floor(col(endCol) / binWidth).cast("long"))))
+    p.join(i, p("__bin") === i("__bin")
+        && col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+        && extra)
+      .drop("__bin")
+  }
+}

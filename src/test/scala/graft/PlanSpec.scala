@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpecBase {
     assert(shShuffles <= 2, s"shingle arrays crossing >2 exchanges:\n$plan")
   }
 
+  test("q_join_range_binned plans as an equi-join, never a nested loop") {
+    val plan = planOf("q_join_range_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").exists(plan.contains),
+      s"no equi-join found in plan:\n$plan")
+  }
+
   test("q_join_asof uses a single shuffle (window), not a pair join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))

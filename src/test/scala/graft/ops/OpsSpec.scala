@@ -326,6 +326,36 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("binned range join equals the naive cross-join filter, edge cases included") {
+    val points = Seq(-15L, -10L, -1L, 0L, 3L, 7L, 10L, 49L, 50L, 51L, 100L)
+      .toDF("p")
+    val intervals = Seq(
+      (1L, -12L, -2L),  // fully negative (floor division must floor, not truncate)
+      (2L, 0L, 0L),     // degenerate single-point interval
+      (3L, 3L, 49L),    // spans many bins
+      (4L, 50L, 40L),   // end < start: matches nothing
+      (5L, 7L, 10L),    // inclusive boundaries both ends
+      (6L, 200L, 300L)  // matches nothing
+    ).toDF("iv_id", "s", "e")
+    val got = graft.ops.RangeJoin.pointInInterval(points, intervals, "p", "s", "e", binWidth = 7L)
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    val want = points.crossJoin(intervals)
+      .where(col("p") >= col("s") && col("p") <= col("e"))
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.contains((5L, 7L)) && want.contains((5L, 10L))) // boundary inclusivity exercised
+    assert(!want.exists(_._1 == 4L))
+  }
+
+  test("binned range join honors the extra predicate") {
+    val points = Seq((1L, 5L), (2L, 5L)).toDF("grp", "p")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iv_grp", "s", "e")
+    val got = graft.ops.RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+        binWidth = 4L, extra = col("grp") === col("iv_grp"))
+      .select("grp").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("frame sampling emits only video assets with step-aligned offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 30), 2500)
     val rows = frames.select("asset_id", "offset_ms").as[(Long, Long)].collect()
