@@ -230,6 +230,21 @@ object SparkEntry {
           count(lit(1)).alias("n"))
         .orderBy(col("o_orderstatus"))),
 
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL++ under oracle test: DuckDB can't replay the sketch, so the
+      // query emits the EXACT distinct count plus a boolean asserting the
+      // HLL estimate (rsd=0.02) landed within 10% of it — the oracle
+      // produces the same exact count and a literal true, so a drifting
+      // sketch flips the boolean and fails the hash compare.
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).alias("exact_nd"),
+          approx_count_distinct(col("o_custkey"), 0.02).alias("approx_raw"))
+        .select(col("o_orderpriority"), col("exact_nd"),
+          (abs(col("approx_raw") - col("exact_nd")) <=
+            col("exact_nd") * lit(0.1)).alias("approx_within_10pct"))
+        .orderBy(col("o_orderpriority"))),
+
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -862,6 +877,11 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
         |  count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_nd,
+        |  true AS approx_within_10pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -65,12 +65,30 @@ object Similarity {
     */
   def hyperplaneSignature(vec: Column, dims: Int, planes: Int = 16, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val hs = Seq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian()))
-    val bits = hs.zipWithIndex.map { case (h, i) =>
-      val proj = dot(vec.cast("array<double>"), array(h.map(lit): _*))
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    val hs = Array.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
+    // one UDF with the plane matrix in its closure, NOT planes×dims literal
+    // expressions: the literal-tree form costs seconds of analysis/codegen
+    // per query and evaluates interpreted (HOFs never codegen). Same
+    // left-to-right summation as [[signatureOf]], so query-side and
+    // frame-side signatures stay bit-identical.
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        var sig = 0L
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i)
+          var s = 0.0d
+          var j = 0
+          val n = math.min(h.length, v.length)
+          while (j < n) { s += v(j) * h(j); j += 1 }
+          if (s >= 0) sig |= (1L << i)
+          i += 1
+        }
+        sig: java.lang.Long
+      }
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    f(vec.cast("array<double>"))
   }
 
   private def signatureOf(vec: Seq[Double], planes: Int, seed: Long): Long = {
