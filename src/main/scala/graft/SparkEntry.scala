@@ -182,6 +182,51 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_mkt_topk" -> ((s, dir) => {
+      // TPC-H Q3 shape: the canonical 3-table star probe — filters reach
+      // all three scans, lineitem⋈orders shuffles on the key, the filtered
+      // customer side broadcasts, and the top-10 is a TakeOrderedAndProject
+      // heap (no global sort) — the plan that survives 100×.
+      val cutoff = lit("1998-06-01")
+      val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = T(s, dir, "orders").where(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = T(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Rounding.roundAway(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_region_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: six-table join through the region→nation hierarchy;
+      // dims broadcast, fact-fact joins shuffle on their keys, one final
+      // 5-row aggregate.
+      val asia = broadcast(T(s, dir, "region").where(col("r_name") === "ASIA"))
+      val nations = broadcast(T(s, dir, "nation"))
+      val ord = T(s, dir, "orders")
+        .where(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Rounding.roundAway(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).alias("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- aggregation ----
     "q_agg_group" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -843,6 +888,30 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_mkt_topk" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN customer ON c_nationkey = s_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,

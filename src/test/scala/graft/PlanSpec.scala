@@ -57,6 +57,19 @@ class PlanSpec extends SparkSpecBase {
     assert(shShuffles <= 2, s"shingle arrays crossing >2 exchanges:\n$plan")
   }
 
+  test("q_mkt_topk pushes filters, broadcasts customer, heaps the top-10") {
+    val plan = formattedPlan("q_mkt_topk")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 is a global sort:\n$plan")
+    assert(planOf("q_mkt_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("q_region_revenue joins six tables with no nested loop") {
+    val plan = planOf("q_region_revenue")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
   test("q_join_range_binned plans as an equi-join, never a nested loop") {
     val plan = planOf("q_join_range_binned")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
