@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{CosineSimilarity, DotProduct}
+
+/** Session-extensions entry point: the cluster-wide way to install the
+  * engine's Catalyst additions, equivalent to
+  *
+  *   --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * on spark-submit (or `.withExtensions(new GraftExtensions)` at build
+  * time). Installs:
+  *
+  *  - [[BinnedRangeJoinRule]] — interval joins written as plain
+  *    `lo <= p AND p <= hi` predicates become binned equi-joins when
+  *    `spark.graft.rangeJoin.binWidth` is set (off by default);
+  *  - `graft_dot` / `graft_cosine` SQL functions over the codegen'd
+  *    vector expressions, registered permanently (vs
+  *    `VectorExpressions.register`, which is session-scoped and serves
+  *    users handed an already-built session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

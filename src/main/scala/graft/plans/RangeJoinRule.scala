@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite a pure interval join (`lo <= p AND p <= hi`
+  * with no equi-key between the sides) into a binned equi-join, so the
+  * natural way of WRITING a range join also becomes a scalable way of
+  * RUNNING one.
+  *
+  * Without this, Catalyst plans such joins as BroadcastNestedLoopJoin —
+  * O(N·M) row comparisons, and a driver OOM once neither side fits in a
+  * broadcast. `graft.ops.RangeJoin.pointInInterval` offers the manual
+  * rewrite at the DataFrame level; this rule applies the identical
+  * transformation inside the optimizer, to ANY eligible join in the plan
+  * (including ones produced by `spark.sql` text the library user never
+  * routes through the ops API). Same discretization idea as Databricks'
+  * public range-join binning hint.
+  *
+  * The rewrite (bin width `w`, enabled by setting the
+  * `spark.graft.rangeJoin.binWidth` conf to a positive number):
+  *
+  *   point side    →  add  __graft_bin = floor(p / w)
+  *   interval side →  keep rows with floor(lo/w) <= floor(hi/w), then
+  *                    explode  sequence(floor(lo/w), floor(hi/w))
+  *   join          →  equi-join on the bin ids AND the original predicate
+  *
+  * Each matching pair appears exactly once: the point's bin is a single
+  * value, and the interval emits every bin it overlaps, so the pair meets
+  * in exactly the point's bin. Monotonicity of `floor(cast(x as double)/w)`
+  * guarantees coverage (`lo <= p <= hi` implies `bin(lo) <= bin(p) <=
+  * bin(hi)`) for every ordered input type, so the rewrite is exact for
+  * strict and non-strict bounds alike — the original comparison re-runs as
+  * the join's residual condition. NULL bounds or points produce NULL bins
+  * and match nothing, exactly like the original predicate.
+  *
+  * Scope guards (all must hold, otherwise the join is left untouched):
+  *  - inner join, batch children;
+  *  - no equi-conjunct between the sides (Spark already hash-joins those);
+  *  - a conjunct pair bounding one side's expression between two
+  *    expressions of the other side, all of numeric / date / timestamp
+  *    type.
+  *
+  * Pick `w` near the typical interval width: too small explodes the
+  * interval side (an interval becomes width/w rows), too large degrades
+  * toward all-pairs within a bin. AQE's skew-join split handles hot bins.
+  */
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinWidthConf = "spark.graft.rangeJoin.binWidth"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(BinWidthConf, "0").toDouble
+    if (width <= 0) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _)
+          if !j.left.isStreaming && !j.right.isStreaming =>
+        rewrite(j, width).getOrElse(j)
+    }
+  }
+
+  /** Orders a comparison as (smaller, larger); None for other expressions. */
+  private def asBound(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(a, b) => Some((a, b))
+    case LessThan(a, b) => Some((a, b))
+    case GreaterThanOrEqual(a, b) => Some((b, a))
+    case GreaterThan(a, b) => Some((b, a))
+    case _ => None
+  }
+
+  private def orderedType(t: DataType): Boolean = t match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def fromOneSide(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+      e.deterministic && orderedType(e.dataType)
+
+  private def rewrite(j: Join, width: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+
+    // Spark's hash joins already handle any join with an equi-conjunct;
+    // rewriting would only add work. (This guard is also what makes the
+    // rule converge: the rewritten join carries a bin equi-conjunct.)
+    val hasEquiKey = conjuncts.exists {
+      case EqualTo(a, b) => refsSplitAcross(a, b, j)
+      case EqualNullSafe(a, b) => refsSplitAcross(a, b, j)
+      case _ => false
+    }
+    if (hasEquiKey) return None
+
+    val bounds = conjuncts.flatMap(asBound)
+    // Find (lo <= p, p' <= hi) with p ≡ p' from one side, lo/hi from the other.
+    val candidates: Seq[(Expression, Expression, Expression, Boolean)] = for {
+      (lo0, p1) <- bounds
+      (p2, hi0) <- bounds
+      if p1.semanticEquals(p2)
+      (pSide, bSide) <- Seq((j.left, j.right), (j.right, j.left))
+      if fromOneSide(p1, pSide) && fromOneSide(lo0, bSide) && fromOneSide(hi0, bSide)
+    } yield (p1, lo0, hi0, pSide eq j.left)
+    if (candidates.isEmpty) return None
+    val (p, lo, hi, pointIsLeft) = candidates.head
+
+    def bin(e: Expression): Expression = {
+      val d = e.dataType match {
+        case DoubleType => e
+        case _ => Cast(e, DoubleType, Some(conf.sessionLocalTimeZone))
+      }
+      Floor(Divide(d, Literal(width)))
+    }
+
+    val (pointPlan, intervalPlan) =
+      if (pointIsLeft) (j.left, j.right) else (j.right, j.left)
+
+    val pointBin = Alias(bin(p), "__graft_bin")()
+    val pointSide = Project(pointPlan.output :+ pointBin, pointPlan)
+
+    // sequence() throws on start > end; such intervals match nothing anyway.
+    val intervalFiltered =
+      Filter(LessThanOrEqual(bin(lo), bin(hi)), intervalPlan)
+    val intervalBin =
+      AttributeReference("__graft_bin", LongType, nullable = true)()
+    val intervalSide = Generate(
+      Explode(new Sequence(bin(lo), bin(hi))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(intervalBin), child = intervalFiltered)
+
+    val newCond = And(EqualTo(pointBin.toAttribute, intervalBin), j.condition.get)
+    val joined =
+      if (pointIsLeft) Join(pointSide, intervalSide, Inner, Some(newCond), j.hint)
+      else Join(intervalSide, pointSide, Inner, Some(newCond), j.hint)
+    Some(Project(j.output, joined))
+  }
+
+  private def refsSplitAcross(a: Expression, b: Expression, j: Join): Boolean =
+    (a.references.nonEmpty && b.references.nonEmpty) &&
+      ((a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
+       (a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet)))
+}

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time ONE declared query N times in a warmed session, printing
+  * per-iteration seconds — isolates a query's cost from bench run-order and
+  * JVM warm-up effects when chasing a variance outlier.
+  * usage: runMain graft.tools.TimeQuery <queryName> <sfDir> <iterations>
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/nation.parquet").count() // warm the machinery
+    val times = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"[timequery] $name: " + times.map(t => f"$t%.2f").mkString(" "))
+    spark.stop()
+  }
+}

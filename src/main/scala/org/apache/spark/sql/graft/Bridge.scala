@@ -27,4 +27,24 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Execute a hand-built LogicalPlan as a DataFrame (Dataset.ofRows is
+    * private[sql]). Lets specs run the output of an optimizer rule applied
+    * out-of-band, without rebuilding the whole session with extensions.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The optimizer rules a SparkSessionExtensions instance would inject
+    * (buildOptimizerRules is private[sql]; used to assert extension wiring). */
+  def optimizerRulesOf(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.SparkSpecBase
+
+/** BinnedRangeJoinRule: rewrite correctness (vs the naive nested-loop
+  * join), scope guards, and extension wiring. The rule is applied
+  * out-of-band to the optimized plan and the result executed via
+  * Bridge.ofRows — same machinery as in an extensions-enabled session,
+  * without rebuilding the shared test session.
+  */
+class RuleSpec extends SparkSpecBase {
+
+  private def withBinWidth[T](w: String)(f: => T): T = {
+    SparkSession.setActiveSession(spark)
+    spark.conf.set(BinnedRangeJoinRule.BinWidthConf, w)
+    try f finally spark.conf.unset(BinnedRangeJoinRule.BinWidthConf)
+  }
+
+  private def points: DataFrame = {
+    import spark.implicits._
+    (0 until 400).map(i => (i.toLong, (i * 7 % 300) - 50))
+      .toDF("pid", "p")
+      .union(Seq((9000L, null.asInstanceOf[Integer])).toDF("pid", "p"))
+  }
+
+  private def intervals: DataFrame = {
+    import spark.implicits._
+    ((0 until 60).map { i =>
+      val lo = i * 11 - 60
+      (i.toLong, lo, lo + (i % 13) * 4)
+    } :+ ((990L, 50, 20))) // hi < lo: matches nothing
+      .toDF("iid", "lo", "hi")
+      .union(Seq((991L, null.asInstanceOf[Integer], 100)).toDF("iid", "lo", "hi"))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  private def rewriteOf(df: DataFrame): LogicalPlan =
+    BinnedRangeJoinRule(df.queryExecution.optimizedPlan)
+
+  test("binned rewrite equals the naive interval join (incl. nulls, empty intervals)") {
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    withBinWidth("16") {
+      val rewritten = rewriteOf(naive)
+      assert(rewritten.collect { case g: Generate => g }.nonEmpty,
+        s"rule did not fire:\n$rewritten")
+      val got = Bridge.ofRows(spark, rewritten)
+      assert(sortedRows(got) == sortedRows(naive))
+      assert(got.count() > 0, "fixture produced an empty join; test proves nothing")
+      // the rewritten join must execute as an equi-join, not a nested loop
+      val exec = got.queryExecution.executedPlan.toString
+      assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"), exec)
+    }
+  }
+
+  test("strict bounds and an extra theta conjunct are preserved") {
+    val naive = points.join(intervals,
+      col("p") > col("lo") && col("p") < col("hi") && col("pid") =!= col("iid"))
+    withBinWidth("7") {
+      val got = Bridge.ofRows(spark, rewriteOf(naive))
+      assert(sortedRows(got) == sortedRows(naive))
+    }
+  }
+
+  test("timestamp ranges bin on epoch seconds") {
+    import spark.implicits._
+    val evs = (0 until 200).map(i => (i.toLong, 1700000000L + i * 97))
+      .toDF("eid", "s").select(col("eid"), timestamp_seconds(col("s")).as("ts"))
+    val spans = (0 until 20).map(i => (i.toLong, 1700000000L + i * 900, 1700000000L + i * 900 + 450))
+      .toDF("sid", "a", "b")
+      .select(col("sid"), timestamp_seconds(col("a")).as("t0"), timestamp_seconds(col("b")).as("t1"))
+    val naive = evs.join(spans, col("ts") >= col("t0") && col("ts") < col("t1"))
+    withBinWidth("600") {
+      val got = Bridge.ofRows(spark, rewriteOf(naive))
+      assert(sortedRows(got) == sortedRows(naive))
+      assert(got.count() > 0)
+    }
+  }
+
+  test("guards: equi-keyed joins, outer joins, and disabled conf stay untouched") {
+    val equi = points.join(intervals, col("pid") === col("iid") && col("p") <= col("hi"))
+    val outer = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"), "left")
+    withBinWidth("16") {
+      assert(BinnedRangeJoinRule(equi.queryExecution.optimizedPlan)
+        .collect { case g: Generate => g }.isEmpty)
+      assert(BinnedRangeJoinRule(outer.queryExecution.optimizedPlan)
+        .collect { case g: Generate => g }.isEmpty)
+    }
+    val off = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    SparkSession.setActiveSession(spark)
+    val plan = off.queryExecution.optimizedPlan
+    assert(BinnedRangeJoinRule(plan) eq plan)
+  }
+
+  test("rewrite converges: applying the rule to its own output is a no-op") {
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    withBinWidth("16") {
+      val once = rewriteOf(naive)
+      val twice = BinnedRangeJoinRule(once)
+      assert(twice.collect { case g: Generate => g }.size ==
+        once.collect { case g: Generate => g }.size)
+    }
+  }
+
+  test("GraftExtensions injects the optimizer rule") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    assert(Bridge.optimizerRulesOf(ext, spark).contains(BinnedRangeJoinRule))
+  }
+}
