@@ -685,6 +685,39 @@ object SparkEntry {
         .select(col("user_id"), col("session_window.start").alias("session_start"), col("n"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // ---- deterministic sampling / dataset assembly ----
+    "q_sample_hash" -> ((s, dir) =>
+      // reproducible 25% sample: membership is a pure function of doc_id
+      // (md5 threshold), so any engine — and any rerun at any parallelism —
+      // selects the identical rows
+      ops.Sampling.hashSample(T(s, dir, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "q_sample_split" -> ((s, dir) =>
+      // leak-free train/val/test assignment over disjoint md5 slices;
+      // binary fractions make the cutoffs exact in both engines
+      T(s, dir, "documents")
+        .select(ops.Sampling.splitTag(col("doc_id"),
+          Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))).alias("split"))
+        .groupBy(col("split")).agg(count(lit(1)).alias("n"))
+        .orderBy(col("split"))),
+
+    "q_sample_stratified" -> ((s, dir) =>
+      // class balancing: at most 20 docs per (lang), chosen by hash order
+      ops.Sampling.stratifiedTake(T(s, dir, "documents"), Seq("lang"), 20, col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    "q_budget_pack" -> ((s, dir) =>
+      // fill a 60k-char budget per language in deterministic hash order —
+      // the batch form of "assemble a fixed token budget per source"
+      ops.Sampling.budgetPack(T(s, dir, "documents"), Seq("lang"),
+          col("n_chars"), Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          budget = 60000L, cumCol = "cum_chars")
+        .select(col("doc_id"), col("lang"), col("cum_chars"))
+        .orderBy(col("lang"), col("cum_chars"))),
+
     // ---- dedup extensions ----
     "q_dedup_fingerprint" -> ((s, dir) => {
       val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
@@ -1272,6 +1305,35 @@ object SparkEntry {
         |SELECT w.ws AS window_start, count(*) AS n, round(sum(e.value), 4) AS sum_value
         |FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 60 MINUTE
         |GROUP BY w.ws ORDER BY window_start""".stripMargin,
+
+    "q_sample_hash" ->
+      // 0.25 of the md5 space = everything below 0x4000…0 (exact: 0.25 is
+      // a binary fraction)
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT CASE
+        |  WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0000000000000000000000000000000' THEN 'train'
+        |  WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_budget_pack" ->
+      """SELECT doc_id, lang, cum_chars FROM (
+        |  SELECT doc_id, lang, CAST(sum(n_chars) OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM documents)
+        |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, fp FROM (

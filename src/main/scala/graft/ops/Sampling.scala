@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-assembly operators for training-data
+  * pipelines: reproducible train/val/test splits, per-stratum balancing,
+  * and token-budget packing.
+  *
+  * All of them derive randomness from `md5(key)` rather than an RNG:
+  * membership is then a pure function of the row's key — stable across
+  * reruns, partitionings, Spark versions, and even engines (any system
+  * with md5 reproduces the exact sample, which is what makes these
+  * operators oracle-checkable in DuckDB and lets a 100 TB pipeline resume
+  * or backfill without resampling drift). `df.sample()` guarantees none
+  * of that: its output depends on partition layout and seed plumbing.
+  *
+  * Scale notes: [[hashSample]] / [[splitTag]] are stateless filters — no
+  * shuffle, combine with partition pruning and pushdown untouched.
+  * [[stratifiedTake]] and [[budgetPack]] are one window shuffle each,
+  * keyed by the stratum/group; a hot stratum is bounded by the window
+  * sort (AQE skew handling applies), and when k ≪ stratum size, pre-thin
+  * with [[hashSample]] at a generous rate first so the sort sees a
+  * fraction of the data.
+  */
+object Sampling {
+
+  /** Uniform [0,1)-equivalent score for a key: the hex md5 of its string
+    * form. Compared lexicographically against [[rateThreshold]] cutoffs —
+    * the string never becomes a number, so there is no precision loss
+    * anywhere (md5 is 128 bits; no float holds that).
+    */
+  def hashScore(key: Column): Column = md5(key.cast("string"))
+
+  /** 32-hex-digit threshold such that md5 strings below it cover a `rate`
+    * fraction of the keyspace. Exact for binary fractions (0.25, 0.125,
+    * 0.8125, …); for anything else the quantization error is ≤ 16⁻³².
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val full = BigInt(16).pow(32)
+    val t = (BigDecimal(rate) * BigDecimal(full)).toBigInt.min(full - 1).max(BigInt(0))
+    String.format("%032x", t.bigInteger)
+  }
+
+  /** True iff `key` falls in the [from, to) slice of the hash space.
+    * Slices with the same key column are disjoint and composable — the
+    * [0, 0.8) slice IS the complement of [0.8, 1.0), which is what makes
+    * train/test splits leak-free.
+    */
+  def inRateRange(key: Column, from: Double, to: Double): Column =
+    hashScore(key) >= lit(rateThreshold(from)) &&
+      hashScore(key) < lit(rateThreshold(to))
+
+  /** Keep a deterministic `rate` fraction of rows, decided per-key. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(inRateRange(key, 0.0, rate))
+
+  /** Tag each row with its split name. `fractions` must sum to 1; the
+    * last split absorbs the hash-space remainder so every row is tagged.
+    * Use binary fractions (0.75/0.125/0.125) when an external system must
+    * reproduce the exact assignment.
+    */
+  def splitTag(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.size >= 2, "need at least two splits")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val cutoffs = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = hashScore(key)
+    val branches = fractions.init.zip(cutoffs.init)
+    val first = when(h < lit(rateThreshold(branches.head._2)), branches.head._1._1)
+    branches.tail
+      .foldLeft(first) { case (acc, ((name, _), cut)) =>
+        acc.when(h < lit(rateThreshold(cut)), name)
+      }
+      .otherwise(fractions.last._1)
+  }
+
+  /** Keep at most `k` rows per stratum, chosen by hash order of `key`
+    * (ties broken by the key itself, so the selection is total-ordered
+    * and deterministic). This is class balancing: equal-size per-label
+    * subsets regardless of the input's label skew.
+    */
+  def stratifiedTake(df: DataFrame, strata: Seq[String], k: Int, key: Column): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(hashScore(key), key)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
+  /** Greedy budget packing: within each group, order rows by `order` (must
+    * be a total order — append a unique key), accumulate `weight`, and keep
+    * the prefix whose running total stays ≤ `budget`. The standard way to
+    * fill a per-language token budget by quality rank; the running total is
+    * exposed as `cumCol` for audit.
+    */
+  def budgetPack(df: DataFrame, groups: Seq[String], weight: Column,
+      order: Seq[Column], budget: Long, cumCol: String = "cum_weight"): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(weight).over(w))
+      .where(col(cumCol) <= budget)
+  }
+}

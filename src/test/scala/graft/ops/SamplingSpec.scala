@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class SamplingSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0 until 2000).map(i => (i.toLong, s"class_${i % 7}", 10 + i % 90))
+      .toDF("id", "label", "weight")
+  }
+
+  test("hashSample keeps a stable fraction, deterministically") {
+    val s1 = Sampling.hashSample(docs, col("id"), 0.25).select("id").collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.hashSample(docs, col("id"), 0.25).select("id").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2))
+    assert(math.abs(s1.length / 2000.0 - 0.25) < 0.05, s"got ${s1.length}/2000")
+  }
+
+  test("rate slices are disjoint and nested") {
+    val small = Sampling.hashSample(docs, col("id"), 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(docs, col("id"), 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "larger rate must contain the smaller sample")
+    val rest = docs.where(Sampling.inRateRange(col("id"), 0.5, 1.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(big.intersect(rest).isEmpty && big.size + rest.size == 2000)
+  }
+
+  test("splitTag covers every row exactly once with ~right proportions") {
+    val counts = docs.select(Sampling.splitTag(col("id"),
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") / 2000.0 - 0.75) < 0.05, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("stratifiedTake bounds every stratum at k and is deterministic") {
+    val taken = Sampling.stratifiedTake(docs, Seq("label"), 12, col("id"))
+    val perLabel = taken.groupBy("label").count().collect().map(_.getLong(1))
+    assert(perLabel.forall(_ == 12), perLabel.mkString(","))
+    val again = Sampling.stratifiedTake(docs, Seq("label"), 12, col("id"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(taken.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("budgetPack keeps the maximal prefix within budget per group") {
+    val packed = Sampling.budgetPack(docs, Seq("label"), col("weight"),
+      Seq(Sampling.hashScore(col("id")), col("id")), budget = 500L)
+    val sums = packed.groupBy("label").agg(max("cum_weight").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sums.nonEmpty && sums.forall(_._2 <= 500L), sums.mkString(","))
+    // maximality: the next row in hash order per group must overflow the budget
+    val all = docs.withColumn("h", Sampling.hashScore(col("id")))
+      .collect().map(r => (r.getString(1), r.getString(3), r.getLong(0), r.getInt(2)))
+    val keptN = packed.groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.groupBy(_._1).foreach { case (label, rows) =>
+      val ordered = rows.sortBy(t => (t._2, t._3)).map(_._4.toLong)
+      val n = keptN.getOrElse(label, 0L).toInt
+      if (n < ordered.length)
+        assert(ordered.take(n + 1).sum > 500L, s"$label kept $n but next row still fits")
+    }
+  }
+}
