@@ -718,6 +718,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
+      // shingles with any doc of the held-out source 'src0'
+      val docs = T(s, dir, "documents")
+      ops.Dedup.crossOverlapPairs(
+          docs.where(col("source") =!= "src0"), docs.where(col("source") === "src0"),
+          "text", "doc_id", n = 3, minShared = 3)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // ---- dedup extensions ----
     "q_dedup_fingerprint" -> ((s, dir) => {
       val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
@@ -1334,6 +1344,24 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
+
+    "q_decontaminate" ->
+      // shingle intersection on the strings themselves; the engine counts
+      // shared 64-bit shingle hashes — identical counts absent collisions,
+      // the same equivalence q_dedup_ngram's oracle relies on
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM toks)
+        |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+        |  len(list_intersect(c.s, e.s)) AS shared
+        |FROM sh c, sh e
+        |WHERE c.source <> 'src0' AND e.source = 'src0'
+        |  AND len(list_intersect(c.s, e.s)) >= 3
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, fp FROM (

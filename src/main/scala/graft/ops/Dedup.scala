@@ -447,6 +447,46 @@ object Dedup {
     *
     * `minJaccard <= 0` keeps the literal all-pairs form (tests only).
     */
+  /** Decontamination: (corpus doc, eval doc) pairs sharing ≥ `minShared`
+    * distinct word-n-gram shingles — the standard check that training data
+    * does not contain benchmark/eval text (verbatim or lightly edited).
+    * Same posting-list formulation as [[ngramJaccardPairs]]: both sides
+    * explode to (id, shingle-hash), the join is keyed by shingle hash, and
+    * cost tracks posting-list sizes — never |corpus| × |eval|. At 100 TB
+    * pass `maxDf` to drop boilerplate shingles; a shingle shared by
+    * everything identifies no specific eval document anyway.
+    */
+  def crossOverlapPairs(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, minShared: Int = 3,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1)
+    def posts(df: DataFrame, outId: String) = {
+      val raw = df.select(col(idCol).alias(outId),
+        shingleHashes(col(textCol), n).alias("sh"))
+      val capped = maxDf match {
+        case Some(cap) => capShinglesByDf(raw, outId, cap)
+        case None      => raw
+      }
+      capped.select(col(outId), explode(col("sh")).alias("h"))
+    }
+    posts(corpus, "corpus_id").join(posts(evalSet, "eval_id"), "h")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).alias("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Corpus rows with every contaminated document removed: the filter form
+    * of [[crossOverlapPairs]] (left-anti join on the flagged ids, one extra
+    * shuffle-free broadcast when the flagged set is small — it always is).
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minShared: Int = 3,
+      maxDf: Option[Int] = None): DataFrame = {
+    val flagged = crossOverlapPairs(corpus, evalSet, textCol, idCol, n, minShared, maxDf)
+      .select(col("corpus_id").alias(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame = {
     val rawShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))

@@ -356,6 +356,18 @@ class OpsSpec extends SparkSpecBase {
     assert(got == Seq(1L))
   }
 
+  test("decontaminate flags and drops corpus docs overlapping the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark physical plans here")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a quick brown fox jumps over the lazy dog indeed")).toDF("doc_id", "text")
+    val pairs = Dedup.crossOverlapPairs(corpus, evalSet, "text", "doc_id", n = 3, minShared = 3)
+      .select("corpus_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L)))
+    val clean = Dedup.decontaminate(corpus, evalSet, "text", "doc_id", n = 3, minShared = 3)
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("frame sampling emits only video assets with step-aligned offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 30), 2500)
     val rows = frames.select("asset_id", "offset_ms").as[(Long, Long)].collect()
