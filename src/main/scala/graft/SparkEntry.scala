@@ -428,6 +428,15 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    "q_topk_group" -> ((s, dir) =>
+      // per-group top-k via the custom GroupedTopK physical operator
+      // (bounded heaps, <= k rows per group per partition shuffled) — the
+      // oracle replays it as the row_number() idiom it replaces
+      ops.TopK.perGroup(T(s, dir, "orders"), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 5)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))),
+
     "q_union_all" -> ((s, dir) => {
       val o = T(s, dir, "orders")
       o.where(col("o_totalprice") > 400000)
@@ -1113,6 +1122,14 @@ object SparkEntry {
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_union_all" ->
       """SELECT o_orderkey, 'high' AS tag FROM orders WHERE o_totalprice > 400000

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.graft.Bridge
+
+import graft.plans.{GroupedTopKPlan, GroupedTopKStrategy}
+
+/** DataFrame-level entry to the [[graft.plans.GroupedTopKPlan]] operator:
+  * keep the first `k` rows per group under `order`, without shuffling or
+  * sorting more than k rows per group per partition (see the physical
+  * operator's scaladoc for the cost model vs the row_number() idiom).
+  *
+  * `order` accepts the usual Column sort forms (`col("x").desc`,
+  * `col("y")`); bare columns sort ascending. Append a unique tiebreaker
+  * for deterministic boundary ties.
+  */
+object TopK {
+
+  def perGroup(df: DataFrame, groups: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    // the strategy is harmless when unused and idempotent to add; wiring it
+    // here lets plain sessions (no spark.sql.extensions) use the operator
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
+    // Column is a lazily-resolved node in Spark 4: analyze a
+    // sortWithinPartitions plan and harvest its RESOLVED SortOrders
+    // (implicit casts included), instead of converting Columns directly.
+    val analyzedSort = df.sortWithinPartitions(order: _*).queryExecution.analyzed match {
+      case s: Sort => s
+      case other => throw new IllegalStateException(s"expected Sort, got $other")
+    }
+    val child = analyzedSort.child
+    val groupExprs = groups.map { n =>
+      child.output.find(a => spark.sessionState.conf.resolver(a.name, n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"group column '$n' not in ${child.output.map(_.name).mkString(", ")}"))
+    }
+    Bridge.ofRows(spark, GroupedTopKPlan(groupExprs, analyzedSort.order, k, child))
+  }
+}

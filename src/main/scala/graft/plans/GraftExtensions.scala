@@ -17,6 +17,9 @@ import graft.expressions.{CosineSimilarity, DotProduct}
   *  - [[BinnedRangeJoinRule]] — interval joins written as plain
   *    `lo <= p AND p <= hi` predicates become binned equi-joins when
   *    `spark.graft.rangeJoin.binWidth` is set (off by default);
+  *  - [[GroupedTopKStrategy]] — plans the per-group top-k logical node
+  *    (`graft.ops.TopK.perGroup` also self-registers it via
+  *    `spark.experimental.extraStrategies` for plain sessions);
   *  - `graft_dot` / `graft_cosine` SQL functions over the codegen'd
   *    vector expressions, registered permanently (vs
   *    `VectorExpressions.register`, which is session-scoped and serves
@@ -25,6 +28,7 @@ import graft.expressions.{CosineSimilarity, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

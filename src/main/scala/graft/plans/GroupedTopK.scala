@@ -1,0 +1,113 @@
+package graft.plans
+
+import java.util.{Comparator, PriorityQueue}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Per-group top-k as a first-class physical operator.
+  *
+  * Spark's only native top-k is global (`TakeOrderedAndProject`); the
+  * grouped form is conventionally written as `row_number() OVER
+  * (PARTITION BY g ORDER BY o) <= k`, which shuffles EVERY row to its
+  * group's reducer and fully sorts each group — at 100 TB that is a
+  * complete-corpus shuffle and sort to discard all but k rows per group.
+  * This operator keeps a bounded heap per group instead:
+  *
+  *   partial (map side)  — heap of ≤ k rows per group per partition, so
+  *                         the shuffle carries at most k·partitions rows
+  *                         per group, independent of input size;
+  *   exchange            — inserted by EnsureRequirements from the final
+  *                         node's ClusteredDistribution requirement;
+  *   final (reduce side) — same heap over the survivors.
+  *
+  * O(n log k) comparisons, no sort of anything larger than a heap, and
+  * the partial phase is the same idea that makes partial aggregation
+  * scale. Rows are emitted in arbitrary order (consumers order
+  * explicitly, as with any aggregate); ties at the k-boundary are kept
+  * deterministically only if `order` is a total order — append a unique
+  * tiebreaker, as with any top-k semantics.
+  *
+  * This is the engine's demonstration of the full custom-operator route
+  * (logical node → strategy → exec pair) reserved for semantics the
+  * built-in operators can't express efficiently; scalar extensions stay
+  * Expressions (`graft.expressions`) and plan rewrites stay Rules
+  * ([[BinnedRangeJoinRule]]).
+  */
+case class GroupedTopKPlan(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKPlan =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKPlan(group, order, k, child) =>
+      GroupedTopKExec(group, order, k, partial = false,
+        GroupedTopKExec(group, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One phase of grouped top-k: bounded per-group heaps over this node's
+  * input. `partial = true` runs on whatever partitioning the child has;
+  * `partial = false` demands clustering by the group key, which makes
+  * EnsureRequirements insert the one shuffle between the two phases.
+  */
+case class GroupedTopKExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (group.isEmpty) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(group))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val orderExprs = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val rowOrd = RowOrdering.create(orderExprs, childOutput)
+      // max-heap on the sort order: the head is the WORST row kept, so a
+      // better incoming row evicts it in O(log k)
+      val heaps = mutable.HashMap.empty[UnsafeRow, PriorityQueue[UnsafeRow]]
+      val cmp = new Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = rowOrd.compare(b, a)
+      }
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(), new PriorityQueue[UnsafeRow](limit + 1, cmp))
+        if (heap.size < limit) {
+          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        } else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+}

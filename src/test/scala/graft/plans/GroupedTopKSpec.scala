@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ops.TopK
+
+class GroupedTopKSpec extends SparkSpecBase {
+
+  private lazy val df = {
+    import spark.implicits._
+    // group sizes 1..40, scores with planted boundary ties broken by id
+    (0 until 500).map { i =>
+      val g = (math.sqrt(i).toInt % 12).toString
+      (i.toLong, g, (i * 37 % 50).toDouble, if (i % 17 == 0) None else Some(i % 5))
+    }.toDF("id", "g", "score", "nullable")
+  }
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  private def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+
+  test("perGroup equals the row_number idiom, including groups smaller than k") {
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 7)
+    assert(got.collect().map(key).sorted.toSeq == viaWindow(7).collect().map(key).sorted.toSeq)
+  }
+
+  test("null order values and k=1 behave like the window form") {
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("nullable"), col("id")), 1)
+    val w = Window.partitionBy("g").orderBy(col("nullable"), col("id"))
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 1).drop("rn")
+    assert(got.collect().map(key).sorted.toSeq == want.collect().map(key).sorted.toSeq)
+  }
+
+  test("plans as partial+final heap operators around one exchange, not a Window") {
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 5)
+    val exec = got.queryExecution.executedPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(exec).size == 2, exec)
+    assert(exec.contains("Exchange") || exec.contains("AQEShuffleRead"), exec)
+    assert(!exec.contains("Window"), exec)
+  }
+
+  test("multi-column groups bound every group at k") {
+    val got = TopK.perGroup(df, Seq("g", "nullable"), Seq(col("score").desc, col("id")), 3)
+    val sizes = got.groupBy("g", "nullable").count().collect().map(_.getLong(2))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 3))
+  }
+}
