@@ -727,6 +727,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_pack_sequences" -> ((s, dir) =>
+      // pack documents into ~8k-char training sequences per language,
+      // left-edge assignment in deterministic hash order; the report
+      // aggregates pack fill levels so the oracle checks every assignment
+      ops.Sampling.packSequences(T(s, dir, "documents"), Seq("lang"),
+          col("n_chars"), Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+          packBudget = 8000L)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).alias("n_docs"), sum(col("n_chars")).alias("pack_chars"))
+        .orderBy(col("lang"), col("pack_id"))),
+
+    "q_chunk_text" -> ((s, dir) =>
+      // sliding 40-token windows every 30 tokens over each document
+      ops.TextAnalysis.chunkByTokens(T(s, dir, "documents"), "text", "doc_id",
+          chunkSize = 40, stride = 30)
+        .orderBy(col("doc_id"), col("start"))),
+
     "q_decontaminate" -> ((s, dir) => {
       // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
       // shingles with any doc of the held-out source 'src0'
@@ -1361,6 +1378,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
+
+    "q_pack_sequences" ->
+      """SELECT lang, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS pack_chars
+        |FROM (
+        |  SELECT lang, n_chars, CAST(floor(CAST(
+        |      sum(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+        |      AS DOUBLE) / 8000) AS BIGINT) AS pack_id
+        |  FROM documents)
+        |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(gs.g AS INT) AS start,
+        |  array_to_string(list_slice(toks, gs.g + 1, gs.g + 40), ' ') AS chunk
+        |FROM toks, unnest(generate_series(0, len(toks) - 1, 30)) AS gs(g)
+        |WHERE len(toks) > 0
+        |ORDER BY doc_id, start""".stripMargin,
 
     "q_decontaminate" ->
       // shingle intersection on the strings themselves; the engine counts

@@ -90,6 +90,29 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Sequence packing: assign every row of a group to a pack id so packs
+    * can be concatenated into ≈`packBudget`-sized training sequences — the
+    * prep step that turns short documents into fixed-token batches. Uses
+    * left-edge assignment: lay the rows end-to-end in `order` and give each
+    * row the pack its FIRST unit of weight falls into
+    * (`floor((cum − w) / budget)`). One window pass, no sequential loop —
+    * unlike true next-fit, which is inherently serial. Every non-final
+    * pack's total lands within `max(weight) − 1` of `packBudget` on either
+    * side (boundary rows overflow into the next window, shifting where the
+    * next pack starts); rows are never split. Deterministic given a total
+    * `order`.
+    */
+  def packSequences(df: DataFrame, groups: Seq[String], weight: Column,
+      order: Seq[Column], packBudget: Long, packCol: String = "pack_id"): DataFrame = {
+    require(packBudget > 0)
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left edge of the row within the group's weight axis decides its pack:
+    // a row belongs to the pack its first unit of weight falls into
+    df.withColumn(packCol,
+      floor((sum(weight).over(w) - weight).cast("double") / packBudget).cast("long"))
+  }
+
   /** Greedy budget packing: within each group, order rows by `order` (must
     * be a total order — append a unique key), accumulate `weight`, and keep
     * the prefix whose running total stays ≤ `budget`. The standard way to

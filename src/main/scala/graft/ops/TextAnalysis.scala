@@ -148,6 +148,27 @@ object TextAnalysis {
   }
 
   /** Annotate a documents frame with the full feature set. */
+  /** Sliding-window chunking on token boundaries: windows of `chunkSize`
+    * whitespace tokens every `stride` tokens — how long documents become
+    * model-context-sized pieces (stride < chunkSize gives overlap for
+    * continuity at boundaries). Emits (id, start, chunk) rows where
+    * `start` is the 0-based token offset. Pure generator pipeline: split →
+    * sequence → posexplode → slice, all codegen'd, no shuffle at all —
+    * chunking 100 TB is embarrassingly parallel and this plan keeps it so.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, s"chunkSize=$chunkSize stride=$stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol), toks.alias("__toks"))
+      .where(size(col("__toks")) > 0) // sequence(0,-1) would need a negative step
+      .select(col(idCol),
+        col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).alias("start"))
+      .select(col(idCol), col("start"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunkSize)), " ").alias("chunk"))
+  }
+
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

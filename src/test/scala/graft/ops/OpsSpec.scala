@@ -368,6 +368,22 @@ class OpsSpec extends SparkSpecBase {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("chunkByTokens tiles exactly at stride==size and overlaps below it") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "one"))
+      .toDF("doc_id", "text")
+    val tiled = TextAnalysis.chunkByTokens(docs, "text", "doc_id", chunkSize = 4, stride = 4)
+      .orderBy("doc_id", "start").collect()
+    val doc1 = tiled.filter(_.getLong(0) == 1L).map(_.getString(2))
+    assert(doc1.mkString(" ") == (1 to 10).map(i => s"t$i").mkString(" "),
+      "stride==size must tile the doc exactly")
+    assert(!tiled.exists(_.getLong(0) == 2L), "empty docs emit no chunks")
+    assert(tiled.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq == Seq("one"))
+    val overlapped = TextAnalysis.chunkByTokens(docs, "text", "doc_id", chunkSize = 4, stride = 2)
+      .where(col("doc_id") === 1L).orderBy("start").collect()
+    assert(overlapped.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(overlapped.forall(_.getString(2).split(" ").length <= 4))
+  }
+
   test("frame sampling emits only video assets with step-aligned offsets") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, 30), 2500)
     val rows = frames.select("asset_id", "offset_ms").as[(Long, Long)].collect()

@@ -46,6 +46,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(again.sameElements(taken.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("packSequences: contiguous pack ids; every non-final pack spans the budget") {
+    val packed = Sampling.packSequences(docs, Seq("label"), col("weight"),
+      Seq(Sampling.hashScore(col("id")), col("id")), packBudget = 300L)
+    assert(packed.count() == 2000, "packing must keep every row")
+    val perPack = packed.groupBy("label", "pack_id").agg(sum("weight").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    perPack.groupBy(_._1).foreach { case (label, packs) =>
+      val ids = packs.map(_._2).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last),
+        s"$label pack ids not contiguous: ${ids.mkString(",")}")
+      val last = ids.last
+      packs.filter(_._2 != last).foreach { case (_, pid, w) =>
+        // left-edge assignment: a non-final pack's total deviates from the
+        // budget by at most one max-weight row (weights here are ≤ 99)
+        assert(w >= 300L - 98 && w <= 300L + 98, s"$label pack $pid holds $w")
+      }
+    }
+  }
+
   test("budgetPack keeps the maximal prefix within budget per group") {
     val packed = Sampling.budgetPack(docs, Seq("label"), col("weight"),
       Seq(Sampling.hashScore(col("id")), col("id")), budget = 500L)
