@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The capstone composite: prepare a raw document corpus for training —
-  * annotate, quality-filter, language-filter, near-dup-removal — as one
+  * annotate, quality-filter, language-filter, near-dup-removal,
+  * eval-set decontamination, train/val/test assignment — as one
   * declarative pipeline. Each stage is a narrow projection or a
   * shuffle-bounded op from this package; nothing collects to the driver,
   * so the pipeline shape is the same at 500 rows and at 100 TB.
@@ -16,12 +17,20 @@ object CorpusPipeline {
     * @param langs        keep only these language ids (empty = keep all)
     * @param dedupJaccard near-dup threshold for MinHash-LSH removal;
     *                     <= 0 disables dedup
+    * @param evalSet      held-out eval/benchmark docs; corpus docs sharing
+    *                     ≥ `minSharedShingles` shingles with any of them
+    *                     are dropped (decontamination). None disables.
+    * @param splits       when non-empty, append a deterministic `split`
+    *                     column (md5-hash assignment, Sampling.splitTag)
     */
   case class Config(
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.95,
       langs: Set[String] = Set.empty,
       dedupJaccard: Double = 0.8,
+      evalSet: Option[DataFrame] = None,
+      minSharedShingles: Int = 3,
+      splits: Seq[(String, Double)] = Nil,
       textCol: String = "text",
       idCol: String = "doc_id")
 
@@ -39,9 +48,19 @@ object CorpusPipeline {
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
-    if (cfg.dedupJaccard > 0)
-      Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol, cfg.dedupJaccard)
-    else filtered
+    val deduped =
+      if (cfg.dedupJaccard > 0)
+        Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol, cfg.dedupJaccard)
+      else filtered
+    val cleaned = cfg.evalSet match {
+      case Some(ev) =>
+        Dedup.decontaminate(deduped, ev, cfg.textCol, cfg.idCol,
+          minShared = cfg.minSharedShingles)
+      case None => deduped
+    }
+    if (cfg.splits.nonEmpty)
+      cleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
+    else cleaned
   }
 
   /** Stage-survival report for a prepared corpus (diagnostics). */

@@ -230,6 +230,16 @@ class OpsSpec extends SparkSpecBase {
     val report = CorpusPipeline.stageReport(corpus,
       CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.6)).head()
     assert(report.getLong(0) == 5 && report.getLong(3) == 3) // 0,1,4 pass filters
+    // with decontamination against an eval set overlapping doc 4, plus
+    // deterministic split tagging on the survivors
+    val evalSet = Seq((100L, "a rather pleasant document about the weather in the mountains today"))
+      .toDF("doc_id", "text")
+    val full = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.6, dedupJaccard = 0.7,
+        evalSet = Some(evalSet), minSharedShingles = 3,
+        splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))))
+    assert(full.select("doc_id").as[Long].collect().toSeq == Seq(0L)) // 4 contaminated
+    assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
   test("typed UDAFs: weighted mean and geometric mean merge correctly") {
