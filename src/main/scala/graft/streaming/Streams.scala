@@ -64,6 +64,42 @@ object Streams {
       }.toDF()
   }
 
+  /** Continuous per-key top-k leaderboard: after each micro-batch, emit
+    * the k best (score, item) pairs seen so far per key. State is the
+    * leaderboard itself — exactly k entries per key, the streaming face of
+    * `ops.TopK.perGroup`'s bounded-heap idea (NOT a windowed agg: ranks
+    * must reflect ALL history, so the state is compacted rather than
+    * timed out). flatMapGroupsWithState because an update emits k rows.
+    */
+  case class BoardState(entries: List[(Double, String)])
+  case class BoardRow(key: String, rank: Int, item: String, score: Double)
+
+  def topKPerKeyStream(events: DataFrame, keyCol: String, itemCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(itemCol).cast("string"),
+        col(scoreCol).cast("double"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BoardState, BoardRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Double)], state: GroupState[BoardState]) =>
+          val prev = state.getOption.map(_.entries).getOrElse(Nil)
+          // merge batch into the k-bounded board: higher score wins, ties
+          // break on item for determinism
+          val merged = (prev ++ rows.map(r => (r._3, r._2)))
+            .sortBy { case (s, item) => (-s, item) }
+            .take(k)
+          state.update(BoardState(merged))
+          merged.iterator.zipWithIndex.map { case ((s, item), i) =>
+            BoardRow(key, i + 1, item, s)
+          }
+      }.toDF()
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted — the streaming face of Dedup.exact for

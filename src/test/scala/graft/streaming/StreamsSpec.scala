@@ -159,6 +159,27 @@ class StreamsSpec extends SparkSpecBase {
     q2.stop()
     assert(hwm("1") == ts(9) && hwm("2") == ts(4))
   }
+
+  test("streaming top-k leaderboard updates across micro-batches with bounded state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double)]
+    val q = Streams.topKPerKeyStream(
+        mem.toDF().toDF("lang", "doc", "quality"), "lang", "doc", "quality", k = 2)
+      .writeStream.format("memory").queryName("board").outputMode("update").start()
+    mem.addData(("en", "a", 0.9), ("en", "b", 0.5), ("en", "c", 0.7), ("de", "x", 0.4))
+    q.processAllAvailable()
+    val batch1 = spark.table("board").select("key", "rank", "item")
+      .as[(String, Int, String)].collect().toSet
+    assert(batch1 == Set(("en", 1, "a"), ("en", 2, "c"), ("de", 1, "x")))
+    // a better doc arrives: it must displace c using only the k-entry state
+    mem.addData(("en", "d", 0.8))
+    q.processAllAvailable()
+    val latest = spark.table("board").orderBy(col("rank")) // update mode appends; re-read en rows of batch 2
+      .where(col("item") === "d" || col("item") === "a").select("rank", "item")
+      .as[(Int, String)].collect().toSet
+    q.stop()
+    assert(latest.contains((1, "a")) && latest.contains((2, "d")))
+  }
 }
 
 object StreamsSpec {
