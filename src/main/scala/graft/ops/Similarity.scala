@@ -141,6 +141,60 @@ object Similarity {
     (assignedDf, cents)
   }
 
+  /** Distributed Lloyd's k-means for IVF centroid training. Each iteration
+    * is one Spark job: every vector is assigned to its nearest centroid by
+    * a broadcast argmin (no shuffle of the corpus), then per-cell
+    * per-dimension means are recomputed via a partially-aggregated explode
+    * — the shuffle carries k·dim partial sums per partition, never
+    * vectors. The driver only ever holds the centroids (k·dim doubles per
+    * iteration), so unlike [[buildIvfIndex]]'s sampled Lloyd this build
+    * sees the WHOLE corpus at any scale. Initialization picks k vectors in
+    * md5 order — deterministic and spread independently of input layout.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int,
+      iterations: Int = 5): Seq[Seq[Double]] = {
+    require(k > 0 && iterations >= 0)
+    val vecs = df.select(col(vecCol).cast("array<double>").alias("v"))
+      .where(col("v").isNotNull)
+    var centroids: IndexedSeq[IndexedSeq[Double]] = vecs
+      .select(col("v"), md5(to_json(col("v"))).alias("h"))
+      .orderBy(col("h")).limit(k)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    require(centroids.nonEmpty, "cannot train centroids on an empty frame")
+    for (_ <- 0 until iterations) {
+      val centArr = array(centroids.map(c => array(c.map(lit): _*)): _*)
+      val stats = vecs
+        .select(cellOf(col("v"), centArr).alias("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).alias("sx"), count(lit(1)).alias("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val acc = new Array[Double](centroids(i).length)
+            var n = 0L
+            rows.foreach { r => acc(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
+            acc.map(_ / n).toIndexedSeq
+          case None => centroids(i) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids.map(_.toSeq)
+  }
+
+  /** IVF-Flat with corpus-trained centroids ([[kmeansCentroids]]) instead
+    * of the 2048-row sampled Lloyd — same index/probe shape, scale-proof
+    * build.
+    */
+  def buildIvfIndexDistributed(df: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, iterations: Int = 5): (DataFrame, Seq[Seq[Double]]) = {
+    val cents = kmeansCentroids(df, vecCol, nCells, iterations)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    (df.withColumn("__cell", cellOf(col(vecCol).cast("array<double>"), centArr)), cents)
+  }
+
   /** argmin over centroid distances, as a single expression. */
   private def cellOf(vec: Column, centroids: Column): Column = {
     val n = size(centroids)

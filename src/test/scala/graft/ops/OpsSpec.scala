@@ -178,6 +178,29 @@ class OpsSpec extends SparkSpecBase {
     assert(top.headOption.contains(0L))
   }
 
+  test("distributed k-means recovers separated clusters; IVF full-probe equals brute force") {
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Seq(c * 10.0 + (i % 7) * 0.01, -c * 10.0 + (i % 5) * 0.01, c * 1.0))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, "embedding", k = 3, iterations = 4)
+    assert(cents.size == 3)
+    // each true cluster center must have a trained centroid within its radius
+    (0 until 3).foreach { c =>
+      val truth = Seq(c * 10.0, -c * 10.0, c * 1.0)
+      val d = cents.map(ct => ct.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      assert(d < 1.0, s"cluster $c: nearest trained centroid at d2=$d of ${cents}")
+    }
+    val (indexed, trained) = Similarity.buildIvfIndexDistributed(pts, "embedding", "vec_id",
+      nCells = 3, iterations = 4)
+    val q = Seq(10.0, -10.0, 1.0)
+    val viaIvf = Similarity.ivfTopK(indexed, trained, "embedding", "vec_id", q, k = 5, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaBrute = Similarity.bruteForceTopK(pts, "embedding", "vec_id", q, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIvf == viaBrute)
+  }
+
   test("text analysis features are sane on a known sentence") {
     val df = Seq((1L, "The quick brown fox! It is a fox, 42 times.")).toDF("doc_id", "text")
     val row = TextAnalysis.annotate(df).head()
