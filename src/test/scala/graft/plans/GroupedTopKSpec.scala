@@ -44,6 +44,34 @@ class GroupedTopKSpec extends SparkSpecBase {
     assert(!exec.contains("Window"), exec)
   }
 
+  test("fuzz: random frames, k, and sort direction all match the window idiom") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.choose(1, 250)
+      nGroups <- Gen.choose(1, 8)
+      k <- Gen.choose(1, 6)
+      desc <- Gen.oneOf(true, false)
+      scores <- Gen.listOfN(n, Gen.option(Gen.choose(-350, 350).map(_.toDouble / 7)))
+    } yield (nGroups, k, desc, scores)
+    (0 until 8).foreach { i =>
+      genCase(Gen.Parameters.default, Seed(i.toLong)).foreach { case (nGroups, k, desc, scores) =>
+        val rows = scores.zipWithIndex.map { case (s, id) =>
+          (id.toLong, (id * 31 % nGroups).toString, s)
+        }
+        val data = rows.toDF("id", "g", "score")
+        val ord = if (desc) col("score").desc else col("score").asc
+        val got = TopK.perGroup(data, Seq("g"), Seq(ord, col("id")), k)
+          .collect().map(key).sorted.toSeq
+        val w = Window.partitionBy("g").orderBy(ord, col("id"))
+        val want = data.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .drop("rn").collect().map(key).sorted.toSeq
+        assert(got == want, s"case $i: nGroups=$nGroups k=$k desc=$desc n=${rows.size}")
+      }
+    }
+  }
+
   test("multi-column groups bound every group at k") {
     val got = TopK.perGroup(df, Seq("g", "nullable"), Seq(col("score").desc, col("id")), 3)
     val sizes = got.groupBy("g", "nullable").count().collect().map(_.getLong(2))
