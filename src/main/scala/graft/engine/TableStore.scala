@@ -117,6 +117,24 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       .saveAsTable(name)
   }
 
+  /** Hive-layout PARTITIONED table: part-files under
+    * `table/<col>=<value>/…` directories. Readers filtering on a partition
+    * column scan only the matching directories — the plan's
+    * `PartitionFilters`, asserted in IngestSpec — and an append touches
+    * only the partitions present in the incoming frame. This is the layout
+    * that makes the reference's date-chunked incremental pattern
+    * (chunk_date_range + find_last_entry, popelines/main.py:208-234) cheap
+    * at 100 TB: each daily load writes one directory, each backfill reads
+    * one slice, and full-table scans never pay for the time dimension.
+    */
+  def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String],
+      append: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode(if (append) "append" else "overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(tablePath(table))
+  }
+
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
   def write(
       table: String,

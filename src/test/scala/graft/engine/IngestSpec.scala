@@ -150,6 +150,26 @@ class IngestSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned table prunes directories on the partition filter; append touches one slice") {
+    import spark.implicits._
+    val wh = tmpDir("wh-part")
+    val store = new TableStore(spark, wh)
+    val days = (0 until 300).map(i => (i.toLong, s"2024-01-0${i % 3 + 1}", i * 1.5))
+      .toDF("id", "day", "v")
+    store.writePartitioned("ev", days, Seq("day"))
+    val slice = store.read("ev").where(col("day") === "2024-01-02")
+    val scan = slice.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
+    assert(slice.count() == 100)
+    // appending one new day adds a directory without rewriting the others
+    store.writePartitioned("ev",
+      Seq((900L, "2024-01-09", 0.0)).toDF("id", "day", "v"), Seq("day"), append = true)
+    val dirs = new java.io.File(s"$wh/ev").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.count(_.startsWith("day=")) == 4, dirs.mkString(","))
+    assert(store.read("ev").count() == 301)
+  }
+
   test("bq_query equivalent: registered views are SQL-queryable") {
     val pope = new Popeline(spark, tmpDir("wh"))
     pope.writeTable("Q-T", spark.range(4).toDF())
