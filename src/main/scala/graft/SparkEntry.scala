@@ -727,6 +727,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_sample_mixture" -> ((s, dir) =>
+      // data-recipe assembly: fixed per-language doc budgets, hash-ordered
+      // prefixes so changing one quota never reshuffles another language
+      ops.Sampling.stratifiedQuota(T(s, dir, "documents"), "lang",
+          Map("en" -> 120, "de" -> 40, "fr" -> 25), col("doc_id"))
+        .groupBy(col("lang")).agg(count(lit(1)).alias("n"), min(col("doc_id")).alias("first_doc"))
+        .orderBy(col("lang"))),
+
     "q_pack_sequences" -> ((s, dir) =>
       // pack documents into ~8k-char training sequences per language,
       // left-edge assignment in deterministic hash order; the report
@@ -1378,6 +1386,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
+
+    "q_sample_mixture" ->
+      """SELECT lang, count(*) AS n, min(doc_id) AS first_doc FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= CASE lang WHEN 'en' THEN 120 WHEN 'de' THEN 40
+        |                      WHEN 'fr' THEN 25 ELSE -1 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_pack_sequences" ->
       """SELECT lang, pack_id, count(*) AS n_docs,

@@ -90,6 +90,25 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Mixture assembly: per-stratum quotas instead of one global k — the
+    * "data recipe" form (e.g. 30k docs of src A, 5k of src B, none of the
+    * rest). Selection within a stratum is hash-ordered like
+    * [[stratifiedTake]], so a quota change only grows/shrinks each
+    * stratum's prefix — recipes are reproducible and monotone. Strata
+    * absent from `quotas` are dropped.
+    */
+  def stratifiedQuota(df: DataFrame, stratum: String, quotas: Map[String, Int],
+      key: Column): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0))
+    val quota = quotas.foldLeft(lit(-1)) { case (acc, (s, q)) =>
+      when(col(stratum) === s, q).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratum)).orderBy(hashScore(key), key)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= quota)
+      .drop("__graft_rn")
+  }
+
   /** Sequence packing: assign every row of a group to a pack id so packs
     * can be concatenated into ≈`packBudget`-sized training sequences — the
     * prep step that turns short documents into fixed-token batches. Uses

@@ -46,6 +46,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(again.sameElements(taken.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("stratifiedQuota honors per-stratum budgets and is prefix-monotone") {
+    val quotas = Map("class_0" -> 5, "class_1" -> 30, "class_2" -> 0)
+    val got = Sampling.stratifiedQuota(docs, "label", quotas, col("id"))
+    val counts = got.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("class_0" -> 5L, "class_1" -> 30L)) // others dropped
+    // raising one quota only extends that stratum's selection
+    val bigger = Sampling.stratifiedQuota(docs, "label", quotas.updated("class_0", 9), col("id"))
+    val small0 = got.where(col("label") === "class_0").select("id").collect().map(_.getLong(0)).toSet
+    val big0 = bigger.where(col("label") === "class_0").select("id").collect().map(_.getLong(0)).toSet
+    assert(small0.subsetOf(big0) && big0.size == 9)
+    assert(bigger.where(col("label") === "class_1").count() == 30)
+  }
+
   test("packSequences: contiguous pack ids; every non-final pack spans the budget") {
     val packed = Sampling.packSequences(docs, Seq("label"), col("weight"),
       Seq(Sampling.hashScore(col("id")), col("id")), packBudget = 300L)
