@@ -108,6 +108,37 @@ class RuleSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzz: random intervals, widths, and strictness match the naive join") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genCase = for {
+      nP <- Gen.choose(1, 150)
+      nI <- Gen.choose(1, 40)
+      width <- Gen.choose(1, 200)
+      strict <- Gen.oneOf(true, false)
+      pVals <- Gen.listOfN(nP, Gen.choose(-300, 300))
+      iVals <- Gen.listOfN(nI, Gen.zip(Gen.choose(-300, 300), Gen.choose(-40, 120)))
+    } yield (width, strict, pVals, iVals)
+    (0 until 6).foreach { i =>
+      genCase(Gen.Parameters.default, Seed(100L + i)).foreach { case (width, strict, pVals, iVals) =>
+        val pts = pVals.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toDF("pid", "p")
+        val ivs = iVals.zipWithIndex.map { case ((lo, len), id) => (id.toLong, lo, lo + len) }
+          .toDF("iid", "lo", "hi") // negative len ⇒ empty interval
+        val cond = if (strict) col("p") > col("lo") && col("p") < col("hi")
+                   else col("p") >= col("lo") && col("p") <= col("hi")
+        val naive = pts.join(ivs, cond)
+        withBinWidth(width.toString) {
+          val rewritten = rewriteOf(naive)
+          assert(rewritten.collect { case g: Generate => g }.nonEmpty, s"case $i: rule did not fire")
+          val got = Bridge.ofRows(spark, rewritten)
+          assert(sortedRows(got) == sortedRows(naive),
+            s"case $i: width=$width strict=$strict nP=${pVals.size} nI=${iVals.size}")
+        }
+      }
+    }
+  }
+
   test("GraftExtensions injects the optimizer rule") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
