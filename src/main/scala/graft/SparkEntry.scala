@@ -127,6 +127,50 @@ object SparkEntry {
           Rounding.roundAway(sum(col("c_acctbal")), 4).alias("sum_bal"))
         .orderBy(col("n_name"))),
 
+    "q_join_full" -> ((s, dir) => {
+      // full outer: high-value customers vs customers with urgent orders —
+      // both unmatched sides survive with nulls
+      val c = T(s, dir, "customer")
+        .where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val o = T(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).alias("n_urgent"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        // coalesced key + side tag keep every output column non-null, so
+        // Spark's NULLS FIRST vs the oracle's NULLS LAST can't reorder rows
+        .select(coalesce(col("c_custkey"), col("o_custkey")).alias("custkey"),
+          when(col("c_custkey").isNull, "orders_only")
+            .when(col("o_custkey").isNull, "cust_only")
+            .otherwise("both").alias("side"),
+          coalesce(col("n_urgent"), lit(0L)).alias("n_urgent"))
+        .orderBy(col("custkey"), col("side"))
+    }),
+
+    "q_subquery_in" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("v_orders")
+      s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("v_customer")
+      // IN + correlated NOT EXISTS, planned as semi + anti joins
+      s.sql("""
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE c_custkey IN (SELECT o_custkey FROM v_orders WHERE o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    "q_lateral" -> ((s, dir) => {
+      s.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("v_nation")
+      s.read.parquet(s"$dir/supplier.parquet").createOrReplaceTempView("v_supplier")
+      // lateral correlated subquery: per-nation top supplier balance
+      s.sql("""
+        SELECT n.n_name AS nation, t.best_bal
+        FROM v_nation n,
+        LATERAL (SELECT max(s_acctbal) AS best_bal FROM v_supplier s
+                 WHERE s.s_nationkey = n.n_nationkey) t
+        WHERE t.best_bal IS NOT NULL
+        ORDER BY nation""")
+    }),
+
     "q_join_theta" -> ((s, dir) => {
       val n = T(s, dir, "nation")
       val a = n.select(col("n_nationkey").alias("k_a"), col("n_name").alias("nation_a"))
@@ -937,6 +981,34 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'orders_only'
+        |       WHEN o_custkey IS NULL THEN 'cust_only'
+        |       ELSE 'both' END AS side,
+        |  coalesce(n_urgent, 0) AS n_urgent
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |   WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey, side""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      // DuckDB side replays the lateral as the grouped join it decorrelates to
+      """SELECT n.n_name AS nation, t.best_bal
+        |FROM nation n JOIN (SELECT s_nationkey, max(s_acctbal) AS best_bal
+        |                    FROM supplier GROUP BY 1) t
+        |  ON t.s_nationkey = n.n_nationkey
+        |ORDER BY nation""".stripMargin,
 
     "q_join_theta" ->
       """SELECT a.n_nationkey AS k_a, b.n_nationkey AS k_b,
