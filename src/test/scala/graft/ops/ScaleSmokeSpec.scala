@@ -32,4 +32,37 @@ class ScaleSmokeSpec extends SparkSpecBase {
     val kept = Dedup.dropNearDuplicates(corpus, "text", "doc_id", minJaccard = 0.7).count()
     assert(kept == 10000L, s"dedup kept $kept of 20000")
   }
+
+  test("grouped top-k on 2M rows x 10k groups matches the window idiom in aggregate") {
+    val df = spark.range(2000000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(10000)).alias("g"),
+      pmod(col("id") * 40503 + 7, lit(1000000)).alias("score"))
+    val custom = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 10)
+    val viaWindow = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= 10).drop("rn")
+    // compare by checksum, not collect: 100k surviving rows stay distributed
+    def digest(d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)), sum(col("id")), sum(col("score")), sum(col("g"))).head()
+    assert(digest(custom) == digest(viaWindow))
+  }
+
+  test("range-join rule on 200k points x 20k intervals stays an equi-join and matches ops.RangeJoin") {
+    val points = spark.range(200000).select(col("id").alias("pid"),
+      pmod(col("id") * 131, lit(1000000)).alias("p"))
+    val intervals = spark.range(20000).select(col("id").alias("iid"),
+      (col("id") * 50).alias("lo"), (col("id") * 50 + 120).alias("hi"))
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    spark.conf.set(graft.plans.BinnedRangeJoinRule.BinWidthConf, "128")
+    try {
+      val rewritten = graft.plans.BinnedRangeJoinRule(naive.queryExecution.optimizedPlan)
+      val got = org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
+      val exec = got.queryExecution.executedPlan.toString
+      assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"), exec)
+      val viaOps = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", binWidth = 128L)
+      assert(got.count() == viaOps.count() && got.count() > 0)
+    } finally spark.conf.unset(graft.plans.BinnedRangeJoinRule.BinWidthConf)
+  }
 }
