@@ -771,6 +771,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_corpus_prepare" -> ((s, dir) => {
+      // the CAPSTONE under oracle test: quality + repetition + language
+      // filters, eval-set decontamination, and split tagging in one
+      // declarative pipeline. Near-dup removal is disabled here ONLY
+      // because label propagation is iterative (not SQL-expressible);
+      // its pieces are oracle-checked via q_dedup_* and spec-verified
+      // end-to-end in OpsSpec/ScaleSmokeSpec.
+      val docs = T(s, dir, "documents")
+      ops.CorpusPipeline.prepare(
+          docs.where(col("source") =!= "src0"),
+          ops.CorpusPipeline.Config(
+            minQuality = 0.3, maxRepetition = 0.6, langs = Set("en", "es", "zh"),
+            dedupJaccard = 0.0,
+            evalSet = Some(docs.where(col("source") === "src0")),
+            minSharedShingles = 3,
+            splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))))
+        .select(col("doc_id"), col("lang_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_mixture" -> ((s, dir) =>
       // data-recipe assembly: fixed per-language doc budgets, hash-ordered
       // prefixes so changing one quota never reshuffles another language
@@ -1458,6 +1478,57 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
+
+    "q_corpus_prepare" -> {
+      val stops = TextAnalysis.stopwordsSql
+      val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS s_$l").mkString(",\n")
+      s"""WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents WHERE source <> 'src0'),
+         |feat AS (SELECT doc_id, padded, ltoks,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base),
+         |lang AS (SELECT doc_id,
+         |$scoreCols
+         |  FROM feat),
+         |tagged AS (SELECT f.doc_id, f.ltoks, f.quality, f.rep_ratio,
+         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
+         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+         |    WHEN s_es >= s_en THEN 'es'
+         |    ELSE 'en' END AS lang_id
+         |  FROM feat f JOIN lang l ON f.doc_id = l.doc_id),
+         |survivors AS (SELECT doc_id, ltoks, lang_id FROM tagged
+         |  WHERE quality >= 0.3 AND rep_ratio <= 0.6 AND lang_id IN ('en', 'es', 'zh')),
+         |shc AS (SELECT doc_id, lang_id, list_distinct(list_transform(range(len(ltoks)-2),
+         |    i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])) AS s FROM survivors),
+         |she AS (SELECT list_distinct(list_transform(range(len(t)-2),
+         |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         |  FROM (SELECT list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
+         |        FROM documents WHERE source = 'src0')),
+         |contaminated AS (SELECT DISTINCT c.doc_id FROM shc c, she e
+         |  WHERE len(list_intersect(c.s, e.s)) >= 3)
+         |SELECT doc_id, lang_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0000000000000000000000000000000' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM shc WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample_mixture" ->
       """SELECT lang, count(*) AS n, min(doc_id) AS first_doc FROM (
