@@ -36,8 +36,10 @@ object SparkEntry {
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  // Flagship: the capstone corpus-preparation pipeline (filters +
+  // decontamination + split tagging), 207 rows at sf0.001.
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_group")(spark, "/root/testdata/sf0.001")
+    queries("q_corpus_prepare")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- helpers
 

@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpecBase {
       s"no equi-join found in plan:\n$plan")
   }
 
+  test("q_topk_group plans as two heap phases around one exchange, no Window sort") {
+    val plan = planOf("q_topk_group")
+    assert("GroupedTopK \\[".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q_join_asof uses a single shuffle (window), not a pair join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
