@@ -80,6 +80,11 @@ case class GroupedTopKExec(
     else if (group.isEmpty) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(group))
 
+  // row-filter semantics: rows keep whatever partitioning the child had,
+  // so a downstream groupBy/join on the same key reuses the exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val orderExprs = order

@@ -72,6 +72,15 @@ class GroupedTopKSpec extends SparkSpecBase {
     }
   }
 
+  test("downstream aggregation on the group key reuses the top-k exchange") {
+    val got = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 5)
+      .groupBy("g").count()
+    val exec = got.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(exec).size == 1,
+      s"expected exactly the top-k exchange, no re-shuffle for the groupBy:\n$exec")
+    assert(got.collect().forall(_.getLong(1) <= 5))
+  }
+
   test("multi-column groups bound every group at k") {
     val got = TopK.perGroup(df, Seq("g", "nullable"), Seq(col("score").desc, col("id")), 3)
     val sizes = got.groupBy("g", "nullable").count().collect().map(_.getLong(2))
