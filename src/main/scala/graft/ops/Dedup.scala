@@ -229,22 +229,13 @@ object Dedup {
   /** Exact Jaccard of two SORTED distinct-hash arrays by linear merge — no
     * per-pair hash-set allocation (array_intersect/array_union build an
     * OpenHashSet per evaluation, which dominates N² verification stages).
-    * Identical counts to the set-op formulation.
+    * Identical counts to the set-op formulation. Backed by the codegen'd
+    * [[graft.expressions.JaccardSorted]] expression, which reads the
+    * unsafe arrays in place — the former UDF paid a Catalyst→Scala
+    * Seq[Long] copy per candidate pair.
     */
-  def jaccardSorted: (Column, Column) => Column = {
-    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      val union = a.length + b.length - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
-    (a, b) => f(a, b)
-  }
+  def jaccardSorted: (Column, Column) => Column =
+    (a, b) => graft.expressions.VectorExpressions.jaccardSortedNative(a, b)
 
   /** Distinct 64-bit hashes of the word n-gram shingle set, in one JIT'd
     * pass (tokenize -> shingle -> hash). The expression formulation
