@@ -773,6 +773,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_gap_fill" -> ((s, dir) =>
+      // regularize per-user hourly activity onto a dense hourly grid:
+      // missing hours appear with n = 0 (two shuffles total, key-partitioned)
+      ops.Timeseries.gapFill(
+          EV(s, dir).where(col("user_id") < 10)
+            .groupBy(col("user_id"), date_trunc("hour", col("ts")).alias("bucket_ts"))
+            .agg(count(lit(1)).alias("n")),
+          "user_id", "bucket_ts", "1 HOUR", Map("n" -> lit(0L)))
+        .orderBy(col("user_id"), col("bucket_ts"))),
+
     "q_corpus_prepare" -> ((s, dir) => {
       // the CAPSTONE under oracle test: quality + repetition + language
       // filters, eval-set decontamination, and split tagging in one
@@ -1480,6 +1490,17 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+        |    count(*) AS n
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM b GROUP BY 1),
+        |grid AS (SELECT s.user_id, g.t AS bucket_ts
+        |  FROM spans s, unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR)) AS g(t))
+        |SELECT grid.user_id AS user_id, grid.bucket_ts AS bucket_ts, coalesce(b.n, 0) AS n
+        |FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bucket_ts = b.bucket_ts
+        |ORDER BY grid.user_id, grid.bucket_ts""".stripMargin,
 
     "q_corpus_prepare" -> {
       val stops = TextAnalysis.stopwordsSql

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn an irregular event stream into a dense
+  * fixed-step grid — the prerequisite for window features, charting, and
+  * anomaly baselines. Two pieces:
+  *
+  *  - [[gapFill]]: per key, emit one row for EVERY step in the key's
+  *    observed [min, max] bucket span; buckets with no data appear with
+  *    the supplied defaults. The grid is built by exploding
+  *    `sequence(min, max, step)` per key — one aggregation for the spans
+  *    (tiny: a row per key) plus one left join grid↔data, both keyed by
+  *    (key, bucket); no driver involvement, so a 100 TB series with a
+  *    million keys fills gaps in two shuffles.
+  *  - [[forwardFill]]: carry the last non-null observation forward within
+  *    each key (ordered by the bucket column) — one window pass with
+  *    `last(_, ignoreNulls = true)`.
+  */
+object Timeseries {
+
+  /** Densify `perBucket` (already aggregated to one row per (key, bucket))
+    * onto a regular `step` grid spanning each key's min..max bucket.
+    * `defaults` supplies the value for grid rows with no data (e.g.
+    * `Map("n" -> lit(0L))`); columns without a default stay null.
+    */
+  def gapFill(perBucket: DataFrame, keyCol: String, bucketCol: String,
+      step: String, defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val spans = perBucket.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).alias("__mn"), max(col(bucketCol)).alias("__mx"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__mn"), col("__mx"), expr(s"INTERVAL $step")))
+        .alias(bucketCol))
+    val joined = grid.join(perBucket, Seq(keyCol, bucketCol), "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
+  /** Replace nulls in `valueCols` with the last preceding non-null value
+    * of the same key, in `bucketCol` order. Leading nulls stay null.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, bucketCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+}

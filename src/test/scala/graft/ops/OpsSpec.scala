@@ -401,6 +401,22 @@ class OpsSpec extends SparkSpecBase {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("gapFill densifies each key's span; forwardFill carries values, leaves leading nulls") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val perBucket = Seq(
+      ("a", ts(0), 5L, Some(1.0)), ("a", ts(180), 2L, None), ("a", ts(240), 7L, Some(4.0)),
+      ("b", ts(60), 1L, None)).toDF("k", "bucket", "n", "v")
+    val filled = Timeseries.gapFill(perBucket, "k", "bucket", "1 HOUR", Map("n" -> lit(0L)))
+    val aRows = filled.where(col("k") === "a").orderBy("bucket").collect()
+    assert(aRows.length == 5) // 00:00..04:00 inclusive
+    assert(aRows.map(_.getLong(2)).toSeq == Seq(5L, 0L, 0L, 2L, 7L))
+    assert(filled.where(col("k") === "b").count() == 1) // span of one bucket
+    val ffilled = Timeseries.forwardFill(filled, "k", "bucket", Seq("v"))
+      .where(col("k") === "a").orderBy("bucket").collect()
+    assert(ffilled.map(r => Option(r.get(3))).toSeq ==
+      Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(4.0)))
+  }
+
   test("chunkByTokens tiles exactly at stride==size and overlaps below it") {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, "one"))
       .toDF("doc_id", "text")
