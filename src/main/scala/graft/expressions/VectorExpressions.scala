@@ -195,5 +195,7 @@ object VectorExpressions {
       args => DotProduct(asDouble(args(0)), asDouble(args(1))))
     Bridge.registerFunction(spark, "graft_cosine",
       args => CosineSimilarity(asDouble(args(0)), asDouble(args(1))))
+    Bridge.registerFunction(spark, "graft_jaccard_sorted",
+      args => JaccardSorted(args(0), args(1)))
   }
 }

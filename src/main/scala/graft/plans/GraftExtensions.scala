@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, JaccardSorted}
 
 /** Session-extensions entry point: the cluster-wide way to install the
   * engine's Catalyst additions, equivalent to
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
+      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
   }
 }

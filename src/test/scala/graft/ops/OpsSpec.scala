@@ -234,8 +234,9 @@ class OpsSpec extends SparkSpecBase {
     graft.expressions.VectorExpressions.registerSqlFunctions(spark)
     val row = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
-    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 1.0)
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+      "graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").head()
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 1.0 && row.getDouble(2) == 0.5)
   }
 
   test("corpus pipeline filters junk and removes near-dups end to end") {
