@@ -30,7 +30,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * O(n log k) comparisons, no sort of anything larger than a heap, and
   * the partial phase is the same idea that makes partial aggregation
-  * scale. Rows are emitted in arbitrary order (consumers order
+  * scale. Task memory is (groups seen in the partition) × k rows — the
+  * same in-memory-hash-map regime as HashAggregate before spill; for
+  * extreme group cardinality × large k, pre-partition the input or fall
+  * back to the window idiom. Rows are emitted in arbitrary order (consumers order
   * explicitly, as with any aggregate); ties at the k-boundary are kept
   * deterministically only if `order` is a total order — append a unique
   * tiebreaker, as with any top-k semantics.

@@ -47,6 +47,9 @@ import org.apache.spark.sql.types._
   * Pick `w` near the typical interval width: too small explodes the
   * interval side (an interval becomes width/w rows), too large degrades
   * toward all-pairs within a bin. AQE's skew-join split handles hot bins.
+  * When a condition bounds several expressions, only the first detected
+  * (point, lo, hi) triple is binned; the remaining range predicates ride
+  * along as residual conjuncts.
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
