@@ -1,11 +1,31 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Input guard shared by the vector expressions: unsafe `getDouble`/
+  * `getLong` reads require EXACTLY the declared element width — an
+  * `array<int>` child would silently read garbage under codegen — so
+  * resolution must fail loudly instead. Wrappers/registrations insert the
+  * cast; this check catches direct construction with the wrong types.
+  */
+private[expressions] trait RequiresArrayOf { self: BinaryExpression =>
+  def requiredElement: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == requiredElement && r == requiredElement =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<${requiredElement.simpleString}> arguments, " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -18,9 +38,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * formulation and to DuckDB's list_aggregate 'sum' oracle.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresArrayOf {
 
-  // inputs are guaranteed array<double> by the dotNative wrapper's casts
+  override def requiredElement: DataType = DoubleType
 
   override def dataType: DataType = DoubleType
 
@@ -64,7 +84,9 @@ case class DotProduct(left: Expression, right: Expression)
   * Zero-norm inputs yield 0.0 (matching Similarity.cosine's guard).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresArrayOf {
+
+  override def requiredElement: DataType = DoubleType
 
   override def dataType: DataType = DoubleType
 
@@ -123,7 +145,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (as produced by `Dedup.shingleHashes`).
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with RequiresArrayOf {
+
+  override def requiredElement: DataType = LongType
 
   override def dataType: DataType = DoubleType
 
@@ -196,6 +220,7 @@ object VectorExpressions {
     Bridge.registerFunction(spark, "graft_cosine",
       args => CosineSimilarity(asDouble(args(0)), asDouble(args(1))))
     Bridge.registerFunction(spark, "graft_jaccard_sorted",
-      args => JaccardSorted(args(0), args(1)))
+      args => JaccardSorted(Cast(args(0), ArrayType(LongType)),
+        Cast(args(1), ArrayType(LongType))))
   }
 }

@@ -28,18 +28,36 @@ object Dedup {
   // ---------- 1. exact ----------
 
   /** Exact dedup on arbitrary columns: keep the first row per key ordered
-    * by `tieBreak`. Uses min-by-key (shuffle + single reduce) rather than
-    * Window row_number to keep it a plain aggregate (partial map-side
-    * combine applies).
+    * by `tieBreak`, then by the remaining columns — a TOTAL order, so the
+    * survivor is deterministic even when several duplicates share the
+    * minimal tieBreak (rerun/backfill produce byte-identical output). One
+    * `min(struct(...))` aggregate: single shuffle, map-side combine, no
+    * join. A null tieBreak sorts first rather than dropping the group
+    * (`min(col)` would skip nulls; `min(struct)` keeps them).
+    *
+    * Falls back to min-join + dropDuplicates when a non-key column is not
+    * orderable (e.g. a map) — there no deterministic choice among fully
+    * tied rows exists at all.
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val keyCols = keys.map(col)
-    df.groupBy(keyCols: _*)
-      .agg(min(col(tieBreak)).alias(tieBreak))
-      .join(df, keys :+ tieBreak, "inner")
-      .select(df.columns.map(col).toIndexedSeq: _*)
-      // several rows can share the same (keys, min tieBreak); keep exactly one
-      .dropDuplicates(keys)
+    val others = df.columns.filterNot(keys.contains).filterNot(_ == tieBreak)
+    val structOrder = tieBreak +: others
+    val orderable = df.schema.fields
+      .filter(f => structOrder.contains(f.name))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (orderable) {
+      df.groupBy(keys.map(col): _*)
+        .agg(min(struct(structOrder.map(col): _*)).alias("__first"))
+        .select(df.columns.map(c =>
+          if (keys.contains(c)) col(c)
+          else col("__first").getField(c).alias(c)).toIndexedSeq: _*)
+    } else {
+      df.groupBy(keys.map(col): _*)
+        .agg(min(col(tieBreak)).alias(tieBreak))
+        .join(df, keys :+ tieBreak, "inner")
+        .select(df.columns.map(col).toIndexedSeq: _*)
+        .dropDuplicates(keys)
+    }
   }
 
   /** dropDuplicates flavor — Spark's built-in exact dedup. */
@@ -213,9 +231,11 @@ object Dedup {
       bits: Int = 64, hasher: Column => Column = tokenHashes): DataFrame = {
     val candidates = simhashCandidates(df, textCol, idCol, maxHamming, bits, hasher)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    // no empty-shingle filter: a candidate pair involving a too-short doc
+    // must surface with jaccard 0.0 (and survive minJaccard <= 0), not
+    // silently vanish through the inner join
     val withShingles = df.select(col(idCol),
       shingleHashes(col(textCol), shingleSize).alias("sh"))
-      .where(size(col("sh")) > 0)
     val a = withShingles.select(col(idCol).alias("id_a"), col("sh").alias("sh_a"))
     val b = withShingles.select(col(idCol).alias("id_b"), col("sh").alias("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")

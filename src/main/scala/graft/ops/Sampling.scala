@@ -63,9 +63,10 @@ object Sampling {
     * reproduce the exact assignment.
     */
   def splitTag(key: Column, fractions: Seq[(String, Double)]): Column = {
-    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.nonEmpty, "need at least one split")
     val total = fractions.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    if (fractions.size == 1) return lit(fractions.head._1)
     val cutoffs = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val h = hashScore(key)
     val branches = fractions.init.zip(cutoffs.init)

@@ -173,10 +173,16 @@ object Similarity {
       centroids = centroids.indices.map { i =>
         byCell.get(i) match {
           case Some(rows) =>
-            val acc = new Array[Double](centroids(i).length)
-            var n = 0L
-            rows.foreach { r => acc(r.getInt(1)) = r.getDouble(2); n = r.getLong(3) }
-            acc.map(_ / n).toIndexedSeq
+            // per-dimension mean from each (cell, pos) row's OWN count —
+            // with ragged input vectors the counts differ across pos, and a
+            // pos beyond the centroid's dimensionality is ignored rather
+            // than crashing the driver
+            val acc = centroids(i).toArray
+            rows.foreach { r =>
+              val pos = r.getInt(1)
+              if (pos < acc.length) acc(pos) = r.getDouble(2) / r.getLong(3)
+            }
+            acc.toIndexedSeq
           case None => centroids(i) // empty cell keeps its centroid
         }
       }

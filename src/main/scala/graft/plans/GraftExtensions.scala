@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.expressions.{CosineSimilarity, DotProduct, JaccardSorted}
 
@@ -29,17 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    // same array-element coercion as VectorExpressions.registerSqlFunctions:
+    // the expressions read unsafe arrays at a fixed element width, so SQL
+    // literals like array(1, 2) must be cast, not passed through raw
+    def asDouble(e: Expression) = Cast(e, ArrayType(DoubleType))
+    def asLong(e: Expression) = Cast(e, ArrayType(LongType))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(asDouble(children(0)), asDouble(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(asDouble(children(0)), asDouble(children(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
-      (children: Seq[Expression]) => JaccardSorted(children(0), children(1))))
+      (children: Seq[Expression]) => JaccardSorted(asLong(children(0)), asLong(children(1)))))
   }
 }

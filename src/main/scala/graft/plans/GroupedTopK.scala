@@ -9,7 +9,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Per-group top-k as a first-class physical operator.
@@ -80,7 +80,9 @@ case class GroupedTopKExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
-    else if (group.isEmpty) Seq(UnspecifiedDistribution)
+    // global top-k: the final heap must see every partial survivor in ONE
+    // partition, or each partition would emit its own k rows
+    else if (group.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(group))
 
   // row-filter semantics: rows keep whatever partitioning the child had,
@@ -104,7 +106,13 @@ case class GroupedTopKExec(
       }
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(), new PriorityQueue[UnsafeRow](limit + 1, cmp))
+        // probe with the reused projection row; copy the key only on the
+        // first sighting of a group, not once per input row
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = new PriorityQueue[UnsafeRow](limit + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) {
           heap.add(row.asInstanceOf[UnsafeRow].copy())
         } else if (rowOrd.compare(row, heap.peek()) < 0) {

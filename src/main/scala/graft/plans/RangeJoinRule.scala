@@ -44,6 +44,10 @@ import org.apache.spark.sql.types._
   *    expressions of the other side, all of numeric / date / timestamp
   *    type.
   *
+  * Units of `w` follow the double projection of the range type: plain
+  * numbers for numeric columns, SECONDS for timestamps (epoch cast),
+  * DAYS for dates (epoch-day cast).
+  *
   * Pick `w` near the typical interval width: too small explodes the
   * interval side (an interval becomes width/w rows), too large degrades
   * toward all-pairs within a bin. AQE's skew-join split handles hot bins.
@@ -56,7 +60,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthConf = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(BinWidthConf, "0").toDouble
+    // tolerant parse: this rule runs on EVERY plan in an extensions-enabled
+    // session, so a malformed conf value must disable the rewrite (with a
+    // warning), not fail unrelated queries
+    val raw = conf.getConfString(BinWidthConf, "0")
+    val width = raw.toDoubleOption.getOrElse {
+      logWarning(s"$BinWidthConf='$raw' is not a number; range-join binning disabled")
+      0.0
+    }
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _)
@@ -74,8 +85,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  // types we can monotonically project to a double for binning. NO
+  // TimestampNTZType: Spark defines no NTZ→numeric cast, and a Cast built
+  // here anyway would be unresolved and silently eval to null.
   private def orderedType(t: DataType): Boolean = t match {
-    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _: NumericType | DateType | TimestampType => true
     case _ => false
   }
 
@@ -111,6 +125,10 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def bin(e: Expression): Expression = {
       val d = e.dataType match {
         case DoubleType => e
+        // DATE has no direct double cast (Cast would be unresolved and eval
+        // to null) — go through epoch days first
+        case DateType =>
+          Cast(UnixDate(e), DoubleType, Some(conf.sessionLocalTimeZone))
         case _ => Cast(e, DoubleType, Some(conf.sessionLocalTimeZone))
       }
       Floor(Divide(d, Literal(width)))

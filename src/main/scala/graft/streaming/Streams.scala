@@ -88,9 +88,11 @@ object Streams {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, String, Double)], state: GroupState[BoardState]) =>
           val prev = state.getOption.map(_.entries).getOrElse(Nil)
-          // merge batch into the k-bounded board: higher score wins, ties
-          // break on item for determinism
+          // one slot per ITEM (a re-scored item updates in place, never
+          // occupies two ranks), best score per item wins, then higher
+          // score first with item as the deterministic tiebreak
           val merged = (prev ++ rows.map(r => (r._3, r._2)))
+            .groupBy(_._2).valuesIterator.map(_.maxBy(_._1)).toList
             .sortBy { case (s, item) => (-s, item) }
             .take(k)
           state.update(BoardState(merged))

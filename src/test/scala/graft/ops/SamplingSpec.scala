@@ -46,6 +46,12 @@ class SamplingSpec extends SparkSpecBase {
     assert(again.sameElements(taken.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("a single-split tag marks every row") {
+    val tags = docs.select(Sampling.splitTag(col("id"), Seq(("train", 1.0))).as("s"))
+      .distinct().collect().map(_.getString(0))
+    assert(tags.toSeq == Seq("train"))
+  }
+
   test("stratifiedQuota honors per-stratum budgets and is prefix-monotone") {
     val quotas = Map("class_0" -> 5, "class_1" -> 30, "class_2" -> 0)
     val got = Sampling.stratifiedQuota(docs, "label", quotas, col("id"))

@@ -44,6 +44,15 @@ class GroupedTopKSpec extends SparkSpecBase {
     assert(!exec.contains("Window"), exec)
   }
 
+  test("empty group list is a GLOBAL top-k: k rows total, not k per partition") {
+    val spread = df.repartition(8)
+    val got = TopK.perGroup(spread, Seq.empty, Seq(col("score").desc, col("id")), 7)
+      .collect().map(key).sorted.toSeq
+    val want = spread.orderBy(col("score").desc, col("id")).limit(7)
+      .collect().map(key).sorted.toSeq
+    assert(got == want)
+  }
+
   test("fuzz: random frames, k, and sort direction all match the window idiom") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -83,6 +83,31 @@ class RuleSpec extends SparkSpecBase {
     }
   }
 
+  test("DATE-typed ranges bin on epoch days instead of silently nulling out") {
+    import spark.implicits._
+    val evs = (0 until 120).map(i => (i.toLong, f"2024-${1 + i % 12}%02d-${1 + i % 28}%02d"))
+      .toDF("eid", "d").select(col("eid"), to_date(col("d")).as("day"))
+    val spans = (0 until 12).map(i => (i.toLong, f"2024-${1 + i}%02d-01", f"2024-${1 + i}%02d-15"))
+      .toDF("sid", "a", "b")
+      .select(col("sid"), to_date(col("a")).as("d0"), to_date(col("b")).as("d1"))
+    val naive = evs.join(spans, col("day") >= col("d0") && col("day") <= col("d1"))
+    withBinWidth("10") { // 10-day bins
+      val rewritten = rewriteOf(naive)
+      assert(rewritten.collect { case g: Generate => g }.nonEmpty, "rule must fire on DATE ranges")
+      val got = Bridge.ofRows(spark, rewritten)
+      assert(sortedRows(got) == sortedRows(naive))
+      assert(got.count() > 0, "date fixture must produce matches")
+    }
+  }
+
+  test("a malformed binWidth conf disables the rule instead of failing the query") {
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    withBinWidth("not-a-number") {
+      val plan = naive.queryExecution.optimizedPlan
+      assert(BinnedRangeJoinRule(plan) eq plan)
+    }
+  }
+
   test("guards: equi-keyed joins, outer joins, and disabled conf stay untouched") {
     val equi = points.join(intervals, col("pid") === col("iid") && col("p") <= col("hi"))
     val outer = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"), "left")

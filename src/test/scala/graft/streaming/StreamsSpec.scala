@@ -177,8 +177,18 @@ class StreamsSpec extends SparkSpecBase {
     val latest = spark.table("board").orderBy(col("rank")) // update mode appends; re-read en rows of batch 2
       .where(col("item") === "d" || col("item") === "a").select("rank", "item")
       .as[(Int, String)].collect().toSet
-    q.stop()
     assert(latest.contains((1, "a")) && latest.contains((2, "d")))
+    // re-scoring an existing item updates its slot; it must not occupy two
+    // ranks and crowd out the runner-up
+    mem.addData(("en", "d", 0.95))
+    q.processAllAvailable()
+    val board = spark.table("board").as[Streams.BoardRow].collect()
+    q.stop()
+    assert(board.filter(r => r.key == "en" && r.score == 0.95)
+      .map(r => (r.rank, r.item)).toSet == Set((1, "d")))
+    // the runner-up slot of the same emission holds a, proving d was
+    // deduplicated rather than filling ranks 1 AND 2
+    assert(board.exists(r => r.key == "en" && r.rank == 2 && r.item == "a" && r.score == 0.9))
   }
 }
 
