@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpecBase {
       s"no equi-join found in plan:\n$plan")
   }
 
+  test("q_dedup_exact is one aggregate pass: no join, single data shuffle") {
+    val plan = planOf("q_dedup_exact")
+    assert(!plan.contains("Join"), s"struct-min dedup must not join:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
   test("q_topk_group plans as two heap phases around one exchange, no Window sort") {
     val plan = planOf("q_topk_group")
     assert("GroupedTopK \\[".r.findAllIn(plan).size == 2, plan)
