@@ -90,11 +90,23 @@ case class GroupedTopKExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  /** Partial phase: stop opening heaps for new groups beyond this many —
+    * when a partition holds more groups than this, heaping barely prunes
+    * (≈ every row is retained and copied) while the window idiom's radix
+    * sort is far cheaper; rows of overflow groups pass through to the
+    * exchange untouched instead. Keeps partial-phase memory ≤ cap·k rows
+    * and makes dense-group inputs cost ≈ a plain shuffle. The final phase
+    * never passes through — after clustering, it must produce exact
+    * top-k, and its per-reducer group count is cardinality/partitions.
+    */
+  private val maxPartialGroups = 1 << 15
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val orderExprs = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val rowOrd = RowOrdering.create(orderExprs, childOutput)
@@ -104,23 +116,32 @@ case class GroupedTopKExec(
       val cmp = new Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = rowOrd.compare(b, a)
       }
-      iter.foreach { row =>
+      val groupCap = if (isPartial) maxPartialGroups else Int.MaxValue
+      // pass-through rows stream out WHILE the input is consumed (they are
+      // serialized by the consumer before the next row is read, so no copy);
+      // heap survivors follow once the input is exhausted
+      val streamed = iter.flatMap { row =>
         val key = keyProj(row)
         // probe with the reused projection row; copy the key only on the
         // first sighting of a group, not once per input row
         var heap = heaps.getOrElse(key, null)
-        if (heap == null) {
+        if (heap == null && heaps.size < groupCap) {
           heap = new PriorityQueue[UnsafeRow](limit + 1, cmp)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) {
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        if (heap == null) {
+          Iterator.single(row) // overflow group: defer pruning to the final phase
+        } else {
+          if (heap.size < limit) {
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+          } else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+          }
+          Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator().asScala)
+      streamed ++ heaps.valuesIterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev benchmark: the custom grouped top-k operator vs the row_number()
+  * window idiom on synthetic data, warm timings. Substantiates the
+  * operator's cost model (bounded heaps + k-rows-per-group-per-partition
+  * shuffle vs full shuffle + full sort).
+  * usage: runMain graft.tools.BenchTopK [rows] [groups] [k]
+  */
+object BenchTopK {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 20000000L
+    val groups = if (args.length > 1) args(1).toInt else 100000
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.range(rows).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(groups)).alias("g"),
+      pmod(col("id") * 40503 + 7, lit(1000000007L)).alias("score"))
+    def timeIt(label: String)(body: => Long): Unit = {
+      body // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchtopk] $label: ${times.min}%.2f s (best of 3), rows=$rows groups=$groups k=$k")
+    }
+    timeIt("grouped-top-k operator") {
+      graft.ops.TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), k).count()
+    }
+    timeIt("row_number window      ") {
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+        .where(col("rn") <= k).count()
+    }
+    spark.stop()
+  }
+}
