@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev benchmark: a point-in-interval join as Spark plans it natively
+  * (BroadcastNestedLoopJoin) vs the binned equi-join rewrite, warm
+  * timings. Substantiates BinnedRangeJoinRule / ops.RangeJoin.
+  * usage: runMain graft.tools.BenchRangeJoin [points] [intervals]
+  */
+object BenchRangeJoin {
+  def main(args: Array[String]): Unit = {
+    val nP = if (args.length > 0) args(0).toLong else 200000L
+    val nI = if (args.length > 1) args(1).toLong else 20000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val points = spark.range(nP).select(col("id").alias("pid"),
+      pmod(col("id") * 131, lit(1000000)).alias("p"))
+    val intervals = spark.range(nI).select(col("id").alias("iid"),
+      (col("id") * 50).alias("lo"), (col("id") * 50 + 120).alias("hi"))
+    def timeIt(label: String)(body: => Long): Unit = {
+      body // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchrange] $label: ${times.min}%.2f s (best of 3), points=$nP intervals=$nI")
+    }
+    timeIt("binned equi-join (w=128)") {
+      graft.ops.RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 128L).count()
+    }
+    timeIt("native nested loop      ") {
+      points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi")).count()
+    }
+    spark.stop()
+  }
+}
