@@ -293,16 +293,25 @@ object SparkEntry {
       // differently. round() to an integer first is tie-free here — prices
       // have 2 decimals of intent, so price*10000 sits within 1.2e-7 of an
       // integer — and bigint→decimal→(exact decimal multiply) is
-      // rounding-mode-independent on both engines
+      // rounding-mode-independent on both engines. The sum/min/max run
+      // entirely in decimal; the FINAL columns re-scale to exact integer
+      // ten-thousandths (BIGINT) because the verify harness hashes the
+      // physical encoding and decimal128 renderings differ across engines
+      // even when values are equal (r2: byte-equal values, hash mismatch).
       T(s, dir, "lineitem")
         .withColumn("dec_price",
           expr("CAST(round(l_extendedprice * 10000) AS BIGINT)")
             .cast("decimal(18,0)") * expr("CAST(0.0001 AS DECIMAL(5,4))"))
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("dec_price")).cast("decimal(38,6)").alias("dec_sum"),
-          min(col("dec_price")).cast("decimal(18,4)").alias("dec_min"),
-          max(col("dec_price")).cast("decimal(18,4)").alias("dec_max"))
+          sum(col("dec_price")).cast("decimal(38,6)").alias("dec_sum_d"),
+          min(col("dec_price")).cast("decimal(18,4)").alias("dec_min_d"),
+          max(col("dec_price")).cast("decimal(18,4)").alias("dec_max_d"))
+        .select(
+          col("l_returnflag"),
+          (col("dec_sum_d") * lit(10000)).cast("bigint").alias("dec_sum_e4"),
+          (col("dec_min_d") * lit(10000)).cast("bigint").alias("dec_min_e4"),
+          (col("dec_max_d") * lit(10000)).cast("bigint").alias("dec_max_e4"))
         .orderBy(col("l_returnflag"))),
 
     "q_null_semantics" -> ((s, dir) =>
@@ -1110,9 +1119,9 @@ object SparkEntry {
         |  CAST(CAST(round(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(18,0))
         |    * CAST(0.0001 AS DECIMAL(5,4)) AS dec_price FROM lineitem)
         |SELECT l_returnflag,
-        |  CAST(sum(dec_price) AS DECIMAL(38,6)) AS dec_sum,
-        |  CAST(min(dec_price) AS DECIMAL(18,4)) AS dec_min,
-        |  CAST(max(dec_price) AS DECIMAL(18,4)) AS dec_max
+        |  CAST(CAST(sum(dec_price) AS DECIMAL(38,6)) * 10000 AS BIGINT) AS dec_sum_e4,
+        |  CAST(CAST(min(dec_price) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS dec_min_e4,
+        |  CAST(CAST(max(dec_price) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS dec_max_e4
         |FROM d GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_null_semantics" ->
