@@ -224,17 +224,70 @@ object Similarity {
     acc.map(_ / vs.length).toIndexedSeq
   }
 
+  /** The `nProbe` cells nearest to the query, by centroid distance —
+    * driver-side argsort over k centroids, shared by the in-memory and
+    * persisted probe paths.
+    */
+  private def probeCellsFor(centroids: Seq[Seq[Double]], query: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    val qv = query.toIndexedSeq
+    centroids.indices.sortBy { i =>
+      val c = centroids(i)
+      c.indices.map(j => (qv(j) - c(j)) * (qv(j) - c(j))).sum
+    }.take(nProbe)
+  }
+
   /** Query an IVF index: probe the `nProbe` nearest cells only. */
   def ivfTopK(indexed: DataFrame, centroids: Seq[Seq[Double]], vecCol: String,
       idCol: String, query: Seq[Double], k: Int, nProbe: Int = 2): DataFrame = {
-    val qv = query.toIndexedSeq
-    val order = centroids.indices.sortBy { i =>
-      val c = centroids(i)
-      c.indices.map(j => (qv(j) - c(j)) * (qv(j) - c(j))).sum
-    }
-    val probeCells = order.take(nProbe)
+    val probe = probeCellsFor(centroids, query, nProbe)
     bruteForceTopK(
-      indexed.where(col("__cell").isInCollection(probeCells)).drop("__cell"),
+      indexed.where(col("__cell").isInCollection(probe)).drop("__cell"),
+      vecCol, idCol, query, k)
+  }
+
+  // ---------- index persistence (the 100 TB probe path) ----------
+
+  /** Persist an IVF index: the cell-assigned corpus lands as a
+    * Hive-partitioned table (one `__cell=<i>` directory per cell) plus a
+    * tiny `<table>__centroids` side table (k rows). The k-means training
+    * and the clustering shuffle are paid ONCE here; afterwards every probe
+    * is directory-pruned at the scan ([[ivfTopKPersisted]]), so it reads
+    * ~nProbe/nCells of the corpus instead of scanning everything and
+    * filtering post-scan. The pre-write `repartition(__cell)` clusters each
+    * cell's rows into few output files (without it every write task emits a
+    * file per cell — the small-files problem at scale).
+    */
+  def persistIvfIndex(store: graft.engine.TableStore, table: String, df: DataFrame,
+      vecCol: String, idCol: String, nCells: Int, iterations: Int = 5): Unit = {
+    val (indexed, cents) = buildIvfIndexDistributed(df, vecCol, idCol, nCells, iterations)
+    store.writePartitioned(table, indexed.repartition(col("__cell")), Seq("__cell"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    store.write(table + "__centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      append = false)
+  }
+
+  /** Load the centroid side table of a persisted index (k·dim driver state). */
+  def loadIvfCentroids(store: graft.engine.TableStore, table: String): Seq[Seq[Double]] =
+    store.read(table + "__centroids").orderBy(col("cell"))
+      .select(col("centroid").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** Probe a persisted IVF index: centroids load driver-side, the nProbe
+    * nearest cells become a partition-column IN filter, and the scan reads
+    * ONLY those directories — the plan's PartitionFilters, asserted in
+    * OpsSpec. This closes the loop the in-memory path can't: no per-query
+    * index build, no full-corpus scan before the cell filter.
+    */
+  def ivfTopKPersisted(store: graft.engine.TableStore, table: String,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cents = loadIvfCentroids(store, table)
+    val probe = probeCellsFor(cents, query, nProbe)
+    bruteForceTopK(
+      store.read(table).where(col("__cell").isInCollection(probe)).drop("__cell"),
       vecCol, idCol, query, k)
   }
 

@@ -201,6 +201,47 @@ class OpsSpec extends SparkSpecBase {
     assert(viaIvf == viaBrute)
   }
 
+  test("persisted IVF index: probe prunes partitions at the scan; full probe equals brute force") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-ivf"))
+    // three clusters along three ORTHOGONAL axes — orthogonal, not colinear,
+    // because the probe result is compared against cosine brute force and
+    // colinear clusters interleave under a scale-invariant metric
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(3)(d =>
+        if (d == c) 10.0 + (i % 7) * 0.01 else (i % 5) * 0.01))
+    }.toDF("vec_id", "embedding")
+    Similarity.persistIvfIndex(store, "emb_idx", pts, "embedding", "vec_id",
+      nCells = 3, iterations = 4)
+    // on-disk layout: one directory per cell + the k-row centroid table
+    assert(Similarity.loadIvfCentroids(store, "emb_idx").size == 3)
+    val q = Seq(10.0, 0.0, 0.0)
+    val res = Similarity.ivfTopKPersisted(store, "emb_idx", "embedding", "vec_id",
+      q, k = 5, nProbe = 1)
+    // the probe's scan must carry the cell filter as a PARTITION filter and
+    // select exactly one of the three directories — file-level pruning, not
+    // a post-scan filter
+    val scans = res.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains("emb_idx")) => f
+    }
+    assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+    assert(scans.head.metadata("PartitionFilters").contains("__cell"),
+      scans.head.metadata("PartitionFilters"))
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 3 partition dirs, got ${scans.head.selectedPartitions.partitionCount}")
+    // the single probed cell holds the query's whole cluster
+    assert(res.select("vec_id").as[Long].collect().toSeq ==
+      Similarity.bruteForceTopK(pts, "embedding", "vec_id", q, k = 5)
+        .select("vec_id").as[Long].collect().toSeq)
+    // probing every cell is exactly brute force over the persisted corpus
+    val full = Similarity.ivfTopKPersisted(store, "emb_idx", "embedding", "vec_id",
+      q, k = 7, nProbe = 3)
+    assert(full.select("vec_id").as[Long].collect().toSeq ==
+      Similarity.bruteForceTopK(pts, "embedding", "vec_id", q, k = 7)
+        .select("vec_id").as[Long].collect().toSeq)
+  }
+
   test("text analysis features are sane on a known sentence") {
     val df = Seq((1L, "The quick brown fox! It is a fox, 42 times.")).toDF("doc_id", "text")
     val row = TextAnalysis.annotate(df).head()
