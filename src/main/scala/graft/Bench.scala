@@ -26,10 +26,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimal places (0.1 ms) keeps the one-line JSON short enough that a
+    // truncated stdout tail still carries the whole object.
+    def fmt(v: Double) = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout through sbt has been lossy in practice (both prior rounds'
+    // artifacts captured a truncated tail → "parsed": null), so the same
+    // JSON also lands in a file the harness can read directly.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
