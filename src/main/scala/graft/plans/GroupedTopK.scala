@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -24,19 +24,26 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *   partial (map side)  — heap of ≤ k rows per group per partition, so
   *                         the shuffle carries at most k·partitions rows
   *                         per group, independent of input size;
-  *   exchange            — inserted by EnsureRequirements from the final
-  *                         node's ClusteredDistribution requirement;
-  *   final (reduce side) — same heap over the survivors.
+  *   exchange + sort     — inserted by EnsureRequirements from the final
+  *                         node's ClusteredDistribution + ordering
+  *                         requirements; the sort is a standard SortExec,
+  *                         which SPILLS, and its input is only the
+  *                         partial survivors;
+  *   final (reduce side) — a streaming first-k-per-group pass over the
+  *                         sorted survivors: O(1) memory per task.
   *
-  * O(n log k) comparisons, no sort of anything larger than a heap, and
-  * the partial phase is the same idea that makes partial aggregation
-  * scale. Task memory is (groups seen in the partition) × k rows — the
-  * same in-memory-hash-map regime as HashAggregate before spill; for
-  * extreme group cardinality × large k, pre-partition the input or fall
-  * back to the window idiom. Rows are emitted in arbitrary order (consumers order
-  * explicitly, as with any aggregate); ties at the k-boundary are kept
-  * deterministically only if `order` is a total order — append a unique
-  * tiebreaker, as with any top-k semantics.
+  * Partial phase: O(n log k) comparisons, memory bounded by
+  * maxPartialGroups·k rows. Final phase: zero state beyond the current
+  * group key — per-reducer group cardinality can be arbitrary (the r2
+  * review's OOM scenario, groups-per-reducer × k heap entries, no longer
+  * exists; the sort absorbs any skew by spilling). In the sparse-group
+  * regime the sort input is tiny (≤ k·partitions rows per group); in the
+  * dense regime the partial cap passes rows through and the whole
+  * operator degrades gracefully to the window idiom's shuffle-and-sort —
+  * never worse than the construction it replaces, never unbounded.
+  * Rows are emitted ordered by (group, order); ties at the k-boundary are
+  * kept deterministically only if `order` is a total order — append a
+  * unique tiebreaker, as with any top-k semantics.
   *
   * This is the engine's demonstration of the full custom-operator route
   * (logical node → strategy → exec pair) reserved for semantics the
@@ -90,22 +97,60 @@ case class GroupedTopKExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  /** The final phase streams over input sorted by (group, order) — the
+    * sort this demands is planned as a spillable SortExec over partial
+    * survivors, which is what makes final-phase memory O(1) instead of
+    * (groups per reducer)·k heap entries. Falls back to the heap path
+    * only when a group expression's type is not orderable (it can still
+    * be grouped — e.g. nothing stops a MapType key upstream — but cannot
+    * anchor a sort); there the heap-map memory bound applies.
+    */
+  private def sortedFinal: Boolean =
+    !partial && group.forall(e => RowOrdering.isOrderable(e.dataType))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sortedFinal) Seq(group.map(SortOrder(_, Ascending)) ++ order)
+    else Seq(Nil)
+
+  // the streaming final is order-preserving, so downstream sorts on the
+  // same prefix are elided
+  override def outputOrdering: Seq[SortOrder] =
+    if (sortedFinal) child.outputOrdering else Nil
+
   /** Partial phase: stop opening heaps for new groups beyond this many —
     * when a partition holds more groups than this, heaping barely prunes
     * (≈ every row is retained and copied) while the window idiom's radix
     * sort is far cheaper; rows of overflow groups pass through to the
     * exchange untouched instead. Keeps partial-phase memory ≤ cap·k rows
-    * and makes dense-group inputs cost ≈ a plain shuffle. The final phase
-    * never passes through — after clustering, it must produce exact
-    * top-k, and its per-reducer group count is cardinality/partitions.
+    * and makes dense-group inputs cost ≈ a plain shuffle; the sorted
+    * final phase then selects exactly k per group regardless of how many
+    * raw rows passed through.
     */
   private val maxPartialGroups = 1 << 15
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
-    val orderExprs = order
     val limit = k
     val childOutput = child.output
+    if (sortedFinal) {
+      // input arrives clustered AND sorted by (group, order): emit the
+      // first k rows of each run. No state beyond the current group key.
+      return child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy()
+            emitted = 0
+          }
+          emitted += 1
+          emitted <= limit
+        }
+      }, preservesPartitioning = true)
+    }
+    val orderExprs = order
     val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)

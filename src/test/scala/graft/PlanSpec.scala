@@ -84,7 +84,7 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
   }
 
-  test("q_topk_group plans as two heap phases around one exchange, no Window sort") {
+  test("q_topk_group plans as partial heap + survivors sort + streaming final, no Window") {
     val plan = planOf("q_topk_group")
     assert("GroupedTopK \\[".r.findAllIn(plan).size == 2, plan)
     assert(!plan.contains("Window"), plan)

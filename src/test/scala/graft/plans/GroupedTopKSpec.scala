@@ -36,12 +36,32 @@ class GroupedTopKSpec extends SparkSpecBase {
     assert(got.collect().map(key).sorted.toSeq == want.collect().map(key).sorted.toSeq)
   }
 
-  test("plans as partial+final heap operators around one exchange, not a Window") {
+  test("plans as partial heap + spillable sort + streaming final, not a Window") {
     val got = TopK.perGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 5)
     val exec = got.queryExecution.executedPlan.toString
     assert("GroupedTopK \\[".r.findAllIn(exec).size == 2, exec)
     assert(exec.contains("Exchange") || exec.contains("AQEShuffleRead"), exec)
+    // the final phase demands sorted input, so EnsureRequirements plans a
+    // standard (spilling) SortExec over the partial survivors — this is
+    // what bounds final-phase memory at O(1) per task
+    assert(exec.contains("Sort "), s"expected a survivors sort before the final phase:\n$exec")
     assert(!exec.contains("Window"), exec)
+  }
+
+  test("group cardinality far beyond the partial cap stays exact (sorted final)") {
+    // 300k rows over 100k groups: every partition overflows the 32k
+    // partial-group cap, so most rows pass through raw and exactness rests
+    // entirely on the sorted streaming final. The old heap-map final would
+    // have held 100k·k entries here; the streaming final holds one key.
+    val data = spark.range(300000).select(
+      col("id"),
+      (col("id") % 100000).cast("string").as("g"),
+      ((col("id") * 37) % 1000).cast("double").as("score"))
+    val got = TopK.perGroup(data, Seq("g"), Seq(col("score").desc, col("id")), 2)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = data.withColumn("rn", row_number().over(w)).where(col("rn") <= 2).drop("rn")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
   test("empty group list is a GLOBAL top-k: k rows total, not k per partition") {
