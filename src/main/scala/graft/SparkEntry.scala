@@ -213,6 +213,30 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_join_range_outer" -> ((s, dir) => {
+      // LEFT-OUTER flavor of the binned range join — the common
+      // events-enriched-by-interval shape: every lineitem row survives,
+      // with order columns null when no urgent-1996 window spans its ship
+      // date. Still an equi-join on the bin (point side driving, interval
+      // side exploded), never a nested loop.
+      val day0 = to_date(lit("1992-01-01"))
+      val points = T(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy-MM").alias("ship_month"),
+          datediff(col("l_shipdate"), day0).alias("ship_day"))
+      val intervals = T(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").between("1996-01-01", "1996-12-31"))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), day0).alias("start_day"),
+          (datediff(col("o_orderdate"), day0) + 6).alias("end_day"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+          "ship_day", "start_day", "end_day", binWidth = 7L, joinType = "left")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).alias("n_rows"),
+          count(col("o_orderkey")).alias("n_matched"))
+        .orderBy(col("ship_month"))
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // for each purchase, the most recent prior click by the same user —
       // the as-of join every event pipeline needs; one shuffle by user_id
@@ -1070,6 +1094,16 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_range_outer" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n_rows, count(o_orderkey) AS n_matched
+        |FROM lineitem LEFT JOIN (
+        |  SELECT o_orderkey, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31') o
+        |  ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 6 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,

@@ -33,6 +33,16 @@ object RangeJoin {
     * inputs. Intervals with `end < start` match nothing (sequence() would
     * throw on a negative step, so they are filtered, matching the
     * BETWEEN semantics that would also never match).
+    *
+    * `joinType` may be `inner`, or any type whose DRIVING side is the
+    * point side — `left`/`left_outer` (the events-enriched-by-calendar
+    * shape: every point survives, interval columns null when no interval
+    * spans it), `left_semi`, `left_anti`. Those are safe because only the
+    * interval side is exploded and it stays the inner side: a matching
+    * pair still meets in exactly the point's bin, and an unmatched point
+    * row is null-extended (or kept/dropped) exactly once. Outer-on-the-
+    * interval-side shapes are rejected — an unmatched interval row would
+    * surface once per bin it spans.
     */
   def pointInInterval(
       points: DataFrame,
@@ -41,8 +51,12 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       binWidth: Long,
-      extra: Column = lit(true)): DataFrame = {
+      extra: Column = lit(true),
+      joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val normalized = joinType.toLowerCase(java.util.Locale.ROOT).replace("outer", "").stripSuffix("_")
+    require(Set("inner", "left", "left_semi", "left_anti").contains(normalized),
+      s"unsupported joinType '$joinType': the exploded interval side must stay the inner side")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
     val i = intervals
       .where(col(endCol) >= col(startCol))
@@ -52,7 +66,7 @@ object RangeJoin {
           floor(col(endCol) / binWidth).cast("long"))))
     p.join(i, p("__bin") === i("__bin")
         && col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
-        && extra)
+        && extra, normalized)
       .drop("__bin")
   }
 }

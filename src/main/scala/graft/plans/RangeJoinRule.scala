@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -38,7 +38,16 @@ import org.apache.spark.sql.types._
   * and match nothing, exactly like the original predicate.
   *
   * Scope guards (all must hold, otherwise the join is left untouched):
-  *  - inner join, batch children;
+  *  - batch children; join type Inner, or an outer/semi/anti type whose
+  *    DRIVING side is the point side: LeftOuter/LeftSemi/LeftAnti with
+  *    the point on the left, RightOuter with the point on the right.
+  *    Only the interval side is exploded, and in these types it is the
+  *    inner (null-extended / probed) side, so outer semantics survive:
+  *    a matching pair still meets in exactly one bin, and an unmatched
+  *    point row null-extends (or is kept/dropped, for semi/anti) exactly
+  *    once. The converse shapes (outer on the exploded interval side,
+  *    FullOuter) are NOT rewritten — an unmatched interval row would
+  *    surface once per bin it spans;
   *  - no equi-conjunct between the sides (Spark already hash-joins those);
   *  - a conjunct pair bounding one side's expression between two
   *    expressions of the other side, all of numeric / date / timestamp
@@ -70,10 +79,26 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     if (width <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _)
-          if !j.left.isStreaming && !j.right.isStreaming =>
+      case j @ Join(_, _, jt, Some(_), _)
+          if supportedJoinType(jt) && !j.left.isStreaming && !j.right.isStreaming =>
         rewrite(j, width).getOrElse(j)
     }
+  }
+
+  private def supportedJoinType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
+  /** Whether the rewrite may place the point on this side for `jt`: the
+    * exploded interval side must be the inner side, so every non-inner
+    * type pins the point to its driving side.
+    */
+  private def pointSideAllowed(jt: JoinType, pointIsLeft: Boolean): Boolean = jt match {
+    case Inner => true
+    case LeftOuter | LeftSemi | LeftAnti => pointIsLeft
+    case RightOuter => !pointIsLeft
+    case _ => false
   }
 
   /** Orders a comparison as (smaller, larger); None for other expressions. */
@@ -117,6 +142,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       (p2, hi0) <- bounds
       if p1.semanticEquals(p2)
       (pSide, bSide) <- Seq((j.left, j.right), (j.right, j.left))
+      if pointSideAllowed(j.joinType, pSide eq j.left)
       if fromOneSide(p1, pSide) && fromOneSide(lo0, bSide) && fromOneSide(hi0, bSide)
     } yield (p1, lo0, hi0, pSide eq j.left)
     if (candidates.isEmpty) return None
@@ -145,15 +171,23 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Filter(LessThanOrEqual(bin(lo), bin(hi)), intervalPlan)
     val intervalBin =
       AttributeReference("__graft_bin", LongType, nullable = true)()
+    // the timezone must be set HERE: Sequence is TimeZoneAwareExpression and
+    // reports unresolved without one, and inside the optimizer (extensions
+    // route) no re-analysis runs to fill it — the plan-integrity check
+    // would fail the whole batch
+    val binSeq = new Sequence(bin(lo), bin(hi))
+      .withTimeZone(conf.sessionLocalTimeZone).asInstanceOf[Sequence]
     val intervalSide = Generate(
-      Explode(new Sequence(bin(lo), bin(hi))),
+      Explode(binSeq),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(intervalBin), child = intervalFiltered)
 
     val newCond = And(EqualTo(pointBin.toAttribute, intervalBin), j.condition.get)
+    // join type is preserved: pointSideAllowed guaranteed the exploded
+    // interval side is the inner side for every non-inner type
     val joined =
-      if (pointIsLeft) Join(pointSide, intervalSide, Inner, Some(newCond), j.hint)
-      else Join(intervalSide, pointSide, Inner, Some(newCond), j.hint)
+      if (pointIsLeft) Join(pointSide, intervalSide, j.joinType, Some(newCond), j.hint)
+      else Join(intervalSide, pointSide, j.joinType, Some(newCond), j.hint)
     Some(Project(j.output, joined))
   }
 

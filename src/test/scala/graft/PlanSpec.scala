@@ -78,6 +78,12 @@ class PlanSpec extends SparkSpecBase {
       s"no equi-join found in plan:\n$plan")
   }
 
+  test("q_join_range_outer keeps the equi-join shape under LEFT OUTER") {
+    val plan = planOf("q_join_range_outer")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"left-outer range join degraded to a nested loop:\n$plan")
+  }
+
   test("q_dedup_exact is one aggregate pass: no join, single data shuffle") {
     val plan = planOf("q_dedup_exact")
     assert(!plan.contains("Join"), s"struct-min dedup must not join:\n$plan")

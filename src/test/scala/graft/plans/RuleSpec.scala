@@ -21,15 +21,15 @@ class RuleSpec extends SparkSpecBase {
     try f finally spark.conf.unset(BinnedRangeJoinRule.BinWidthConf)
   }
 
-  private def points: DataFrame = {
-    import spark.implicits._
+  private def pointsIn(s: SparkSession): DataFrame = {
+    import s.implicits._
     (0 until 400).map(i => (i.toLong, (i * 7 % 300) - 50))
       .toDF("pid", "p")
       .union(Seq((9000L, null.asInstanceOf[Integer])).toDF("pid", "p"))
   }
 
-  private def intervals: DataFrame = {
-    import spark.implicits._
+  private def intervalsIn(s: SparkSession): DataFrame = {
+    import s.implicits._
     ((0 until 60).map { i =>
       val lo = i * 11 - 60
       (i.toLong, lo, lo + (i % 13) * 4)
@@ -37,6 +37,9 @@ class RuleSpec extends SparkSpecBase {
       .toDF("iid", "lo", "hi")
       .union(Seq((991L, null.asInstanceOf[Integer], 100)).toDF("iid", "lo", "hi"))
   }
+
+  private def points: DataFrame = pointsIn(spark)
+  private def intervals: DataFrame = intervalsIn(spark)
 
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
@@ -108,14 +111,79 @@ class RuleSpec extends SparkSpecBase {
     }
   }
 
-  test("guards: equi-keyed joins, outer joins, and disabled conf stay untouched") {
-    val equi = points.join(intervals, col("pid") === col("iid") && col("p") <= col("hi"))
-    val outer = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"), "left")
+  test("left-outer point-in-interval enrichment is binned and equals the naive join") {
+    // the events-enriched-by-calendar shape: every point survives, interval
+    // columns null when nothing spans the point
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left")
     withBinWidth("16") {
-      assert(BinnedRangeJoinRule(equi.queryExecution.optimizedPlan)
-        .collect { case g: Generate => g }.isEmpty)
-      assert(BinnedRangeJoinRule(outer.queryExecution.optimizedPlan)
-        .collect { case g: Generate => g }.isEmpty)
+      val rewritten = rewriteOf(naive)
+      assert(rewritten.collect { case g: Generate => g }.nonEmpty,
+        s"rule must fire on left-outer with the point driving:\n$rewritten")
+      val got = Bridge.ofRows(spark, rewritten)
+      assert(sortedRows(got) == sortedRows(naive))
+      assert(naive.where(col("iid").isNull).count() > 0,
+        "fixture has no unmatched points; outer semantics untested")
+      val exec = got.queryExecution.executedPlan.toString
+      assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"), exec)
+    }
+  }
+
+  test("right-outer with the point on the right is binned and equals the naive join") {
+    val naive = intervals.join(points,
+      col("p") >= col("lo") && col("p") <= col("hi"), "right")
+    withBinWidth("16") {
+      val rewritten = rewriteOf(naive)
+      assert(rewritten.collect { case g: Generate => g }.nonEmpty, "rule must fire")
+      assert(sortedRows(Bridge.ofRows(spark, rewritten)) == sortedRows(naive))
+    }
+  }
+
+  test("left-semi and left-anti with the point driving are binned and equal the naive forms") {
+    // Run these through a REAL extensions-enabled session rather than the
+    // out-of-band harness: Spark pushes semi/anti joins through the
+    // fixture's Union, duplicating the shared interval subtree, and
+    // re-analyzing that shape out-of-band trips DeduplicateRelations —
+    // inside the optimizer (the production path) no re-analysis happens.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder().master(spark.sparkContext.master)
+      .withExtensions(new GraftExtensions)
+      .config(BinnedRangeJoinRule.BinWidthConf, "16")
+      .getOrCreate()
+    try {
+      for (jt <- Seq("left_semi", "left_anti")) {
+        val binned = pointsIn(ext).join(intervalsIn(ext),
+          col("p") >= col("lo") && col("p") <= col("hi"), jt)
+        val exec = binned.queryExecution.executedPlan.toString
+        assert(exec.contains("Generate"), s"rule did not fire for $jt:\n$exec")
+        assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+          s"$jt still a nested loop:\n$exec")
+        val naive = points.join(intervals,
+          col("p") >= col("lo") && col("p") <= col("hi"), jt)
+        assert(sortedRows(binned) == sortedRows(naive), jt)
+      }
+    } finally {
+      // the session shares the spec's SparkContext — just restore the
+      // active/default registrations, never stop it
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("guards: equi-keyed, exploded-outer-side, full-outer, and disabled conf stay untouched") {
+    val equi = points.join(intervals, col("pid") === col("iid") && col("p") <= col("hi"))
+    // outer on the INTERVAL side: an unmatched interval row would surface
+    // once per spanned bin if exploded, so the rule must not fire
+    val outerOnIntervals = intervals.join(points,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left")
+    val full = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"), "full")
+    withBinWidth("16") {
+      for ((df, label) <- Seq((equi, "equi"), (outerOnIntervals, "interval-outer"), (full, "full"))) {
+        assert(BinnedRangeJoinRule(df.queryExecution.optimizedPlan)
+          .collect { case g: Generate => g }.isEmpty, label)
+      }
     }
     val off = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
     SparkSession.setActiveSession(spark)
