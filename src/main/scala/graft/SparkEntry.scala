@@ -182,6 +182,45 @@ object SparkEntry {
         .orderBy(col("k_a"), col("k_b"))
     }),
 
+    "q_skew_join" -> ((s, dir) => {
+      // end-to-end exercise of Skew.saltedJoin on a genuinely hot key
+      // distribution: l_returnflag takes 3 values over the whole table, so
+      // an unsalted shuffle join would land each key on ONE reducer while
+      // the other 29 idle. Salting spreads each key over `factor` reducers
+      // (PlanSpec asserts __salt reaches the exchange). The RESULT is
+      // salt-independent — every big row matches exactly its own
+      // (key, salt) replica — so the oracle is the plain join.
+      val li = T(s, dir, "lineitem")
+      val flagStats = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).alias("flag_n"))
+      // shuffle_hash hint: at test scale Spark would broadcast the 3-row
+      // dim, and a broadcast join has no shuffle to de-skew — the hint
+      // pins the shuffle-join plan the salt exists for (at 100 TB the
+      // replicated side is a too-big-to-broadcast table and this is the
+      // natural plan)
+      val joined = graft.ops.Skew.saltedJoin(
+        li.select(col("l_returnflag"), col("l_quantity")),
+        flagStats, Seq("l_returnflag"), factor = 8,
+        joinHint = Some("shuffle_hash"))
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("l_quantity")).alias("sum_qty"),
+          max(col("flag_n")).alias("flag_n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_skew_agg" -> ((s, dir) => {
+      // the aggregation flavor: Skew.saltedCountSum splits each hot
+      // reducer key over `factor` tasks via a (key, salt) pre-aggregate,
+      // then combines — sum/count are algebraic, so the result is exact
+      // and salt-independent (l_quantity is whole-valued, so the double
+      // partial sums re-associate exactly)
+      graft.ops.Skew.saltedCountSum(
+          T(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+          Seq("l_returnflag"), "l_quantity", factor = 8)
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_join_range" -> ((s, dir) =>
       T(s, dir, "lineitem").join(T(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey") &&
@@ -1080,6 +1119,19 @@ object SparkEntry {
         |  a.n_name AS nation_a, b.n_name AS nation_b
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |ORDER BY k_a, k_b""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH f AS (SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS flag_n
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, max(flag_n) AS flag_n
+        |FROM lineitem JOIN f ON l_returnflag = rf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_range" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue

@@ -16,14 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** `joinHint` (e.g. `shuffle_hash`, `merge`) pins the join strategy.
+    * Use it when the replicated side is small enough that Spark would
+    * BROADCAST it at test scale — a broadcast join has no shuffle to
+    * de-skew, so exercising the salted shape requires forcing the
+    * shuffle-join plan the operator exists for.
+    */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       keys: Seq[String], factor: Int = 8,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      joinHint: Option[String] = None): DataFrame = {
     require(factor > 0)
     val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
-    val replicated = small.withColumn("__salt",
+    val replicated0 = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
+    val replicated = joinHint.fold(replicated0)(replicated0.hint(_))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 

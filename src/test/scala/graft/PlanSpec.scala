@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q_skew_join shuffles on (key, salt): the hot key actually spreads") {
+    val plan = formattedPlan("q_skew_join")
+    // the join-side exchanges must be keyed by the salt as well as the key,
+    // or each of the 3 l_returnflag values still lands on one reducer
+    assert(plan.contains("__salt"), s"salt column never materializes:\n$plan")
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"no exchange partitions by __salt:\n$plan")
+  }
+
+  test("q_gap_fill uses exactly its two designed shuffles") {
+    // Timeseries.gapFill's documented cost: one exchange to assemble the
+    // per-key spine, one to window over (key, ts) — a third would mean a
+    // lost co-partitioning
+    val plan = planOf("q_gap_fill")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"gap-fill grew a third hash exchange:\n$plan")
+  }
+
   test("q_join_asof uses a single shuffle (window), not a pair join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
