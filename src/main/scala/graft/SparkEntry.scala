@@ -786,6 +786,45 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_merge_upsert" -> ((s, dir) => {
+      // MERGE (upsert) as a frame operator: the stale base misses every
+      // 7th order; the delta re-prices every 3rd. Source wins on match,
+      // unmatched base rows survive, delta-only keys insert. One
+      // anti-join + union — each side shuffles once on the key.
+      val orders = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val base = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val delta = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.ops.Merge.upsert(base, delta, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_cdc_apply" -> ((s, dir) => {
+      // CDC apply: every 4th order arrives as a change row — an upsert
+      // (re-priced) unless it is every 8th, which is a delete.
+      val orders = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val changes = orders.where(pmod(col("o_orderkey"), lit(4)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("op",
+          when(pmod(col("o_orderkey"), lit(8)) === 0, "D").otherwise("U"))
+      graft.ops.Merge.applyCdc(orders, changes, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) =>
+      // Misra-Gries one-pass frequency sketch; capacity 32 > the 5
+      // distinct priorities, so the sketch is provably exact and the
+      // oracle is a plain GROUP BY count. At huge key cardinality the
+      // same query reports guaranteed-frequent values with a 32-entry
+      // buffer per task instead of a full-key-space aggregate.
+      T(s, dir, "orders")
+        .agg(graft.ops.Udafs.heavyHitters(col("o_orderpriority"), 32).alias("sk"))
+        .select(explode(col("sk.counts")))
+        .select(col("key").alias("item"), col("value").alias("cnt"))
+        .orderBy(col("item"))),
+
     "q_window_tumbling" -> ((s, dir) =>
       EV(s, dir)
         .groupBy(window(col("ts"), "1 hour"))
@@ -1539,6 +1578,35 @@ object SparkEntry {
         |FROM events
         |WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 5000)
         |ORDER BY event_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+        |  UNION ALL SELECT * FROM delta)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_totalprice * 3 AS o_totalprice, o_orderpriority,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT t.o_orderkey, t.o_totalprice, t.o_orderpriority FROM orders t
+        |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,

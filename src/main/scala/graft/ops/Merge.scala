@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-shaped incremental maintenance: upsert and CDC-apply as pure
+  * frame operators, composable with `TableStore.replace` for the staged
+  * in-place rewrite of a managed table.
+  *
+  * The reference's load path is append/truncate only (write_to_bq,
+  * popelines/main.py:100-155); its users express "update matched, insert
+  * new" by issuing a BigQuery MERGE through bq_query (main.py:236-243).
+  * This is that statement's engine-side equivalent.
+  *
+  * Scale design: both operators are one anti-join plus a union — each
+  * side shuffles ONCE on the merge key, no row ever compares against
+  * more than its key partner, and nothing collects to the driver. On a
+  * table bucketed by the key (`TableStore.writeBucketed`) the anti-join
+  * plans with zero Exchange on the target side, which is the 100 TB
+  * shape: pay the partitioning at ingest, merge daily deltas for free.
+  */
+object Merge {
+
+  /** SQL MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, with the
+    * whole source row as the update payload: source wins on key match,
+    * target rows without a source match survive unchanged. Schemas must
+    * align by name; callers with multiple source versions per key dedup
+    * first (e.g. `Dedup.exact` on a version column).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(source)
+
+  /** Apply a CDC change set: `changes` carries `opCol` with `U` (upsert)
+    * or `D` (delete); deletes drop the target row, upserts replace or
+    * insert it. One change per key (dedup upstream on the change-log
+    * offset for multi-version batches).
+    */
+  def applyCdc(
+      target: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame =
+    target.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(changes.where(col(opCol) =!= "D").drop(opCol))
+}

@@ -49,4 +49,58 @@ object Udafs {
     val f = udaf(GeometricMean)
     f(value)
   }
+
+  /** Mergeable frequency sketch (wrapped in a case class so the buffer
+    * and output ride Spark's product encoder). */
+  case class FreqSketch(counts: Map[String, Long])
+
+  /** Misra–Gries heavy hitters: the top frequent values of a column in
+    * ONE pass with a bounded `capacity`-entry summary — no groupBy of the
+    * full key space, which is the 100 TB answer to "what are the hot
+    * domains / dedup cluster heads / hot join keys" when the key
+    * cardinality itself is huge. Each partial buffer holds ≤ capacity
+    * entries; merge combines then truncates by subtracting the
+    * (capacity+1)-th count (Agarwal et al., "Mergeable Summaries",
+    * PODS'12), preserving the MG guarantee: reported count ≥ true count −
+    * n/(capacity+1), and every value with true count > n/(capacity+1)
+    * survives. With capacity ≥ distinct(column) no decrement ever fires
+    * and the counts are EXACT — which is what makes the declared query
+    * oracle-checkable against a plain GROUP BY.
+    */
+  class HeavyHitters(capacity: Int) extends Aggregator[String, FreqSketch, FreqSketch] {
+    require(capacity > 0)
+    override def zero: FreqSketch = FreqSketch(Map.empty)
+    override def reduce(b: FreqSketch, a: String): FreqSketch = {
+      if (a == null) return b
+      val m = b.counts
+      m.get(a) match {
+        case Some(c) => FreqSketch(m.updated(a, c + 1L))
+        case None if m.size < capacity => FreqSketch(m.updated(a, 1L))
+        case None =>
+          // decrement-all step: drops entries reaching zero
+          FreqSketch(m.collect { case (k, v) if v > 1L => k -> (v - 1L) })
+      }
+    }
+    override def merge(x: FreqSketch, y: FreqSketch): FreqSketch = {
+      val combined = y.counts.foldLeft(x.counts) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
+      if (combined.size <= capacity) FreqSketch(combined)
+      else {
+        // subtract the (capacity+1)-th largest count from everything
+        val cut = combined.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse)
+          .apply(capacity)
+        FreqSketch(combined.collect { case (k, v) if v > cut => k -> (v - cut) })
+      }
+    }
+    override def finish(r: FreqSketch): FreqSketch = r
+    override def bufferEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
+    override def outputEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
+  }
+
+  /** Column form: heavyHitters(col, capacity) → struct(counts: map). */
+  def heavyHitters(value: Column, capacity: Int): Column = {
+    val f = udaf(new HeavyHitters(capacity), Encoders.STRING)
+    f(value)
+  }
 }

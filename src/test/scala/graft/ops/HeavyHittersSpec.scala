@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class HeavyHittersSpec extends SparkSpecBase {
+
+  private def sketchOf(values: Seq[String], capacity: Int): Map[String, Long] = {
+    import spark.implicits._
+    val df = values.toDF("v").repartition(4) // force multi-partition merges
+    df.agg(Udafs.heavyHitters(col("v"), capacity).alias("sk"))
+      .select(explode(col("sk.counts")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("capacity above the distinct count gives exact counts") {
+    val values = Seq.fill(50)("x") ++ Seq.fill(30)("y") ++ Seq.fill(7)("z")
+    val shuffled = new scala.util.Random(7).shuffle(values)
+    assert(sketchOf(shuffled, 16) == Map("x" -> 50L, "y" -> 30L, "z" -> 7L))
+  }
+
+  test("under capacity pressure the MG guarantee holds: err <= n/(capacity+1), hot keys survive") {
+    // one dominant key over a long tail of singletons
+    val n = 2000
+    val values = Seq.fill(800)("hot") ++ (0 until (n - 800)).map(i => s"t$i")
+    val shuffled = new scala.util.Random(13).shuffle(values)
+    val cap = 9
+    val sk = sketchOf(shuffled, cap)
+    assert(sk.size <= cap)
+    // every value with true count > n/(capacity+1) = 200 must be reported
+    assert(sk.contains("hot"), s"dominant key evicted: $sk")
+    // reported counts never exceed true counts and undercount by <= n/(cap+1)
+    val trueCounts = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    sk.foreach { case (k, c) =>
+      assert(c <= trueCounts(k), s"$k overcounted: $c > ${trueCounts(k)}")
+      assert(c >= trueCounts(k) - n / (cap + 1), s"$k undercounted beyond the bound")
+    }
+  }
+
+  test("null inputs are ignored") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("a"), None).toDF("v")
+    val got = df.agg(Udafs.heavyHitters(col("v"), 4).alias("sk"))
+      .select(explode(col("sk.counts"))).collect()
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L))
+  }
+}

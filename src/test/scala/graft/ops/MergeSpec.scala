@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class MergeSpec extends SparkSpecBase {
+
+  private lazy val target = {
+    import spark.implicits._
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("k", "name", "v")
+  }
+
+  test("upsert: source wins on match, inserts new keys, keeps unmatched target rows") {
+    import spark.implicits._
+    val source = Seq((2L, "B", 200), (5L, "E", 500)).toDF("k", "name", "v")
+    val got = Merge.upsert(target, source, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10), (2L, "B", 200), (3L, "c", 30), (4L, "d", 40), (5L, "E", 500)))
+  }
+
+  test("applyCdc: deletes drop, upserts replace or insert, op column never leaks") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "B", 200, "U"), // update
+      (3L, "c", 0, "D"),   // delete
+      (9L, "I", 900, "U")  // insert
+    ).toDF("k", "name", "v", "op")
+    val got = Merge.applyCdc(target, changes, Seq("k"))
+    assert(!got.columns.contains("op"))
+    assert(got.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 10), (2L, "B", 200), (4L, "d", 40), (9L, "I", 900)))
+  }
+
+  test("upsert on an empty target is the source; empty source is the target") {
+    val empty = target.where(lit(false))
+    import spark.implicits._
+    val source = Seq((7L, "x", 1)).toDF("k", "name", "v")
+    assert(Merge.upsert(empty, source, Seq("k")).count() == 1)
+    assert(Merge.upsert(target, source.where(lit(false)), Seq("k")).count() == 4)
+  }
+}
