@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering: a write-time layout that makes scans
+  * filtering on SEVERAL columns skip data, where a plain sort can only
+  * serve its leading column.
+  *
+  * Interleaving the bits of the (bucketized) dimension values puts rows
+  * that are close in EVERY dimension close on the curve; range-
+  * partitioning + sorting the write by the z-value therefore gives each
+  * parquet file and row group a tight min/max envelope on each original
+  * column, and ordinary pushed-down predicates skip whole files / row
+  * groups via their footer statistics — no index structure, no reader
+  * cooperation beyond standard parquet stats. This is the published
+  * design of Delta/Iceberg's OPTIMIZE ZORDER, re-expressed as a plain
+  * DataFrame write.
+  *
+  * At 100 TB: the one-off clustering write is a single range-shuffle
+  * (sampled boundaries, balanced output files); every subsequent
+  * multi-dimension slice query reads only the files whose z-range
+  * intersects the query box — the difference between scanning 100 TB
+  * and scanning the ~N files a box overlaps. ZOrderSpec measures the
+  * effect on scan metrics.
+  */
+object ZOrder {
+
+  /** Map a numeric column onto [0, 2^bits) bucket ids given its value
+    * range (values outside clamp to the edge buckets; null → null, and
+    * the row sorts wherever the null z lands — harmless for layout).
+    */
+  def bucketize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val top = (1L << bits) - 1
+    val scaled = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top + 1))
+    least(greatest(scaled, lit(0L)), lit(top)).cast("long")
+  }
+
+  /** Interleave the low `bits` bits of each column (already bucketized
+    * to [0, 2^bits)) into one z-value: bit j of column k lands at
+    * position j·d + k. Pure Column arithmetic — codegen'd, no UDF.
+    */
+  def interleave(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 2, "z-ordering needs at least two dimensions")
+    require(d * bits <= 63, s"$d dims x $bits bits overflow a long")
+    val terms = for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + k)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-value of `dims` with per-dimension (lo, hi) ranges. Ranges
+    * come from the caller (a stats pass or domain knowledge) — computing
+    * them inline would force an extra full scan per write.
+    */
+  def zvalue(dims: Seq[(Column, (Double, Double))], bits: Int = 16): Column =
+    interleave(dims.map { case (c, (lo, hi)) => bucketize(c, lo, hi, bits) }, bits)
+
+  /** Cluster a frame for writing: range-partition into `files` output
+    * files by z-value and sort each partition by it, so every file AND
+    * every row group inside covers a tight z-interval (hence a tight
+    * box in the original dimensions). The z column itself is dropped —
+    * the layout, not the value, is the product.
+    */
+  def cluster(df: DataFrame, dims: Seq[(String, (Double, Double))],
+      files: Int, bits: Int = 16): DataFrame = {
+    val z = zvalue(dims.map { case (n, r) => (col(n), r) }, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

@@ -165,6 +165,28 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream inner join within a time bound — the funnel /
+    * attribution shape (purchase joined to the clicks that preceded it by
+    * at most `bound`). Both sides carry watermarks and the join condition
+    * bounds rightTs to [leftTs − bound, leftTs], which is what lets the
+    * engine EVICT buffered rows: a right row older than
+    * watermark + bound can never match a future left row, so state stays
+    * proportional to `bound`'s worth of traffic, not the stream's history
+    * — the only formulation that survives an unbounded stream.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      bound: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+      col(rightTs) <= col(leftTs))
+  }
+
   /** Batch equivalent of [[tumblingCounts]] for oracle comparison. */
   def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
     events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))

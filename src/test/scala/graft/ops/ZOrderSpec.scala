@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class ZOrderSpec extends SparkSpecBase {
+
+  test("interleave places bit j of dim k at position j*d + k") {
+    import spark.implicits._
+    val df = Seq((5L, 3L)).toDF("a", "b") // 101 and 011
+    val got = df.select(ZOrder.interleave(Seq(col("a"), col("b")), 3).alias("z"))
+      .head().getLong(0)
+    // a bits -> positions 0,2,4 ; b bits -> 1,3,5:
+    // a=101: z|= 1<<0, 1<<4 ; b=011: z|= 1<<1, 1<<3  => 0b011011 = 27
+    assert(got == 27L)
+  }
+
+  test("bucketize clamps out-of-range values to edge buckets") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 999.0).toDF("v")
+    val got = df.select(ZOrder.bucketize(col("v"), 0.0, 100.0, 4).alias("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.head == 0L && got.last == 15L)
+    assert(got.forall(b => b >= 0L && b <= 15L))
+  }
+
+  test("z-ordered layout prunes a 2-dim box scan that a linear layout cannot") {
+    // 1M pseudo-uniform points in a 65536^2 grid, written two ways into 32
+    // files each: z-clustered vs round-robin. The SAME pushed-down box
+    // predicate must skip most files/row-groups under the z layout
+    // (min/max envelopes per file are tight boxes) and nearly nothing
+    // under the linear layout (every file spans the full range).
+    val n = 1000000L
+    val df = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(65536L)).alias("x"),
+      pmod(col("id") * 40503L + 7, lit(65536L)).alias("y"))
+    val dims = Seq("x" -> (0.0, 65536.0), "y" -> (0.0, 65536.0))
+    val zdir = tmpDir("zorder")
+    val ldir = tmpDir("linear")
+    ZOrder.cluster(df, dims, files = 32).write.mode("overwrite").parquet(zdir)
+    df.repartition(32).write.mode("overwrite").parquet(ldir)
+
+    def scannedRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir)
+        .where(col("x").between(1000, 7000) && col("y").between(50000, 56000))
+      val kept = q.count()
+      // run a collecting pass to populate scan metrics
+      val q2 = spark.read.parquet(dir)
+        .where(col("x").between(1000, 7000) && col("y").between(50000, 56000))
+      q2.collect()
+      val scan = q2.queryExecution.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    val (zScanned, zKept) = scannedRows(zdir)
+    val (lScanned, lKept) = scannedRows(ldir)
+    assert(zKept == lKept, "layout must not change the answer")
+    assert(zKept > 0, "empty box proves nothing")
+    assert(lScanned > n / 2,
+      s"baseline unexpectedly pruned ($lScanned of $n) - test fixture broken")
+    assert(zScanned < n / 4,
+      s"z-order layout failed to prune: scanned $zScanned of $n rows " +
+        s"(baseline $lScanned)")
+  }
+}

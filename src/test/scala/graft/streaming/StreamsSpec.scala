@@ -70,14 +70,13 @@ class StreamsSpec extends SparkSpecBase {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
-    val c = clicks.toDF().withWatermark("ts", "1 hour")
+    val c = clicks.toDF()
       .select(col("user_id").alias("c_user"), col("ts").alias("c_ts"))
-    val p = purchases.toDF().withWatermark("ts", "1 hour")
+    val p = purchases.toDF()
       .select(col("user_id").alias("p_user"), col("ts").alias("p_ts"), col("value"))
-    val joined = p.join(c,
-      col("p_user") === col("c_user") &&
-      col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES") &&
-      col("c_ts") <= col("p_ts"))
+    val joined = Streams.intervalJoinStreams(p, c,
+      leftKey = "p_user", rightKey = "c_user", leftTs = "p_ts", rightTs = "c_ts",
+      bound = "30 minutes", watermark = "1 hour")
     val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
     clicks.addData(Ev(ts(10), 1, 0.0), Ev(ts(50), 2, 0.0))
     purchases.addData(Ev(ts(20), 1, 9.0), Ev(ts(25), 2, 7.0)) // user2 click is LATER -> no pair
