@@ -69,4 +69,47 @@ object RangeJoin {
         && extra, normalized)
       .drop("__bin")
   }
+
+  /** Multi-dimensional flavor: join points to BOXES — each dim `d` is a
+    * (pointCol, startCol, endCol) triple with its own bin width, and a
+    * pair must satisfy every dim's BETWEEN. The optimizer rule and
+    * [[pointInInterval]] bin one triple and carry the rest as residual
+    * filters, which is right when one dim is selective; when BOTH dims
+    * are wide, the residual still fans out inside each 1-D bin. Binning
+    * every dim makes the equi-key the COMPOUND bin tuple: the interval
+    * side explodes the cross product of its per-dim bin ranges (keep bin
+    * widths near each dim's typical box edge so the product stays small
+    * — a box spanning b_i bins per dim emits Π b_i rows), and a matching
+    * pair meets in exactly the point's bin tuple, so no dedup is needed.
+    * This is the grid-file spatial-join construction; same idea that
+    * backs geohash/S2 bucketing of lat-lon joins.
+    */
+  def pointInBox(
+      points: DataFrame,
+      boxes: DataFrame,
+      dims: Seq[(String, String, String)],
+      binWidths: Seq[Long],
+      joinType: String = "inner"): DataFrame = {
+    require(dims.nonEmpty && dims.size == binWidths.size,
+      s"need one bin width per dim: ${dims.size} dims, ${binWidths.size} widths")
+    require(binWidths.forall(_ > 0), s"bin widths must be positive: $binWidths")
+    val normalized = joinType.toLowerCase(java.util.Locale.ROOT).replace("outer", "").stripSuffix("_")
+    require(Set("inner", "left", "left_semi", "left_anti").contains(normalized),
+      s"unsupported joinType '$joinType': the exploded box side must stay the inner side")
+    val binCols = dims.indices.map(i => s"__bin$i")
+    val p = dims.zip(binWidths).zip(binCols).foldLeft(points) {
+      case (df, (((pc, _, _), w), bc)) =>
+        df.withColumn(bc, floor(col(pc) / w).cast("long"))
+    }
+    val b = dims.zip(binWidths).zip(binCols).foldLeft(
+      boxes.where(dims.map { case (_, sc, ec) => col(ec) >= col(sc) }.reduce(_ && _))) {
+      case (df, (((_, sc, ec), w), bc)) =>
+        df.withColumn(bc,
+          explode(sequence(floor(col(sc) / w).cast("long"), floor(col(ec) / w).cast("long"))))
+    }
+    val cond = (binCols.map(bc => p(bc) === b(bc)) ++
+      dims.map { case (pc, sc, ec) => col(pc) >= col(sc) && col(pc) <= col(ec) })
+      .reduce(_ && _)
+    p.join(b, cond, normalized).drop(binCols: _*)
+  }
 }

@@ -422,6 +422,44 @@ class OpsSpec extends SparkSpecBase {
     assert(!want.exists(_._1 == 4L))
   }
 
+  test("2-D binned box join equals the naive cross-join filter and stays an equi-join") {
+    // points on a grid vs boxes with varying aspect ratios (incl. empty and
+    // out-of-range boxes); both dims negative-capable to exercise floor
+    val points = (for { x <- -10L to 40L by 3L; y <- -10L to 40L by 4L } yield (x, y))
+      .toDF("px", "py")
+    val boxes = Seq(
+      (1L, -12L, -2L, -12L, -2L),   // fully negative box
+      (2L, 0L, 0L, 0L, 0L),         // degenerate point box
+      (3L, 3L, 30L, 5L, 9L),        // wide in x, thin in y
+      (4L, 10L, 5L, 0L, 40L),       // x end < start: matches nothing
+      (5L, 6L, 12L, 6L, 12L),       // boundary inclusivity both dims
+      (6L, 200L, 300L, 0L, 10L)     // off-grid
+    ).toDF("box_id", "x0", "x1", "y0", "y1")
+    val got = graft.ops.RangeJoin.pointInBox(points, boxes,
+        dims = Seq(("px", "x0", "x1"), ("py", "y0", "y1")),
+        binWidths = Seq(7L, 5L))
+    val want = points.crossJoin(boxes)
+      .where(col("px").between(col("x0"), col("x1")) &&
+        col("py").between(col("y0"), col("y1")))
+    assert(got.select("box_id", "px", "py").as[(Long, Long, Long)].collect().toSet ==
+      want.select("box_id", "px", "py").as[(Long, Long, Long)].collect().toSet)
+    assert(want.count() > 0 && got.count() == got.dropDuplicates().count(),
+      "box join must not duplicate pairs")
+    val exec = got.queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"), exec)
+  }
+
+  test("2-D box join left-outer keeps every point exactly once when unmatched") {
+    val points = Seq((0L, 0L), (100L, 100L)).toDF("px", "py") // second matches nothing
+    val boxes = Seq((1L, -1L, 1L, -1L, 1L)).toDF("box_id", "x0", "x1", "y0", "y1")
+    val got = graft.ops.RangeJoin.pointInBox(points, boxes,
+        dims = Seq(("px", "x0", "x1"), ("py", "y0", "y1")),
+        binWidths = Seq(4L, 4L), joinType = "left")
+      .select("px", "box_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (100L, -1L)))
+  }
+
   test("binned range join honors the extra predicate") {
     val points = Seq((1L, 5L), (2L, 5L)).toDF("grp", "p")
     val intervals = Seq((1L, 0L, 10L)).toDF("iv_grp", "s", "e")
