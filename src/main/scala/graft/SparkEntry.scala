@@ -221,6 +221,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_bloom_join" -> ((s, dir) => {
+      // Bloom semi-join reduction: only ~0.1% of orders qualify, so the
+      // prefilter drops ~99.9% of lineitem at the scan and the shuffle
+      // carries just the surviving rows (+ fpp leakage, which the real
+      // join then removes — result exact, oracle is the plain join).
+      val dim = T(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      graft.ops.Bloom.prefilteredJoin(fact, dim, "l_orderkey", "o_orderkey",
+          expectedItems = 100000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"), sum(col("l_quantity")).alias("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_join_range" -> ((s, dir) =>
       T(s, dir, "lineitem").join(T(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey") &&
@@ -1171,6 +1187,13 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(l_quantity) AS DOUBLE) AS sum_l_quantity
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 1000 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_range" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue

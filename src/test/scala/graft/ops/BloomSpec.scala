@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class BloomSpec extends SparkSpecBase {
+
+  test("prefilter keeps every joining row and drops almost all others") {
+    import spark.implicits._
+    val fact = spark.range(100000).select(col("id"), (col("id") % 997).alias("payload"))
+    val dim = spark.range(200).select((col("id") * 500).alias("k")) // 200 of 100k keys
+    val kept = Bloom.prefilter(fact, dim, "id", "k", expectedItems = 1000, fpp = 0.01)
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    val trueKeys = dim.select("k").as[Long].collect().toSet
+    assert(trueKeys.subsetOf(keptIds), "a joining row was dropped - bloom must have no false negatives")
+    // 1% fpp over ~99.8k non-keys => ~1k leaks; allow 3x slack
+    assert(keptIds.size < 200 + 3000, s"filter leaked too much: ${keptIds.size}")
+  }
+
+  test("prefilteredJoin equals the plain join, string keys included") {
+    import spark.implicits._
+    val fact = (0 until 5000).map(i => (s"u${i % 700}", i)).toDF("user", "v")
+    val dim = (0 until 30).map(i => (s"u${i * 20}", s"seg$i")).toDF("duser", "seg")
+    val got = Bloom.prefilteredJoin(fact, dim, "user", "duser", expectedItems = 100)
+      .select("user", "v", "seg")
+    val want = fact.join(dim, col("user") === col("duser")).select("user", "v", "seg")
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    assert(want.count() > 0)
+  }
+
+  test("null fact keys never pass the filter") {
+    import spark.implicits._
+    val fact = Seq(Some(1L), None, Some(2L)).toDF("id")
+    val dim = Seq(1L).toDF("k")
+    val kept = Bloom.prefilter(fact, dim, "id", "k", expectedItems = 10)
+      .select("id").collect()
+    assert(kept.forall(!_.isNullAt(0)))
+  }
+}
