@@ -41,13 +41,15 @@ object Bench {
     // The harness also parses a 2000-char stdout TAIL (rounds 1-3 all came
     // back "parsed": null because the verbose line overflowed it). Budget:
     // 2000 − ~64 for sbt's trailing "[success] Total time" line → the JSON
-    // line must stay under ~1930 chars. Compact form: centisecond values,
-    // query names without the uniform "q_" prefix, numeric sf — ~1790 chars
-    // at 89 queries, leaving headroom for more queries.
+    // line must stay under ~1930 chars. Compact form: deci-second values
+    // (full precision lives in bench_out.json), query names without the
+    // uniform "q_" prefix, numeric sf — ~1815 chars at 96 queries, with
+    // headroom for more.
+    def fmt1(v: Double) = f"$v%.1f"
     val sfNum = raw".*?sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(_.toDoubleOption.isDefined).getOrElse("\"" + sfDir + "\"")
     val qs = results.map { case (k, v) =>
-      s"\"" + k.stripPrefix("q_") + "\":" + fmt2(v)
+      s"\"" + k.stripPrefix("q_") + "\":" + fmt1(v)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
   }
