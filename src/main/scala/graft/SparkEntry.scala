@@ -1086,6 +1086,21 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).alias("fp"))
         .orderBy(col("doc_id"))),
 
+    "q_text_clean" -> ((s, dir) => {
+      // web-crawl cleanup: wrap each doc in markup + entities + PII (so
+      // the transforms have something real to chew on), then strip tags,
+      // decode entities, collapse whitespace, redact emails/phones —
+      // all regexp/replace chains inside whole-stage codegen, replayed
+      // byte-for-byte by the DuckDB oracle (RE2-safe patterns only)
+      val raw = concat(lit("<p class=\"doc\">"), col("text"),
+        lit("</p> <a href=\"http://x\">link</a> &amp;co, " +
+          "contact bob@example.com or +1 555 123 4567"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(TextAnalysis.stripHtml(raw)).alias("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_docs_join" -> ((s, dir) =>
       T(s, dir, "documents").join(T(s, dir, "embeddings"),
           col("doc_id") === col("vec_id"))
@@ -1979,6 +1994,27 @@ object SparkEntry {
         |      c -> CAST(ord(c) AS BIGINT)),
         |    (a, c) -> (a * 257 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<p class="doc">' || text ||
+        |    '</p> <a href="http://x">link</a> &amp;co, contact bob@example.com or +1 555 123 4567'
+        |    AS t
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(t, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS t
+        |  FROM raw)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM stripped ORDER BY doc_id""".stripMargin,
 
     "q_docs_join" ->
       """SELECT lang, count(*) AS n,

@@ -169,6 +169,31 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("start") + 1, lit(chunkSize)), " ").alias("chunk"))
   }
 
+  /** Strip markup: drop tags, decode the common entities (&amp; LAST, or
+    * double-encoded text like &amp;lt; would double-decode), collapse
+    * whitespace. A regexp/replace chain — codegen'd, no UDF; the web-crawl
+    * cleanup step that precedes every quality/dedup stage.
+    */
+  def stripHtml(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Replace email addresses and phone-number-shaped digit runs with
+    * placeholder tokens. Patterns stay inside RE2's subset (no
+    * backreferences/lookahead) so an external engine — and the DuckDB
+    * oracle — reproduces the output byte-for-byte.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

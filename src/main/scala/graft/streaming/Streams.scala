@@ -165,6 +165,44 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming UPSERT ingestion: each micro-batch MERGEs into the managed
+    * table instead of appending — the streaming face of `Merge.upsert`
+    * for at-least-once sources that re-deliver corrected records (the
+    * reference's users get this by re-running a BigQuery MERGE after each
+    * load). Within a batch the last-read row per key wins
+    * (`dropDuplicates` on the keys); across batches the newest batch
+    * wins. The rewrite goes through `TableStore.replace`'s staged swap,
+    * so a crash mid-batch leaves the previous table intact and the
+    * checkpoint replays the batch.
+    *
+    * Scale note: each micro-batch costs one key-shuffle anti-join over
+    * (table ∪ batch) — fine for the compact dimension/state tables
+    * upserts are for; high-volume append-only facts should stay on
+    * [[ingestNdjsonStream]].
+    */
+  def upsertNdjsonStream(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      store: graft.engine.TableStore,
+      table: String,
+      keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 32)
+      .json(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val deduped = batch.dropDuplicates(keys)
+        if (!store.exists(table)) store.write(table, deduped, append = false)
+        else store.replace(table,
+          graft.ops.Merge.upsert(store.read(table), deduped, keys))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join within a time bound — the funnel /
     * attribution shape (purchase joined to the clicks that preceded it by
     * at most `bound`). Both sides carry watermarks and the join condition

@@ -138,6 +138,28 @@ class StreamsSpec extends SparkSpecBase {
     assert(t.where(col("score").isNull).count() == 1) // old row null-filled
   }
 
+  test("streaming upsert merges each micro-batch into the table") {
+    import graft.engine.TableStore
+    val src = java.nio.file.Files.createTempDirectory("ups-src")
+    val store = new TableStore(spark, tmpDir("ups-wh"))
+    val ckpt = tmpDir("ups-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING")
+    // first batch also carries an in-batch duplicate key: one survivor
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      "{\"id\": 1, \"name\": \"x\"}\n{\"id\": 2, \"name\": \"y\"}\n{\"id\": 2, \"name\": \"y\"}\n")
+    Streams.upsertNdjsonStream(spark, src.toString, schema, store, "ups_t", Seq("id"), ckpt)
+      .awaitTermination()
+    assert(store.read("ups_t").count() == 2)
+    // second batch: id=2 corrected, id=3 new; table upserts instead of appending
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      "{\"id\": 2, \"name\": \"Y2\"}\n{\"id\": 3, \"name\": \"z\"}\n")
+    Streams.upsertNdjsonStream(spark, src.toString, schema, store, "ups_t", Seq("id"), ckpt)
+      .awaitTermination()
+    val t = store.read("ups_t")
+    assert(t.count() == 3)
+    assert(t.orderBy("id").select("name").as[String].collect().toSeq == Seq("x", "Y2", "z"))
+  }
+
   test("session windows split on gap; high-water mark state updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
