@@ -802,6 +802,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // materialized-view refresh: per-key agg state of the history slice
+      // merged with the new slice's state — algebraic combine, O(delta)
+      // per refresh, provably equal to the full recompute (the oracle IS
+      // the full recompute)
+      val ev = EV(s, dir)
+      val hist = graft.ops.Incremental.aggState(
+        ev.where(col("event_id") < 5000), Seq("event_type"), "value")
+      val delta = graft.ops.Incremental.aggState(
+        ev.where(col("event_id") >= 5000), Seq("event_type"), "value")
+      graft.ops.Incremental.mergeAggState(hist, delta, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          Rounding.roundAway(col("sum"), 4).alias("sum_value"),
+          col("min").alias("min_value"), col("max").alias("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       // MERGE (upsert) as a frame operator: the stale base misses every
       // 7th order; the delta re-prices every 3rd. Source wins on match,
@@ -1616,6 +1633,12 @@ object SparkEntry {
         |FROM events
         |WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 5000)
         |ORDER BY event_id""".stripMargin,
+
+    "q_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregates: the materialized-view pattern on
+  * top of the reference's high-water-mark loop (find_last_entry +
+  * chunk_date_range, popelines/main.py:208-234). Instead of re-scanning
+  * all history per load, keep per-key ALGEBRAIC state (count/sum/min/max
+  * merge associatively) and fold each delta in: cost per refresh is
+  * O(delta + |state|), independent of history length — the only refresh
+  * shape that survives years of 100 TB accumulation.
+  *
+  * Averages derive as sum/n at read time; non-algebraic aggregates
+  * (median, distinct) need sketches instead — approx_percentile and HLL
+  * buffers also merge, but through their own binary state, not this
+  * four-column form.
+  */
+object Incremental {
+
+  /** Per-key (n, sum, min, max) state of a frame slice. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).alias("n"),
+      sum(col(valueCol)).alias("sum"),
+      min(col(valueCol)).alias("min"),
+      max(col(valueCol)).alias("max"))
+
+  /** Merge two states: exact for any interleaving (the merge is the
+    * aggregates' own combine step), so state ∘ delta ≡ recompute.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(
+        sum(col("n")).alias("n"),
+        sum(col("sum")).alias("sum"),
+        min(col("min")).alias("min"),
+        max(col("max")).alias("max"))
+}

@@ -422,6 +422,22 @@ class OpsSpec extends SparkSpecBase {
     assert(!want.exists(_._1 == 4L))
   }
 
+  test("incremental agg-state merge equals the full recompute for any split point") {
+    import spark.implicits._
+    val data = (0 until 3000).map(i => (s"k${i % 7}", (i * 31 % 113) - 50.0, i))
+      .toDF("k", "v", "seq")
+    val full = Incremental.aggState(data, Seq("k"), "v")
+    for (split <- Seq(0, 1, 1500, 2999, 3000)) {
+      val merged = Incremental.mergeAggState(
+        Incremental.aggState(data.where(col("seq") < split), Seq("k"), "v"),
+        Incremental.aggState(data.where(col("seq") >= split), Seq("k"), "v"),
+        Seq("k"))
+      val wantRows = full.orderBy("k").collect().map(_.toSeq).toSeq
+      val gotRows = merged.orderBy("k").collect().map(_.toSeq).toSeq
+      assert(gotRows == wantRows, s"split at $split diverged")
+    }
+  }
+
   test("2-D binned box join equals the naive cross-join filter and stays an equi-join") {
     // points on a grid vs boxes with varying aspect ratios (incl. empty and
     // out-of-range boxes); both dims negative-capable to exercise floor
