@@ -60,8 +60,10 @@ import org.apache.spark.sql.types._
   * Pick `w` near the typical interval width: too small explodes the
   * interval side (an interval becomes width/w rows), too large degrades
   * toward all-pairs within a bin. AQE's skew-join split handles hot bins.
-  * When a condition bounds several expressions, only the first detected
-  * (point, lo, hi) triple is binned; the remaining range predicates ride
+  * When a condition bounds several expressions, up to TWO triples with
+  * the same point side are binned (a 2-D box join on a compound bin
+  * key — both with the same `w`; per-dim widths live in
+  * `graft.ops.RangeJoin.pointInBox`); any further range predicates ride
   * along as residual conjuncts.
   */
 object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -146,7 +148,18 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if fromOneSide(p1, pSide) && fromOneSide(lo0, bSide) && fromOneSide(hi0, bSide)
     } yield (p1, lo0, hi0, pSide eq j.left)
     if (candidates.isEmpty) return None
-    val (p, lo, hi, pointIsLeft) = candidates.head
+    // Bin up to TWO triples (a 2-D box join): the second must share the
+    // first's point side (both explodes must land on the same inner side)
+    // and bound a DIFFERENT point expression. More dims compound the
+    // interval-side explosion (Π bins-per-dim rows per interval) for
+    // rapidly diminishing selectivity — beyond 2, the remaining range
+    // predicates ride along as residual conjuncts, and per-dim bin widths
+    // need the ops API (`RangeJoin.pointInBox`); the conf's single width
+    // applies to every binned dim here.
+    val first = candidates.head
+    val pointIsLeft = first._4
+    val chosen = first +: candidates.find(c =>
+      c._4 == pointIsLeft && !c._1.semanticEquals(first._1)).toSeq
 
     def bin(e: Expression): Expression = {
       val d = e.dataType match {
@@ -163,26 +176,37 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val (pointPlan, intervalPlan) =
       if (pointIsLeft) (j.left, j.right) else (j.right, j.left)
 
-    val pointBin = Alias(bin(p), "__graft_bin")()
-    val pointSide = Project(pointPlan.output :+ pointBin, pointPlan)
+    val pointBins = chosen.zipWithIndex.map { case ((p, _, _, _), i) =>
+      Alias(bin(p), s"__graft_bin$i")()
+    }
+    val pointSide = Project(pointPlan.output ++ pointBins, pointPlan)
 
     // sequence() throws on start > end; such intervals match nothing anyway.
-    val intervalFiltered =
-      Filter(LessThanOrEqual(bin(lo), bin(hi)), intervalPlan)
-    val intervalBin =
-      AttributeReference("__graft_bin", LongType, nullable = true)()
-    // the timezone must be set HERE: Sequence is TimeZoneAwareExpression and
-    // reports unresolved without one, and inside the optimizer (extensions
-    // route) no re-analysis runs to fill it — the plan-integrity check
-    // would fail the whole batch
-    val binSeq = new Sequence(bin(lo), bin(hi))
-      .withTimeZone(conf.sessionLocalTimeZone).asInstanceOf[Sequence]
-    val intervalSide = Generate(
-      Explode(binSeq),
-      unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(intervalBin), child = intervalFiltered)
+    val intervalFiltered = Filter(
+      chosen.map { case (_, lo, hi, _) => LessThanOrEqual(bin(lo), bin(hi)) }
+        .reduce[Expression](And), intervalPlan)
+    // one Generate per dim, chained: the interval explodes into the cross
+    // product of its per-dim bin ranges, and a matching pair meets in
+    // exactly the point's bin tuple — no dedup needed
+    var intervalSide: LogicalPlan = intervalFiltered
+    val intervalBins = chosen.zipWithIndex.map { case ((_, lo, hi, _), i) =>
+      val attr = AttributeReference(s"__graft_bin$i", LongType, nullable = true)()
+      // the timezone must be set HERE: Sequence is TimeZoneAwareExpression
+      // and reports unresolved without one, and inside the optimizer
+      // (extensions route) no re-analysis runs to fill it — the
+      // plan-integrity check would fail the whole batch
+      val binSeq = new Sequence(bin(lo), bin(hi))
+        .withTimeZone(conf.sessionLocalTimeZone).asInstanceOf[Sequence]
+      intervalSide = Generate(
+        Explode(binSeq),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(attr), child = intervalSide)
+      attr
+    }
 
-    val newCond = And(EqualTo(pointBin.toAttribute, intervalBin), j.condition.get)
+    val newCond = (pointBins.zip(intervalBins).map { case (pb, ib) =>
+      EqualTo(pb.toAttribute, ib): Expression
+    } :+ j.condition.get).reduce(And)
     // join type is preserved: pointSideAllowed guaranteed the exploded
     // interval side is the inner side for every non-inner type
     val joined =

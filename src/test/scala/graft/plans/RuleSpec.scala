@@ -191,6 +191,28 @@ class RuleSpec extends SparkSpecBase {
     assert(BinnedRangeJoinRule(plan) eq plan)
   }
 
+  test("a 2-D box condition bins BOTH triples into a compound equi-key") {
+    import spark.implicits._
+    val pts = (for { x <- 0 until 60; y <- 0 until 10 } yield (x.toLong * 10 + y, x * 5 - 30, y * 11 - 20))
+      .toDF("pid", "px", "py")
+    val boxes = (0 until 25).map { i =>
+      (i.toLong, i * 9 - 40, i * 9 - 40 + (i % 7) * 6, i * 4 - 25, i * 4 - 25 + (i % 5) * 8)
+    }.toDF("bid", "x0", "x1", "y0", "y1")
+    val naive = pts.join(boxes,
+      col("px") >= col("x0") && col("px") <= col("x1") &&
+      col("py") >= col("y0") && col("py") <= col("y1"))
+    withBinWidth("12") {
+      val rewritten = rewriteOf(naive)
+      val generates = rewritten.collect { case g: Generate => g }
+      assert(generates.size == 2, s"expected both dims binned:\n$rewritten")
+      val got = Bridge.ofRows(spark, rewritten)
+      assert(sortedRows(got) == sortedRows(naive))
+      assert(got.count() > 0, "empty box join proves nothing")
+      val exec = got.queryExecution.executedPlan.toString
+      assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"), exec)
+    }
+  }
+
   test("rewrite converges: applying the rule to its own output is a no-op") {
     val naive = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
     withBinWidth("16") {
