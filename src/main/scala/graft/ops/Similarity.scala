@@ -157,6 +157,11 @@ object Similarity {
     val vecs = df.select(col(vecCol).cast("array<double>").alias("v"))
       .where(col("v").isNotNull)
     var centroids: IndexedSeq[IndexedSeq[Double]] = vecs
+      // DISTINCT init points: on concentrated distributions (e.g. PQ
+      // subspaces with few modes) duplicate seeds collapse into identical
+      // centroids that Lloyd can never separate, leaving real modes
+      // unrepresented
+      .dropDuplicates("v")
       .select(col("v"), md5(to_json(col("v"))).alias("h"))
       .orderBy(col("h")).limit(k)
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class QuantizationSpec extends SparkSpecBase {
+
+  // 240 vectors of dim 16: each of 4 subspaces picks one of 4 well-separated
+  // base patterns (deterministic mix), plus small deterministic jitter — the
+  // regime PQ is built for (subspace distributions concentrated on a few
+  // modes). Every number derives from the row index: reruns are identical.
+  private lazy val vectors: Seq[(Long, Seq[Double])] = (0 until 240).map { i =>
+    val v = (0 until 16).map { d =>
+      val subspace = d / 4
+      val pattern = (i / math.pow(2, subspace).toInt) % 4
+      pattern * 10.0 + (i * 31 + d * 7) % 5 * 0.1
+    }
+    (i.toLong, v)
+  }
+
+  private lazy val df = {
+    import spark.implicits._
+    vectors.toDF("vec_id", "vec")
+  }
+
+  test("codebooks have m books of k codewords over dim/m slices") {
+    val books = Quantization.trainPqCodebooks(df, "vec", m = 4, k = 4, iters = 4)
+    assert(books.size == 4)
+    assert(books.forall(_.size == 4))
+    assert(books.flatten.forall(_.size == 4))
+  }
+
+  test("codes are m indices within the codebook range") {
+    val books = Quantization.trainPqCodebooks(df, "vec", m = 4, k = 4, iters = 4)
+    val codes = df.select(Quantization.pqEncode(books)(col("vec")).alias("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    // the fixture has 4^? distinct subpattern combos -> codes must actually vary
+    assert(codes.map(_.toSeq).distinct.size > 10)
+  }
+
+  test("ADC top-k recalls most of the exact L2 top-k on clustered data") {
+    import spark.implicits._
+    val query = vectors(17)._2
+    val got = Quantization.pqTopK(df, "vec", "vec_id", query, k = 10,
+        m = 4, codebookSize = 4, iters = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = df.select(col("vec_id"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = got.intersect(exact).size / 10.0
+    assert(recall >= 0.6, s"PQ recall too low: $recall (got $got vs $exact)")
+    assert(got.contains(17L), "the query's own vector must rank in its top-k")
+  }
+
+  test("ADC distance is exact when vectors sit on their codewords") {
+    // jitter-free vectors: every subvector IS a pattern, so with k=4 the
+    // codebooks can represent the data losslessly and ADC == true distance
+    import spark.implicits._
+    val pure = (0 until 64).map { i =>
+      val v = (0 until 16).map { d =>
+        val pattern = (i / math.pow(2, d / 4).toInt) % 4
+        pattern * 10.0
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "vec")
+    val books = Quantization.trainPqCodebooks(pure, "vec", m = 4, k = 4, iters = 8)
+    val query = (0 until 16).map(d => ((d / 4) % 4) * 10.0)
+    val adc = Quantization.adcDistance(books, query)
+    val got = pure.select(col("vec_id"),
+        adc(Quantization.pqEncode(books)(col("vec"))).alias("approx"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("exact"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"vec ${r.getLong(0)}: adc ${r.getDouble(1)} != exact ${r.getDouble(2)}")
+    }
+  }
+}
