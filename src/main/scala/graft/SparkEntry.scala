@@ -819,6 +819,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_incremental_distinct" -> ((s, dir) => {
+      // incremental DISTINCT uniques via mergeable HLL sketch state —
+      // union of sketches ≡ sketch of union, so the merged estimate has
+      // full-recompute accuracy at O(delta) refresh cost. Oracle pattern
+      // as q_approx_distinct: exact count + a boolean the sketch must keep
+      // true.
+      val ev = EV(s, dir)
+      val hist = graft.ops.Incremental.distinctState(
+        ev.where(col("event_id") < 5000), Seq("event_type"), "user_id")
+      val delta = graft.ops.Incremental.distinctState(
+        ev.where(col("event_id") >= 5000), Seq("event_type"), "user_id")
+      val merged = graft.ops.Incremental.distinctEstimate(
+        graft.ops.Incremental.mergeDistinctState(hist, delta, Seq("event_type")))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).alias("exact_nd"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) <=
+            col("exact_nd") * lit(0.1)).alias("approx_within_10pct"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       // MERGE (upsert) as a frame operator: the stale base misses every
       // 7th order; the delta re-prices every 3rd. Source wins on match,
@@ -1638,6 +1660,11 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 4) AS sum_value,
         |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_incremental_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_nd,
+        |  true AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_merge_upsert" ->

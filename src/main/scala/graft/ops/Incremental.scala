@@ -36,4 +36,25 @@ object Incremental {
         sum(col("sum")).alias("sum"),
         min(col("min")).alias("min"),
         max(col("max")).alias("max"))
+
+  /** DISTINCT-count state: per-key Apache DataSketches HLL buffers
+    * (`hll_sketch_agg`). A distinct count is NOT algebraic — keeping it
+    * incremental requires sketch state. HLL union preserves the sketch's
+    * error bounds (the union operator may switch the internal
+    * representation, so estimates can differ from the one-shot sketch by
+    * a fraction of a percent, but never beyond the configured accuracy),
+    * so the daily-uniques table refreshes in O(delta) with
+    * full-recompute accuracy.
+    */
+  def distinctState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).alias("hll"))
+
+  def mergeDistinctState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).alias("hll"))
+
+  def distinctEstimate(state: DataFrame): DataFrame =
+    state.withColumn("approx_nd", hll_sketch_estimate(col("hll")))
 }

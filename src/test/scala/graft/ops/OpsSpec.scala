@@ -438,6 +438,31 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("HLL distinct-state merge estimates exactly like the one-shot sketch") {
+    import spark.implicits._
+    val data = (0 until 4000).map(i => (s"k${i % 3}", s"u${i * 17 % 800}", i)).toDF("k", "u", "seq")
+    val oneShot = Incremental.distinctEstimate(
+      Incremental.distinctState(data, Seq("k"), "u"))
+      .select("k", "approx_nd").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Incremental.distinctEstimate(
+      Incremental.mergeDistinctState(
+        Incremental.distinctState(data.where(col("seq") < 1700), Seq("k"), "u"),
+        Incremental.distinctState(data.where(col("seq") >= 1700), Seq("k"), "u"),
+        Seq("k")))
+      .select("k", "approx_nd").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the union operator may switch the sketch's internal representation,
+    // so merged estimates can differ from the one-shot sketch by a hair —
+    // but both must stay within the sketch's error envelope of the truth
+    val exact = data.groupBy("k").agg(countDistinct(col("u")).alias("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (k <- exact.keys) {
+      assert(math.abs(merged(k) - oneShot(k)).toDouble / exact(k) < 0.02,
+        s"$k: merged ${merged(k)} vs one-shot ${oneShot(k)}")
+      assert(math.abs(merged(k) - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: merged ${merged(k)} vs exact ${exact(k)}")
+    }
+  }
+
   test("2-D binned box join equals the naive cross-join filter and stays an equi-join") {
     // points on a grid vs boxes with varying aspect ratios (incl. empty and
     // out-of-range boxes); both dims negative-capable to exercise floor
