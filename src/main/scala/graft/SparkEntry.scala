@@ -819,6 +819,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_zorder_value" -> ((s, dir) =>
+      // the z-value (Morton) computation under cross-engine oracle: both
+      // sides bucketize two dims to 16 bits and interleave — bit j of dim
+      // k at position j*2+k. The write-side layout (ZOrder.cluster) is
+      // spec-verified by scan-pruning measurements; this locks the curve
+      // arithmetic itself byte-for-byte.
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.ops.ZOrder.zvalue(Seq(
+            col("o_totalprice") -> (0.0, 600000.0),
+            col("o_orderkey").cast("double") -> (0.0, 6000000.0)), bits = 16)
+            .alias("z"))
+        .orderBy(col("o_orderkey"))),
+
     "q_incremental_distinct" -> ((s, dir) => {
       // incremental DISTINCT uniques via mergeable HLL sketch state —
       // union of sketches ≡ sketch of union, so the merged estimate has
@@ -1661,6 +1675,20 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_zorder_value" -> {
+      // generated bit-interleave: z = Σ ((b_dim >> j) & 1) << (j*2 + dim)
+      val terms = (0 until 16).flatMap(j => Seq(
+        s"((((bx >> $j) & 1)::BIGINT) << ${j * 2})",
+        s"((((by >> $j) & 1)::BIGINT) << ${j * 2 + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    CAST(least(greatest(floor((o_totalprice - 0.0) / 600000.0 * 65536), 0), 65535) AS BIGINT) AS bx,
+         |    CAST(least(greatest(floor((CAST(o_orderkey AS DOUBLE) - 0.0) / 6000000.0 * 65536), 0), 65535) AS BIGINT) AS by
+         |  FROM orders)
+         |SELECT o_orderkey, $terms AS z
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    },
 
     "q_incremental_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_nd,
