@@ -51,8 +51,18 @@ object Udafs {
   }
 
   /** Mergeable frequency sketch (wrapped in a case class so the buffer
-    * and output ride Spark's product encoder). */
-  case class FreqSketch(counts: Map[String, Long])
+    * and output ride Spark's product encoder). `pending`/`pendingN` are
+    * an ingest buffer: folding one element into the immutable counts map
+    * copies O(capacity) entries, so rows batch in an O(1)-prepend list
+    * and flush through a mutable map every `HeavyHitters.FlushEvery`
+    * rows — amortized O(1) per row, and the MG guarantee is
+    * order-independent so batching never changes what the sketch
+    * promises. Flushed (pending empty) in every merge/finish output.
+    */
+  case class FreqSketch(
+      counts: Map[String, Long],
+      pending: Seq[String] = Nil,
+      pendingN: Int = 0)
 
   /** Misra–Gries heavy hitters: the top frequent values of a column in
     * ONE pass with a bounded `capacity`-entry summary — no groupBy of the
@@ -69,20 +79,40 @@ object Udafs {
     */
   class HeavyHitters(capacity: Int) extends Aggregator[String, FreqSketch, FreqSketch] {
     require(capacity > 0)
+
     override def zero: FreqSketch = FreqSketch(Map.empty)
+
     override def reduce(b: FreqSketch, a: String): FreqSketch = {
-      if (a == null) return b
-      val m = b.counts
-      m.get(a) match {
-        case Some(c) => FreqSketch(m.updated(a, c + 1L))
-        case None if m.size < capacity => FreqSketch(m.updated(a, 1L))
-        case None =>
-          // decrement-all step: drops entries reaching zero
-          FreqSketch(m.collect { case (k, v) if v > 1L => k -> (v - 1L) })
-      }
+      if (a == null) b
+      else if (b.pendingN + 1 < HeavyHitters.FlushEvery)
+        FreqSketch(b.counts, a +: b.pending, b.pendingN + 1)
+      else flushed(b.counts, a +: b.pending)
     }
+
+    /** Fold pending elements into the counts through ONE mutable map —
+      * the per-row MG semantics (increment / open / decrement-all),
+      * without a persistent-map copy per element.
+      */
+    private def flushed(counts: Map[String, Long], pending: Seq[String]): FreqSketch = {
+      if (pending.isEmpty) return FreqSketch(counts)
+      val m = scala.collection.mutable.HashMap.from(counts)
+      // pending is a prepend list: iterate in arrival order for determinism
+      pending.reverseIterator.foreach { a =>
+        m.get(a) match {
+          case Some(c) => m.update(a, c + 1L)
+          case None if m.size < capacity => m.update(a, 1L)
+          case None =>
+            // decrement-all step: drops entries reaching zero
+            m.filterInPlace((_, v) => v > 1L).mapValuesInPlace((_, v) => v - 1L)
+        }
+      }
+      FreqSketch(m.toMap)
+    }
+
     override def merge(x: FreqSketch, y: FreqSketch): FreqSketch = {
-      val combined = y.counts.foldLeft(x.counts) { case (m, (k, v)) =>
+      val xc = flushed(x.counts, x.pending).counts
+      val yc = flushed(y.counts, y.pending).counts
+      val combined = yc.foldLeft(xc) { case (m, (k, v)) =>
         m.updated(k, m.getOrElse(k, 0L) + v)
       }
       if (combined.size <= capacity) FreqSketch(combined)
@@ -93,9 +123,16 @@ object Udafs {
         FreqSketch(combined.collect { case (k, v) if v > cut => k -> (v - cut) })
       }
     }
-    override def finish(r: FreqSketch): FreqSketch = r
+
+    override def finish(r: FreqSketch): FreqSketch = flushed(r.counts, r.pending)
+
     override def bufferEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
     override def outputEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
+  }
+
+  object HeavyHitters {
+    /** Rows buffered before folding into the counts map. */
+    val FlushEvery = 256
   }
 
   /** Column form: heavyHitters(col, capacity) → struct(counts: map). */
