@@ -49,27 +49,31 @@ object Quantization {
   def pqEncode(codebooks: Seq[Seq[Seq[Double]]]): Column => Column = {
     val books = codebooks.map(_.map(_.toArray).toArray).toArray
     val f = udf { v: Seq[Double] =>
-      val m = books.length
-      val sub = books(0)(0).length
-      val codes = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        val book = books(j)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < book.length) {
-          var d = 0.0; var i = 0
-          val cw = book(c)
-          while (i < sub) {
-            val diff = v(j * sub + i) - cw(i); d += diff * diff; i += 1
+      // Spark hands reference-typed UDFs the raw null — guard, don't NPE
+      if (v == null) null
+      else {
+        val m = books.length
+        val sub = books(0)(0).length
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          val book = books(j)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var d = 0.0; var i = 0
+            val cw = book(c)
+            while (i < sub) {
+              val diff = v(j * sub + i) - cw(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
           }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+          codes(j) = best
+          j += 1
         }
-        codes(j) = best
-        j += 1
+        codes
       }
-      codes
     }
     (c: Column) => f(c)
   }
@@ -90,9 +94,12 @@ object Quantization {
       }.toArray
     }
     val f = udf { codes: Seq[Int] =>
-      var d = 0.0; var j = 0
-      while (j < m) { d += table(j)(codes(j)); j += 1 }
-      d
+      if (codes == null) None
+      else {
+        var d = 0.0; var j = 0
+        while (j < m) { d += table(j)(codes(j)); j += 1 }
+        Some(d)
+      }
     }
     (c: Column) => f(c)
   }

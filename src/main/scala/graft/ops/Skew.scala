@@ -28,6 +28,13 @@ object Skew {
       joinType: String = "inner",
       joinHint: Option[String] = None): DataFrame = {
     require(factor > 0)
+    // only join types whose DRIVING side is the big (salted) side: an
+    // unmatched REPLICATED row would otherwise surface once per salt
+    // (right/full outer emit the small side's null-complement per replica)
+    val normalized = joinType.toLowerCase(java.util.Locale.ROOT)
+      .replace("outer", "").stripSuffix("_")
+    require(Set("inner", "left", "left_semi", "left_anti").contains(normalized),
+      s"unsupported joinType '$joinType': the replicated side must stay the inner side")
     val salted = big.withColumn("__salt", (rand(42) * factor).cast("int"))
     val replicated0 = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))

@@ -56,6 +56,21 @@ class QuantizationSpec extends SparkSpecBase {
     assert(got.contains(17L), "the query's own vector must rank in its top-k")
   }
 
+  test("null vectors encode to null and score to null instead of crashing") {
+    import spark.implicits._
+    val withNull = vectors.take(20).map { case (id, v) => (id, Some(v)) } :+
+      (999L, None: Option[Seq[Double]])
+    val df2 = withNull.toDF("vec_id", "vec")
+    val books = Quantization.trainPqCodebooks(df, "vec", m = 4, k = 4, iters = 2)
+    val enc = df2.select(col("vec_id"), Quantization.pqEncode(books)(col("vec")).alias("c"))
+    assert(enc.where(col("vec_id") === 999L).head().isNullAt(1))
+    val query = vectors.head._2
+    val scored = enc.select(col("vec_id"),
+      Quantization.adcDistance(books, query)(col("c")).alias("d"))
+    assert(scored.where(col("vec_id") === 999L).head().isNullAt(1))
+    assert(scored.where(col("d").isNotNull).count() == 20)
+  }
+
   test("ADC distance is exact when vectors sit on their codewords") {
     // jitter-free vectors: every subvector IS a pattern, so with k=4 the
     // codebooks can represent the data losslessly and ADC == true distance
