@@ -882,6 +882,41 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_scd2" -> ((s, dir) =>
+      // Type-2 SCD history from a change log: per customer, order-status
+      // changes over time become versioned rows with validity intervals.
+      // One shuffle (by o_custkey) drives both window passes.
+      graft.ops.Scd.buildHistory(
+          T(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderstatus"), col("o_orderkey")),
+          keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+          tracked = Seq("o_orderstatus"), tieBreak = Seq("o_orderkey"))
+        .orderBy(col("o_custkey"), col("version"))),
+
+    "q_funnel" -> ((s, dir) =>
+      // Ordered conversion funnel view -> click -> purchase: stage i
+      // counts a user only from their first stage-(i-1) event onward.
+      // Cumulative-window formulation: one shuffle keyed by user_id.
+      graft.ops.EventAnalytics.funnelCounts(EV(s, dir),
+          userCol = "user_id", typeCol = "event_type", tsCol = "ts",
+          tieBreak = "event_id", stages = Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    "q_cohort_retention" -> ((s, dir) =>
+      // Weekly cohort retention: users cohorted by first-event week,
+      // counted in every week they were active.
+      graft.ops.EventAnalytics.cohortRetention(EV(s, dir),
+          userCol = "user_id", tsCol = "ts", period = "week")
+        .orderBy(col("cohort_period"), col("period_offset"))),
+
+    "q_bm25" -> ((s, dir) =>
+      // Keyword search: BM25 over the documents corpus for a 3-term
+      // query. Postings + two hash aggregates + a 1-row stats broadcast.
+      graft.ops.TextSearch.bm25(T(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "shuffle", "partition"))
+        .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("score"))
+        .orderBy(col("doc_id"))),
+
     "q_heavy_hitters" -> ((s, dir) =>
       // Misra-Gries one-pass frequency sketch; capacity 32 > the 5
       // distinct priorities, so the sketch is provably exact and the
@@ -1719,6 +1754,79 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |versions AS (
+        |  SELECT * FROM ordered
+        |  WHERE prev IS NULL OR o_orderstatus IS DISTINCT FROM prev)
+        |SELECT o_custkey, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current,
+        |  CAST(row_number() OVER w AS INTEGER) AS version
+        |FROM versions
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t1
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |                     THEN ts END) OVER w AS t2
+        |       FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |                     THEN ts END) OVER w AS t3
+        |       FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |      FROM s3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(t1) AS users FROM u
+        |  UNION ALL SELECT 2, 'click', count(t2) FROM u
+        |  UNION ALL SELECT 3, 'purchase', count(t3) FROM u)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_period
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_period
+        |      FROM e)
+        |SELECT f.cohort_period,
+        |  CAST(date_diff('day', f.cohort_period, a.active_period) // 7 AS INTEGER)
+        |    AS period_offset,
+        |  count(DISTINCT a.user_id) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term FROM (
+        |    SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS ts FROM documents),
+        |    unnest(ts) AS u(term)),
+        |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |         FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |m AS (SELECT * FROM post WHERE term IN ('spark', 'shuffle', 'partition')),
+        |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1)
+        |SELECT m.doc_id, round(sum(
+        |    ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)) *
+        |    (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS score
+        |FROM m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
+        |GROUP BY m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered funnels and cohort retention — the two
+  * product-analytics shapes every event warehouse ends up re-deriving from
+  * tables like the `events` fixture (user_id, event_type, ts).
+  *
+  * Scale design: both operators shuffle ONCE, keyed by the user column.
+  * The funnel's per-stage "first qualifying timestamp" chain is expressed
+  * as cumulative-window minimums over a single (user, ts) sort — n stages
+  * add n window expressions over the SAME partitioning, not n joins — and
+  * retention is one group-by plus one distinct-projection join, both
+  * co-keyed by user. No driver state, no iteration.
+  */
+object EventAnalytics {
+
+  /** Per-user first-qualifying timestamp for each funnel stage, in order:
+    * stage i counts only at-or-after the user's stage i-1 timestamp (ties
+    * on `tsCol` are ordered by `tieBreak`, and a stage can be satisfied by
+    * an event sharing its predecessor's timestamp — the standard inclusive
+    * funnel).
+    *
+    * Output: `userCol`, plus one timestamp column per stage named
+    * `t_<stage>` (null = user never reached it).
+    */
+  def funnelStages(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val wCum = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Chained cumulative minimums: t_i at a row is the first stage-i event
+    // seen so far that already had t_{i-1} satisfied when it occurred. Each
+    // withColumn reuses the same window sort, so the chain plans as ONE
+    // Exchange + Sort however many stages there are.
+    val chained = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(s"t_${stages(i - 1)}").isNotNull
+      df.withColumn(s"t_$stage", min(when(qualifies, col(tsCol))).over(wCum))
+    }
+    // cumulative min over an ascending sort is constant once non-null, so
+    // the group-level min IS the final per-user value
+    chained.groupBy(col(userCol))
+      .agg(min(col(s"t_${stages.head}")).alias(s"t_${stages.head}"),
+        stages.tail.map(s => min(col(s"t_$s")).alias(s"t_$s")): _*)
+  }
+
+  /** Funnel conversion counts: one row per stage with the number of users
+    * whose `t_<stage>` is non-null. `stage_idx` is the 1-based position —
+    * the deterministic sort key.
+    */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieBreak: String, stages: Seq[String]): DataFrame = {
+    val perUser = funnelStages(events, userCol, typeCol, tsCol, tieBreak, stages)
+    val counts = perUser.agg(
+      count(col(s"t_${stages.head}")).alias(s"n_${stages.head}"),
+      stages.tail.map(s => count(col(s"t_$s")).alias(s"n_$s")): _*)
+    // unpivot the single counts row to (stage_idx, stage, users)
+    counts.select(explode(array(stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).alias("stage_idx"), lit(s).alias("stage"),
+        col(s"n_$s").alias("users"))
+    }: _*)).alias("r")).select(col("r.stage_idx"), col("r.stage"), col("r.users"))
+  }
+
+  /** Cohort retention: users are cohorted by the truncated period of their
+    * FIRST event; every (cohort period, periods-elapsed) cell counts the
+    * distinct users from that cohort active in that period.
+    *
+    * `period` is a Spark `date_trunc` unit ("week", "month"); offsets are
+    * exact because truncated periods differ by whole period lengths (weeks:
+    * both dates are Mondays).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      period: String = "week"): DataFrame = {
+    val periodDays = period.toLowerCase match {
+      case "week" => 7
+      case "day"  => 1
+      case other  => throw new IllegalArgumentException(
+        s"fixed-length periods only (week/day), got '$other' — months need datediff(month)")
+    }
+    val firsts = events.groupBy(col(userCol))
+      .agg(to_date(date_trunc(period, min(col(tsCol)))).alias("cohort_period"))
+    val active = events
+      .select(col(userCol), to_date(date_trunc(period, col(tsCol))).alias("active_period"))
+      .distinct()
+    active.join(firsts, userCol)
+      .groupBy(col("cohort_period"),
+        (datediff(col("active_period"), col("cohort_period")) / periodDays)
+          .cast("int").alias("period_offset"))
+      .agg(countDistinct(col(userCol)).alias("users"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword search over a document corpus: inverted-index statistics (term
+  * frequency, document frequency, document length) and BM25 ranking
+  * (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework").
+  *
+  * Everything is relational — explode to postings, two hash aggregates, a
+  * scalar-stats broadcast — so the 100 TB story is the posting-list story:
+  * the shuffle is keyed by (doc, term) then term, never all-pairs, and a
+  * production corpus caps runaway terms the same way the dedup family caps
+  * shingles ([[Dedup.capShinglesByDf]] — a term in every document carries
+  * ~zero idf anyway). The corpus-level constants (N, avgdl) are a 1-row
+  * aggregate cross-joined in, i.e. a broadcast, not driver state.
+  */
+object TextSearch {
+
+  /** (doc, term, tf) postings for the whole corpus — the inverted index in
+    * frame form. Tokenization matches [[TextAnalysis.tokens]] over
+    * lower-cased text.
+    */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).alias("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+
+  /** BM25 scores of every document matching at least one query term.
+    * Output: (`idCol`, score DOUBLE), unrounded — callers with an
+    * exactness requirement round explicitly.
+    *
+    * Uses the Lucene "+1" idf variant, ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * which is strictly positive, so a document's score can't be cancelled
+    * to zero by one over-frequent term. N and avgdl count documents with
+    * at least one token (empty documents can't match and would only skew
+    * avgdl toward zero).
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    // Deliberately NOT built on [[postings]]: BM25 needs the full corpus
+    // only for per-doc length and the (N, avgdl) scalars, neither of which
+    // needs the (doc, term) shuffle. Per-doc length is a shuffle-free
+    // projection — regexp_count of \S+ runs equals the token count without
+    // materializing (or HOF-filtering) the token array — and it RIDES THE
+    // POSTING ROWS through the explode instead of joining back on the doc
+    // id: the only aggregated postings are the ones whose term is IN the
+    // query (the filter sits directly above the explode), df comes from a
+    // window over the already-aggregated (doc, term) rows, and the 1-row
+    // (N, avgdl) aggregate broadcasts via crossJoin. Net: two posting-row
+    // shuffles (by doc+term, then term) and zero corpus-wide joins. Zero
+    // higher-order functions: everything codegens.
+    val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val stats = docs.select(dl.alias("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).alias("n_docs"), avg(col("dl")).alias("avgdl"))
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // split (not tokens()): empty-string elements can never equal a query
+    // term, so the HOF empty-filter would be dead weight here
+    val matched = docs.select(col(idCol), dl.alias("dl"),
+        explode(split(lower(col(textCol)), "\\s+")).alias("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    matched
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).alias("score"))
+  }
+}

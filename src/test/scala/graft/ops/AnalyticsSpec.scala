@@ -1,0 +1,167 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class AnalyticsSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---------------------------------------------------------------- SCD2
+
+  test("scd2: no-op changes open no version; intervals chain; ties break on the tie column") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 1: a -> a (no-op) -> b -> b (no-op) -> a
+      (1L, ts("2024-01-01 00:00:00"), "a", 10L),
+      (1L, ts("2024-01-02 00:00:00"), "a", 11L),
+      (1L, ts("2024-01-03 00:00:00"), "b", 12L),
+      (1L, ts("2024-01-04 00:00:00"), "b", 13L),
+      (1L, ts("2024-01-05 00:00:00"), "a", 14L),
+      // key 2: two changes at the SAME ts — tie-broken by seq, so x then y
+      (2L, ts("2024-01-01 00:00:00"), "y", 21L),
+      (2L, ts("2024-01-01 00:00:00"), "x", 20L)
+    ).toDF("k", "at", "status", "seq")
+    val got = Scd.buildHistory(changes, Seq("k"), "at", Seq("status"), Seq("seq"))
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false, 1),
+      (1L, "b", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false, 2),
+      (1L, "a", ts("2024-01-05 00:00:00"), None, true, 3),
+      // seq 20 ("x") precedes seq 21 ("y") despite arriving later in the input
+      (2L, "x", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00")), false, 1),
+      (2L, "y", ts("2024-01-01 00:00:00"), None, true, 2)))
+  }
+
+  test("scd2: a null attribute value is a real state, not a wildcard") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some("a"), 1L),
+      (1L, ts("2024-01-02 00:00:00"), None, 2L),
+      (1L, ts("2024-01-03 00:00:00"), None, 3L), // null -> null is a no-op
+      (1L, ts("2024-01-04 00:00:00"), Some("a"), 4L)
+    ).toDF("k", "at", "status", "seq")
+    val got = Scd.buildHistory(changes, Seq("k"), "at", Seq("status"), Seq("seq"))
+      .orderBy("version").collect().map(r => (Option(r.getString(1)), r.getInt(5)))
+    assert(got.toSeq == Seq((Some("a"), 1), (None, 2), (Some("a"), 3)))
+  }
+
+  test("scd2: asOf returns exactly the covering version (from inclusive, to exclusive)") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-05 00:00:00"), "b", 2L)
+    ).toDF("k", "at", "status", "seq")
+    val hist = Scd.buildHistory(changes, Seq("k"), "at", Seq("status"), Seq("seq"))
+    def statusAt(t: String) =
+      Scd.asOf(hist, lit(ts(t))).select("status").collect().map(_.getString(0)).toSeq
+    assert(statusAt("2024-01-03 00:00:00") == Seq("a"))
+    assert(statusAt("2024-01-05 00:00:00") == Seq("b")) // boundary: new version wins
+    assert(statusAt("2023-12-31 00:00:00") == Seq())    // before first change
+  }
+
+  // ---------------------------------------------------------------- funnel
+
+  private lazy val funnelEvents = {
+    import spark.implicits._
+    Seq(
+      // user 1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "purchase", ts("2024-01-01 12:00:00"), 3L),
+      // user 2: purchase BEFORE click — purchase must not count
+      (2L, "view", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "purchase", ts("2024-01-01 10:30:00"), 5L),
+      (2L, "click", ts("2024-01-01 11:00:00"), 6L),
+      // user 3: click with NO prior view — nothing past stage 0 counts
+      (3L, "click", ts("2024-01-01 10:00:00"), 7L),
+      (3L, "purchase", ts("2024-01-01 11:00:00"), 8L),
+      // user 4: view and click at the SAME ts — inclusive semantics count it
+      (4L, "view", ts("2024-01-01 10:00:00"), 9L),
+      (4L, "click", ts("2024-01-01 10:00:00"), 10L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+  }
+
+  test("funnel: out-of-order stages don't count; same-ts completion does") {
+    val got = EventAnalytics.funnelCounts(funnelEvents,
+        "user_id", "event_type", "ts", "event_id", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // views: users 1,2,4; clicks-after-view: 1,2,4; purchases-after-click: only 1
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 3L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: same-ts tie resolved by the tie-break column, not input order") {
+    import spark.implicits._
+    // click's event_id sorts BEFORE view at the same ts -> click precedes
+    // view in funnel order, so it must NOT count
+    val ev = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "view", ts("2024-01-01 10:00:00"), 2L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.funnelCounts(ev, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click"))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("view", 1L), ("click", 0L)))
+  }
+
+  // ---------------------------------------------------------------- cohort
+
+  test("cohort retention: first-event week cohorts, distinct users per offset") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: first event Mon 2024-01-01 week; active weeks 0 and 2
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (1L, ts("2024-01-17 10:00:00")), // same week as above — counted once
+      // user 2: same cohort week, active only week 0
+      (2L, ts("2024-01-05 10:00:00")),
+      // user 3: next week's cohort, active weeks 0 and 1
+      (3L, ts("2024-01-08 10:00:00")),
+      (3L, ts("2024-01-18 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "ts", "week")
+      .orderBy("cohort_period", "period_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  test("bm25: scores match the hand-computed formula and rank as expected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle spark"), // tf(spark)=2, tf(shuffle)=1, dl=3
+      (2L, "spark rows rows rows"), // tf(spark)=1, dl=4
+      (3L, "rows rows rows")        // no match — absent from output
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bm25(docs, "text", "doc_id", Seq("spark", "shuffle"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L, 2L))
+
+    val n = 3.0; val avgdl = (3 + 4 + 3) / 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val d1 = idf(2) * w(2, 3) + idf(1) * w(1, 3)
+    val d2 = idf(2) * w(1, 4)
+    assert(math.abs(got(1L) - d1) < 1e-12)
+    assert(math.abs(got(2L) - d2) < 1e-12)
+    assert(got(1L) > got(2L)) // more matching terms, rarer term -> higher
+  }
+
+  test("bm25: idf stays positive even when a term is in every document") {
+    import spark.implicits._
+    val docs = Seq((1L, "common alpha"), (2L, "common"), (3L, "common")).toDF("doc_id", "text")
+    val scores = TextSearch.bm25(docs, "text", "doc_id", Seq("common"))
+      .collect().map(_.getDouble(1))
+    assert(scores.length == 3 && scores.forall(_ > 0))
+  }
+}
