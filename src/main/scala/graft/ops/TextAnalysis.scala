@@ -194,6 +194,49 @@ object TextAnalysis {
     regexp_replace(email, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Latin accent folding via a `translate` character map — fully
+    * codegen'd, so this is the 100 TB cleaning path. Covers Latin-1
+    * Supplement + the common Latin-Extended-A letters (the ~98% case for
+    * web text); characters outside the map pass through. For full Unicode
+    * normalization semantics use [[normalizeUnicode]].
+    */
+  def foldAccents(text: Column): Column = {
+    val from = "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝýÿŠšŽžĀāĒēĪīŌōŪūŁłŃńŚśŹźŻż"
+    val to   = "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOOooooooUUUUuuuuYyySsZzAaEeIiOoUuLlNnSsZzZz"
+    require(from.length == to.length,
+      "translate map out of sync: 1:1 char mapping required")
+    // ligatures expand to two letters, which translate() can't express
+    val ligatures = Seq("Æ" -> "AE", "æ" -> "ae", "Œ" -> "OE", "œ" -> "oe", "ß" -> "ss")
+    translate(
+      ligatures.foldLeft(text) { case (c, (l, r)) => replace(c, lit(l), lit(r)) },
+      from, to)
+  }
+
+  /** Full Unicode normalization: NFD -> strip combining marks -> `form`
+    * (NFC by default). Deliberately a scalar UDF, not an expression tree:
+    * the JDK's `java.text.Normalizer` IS the normative implementation of
+    * UAX #15, and no composition of codegen'd builtins reproduces the
+    * full decomposition tables. Cleaning-tier only — keep it out of
+    * per-candidate join loops; [[foldAccents]] is the codegen'd fast
+    * path when Latin folding is all a pipeline needs.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC",
+      stripMarks: Boolean = true): Column = {
+    val nf = java.text.Normalizer.Form.valueOf(form)
+    val f = udf { s: String =>
+      if (s == null) null
+      else {
+        val base =
+          if (stripMarks)
+            java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+              .replaceAll("\\p{M}+", "")
+          else s
+        java.text.Normalizer.normalize(base, nf)
+      }
+    }
+    f(text)
+  }
+
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+
+/** File-format coverage beyond parquet/NDJSON: CSV and ORC round-trips
+  * through the same `DataFrameReader`/`Writer` surface the engine's sinks
+  * use. (No Avro: the spark-avro connector module is not on this
+  * classpath.) The interesting part is what each format does NOT preserve
+  * — CSV erases types (everything is a string without an explicit schema)
+  * while ORC, like parquet, keeps the full Catalyst schema including
+  * nested structs.
+  */
+class FormatsSpec extends SparkSpecBase {
+
+  /** File readers report every field nullable; compare schema SHAPE by
+    * normalizing nullability recursively. */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case at: ArrayType => at.copy(elementType = asNullable(at.elementType), containsNull = true)
+    case mt: MapType => mt.copy(valueType = asNullable(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+  private def shape(s: StructType): DataType = asNullable(s)
+
+  private lazy val frame = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha", 1.5, java.sql.Date.valueOf("2024-01-01")),
+      (2L, "beta,with,commas", -0.25, java.sql.Date.valueOf("2024-02-29")),
+      (3L, null.asInstanceOf[String], 0.0, null.asInstanceOf[java.sql.Date])
+    ).toDF("id", "name", "score", "d")
+  }
+
+  test("csv round-trip: header + explicit schema preserves values, quoting, nulls") {
+    val dir = tmpDir("csv") + "/t"
+    frame.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(frame.schema).csv(dir)
+    assert(shape(back.schema) == shape(frame.schema))
+    val got = back.orderBy("id").collect()
+    val want = frame.orderBy("id").collect()
+    assert(got.toSeq == want.toSeq) // embedded commas survive via quoting
+  }
+
+  test("csv without a schema: inference types numerics but a null-only column decays") {
+    val dir = tmpDir("csv") + "/t"
+    frame.write.option("header", "true").csv(dir)
+    val inferred = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    val types = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == IntegerType) // narrowest integral type wins
+    assert(types("score") == DoubleType)
+    assert(types("d") == DateType)
+  }
+
+  test("orc round-trip preserves schema, nested structs, and predicate pushdown") {
+    val dir = tmpDir("orc") + "/t"
+    val nested = frame.withColumn("meta",
+      struct(col("name").alias("n"), (col("score") * 2).alias("s2")))
+    nested.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(shape(back.schema) == shape(nested.schema))
+    assert(back.where(col("id") === 2).select("meta.n").head().getString(0)
+      == "beta,with,commas")
+    // filter reaches the ORC scan (same pushdown contract as parquet)
+    val plan = back.where(col("id") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"), plan)
+  }
+
+  test("csv and orc agree with the parquet representation of the same frame") {
+    val base = tmpDir("tri")
+    frame.write.parquet(s"$base/p")
+    frame.write.option("header", "true").csv(s"$base/c")
+    frame.write.orc(s"$base/o")
+    val p = spark.read.parquet(s"$base/p").orderBy("id").collect().toSeq
+    val c = spark.read.option("header", "true").schema(frame.schema)
+      .csv(s"$base/c").orderBy("id").collect().toSeq
+    val o = spark.read.orc(s"$base/o").orderBy("id").collect().toSeq
+    assert(p == c && c == o)
+  }
+}

@@ -157,6 +157,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got(1L) > got(2L)) // more matching terms, rarer term -> higher
   }
 
+  // ------------------------------------------------------- normalization
+
+  test("foldAccents: Latin accents fold, ligatures expand, others pass through") {
+    import spark.implicits._
+    val got = Seq("Crème Brûlée à São Paulo", "Œuvre cœur Ærø ß", "ascii stays 漢字")
+      .toDF("t").select(TextAnalysis.foldAccents(col("t")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "Creme Brulee a Sao Paulo", "OEuvre coeur AEro ss", "ascii stays 漢字"))
+  }
+
+  test("normalizeUnicode: decomposed input recomposes; marks strip; NFKC folds compat forms") {
+    import spark.implicits._
+    // "é" as e + COMBINING ACUTE vs precomposed
+    val decomposed = "Cafe\u0301"
+    val df = Seq(decomposed).toDF("t")
+    val stripped = df.select(TextAnalysis.normalizeUnicode(col("t")))
+      .head().getString(0)
+    assert(stripped == "Cafe") // marks removed
+    val kept = df.select(TextAnalysis.normalizeUnicode(col("t"), stripMarks = false))
+      .head().getString(0)
+    assert(kept == "Caf\u00e9" && kept.length == 4) // NFC recomposes to one codepoint
+    val nfkc = Seq("ﬁle ②").toDF("t")
+      .select(TextAnalysis.normalizeUnicode(col("t"), form = "NFKC", stripMarks = false))
+      .head().getString(0)
+    assert(nfkc == "file 2") // compatibility ligature + circled digit fold
+  }
+
   test("bm25: idf stays positive even when a term is in every document") {
     import spark.implicits._
     val docs = Seq((1L, "common alpha"), (2L, "common"), (3L, "common")).toDF("doc_id", "text")
