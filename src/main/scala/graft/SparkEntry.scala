@@ -882,6 +882,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_sketch_median" -> ((s, dir) => {
+      // Incrementally-maintained percentile: per-flag KLL-style quantile
+      // sketches built on two slices of lineitem, MERGED, then evaluated
+      // at q=0.5 — the materialized-view refresh path for percentiles.
+      // k=32768 exceeds every sf0.01 group, so no compaction fires and
+      // the sketch provably returns the exact ceil(q*n)-th smallest
+      // value, which the oracle replays as a rank lookup. (At larger sf
+      // the same query runs in sketch regime: bounded state, ~1/k error.)
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      val even = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+      val odd = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+      val k = 32768
+      val state = graft.ops.Incremental.quantileState(even, Seq("l_returnflag"), "l_quantity", k)
+      val delta = graft.ops.Incremental.quantileState(odd, Seq("l_returnflag"), "l_quantity", k)
+      graft.ops.Incremental.mergeQuantileState(state, delta, Seq("l_returnflag"), k)
+        .select(col("l_returnflag"),
+          graft.ops.Udafs.sketchQuantile(col("qsk"), 0.5).alias("med"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_scd2" -> ((s, dir) =>
       // Type-2 SCD history from a change log: per customer, order-status
       // changes over time become versioned rows with validity intervals.
@@ -1754,6 +1775,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sketch_median" ->
+      // the sketch's exact-regime semantics: smallest value whose rank
+      // reaches ceil(0.5 * n) within the flag group
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_quantity AS med
+        |FROM ranked
+        |WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_scd2" ->
       """WITH ordered AS (

@@ -57,4 +57,22 @@ object Incremental {
 
   def distinctEstimate(state: DataFrame): DataFrame =
     state.withColumn("approx_nd", hll_sketch_estimate(col("hll")))
+
+  /** PERCENTILE state: per-key mergeable KLL-style quantile sketches
+    * ([[Udafs.QuantileSketch]]) — same trio shape as the HLL pair above.
+    * State is O(k·log(n/k)) per key; refresh cost O(delta + |state|).
+    */
+  def quantileState(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int = 256): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(Udafs.quantileSketch(col(valueCol), k).alias("qsk"))
+
+  def mergeQuantileState(state: DataFrame, delta: DataFrame,
+      keys: Seq[String], k: Int = 256): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(Udafs.quantileSketchMerge(col("qsk"), k).alias("qsk"))
+
+  def quantileEstimate(state: DataFrame, q: Double): DataFrame =
+    state.withColumn(s"approx_q", Udafs.sketchQuantile(col("qsk"), q))
 }

@@ -140,4 +140,119 @@ object Udafs {
     val f = udaf(new HeavyHitters(capacity), Encoders.STRING)
     f(value)
   }
+
+  /** Mergeable quantile-sketch state: KLL-style compactor hierarchy
+    * (Karnin, Lang, Liberty, FOCS'16). `levels(i)` holds values of weight
+    * 2^i; when a level exceeds `k` items it sorts and promotes every
+    * second item to level i+1, halving its footprint. Total state is
+    * O(k · log(n/k)) doubles regardless of input size, and two sketches
+    * merge by concatenating levels and re-compacting — which is what makes
+    * percentiles INCREMENTALLY maintainable ([[Incremental.quantileState]])
+    * the way HLL makes distinct counts maintainable.
+    *
+    * Deliberate deviation from the paper: compaction keeps odd-indexed
+    * items of the sorted level instead of a random-offset coin flip, so
+    * the sketch is a pure function of the inserted multiset partitioning —
+    * reruns reproduce byte-identical state. That trades the randomized
+    * unbiasedness proof for determinism; observed rank error stays ~1/k
+    * on smooth distributions (asserted in UdafsSpec), which is the right
+    * trade for a pipeline whose reruns must agree.
+    */
+  case class QSketch(levels: Seq[Seq[Double]], n: Long)
+
+  class QuantileSketch(k: Int) extends Aggregator[Double, QSketch, QSketch] {
+    require(k >= 8, s"capacity k=$k too small for a meaningful sketch")
+
+    override def zero: QSketch = QSketch(Seq(Vector.empty), 0L)
+
+    override def reduce(b: QSketch, a: Double): QSketch = {
+      val l0 = b.levels.head :+ a
+      val s = QSketch(l0 +: b.levels.tail, b.n + 1)
+      if (l0.length >= k) compact(s) else s
+    }
+
+    /** Cascade: any level at/over k sorts and promotes odd indices. */
+    private def compact(s: QSketch): QSketch = {
+      val levels = scala.collection.mutable.ArrayBuffer.from(s.levels.map(Vector.from(_)))
+      var i = 0
+      while (i < levels.length) {
+        if (levels(i).length >= k) {
+          val sorted = levels(i).sorted
+          val keep = Vector.tabulate(sorted.length / 2)(j => sorted(2 * j + 1))
+          levels(i) = Vector.empty
+          if (i + 1 == levels.length) levels += Vector.empty
+          levels(i + 1) = levels(i + 1) ++ keep
+        }
+        i += 1
+      }
+      QSketch(levels.toSeq, s.n)
+    }
+
+    override def merge(x: QSketch, y: QSketch): QSketch = {
+      val depth = math.max(x.levels.length, y.levels.length)
+      val combined = Seq.tabulate(depth) { i =>
+        x.levels.applyOrElse(i, (_: Int) => Vector.empty[Double]) ++
+          y.levels.applyOrElse(i, (_: Int) => Vector.empty[Double])
+      }
+      compact(QSketch(combined, x.n + y.n))
+    }
+
+    // sort each level so the emitted state is canonical for its content
+    override def finish(r: QSketch): QSketch =
+      QSketch(r.levels.map(_.sorted), r.n)
+
+    override def bufferEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+    override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+  }
+
+  object QuantileSketch {
+    /** Rank-walk evaluation: items carry weight 2^level; the q-quantile is
+      * the smallest value whose cumulative weight reaches q·n.
+      */
+    def quantile(levels: Seq[Seq[Double]], n: Long, q: Double): Double = {
+      require(q >= 0 && q <= 1, s"quantile $q out of [0,1]")
+      if (n == 0) return Double.NaN
+      val weighted = levels.zipWithIndex.flatMap { case (vs, i) =>
+        vs.map(v => (v, 1L << i))
+      }.sortBy(_._1)
+      val target = math.max(1L, math.ceil(q * weighted.map(_._2).sum).toLong)
+      var cum = 0L
+      for ((v, w) <- weighted) {
+        cum += w
+        if (cum >= target) return v
+      }
+      weighted.last._1
+    }
+  }
+
+  /** Column form: quantileSketch(col, k) → struct(levels, n). */
+  def quantileSketch(value: Column, k: Int = 256): Column = {
+    val f = udaf(new QuantileSketch(k), Encoders.scalaDouble)
+    f(value)
+  }
+
+  /** Re-aggregate already-built sketches (the incremental-merge side). */
+  class QuantileSketchMerge(k: Int) extends Aggregator[QSketch, QSketch, QSketch] {
+    private val inner = new QuantileSketch(k)
+    override def zero: QSketch = inner.zero
+    override def reduce(b: QSketch, a: QSketch): QSketch = inner.merge(b, a)
+    override def merge(x: QSketch, y: QSketch): QSketch = inner.merge(x, y)
+    override def finish(r: QSketch): QSketch = inner.finish(r)
+    override def bufferEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+    override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+  }
+
+  def quantileSketchMerge(sketch: Column, k: Int = 256): Column = {
+    val f = udaf(new QuantileSketchMerge(k), Encoders.product[QSketch])
+    // a product input encoder consumes one argument PER constructor field
+    f(sketch.getField("levels"), sketch.getField("n"))
+  }
+
+  /** Evaluate quantile q from a sketch struct column. */
+  def sketchQuantile(sketch: Column, q: Double): Column = {
+    val f = org.apache.spark.sql.functions.udf {
+      (levels: Seq[Seq[Double]], n: Long) => QuantileSketch.quantile(levels, n, q)
+    }
+    f(sketch.getField("levels"), sketch.getField("n"))
+  }
 }

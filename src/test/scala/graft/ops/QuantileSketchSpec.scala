@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class QuantileSketchSpec extends SparkSpecBase {
+
+  private val K = 128
+
+  test("sketch quantiles track exact quantiles within ~2/k rank error") {
+    import spark.implicits._
+    // deterministic non-uniform data: squares of 0..99999 shuffled by hash
+    val df = spark.range(100000)
+      .select((col("id") * col("id")).cast("double").alias("v"))
+    val sk = df.agg(Udafs.quantileSketch(col("v"), K).alias("s"))
+    val got = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+      q -> sk.select(Udafs.sketchQuantile(col("s"), q)).head().getDouble(0)
+    }
+    val n = 100000.0
+    got.foreach { case (q, v) =>
+      // v = (rank-1)^2 for some rank; recover the rank and check the error
+      val rank = math.sqrt(v) + 1
+      assert(math.abs(rank / n - q) <= 2.0 / K + 1e-3,
+        s"q=$q estimated rank ${rank / n}")
+    }
+  }
+
+  test("state is deterministic: same input partitioning -> identical sketch") {
+    import spark.implicits._
+    val df = spark.range(10000).repartition(1)
+      .select(col("id").cast("double").alias("v"))
+    val a = df.agg(Udafs.quantileSketch(col("v"), K)).head()
+    val b = df.agg(Udafs.quantileSketch(col("v"), K)).head()
+    assert(a == b)
+  }
+
+  test("merged split-state answers match the one-shot sketch's error bound") {
+    import spark.implicits._
+    val full = spark.range(50000).select(col("id").cast("double").alias("v"))
+      .withColumn("k", lit("g"))
+    val first = full.where(col("v") < 30000)
+    val rest = full.where(col("v") >= 30000)
+
+    val state = Incremental.quantileState(first, Seq("k"), "v", K)
+    val delta = Incremental.quantileState(rest, Seq("k"), "v", K)
+    val merged = Incremental.mergeQuantileState(state, delta, Seq("k"), K)
+    assert(merged.count() == 1)
+
+    val n = 50000.0
+    Seq(0.25, 0.5, 0.9).foreach { q =>
+      val est = Incremental.quantileEstimate(merged, q).select("approx_q")
+        .head().getDouble(0)
+      assert(math.abs((est + 1) / n - q) <= 2.0 / K + 1e-3,
+        s"q=$q estimate $est")
+    }
+    // sketch size stays bounded: O(k log(n/k)) items across levels
+    val sk = merged.select(col("qsk.levels")).head()
+      .getSeq[scala.collection.Seq[Double]](0)
+    val items = sk.map(_.length).sum
+    assert(items <= K * (sk.length + 1), s"sketch has $items items over ${sk.length} levels")
+  }
+
+  test("empty input yields NaN, single value is every quantile") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(Udafs.quantileSketch(col("v"), K).alias("s"))
+    assert(empty.select(Udafs.sketchQuantile(col("s"), 0.5)).head().getDouble(0).isNaN)
+    val one = Seq(42.0).toDF("v").agg(Udafs.quantileSketch(col("v"), K).alias("s"))
+    Seq(0.0, 0.5, 1.0).foreach { q =>
+      assert(one.select(Udafs.sketchQuantile(col("s"), q)).head().getDouble(0) == 42.0)
+    }
+  }
+}
