@@ -882,6 +882,37 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_table_diff" -> ((s, dir) => {
+      // Snapshot diff -> CDC: old misses every 7th order, new drops every
+      // 11th and re-prices every 3rd. One full-outer join on the key.
+      val orders = T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val oldSnap = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      val newSnap = orders.where(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.ops.Merge.diff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_sample_weighted" -> ((s, dir) =>
+      // Per-row Bernoulli keep-probability from a column (longer docs keep
+      // a higher rate), decided by an exact 52-bit hash fraction — rerun-
+      // and cross-engine-reproducible, no RNG.
+      graft.ops.Sampling.weightedSample(T(s, dir, "documents"),
+          col("doc_id"), least(lit(1.0), col("n_chars") / lit(400.0)))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_token_drift" -> ((s, dir) =>
+      // Token-distribution drift between the English and German slices:
+      // add-one-smoothed KL divergence over the union vocabulary.
+      graft.ops.Drift.tokenKlDivergence(T(s, dir, "documents"),
+          "text", "lang", "en", "de")
+        .select(Rounding.roundAway(col("kl"), 6).alias("kl"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("n_a"))),
+
     "q_sketch_median" -> ((s, dir) => {
       // Incrementally-maintained percentile: per-flag KLL-style quantile
       // sketches built on two slices of lineitem, MERGED, then evaluated
@@ -1775,6 +1806,52 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |       ELSE n.o_totalprice END AS o_totalprice,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op
+        |FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+        |        / 4503599627370496.0
+        |      < LEAST(1.0, n_chars / 400.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_drift" ->
+      """WITH toks AS (
+        |  SELECT lang, u.term FROM (
+        |    SELECT lang, list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |    FROM documents WHERE lang IN ('en', 'de')), unnest(ts) AS u(term)),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+        |      FROM (SELECT term, cnt FROM c WHERE lang = 'en') a
+        |      FULL OUTER JOIN (SELECT term, cnt FROM c WHERE lang = 'de') b
+        |        ON a.term = b.term),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+        |             CAST(count(*) AS BIGINT) AS v FROM j)
+        |SELECT round(sum(
+        |    ((cnt_a + 1) / CAST(n_a + v AS DOUBLE)) *
+        |    ln(((cnt_a + 1) / CAST(n_a + v AS DOUBLE)) /
+        |       ((cnt_b + 1) / CAST(n_b + v AS DOUBLE)))), 6) AS kl,
+        |  n_a, n_b
+        |FROM j, t GROUP BY n_a, n_b ORDER BY n_a""".stripMargin,
 
     "q_sketch_median" ->
       // the sketch's exact-regime semantics: smallest value whose rank

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between corpus slices: are two data
+  * sources (or two ingest days, or train vs eval) drawing from the same
+  * token distribution? The standard monitor for a training-data pipeline
+  * — a KL spike on a source is how silent scraper breakage, language
+  * shift, or template floods get caught before they reach a training
+  * run.
+  *
+  * Everything is postings algebra: per-slice term counts (one shuffle
+  * keyed by term), a full-outer join of the two distributions, one
+  * aggregate. Additive (Laplace) smoothing over the UNION vocabulary
+  * keeps the divergence finite when a term appears in only one slice.
+  * At 100 TB the shuffle tracks vocabulary size, not corpus size —
+  * and the union-vocab constant V is a 1-row broadcast, not driver
+  * state.
+  */
+object Drift {
+
+  /** Per-group (term, cnt) frequencies of whitespace tokens. */
+  def termCounts(docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs.select(col(groupCol).alias("grp"),
+        explode(split(lower(col(textCol)), "\\s+")).alias("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).alias("cnt"))
+
+  /** KL(P_a || P_b) over add-one-smoothed token distributions of the two
+    * groups, plus both slices' token totals. Output: one row
+    * (kl DOUBLE, n_a BIGINT, n_b BIGINT). P(t) = (cnt(t)+1) / (N+V)
+    * where V = |union vocabulary|.
+    */
+  def tokenKlDivergence(docs: DataFrame, textCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val counts = termCounts(
+      docs.where(col(groupCol).isin(a, b)), textCol, groupCol)
+    val ca = counts.where(col("grp") === a).select(col("term"), col("cnt").alias("cnt_a"))
+    val cb = counts.where(col("grp") === b).select(col("term"), col("cnt").alias("cnt_b"))
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).alias("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).alias("cnt_b"))
+    // 1-row totals (N_a, N_b, V) broadcast back over the vocabulary
+    val totals = joined.agg(
+      sum(col("cnt_a")).alias("n_a"),
+      sum(col("cnt_b")).alias("n_b"),
+      count(lit(1)).alias("v"))
+    joined.crossJoin(totals)
+      .select(col("n_a"), col("n_b"),
+        ((col("cnt_a") + 1).cast("double") / (col("n_a") + col("v")))
+          .alias("p"),
+        ((col("cnt_b") + 1).cast("double") / (col("n_b") + col("v")))
+          .alias("q"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("p") * log(col("p") / col("q"))).alias("kl"))
+      .select(col("kl"), col("n_a"), col("n_b"))
+  }
+}

@@ -41,4 +41,38 @@ object Merge {
       keys: Seq[String], opCol: String = "op"): DataFrame =
     target.join(changes.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(changes.where(col(opCol) =!= "D").drop(opCol))
+
+  /** Snapshot diff — the inverse of [[applyCdc]]: derive the minimal CDC
+    * change set that transforms `oldDf` into `newDf`. Inserts and updates
+    * carry the NEW payload (op `I`/`U`), deletes carry the OLD payload
+    * (op `D`); unchanged rows (all non-key columns null-safe equal) emit
+    * nothing. Schemas must match by name.
+    *
+    * One full-outer join keyed by the business key — both snapshots
+    * shuffle once; on key-bucketed tables, zero Exchange. This is how a
+    * warehouse without a change log still feeds downstream CDC consumers
+    * (and how `applyCdc` gets regression-tested: apply(old, diff(old,
+    * new)) ≡ new, asserted in MergeSpec).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "diff requires identical column sets")
+    val payload = oldDf.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, side: String) = df.select(
+      keys.map(col) :+ struct(payload.map(col): _*).alias(side): _*)
+    val joined = packed(oldDf, "__o").join(packed(newDf, "__n"), keys, "full_outer")
+    joined
+      .withColumn(opCol,
+        when(col("__o").isNull, "I")
+          .when(col("__n").isNull, "D")
+          .when(!(col("__o") <=> col("__n")), "U"))
+      .where(col(opCol).isNotNull)
+      .select(keys.map(col) ++
+        // per-op payload side (NOT coalesce: an update that sets a column
+        // to NULL must emit the null, not resurrect the old value)
+        payload.map(c => when(col(opCol) === "D", col(s"__o.$c"))
+          .otherwise(col(s"__n.$c")).alias(c)) :+
+        col(opCol): _*)
+  }
 }

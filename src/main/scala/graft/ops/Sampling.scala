@@ -57,6 +57,26 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(inRateRange(key, 0.0, rate))
 
+  /** `key`'s hash as an exact DOUBLE in [0,1): the top 13 hex digits
+    * (52 bits — every value fits a double exactly) divided by 2^52 (a
+    * power of two, so the division is exact too). Use when the keep
+    * probability is itself a COLUMN ([[weightedSample]]) and the
+    * string-threshold trick can't apply; any engine with md5 + hex
+    * parsing reproduces the same double bit-for-bit.
+    */
+  def unitScore(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Weighted Bernoulli sampling: keep a row with probability
+    * `weight` (clamped to [0,1]), decided deterministically per key —
+    * importance-style downsampling where, e.g., boilerplate-heavy or
+    * low-quality documents keep a sub-1 rate and the rest pass. Same
+    * rerun-reproducibility contract as [[hashSample]].
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.where(unitScore(key) < least(greatest(weight, lit(0.0)), lit(1.0)))
+
   /** Tag each row with its split name. `fractions` must sum to 1; the
     * last split absorbs the hash-space remainder so every row is tagged.
     * Use binary fractions (0.75/0.125/0.125) when an external system must

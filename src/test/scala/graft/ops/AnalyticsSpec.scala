@@ -157,6 +157,26 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got(1L) > got(2L)) // more matching terms, rarer term -> higher
   }
 
+  // ---------------------------------------------------------------- drift
+
+  test("tokenKlDivergence: zero for identical slices, hand-checked otherwise") {
+    import spark.implicits._
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("grp", "text")
+    val klSame = Drift.tokenKlDivergence(same, "text", "grp", "a", "b")
+      .head().getDouble(0)
+    assert(math.abs(klSame) < 1e-15) // identical distributions -> KL 0
+
+    // a: {x:2, y:1}, b: {x:1, z:2}; union vocab V=3, N_a=3, N_b=3
+    val df = Seq(("a", "x x y"), ("b", "x z z")).toDF("grp", "text")
+    val got = Drift.tokenKlDivergence(df, "text", "grp", "a", "b").head()
+    def p(c: Long) = (c + 1.0) / 6.0
+    val want = p(2) * math.log(p(2) / p(1)) + // x
+      p(1) * math.log(p(1) / p(0)) +          // y
+      p(0) * math.log(p(0) / p(2))            // z
+    assert(math.abs(got.getDouble(0) - want) < 1e-12)
+    assert(got.getLong(1) == 3L && got.getLong(2) == 3L)
+  }
+
   // ------------------------------------------------------- normalization
 
   test("foldAccents: Latin accents fold, ligatures expand, others pass through") {

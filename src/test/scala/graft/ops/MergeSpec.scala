@@ -34,6 +34,28 @@ class MergeSpec extends SparkSpecBase {
       Seq((1L, "a", 10), (2L, "B", 200), (4L, "d", 40), (9L, "I", 900)))
   }
 
+  test("diff derives the minimal CDC set; applying it reproduces the new snapshot") {
+    import spark.implicits._
+    val newSnap = Seq(
+      (1L, "a", 10),   // unchanged — must NOT appear in the diff
+      (2L, "B", 200),  // updated
+      // 3 deleted
+      (4L, null.asInstanceOf[String], 40), // update TO null must emit null
+      (5L, "e", 50)    // inserted
+    ).toDF("k", "name", "v")
+    val d = Merge.diff(target, newSnap, Seq("k"))
+    val got = d.orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (2L, Some("B"), 200, "U"),
+      (3L, Some("c"), 30, "D"),
+      (4L, None, 40, "U"),
+      (5L, Some("e"), 50, "I")))
+    // round-trip: applyCdc(old, diff(old, new)) == new
+    val replayed = Merge.applyCdc(target, d, Seq("k")).orderBy("k").collect().toSeq
+    assert(replayed == newSnap.orderBy("k").collect().toSeq)
+  }
+
   test("upsert on an empty target is the source; empty source is the target") {
     val empty = target.where(lit(false))
     import spark.implicits._

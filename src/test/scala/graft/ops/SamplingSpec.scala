@@ -66,6 +66,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(bigger.where(col("label") === "class_1").count() == 30)
   }
 
+  test("weightedSample: keep rate tracks the weight column, deterministically") {
+    import spark.implicits._
+    val df = spark.range(20000).select(col("id"),
+      (col("id") % 10).cast("double").divide(10.0).alias("w"))
+    val kept = Sampling.weightedSample(df, col("id"), col("w"))
+    // weight 0 rows can never survive
+    assert(kept.where(col("w") === 0.0).count() == 0)
+    // per-weight empirical rate ~ the weight (2000 rows per bucket)
+    val rates = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1) / 2000.0).toMap
+    rates.foreach { case (w, rate) =>
+      assert(math.abs(rate - w) < 0.05, s"weight $w kept at rate $rate")
+    }
+    // deterministic: same frame, same survivors
+    assert(kept.collect().toSeq == Sampling.weightedSample(df, col("id"), col("w"))
+      .collect().toSeq)
+    // weights above 1 clamp instead of failing
+    assert(Sampling.weightedSample(df, col("id"), lit(7.0)).count() == 20000)
+  }
+
+  test("unitScore is an exact 52-bit fraction in [0,1)") {
+    import spark.implicits._
+    val scores = spark.range(1000).select(Sampling.unitScore(col("id")).alias("s"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s < 1.0))
+    // exactness: every score times 2^52 is an integer (no precision loss)
+    assert(scores.forall(s => (s * 4503599627370496.0) % 1.0 == 0.0))
+  }
+
   test("packSequences: contiguous pack ids; every non-final pack spans the budget") {
     val packed = Sampling.packSequences(docs, Seq("label"), col("weight"),
       Seq(Sampling.hashScore(col("id")), col("id")), packBudget = 300L)
