@@ -228,14 +228,15 @@ object Dedup {
     */
   def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, shingleSize: Int = 3, minJaccard: Double = 0.5,
-      bits: Int = 64, hasher: Column => Column = tokenHashes): DataFrame = {
+      bits: Int = 64, hasher: Column => Column = tokenHashes,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val candidates = simhashCandidates(df, textCol, idCol, maxHamming, bits, hasher)
       .select(col("id_a"), col("id_b"), col("hamming"))
     // no empty-shingle filter: a candidate pair involving a too-short doc
     // must surface with jaccard 0.0 (and survive minJaccard <= 0), not
     // silently vanish through the inner join
-    val withShingles = df.select(col(idCol),
-      shingleHashes(col(textCol), shingleSize).alias("sh"))
+    val withShingles = precomputedShingles.getOrElse(
+      df.select(col(idCol), shingleHashes(col(textCol), shingleSize).alias("sh")))
     val a = withShingles.select(col(idCol).alias("id_a"), col("sh").alias("sh_a"))
     val b = withShingles.select(col(idCol).alias("id_b"), col("sh").alias("sh_b"))
     candidates.join(a, "id_a").join(b, "id_b")
@@ -412,14 +413,23 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7, maxDf: Option[Int] = None): DataFrame = {
+      minJaccard: Double = 0.7, maxDf: Option[Int] = None): DataFrame =
     // shingles reduced to 64-bit hashes up front: set ops on longs are far
     // cheaper than on strings, and (crucially at scale) the banded join
     // below shuffles only (id, band_idx, band_hash) triples — never the
     // shingle arrays
-    val raw = df.select(col(idCol),
-      shingleHashes(col(textCol), shingleSize).alias("sh"))
-      .where(size(col("sh")) > 0)
+    minhashCandidatesFromShingles(
+      df.select(col(idCol), shingleHashes(col(textCol), shingleSize).alias("sh")),
+      idCol, k, bands, minJaccard, maxDf)
+
+  /** Same, over a precomputed `(idCol, sh)` shingle-hash frame — the
+    * shared-feature path ([[Features.docShingles]]): a corpus's shingles
+    * are computed (and cached) ONCE and every dedup flavor reuses them.
+    */
+  def minhashCandidatesFromShingles(shingles: DataFrame, idCol: String,
+      k: Int = 64, bands: Int = 16, minJaccard: Double = 0.7,
+      maxDf: Option[Int] = None): DataFrame = {
+    val raw = shingles.where(size(col("sh")) > 0)
     val withShingles = maxDf match {
       case Some(cap) => capShinglesByDf(raw, idCol, cap).where(size(col("sh")) > 0)
       case None      => raw
@@ -469,18 +479,29 @@ object Dedup {
     */
   def crossOverlapPairs(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int = 3, minShared: Int = 3,
+      maxDf: Option[Int] = None): DataFrame =
+    crossOverlapPairsFromShingles(
+      corpus.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")),
+      evalSet.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")),
+      idCol, minShared, maxDf)
+
+  /** Same, over precomputed `(idCol, sh)` frames for both sides (corpus
+    * and eval slices of one cached shingle frame compose here without
+    * recomputing either side's shingles).
+    */
+  def crossOverlapPairsFromShingles(corpusShingles: DataFrame,
+      evalShingles: DataFrame, idCol: String, minShared: Int = 3,
       maxDf: Option[Int] = None): DataFrame = {
     require(minShared >= 1)
     def posts(df: DataFrame, outId: String) = {
-      val raw = df.select(col(idCol).alias(outId),
-        shingleHashes(col(textCol), n).alias("sh"))
+      val raw = df.select(col(idCol).alias(outId), col("sh"))
       val capped = maxDf match {
         case Some(cap) => capShinglesByDf(raw, outId, cap)
         case None      => raw
       }
       capped.select(col(outId), explode(col("sh")).alias("h"))
     }
-    posts(corpus, "corpus_id").join(posts(evalSet, "eval_id"), "h")
+    posts(corpusShingles, "corpus_id").join(posts(evalShingles, "eval_id"), "h")
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).alias("shared"))
       .where(col("shared") >= minShared)
@@ -499,8 +520,15 @@ object Dedup {
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame = {
-    val rawShingles = df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh"))
+      n: Int = 3, minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFromShingles(
+      df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")),
+      idCol, minJaccard, maxDf)
+
+  /** Same, over a precomputed `(idCol, sh)` shingle-hash frame. */
+  def ngramJaccardPairsFromShingles(shingles: DataFrame, idCol: String,
+      minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame = {
+    val rawShingles = shingles
     val withShingles = maxDf match {
       case Some(cap) => capShinglesByDf(rawShingles, idCol, cap)
       case None      => rawShingles
@@ -537,7 +565,12 @@ object Dedup {
     */
   def shingleDocFrequency(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingleHashes(col(textCol), n)).alias("h"))
+    shingleDocFrequencyFromShingles(
+      df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")), idCol)
+
+  /** Same, over a precomputed `(idCol, sh)` shingle-hash frame. */
+  def shingleDocFrequencyFromShingles(shingles: DataFrame, idCol: String): DataFrame =
+    shingles.select(col(idCol), explode(col("sh")).alias("h"))
       .groupBy(col("h"))
       .agg(countDistinct(col(idCol)).alias("df"))
 

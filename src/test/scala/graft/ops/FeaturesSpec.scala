@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class FeaturesSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("docShingles caches per (session, dir, params) and matches direct computation") {
+    val a = Features.docShingles(spark, dir)
+    val b = Features.docShingles(spark, dir)
+    assert(a eq b) // same instance — computed once
+
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).alias("sh"))
+    val cached = a.orderBy("doc_id").collect()
+    val want = direct.orderBy("doc_id").collect()
+    assert(cached.toSeq == want.toSeq)
+
+    // different params -> different entry
+    val n4 = Features.docShingles(spark, dir, n = 4)
+    assert(!(n4 eq a))
+  }
+
+  test("FromShingles variants equal their text-input twins on the cached frame") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = Features.docShingles(spark, dir)
+
+    val viaText = Dedup.minhashCandidates(docs, "text", "doc_id", minJaccard = 0.7)
+      .orderBy("id_a", "id_b").collect()
+    val viaCache = Dedup.minhashCandidatesFromShingles(sh, "doc_id", minJaccard = 0.7)
+      .orderBy("id_a", "id_b").collect()
+    assert(viaCache.toSeq == viaText.toSeq)
+
+    val dfText = Dedup.shingleDocFrequency(docs, "text", "doc_id")
+      .orderBy("h").collect()
+    val dfCache = Dedup.shingleDocFrequencyFromShingles(sh, "doc_id")
+      .orderBy("h").collect()
+    assert(dfCache.toSeq == dfText.toSeq)
+  }
+}
