@@ -882,6 +882,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_reachability" -> ((s, dir) => {
+      // bounded-depth BFS over a derived key hierarchy (child k -> parent
+      // k/2), seeds = every 97th order: ancestors within 3 hops with
+      // minimal depth. Iterative frontier joins — the recursive-CTE shape
+      // as shuffle-bounded relational rounds.
+      val orders = T(s, dir, "orders").select(col("o_orderkey"))
+      val edges = orders.where(col("o_orderkey") >= 2)
+        .select(col("o_orderkey").alias("src"),
+          expr("o_orderkey DIV 2").alias("dst"))
+      val seeds = orders.where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").alias("node"))
+      // the k/2 hierarchy is a tree -> the unrolled single-plan variant
+      graft.ops.Graph.reachWithinUnrolled(edges, seeds, maxHops = 3)
+        .orderBy(col("seed"), col("node"))
+    }),
+
     "q_table_diff" -> ((s, dir) => {
       // Snapshot diff -> CDC: old misses every 7th order, new drops every
       // 11th and re-prices every 3rd. One full-outer join on the key.
@@ -1818,6 +1834,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_reachability" ->
+      """WITH RECURSIVE reach(seed, node, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION
+        |  SELECT r.seed, e.dst, r.depth + 1
+        |  FROM reach r
+        |  JOIN (SELECT o_orderkey AS src, o_orderkey // 2 AS dst
+        |        FROM orders WHERE o_orderkey >= 2) e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT seed, node, CAST(min(depth) AS INTEGER) AS depth
+        |FROM reach GROUP BY seed, node
+        |ORDER BY seed, node""".stripMargin,
 
     "q_table_diff" ->
       """WITH old AS (

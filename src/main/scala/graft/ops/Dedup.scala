@@ -586,35 +586,12 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, maxRounds: Int = 10): DataFrame = {
-    val spark = df.sparkSession
     val pairs = minhashCandidates(df, textCol, idCol, minJaccard = minJaccard)
       .select(col("id_a"), col("id_b"))
-    // undirected edges, both directions
-    val edges = pairs.unionByName(
-      pairs.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))).cache()
-    var labels = df.select(col(idCol).alias("id"), col(idCol).alias("rep"))
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val viaNeighbors = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "id_b", "rep" -> "nrep")), "id_b")
-        .groupBy(col("id_a").alias("id"))
-        .agg(min(col("nrep")).alias("minNeighborRep"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("rep", "oldRep"), "id")
-        .where(col("rep") =!= col("oldRep")).limit(1).count()
-      labels.unpersist(false)
-      labels = next
-      converged = changed == 0
-      round += 1
-    }
+    val labels = Graph.connectedComponents(
+      df.select(col(idCol)), pairs, maxRounds = maxRounds)
     val keep = labels.where(col("id") === col("rep")).select(col("id").alias(idCol))
-    val out = df.join(keep, idCol, "left_semi")
-    edges.unpersist(false)
-    out
+    df.join(keep, idCol, "left_semi")
   }
 
   // ---------- 5. embedding-cosine near-dup ----------

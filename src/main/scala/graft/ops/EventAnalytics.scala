@@ -28,7 +28,8 @@ object EventAnalytics {
     */
   def funnelStages(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, tieBreak: String, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty)
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct, got $stages")
     val wCum = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).asc, col(tieBreak).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators as iterative shuffle-bounded joins — no driver-side
+  * graph, no GraphX dependency. Two primitives every warehouse graph
+  * problem reduces to:
+  *
+  *  - [[connectedComponents]]: min-label propagation to a fixpoint —
+  *    duplicate clusters, account linking, entity resolution;
+  *  - [[reachWithin]]: bounded-depth BFS — hierarchy rollups, lineage,
+  *    blast-radius queries.
+  *
+  * Scale design: each round is one equi-join keyed by a node id plus one
+  * aggregate; the shuffle carries the frontier/labels, never N². Rounds
+  * = component diameter (CC) or the hop bound (BFS). With an edge table
+  * bucketed by `src` ([[graft.engine.TableStore.writeBucketed]]) the
+  * per-round join plans with zero Exchange on the edge side — edges are
+  * shuffled once at ingest, not once per round.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation over an UNDIRECTED
+    * edge list (`srcCol`, `dstCol` — each pair needs only one direction;
+    * the loop mirrors it). Every node converges to its component's
+    * minimal node id. `nodes` is one column of node ids (isolated nodes
+    * keep themselves as representative).
+    *
+    * Output: (id, rep). Rounds needed = component diameter; each round
+    * is one join + one aggregate, both keyed by node id.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxRounds: Int = 10): DataFrame = {
+    val idCol = nodes.columns.head
+    val directed = edges.select(col(srcCol).alias("id_a"), col(dstCol).alias("id_b"))
+    val undirected = directed.unionByName(
+      directed.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))).cache()
+    var labels = nodes.select(col(idCol).alias("id"), col(idCol).alias("rep"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = undirected
+        .join(labels.withColumnsRenamed(Map("id" -> "id_b", "rep" -> "nrep")), "id_b")
+        .groupBy(col("id_a").alias("id"))
+        .agg(min(col("nrep")).alias("minNeighborRep"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"))
+        .cache()
+      // convergence probe reads at most one row
+      val changed = next.join(labels.withColumnRenamed("rep", "oldRep"), "id")
+        .where(col("rep") =!= col("oldRep")).limit(1).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    undirected.unpersist(false)
+    labels
+  }
+
+  /** Bounded-depth BFS over a DIRECTED edge list: every (seed, node)
+    * pair where `node` is reachable from a seed in at most `maxHops`
+    * hops, with the minimal hop count. Seeds reach themselves at depth
+    * 0. Equivalent to SQL's `WITH RECURSIVE` bounded by depth (the
+    * declared q_reachability's DuckDB oracle IS that query).
+    */
+  def reachWithin(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0)
+    val seedCol = seeds.columns.head
+    var frontier = seeds
+      .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
+        lit(0).alias("depth"))
+      .dropDuplicates("seed", "node").cache()
+    var acc = frontier
+    var d = 1
+    var exhausted = false
+    while (d <= maxHops && !exhausted) {
+      // expand, then PRUNE to first discoveries: without the anti-join a
+      // cyclic graph re-expands known nodes every round and the frontier
+      // grows with the walk count instead of the reachable set
+      val expanded = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
+          lit(d).alias("depth"))
+        .dropDuplicates("seed", "node")
+      val next = expanded.join(acc, Seq("seed", "node"), "left_anti").cache()
+      exhausted = next.limit(1).count() == 0
+      frontier.unpersist(false)
+      frontier = next
+      if (!exhausted) acc = acc.unionByName(next)
+      d += 1
+    }
+    frontier.unpersist(false)
+    // first-discovery pruning makes (seed, node) unique with minimal depth
+    acc
+  }
+
+  /** Same result as [[reachWithin]] when walk multiplicity stays bounded
+    * (trees and low-fan-in DAGs): the expansion unrolls into ONE
+    * declarative plan — no per-round caching, convergence probes, or
+    * driver actions — and a final min-depth aggregate collapses multiple
+    * walks to the same node. On cyclic or diamond-heavy graphs walk
+    * count grows with path count, so prefer the pruned loop there.
+    */
+  def reachWithinUnrolled(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0)
+    val seedCol = seeds.columns.head
+    var frontier = seeds
+      .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
+        lit(0).alias("depth"))
+    var acc = frontier
+    for (d <- 1 to maxHops) {
+      frontier = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
+          lit(d).alias("depth"))
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy(col("seed"), col("node")).agg(min(col("depth")).alias("depth"))
+  }
+}

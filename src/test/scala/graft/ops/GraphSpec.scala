@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class GraphSpec extends SparkSpecBase {
+
+  test("connectedComponents: min label wins per component; isolated nodes self-label") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {4,5} (pair), {6} (isolated), {7,8,9} (cycle)
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(nodes, edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("reachWithin: minimal depths, hop bound respected, cycles terminate") {
+    import spark.implicits._
+    // diamond with a shortcut: 1->2->4, 1->3->4, 4->1 (cycle back)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.reachWithin(edges, seeds, maxHops = 2)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // depth 0: 1; depth 1: 2,3; depth 2: 4 (via either branch, once)
+    assert(got.toSeq == Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+
+    // the cycle edge 4->1 must NOT re-discover 1 at depth 3
+    val three = Graph.reachWithin(edges, seeds, maxHops = 3)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(three.toSeq == Seq(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("unrolled variant matches the pruned loop, including diamond fan-in") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val pruned = Graph.reachWithin(edges, seeds, maxHops = 3)
+      .orderBy("seed", "node").collect().toSeq
+    val unrolled = Graph.reachWithinUnrolled(edges, seeds, maxHops = 3)
+      .orderBy("seed", "node").collect().toSeq
+    assert(pruned == unrolled)
+  }
+
+  test("reachWithin: early exit when the frontier empties before the bound") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.reachWithin(edges, seeds, maxHops = 10)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(1L -> 0, 2L -> 1))
+  }
+
+  test("multiple seeds track reachability independently") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("node")
+    val got = Graph.reachWithin(edges, seeds, maxHops = 1)
+      .orderBy("seed", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0), (1L, 2L, 1), (3L, 2L, 1), (3L, 3L, 0)))
+  }
+}
