@@ -933,15 +933,17 @@ object SparkEntry {
       // Incrementally-maintained percentile: per-flag KLL-style quantile
       // sketches built on two slices of lineitem, MERGED, then evaluated
       // at q=0.5 — the materialized-view refresh path for percentiles.
-      // k=32768 exceeds every sf0.01 group, so no compaction fires and
-      // the sketch provably returns the exact ceil(q*n)-th smallest
-      // value, which the oracle replays as a rank lookup. (At larger sf
-      // the same query runs in sketch regime: bounded state, ~1/k error.)
+      // k=2^18 exceeds every per-flag group through sf0.1 (~200k rows),
+      // so no compaction fires and the sketch provably returns the exact
+      // ceil(q*n)-th smallest value, which the oracle replays as a rank
+      // lookup — keeping the suite's cross-sf validation property. (At
+      // larger sf the same query runs in sketch regime: bounded state,
+      // ~1/k error.)
       val li = T(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
       val even = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
       val odd = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
-      val k = 32768
+      val k = 262144
       val state = graft.ops.Incremental.quantileState(even, Seq("l_returnflag"), "l_quantity", k)
       val delta = graft.ops.Incremental.quantileState(odd, Seq("l_returnflag"), "l_quantity", k)
       graft.ops.Incremental.mergeQuantileState(state, delta, Seq("l_returnflag"), k)

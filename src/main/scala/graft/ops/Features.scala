@@ -25,7 +25,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Features {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  // weak-keyed on the session object itself: collision-free (identity
+  // semantics, never a recycled hash), and a stopped session's entries
+  // become collectable instead of pinning its DataFrames forever
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
 
   /** Cached `(idCol, sh)` word-`n`-gram shingle-hash frame for
     * `dir/table.parquet`. Semantics identical to
@@ -34,15 +38,16 @@ object Features {
   def docShingles(spark: SparkSession, dir: String, n: Int = 3,
       table: String = "documents", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    cache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$table|$textCol|$idCol|$n",
-      _ => spark.read.parquet(s"$dir/$table.parquet")
-        .select(col(idCol), Dedup.shingleHashes(col(textCol), n).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    cache.computeIfAbsent(spark, _ => new ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(
+        s"$dir|$table|$textCol|$idCol|$n",
+        _ => spark.read.parquet(s"$dir/$table.parquet")
+          .select(col(idCol), Dedup.shingleHashes(col(textCol), n).alias("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Drop every cached frame (tests; or to release executor storage). */
-  def clear(): Unit = {
-    cache.values.forEach(df => { df.unpersist(false); () })
+  def clear(): Unit = cache.synchronized {
+    cache.values.forEach(m => m.values.forEach(df => { df.unpersist(false); () }))
     cache.clear()
   }
 }

@@ -32,7 +32,7 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       srcCol: String = "id_a", dstCol: String = "id_b",
-      maxRounds: Int = 10): DataFrame = {
+      maxRounds: Int = 10, failOnNonConvergence: Boolean = true): DataFrame = {
     val idCol = nodes.columns.head
     val directed = edges.select(col(srcCol).alias("id_a"), col(dstCol).alias("id_b"))
     val undirected = directed.unionByName(
@@ -45,19 +45,32 @@ object Graph {
         .join(labels.withColumnsRenamed(Map("id" -> "id_b", "rep" -> "nrep")), "id_b")
         .groupBy(col("id_a").alias("id"))
         .agg(min(col("nrep")).alias("minNeighborRep"))
+      // localCheckpoint (eager), NOT cache: iterative self-referencing
+      // loops grow the LOGICAL plan each round even when blocks are
+      // cached, and analysis/optimizer time explodes after ~10 rounds.
+      // Checkpointing truncates the lineage so every round plans against
+      // a flat scan; dropped rounds' blocks are reclaimed by the
+      // ContextCleaner once unreferenced.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"))
-        .cache()
+        .localCheckpoint(true)
       // convergence probe reads at most one row
       val changed = next.join(labels.withColumnRenamed("rep", "oldRep"), "id")
         .where(col("rep") =!= col("oldRep")).limit(1).count()
-      labels.unpersist(false)
       labels = next
       converged = changed == 0
       round += 1
     }
     undirected.unpersist(false)
+    // min-label moves ONE hop per round: a component with diameter >
+    // maxRounds would come back silently split — fail loudly instead
+    // (opt out for intentionally-approximate clustering)
+    if (!converged && failOnNonConvergence)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — a " +
+          "component's diameter exceeds the bound; raise maxRounds or pass " +
+          "failOnNonConvergence = false for partial labels")
     labels
   }
 
@@ -74,7 +87,7 @@ object Graph {
     var frontier = seeds
       .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
         lit(0).alias("depth"))
-      .dropDuplicates("seed", "node").cache()
+      .dropDuplicates("seed", "node").localCheckpoint(true)
     var acc = frontier
     var d = 1
     var exhausted = false
@@ -87,14 +100,17 @@ object Graph {
         .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
           lit(d).alias("depth"))
         .dropDuplicates("seed", "node")
-      val next = expanded.join(acc, Seq("seed", "node"), "left_anti").cache()
+      // localCheckpoint truncates lineage (see connectedComponents): the
+      // anti-join references acc, which references every prior round —
+      // without truncation the logical plan grows multiplicatively and
+      // the caller's first action re-plans (and re-runs) the whole chain
+      val next = expanded.join(acc, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
       exhausted = next.limit(1).count() == 0
-      frontier.unpersist(false)
       frontier = next
       if (!exhausted) acc = acc.unionByName(next)
       d += 1
     }
-    frontier.unpersist(false)
     // first-discovery pruning makes (seed, node) unique with minimal depth
     acc
   }

@@ -70,9 +70,11 @@ object Merge {
       .where(col(opCol).isNotNull)
       .select(keys.map(col) ++
         // per-op payload side (NOT coalesce: an update that sets a column
-        // to NULL must emit the null, not resurrect the old value)
-        payload.map(c => when(col(opCol) === "D", col(s"__o.$c"))
-          .otherwise(col(s"__n.$c")).alias(c)) :+
+        // to NULL must emit the null, not resurrect the old value).
+        // getField, not a "__o.c" path string — dotted column names would
+        // parse as nested references
+        payload.map(c => when(col(opCol) === "D", col("__o").getField(c))
+          .otherwise(col("__n").getField(c)).alias(c)) :+
         col(opCol): _*)
   }
 }

@@ -43,14 +43,14 @@ object Scd {
       .withColumn("__prev", lag(attrs, 1).over(w))
       .where(col("__prev").isNull || !(attrs <=> col("__prev")))
       .drop("__prev")
-    // same partitioning + ordering as `w`: the planner reuses the sort, so
-    // the filter above costs no extra exchange
-    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    // the second window pass reuses `w` (WindowSpecs aren't bound to a
+    // frame): same partitioning + ordering, so the planner reuses the
+    // sort and the filter above costs no extra exchange
     versions
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .withColumn("version", row_number().over(w2))
+      .withColumn("version", row_number().over(w))
       .select((keyCols ++ tracked ++
         Seq("valid_from", "valid_to", "is_current", "version")).map(col): _*)
   }

@@ -171,15 +171,23 @@ object Udafs {
       if (l0.length >= k) compact(s) else s
     }
 
-    /** Cascade: any level at/over k sorts and promotes odd indices. */
+    /** Cascade: any level at/over k sorts and promotes the upper element
+      * of each adjacent pair; an odd tail element stays at its level
+      * (weight conservation: pairs promote at double weight, the carry
+      * keeps its own — total weight is invariant, and the global MAX
+      * always survives: it is the upper element of the last pair, or the
+      * carry itself).
+      */
     private def compact(s: QSketch): QSketch = {
       val levels = scala.collection.mutable.ArrayBuffer.from(s.levels.map(Vector.from(_)))
       var i = 0
       while (i < levels.length) {
         if (levels(i).length >= k) {
           val sorted = levels(i).sorted
-          val keep = Vector.tabulate(sorted.length / 2)(j => sorted(2 * j + 1))
-          levels(i) = Vector.empty
+          val pairs = sorted.length / 2
+          val keep = Vector.tabulate(pairs)(j => sorted(2 * j + 1))
+          levels(i) =
+            if (sorted.length % 2 == 1) Vector(sorted.last) else Vector.empty
           if (i + 1 == levels.length) levels += Vector.empty
           levels(i + 1) = levels(i + 1) ++ keep
         }

@@ -18,6 +18,22 @@ class GraphSpec extends SparkSpecBase {
       6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents fails loudly when diameter exceeds maxRounds") {
+    import spark.implicits._
+    // a 13-node chain has diameter 12 > 3 rounds
+    val nodes = (1L to 13L).toDF("id")
+    val edges = (1L to 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(nodes, edges, maxRounds = 3)
+    }
+    // opt-out returns partial labels; enough rounds converges to one rep
+    assert(Graph.connectedComponents(nodes, edges, maxRounds = 3,
+      failOnNonConvergence = false).count() == 13)
+    val full = Graph.connectedComponents(nodes, edges, maxRounds = 13)
+      .select("rep").distinct().collect()
+    assert(full.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("reachWithin: minimal depths, hop bound respected, cycles terminate") {
     import spark.implicits._
     // diamond with a shortcut: 1->2->4, 1->3->4, 4->1 (cycle back)

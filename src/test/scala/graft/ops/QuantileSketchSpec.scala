@@ -61,6 +61,23 @@ class QuantileSketchSpec extends SparkSpecBase {
     assert(items <= K * (sk.length + 1), s"sketch has $items items over ${sk.length} levels")
   }
 
+  test("compaction conserves total weight and never loses the max") {
+    import spark.implicits._
+    // small k + sizes chosen to force odd-length compactions via merges
+    val k = 8
+    val agg = new Udafs.QuantileSketch(k)
+    var s = agg.zero
+    (1 to 1001).foreach(i => s = agg.reduce(s, i.toDouble))
+    val other = (2000 to 2006).foldLeft(agg.zero)((b, i) => agg.reduce(b, i.toDouble))
+    val merged = agg.finish(agg.merge(s, other))
+    val totalWeight = merged.levels.zipWithIndex
+      .map { case (vs, i) => vs.length.toLong << i }.sum
+    assert(totalWeight == merged.n, s"weight $totalWeight != n ${merged.n}")
+    assert(merged.n == 1008)
+    // the max must be reachable at q=1.0
+    assert(Udafs.QuantileSketch.quantile(merged.levels, merged.n, 1.0) == 2006.0)
+  }
+
   test("empty input yields NaN, single value is every quantile") {
     import spark.implicits._
     val empty = Seq.empty[Double].toDF("v")
