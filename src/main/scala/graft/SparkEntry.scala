@@ -882,6 +882,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_connected_components" -> ((s, dir) => {
+      // label propagation end-to-end against a closed-form oracle: edges
+      // form cliques within DIV-8 key buckets (diameter 1, so the loop
+      // provably converges in 2 rounds), and the component representative
+      // is therefore exactly min(key) per bucket — a plain GROUP BY in
+      // DuckDB. Tests the iterative machinery, not just the fixpoint.
+      val keys = T(s, dir, "orders").select(col("o_orderkey"))
+        .where(col("o_orderkey") < 2000)
+      val a = keys.select(col("o_orderkey").alias("id_a"),
+        expr("o_orderkey DIV 8").alias("b"))
+      val b = keys.select(col("o_orderkey").alias("id_b"),
+        expr("o_orderkey DIV 8").alias("b"))
+      val edges = a.join(b, "b").where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Graph.connectedComponents(keys, edges)
+        .orderBy(col("id"))
+    }),
+
     "q_reachability" -> ((s, dir) => {
       // bounded-depth BFS over a derived key hierarchy (child k -> parent
       // k/2), seeds = every 97th order: ancestors within 3 hops with
@@ -1836,6 +1854,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_connected_components" ->
+      // clique-bucket graph: the component minimum IS the bucket minimum
+      """SELECT o_orderkey AS id,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderkey // 8) AS rep
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY id""".stripMargin,
 
     "q_reachability" ->
       """WITH RECURSIVE reach(seed, node, depth) AS (

@@ -65,4 +65,34 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assert(got.count() == viaOps.count() && got.count() > 0)
     } finally spark.conf.unset(graft.plans.BinnedRangeJoinRule.BinWidthConf)
   }
+
+  test("scd2 on 2M changes x 100k keys: versions collapse no-ops, one shuffle pair") {
+    val changes = spark.range(2000000).select(
+      (col("id") % 100000).alias("k"),
+      col("id").alias("seq"),
+      // 20 changes per key in 5-run repeats of 4 states: the runs of
+      // no-ops must collapse to exactly 4 versions
+      expr("CAST(((id DIV 100000) DIV 5) % 4 AS INT)").alias("state"))
+    val hist = Scd.buildHistory(changes, Seq("k"), "seq", Seq("state"))
+    val counts = hist.groupBy("k").count()
+    val mx = counts.agg(max("count"), min("count")).head()
+    // each key sees states 0,1,2,3 in order with 5-run repeats -> exactly 4 versions
+    assert(mx.getLong(0) == 4 && mx.getLong(1) == 4, mx.toString)
+    // exactly one current version per key
+    assert(hist.where(col("is_current")).count() == 100000)
+  }
+
+  test("bfs on a 1M-edge forest: depths bounded, frontier-pruned loop terminates") {
+    // forest of parent pointers id -> id/2 over 1M nodes
+    val edges = spark.range(1, 1000000)
+      .select(col("id").alias("src"), (col("id") / 2).cast("long").alias("dst"))
+    val seeds = spark.range(1, 1000000).where(col("id") % 9999 === 0)
+      .select(col("id").alias("node"))
+    val got = Graph.reachWithinUnrolled(edges, seeds, maxHops = 4)
+    val n = got.count()
+    val seedsN = 1000000 / 9999
+    // a tree walk reaches at most maxHops+1 nodes per seed, at least 2
+    assert(n <= seedsN.toLong * 5 && n > seedsN.toLong, s"$n rows for $seedsN seeds")
+    assert(got.agg(max("depth")).head().getInt(0) == 4)
+  }
 }

@@ -211,6 +211,30 @@ class StreamsSpec extends SparkSpecBase {
     // deduplicated rather than filling ranks 1 AND 2
     assert(board.exists(r => r.key == "en" && r.rank == 2 && r.item == "a" && r.score == 0.9))
   }
+
+  test("mergeable sketches run as streaming aggregates: quantile state per key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    // complete-mode groupBy with the custom Aggregator: every micro-batch
+    // re-merges partial sketch state — the incremental-percentile path
+    // with streaming doing the re-aggregation
+    val agg = mem.toDF().toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(graft.ops.Udafs.quantileSketch(col("v"), 64).alias("qsk"))
+      .select(col("k"), graft.ops.Udafs.sketchQuantile(col("qsk"), 0.5).alias("med"))
+    val q = agg.writeStream.format("memory").queryName("qsk")
+      .outputMode("complete").start()
+    mem.addData((1 to 100).map(i => ("a", i.toDouble)): _*)
+    q.processAllAvailable()
+    val after1 = spark.table("qsk").as[(String, Double)].collect().toMap
+    assert(math.abs(after1("a") - 50.0) <= 2.0, s"median after batch 1: $after1")
+    // a second batch shifts the distribution; state merges across batches
+    mem.addData((101 to 300).map(i => ("a", i.toDouble)): _*)
+    q.processAllAvailable()
+    val after2 = spark.table("qsk").as[(String, Double)].collect().toMap
+    q.stop()
+    assert(math.abs(after2("a") - 150.0) <= 6.0, s"median after batch 2: $after2")
+  }
 }
 
 object StreamsSpec {
