@@ -882,6 +882,15 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_fuzzy_match" -> ((s, dir) =>
+      // blocked record linkage: customers sharing a 16-char name prefix
+      // (block of ~100) whose names are within edit distance 1 — the
+      // levenshtein verify runs only inside blocks, never all-pairs.
+      Dedup.fuzzyPairs(T(s, dir, "customer").where(col("c_custkey") < 1000),
+          "c_name", "c_custkey",
+          blockKey = substring(col("c_name"), 1, 16), maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_connected_components" -> ((s, dir) => {
       // label propagation end-to-end against a closed-form oracle: edges
       // form cliques within DIV-8 key buckets (diameter 1, so the loop
@@ -1854,6 +1863,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
+        |  CAST(levenshtein(l.c_name, r.c_name) AS INTEGER) AS dist
+        |FROM customer l JOIN customer r
+        |  ON substring(l.c_name, 1, 16) = substring(r.c_name, 1, 16)
+        |  AND l.c_custkey < r.c_custkey
+        |WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
+        |  AND levenshtein(l.c_name, r.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_connected_components" ->
       // clique-bucket graph: the component minimum IS the bucket minimum

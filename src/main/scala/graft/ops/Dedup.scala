@@ -594,6 +594,29 @@ object Dedup {
     df.join(keep, idCol, "left_semi")
   }
 
+  /** Blocked fuzzy-match pairs (record linkage): candidates share a
+    * blocking key — first token, length bucket, phonetic code, a prefix —
+    * and are verified by edit distance ≤ `maxDist`. The block key bounds
+    * the join exactly the way LSH bands bound minhash candidates: the
+    * shuffle is keyed by the block, the quadratic comparison happens only
+    * inside blocks, never across the corpus. Standard blocking caveat
+    * applies (a pair split across blocks is never compared) — pick the
+    * key so true matches collide, or union several blocking passes.
+    */
+  def fuzzyPairs(df: DataFrame, strCol: String, idCol: String,
+      blockKey: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val keyed = df.select(col(idCol), col(strCol), blockKey.alias("__blk"))
+    val l = keyed.alias("l")
+    val r = keyed.alias("r")
+    l.join(r,
+        col("l.__blk") === col("r.__blk") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("dist", levenshtein(col(s"l.$strCol"), col(s"r.$strCol")))
+      .where(col("dist") <= maxDist)
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+        col("dist"))
+  }
+
   // ---------- 5. embedding-cosine near-dup ----------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Candidate

@@ -157,6 +157,22 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got(1L) > got(2L)) // more matching terms, rarer term -> higher
   }
 
+  // ---------------------------------------------------------- fuzzy match
+
+  test("fuzzyPairs: edit-distance verify inside blocks; cross-block pairs never compared") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),  // k: 1<->2 dist 1, 2<->3 dist 1, 1<->3 dist 2
+      (4L, "kitten")                                    // identical to 1 but DIFFERENT block
+    ).toDF("id", "name")
+    val block = when(col("id") === 4, lit("other")).otherwise(lit("blk"))
+    val got = Dedup.fuzzyPairs(df, "name", "id", block, maxDist = 1)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,4) is dist 0 but blocked apart; (1,3) is dist 2 — filtered
+    assert(got.toSeq == Seq((1L, 2L, 1), (2L, 3L, 1)))
+  }
+
   // ---------------------------------------------------------------- drift
 
   test("tokenKlDivergence: zero for identical slices, hand-checked otherwise") {
