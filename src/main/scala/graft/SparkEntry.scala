@@ -882,6 +882,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_window_range_time" -> ((s, dir) => {
+      // time-based RANGE frame: per-customer rolling 7-day order total —
+      // the interval frame moves by VALUE (seconds), not by row count,
+      // so sparse/bursty customers window correctly. One shuffle by key.
+      // NTZ has no direct long cast; the TIMESTAMP hop is UTC-session
+      // epoch seconds, so 86400-second steps equal DuckDB's INTERVAL DAY
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400L, 0)
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Rounding.roundAway(sum(col("o_totalprice")).over(w), 4).alias("roll7"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_fuzzy_match" -> ((s, dir) =>
       // blocked record linkage: customers sharing a 16-char name prefix
       // (block of ~100) whose names are within edit distance 1 — the
@@ -1863,6 +1878,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_range_time" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS roll7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_fuzzy_match" ->
       """SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
