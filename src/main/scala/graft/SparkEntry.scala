@@ -882,6 +882,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_sessionize" -> ((s, dir) =>
+      // per-event session ids (30-min gap): every event row labeled, so
+      // sessions can be joined/aggregated downstream — the row-preserving
+      // complement of q_window_session's aggregate form.
+      graft.ops.EventAnalytics.sessionize(EV(s, dir),
+          userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+          gapSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy(col("event_id"))),
+
     "q_window_range_time" -> ((s, dir) => {
       // time-based RANGE frame: per-customer rolling 7-day order total —
       // the interval frame moves by VALUE (seconds), not by row count,
@@ -1878,6 +1888,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM changes WHERE op <> 'D')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT event_id, user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |             THEN 1 ELSE 0 END AS opens
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |    AS session_id
+        |FROM g ORDER BY event_id""".stripMargin,
 
     "q_window_range_time" ->
       """SELECT o_orderkey, o_custkey,

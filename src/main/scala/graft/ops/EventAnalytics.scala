@@ -67,6 +67,31 @@ object EventAnalytics {
     }: _*)).alias("r")).select(col("r.stage_idx"), col("r.stage"), col("r.users"))
   }
 
+  /** Per-event session assignment: a new session opens when the gap since
+    * the user's previous event exceeds `gapSeconds` (or at their first
+    * event). `session_id` is the 1-based running count of session-opens —
+    * the cumulative-sum-of-boundaries idiom, one shuffle keyed by user,
+    * two window expressions over the same sort. Unlike
+    * `session_window` aggregation this keeps every EVENT row, labeled,
+    * so downstream joins/features can be computed per session.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // microsecond-exact gap test (a seconds cast would FLOOR and disagree
+    // with fractional-second engines at exact-gap boundaries)
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    val prevUs = lag(tsUs, 1).over(w)
+    val opens = when(prevUs.isNull ||
+      tsUs - prevUs > gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__open", opens)
+      .withColumn("session_id", sum(col("__open")).over(wCum).cast("int"))
+      .drop("__open")
+  }
+
   /** Cohort retention: users are cohorted by the truncated period of their
     * FIRST event; every (cohort period, periods-elapsed) cell counts the
     * distinct users from that cohort active in that period.

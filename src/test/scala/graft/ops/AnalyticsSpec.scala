@@ -111,6 +111,20 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("view", 1L), ("click", 0L)))
   }
 
+  test("sessionize: gap boundary is exclusive; ids restart per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // gap == 1800s exactly: SAME session
+      (1L, ts("2024-01-01 11:00:01"), 3L), // gap 1801s: new session
+      (2L, ts("2024-01-01 10:00:00"), 4L)  // other user: own numbering
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id", 1800)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 1)))
+  }
+
   // ---------------------------------------------------------------- cohort
 
   test("cohort retention: first-event week cohorts, distinct users per offset") {
