@@ -1890,7 +1890,8 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE ts IS NOT NULL),
         |g AS (SELECT event_id, user_id, ts,
         |        CASE WHEN lag(ts) OVER w IS NULL
         |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000

@@ -74,6 +74,11 @@ object EventAnalytics {
     * two window expressions over the same sort. Unlike
     * `session_window` aggregation this keeps every EVENT row, labeled,
     * so downstream joins/features can be computed per session.
+    *
+    * Rows with a NULL timestamp are DROPPED: they cannot be ordered into
+    * a session, and engines disagree on null sort placement (Spark
+    * nulls-first vs SQL nulls-last), so keeping them would make the
+    * numbering engine-dependent. Impute upstream to retain them.
     */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       tieBreak: String, gapSeconds: Long): DataFrame = {
@@ -87,6 +92,7 @@ object EventAnalytics {
     val opens = when(prevUs.isNull ||
       tsUs - prevUs > gapSeconds * 1000000L, 1).otherwise(0)
     events
+      .where(col(tsCol).isNotNull)
       .withColumn("__open", opens)
       .withColumn("session_id", sum(col("__open")).over(wCum).cast("int"))
       .drop("__open")

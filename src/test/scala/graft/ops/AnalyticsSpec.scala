@@ -111,13 +111,14 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("view", 1L), ("click", 0L)))
   }
 
-  test("sessionize: gap boundary is exclusive; ids restart per user") {
+  test("sessionize: gap boundary is exclusive; ids restart per user; null ts drops") {
     import spark.implicits._
     val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L),
-      (1L, ts("2024-01-01 10:30:00"), 2L), // gap == 1800s exactly: SAME session
-      (1L, ts("2024-01-01 11:00:01"), 3L), // gap 1801s: new session
-      (2L, ts("2024-01-01 10:00:00"), 4L)  // other user: own numbering
+      (1L, Some(ts("2024-01-01 10:00:00")), 1L),
+      (1L, Some(ts("2024-01-01 10:30:00")), 2L), // gap == 1800s exactly: SAME session
+      (1L, Some(ts("2024-01-01 11:00:01")), 3L), // gap 1801s: new session
+      (2L, Some(ts("2024-01-01 10:00:00")), 4L), // other user: own numbering
+      (1L, None, 5L)                             // null ts: dropped, numbering unaffected
     ).toDF("user_id", "ts", "event_id")
     val got = EventAnalytics.sessionize(ev, "user_id", "ts", "event_id", 1800)
       .orderBy("event_id").collect()
