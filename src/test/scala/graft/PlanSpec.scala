@@ -119,4 +119,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
     assert(plan.contains("Window"))
   }
+
+  test("q_scd2 rides ONE data shuffle: both window passes share the key partitioning") {
+    val plan = planOf("q_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one hashpartitioning(o_custkey) for lag+filter+lead/row_number; the
+    // trailing rangepartitioning for ORDER BY is not a hash exchange
+    assert(exchanges == 1, s"scd2 grew a second hash exchange:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q_funnel's three chained stage windows share one user-key shuffle") {
+    val plan = planOf("q_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // hashpartitioning(user_id) once; the final single-row aggregate
+    // exchange is SinglePartition, not hashpartitioning
+    assert(exchanges == 1, s"funnel re-shuffled between stages:\n$plan")
+  }
+
+  test("q_bm25 never falls back to a data-sized nested-loop join") {
+    val plan = planOf("q_bm25")
+    // the only BNLJ is the 1-row corpus-stats scalar broadcast; a
+    // data-sized cartesian/BNLJ between posting frames must not appear
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"bm25 grew a second nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
