@@ -107,6 +107,25 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     * big-big joins are made affordable at 100 TB: pay the partitioning once
     * at ingest, reuse it every query.
     */
+  /** Small-files compaction: rewrite a table into ~`targetFileBytes`
+    * parquet files via the staged swap of [[replace]]. Every streaming /
+    * incremental-append path accumulates small files (one-plus per
+    * micro-batch or delta per partition); at 100 TB the resulting
+    * file-count explosion dominates scan planning (footer reads, split
+    * enumeration) long before data size does, so periodic compaction is
+    * part of the table lifecycle, not an optimization. File count =
+    * max(1, ceil(on-disk bytes / target)); data is byte-identical
+    * (round-trips through the same parquet codec).
+    */
+  def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0)
+    val path = new Path(tablePath(table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    replace(table, read(table).repartition(files))
+  }
+
   def writeBucketed(table: String, df: DataFrame,
       bucketCols: Seq[String], buckets: Int = 32): Unit = {
     val name = Names.normalizeTableName(table)

@@ -176,4 +176,22 @@ class IngestSpec extends SparkSpecBase {
     pope.registerViews(Seq("Q-T"))
     assert(pope.query("SELECT count(*) AS n FROM q_t").head().getLong(0) == 4)
   }
+
+  test("compact collapses a small-files table; data is unchanged") {
+    val store = new TableStore(spark, tmpDir("wh-compact"))
+    // 40 tiny files from a fragmented write (streaming-append shape)
+    store.write("frag", spark.range(10000).toDF("id").repartition(40))
+    def parquetFiles(): Int = store.read("frag").inputFiles.length
+    assert(parquetFiles() == 40)
+    val before = store.read("frag").orderBy("id").collect()
+    // generous target: everything fits one file
+    store.compact("frag", targetFileBytes = 1L << 30)
+    assert(parquetFiles() == 1, s"still ${parquetFiles()} files")
+    assert(store.read("frag").orderBy("id").collect().toSeq == before.toSeq)
+    // small target: proportional file count, data still identical
+    store.write("frag2", spark.range(10000).toDF("id").repartition(40))
+    store.compact("frag2", targetFileBytes = 8 * 1024)
+    assert(store.read("frag2").inputFiles.length > 1)
+    assert(store.read("frag2").count() == 10000)
+  }
 }
