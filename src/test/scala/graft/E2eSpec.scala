@@ -75,4 +75,8 @@ class E2eSpec extends SparkSpecBase {
     assert(out.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
     assert(out.orderBy("id").select("score").as[Double].collect().toSeq == Seq(3.5, 4.5))
   }
+  test("driver contract: SparkEntry.entry returns rows on the sf0.001 fixture") {
+    // the exact smoke the driver runs: flagship query, rows > 0
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
