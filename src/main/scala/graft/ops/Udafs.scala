@@ -263,4 +263,26 @@ object Udafs {
     }
     f(sketch.getField("levels"), sketch.getField("n"))
   }
+
+  /** Register the typed aggregates as session SQL functions — the
+    * `VectorExpressions.register` pattern for users handed an existing
+    * session who work in SQL text. Capacities are fixed defaults (SQL
+    * text has no constructor-parameter channel); use the Column API for
+    * custom sizes. `graft_sketch_quantile(sketch, q)` evaluates a built
+    * sketch struct.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("graft_weighted_mean", udaf(WeightedMean))
+    spark.udf.register("graft_geometric_mean", udaf(GeometricMean))
+    spark.udf.register("graft_heavy_hitters", udaf(new HeavyHitters(64), Encoders.STRING))
+    spark.udf.register("graft_quantile_sketch",
+      udaf(new QuantileSketch(256), Encoders.scalaDouble))
+    spark.udf.register("graft_quantile_sketch_merge",
+      udaf(new QuantileSketchMerge(256), Encoders.product[QSketch]))
+    spark.udf.register("graft_sketch_quantile",
+      org.apache.spark.sql.functions.udf {
+        (levels: Seq[Seq[Double]], n: Long, q: Double) =>
+          QuantileSketch.quantile(levels, n, q)
+      })
+  }
 }

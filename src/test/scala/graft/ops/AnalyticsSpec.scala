@@ -236,6 +236,16 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(nfkc == "file 2") // compatibility ligature + circled digit fold
   }
 
+  test("postings: (doc, term, tf) inverted index with tokens-style tokenization") {
+    import spark.implicits._
+    val docs = Seq((1L, "A a  b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextSearch.postings(docs, "text", "doc_id")
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // lower-cased, whitespace runs collapse, duplicates count into tf
+    assert(got.toSeq == Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L)))
+  }
+
   test("bm25: idf stays positive even when a term is in every document") {
     import spark.implicits._
     val docs = Seq((1L, "common alpha"), (2L, "common"), (3L, "common")).toDF("doc_id", "text")

@@ -78,6 +78,20 @@ class QuantileSketchSpec extends SparkSpecBase {
     assert(Udafs.QuantileSketch.quantile(merged.levels, merged.n, 1.0) == 2006.0)
   }
 
+  test("SQL-text registration: sketch builds, merges, and evaluates from spark.sql") {
+    Udafs.register(spark)
+    spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v", "id % 2 AS part")
+      .createOrReplaceTempView("qsk_sql")
+    val med = spark.sql(
+      """WITH state AS (
+        |  SELECT part, graft_quantile_sketch(v) AS qsk FROM qsk_sql GROUP BY part),
+        |merged AS (
+        |  SELECT graft_quantile_sketch_merge(qsk.levels, qsk.n) AS qsk FROM state)
+        |SELECT graft_sketch_quantile(qsk.levels, qsk.n, 0.5) FROM merged""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(med - 500.0) <= 1000.0 * 2.0 / 256 + 1, s"median $med")
+  }
+
   test("empty input yields NaN, single value is every quantile") {
     import spark.implicits._
     val empty = Seq.empty[Double].toDF("v")
