@@ -225,6 +225,21 @@ object Streams {
       col(rightTs) <= col(leftTs))
   }
 
+  /** Stream-static enrichment: join a stream against a static dimension
+    * frame — the most common production streaming shape (events x user
+    * profile, clicks x catalog). Stateless on the stream side: Spark
+    * re-plans the static side per micro-batch, so a dimension backed by
+    * a table path picks up replaced/compacted data at the next batch
+    * without restarting the query. Broadcast the dim when it fits (the
+    * default here); at 100 TB-dim scale drop `broadcastDim` and bucket
+    * both sides on the key.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left", broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, Seq(key), joinType)
+  }
+
   /** Batch equivalent of [[tumblingCounts]] for oracle comparison. */
   def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
     events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))

@@ -235,6 +235,25 @@ class StreamsSpec extends SparkSpecBase {
     q.stop()
     assert(math.abs(after2("a") - 150.0) <= 6.0, s"median after batch 2: $after2")
   }
+
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.enrichWithStatic(
+        mem.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    mem.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    mem.addData((2L, 20.0))
+    q.processAllAvailable()
+    val got = spark.table("enriched").as[(Long, Double, Option[String])]
+      .collect().toSet
+    q.stop()
+    // left join: unknown user 3 survives with a null tier
+    assert(got == Set((1L, 10.0, Some("gold")), (3L, 30.0, None),
+      (2L, 20.0, Some("silver"))))
+  }
 }
 
 object StreamsSpec {
