@@ -34,7 +34,34 @@ object Drift {
     * where V = |union vocabulary|.
     */
   def tokenKlDivergence(docs: DataFrame, textCol: String, groupCol: String,
+      a: String, b: String): DataFrame =
+    smoothedDistributions(docs, textCol, groupCol, a, b)
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("p") * log(col("p") / col("q"))).alias("kl"))
+      .select(col("kl"), col("n_a"), col("n_b"))
+
+  /** Jensen–Shannon divergence between the two slices' smoothed token
+    * distributions: JS = (KL(P||M) + KL(Q||M)) / 2 with M = (P+Q)/2.
+    * Symmetric and bounded by ln 2 — the form production drift monitors
+    * alert on, since a fixed threshold means the same thing whichever
+    * slice is "new". Same plan shape as [[tokenKlDivergence]].
+    */
+  def tokenJsDivergence(docs: DataFrame, textCol: String, groupCol: String,
       a: String, b: String): DataFrame = {
+    val m = (col("p") + col("q")) / 2
+    smoothedDistributions(docs, textCol, groupCol, a, b)
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(((sum(col("p") * log(col("p") / m)) +
+        sum(col("q") * log(col("q") / m))) / 2).alias("js"))
+      .select(col("js"), col("n_a"), col("n_b"))
+  }
+
+  /** Shared core: per-term add-one-smoothed probabilities of both slices
+    * over the union vocabulary, with the slice totals carried on every
+    * row (1-row broadcast).
+    */
+  private def smoothedDistributions(docs: DataFrame, textCol: String,
+      groupCol: String, a: String, b: String): DataFrame = {
     val counts = termCounts(
       docs.where(col(groupCol).isin(a, b)), textCol, groupCol)
     val ca = counts.where(col("grp") === a).select(col("term"), col("cnt").alias("cnt_a"))
@@ -54,8 +81,5 @@ object Drift {
           .alias("p"),
         ((col("cnt_b") + 1).cast("double") / (col("n_b") + col("v")))
           .alias("q"))
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(sum(col("p") * log(col("p") / col("q"))).alias("kl"))
-      .select(col("kl"), col("n_a"), col("n_b"))
   }
 }

@@ -208,6 +208,18 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.getLong(1) == 3L && got.getLong(2) == 3L)
   }
 
+  test("tokenJsDivergence: symmetric, bounded by ln 2, zero on identical slices") {
+    import spark.implicits._
+    val df = Seq(("a", "x x y"), ("b", "x z z")).toDF("grp", "text")
+    val ab = Drift.tokenJsDivergence(df, "text", "grp", "a", "b").head().getDouble(0)
+    val ba = Drift.tokenJsDivergence(df, "text", "grp", "b", "a").head().getDouble(0)
+    assert(math.abs(ab - ba) < 1e-15) // symmetric
+    assert(ab > 0 && ab < math.log(2) + 1e-15)
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("grp", "text")
+    assert(math.abs(Drift.tokenJsDivergence(same, "text", "grp", "a", "b")
+      .head().getDouble(0)) < 1e-15)
+  }
+
   // ------------------------------------------------------- normalization
 
   test("foldAccents: Latin accents fold, ligatures expand, others pass through") {
