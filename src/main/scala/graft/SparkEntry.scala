@@ -1051,6 +1051,17 @@ object SparkEntry {
         .select(col("key").alias("item"), col("value").alias("cnt"))
         .orderBy(col("item"))),
 
+    "q_heavy_hitters_weighted" -> ((s, dir) =>
+      // top sources by CHARACTER volume (not doc count) in one bounded-
+      // summary pass; capacity 64 > the 20 sources, so the sums are
+      // provably exact and the oracle is a plain weighted GROUP BY.
+      T(s, dir, "documents")
+        .agg(graft.ops.Udafs.weightedHeavyHitters(
+          col("source"), col("n_chars"), 64).alias("sk"))
+        .select(explode(col("sk.counts")))
+        .select(col("key").alias("source"), col("value").alias("total_chars"))
+        .orderBy(col("source"))),
+
     "q_window_tumbling" -> ((s, dir) =>
       EV(s, dir)
         .groupBy(window(col("ts"), "1 hour"))
@@ -2075,6 +2086,10 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_heavy_hitters_weighted" ->
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,

@@ -141,6 +141,69 @@ object Udafs {
     f(value)
   }
 
+  /** Weighted Misra-Gries: each occurrence carries a WEIGHT (bytes,
+    * tokens, cost) instead of 1 — "top domains by bytes", "top sources by
+    * token volume" in one pass with a bounded summary. The decrement step
+    * subtracts the smallest tracked weight from every entry when a new
+    * key needs a full summary (the weighted MG generalization; same
+    * mergeable-summaries truncation as [[HeavyHitters]]). Guarantee:
+    * reported weight ≥ true weight − W/(capacity+1) where W is the total
+    * ingested weight, and every key with true weight > W/(capacity+1)
+    * survives. With capacity ≥ distinct keys the sums are EXACT.
+    */
+  class WeightedHeavyHitters(capacity: Int)
+      extends Aggregator[(String, Long), FreqSketch, FreqSketch] {
+    require(capacity > 0)
+
+    override def zero: FreqSketch = FreqSketch(Map.empty)
+
+    // weights fold immediately (no pending buffer: the per-row map copy
+    // is avoided the same way, below, by a mutable fold per reduce call
+    // being unnecessary — a single updated()/eviction per row is O(1)
+    // amortized except the rare decrement, which is O(capacity))
+    override def reduce(b: FreqSketch, a: (String, Long)): FreqSketch = {
+      val (k, w) = a
+      if (k == null || w <= 0) return b
+      b.counts.get(k) match {
+        case Some(c) => FreqSketch(b.counts.updated(k, c + w))
+        case None if b.counts.size < capacity =>
+          FreqSketch(b.counts.updated(k, w))
+        case None =>
+          val m = math.min(b.counts.values.min, w)
+          val decremented = b.counts.collect {
+            case (key, v) if v > m => key -> (v - m)
+          }
+          // the incoming key keeps its residual weight if it outweighed m
+          if (w > m) FreqSketch(decremented.updated(k, w - m))
+          else FreqSketch(decremented)
+      }
+    }
+
+    override def merge(x: FreqSketch, y: FreqSketch): FreqSketch = {
+      val combined = y.counts.foldLeft(x.counts) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
+      if (combined.size <= capacity) FreqSketch(combined)
+      else {
+        val cut = combined.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse)
+          .apply(capacity)
+        FreqSketch(combined.collect { case (k, v) if v > cut => k -> (v - cut) })
+      }
+    }
+
+    override def finish(r: FreqSketch): FreqSketch = r
+
+    override def bufferEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
+    override def outputEncoder: Encoder[FreqSketch] = Encoders.product[FreqSketch]
+  }
+
+  /** Column form: weightedHeavyHitters(key, weight, capacity). */
+  def weightedHeavyHitters(key: Column, weight: Column, capacity: Int): Column = {
+    val f = udaf(new WeightedHeavyHitters(capacity),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    f(key, weight)
+  }
+
   /** Mergeable quantile-sketch state: KLL-style compactor hierarchy
     * (Karnin, Lang, Liberty, FOCS'16). `levels(i)` holds values of weight
     * 2^i; when a level exceeds `k` items it sorts and promotes every

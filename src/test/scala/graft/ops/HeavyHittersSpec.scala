@@ -45,4 +45,38 @@ class HeavyHittersSpec extends SparkSpecBase {
       .select(explode(col("sk.counts"))).collect()
     assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L))
   }
+
+  test("weighted: exact regime equals GROUP BY sum of weights") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 5L), ("a", 7L), ("c", 1L), ("b", 2L))
+      .toDF("k", "w")
+    val got = df.agg(Udafs.weightedHeavyHitters(col("k"), col("w"), 8).alias("sk"))
+      .select(explode(col("sk.counts"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 17L, "b" -> 7L, "c" -> 1L))
+  }
+
+  test("weighted: a dominant key survives truncation within the W/(cap+1) bound") {
+    import spark.implicits._
+    // 200 distinct light keys (weight 1) + one heavy key carrying 30% of W
+    val light = (1 to 200).map(i => (s"k$i", 1L))
+    val heavy = Seq.fill(20)(("HOT", 5L))
+    val df = spark.sparkContext.parallelize(scala.util.Random.shuffle(light ++ heavy), 8)
+      .toDF("k", "w")
+    val cap = 16
+    val w = 200L + 100L
+    val trueHot = 100L
+    val got = df.agg(Udafs.weightedHeavyHitters(col("k"), col("w"), cap).alias("sk"))
+      .select(explode(col("sk.counts"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("HOT"), s"hot key lost: $got")
+    assert(got("HOT") >= trueHot - w / (cap + 1) && got("HOT") <= trueHot,
+      s"HOT=${got("HOT")} outside bound")
+    // nonpositive weights are ignored
+    val z = Seq(("a", 0L), ("a", -3L), ("a", 2L)).toDF("k", "w")
+      .agg(Udafs.weightedHeavyHitters(col("k"), col("w"), 4).alias("sk"))
+      .select(explode(col("sk.counts"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z == Map("a" -> 2L))
+  }
 }
