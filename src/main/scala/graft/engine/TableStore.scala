@@ -100,15 +100,8 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       throw new java.io.IOException(s"failed to swap staging into place for table '$table'")
   }
 
-  /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`
-    * files by `bucketCols` at write time, registered in the session
-    * catalog. Joins and aggregations keyed on the bucket columns then run
-    * WITHOUT a shuffle (verified by plan in the spec) — the way repeated
-    * big-big joins are made affordable at 100 TB: pay the partitioning once
-    * at ingest, reuse it every query.
-    */
   /** Small-files compaction: rewrite a table into ~`targetFileBytes`
-    * parquet files via the staged swap of [[replace]]. Every streaming /
+    * parquet files via a staged swap. Every streaming /
     * incremental-append path accumulates small files (one-plus per
     * micro-batch or delta per partition); at 100 TB the resulting
     * file-count explosion dominates scan planning (footer reads, split
@@ -116,16 +109,51 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     * part of the table lifecycle, not an optimization. File count =
     * max(1, ceil(on-disk bytes / target)); data is byte-identical
     * (round-trips through the same parquet codec).
+    *
+    * Layout-aware: a Hive-partitioned table ([[writePartitioned]]) is
+    * rewritten WITH its partition columns, so directory pruning
+    * survives; a catalog-registered BUCKETED table is refused — its
+    * layout lives in bucket-id file names that a plain rewrite would
+    * silently destroy, breaking the zero-shuffle join contract.
     */
   def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(targetFileBytes > 0)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+      Names.normalizeTableName(table))
+    val bucketed = spark.sessionState.catalog.tableExists(ident) &&
+      spark.sessionState.catalog.getTableMetadata(ident).bucketSpec.isDefined
+    if (bucketed)
+      throw new IllegalArgumentException(
+        s"table '$table' is bucketed: compacting through a plain rewrite " +
+          "would drop the bucket-id file layout; rewrite via writeBucketed")
     val path = new Path(tablePath(table))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hive-style partition dirs (col=value) mark a partitioned layout
+    val partCols = fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("="))
+      .map(_.split("=", 2)(0)).distinct.toSeq
     val bytes = fs.getContentSummary(path).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    replace(table, read(table).repartition(files))
+    val df = read(table).repartition(files)
+    if (partCols.isEmpty) replace(table, df)
+    else {
+      // staged swap, re-applying the partition layout (file sizing is
+      // then per partition directory, not global)
+      val staging = new Path(tablePath(table) + ".__staging")
+      df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
+      fs.delete(path, true)
+      if (!fs.rename(staging, path))
+        throw new java.io.IOException(s"failed to swap compacted table '$table'")
+    }
   }
 
+  /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`
+    * files by `bucketCols` at write time, registered in the session
+    * catalog. Joins and aggregations keyed on the bucket columns then run
+    * WITHOUT a shuffle (verified by plan in the spec) — the way repeated
+    * big-big joins are made affordable at 100 TB: pay the partitioning once
+    * at ingest, reuse it every query.
+    */
   def writeBucketed(table: String, df: DataFrame,
       bucketCols: Seq[String], buckets: Int = 32): Unit = {
     val name = Names.normalizeTableName(table)

@@ -157,10 +157,12 @@ object Udafs {
 
     override def zero: FreqSketch = FreqSketch(Map.empty)
 
-    // weights fold immediately (no pending buffer: the per-row map copy
-    // is avoided the same way, below, by a mutable fold per reduce call
-    // being unnecessary — a single updated()/eviction per row is O(1)
-    // amortized except the rare decrement, which is O(capacity))
+    // no pending buffer (unlike HeavyHitters): with a capacity-bounded
+    // persistent map, the common per-row path is one updated() — an
+    // O(log capacity) HAMT update, cheap at capacity ≤ a few thousand.
+    // The O(capacity) decrement scan runs only when a NEW key arrives at
+    // a full summary, which weighted workloads hit rarely (hot keys
+    // accumulate weight; the decrement evicts the long tail in batches).
     override def reduce(b: FreqSketch, a: (String, Long)): FreqSketch = {
       val (k, w) = a
       if (k == null || w <= 0) return b
@@ -338,6 +340,8 @@ object Udafs {
     spark.udf.register("graft_weighted_mean", udaf(WeightedMean))
     spark.udf.register("graft_geometric_mean", udaf(GeometricMean))
     spark.udf.register("graft_heavy_hitters", udaf(new HeavyHitters(64), Encoders.STRING))
+    spark.udf.register("graft_weighted_heavy_hitters",
+      udaf(new WeightedHeavyHitters(64), Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
     spark.udf.register("graft_quantile_sketch",
       udaf(new QuantileSketch(256), Encoders.scalaDouble))
     spark.udf.register("graft_quantile_sketch_merge",

@@ -227,12 +227,16 @@ object Streams {
 
   /** Stream-static enrichment: join a stream against a static dimension
     * frame — the most common production streaming shape (events x user
-    * profile, clicks x catalog). Stateless on the stream side: Spark
-    * re-plans the static side per micro-batch, so a dimension backed by
-    * a table path picks up replaced/compacted data at the next batch
-    * without restarting the query. Broadcast the dim when it fits (the
-    * default here); at 100 TB-dim scale drop `broadcastDim` and bucket
-    * both sides on the key.
+    * profile, clicks x catalog). Stateless on the stream side: the
+    * static side is RE-EXECUTED each micro-batch, so appended rows in
+    * already-listed files surface — but the file listing itself was
+    * snapshotted when `dim` was defined, so a path-backed dimension that
+    * gets REPLACED/compacted (all-new files) needs either a catalog
+    * table (`spark.table` + REFRESH TABLE) or a foreachBatch sink that
+    * re-reads the dim per batch; a plain swapped path fails with
+    * missing-file errors. Broadcast the dim when it fits (the default
+    * here); at 100 TB-dim scale drop `broadcastDim` and bucket both
+    * sides on the key.
     */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String,
       joinType: String = "left", broadcastDim: Boolean = true): DataFrame = {

@@ -194,4 +194,23 @@ class IngestSpec extends SparkSpecBase {
     assert(store.read("frag2").inputFiles.length > 1)
     assert(store.read("frag2").count() == 10000)
   }
+
+  test("compact preserves a Hive-partitioned layout; refuses bucketed tables") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val store = new TableStore(spark, tmpDir("wh-compact-layout"))
+    val df = spark.range(2000).toDF("id")
+      .withColumn("day", pmod(col("id"), org.apache.spark.sql.functions.lit(3)))
+      .repartition(20)
+    store.writePartitioned("pt", df, Seq("day"))
+    store.compact("pt", targetFileBytes = 1L << 30)
+    // pruning still works: the partition filter reaches the scan
+    val pruned = store.read("pt").where(col("day") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(pruned.count() == 667) // ids ≡ 1 (mod 3) in 0..1999: the day=1 slice intact
+    assert(store.read("pt").count() == 2000)
+
+    store.writeBucketed("bk", spark.range(100).toDF("k"), Seq("k"), buckets = 4)
+    intercept[IllegalArgumentException] { store.compact("bk") }
+  }
 }
