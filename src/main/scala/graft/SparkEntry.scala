@@ -985,13 +985,16 @@ object SparkEntry {
       // Incrementally-maintained percentile: per-flag KLL-style quantile
       // sketches built on two slices of lineitem, MERGED, then evaluated
       // at q=0.5 — the materialized-view refresh path for percentiles.
-      // k=2^18 exceeds every per-flag group through sf0.1 (~200k rows),
-      // so no compaction fires and the sketch provably returns the exact
+      // The l_orderkey < 60000 slice bounds the per-flag group size to a
+      // constant INDEPENDENT of sf (~25k rows max), so with k=2^18 no
+      // compaction ever fires and the sketch provably returns the exact
       // ceil(q*n)-th smallest value, which the oracle replays as a rank
-      // lookup — keeping the suite's cross-sf validation property. (At
-      // larger sf the same query runs in sketch regime: bounded state,
-      // ~1/k error.)
+      // lookup — the exact-regime invariant holds at EVERY scale factor
+      // the suite runs, not just sf<=0.1. (Unsliced production use runs
+      // in sketch regime: bounded state, ~1/k error — SketchSpec covers
+      // that error bound.)
       val li = T(s, dir, "lineitem")
+        .where(col("l_orderkey") < 60000)
         .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
       val even = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
       val odd = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
@@ -2004,7 +2007,7 @@ object SparkEntry {
         |  SELECT l_returnflag, l_quantity,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
         |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey < 60000)
         |SELECT l_returnflag, l_quantity AS med
         |FROM ranked
         |WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))

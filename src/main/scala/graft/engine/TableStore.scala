@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, when}
 import org.apache.spark.sql.types._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Directory-per-table Parquet warehouse with the reference's load
   * semantics (popelines/main.py:100-155):
@@ -21,6 +21,21 @@ import org.apache.hadoop.fs.Path
   * added columns as nulls — no rewrite of existing data on evolution, which
   * is the only strategy that works at 100 TB.
   */
+object TableStore {
+  // Rewrite listeners: session-level caches that snapshot a table's file
+  // listing (e.g. graft.ops.Features' shingle cache) register here and are
+  // told the table path whenever a write/rewrite changes the files under
+  // it, so they can drop the now-stale entry instead of serving a frame
+  // whose scan references deleted part-files.
+  private val rewriteListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  def addRewriteListener(f: String => Unit): Unit = rewriteListeners.add(f)
+
+  private[engine] def fireRewrite(path: String): Unit =
+    rewriteListeners.forEach(f => f(path))
+}
+
 final class TableStore(spark: SparkSession, warehouseDir: String) {
 
   private def tablePath(table: String): String =
@@ -37,12 +52,14 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq
-      .filterNot(_.endsWith(".__staging")).sorted
+      .filterNot(n => n.endsWith(".__staging") || n.endsWith(".__old")).sorted
   }
 
   def dropTable(table: String): Boolean = {
     val p = new Path(tablePath(table))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val deleted = p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    if (deleted) TableStore.fireRewrite(p.toString)
+    deleted
   }
 
   def read(table: String): DataFrame =
@@ -84,20 +101,63 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     df.select(cols: _*)
   }
 
+  /** Swap fully-written `staging` into `path` without a window where the
+    * table is absent: the previous data is RENAMED ASIDE first (rename is
+    * atomic-per-directory on HDFS-like filesystems) and deleted only after
+    * the new data is in place. A failure at any step leaves either the old
+    * or the new copy readable at `path` — never neither, which is what a
+    * delete-then-rename ordering risks.
+    */
+  private def swapInto(fs: FileSystem, staging: Path, path: Path, table: String): Unit = {
+    val old = new Path(path.toString + ".__old")
+    fs.delete(old, true) // debris from a previous failed swap
+    val hadOld = fs.exists(path)
+    if (hadOld && !fs.rename(path, old))
+      throw new java.io.IOException(
+        s"failed to move previous data aside for table '$table'")
+    if (!fs.rename(staging, path)) {
+      if (hadOld) fs.rename(old, path) // restore the previous copy
+      throw new java.io.IOException(
+        s"failed to swap staging into place for table '$table'")
+    }
+    fs.delete(old, true)
+    TableStore.fireRewrite(path.toString)
+  }
+
   /** Rewrite a table from a frame derived from ITSELF: write to a staging
-    * directory (source still readable), then swap via delete+rename. Never
-    * materializes the table in memory — the only viable shape for in-place
-    * rewrites of 100 TB tables (plus it keeps the old data intact until the
-    * new copy is fully committed).
+    * directory (source still readable), then swap via rename-aside +
+    * rename-in ([[swapInto]]). Never materializes the table in memory —
+    * the only viable shape for in-place rewrites of 100 TB tables (plus it
+    * keeps the old data intact until the new copy is fully committed).
     */
   def replace(table: String, df: DataFrame): Unit = {
     val path = new Path(tablePath(table))
     val staging = new Path(tablePath(table) + ".__staging")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(path, true)
-    if (!fs.rename(staging, path))
-      throw new java.io.IOException(s"failed to swap staging into place for table '$table'")
+    swapInto(fs, staging, path, table)
+  }
+
+  /** Full ORDERED partition-column list of a Hive-layout table, recovered
+    * by walking the directory tree: `col1=v/col2=v/...` nests one column
+    * per level, so reading only the top level would see `col1` alone and
+    * a rewrite would silently drop the nested pruning dimensions.
+    */
+  private def partitionColumnsOf(fs: FileSystem, path: Path): Seq[String] = {
+    @annotation.tailrec
+    def loop(p: Path, acc: Vector[String]): Vector[String] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.contains("="))
+      if (dirs.isEmpty) acc
+      else {
+        val names = dirs.map(_.getName.split("=", 2)(0)).distinct.toVector
+        // a well-formed Hive layout has exactly one column per level; all
+        // sibling subtrees share the remaining columns, so one branch is
+        // enough to recover the rest of the list
+        loop(dirs.head, acc ++ names)
+      }
+    }
+    loop(path, Vector.empty)
   }
 
   /** Small-files compaction: rewrite a table into ~`targetFileBytes`
@@ -128,22 +188,20 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
           "would drop the bucket-id file layout; rewrite via writeBucketed")
     val path = new Path(tablePath(table))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hive-style partition dirs (col=value) mark a partitioned layout
-    val partCols = fs.listStatus(path).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.contains("="))
-      .map(_.split("=", 2)(0)).distinct.toSeq
+    // Hive-style partition dirs (col=value) mark a partitioned layout;
+    // walk the whole nesting, not just the top level, so a multi-column
+    // layout keeps every pruning dimension through the rewrite
+    val partCols = partitionColumnsOf(fs, path)
     val bytes = fs.getContentSummary(path).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = read(table).repartition(files)
     if (partCols.isEmpty) replace(table, df)
     else {
-      // staged swap, re-applying the partition layout (file sizing is
-      // then per partition directory, not global)
+      // staged swap, re-applying the full ordered partition layout (file
+      // sizing is then per partition directory, not global)
       val staging = new Path(tablePath(table) + ".__staging")
       df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
-      fs.delete(path, true)
-      if (!fs.rename(staging, path))
-        throw new java.io.IOException(s"failed to swap compacted table '$table'")
+      swapInto(fs, staging, path, table)
     }
   }
 
@@ -162,6 +220,7 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", tablePath(name))
       .saveAsTable(name)
+    TableStore.fireRewrite(tablePath(name))
   }
 
   /** Hive-layout PARTITIONED table: part-files under
@@ -180,6 +239,7 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     df.write.mode(if (append) "append" else "overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
+    TableStore.fireRewrite(tablePath(table))
   }
 
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
@@ -204,5 +264,6 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
       if (append) aligned.write.mode("append").parquet(path)
       else aligned.write.mode("overwrite").parquet(path)
     }
+    TableStore.fireRewrite(path)
   }
 }

@@ -585,11 +585,17 @@ object Dedup {
     * standard large-scale connected-components loop (no driver-side graph).
     */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.8, maxRounds: Int = 10): DataFrame = {
+      minJaccard: Double = 0.8, maxRounds: Int = 10,
+      failOnNonConvergence: Boolean = false): DataFrame = {
     val pairs = minhashCandidates(df, textCol, idCol, minJaccard = minJaccard)
       .select(col("id_a"), col("id_b"))
+    // failOnNonConvergence defaults OFF here (unlike raw connectedComponents):
+    // template chains in a large corpus routinely exceed diameter `maxRounds`,
+    // and a partially-propagated labeling is SAFE for dedup — worst case a
+    // long chain splits into several clusters and a few extra rows survive
     val labels = Graph.connectedComponents(
-      df.select(col(idCol)), pairs, maxRounds = maxRounds)
+      df.select(col(idCol)), pairs, maxRounds = maxRounds,
+      failOnNonConvergence = failOnNonConvergence)
     val keep = labels.where(col("id") === col("rep")).select(col("id").alias(idCol))
     df.join(keep, idCol, "left_semi")
   }

@@ -31,6 +31,11 @@ object Features {
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]]())
 
+  // a TableStore rewrite (replace/compact/write) changes the files under a
+  // table path; any cached frame built over them snapshotted the old file
+  // listing and must be dropped, not served stale / FileNotFound
+  graft.engine.TableStore.addRewriteListener(invalidate)
+
   /** Cached `(idCol, sh)` word-`n`-gram shingle-hash frame for
     * `dir/table.parquet`. Semantics identical to
     * `df.select(idCol, Dedup.shingleHashes(textCol, n))`.
@@ -44,6 +49,29 @@ object Features {
         _ => spark.read.parquet(s"$dir/$table.parquet")
           .select(col(idCol), Dedup.shingleHashes(col(textCol), n).alias("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop cached frames whose source data overlaps `path` — called by
+    * [[graft.engine.TableStore]]'s rewrite paths (registered above) so an
+    * in-session replace()/compact() of the underlying table can't leave a
+    * consumer holding a frame whose snapshotted file listing references
+    * deleted part-files. Conservative by design: an unnecessary drop only
+    * costs a recompute, a missed one serves wrong data.
+    */
+  def invalidate(path: String): Unit = cache.synchronized {
+    val changed = new org.apache.hadoop.fs.Path(path).toString
+    cache.values.forEach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val parts = e.getKey.split("\\|")
+        val dir = new org.apache.hadoop.fs.Path(parts(0)).toString
+        val dataPath = new org.apache.hadoop.fs.Path(parts(0), parts(1) + ".parquet").toString
+        val overlaps = dataPath == changed || dataPath.startsWith(changed + "/") ||
+          changed == dir || changed.startsWith(dir + "/")
+        if (overlaps) { e.getValue.unpersist(false); it.remove() }
+      }
+    }
+  }
 
   /** Drop every cached frame (tests; or to release executor storage). */
   def clear(): Unit = cache.synchronized {

@@ -213,4 +213,49 @@ class IngestSpec extends SparkSpecBase {
     store.writeBucketed("bk", spark.range(100).toDF("k"), Seq("k"), buckets = 4)
     intercept[IllegalArgumentException] { store.compact("bk") }
   }
+
+  test("compact preserves a MULTI-column nested partition layout, in order") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val store = new TableStore(spark, tmpDir("wh-compact-multi"))
+    val df = spark.range(2000).toDF("id")
+      .withColumn("region", concat(lit("r"), pmod(col("id"), lit(2))))
+      .withColumn("day", pmod(col("id"), lit(3)))
+      .repartition(20)
+    store.writePartitioned("mp", df, Seq("region", "day"))
+    store.compact("mp", targetFileBytes = 1L << 30)
+    // BOTH pruning dimensions survive the rewrite: region stays the outer
+    // directory level, day the nested one
+    val wh = new java.io.File(store.read("mp").inputFiles.head
+      .stripPrefix("file:")).getParentFile.getParentFile.getParentFile
+    val outer = wh.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(outer.forall(_.startsWith("region=")), outer.mkString(","))
+    val inner = wh.listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(inner.forall(_.startsWith("day=")), inner.mkString(","))
+    val pruned = store.read("mp").where(col("region") === "r1" && col("day") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(store.read("mp").count() == 2000)
+    assert(pruned.count() ==
+      (0 until 2000).count(i => i % 2 == 1 && i % 3 == 1))
+  }
+
+  test("a TableStore rewrite invalidates the shared shingle cache") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = tmpDir("wh-inval")
+    val store = new TableStore(spark, wh)
+    // docShingles reads <dir>/<table>.parquet, so name the table to match
+    store.write("docs.parquet",
+      Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+        .toDF("doc_id", "text"))
+    val before = graft.ops.Features.docShingles(spark, wh, n = 3, table = "docs")
+    assert(before.count() == 2)
+    // rewrite the table through the store: the cached frame's snapshotted
+    // file listing is now stale and must be dropped, not served
+    store.replace("docs.parquet",
+      store.read("docs.parquet").where(col("doc_id") === 1L))
+    val after = graft.ops.Features.docShingles(spark, wh, n = 3, table = "docs")
+    assert(after.count() == 1, "stale shingle frame served after rewrite")
+  }
 }
