@@ -1136,17 +1136,23 @@ object SparkEntry {
 
     "q_corpus_prepare" -> ((s, dir) => {
       // the CAPSTONE under oracle test: quality + repetition + language
-      // filters, eval-set decontamination, and split tagging in one
-      // declarative pipeline. Near-dup removal is disabled here ONLY
-      // because label propagation is iterative (not SQL-expressible);
-      // its pieces are oracle-checked via q_dedup_* and spec-verified
-      // end-to-end in OpsSpec/ScaleSmokeSpec.
+      // filters, MinHash-LSH near-dup removal, eval-set decontamination,
+      // and split tagging in one declarative pipeline. The dedup stage is
+      // ACTIVE (0.8) and oracle-checked: exact copies of every 40th doc
+      // are planted under shifted ids — a copy passes exactly the filters
+      // its original passes (same text) and is a guaranteed LSH candidate
+      // (identical signature in every band), so the survivor set is
+      // well-defined; natural >= 0.8 pairs are replayed by the oracle as
+      // a true-jaccard transitive closure (WITH RECURSIVE min-rep).
       val docs = T(s, dir, "documents")
+      val base = docs.where(col("source") =!= "src0")
+      val planted = base.where(pmod(col("doc_id"), lit(40)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
       ops.CorpusPipeline.prepare(
-          docs.where(col("source") =!= "src0"),
+          base.unionByName(planted),
           ops.CorpusPipeline.Config(
             minQuality = 0.3, maxRepetition = 0.6, langs = Set("en", "es", "zh"),
-            dedupJaccard = 0.0,
+            dedupJaccard = 0.8,
             evalSet = Some(docs.where(col("source") === "src0")),
             minSharedShingles = 3,
             splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))))
@@ -2155,10 +2161,15 @@ object SparkEntry {
       val stops = TextAnalysis.stopwordsSql
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
       val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS s_$l").mkString(",\n")
-      s"""WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM documents
+         |  WHERE source <> 'src0' AND doc_id % 40 = 0),
+         |base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
          |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
          |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
-         |  FROM documents WHERE source <> 'src0'),
+         |  FROM raw),
          |feat AS (SELECT doc_id, padded, ltoks,
          |  round(least(length(text) / 500.0, 1.0) * 0.4
          |    + least((CASE WHEN len(toks) = 0 THEN 0.0
@@ -2192,13 +2203,26 @@ object SparkEntry {
          |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
          |  FROM (SELECT list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS t
          |        FROM documents WHERE source = 'src0')),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shc a JOIN shc b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM shc
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |kept AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id),
          |contaminated AS (SELECT DISTINCT c.doc_id FROM shc c, she e
          |  WHERE len(list_intersect(c.s, e.s)) >= 3)
          |SELECT doc_id, lang_id,
          |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0000000000000000000000000000000' THEN 'train'
          |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM shc WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |FROM shc WHERE doc_id IN (SELECT doc_id FROM kept)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin
     },
 
