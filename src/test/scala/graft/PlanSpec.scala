@@ -145,4 +145,15 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj <= 1, s"bm25 grew a second nested-loop join:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q_similarity_ivf_persisted's probe scan is pruned to __cell partitions") {
+    // the DECLARED 100 TB ANN path: the probe must reach the parquet scan
+    // as a partition filter on the index's __cell directories — if this
+    // degrades to a post-scan filter, every probe reads the whole corpus
+    val plan = formattedPlan("q_similarity_ivf_persisted")
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("__cell"), plan)
+    val pruned = formattedPlan("q_similarity_ivf_pruned")
+    assert(pruned.contains("PartitionFilters") && pruned.contains("__cell"), pruned)
+  }
 }
