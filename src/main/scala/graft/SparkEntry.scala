@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Names, NestedRewrite}
-import graft.ops.{Dedup, Multimodal, Rounding, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantization, Rounding, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1375,6 +1375,26 @@ object SparkEntry {
         .select(lit(10).alias("k"), (col("hits") >= 9).alias("recall_ok"))
     }),
 
+    "q_similarity_pq" -> ((s, dir) => {
+      // IVF-PQ's compression layer (train -> encode -> ADC top-k) under an
+      // EXACT oracle: the corpus is a deterministic codeword grid derived
+      // from vec_id — each 8-dim subspace j holds the constant pattern
+      // ((vec_id >> 2j) % 4) * 10 — so per-subspace k-means provably
+      // fixes on the patterns (distinct init + each cluster's mean IS its
+      // pattern), every vector encodes losslessly, and the ADC distance
+      // equals the true squared-L2 distance, which DuckDB recomputes from
+      // the same formula. All values are small integers in doubles, so
+      // every sum is exact and the hash compare is bit-for-bit.
+      val grid = T(s, dir, "embeddings").select(col("vec_id"),
+        array((0 until 64).map { d =>
+          pmod(shiftright(col("vec_id"), 2 * (d / 8)), lit(4))
+            .cast("double") * lit(10.0)
+        }: _*).alias("vec"))
+      val q17 = (0 until 64).map(d => ((17L >> (2 * (d / 8))) % 4).toDouble * 10.0)
+      Quantization.pqTopK(grid, "vec", "vec_id", q17, k = 10,
+        m = 8, codebookSize = 4, iters = 2)
+    }),
+
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2496,8 +2516,22 @@ object SparkEntry {
 
     "q_similarity_ivf_pruned" ->
       // recall-bound boolean oracle (q_approx_distinct style): the pruned
-      // probe must keep recall@10 >= 0.6 or the hash compare fails
+      // probe must keep recall@10 >= 0.9 or the hash compare fails
       "SELECT 10 AS k, TRUE AS recall_ok",
+
+    "q_similarity_pq" ->
+      // the codeword-grid corpus makes ADC == true squared L2, so the
+      // oracle recomputes the distance directly from the grid formula
+      """WITH grid AS (
+        |  SELECT vec_id, list_transform(range(64),
+        |    d -> CAST(((vec_id >> (2 * (d // 8))) % 4) * 10 AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec AS qv FROM grid WHERE vec_id = 17)
+        |SELECT g.vec_id,
+        |  list_aggregate(list_transform(list_zip(g.vec, q.qv),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS approx_dist
+        |FROM grid g, q
+        |ORDER BY approx_dist, g.vec_id LIMIT 10""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n FROM (
