@@ -629,20 +629,41 @@ object Dedup {
     * generation via random-hyperplane LSH signs (so the join key bounds the
     * shuffle); exact cosine verifies. `dims` must match the embedding
     * width.
+    *
+    * `bands` independent plane sets are OR-ed (a pair is a candidate if it
+    * collides in ANY band — the MinHash path's own banding design): one
+    * band of p planes catches a cosine-θ pair with probability
+    * (1-θ/π)^p, which collapses at production thresholds (~0.9 ⇒ ~0.1 at
+    * p=16); b bands lift recall to 1-(1-(1-θ/π)^p)^b while the shuffle
+    * stays keyed by (band, signature) — never all-pairs. Candidates travel
+    * as id pairs only; vectors join back for the exact-cosine verify.
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      dims: Int, planes: Int = 16, minCosine: Double = 0.95): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), dims, planes)
-    val withSig = df.select(col(idCol), col(vecCol).cast("array<double>").alias("__v"),
-        sig.alias("sig"))
+      dims: Int, planes: Int = 16, minCosine: Double = 0.95,
+      bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val sigs = array((0 until bands).map(b =>
+      Similarity.hyperplaneSignature(col(vecCol), dims, planes, 42L + 7919L * b)): _*)
+    val withVec = df.select(col(idCol), col(vecCol).cast("array<double>").alias("__v"))
       .withColumn("__n2", Similarity.sumSq(col("__v")))
-    val l = withSig.alias("l")
-    val r = withSig.alias("r")
-    l.join(r, col("l.sig") === col("r.sig") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
+    val keyed = df.select(col(idCol), posexplode(sigs))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__sig"))
+    val l = keyed.alias("l")
+    val r = keyed.alias("r")
+    val candidates = l.join(r,
+        col("l.__band") === col("r.__band") && col("l.__sig") === col("r.__sig") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val a = withVec.select(col(idCol).alias("id_a"),
+      col("__v").alias("__va"), col("__n2").alias("__n2a"))
+    val b = withVec.select(col(idCol).alias("id_b"),
+      col("__v").alias("__vb"), col("__n2").alias("__n2b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
         Rounding.roundAway(
-          graft.expressions.VectorExpressions.dotNative(col("l.__v"), col("r.__v")) /
-            (sqrt(col("l.__n2")) * sqrt(col("r.__n2"))), 6).alias("cosine"))
+          graft.expressions.VectorExpressions.dotNative(col("__va"), col("__vb")) /
+            (sqrt(col("__n2a")) * sqrt(col("__n2b"))), 6).alias("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }

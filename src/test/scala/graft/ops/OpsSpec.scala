@@ -157,6 +157,41 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Set((0L, 1L)))
   }
 
+  test("multi-band embedding LSH holds recall at production thresholds (0.9)") {
+    // 60 planted pairs at cosine ~0.92 (23° apart): one 8-plane band
+    // catches such a pair with prob (1-23/180)^8 ~ 0.33, so single-band
+    // recall collapses; 8 OR-ed bands lift it to ~0.96. Deterministic
+    // fixture (seeded), deterministic planes (seeded) - the numbers below
+    // are stable reruns, not flakes.
+    val rnd = new scala.util.Random(7)
+    val dims = 32
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val base = unit(Array.fill(dims)(rnd.nextGaussian()))
+      // orthogonalized noise, mixed to land near cosine 0.92
+      val noise = unit(Array.fill(dims)(rnd.nextGaussian()))
+      val dot = base.zip(noise).map { case (a, b) => a * b }.sum
+      val orth = unit(noise.zip(base).map { case (n0, b0) => n0 - dot * b0 })
+      val c = 0.92
+      val partner = base.zip(orth).map { case (b0, o0) =>
+        c * b0 + math.sqrt(1 - c * c) * o0 }
+      Seq((i.toLong, base.toSeq), (i.toLong + 1000L, partner.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def recallAt(bands: Int): Double = {
+      val found = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+          dims = dims, planes = 8, minCosine = 0.9, bands = bands)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (0 until 60).count(i => found.contains((i.toLong, i.toLong + 1000L))) / 60.0
+    }
+    val single = recallAt(1)
+    val multi = recallAt(8)
+    assert(multi >= 0.85, s"multi-band recall $multi below bound")
+    assert(multi > single, s"banding gained nothing: single=$single multi=$multi")
+  }
+
   test("brute-force topk ranks the near vector first; lsh agrees on top hit") {
     val q = vecs.where($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
