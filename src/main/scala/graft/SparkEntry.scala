@@ -981,6 +981,24 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_connected_components_star" -> ((s, dir) => {
+      // star contraction (Kiveris et al.) under oracle on a DEEP fixture:
+      // each key chains to the next key within its DIV-64 bucket, so
+      // components are up-to-64-node chains (diameter ~63 — propagation's
+      // default 10 rounds would come back split; contraction needs
+      // O(log n)). The component is the bucket, rep = min(key): a plain
+      // windowed GROUP BY for DuckDB.
+      val keys = T(s, dir, "orders").select(col("o_orderkey"))
+        .where(col("o_orderkey") < 4000)
+      val w = Window.partitionBy(expr("o_orderkey DIV 64")).orderBy(col("o_orderkey"))
+      val edges = keys
+        .select(col("o_orderkey").alias("id_a"),
+          lead(col("o_orderkey"), 1).over(w).alias("id_b"))
+        .where(col("id_b").isNotNull)
+      graft.ops.Graph.connectedComponentsStar(keys, edges)
+        .orderBy(col("id"))
+    }),
+
     "q_reachability" -> ((s, dir) => {
       // bounded-depth BFS over a derived key hierarchy (child k -> parent
       // k/2), seeds = every 97th order: ancestors within 3 hops with
@@ -2048,6 +2066,14 @@ object SparkEntry {
       """SELECT o_orderkey AS id,
         |  min(o_orderkey) OVER (PARTITION BY o_orderkey // 8) AS rep
         |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY id""".stripMargin,
+
+    "q_connected_components_star" ->
+      // chain-bucket graph: every bucket member chains to the next, so
+      // the component minimum is STILL the bucket minimum
+      """SELECT o_orderkey AS id,
+        |  min(o_orderkey) OVER (PARTITION BY o_orderkey // 64) AS rep
+        |FROM orders WHERE o_orderkey < 4000
         |ORDER BY id""".stripMargin,
 
     "q_reachability" ->

@@ -74,6 +74,94 @@ object Graph {
     labels
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the 100 TB-graph path. Min-label propagation
+    * ([[connectedComponents]]) needs rounds = component DIAMETER (a web-ish
+    * graph with diameter 50 pays 50 full-label shuffles); star contraction
+    * halves structure every other round and converges in O(log n) rounds
+    * regardless of diameter:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    its minimum neighbor (or itself if minimal);
+    *  - small-star: every node and its smaller-or-equal neighbors attach
+    *    to the minimum of that set.
+    *
+    * Each half-round is one groupBy + one equi-join keyed by node id over
+    * the CURRENT edge set (which only shrinks toward stars — never N²),
+    * with localCheckpoint keeping lineage flat. At the fixed point the
+    * edge set is a star forest (leaf -> component minimum), read off as
+    * labels. Output matches [[connectedComponents]]: (id, rep) with
+    * isolated nodes their own representative.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxRounds: Int = 50, failOnNonConvergence: Boolean = true): DataFrame =
+    starContraction(nodes, edges, srcCol, dstCol, maxRounds, failOnNonConvergence)._1
+
+  /** [[connectedComponentsStar]] plus the number of rounds it took —
+    * exposed so scale tests can pin the O(log n) convergence claim.
+    */
+  private[graft] def starContraction(nodes: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, maxRounds: Int,
+      failOnNonConvergence: Boolean): (DataFrame, Int) = {
+    val idCol = nodes.columns.head
+    // canonical strictly-descending (u > v) distinct edge set
+    var e = edges
+      .select(col(srcCol).alias("a"), col(dstCol).alias("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).alias("u"),
+        least(col("a"), col("b")).alias("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint(true)
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.unionByName(in.select(col("v").alias("u"), col("u").alias("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).alias("mn"))
+        .select(col("u"), least(col("mn"), col("u")).alias("m"))
+      // (v, m) for every neighbor v > u; m <= u < v keeps edges descending
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").alias("u"), col("m").alias("v"))
+        .dropDuplicates("u", "v")
+    }
+
+    def smallStar(in: DataFrame): DataFrame = {
+      // input is (u > v): the group's smaller-or-equal closure is v's ∪ {u}
+      val m = in.groupBy(col("u")).agg(min(col("v")).alias("m"))
+      in.join(m, "u")
+        .select(col("v").alias("u"), col("m").alias("v"))
+        .unionByName(m.select(col("u"), col("m").alias("v")))
+        .where(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+    }
+
+    var eCount = e.count()
+    var converged = eCount == 0
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixed point = same DISTINCT edge set. Carrying the previous count
+      // makes the cheap probe one count per round; the anti-join check
+      // (next ⊆ e, which with equal counts means equality) runs only when
+      // the sizes already agree — at most the final round plus rare
+      // same-size intermediate rounds.
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.exceptAll(e).limit(1).count() == 0
+      e = next
+      eCount = nextCount
+      round += 1
+    }
+    if (!converged && failOnNonConvergence)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxRounds rounds; raise " +
+          "maxRounds or pass failOnNonConvergence = false for partial labels")
+    val labels = nodes.select(col(idCol).alias("id"))
+      .join(e.select(col("u").alias("id"), col("v").alias("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).alias("rep"))
+    (labels, round)
+  }
+
   /** Bounded-depth BFS over a DIRECTED edge list: every (seed, node)
     * pair where `node` is reachable from a seed in at most `maxHops`
     * hops, with the minimal hop count. Seeds reach themselves at depth

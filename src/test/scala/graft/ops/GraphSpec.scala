@@ -34,6 +34,48 @@ class GraphSpec extends SparkSpecBase {
     assert(full.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("star contraction matches label propagation on random graphs") {
+    import spark.implicits._
+    // three seeded random graphs of different density: same (id, rep)
+    // labeling from both algorithms, including isolated nodes
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 400
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("id_a", "id_b")
+      val prop = Graph.connectedComponents(nodes, edges, maxRounds = 100)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val star = Graph.connectedComponentsStar(nodes, edges)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(star == prop, s"seed $seed: star disagrees with propagation")
+    }
+  }
+
+  test("star contraction: deep chain converges in O(log n) rounds, not diameter") {
+    import spark.implicits._
+    // a 512-node chain has diameter 511: propagation at maxRounds=20 must
+    // give up, star contraction must finish well inside 20 rounds
+    val nodes = (0L until 512L).toDF("id")
+    val edges = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Graph.connectedComponents(nodes, edges, maxRounds = 20)
+    }
+    val (labels, rounds) = Graph.starContraction(nodes, edges,
+      "id_a", "id_b", maxRounds = 20, failOnNonConvergence = true)
+    assert(rounds <= 20, s"took $rounds rounds")
+    assert(labels.select("rep").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("star contraction handles empty edge sets and self-loops") {
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("id")
+    val selfOnly = Seq((2L, 2L)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponentsStar(nodes, selfOnly)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (1L to 4L).map(i => i -> i))
+  }
+
   test("reachWithin: minimal depths, hop bound respected, cycles terminate") {
     import spark.implicits._
     // diamond with a shortcut: 1->2->4, 1->3->4, 4->1 (cycle back)

@@ -82,6 +82,21 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(hist.where(col("is_current")).count() == 100000)
   }
 
+  test("star contraction on a 1M-edge chain: O(log n) rounds where propagation needs 1M") {
+    // a 1M-node chain is propagation's worst case: diameter = 1e6 means
+    // 1e6 full-label shuffles (never runnable); star contraction must
+    // collapse it to one component in ~log2(n) alternating rounds
+    val nodes = spark.range(0, 1000001).select(col("id"))
+    val edges = spark.range(0, 1000000)
+      .select(col("id").alias("id_a"), (col("id") + 1).alias("id_b"))
+    val (labels, rounds) = Graph.starContraction(nodes, edges,
+      "id_a", "id_b", maxRounds = 40, failOnNonConvergence = true)
+    assert(rounds <= 30, s"star contraction took $rounds rounds on a 1M chain")
+    val reps = labels.select("rep").distinct().collect().map(_.getLong(0)).toSeq
+    assert(reps == Seq(0L), s"expected one component rooted at 0, got $reps")
+    assert(labels.count() == 1000001L)
+  }
+
   test("bfs on a 1M-edge forest: depths bounded, frontier-pruned loop terminates") {
     // forest of parent pointers id -> id/2 over 1M nodes
     val edges = spark.range(1, 1000000)
