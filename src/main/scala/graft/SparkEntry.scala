@@ -1476,7 +1476,20 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticAssets(s, 500), everyMs = 2500)
-        .orderBy(col("asset_id"), col("frame_idx")))
+        .orderBy(col("asset_id"), col("frame_idx"))),
+
+    "q_media_decode" -> ((s, dir) =>
+      // decode OUTPUT VALUES under oracle, not just plumbing ids: the
+      // per-partition decode (mapPartitions, decoder init once per task)
+      // runs StubDecoder's byte histogram over 256-byte payloads; 256 is
+      // a power of two, so every normalized float bucket is exactly
+      // representable and DuckDB replays the features bit-for-bit from
+      // the same sha256-hex payload definition.
+      Multimodal.extractFeatures(
+          Multimodal.syntheticAssets(s, 200, payloadBytes = 256),
+          new Multimodal.StubDecoder(16))
+        .toDF()
+        .orderBy(col("asset_id")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2660,6 +2673,25 @@ object SparkEntry {
       """SELECT id AS asset_id, CAST(off / 2500 AS INTEGER) AS frame_idx, off AS offset_ms
         |FROM (SELECT id, unnest(generate_series(0, id * 1000 % 10000, 2500)) AS off
         |      FROM range(500) t(id) WHERE id % 3 = 2)
-        |ORDER BY asset_id, frame_idx""".stripMargin
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q_media_decode" ->
+      // replay of StubDecoder: payload = repeat(sha256-hex(id), 4) as
+      // ASCII bytes; feature j = count(byte % 16 == j) / 256, exact in
+      // FLOAT because the denominator is a power of two
+      """WITH p AS (
+        |  SELECT id AS asset_id,
+        |    CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
+        |  FROM range(200) t(id)),
+        |ch AS (SELECT asset_id, media_type, len(s) AS n_bytes,
+        |    list_filter(str_split(s, ''), c -> len(c) > 0) AS cs
+        |  FROM p)
+        |SELECT asset_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  list_transform(range(16), j -> CAST(
+        |    CAST(len(list_filter(cs, c -> ord(c) % 16 = j)) AS DOUBLE) / n_bytes
+        |    AS FLOAT)) AS features
+        |FROM ch
+        |ORDER BY asset_id""".stripMargin
   )
 }
