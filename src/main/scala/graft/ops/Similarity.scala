@@ -296,6 +296,52 @@ object Similarity {
       vecCol, idCol, query, k)
   }
 
+  /** All signatures within Hamming distance `maxBits` of `sig` — the
+    * multi-probe ball, enumerated driver-side: Σ_{i≤maxBits} C(planes,i)
+    * values (137 at planes=16, maxBits=2), independent of corpus size.
+    */
+  private[graft] def hammingBall(sig: Long, planes: Int, maxBits: Int): Seq[Long] = {
+    require(maxBits >= 0 && planes >= 1 && planes <= 62)
+    var acc = Set(sig)
+    var frontier = Set(sig)
+    for (_ <- 1 to maxBits) {
+      frontier = frontier.flatMap(s => (0 until planes).map(i => s ^ (1L << i))) -- acc
+      acc ++= frontier
+    }
+    acc.toSeq.sorted
+  }
+
+  /** Persist an LSH index: rows land Hive-partitioned by their hyperplane
+    * sign signature (`__sig=<s>` directories, at most 2^planes of them —
+    * keep `planes` sized so directories stay chunky at the target scale).
+    * The signature pass over the corpus is paid ONCE here; afterwards
+    * every probe is directory-pruned ([[lshTopKPersisted]]) instead of
+    * re-scanning the corpus to compute signatures per query, which is
+    * what [[lshTopK]] has to do without storage.
+    */
+  def persistLshIndex(store: graft.engine.TableStore, table: String, df: DataFrame,
+      vecCol: String, idCol: String, dims: Int, planes: Int = 16,
+      seed: Long = 42L): Unit = {
+    val sig = hyperplaneSignature(col(vecCol), dims, planes, seed)
+    store.writePartitioned(table,
+      df.withColumn("__sig", sig).repartition(col("__sig")), Seq("__sig"))
+  }
+
+  /** Probe a persisted LSH index: the query's Hamming-≤`maxBits` signature
+    * ball becomes a partition-column IN filter, so the scan reads ONLY the
+    * matching `__sig` directories (PartitionFilters, asserted in OpsSpec)
+    * — the same storage-pruned probe shape as [[ivfTopKPersisted]], with
+    * the ball standing in for nProbe cells.
+    */
+  def lshTopKPersisted(store: graft.engine.TableStore, table: String,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      planes: Int = 16, maxBits: Int = 2, seed: Long = 42L): DataFrame = {
+    val ball = hammingBall(signatureOf(query, planes, seed), planes, maxBits)
+    bruteForceTopK(
+      store.read(table).where(col("__sig").isInCollection(ball)).drop("__sig"),
+      vecCol, idCol, query, k)
+  }
+
   /** Pairwise top-k neighbors for every row of a small frame (tests). */
   def allPairsTopK(df: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val l = df.select(col(idCol).alias("id_a"), col(vecCol).cast("array<double>").alias("va"))

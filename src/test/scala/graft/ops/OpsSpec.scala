@@ -277,6 +277,43 @@ class OpsSpec extends SparkSpecBase {
         .select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("persisted LSH index: Hamming-ball probe prunes partitions at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-lsh"))
+    // 40 vectors in two antipodal bundles around ±base: signatures split
+    // into few buckets, and the planted near-copy shares the query's bucket
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(8)(rnd.nextGaussian())
+    val pts = (0 until 40).map { i =>
+      val sgn = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, base.toSeq.map(x => sgn * x * (1.0 + (i % 5) * 0.02)))
+    }.toDF("vec_id", "embedding")
+    Similarity.persistLshIndex(store, "emb_lsh", pts, "embedding", "vec_id",
+      dims = 8, planes = 6)
+    val q = base.toSeq
+    val res = Similarity.lshTopKPersisted(store, "emb_lsh", "embedding", "vec_id",
+      q, k = 5, planes = 6, maxBits = 1)
+    // the probe must reach the scan as a PARTITION filter over __sig and
+    // select only ball-member directories - never the whole table
+    val scans = res.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains("emb_lsh")) => f
+    }
+    assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+    assert(scans.head.metadata("PartitionFilters").contains("__sig"),
+      scans.head.metadata("PartitionFilters"))
+    val totalDirs = store.read("emb_lsh").select("__sig").distinct().count()
+    val probed = scans.head.selectedPartitions.partitionCount
+    assert(probed < totalDirs,
+      s"probe read $probed of $totalDirs directories - no pruning happened")
+    // the positive bundle shares the query's signature: top hits are from it
+    val top = res.select("vec_id").as[Long].collect()
+    assert(top.nonEmpty && top.forall(_ % 2 == 0),
+      s"expected positive-bundle hits, got ${top.toSeq}")
+    // ball membership is exact: signature 0-distance plus planes 1-flips
+    val ball = Similarity.hammingBall(5L, planes = 6, maxBits = 1)
+    assert(ball.size == 7 && ball.contains(5L) && ball.contains(4L) && ball.contains(7L))
+  }
+
   test("text analysis features are sane on a known sentence") {
     val df = Seq((1L, "The quick brown fox! It is a fox, 42 times.")).toDF("doc_id", "text")
     val row = TextAnalysis.annotate(df).head()
