@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.Bridge
+
+import graft.SparkSpecBase
+
+/** Spark-upgrade canary for the engine's ONLY dependency on Spark
+  * internals: `org.apache.spark.sql.graft.Bridge` (50 lines) reaches into
+  * three `private[sql]` members. On a Spark minor upgrade these are the
+  * places to re-check; this spec fails with a pointed message the moment
+  * any of them drifts, instead of leaving the break to surface as a
+  * confusing downstream compile/runtime error.
+  *
+  * Pinned surface (all in spark-sql 4.x):
+  *  - `org.apache.spark.sql.classic.ExpressionUtils.column/expression`
+  *  - `org.apache.spark.sql.classic.Dataset.ofRows(SparkSession, LogicalPlan)`
+  *  - `SparkSessionExtensions.buildOptimizerRules(SparkSession)`
+  *  - `FunctionRegistry.createOrReplaceTempFunction(name, builder, source)`
+  */
+class BridgeSpec extends SparkSpecBase {
+
+  private def methodsOf(className: String): Seq[java.lang.reflect.Method] =
+    try Class.forName(className).getMethods.toSeq
+    catch {
+      case _: ClassNotFoundException =>
+        fail(s"Spark internal class $className is gone — update Bridge.scala " +
+          "for this Spark version (see BridgeSpec's pinned-surface list)")
+    }
+
+  test("canary: ExpressionUtils still exposes column/expression") {
+    val ms = methodsOf("org.apache.spark.sql.classic.ExpressionUtils$")
+    assert(ms.exists(m => m.getName == "column" &&
+        m.getParameterTypes.toSeq == Seq(classOf[Expression]) &&
+        m.getReturnType == classOf[Column]),
+      "ExpressionUtils.column(Expression): Column drifted — fix Bridge.column")
+    assert(ms.exists(m => m.getName == "expression" &&
+        m.getParameterCount == 1 &&
+        classOf[Expression].isAssignableFrom(m.getReturnType)),
+      "ExpressionUtils.expression(Column): Expression drifted — fix Bridge.expression")
+  }
+
+  test("canary: classic.Dataset still exposes ofRows(SparkSession, LogicalPlan)") {
+    val ms = methodsOf("org.apache.spark.sql.classic.Dataset$")
+    assert(ms.exists(m => m.getName == "ofRows" && m.getParameterCount == 2 &&
+        m.getParameterTypes()(0).getName == "org.apache.spark.sql.classic.SparkSession" &&
+        m.getParameterTypes()(1).getName ==
+          "org.apache.spark.sql.catalyst.plans.logical.LogicalPlan"),
+      "classic.Dataset.ofRows(SparkSession, LogicalPlan) drifted — fix Bridge.ofRows")
+  }
+
+  test("canary: SparkSessionExtensions still exposes buildOptimizerRules") {
+    val ms = methodsOf("org.apache.spark.sql.SparkSessionExtensions")
+    assert(ms.exists(m => m.getName == "buildOptimizerRules" && m.getParameterCount == 1),
+      "SparkSessionExtensions.buildOptimizerRules drifted — fix Bridge.optimizerRulesOf")
+  }
+
+  test("canary: the bridged behaviors still work end-to-end") {
+    // Column <-> Expression round-trip through the private[sql] utilities
+    val c = Bridge.column(Literal(42))
+    assert(Bridge.expression(c) == Literal(42))
+    // hand-built logical plan executes
+    val plan = spark.range(3).queryExecution.logical
+    assert(Bridge.ofRows(spark, plan).count() == 3)
+    // temp SQL function registration via the FunctionRegistry internal
+    Bridge.registerFunction(spark, "graft_canary_fn",
+      (args: Seq[Expression]) => Literal(7))
+    assert(spark.sql("SELECT graft_canary_fn() AS v").head().get(0) == 7)
+  }
+}
