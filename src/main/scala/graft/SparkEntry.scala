@@ -83,10 +83,18 @@ object SparkEntry {
     ivfStores.computeIfAbsent((s, dir), _ => {
       val store = new graft.engine.TableStore(
         s, java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)
-      Similarity.persistIvfIndex(store, "emb_ivf", T(s, dir, "embeddings"),
-        "embedding", "vec_id", nCells = 8)
-      Similarity.persistIvfIndex(store, "emb_ivf_aug", prunedCorpus(s, dir),
-        "embedding", "vec_id", nCells = 8)
+      // the two index builds are independent: run them as concurrent
+      // Spark jobs (k-means is a chain of short driver collects — run
+      // serially the executors sit idle between rounds)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(Similarity.persistIvfIndex(store, "emb_ivf",
+          T(s, dir, "embeddings"), "embedding", "vec_id", nCells = 8, iterations = 3)),
+        Future(Similarity.persistIvfIndex(store, "emb_ivf_aug",
+          prunedCorpus(s, dir), "embedding", "vec_id", nCells = 8, iterations = 3))
+      )), Duration.Inf)
       store
     })
 

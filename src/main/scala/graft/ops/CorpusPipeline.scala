@@ -44,10 +44,19 @@ object CorpusPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
       .withColumn("lang_id", TextAnalysis.languageId(t))
-    val filtered = annotated
+    val filteredPlan = annotated
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
+    // with dedup active the filtered corpus is consumed several times
+    // (candidate shingles, the survivor anti-join, decontamination
+    // postings, the final output) — persist it so the regex-heavy
+    // annotate+filter stage runs once, not once per consumer; without
+    // dedup the pipeline is a single linear pass and stays unpersisted
+    val filtered =
+      if (cfg.dedupJaccard > 0)
+        filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else filteredPlan
     val deduped =
       if (cfg.dedupJaccard > 0)
         Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol, cfg.dedupJaccard)

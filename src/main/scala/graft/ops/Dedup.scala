@@ -588,16 +588,22 @@ object Dedup {
       minJaccard: Double = 0.8, maxRounds: Int = 10,
       failOnNonConvergence: Boolean = false): DataFrame = {
     val pairs = minhashCandidates(df, textCol, idCol, minJaccard = minJaccard)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // cluster ONLY the pair participants: every other doc is trivially its
+    // own representative, so the iterative rounds run over the (tiny)
+    // duplicate-graph node set instead of shuffling labels for the whole
+    // corpus each round
+    val participants = pairs.select(col("id_a").alias("id"))
+      .unionByName(pairs.select(col("id_b").alias("id"))).distinct()
     // failOnNonConvergence defaults OFF here (unlike raw connectedComponents):
     // template chains in a large corpus routinely exceed diameter `maxRounds`,
     // and a partially-propagated labeling is SAFE for dedup — worst case a
     // long chain splits into several clusters and a few extra rows survive
     val labels = Graph.connectedComponents(
-      df.select(col(idCol)), pairs, maxRounds = maxRounds,
+      participants, pairs, maxRounds = maxRounds,
       failOnNonConvergence = failOnNonConvergence)
-    val keep = labels.where(col("id") === col("rep")).select(col("id").alias(idCol))
-    df.join(keep, idCol, "left_semi")
+    val drop = labels.where(col("id") =!= col("rep")).select(col("id").alias(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Blocked fuzzy-match pairs (record linkage): candidates share a

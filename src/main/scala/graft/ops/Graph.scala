@@ -119,10 +119,13 @@ object Graph {
       val sym = in.unionByName(in.select(col("v").alias("u"), col("u").alias("v")))
       val m = sym.groupBy(col("u")).agg(min(col("v")).alias("mn"))
         .select(col("u"), least(col("mn"), col("u")).alias("m"))
-      // (v, m) for every neighbor v > u; m <= u < v keeps edges descending
+      // (v, m) for every neighbor v > u; m <= u < v keeps edges descending.
+      // Duplicate emissions (two groups pointing v at the same m) are NOT
+      // deduped here: the next half-round's min-aggregate absorbs them and
+      // its own output dedup restores the canonical set — dropping the
+      // exchange halves the per-round shuffle count.
       sym.join(m, "u").where(col("v") > col("u"))
         .select(col("v").alias("u"), col("m").alias("v"))
-        .dropDuplicates("u", "v")
     }
 
     def smallStar(in: DataFrame): DataFrame = {

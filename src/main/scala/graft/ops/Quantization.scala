@@ -35,11 +35,21 @@ object Quantization {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     // initialization inside kmeansCentroids is md5-ordered, so each
-    // subspace trains deterministically on its own slice distribution
-    (0 until m).map { j =>
-      val sliced = df.select(slice(col(vecCol), j * sub + 1, sub).alias(vecCol))
-      Similarity.kmeansCentroids(sliced, vecCol, k, iters)
-    }
+    // subspace trains deterministically on its own slice distribution.
+    // The m trainings are independent — submit them as CONCURRENT Spark
+    // jobs (each is a short chain of driver-side collects; serially they
+    // leave the cluster idle between rounds). Future.sequence keeps the
+    // result indexed by subspace, so the output is deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).map { j =>
+        Future {
+          val sliced = df.select(slice(col(vecCol), j * sub + 1, sub).alias(vecCol))
+          Similarity.kmeansCentroids(sliced, vecCol, k, iters)
+        }
+      }), Duration.Inf)
   }
 
   /** Encode vectors as m nearest-codeword indices. A JIT'd UDF loop for
