@@ -1421,6 +1421,23 @@ object SparkEntry {
         m = 8, codebookSize = 4, iters = 2)
     }),
 
+    "q_similarity_ivf_pq" -> ((s, dir) => {
+      // the FULL FAISS composite under oracle: IVF routing -> ADC scoring
+      // over m-byte codes in the probed cells -> exact re-rank of the
+      // shortlist against true vectors. Same codeword-grid corpus as
+      // q_similarity_pq (lossless ADC), probed at nProbe = nCells, so the
+      // rescored result provably equals the brute-force L2 top-k DuckDB
+      // computes from the grid formula.
+      val grid = T(s, dir, "embeddings").select(col("vec_id"),
+        array((0 until 64).map { d =>
+          pmod(shiftright(col("vec_id"), 2 * (d / 8)), lit(4))
+            .cast("double") * lit(10.0)
+        }: _*).alias("vec"))
+      val q17 = (0 until 64).map(d => ((17L >> (2 * (d / 8))) % 4).toDouble * 10.0)
+      Quantization.ivfPqTopK(grid, "vec", "vec_id", q17, k = 10,
+        nCells = 4, nProbe = 4, m = 8, codebookSize = 4, iters = 2, rerank = 20)
+    }),
+
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2579,6 +2596,19 @@ object SparkEntry {
         |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS approx_dist
         |FROM grid g, q
         |ORDER BY approx_dist, g.vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_ivf_pq" ->
+      // rescored full-probe IVF-PQ over the lossless grid == brute force
+      """WITH grid AS (
+        |  SELECT vec_id, list_transform(range(64),
+        |    d -> CAST(((vec_id >> (2 * (d // 8))) % 4) * 10 AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec AS qv FROM grid WHERE vec_id = 17)
+        |SELECT g.vec_id,
+        |  round(list_aggregate(list_transform(list_zip(g.vec, q.qv),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist
+        |FROM grid g, q
+        |ORDER BY dist, g.vec_id LIMIT 10""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n FROM (

@@ -131,4 +131,48 @@ object Quantization {
       .orderBy(col("approx_dist"), col(idCol))
       .limit(k)
   }
+
+  /** End-to-end IVF-PQ search — the full FAISS composite over the
+    * engine's own pieces:
+    *
+    *  1. ROUTE: the query picks its `nProbe` nearest IVF cells
+    *     (driver-side argsort over k centroids);
+    *  2. SCORE: only those cells' rows are scanned, by ADC over their
+    *     m-byte codes — the scan carries codes, never float vectors;
+    *  3. RERANK: the `rerank` best ADC candidates (id + approx distance
+    *     only — a k'-row frame) join back to the full-precision vectors
+    *     for an exact squared-L2 top-k.
+    *
+    * At 100 TB the cells are a partition column and the codes a compact
+    * column ([[Similarity.persistIvfIndex]] + an encoded column at
+    * ingest): step 2's scan is directory-pruned AND 32× narrower than the
+    * raw corpus, and step 3 touches full vectors for `rerank` rows only.
+    * Both trainings are paid once at build time.
+    */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nCells: Int, nProbe: Int,
+      m: Int = 8, codebookSize: Int = 16, iters: Int = 5,
+      rerank: Int = 0): DataFrame = {
+    require(k > 0 && nProbe > 0)
+    val shortlist = math.max(if (rerank > 0) rerank else 4 * k, k)
+    val (indexed, cents) =
+      Similarity.buildIvfIndexDistributed(df, vecCol, idCol, nCells, iters)
+    val books = trainPqCodebooks(df, vecCol, m, codebookSize, iters)
+    val probe = Similarity.probeCellsFor(cents, query, nProbe)
+    val candidates = indexed
+      .where(col("__cell").isInCollection(probe))
+      .select(col(idCol), pqEncode(books)(col(vecCol)).alias("__codes"))
+      .select(col(idCol), adcDistance(books, query)(col("__codes")).alias("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(shortlist)
+    val qArr = array(query.map(lit): _*)
+    candidates
+      .join(df.select(col(idCol), col(vecCol).cast("array<double>").alias("__v")), idCol)
+      .select(col(idCol),
+        Rounding.roundAway(
+          aggregate(zip_with(col("__v"), qArr, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x), 6).alias("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -233,7 +233,7 @@ object Similarity {
     * driver-side argsort over k centroids, shared by the in-memory and
     * persisted probe paths.
     */
-  private def probeCellsFor(centroids: Seq[Seq[Double]], query: Seq[Double],
+  private[graft] def probeCellsFor(centroids: Seq[Seq[Double]], query: Seq[Double],
       nProbe: Int): Seq[Int] = {
     val qv = query.toIndexedSeq
     centroids.indices.sortBy { i =>

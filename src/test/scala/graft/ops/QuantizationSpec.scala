@@ -95,4 +95,40 @@ class QuantizationSpec extends SparkSpecBase {
         s"vec ${r.getLong(0)}: adc ${r.getDouble(1)} != exact ${r.getDouble(2)}")
     }
   }
+
+  test("IVF-PQ composite: full probe + lossless codebooks equals exact L2 top-k") {
+    import spark.implicits._
+    val pure = (0 until 64).map { i =>
+      val v = (0 until 16).map { d =>
+        (i / math.pow(2, d / 4).toInt % 4) * 10.0
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "vec")
+    val query = (0 until 16).map(d => ((d / 4) % 4) * 10.0)
+    val got = Quantization.ivfPqTopK(pure, "vec", "vec_id", query, k = 8,
+        nCells = 3, nProbe = 3, m = 4, codebookSize = 4, iters = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = pure.select(col("vec_id"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("d"))
+      .orderBy(col("d"), col("vec_id")).limit(8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"got $got vs exact $exact")
+  }
+
+  test("IVF-PQ composite: pruned probe recalls the query's own cluster") {
+    import spark.implicits._
+    // three well-separated clusters; probing ONE cell must still return
+    // the query cluster's members first
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(8)(d => if (d == c) 50.0 + (i % 5) * 0.1 else (i % 7) * 0.1))
+    }.toDF("vec_id", "vec")
+    val query = Seq.tabulate(8)(d => if (d == 1) 50.0 else 0.0)
+    val got = Quantization.ivfPqTopK(pts, "vec", "vec_id", query, k = 10,
+        nCells = 3, nProbe = 1, m = 4, codebookSize = 8, iters = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10 && got.forall(_ % 3 == 1),
+      s"expected cluster-1 members, got ${got.toSeq}")
+  }
 }
