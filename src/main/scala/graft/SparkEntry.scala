@@ -1328,13 +1328,16 @@ object SparkEntry {
       // captures every planted pair BY CONSTRUCTION, not probabilistically
       // — which is what makes the all-pairs DuckDB oracle exact). The raw
       // fixture has no pairs above cosine 0.52, so threshold 0.999 selects
-      // precisely the planted pairs on both sides.
+      // precisely the planted pairs on both sides. bands = 2 puts the
+      // multi-band OR path under oracle too: extra bands only ADD
+      // candidates, and the exact-cosine verify pins the identical final
+      // pair set, so the oracle stays the same brute-force closed form.
       val base = T(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").alias("v"))
       val planted = base.select((col("vec_id") + 10000).alias("vec_id"),
         transform(col("v"), x => x * lit(2.0d)).alias("v"))
       Dedup.embeddingNearDups(base.unionByName(planted), "v", "vec_id",
-          dims = 64, planes = 16, minCosine = 0.999)
+          dims = 64, planes = 16, minCosine = 0.999, bands = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -280,6 +280,27 @@ object Similarity {
       .select(col("centroid").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
+  /** Append rows to a PERSISTED IVF index without retraining: the
+    * incoming delta is assigned to the EXISTING centroids (broadcast
+    * argmin — no corpus shuffle, no k-means) and appended into the
+    * matching `__cell` directories, so probes see the new rows
+    * immediately. This is the FAISS add() tradeoff: centroids drift
+    * slightly stale as the distribution moves (retrain on a cadence;
+    * full probes stay exact regardless), and appended part-files
+    * accumulate per cell (compact via [[graft.engine.TableStore
+    * .compact]], which preserves the partition layout).
+    */
+  def appendToIvfIndex(store: graft.engine.TableStore, table: String,
+      df: DataFrame, vecCol: String, idCol: String): Unit = {
+    val cents = loadIvfCentroids(store, table)
+    require(cents.nonEmpty, s"no centroid table for IVF index '$table'")
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val assigned = df.withColumn("__cell",
+      cellOf(col(vecCol).cast("array<double>"), centArr))
+    store.writePartitioned(table, assigned.repartition(col("__cell")),
+      Seq("__cell"), append = true)
+  }
+
   /** Probe a persisted IVF index: centroids load driver-side, the nProbe
     * nearest cells become a partition-column IN filter, and the scan reads
     * ONLY those directories — the plan's PartitionFilters, asserted in

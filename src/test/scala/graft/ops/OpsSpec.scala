@@ -277,6 +277,38 @@ class OpsSpec extends SparkSpecBase {
         .select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("persisted IVF index: appended rows are probe-visible without retraining") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-ivf-append"))
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(3)(d =>
+        if (d == c) 10.0 + (i % 7) * 0.01 else (i % 5) * 0.01))
+    }.toDF("vec_id", "embedding")
+    Similarity.persistIvfIndex(store, "emb_app", pts, "embedding", "vec_id",
+      nCells = 3, iterations = 4)
+    // delta: a new vector near the axis-0 cluster but colinear with NO
+    // original (the originals are exactly axis-aligned), plus one far
+    // outlier - both must land in existing cells and be probe-visible
+    val delta = Seq(
+      (1000L, Seq(10.5, 0.3, 0.0)),
+      (1001L, Seq(0.0, 0.0, 55.0))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(store, "emb_app", delta, "embedding", "vec_id")
+    assert(store.read("emb_app").count() == 92)
+    // the new vector is the unique cosine-1 match for its own direction
+    // and ranks FIRST for that query probing 1 cell
+    val q = Seq(10.5, 0.3, 0.0)
+    val top = Similarity.ivfTopKPersisted(store, "emb_app", "embedding", "vec_id",
+        q, k = 3, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(1000L), s"appended row not probe-visible: ${top.toSeq}")
+    // full probe over the grown index still equals brute force over base+delta
+    val full = Similarity.ivfTopKPersisted(store, "emb_app", "embedding", "vec_id",
+        q, k = 5, nProbe = 3).select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(pts.unionByName(delta), "embedding", "vec_id",
+        q, k = 5).select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+  }
+
   test("persisted LSH index: Hamming-ball probe prunes partitions at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val store = new graft.engine.TableStore(spark, tmpDir("wh-lsh"))
