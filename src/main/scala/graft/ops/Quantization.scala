@@ -175,4 +175,75 @@ object Quantization {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  // ---------- index persistence (the 100 TB IVF-PQ layout) ----------
+
+  /** Persist an IVF-PQ index: the corpus lands Hive-partitioned by
+    * `__cell` carrying ONLY (id, m-byte codes) — the scan rows are ~32×
+    * narrower than the float vectors — plus two tiny side tables
+    * (`<table>__centroids`: k rows; `<table>__codebooks`: m·k rows).
+    * Training and the clustering shuffle are paid once here; probes
+    * ([[ivfPqTopKPersisted]]) are directory-pruned scans of code rows,
+    * and full-precision vectors stay in the BASE table, touched only by
+    * the final rerank join.
+    */
+  def persistIvfPqIndex(store: graft.engine.TableStore, table: String,
+      df: DataFrame, vecCol: String, idCol: String, nCells: Int,
+      m: Int = 8, codebookSize: Int = 16, iters: Int = 5): Unit = {
+    val (indexed, cents) =
+      Similarity.buildIvfIndexDistributed(df, vecCol, idCol, nCells, iters)
+    val books = trainPqCodebooks(df, vecCol, m, codebookSize, iters)
+    val encoded = indexed.select(col(idCol), col("__cell"),
+      pqEncode(books)(col(vecCol)).alias("codes"))
+    store.writePartitioned(table, encoded.repartition(col("__cell")), Seq("__cell"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    store.write(table + "__centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      append = false)
+    store.write(table + "__codebooks",
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+      }.toDF("j", "c", "codeword"), append = false)
+  }
+
+  /** Load the codebook side table of a persisted IVF-PQ index
+    * (m·k·(dim/m) doubles of driver state — same envelope as centroids).
+    */
+  def loadPqCodebooks(store: graft.engine.TableStore, table: String): Seq[Seq[Seq[Double]]] =
+    store.read(table + "__codebooks").orderBy(col("j"), col("c"))
+      .select(col("j"), col("codeword").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toSeq).toSeq)
+
+  /** Probe a persisted IVF-PQ index: centroids and codebooks load
+    * driver-side, the probe cells become a partition IN-filter over the
+    * code table (the scan reads only matching `__cell` directories, and
+    * only code rows — never vectors), and the ADC shortlist joins back to
+    * `base` for the exact re-rank.
+    */
+  def ivfPqTopKPersisted(store: graft.engine.TableStore, table: String,
+      base: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nProbe: Int, rerank: Int = 0): DataFrame = {
+    require(k > 0 && nProbe > 0)
+    val shortlist = math.max(if (rerank > 0) rerank else 4 * k, k)
+    val cents = Similarity.loadIvfCentroids(store, table)
+    val books = loadPqCodebooks(store, table)
+    val probe = Similarity.probeCellsFor(cents, query, nProbe)
+    val candidates = store.read(table)
+      .where(col("__cell").isInCollection(probe))
+      .select(col(idCol), adcDistance(books, query)(col("codes")).alias("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(shortlist)
+    val qArr = array(query.map(lit): _*)
+    candidates
+      .join(base.select(col(idCol), col(vecCol).cast("array<double>").alias("__v")), idCol)
+      .select(col(idCol),
+        Rounding.roundAway(
+          aggregate(zip_with(col("__v"), qArr, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x), 6).alias("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
 }

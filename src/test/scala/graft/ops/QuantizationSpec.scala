@@ -116,6 +116,43 @@ class QuantizationSpec extends SparkSpecBase {
     assert(got == exact, s"got $got vs exact $exact")
   }
 
+  test("persisted IVF-PQ: code-only pruned scan; full probe + lossless == brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-ivfpq"))
+    val pure = (0 until 64).map { i =>
+      val v = (0 until 16).map { d =>
+        (i / math.pow(2, d / 4).toInt % 4) * 10.0
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "vec")
+    Quantization.persistIvfPqIndex(store, "pq_idx", pure, "vec", "vec_id",
+      nCells = 3, m = 4, codebookSize = 4, iters = 4)
+    val query = (0 until 16).map(d => ((d / 4) % 4) * 10.0)
+    val res = Quantization.ivfPqTopKPersisted(store, "pq_idx", pure, "vec", "vec_id",
+      query, k = 8, nProbe = 3)
+    res.collect() // finalize AQE so the executed plan shows the real scans
+    // the probe scans the CODE table: partition filter on __cell, and the
+    // read schema carries the m-byte codes — never the float vectors
+    val plan = res.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator
+      .dropWhile(!_.contains("pq_idx")).take(8).mkString("\n")
+    assert(codeScan.nonEmpty, plan)
+    assert(codeScan.contains("PartitionFilters") && codeScan.contains("__cell"), codeScan)
+    assert(codeScan.contains("codes"), codeScan)
+    assert(!codeScan.contains("vec:"), s"probe scan reads vectors:\n$codeScan")
+    // lossless codebooks + full probe: rescored result == exact L2 top-k
+    val got = res.select("vec_id").as[Long].collect().toSeq
+    val exact = pure.select(col("vec_id"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("d"))
+      .orderBy(col("d"), col("vec_id")).limit(8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"got $got vs exact $exact")
+    // codebooks round-trip the side table
+    assert(Quantization.loadPqCodebooks(store, "pq_idx").map(_.size).sum <= 16)
+  }
+
   test("IVF-PQ composite: pruned probe recalls the query's own cluster") {
     import spark.implicits._
     // three well-separated clusters; probing ONE cell must still return
