@@ -79,13 +79,26 @@ object SparkEntry {
     e.unionByName(planted)
   }
 
+  /** The deterministic codeword-grid corpus (each 8-dim subspace j holds
+    * the constant pattern ((vec_id >> 2j) % 4) * 10) — the fixture whose
+    * per-subspace k-means provably fixes on the patterns, making PQ
+    * lossless and its DuckDB oracle exact. Shared by the PQ queries and
+    * the persisted IVF-PQ index build.
+    */
+  private def gridCorpus(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").select(col("vec_id"),
+      array((0 until 64).map { d =>
+        pmod(shiftright(col("vec_id"), 2 * (d / 8)), lit(4))
+          .cast("double") * lit(10.0)
+      }: _*).alias("vec"))
+
   private def persistedIvfStore(s: SparkSession, dir: String): graft.engine.TableStore =
     ivfStores.computeIfAbsent((s, dir), _ => {
       val store = new graft.engine.TableStore(
         s, java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)
-      // the two index builds are independent: run them as concurrent
-      // Spark jobs (k-means is a chain of short driver collects — run
-      // serially the executors sit idle between rounds)
+      // the index builds are independent: run them as concurrent Spark
+      // jobs (k-means is a chain of short driver collects — run serially
+      // the executors sit idle between rounds)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -93,7 +106,10 @@ object SparkEntry {
         Future(Similarity.persistIvfIndex(store, "emb_ivf",
           T(s, dir, "embeddings"), "embedding", "vec_id", nCells = 8, iterations = 3)),
         Future(Similarity.persistIvfIndex(store, "emb_ivf_aug",
-          prunedCorpus(s, dir), "embedding", "vec_id", nCells = 8, iterations = 3))
+          prunedCorpus(s, dir), "embedding", "vec_id", nCells = 8, iterations = 3)),
+        Future(Quantization.persistIvfPqIndex(store, "grid_pq",
+          gridCorpus(s, dir), "vec", "vec_id", nCells = 4,
+          m = 8, codebookSize = 4, iters = 2))
       )), Duration.Inf)
       store
     })
@@ -1414,31 +1430,41 @@ object SparkEntry {
       // equals the true squared-L2 distance, which DuckDB recomputes from
       // the same formula. All values are small integers in doubles, so
       // every sum is exact and the hash compare is bit-for-bit.
-      val grid = T(s, dir, "embeddings").select(col("vec_id"),
-        array((0 until 64).map { d =>
-          pmod(shiftright(col("vec_id"), 2 * (d / 8)), lit(4))
-            .cast("double") * lit(10.0)
-        }: _*).alias("vec"))
       val q17 = (0 until 64).map(d => ((17L >> (2 * (d / 8))) % 4).toDouble * 10.0)
-      Quantization.pqTopK(grid, "vec", "vec_id", q17, k = 10,
+      Quantization.pqTopK(gridCorpus(s, dir), "vec", "vec_id", q17, k = 10,
         m = 8, codebookSize = 4, iters = 2)
     }),
 
     "q_similarity_ivf_pq" -> ((s, dir) => {
-      // the FULL FAISS composite under oracle: IVF routing -> ADC scoring
-      // over m-byte codes in the probed cells -> exact re-rank of the
-      // shortlist against true vectors. Same codeword-grid corpus as
-      // q_similarity_pq (lossless ADC), probed at nProbe = nCells, so the
-      // rescored result provably equals the brute-force L2 top-k DuckDB
-      // computes from the grid formula.
-      val grid = T(s, dir, "embeddings").select(col("vec_id"),
-        array((0 until 64).map { d =>
-          pmod(shiftright(col("vec_id"), 2 * (d / 8)), lit(4))
-            .cast("double") * lit(10.0)
-        }: _*).alias("vec"))
+      // the FULL FAISS composite as its production shape, under oracle:
+      // the PERSISTED index (Hive-partitioned code table + centroid and
+      // codebook side tables, built once per session) is probed with a
+      // partition IN-filter, ADC scores only code rows, and the shortlist
+      // re-ranks exactly against the base table. Probing all cells over
+      // the lossless grid corpus makes the result provably equal to the
+      // brute-force L2 top-k DuckDB computes from the grid formula.
       val q17 = (0 until 64).map(d => ((17L >> (2 * (d / 8))) % 4).toDouble * 10.0)
-      Quantization.ivfPqTopK(grid, "vec", "vec_id", q17, k = 10,
-        nCells = 4, nProbe = 4, m = 8, codebookSize = 4, iters = 2, rerank = 20)
+      Quantization.ivfPqTopKPersisted(persistedIvfStore(s, dir), "grid_pq",
+        gridCorpus(s, dir), "vec", "vec_id", q17, k = 10, nProbe = 4, rerank = 20)
+    }),
+
+    "q_similarity_pq_recall" -> ((s, dir) => {
+      // PQ on the REAL embedding distribution (the grid queries cover the
+      // lossless regime; this covers the lossy one) under a recall-bound
+      // boolean oracle: the planted colinear near-copies of the query
+      // quantize to (near-)identical codes, so a correct encode/ADC ranks
+      // them at the top — recall@10 of the ADC shortlist vs the exact
+      // top-10 must clear 0.8 or the hash compare fails. A broken
+      // codebook/encode/ADC drops recall toward the random baseline.
+      val q = queryVec(s, dir)
+      val adcTop = Quantization.pqTopK(prunedCorpus(s, dir), "embedding", "vec_id",
+        q, k = 10, m = 8, codebookSize = 16, iters = 2)
+      val exact = Similarity.bruteForceTopK(prunedCorpus(s, dir),
+        "embedding", "vec_id", q, 10)
+      adcTop.alias("p")
+        .join(exact.alias("e"), col("p.vec_id") === col("e.vec_id"), "left_semi")
+        .agg(count(lit(1)).alias("hits"))
+        .select(lit(10).alias("k"), (col("hits") >= 8).alias("recall_ok"))
     }),
 
     // ---- text analysis ----
@@ -2612,6 +2638,11 @@ object SparkEntry {
         |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist
         |FROM grid g, q
         |ORDER BY dist, g.vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_pq_recall" ->
+      // recall-bound boolean oracle: lossy-regime ADC must keep
+      // recall@10 >= 0.8 on the planted-neighbor corpus
+      "SELECT 10 AS k, TRUE AS recall_ok",
 
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n FROM (
