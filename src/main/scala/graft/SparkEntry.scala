@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Names, NestedRewrite}
-import graft.ops.{Dedup, Multimodal, Quantization, Rounding, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantization, Rounding, SetSketch, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1094,6 +1094,28 @@ object SparkEntry {
         .select(col("l_returnflag"),
           graft.ops.Udafs.sketchQuantile(col("qsk"), 0.5).alias("med"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    "q_sketch_overlap" -> ((s, dir) => {
+      // distinct-overlap between two corpus slices WITHOUT the exact
+      // distinct join: per-slice KMV sketches (k-minimum-values, Beyer et
+      // al. SIGMOD'07) merge driver-free and estimate |A|, |B|, |A∩B|.
+      // The o_custkey < 3000 slice bounds both cardinalities under
+      // k=8192 independent of sf, so the sketches hold the complete hash
+      // sets, every estimate is EXACT, and the oracle replays them as
+      // plain COUNT(DISTINCT)s. (Unsliced production use runs in sketch
+      // regime, rsd ~ 1/sqrt(k) — SetSketchSpec covers that envelope.)
+      val o = T(s, dir, "orders").where(col("o_custkey") < 3000)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val k = 8192
+      val sa = o.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .agg(SetSketch.kmv(col("o_custkey"), k).alias("ska"))
+      val sb = o.where(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+        .agg(SetSketch.kmv(col("o_custkey"), k).alias("skb"))
+      sa.crossJoin(sb).select(
+        SetSketch.kmvDistinct(col("ska"), k).cast("long").alias("nd_a"),
+        SetSketch.kmvDistinct(col("skb"), k).cast("long").alias("nd_b"),
+        SetSketch.kmvIntersection(col("ska"), col("skb"), k).cast("long").alias("nd_shared"))
     }),
 
     "q_scd2" -> ((s, dir) =>
@@ -2201,6 +2223,19 @@ object SparkEntry {
         |       ((cnt_b + 1) / CAST(n_b + v AS DOUBLE)))), 6) AS kl,
         |  n_a, n_b
         |FROM j, t GROUP BY n_a, n_b ORDER BY n_a""".stripMargin,
+
+    "q_sketch_overlap" ->
+      // exact regime: the KMV samples are the complete hash sets, so the
+      // three estimates equal plain COUNT(DISTINCT)s
+      """SELECT
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_custkey < 3000 AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS nd_a,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders
+        |   WHERE o_custkey < 3000 AND o_orderpriority IN ('2-HIGH', '3-MEDIUM')) AS nd_b,
+        |  (SELECT count(DISTINCT a.o_custkey) FROM orders a
+        |   WHERE a.o_custkey < 3000 AND a.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     AND a.o_custkey IN (SELECT o_custkey FROM orders
+        |       WHERE o_custkey < 3000 AND o_orderpriority IN ('2-HIGH', '3-MEDIUM'))) AS nd_shared""".stripMargin,
 
     "q_sketch_median" ->
       // the sketch's exact-regime semantics: smallest value whose rank

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-value sketch — Beyer et al., "On
+  * synopses for distinct value estimation under multiset operations",
+  * SIGMOD'07 (the same sample-below-threshold family as Apache
+  * DataSketches' theta sketch).
+  *
+  * The summary keeps the k SMALLEST distinct 63-bit hash values of a set.
+  * What that buys over HLL ([[Incremental.distinctState]]) is SET
+  * ALGEBRA: because the retained hashes are a uniform sample of the set
+  * below a known threshold, two sketches can estimate their
+  * INTERSECTION — "how many distinct customers/documents/urls do corpus
+  * A and corpus B share" — without ever running the exact distinct join.
+  * At 100 TB that turns an A⋈B distinct-count (a full shuffle of both
+  * key sets) into a merge of two k-value summaries.
+  *
+  *  - Cardinality: while a sketch holds fewer than k values it IS the
+  *    hash set and counts are EXACT (the declared query's oracle
+  *    regime); at capacity the estimator is (k-1)/u_(k) with hashes
+  *    normalized to (0,1], rsd ≈ 1/√(k−2).
+  *  - Union: the k smallest of the concatenated samples — associative,
+  *    commutative, idempotent (mergeable summary).
+  *  - Intersection: θ = the smaller of the two sketches' thresholds;
+  *    below θ both samples are complete-or-uniform, so
+  *    |A∩B| ≈ |{h ∈ S_A ∩ S_B : h < θ}| / (θ/2^63).
+  */
+object SetSketch {
+
+  /** Sketch state: `hashes` sorted ascending, ≤ k entries; `pending`
+    * buffers raw inserts between amortized flushes (empty after finish).
+    */
+  case class KmvSketch(hashes: Seq[Long], pending: Seq[Long] = Nil)
+
+  /** 63-bit non-negative hash (two murmur3-32 seeds packed, sign cleared)
+    * — uniform enough for the (k-1)/u_(k) estimator, and non-negative so
+    * plain Long ordering is the "k minimum" ordering.
+    */
+  private[graft] def hash63(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x2545f491)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x1b873593)
+    ((h1.toLong << 32) | (h2.toLong & 0xffffffffL)) & Long.MaxValue
+  }
+
+  private def flushed(k: Int, b: KmvSketch): KmvSketch =
+    if (b.pending.isEmpty) b
+    else KmvSketch((b.hashes ++ b.pending).distinct.sorted.take(k))
+
+  /** Rows buffered between sort-merge flushes (amortizes the O(k log k)
+    * maintenance over many inserts).
+    */
+  private val FlushEvery = 256
+
+  class Kmv(k: Int) extends Aggregator[String, KmvSketch, KmvSketch] {
+    require(k > 1, s"k must exceed 1, got $k")
+
+    override def zero: KmvSketch = KmvSketch(Vector.empty)
+
+    override def reduce(b: KmvSketch, a: String): KmvSketch = {
+      if (a == null) b
+      else {
+        val withA = KmvSketch(b.hashes, hash63(a) +: b.pending)
+        if (withA.pending.length >= FlushEvery) flushed(k, withA) else withA
+      }
+    }
+
+    override def merge(x: KmvSketch, y: KmvSketch): KmvSketch = {
+      val fx = flushed(k, x)
+      val fy = flushed(k, y)
+      KmvSketch((fx.hashes ++ fy.hashes).distinct.sorted.take(k))
+    }
+
+    override def finish(r: KmvSketch): KmvSketch = flushed(k, r)
+
+    override def bufferEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+    override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+  }
+
+  /** Merge aggregator over already-built sketches — the incremental /
+    * materialized-view refresh path (union old state with a delta's
+    * sketches, O(k) per group, never re-reading history).
+    */
+  class KmvMerge(k: Int) extends Aggregator[KmvSketch, KmvSketch, KmvSketch] {
+    override def zero: KmvSketch = KmvSketch(Vector.empty)
+    override def reduce(b: KmvSketch, a: KmvSketch): KmvSketch =
+      if (a == null) b else merge(b, flushed(k, a))
+    override def merge(x: KmvSketch, y: KmvSketch): KmvSketch =
+      KmvSketch((flushed(k, x).hashes ++ flushed(k, y).hashes).distinct.sorted.take(k))
+    override def finish(r: KmvSketch): KmvSketch = flushed(k, r)
+    override def bufferEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+    override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+  }
+
+  /** Column form: one KMV sketch of `value`'s distinct set per group. */
+  def kmv(value: Column, k: Int): Column = {
+    val f = udaf(new Kmv(k), Encoders.STRING)
+    f(value.cast("string"))
+  }
+
+  /** Column form: union already-built sketches (incremental refresh). */
+  def kmvMerge(sketch: Column, k: Int): Column = {
+    val f = udaf(new KmvMerge(k), Encoders.product[KmvSketch])
+    // a product input encoder consumes one argument PER constructor field
+    f(sketch.getField("hashes"), sketch.getField("pending"))
+  }
+
+  private val Two63 = lit(9.223372036854775808e18) // 2^63 as double
+
+  /** A sketch's sampling threshold: its k-th minimum when at capacity,
+    * else 2^63 (nothing was discarded — the sample is the whole set).
+    */
+  private def thetaOf(sketch: Column, k: Int): Column = {
+    val hs = sketch.getField("hashes")
+    when(size(hs) >= k, element_at(hs, k).cast("double")).otherwise(Two63)
+  }
+
+  /** Distinct-count estimate: exact below capacity, (k-1)/u_(k) at it. */
+  def kmvDistinct(sketch: Column, k: Int): Column = {
+    val hs = sketch.getField("hashes")
+    when(size(hs) < k, size(hs).cast("double"))
+      .otherwise(lit(k - 1).cast("double") / (element_at(hs, k).cast("double") / Two63))
+  }
+
+  /** Distinct-intersection estimate between two sketches built with the
+    * same k: shared sample below the joint threshold, scaled back up. In
+    * the exact regime (both below capacity) this is the exact
+    * intersection cardinality.
+    */
+  def kmvIntersection(a: Column, b: Column, k: Int): Column = {
+    val theta = least(thetaOf(a, k), thetaOf(b, k))
+    val shared = size(array_intersect(
+      filter(a.getField("hashes"), h => h.cast("double") < theta),
+      filter(b.getField("hashes"), h => h.cast("double") < theta)))
+    shared.cast("double") / (theta / Two63)
+  }
+
+  /** Distinct-union estimate (inclusion-free: merge then estimate). */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(
+      a.getField("hashes"), b.getField("hashes"))), 1, k)
+    val atCap = size(merged) >= k
+    when(!atCap, size(merged).cast("double"))
+      .otherwise(lit(k - 1).cast("double") / (element_at(merged, k).cast("double") / Two63))
+  }
+}

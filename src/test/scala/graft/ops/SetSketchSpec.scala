@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class SetSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact regime: distinct, intersection and union equal the true values") {
+    // A = 0..599, B = 400..999 -> |A|=600, |B|=600, |A∩B|=200, |A∪B|=1000
+    val a = spark.range(0, 600).select(col("id"))
+    val b = spark.range(400, 1000).select(col("id"))
+    val k = 4096 // above both cardinalities: sketches hold the full hash sets
+    val sa = a.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "ska")
+    val sb = b.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "skb")
+    val row = sa.crossJoin(sb).select(
+      SetSketch.kmvDistinct(col("ska"), k).alias("nd_a"),
+      SetSketch.kmvDistinct(col("skb"), k).alias("nd_b"),
+      SetSketch.kmvIntersection(col("ska"), col("skb"), k).alias("shared"),
+      SetSketch.kmvUnion(col("ska"), col("skb"), k).alias("union_nd")).head()
+    assert(row.getDouble(0) == 600.0)
+    assert(row.getDouble(1) == 600.0)
+    assert(row.getDouble(2) == 200.0)
+    assert(row.getDouble(3) == 1000.0)
+  }
+
+  test("sketch regime: estimates land within the 1/sqrt(k) error envelope") {
+    val n = 50000L
+    val k = 1024
+    val est = spark.range(0, n)
+      .agg(SetSketch.kmv(col("id"), k).alias("sk"))
+      .select(SetSketch.kmvDistinct(col("sk"), k)).head().getDouble(0)
+    // rsd ~ 1/sqrt(k-2) ~ 3.1%; allow 5 sigma for a deterministic bound
+    assert(math.abs(est - n) / n < 0.16, s"estimate $est for true $n")
+  }
+
+  test("sketch-regime intersection tracks a 50% overlap") {
+    val k = 1024
+    val a = spark.range(0, 20000).select(col("id"))
+    val b = spark.range(10000, 30000).select(col("id"))
+    val sa = a.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "ska")
+    val sb = b.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "skb")
+    val shared = sa.crossJoin(sb)
+      .select(SetSketch.kmvIntersection(col("ska"), col("skb"), k)).head().getDouble(0)
+    // true 10000; intersection error compounds both sketches' thresholds
+    assert(shared > 6500 && shared < 13500, s"intersection estimate $shared")
+  }
+
+  test("merge aggregator: incremental union of sketches equals one-shot") {
+    val k = 512
+    val parts = spark.range(0, 3000).select(col("id"),
+      pmod(col("id"), lit(3)).alias("part"))
+    // per-part sketches merged == sketch of everything (exact regime)
+    val merged = parts.groupBy(col("part"))
+      .agg(SetSketch.kmv(col("id"), k).alias("sk"))
+      .agg(SetSketch.kmvMerge(col("sk"), k).alias("sk"))
+      .select(col("sk.hashes")).head().getSeq[Long](0)
+    val oneShot = parts.agg(SetSketch.kmv(col("id"), k).alias("sk"))
+      .select(col("sk.hashes")).head().getSeq[Long](0)
+    assert(merged == oneShot)
+    assert(merged.length == k)
+    assert(merged == merged.sorted && merged.distinct.length == merged.length)
+  }
+
+  test("nulls are skipped, not counted") {
+    val df = Seq(Some("x"), Some("y"), None, Some("x")).toDF("v")
+    val nd = df.agg(SetSketch.kmv(col("v"), 64).alias("sk"))
+      .select(SetSketch.kmvDistinct(col("sk"), 64)).head().getDouble(0)
+    assert(nd == 2.0)
+  }
+}
