@@ -37,7 +37,8 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   // Flagship: the capstone corpus-preparation pipeline (filters +
-  // decontamination + split tagging), 207 rows at sf0.001.
+  // near-dup removal + decontamination + split tagging), 200 rows at
+  // sf0.001.
   def entry(spark: SparkSession): DataFrame =
     queries("q_corpus_prepare")(spark, "/root/testdata/sf0.001")
 
@@ -54,9 +55,13 @@ object SparkEntry {
   // Persisted IVF index shared by q_similarity_ivf_persisted/_pruned:
   // k-means training and the clustering shuffle are paid ONCE per
   // (session, sf dir) into a temp warehouse — the pay-at-ingest asymmetry
-  // a production vector index has; probes never re-train.
-  private val ivfStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.engine.TableStore]()
+  // a production vector index has; probes never re-train. Weak-keyed on
+  // the session (the Features-cache pattern) so stopped sessions and
+  // their stores become collectable instead of pinned for the process
+  // lifetime; the temp directories live under the OS temp root.
+  private val ivfStores = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]]())
 
   /** The embeddings corpus plus ten planted near-copies of the query
     * vector (scaled 1.001–1.010: same direction, cosine 1.0) under ids
@@ -93,7 +98,10 @@ object SparkEntry {
       }: _*).alias("vec"))
 
   private def persistedIvfStore(s: SparkSession, dir: String): graft.engine.TableStore =
-    ivfStores.computeIfAbsent((s, dir), _ => {
+    ivfStores
+      .computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]())
+      .computeIfAbsent(dir, _ => {
       val store = new graft.engine.TableStore(
         s, java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)
       // the index builds are independent: run them as concurrent Spark

@@ -101,12 +101,15 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     df.select(cols: _*)
   }
 
-  /** Swap fully-written `staging` into `path` without a window where the
-    * table is absent: the previous data is RENAMED ASIDE first (rename is
-    * atomic-per-directory on HDFS-like filesystems) and deleted only after
-    * the new data is in place. A failure at any step leaves either the old
-    * or the new copy readable at `path` — never neither, which is what a
-    * delete-then-rename ordering risks.
+  /** Swap fully-written `staging` into `path` crash-safely: the previous
+    * data is RENAMED ASIDE first (rename is atomic-per-directory on
+    * HDFS-like filesystems) and deleted only after the new data is in
+    * place, so a failure at any single step leaves a complete copy of the
+    * data on disk (at `path`, or recoverable under `.__old`) — which a
+    * delete-then-rename ordering cannot guarantee. NOT reader-atomic: a
+    * concurrent reader can still observe a brief absence between the two
+    * renames; concurrent readers during a rewrite need a catalog-level
+    * pointer swap, out of scope for this directory-layout store.
     */
   private def swapInto(fs: FileSystem, staging: Path, path: Path, table: String): Unit = {
     val old = new Path(path.toString + ".__old")
@@ -194,11 +197,17 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     val partCols = partitionColumnsOf(fs, path)
     val bytes = fs.getContentSummary(path).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = read(table).repartition(files)
-    if (partCols.isEmpty) replace(table, df)
+    if (partCols.isEmpty) replace(table, read(table).repartition(files))
     else {
-      // staged swap, re-applying the full ordered partition layout (file
-      // sizing is then per partition directory, not global)
+      // repartition BY THE PARTITION COLUMNS: a column-less global
+      // repartition would spread every partition value across all tasks,
+      // and partitionBy would then emit up to files x nPartitions
+      // fragments — compaction making fragmentation worse. Clustering by
+      // the partition columns lands each value's rows in one task, so
+      // each directory collapses to ~one file (a value larger than the
+      // target stays one file — acceptable for the small-files problem
+      // this solves).
+      val df = read(table).repartition(files, partCols.map(col): _*)
       val staging = new Path(tablePath(table) + ".__staging")
       df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
       swapInto(fs, staging, path, table)

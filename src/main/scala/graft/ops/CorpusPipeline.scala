@@ -52,14 +52,25 @@ object CorpusPipeline {
     // (candidate shingles, the survivor anti-join, decontamination
     // postings, the final output) — persist it so the regex-heavy
     // annotate+filter stage runs once, not once per consumer; without
-    // dedup the pipeline is a single linear pass and stays unpersisted
+    // dedup the pipeline is a single linear pass and stays unpersisted.
+    // The cache is deliberately left registered (the returned plan keeps
+    // referencing it lazily, so there is no safe unpersist point inside
+    // this function); like Features' shingle cache it is session-scoped —
+    // callers preparing many corpora in one session can unpersist via
+    // spark.catalog.clearCache() between runs.
     val filtered =
       if (cfg.dedupJaccard > 0)
         filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else filteredPlan
     val deduped =
       if (cfg.dedupJaccard > 0)
-        Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol, cfg.dedupJaccard)
+        // maxRounds = 30: near-dup cluster diameters are tiny (pairs and
+        // short chains — convergence fires after 2-3 rounds and unused
+        // round budget costs nothing), but the budget headroom keeps a
+        // pathological template chain from being silently split into
+        // extra survivors by the cap
+        Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol,
+          cfg.dedupJaccard, maxRounds = 30)
       else filtered
     val cleaned = cfg.evalSet match {
       case Some(ev) =>

@@ -31,25 +31,33 @@ object Quantization {
     */
   def trainPqCodebooks(df: DataFrame, vecCol: String,
       m: Int, k: Int = 16, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    // initialization inside kmeansCentroids is md5-ordered, so each
-    // subspace trains deterministically on its own slice distribution.
-    // The m trainings are independent — submit them as CONCURRENT Spark
-    // jobs (each is a short chain of driver-side collects; serially they
-    // leave the cluster idle between rounds). Future.sequence keeps the
-    // result indexed by subspace, so the output is deterministic.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(
-      Future.sequence((0 until m).map { j =>
-        Future {
-          val sliced = df.select(slice(col(vecCol), j * sub + 1, sub).alias(vecCol))
-          Similarity.kmeansCentroids(sliced, vecCol, k, iters)
-        }
-      }), Duration.Inf)
+    // training re-reads the input m x (iters+1) times (init + every Lloyd
+    // round per subspace): persist the projected vectors for the
+    // training's lifetime so upstream plans (scans, unions, transforms)
+    // run once, not once per pass
+    val vecs = df.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val sub = dim / m
+      // initialization inside kmeansCentroids is md5-ordered, so each
+      // subspace trains deterministically on its own slice distribution.
+      // The m trainings are independent — submit them as CONCURRENT Spark
+      // jobs (each is a short chain of driver-side collects; serially they
+      // leave the cluster idle between rounds). Future.sequence keeps the
+      // result indexed by subspace, so the output is deterministic.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence((0 until m).map { j =>
+          Future {
+            val sliced = vecs.select(slice(col(vecCol), j * sub + 1, sub).alias(vecCol))
+            Similarity.kmeansCentroids(sliced, vecCol, k, iters)
+          }
+        }), Duration.Inf)
+    } finally vecs.unpersist(false)
   }
 
   /** Encode vectors as m nearest-codeword indices. A JIT'd UDF loop for
@@ -165,9 +173,19 @@ object Quantization {
       .select(col(idCol), adcDistance(books, query)(col("__codes")).alias("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(shortlist)
+    rerankExact(candidates, df, vecCol, idCol, query, k)
+  }
+
+  /** Exact squared-L2 re-rank of an ADC shortlist against the base
+    * table's full-precision vectors — shared by the in-memory and
+    * persisted probe paths so their metric/rounding/tie-breaking can
+    * never drift apart.
+    */
+  private def rerankExact(candidates: DataFrame, base: DataFrame,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int): DataFrame = {
     val qArr = array(query.map(lit): _*)
     candidates
-      .join(df.select(col(idCol), col(vecCol).cast("array<double>").alias("__v")), idCol)
+      .join(base.select(col(idCol), col(vecCol).cast("array<double>").alias("__v")), idCol)
       .select(col(idCol),
         Rounding.roundAway(
           aggregate(zip_with(col("__v"), qArr, (x, y) => (x - y) * (x - y)),
@@ -236,14 +254,6 @@ object Quantization {
       .select(col(idCol), adcDistance(books, query)(col("codes")).alias("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(shortlist)
-    val qArr = array(query.map(lit): _*)
-    candidates
-      .join(base.select(col(idCol), col(vecCol).cast("array<double>").alias("__v")), idCol)
-      .select(col(idCol),
-        Rounding.roundAway(
-          aggregate(zip_with(col("__v"), qArr, (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (acc, x) => acc + x), 6).alias("dist"))
-      .orderBy(col("dist"), col(idCol))
-      .limit(k)
+    rerankExact(candidates, base, vecCol, idCol, query, k)
   }
 }

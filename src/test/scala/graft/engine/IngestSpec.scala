@@ -203,6 +203,11 @@ class IngestSpec extends SparkSpecBase {
       .repartition(20)
     store.writePartitioned("pt", df, Seq("day"))
     store.compact("pt", targetFileBytes = 1L << 30)
+    // compaction clusters by the partition column: each day= directory
+    // collapses to ONE file (20 fragments in, 1 out), not files x dirs
+    val perDir = store.read("pt").inputFiles
+      .groupBy(f => f.split("/").takeRight(2).head).view.mapValues(_.length)
+    assert(perDir.values.forall(_ == 1), perDir.toMap.toString)
     // pruning still works: the partition filter reaches the scan
     val pruned = store.read("pt").where(col("day") === 1)
     val plan = pruned.queryExecution.executedPlan.toString
