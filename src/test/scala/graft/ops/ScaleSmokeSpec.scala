@@ -82,6 +82,36 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(hist.where(col("is_current")).count() == 100000)
   }
 
+  test("persisted IVF on 100k vectors: pruned probe reads one cell, finds its cluster") {
+    import spark.implicits._
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-ivf-scale"))
+    // 100k vectors in 8 well-separated axis clusters (cluster = id % 8),
+    // deterministic jitter — index build runs distributed k-means over
+    // the full frame, the scale shape of a real ingest
+    val pts = spark.range(100000).select(col("id").alias("vec_id"),
+      array((0 until 16).map { d =>
+        when(pmod(col("id"), lit(8)) === d % 8,
+            lit(20.0) + pmod(col("id"), lit(7)).cast("double") * 0.01)
+          .otherwise(pmod(col("id"), lit(5)).cast("double") * 0.01)
+      }: _*).alias("embedding"))
+    Similarity.persistIvfIndex(store, "emb_100k", pts, "embedding", "vec_id",
+      nCells = 8, iterations = 3)
+    val q = Seq.tabulate(16)(d => if (d % 8 == 3) 20.0 else 0.0)
+    val res = Similarity.ivfTopKPersisted(store, "emb_100k", "embedding", "vec_id",
+      q, k = 20, nProbe = 1)
+    val top = res.select("vec_id").as[Long].collect()
+    assert(top.length == 20 && top.forall(_ % 8 == 3),
+      s"expected cluster-3 members, got ${top.take(5).toSeq}...")
+    // the probe touched ONE of the eight cell directories
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("__cell"), plan)
+    val probedFiles = res.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.selectedPartitions.partitionCount
+    }
+    assert(probedFiles.forall(_ == 1), s"probed partitions: $probedFiles")
+  }
+
   test("star contraction on a 1M-edge chain: O(log n) rounds where propagation needs 1M") {
     // a 1M-node chain is propagation's worst case: diameter = 1e6 means
     // 1e6 full-label shuffles (never runnable); star contraction must
