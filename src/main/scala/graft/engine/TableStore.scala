@@ -251,6 +251,29 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     TableStore.fireRewrite(tablePath(table))
   }
 
+  /** Overwrite ONLY the partitions present in `df` (Spark's dynamic
+    * partition overwrite), leaving every other directory's files
+    * physically untouched — the backfill primitive the reference's
+    * date-chunked incremental pattern needs (chunk_date_range +
+    * find_last_entry, popelines/main.py:208-234): re-running one date
+    * slice replaces exactly that slice's directory. At 100 TB this is
+    * the difference between rewriting a day and rewriting a table.
+    */
+  def overwritePartitions(table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tablePath(table))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    TableStore.fireRewrite(tablePath(table))
+  }
+
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
   def write(
       table: String,

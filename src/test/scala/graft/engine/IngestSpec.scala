@@ -245,6 +245,30 @@ class IngestSpec extends SparkSpecBase {
       (0 until 2000).count(i => i % 2 == 1 && i % 3 == 1))
   }
 
+  test("overwritePartitions replaces only the incoming slice; other files untouched") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-dynover"))
+    store.writePartitioned("ev",
+      (1L to 300L).map(i => (i, s"2024-01-0${1 + (i % 3)}", i * 1.0))
+        .toDF("id", "day", "v"), Seq("day"))
+    def filesOf(day: String): Set[String] =
+      store.read("ev").inputFiles.filter(_.contains(s"day=$day")).toSet
+    val day1Before = filesOf("2024-01-01")
+    val day3Before = filesOf("2024-01-03")
+    // corrected backfill for day 2 only: half the rows, doubled values
+    store.overwritePartitions("ev",
+      (1L to 50L).map(i => (i, "2024-01-02", i * 2.0)).toDF("id", "day", "v"),
+      Seq("day"))
+    // the other days' PHYSICAL FILES are identical - nothing was rewritten
+    assert(filesOf("2024-01-01") == day1Before)
+    assert(filesOf("2024-01-03") == day3Before)
+    // day 2 is exactly the corrected slice
+    val day2 = store.read("ev").where(col("day") === "2024-01-02")
+    assert(day2.count() == 50)
+    assert(day2.agg(max(col("v"))).head().getDouble(0) == 100.0)
+    assert(store.read("ev").count() == 200 + 50)
+  }
+
   test("a TableStore rewrite invalidates the shared shingle cache") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
