@@ -1069,6 +1069,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    "q_sample_priority" -> ((s, dir) =>
+      // fixed-size weighted draw (Efraimidis-Spirakis priority sampling):
+      // 50 documents, inclusion tracking n_chars, deterministic md5 base
+      // so DuckDB replays the exact winner set
+      graft.ops.Sampling.prioritySample(T(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), n = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "q_token_drift" -> ((s, dir) =>
       // Token-distribution drift between the English and German slices:
       // add-one-smoothed KL divergence over the union vocabulary.
@@ -2209,6 +2218,19 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
         |        / 4503599627370496.0
         |      < LEAST(1.0, n_chars / 400.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_priority" ->
+      // same u^(1/w) priority draw: the winners' identity is stable under
+      // last-ulp pow differences because priorities of distinct docs are
+      // separated far beyond double rounding
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+        |          / 4503599627370496.0,
+        |        1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1e-12)) AS pr
+        |  FROM documents
+        |  ORDER BY pr DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
 
     "q_token_drift" ->

@@ -77,6 +77,24 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.where(unitScore(key) < least(greatest(weight, lit(0.0)), lit(1.0)))
 
+  /** FIXED-SIZE weighted sample without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row draws priority u^(1/w) with u its deterministic md5 unit
+    * score, and the `n` highest priorities win — inclusion probability
+    * tracks weight, sample size is exact (unlike [[weightedSample]]'s
+    * Bernoulli size). The whole draw plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort), and the md5 base makes it
+    * rerun- and cross-engine-reproducible like every sampler here.
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0)
+    val w = greatest(weight.cast("double"), lit(1e-12)) // zero/negative guard
+    df.withColumn("__priority", pow(unitScore(key), lit(1.0) / w))
+      .orderBy(col("__priority").desc, key)
+      .limit(n)
+      .drop("__priority")
+  }
+
   /** Tag each row with its split name. `fractions` must sum to 1; the
     * last split absorbs the hash-space remainder so every row is tagged.
     * Use binary fractions (0.75/0.125/0.125) when an external system must

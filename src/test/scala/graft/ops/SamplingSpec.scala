@@ -131,4 +131,27 @@ class SamplingSpec extends SparkSpecBase {
         assert(ordered.take(n + 1).sum > 500L, s"$label kept $n but next row still fits")
     }
   }
+
+  test("prioritySample: exact size, weight-biased inclusion, deterministic") {
+    import spark.implicits._
+    // 1000 light rows (w=1) vs 100 heavy rows (w=200): a 50-row draw
+    // must be dominated by heavy rows, never exceed the requested size,
+    // and repeat identically
+    val df = ((1L to 1000L).map(i => (i, 1.0)) ++ (2001L to 2100L).map(i => (i, 200.0)))
+      .toDF("id", "w")
+    val s1 = Sampling.prioritySample(df, col("id"), col("w"), n = 50)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(s1.length == 50)
+    val heavy = s1.count(_ >= 2001L)
+    assert(heavy >= 40, s"only $heavy/50 heavy rows sampled")
+    val s2 = Sampling.prioritySample(df, col("id"), col("w"), n = 50)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(s1 == s2)
+    // n >= rows degenerates to the full frame
+    assert(Sampling.prioritySample(df, col("id"), col("w"), n = 5000).count() == 1100)
+    // the plan is a top-k heap, not a global sort
+    val plan = Sampling.prioritySample(df, col("id"), col("w"), n = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
