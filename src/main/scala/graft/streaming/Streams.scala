@@ -203,6 +203,43 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming SKETCH-STATE maintenance: each micro-batch folds into a
+    * per-key mergeable-summary state table (KMV distinct sketches here —
+    * [[graft.ops.SetSketch]]; the same shape serves the HLL / quantile /
+    * Misra-Gries states in [[graft.ops.Incremental]]). This is the
+    * streaming face of the O(delta) refresh: per batch the work is a
+    * delta-sized sketch build plus a k-bounded merge against current
+    * state — history is NEVER re-read — and distinct / overlap estimates
+    * read off the state table at any time.
+    *
+    * Replay safety: KMV union is IDEMPOTENT (set union of hash samples),
+    * so an at-least-once redelivery of a batch merges to the identical
+    * state — the property counter-based streaming aggregates lack. The
+    * state rewrite goes through `TableStore.replace`'s staged swap, so a
+    * crash mid-batch leaves the previous state complete.
+    */
+  def sketchRefreshStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      store: graft.engine.TableStore,
+      stateTable: String,
+      k: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.groupBy(keyCols.map(col): _*)
+          .agg(graft.ops.SetSketch.kmv(col(valueCol), k).alias("sk"))
+        if (!store.exists(stateTable)) store.write(stateTable, delta, append = false)
+        else store.replace(stateTable,
+          store.read(stateTable).unionByName(delta)
+            .groupBy(keyCols.map(col): _*)
+            .agg(graft.ops.SetSketch.kmvMerge(col("sk"), k).alias("sk")))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join within a time bound — the funnel /
     * attribution shape (purchase joined to the clicks that preceded it by
     * at most `bound`). Both sides carry watermarks and the join condition

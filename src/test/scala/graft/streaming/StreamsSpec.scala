@@ -160,6 +160,46 @@ class StreamsSpec extends SparkSpecBase {
     assert(t.orderBy("id").select("name").as[String].collect().toSeq == Seq("x", "Y2", "z"))
   }
 
+  test("streaming sketch refresh: per-batch O(delta) merge, exact in-capacity estimates") {
+    import graft.engine.TableStore
+    import graft.ops.SetSketch
+    val src = java.nio.file.Files.createTempDirectory("sk-src")
+    val store = new TableStore(spark, tmpDir("sk-wh"))
+    val ckpt = tmpDir("sk-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("grp STRING, v LONG")
+    def stream() = Streams.sketchRefreshStream(
+      spark.readStream.schema(schema).json(src.toString),
+      Seq("grp"), "v", store, "sk_state", k = 1024, checkpoint = ckpt)
+    // batch 1: a={1,2,3}, b={1}
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"grp":"a","v":1}
+        |{"grp":"a","v":2}
+        |{"grp":"a","v":3}
+        |{"grp":"b","v":1}
+        |""".stripMargin)
+    stream().awaitTermination()
+    // batch 2: a gains {3,4} (one overlap), b gains {2}
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      """{"grp":"a","v":3}
+        |{"grp":"a","v":4}
+        |{"grp":"b","v":2}
+        |""".stripMargin)
+    stream().awaitTermination()
+    val est = store.read("sk_state")
+      .select(col("grp"), SetSketch.kmvDistinct(col("sk"), 1024).alias("nd"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(est.toSeq == Seq(("a", 4.0), ("b", 2.0)), est.toSeq.toString)
+    // replay safety: folding batch 2's delta in AGAIN is a no-op (KMV
+    // union is idempotent), unlike counter-based streaming aggregates
+    val replay = spark.read.schema(schema).json(src.resolve("b.ndjson").toString)
+      .groupBy(col("grp")).agg(SetSketch.kmv(col("v"), 1024).alias("sk"))
+    val after = store.read("sk_state").unionByName(replay)
+      .groupBy(col("grp")).agg(SetSketch.kmvMerge(col("sk"), 1024).alias("sk"))
+      .select(col("grp"), SetSketch.kmvDistinct(col("sk"), 1024).alias("nd"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(after.toSeq == est.toSeq)
+  }
+
   test("session windows split on gap; high-water mark state updates per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
