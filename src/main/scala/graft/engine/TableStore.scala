@@ -41,7 +41,24 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
   private def tablePath(table: String): String =
     s"$warehouseDir/${Names.normalizeTableName(table)}"
 
+  /** Heal a crashed [[swapInto]]: if the main path is absent but a
+    * complete `.__old` copy exists (the JVM died between the two
+    * renames), rename it back before anyone reads or — worse —
+    * re-initializes the table from a single delta. Invoked from every
+    * entry point that observes table existence, so recovery is automatic
+    * on next access.
+    */
+  private def recoverCrashedSwap(table: String): Unit = {
+    val path = new Path(tablePath(table))
+    val old = new Path(tablePath(table) + ".__old")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) && fs.exists(old) && !fs.rename(old, path))
+      throw new java.io.IOException(
+        s"failed to recover table '$table' from its crashed-swap copy")
+  }
+
   def exists(table: String): Boolean = {
+    recoverCrashedSwap(table)
     val p = new Path(tablePath(table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -62,8 +79,10 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     deleted
   }
 
-  def read(table: String): DataFrame =
+  def read(table: String): DataFrame = {
+    recoverCrashedSwap(table)
     spark.read.option("mergeSchema", true).parquet(tablePath(table))
+  }
 
   def schemaOf(table: String): StructType = read(table).schema
 
@@ -134,12 +153,25 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     * keeps the old data intact until the new copy is fully committed).
     */
   def replace(table: String, df: DataFrame): Unit = {
+    recoverCrashedSwap(table)
     val path = new Path(tablePath(table))
     val staging = new Path(tablePath(table) + ".__staging")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(staging.toString)
     swapInto(fs, staging, path, table)
   }
+
+  /** Initialize-or-rewrite in one call — the micro-batch state-table
+    * shape ([[graft.streaming.Streams]]): write `init` when the table
+    * does not exist yet, otherwise swap in `merged(currentTable)` via
+    * [[replace]]'s staged rename. Existence is checked AFTER crashed-swap
+    * recovery, so a crash inside a previous swap can never cause the
+    * state to be silently re-initialized from a single delta.
+    */
+  def initOrReplace(table: String, init: => DataFrame,
+      merged: DataFrame => DataFrame): Unit =
+    if (!exists(table)) write(table, init, append = false)
+    else replace(table, merged(read(table)))
 
   /** Full ORDERED partition-column list of a Hive-layout table, recovered
     * by walking the directory tree: `col1=v/col2=v/...` nests one column
@@ -258,19 +290,25 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     * find_last_entry, popelines/main.py:208-234): re-running one date
     * slice replaces exactly that slice's directory. At 100 TB this is
     * the difference between rewriting a day and rewriting a table.
+    *
+    * Commit semantics: the touched partitions are swapped by the file
+    * committer per directory, NOT through [[replace]]'s rename-aside —
+    * a crash mid-commit can leave a touched slice partial (untouched
+    * slices are never at risk). The operation is idempotent: re-running
+    * the same backfill restores the slice, which is the standard
+    * recovery for partition-level loads.
     */
   def overwritePartitions(table: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    // per-WRITE option, not session conf: mutating the global
+    // partitionOverwriteMode would race concurrent writers in the same
+    // session (a parallel full-truncate write would silently keep stale
+    // partitions)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
     TableStore.fireRewrite(tablePath(table))
   }
 

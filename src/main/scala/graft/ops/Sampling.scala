@@ -84,15 +84,19 @@ object Sampling {
     * tracks weight, sample size is exact (unlike [[weightedSample]]'s
     * Bernoulli size). The whole draw plans as TakeOrderedAndProject
     * (per-partition heaps, no global sort), and the md5 base makes it
-    * rerun- and cross-engine-reproducible like every sampler here.
+    * rerun- and cross-engine-reproducible like every sampler here —
+    * PROVIDED `key` uniquely identifies rows: duplicate keys share one
+    * priority, and if the rank-n cut falls inside such a tie the winning
+    * row is partition-order-dependent (the Bernoulli samplers above
+    * tolerate duplicate keys; this fixed-size one needs unique ones).
     */
   def prioritySample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
     require(n > 0)
     val w = greatest(weight.cast("double"), lit(1e-12)) // zero/negative guard
-    df.withColumn("__priority", pow(unitScore(key), lit(1.0) / w))
-      .orderBy(col("__priority").desc, key)
+    df.withColumn("__graft_priority", pow(unitScore(key), lit(1.0) / w))
+      .orderBy(col("__graft_priority").desc, key)
       .limit(n)
-      .drop("__priority")
+      .drop("__graft_priority")
   }
 
   /** Tag each row with its split name. `fractions` must sum to 1; the

@@ -195,9 +195,8 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val deduped = batch.dropDuplicates(keys)
-        if (!store.exists(table)) store.write(table, deduped, append = false)
-        else store.replace(table,
-          graft.ops.Merge.upsert(store.read(table), deduped, keys))
+        store.initOrReplace(table, deduped,
+          current => graft.ops.Merge.upsert(current, deduped, keys))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -228,13 +227,18 @@ object Streams {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // coalesce(1): the state is O(keys·k) — kilobytes-to-megabytes —
+        // and a shuffle-partition-wide write would fragment it into
+        // hundreds of files per batch, the small-files pathology
+        // TableStore.compact exists to fix
         val delta = batch.groupBy(keyCols.map(col): _*)
           .agg(graft.ops.SetSketch.kmv(col(valueCol), k).alias("sk"))
-        if (!store.exists(stateTable)) store.write(stateTable, delta, append = false)
-        else store.replace(stateTable,
-          store.read(stateTable).unionByName(delta)
+          .coalesce(1)
+        store.initOrReplace(stateTable, delta,
+          current => current.unionByName(delta)
             .groupBy(keyCols.map(col): _*)
-            .agg(graft.ops.SetSketch.kmvMerge(col("sk"), k).alias("sk")))
+            .agg(graft.ops.SetSketch.kmvMerge(col("sk"), k).alias("sk"))
+            .coalesce(1))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

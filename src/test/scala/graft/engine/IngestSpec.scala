@@ -269,6 +269,24 @@ class IngestSpec extends SparkSpecBase {
     assert(store.read("ev").count() == 200 + 50)
   }
 
+  test("a crashed swap (table only at .__old) heals on next access") {
+    import spark.implicits._
+    val wh = tmpDir("wh-crash")
+    val store = new TableStore(spark, wh)
+    store.write("t", (1L to 5L).toDF("id"))
+    // simulate dying between swapInto's two renames: main path absent,
+    // complete copy parked at .__old
+    val dir = new java.io.File(s"$wh/t")
+    assert(dir.renameTo(new java.io.File(s"$wh/t.__old")))
+    // next access must recover the copy, NOT report a missing table (a
+    // streaming initOrReplace would otherwise re-init from one delta)
+    assert(store.exists("t"))
+    assert(store.read("t").count() == 5)
+    store.initOrReplace("t", spark.range(1).toDF("id"),
+      current => current.unionByName(Seq(6L).toDF("id")))
+    assert(store.read("t").count() == 6, "merge path must see the recovered table")
+  }
+
   test("a TableStore rewrite invalidates the shared shingle cache") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
