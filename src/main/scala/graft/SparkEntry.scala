@@ -1047,6 +1047,22 @@ object SparkEntry {
         .orderBy(col("seed"), col("node"))
     }),
 
+    "q_reachability_pruned" -> ((s, dir) => {
+      // the same reachability semantics through the PRUNED iterative loop
+      // (per-round first-discovery anti-join + localCheckpoint — the
+      // variant that stays bounded on cyclic/diamond graphs where the
+      // unrolled plan's walk count explodes), under the same
+      // recursive-CTE oracle: both formulations must agree exactly.
+      val orders = T(s, dir, "orders").select(col("o_orderkey"))
+      val edges = orders.where(col("o_orderkey") >= 2)
+        .select(col("o_orderkey").alias("src"),
+          expr("o_orderkey DIV 2").alias("dst"))
+      val seeds = orders.where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").alias("node"))
+      graft.ops.Graph.reachWithin(edges, seeds, maxHops = 3)
+        .orderBy(col("seed"), col("node"))
+    }),
+
     "q_table_diff" -> ((s, dir) => {
       // Snapshot diff -> CDC: old misses every 7th order, new drops every
       // 11th and re-prices every 3rd. One full-outer join on the key.
@@ -2183,6 +2199,21 @@ object SparkEntry {
         |ORDER BY id""".stripMargin,
 
     "q_reachability" ->
+      """WITH RECURSIVE reach(seed, node, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION
+        |  SELECT r.seed, e.dst, r.depth + 1
+        |  FROM reach r
+        |  JOIN (SELECT o_orderkey AS src, o_orderkey // 2 AS dst
+        |        FROM orders WHERE o_orderkey >= 2) e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT seed, node, CAST(min(depth) AS INTEGER) AS depth
+        |FROM reach GROUP BY seed, node
+        |ORDER BY seed, node""".stripMargin,
+
+    "q_reachability_pruned" ->
+      // identical semantics to q_reachability: the pruned loop and the
+      // unrolled plan must both match this closure
       """WITH RECURSIVE reach(seed, node, depth) AS (
         |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
         |  UNION
