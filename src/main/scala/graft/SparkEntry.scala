@@ -1369,6 +1369,25 @@ object SparkEntry {
           "doc_id", minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_dedup_containment" -> ((s, dir) => {
+      // asymmetric EXCERPT dedup: the first 25 whole tokens of every 50th
+      // English doc are planted as standalone docs — their shingle sets
+      // are exact subsets of their sources (containment 1.0) while
+      // jaccard stays ~0.07, the case symmetric dedup cannot see. The
+      // token slice is rebuilt identically in DuckDB, so the oracle is
+      // the full closed-form pair set.
+      val docs = T(s, dir, "documents")
+      val excerpt = array_join(
+        slice(filter(split(col("text"), "\\s+"), t => length(t) > 0), 1, 25), " ")
+      val planted = docs.where(col("doc_id") < 500 &&
+          col("lang") === "en" && pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 30000).alias("doc_id"), excerpt.alias("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 500)
+        .unionByName(planted)
+      Dedup.containmentPairs(corpus, "text", "doc_id", minContainment = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_shingle_df" -> ((s, dir) =>
       // document-frequency histogram of word-3-shingles: how many shingles
       // occur in exactly df documents (df>1 = shared/boilerplate text)
@@ -2594,6 +2613,31 @@ object SparkEntry {
          |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_containment" ->
+      // the planted token slices rebuild identically, so the asymmetric
+      // containment pair set has a closed form DuckDB replays in full
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS doc_id,
+        |    array_to_string(list_slice(
+        |      list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0), 1, 25), ' ') AS text
+        |  FROM documents WHERE doc_id < 500 AND lang = 'en' AND doc_id % 50 = 0),
+        |csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |        FROM corpus))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / least(len(a.s), len(b.s)), 6) AS containment
+        |FROM csh a JOIN csh b ON a.doc_id < b.doc_id
+        |WHERE len(a.s) > 0 AND len(b.s) > 0
+        |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / least(len(a.s), len(b.s)), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" ->
       // full replay of the simhash operator: the portable 60-bit signatures

@@ -557,6 +557,49 @@ object Dedup {
     }
   }
 
+  /** ASYMMETRIC containment pairs: |A ∩ B| / min(|A|, |B|) ≥
+    * `minContainment` over shingle sets — the excerpt/quote-inclusion
+    * detector symmetric Jaccard is blind to (a 25-token excerpt embedded
+    * in a 400-token source has jaccard ≤ 0.07 but containment 1.0; cf.
+    * the substring-dedup motivation in Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22). Same
+    * posting-list co-occurrence formulation as
+    * [[ngramJaccardPairsFromShingles]]: the shuffle is keyed by shingle
+    * hash, pairs sharing zero shingles never materialize, and `maxDf`
+    * bounds hot posting lists at corpus scale.
+    */
+  def containmentPairsFromShingles(shingles: DataFrame, idCol: String,
+      minContainment: Double = 0.8, maxDf: Option[Int] = None): DataFrame = {
+    require(minContainment > 0, "containment threshold must be positive")
+    val withShingles = maxDf match {
+      case Some(cap) => capShinglesByDf(shingles, idCol, cap)
+      case None      => shingles
+    }
+    val sizes = withShingles.select(col(idCol), size(col("sh")).alias("n_sh"))
+      .where(col("n_sh") > 0)
+    val posts = withShingles.select(col(idCol), explode(col("sh")).alias("h"))
+    val inter = posts.alias("a").join(posts.alias("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").alias("id_a"), col(s"b.$idCol").alias("id_b"))
+      .agg(count(lit(1)).alias("inter"))
+    inter
+      .join(sizes.select(col(idCol).alias("id_a"), col("n_sh").alias("n_a")), "id_a")
+      .join(sizes.select(col(idCol).alias("id_b"), col("n_sh").alias("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Rounding.roundAway(
+          col("inter").cast("double") / least(col("n_a"), col("n_b")),
+          6).alias("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** [[containmentPairsFromShingles]] from raw text. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      minContainment: Double = 0.8, n: Int = 3,
+      maxDf: Option[Int] = None): DataFrame =
+    containmentPairsFromShingles(
+      df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")),
+      idCol, minContainment, maxDf)
+
   /** Shingle document-frequency view — the boilerplate detector: shingles
     * appearing in many documents are templates/headers/spam. One explode +
     * one groupBy (shuffle keyed by shingle hash); at scale this is also
