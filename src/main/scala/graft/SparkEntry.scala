@@ -1296,7 +1296,10 @@ object SparkEntry {
           base.unionByName(planted),
           ops.CorpusPipeline.Config(
             minQuality = 0.3, maxRepetition = 0.6, langs = Set("en", "es", "zh"),
-            dedupJaccard = 0.8,
+            // bands = 32 (r=2): a J>=0.8 pair escapes candidacy with prob
+            // ~1e-14, so the oracle's exact transitive closure is matched
+            // by construction margin, not fixture luck
+            dedupJaccard = 0.8, dedupBands = 32,
             evalSet = Some(docs.where(col("source") === "src0")),
             minSharedShingles = 3,
             splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))))

@@ -17,6 +17,9 @@ object CorpusPipeline {
     * @param langs        keep only these language ids (empty = keep all)
     * @param dedupJaccard near-dup threshold for MinHash-LSH removal;
     *                     <= 0 disables dedup
+    * @param dedupBands   LSH band count (of 64 minhashes): 16 is the
+    *                     operator default; 32 buys near-certain recall at
+    *                     J=0.8 (miss prob ~1e-14) for more verify work
     * @param evalSet      held-out eval/benchmark docs; corpus docs sharing
     *                     ≥ `minSharedShingles` shingles with any of them
     *                     are dropped (decontamination). None disables.
@@ -28,6 +31,7 @@ object CorpusPipeline {
       maxRepetition: Double = 0.95,
       langs: Set[String] = Set.empty,
       dedupJaccard: Double = 0.8,
+      dedupBands: Int = 16,
       evalSet: Option[DataFrame] = None,
       minSharedShingles: Int = 3,
       splits: Seq[(String, Double)] = Nil,
@@ -70,7 +74,7 @@ object CorpusPipeline {
         // pathological template chain from being silently split into
         // extra survivors by the cap
         Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol,
-          cfg.dedupJaccard, maxRounds = 30)
+          cfg.dedupJaccard, maxRounds = 30, bands = cfg.dedupBands)
       else filtered
     val cleaned = cfg.evalSet match {
       case Some(ev) =>

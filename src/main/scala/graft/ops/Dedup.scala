@@ -629,8 +629,15 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, maxRounds: Int = 10,
-      failOnNonConvergence: Boolean = false): DataFrame = {
-    val pairs = minhashCandidates(df, textCol, idCol, minJaccard = minJaccard)
+      failOnNonConvergence: Boolean = false,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    // bands trades recall for candidate volume: at k=64/bands=16 (r=4) a
+    // J=0.8 pair is missed with prob ~2e-4; at bands=32 (r=2) the miss
+    // probability drops to ~1e-14 while mid-similarity pairs collide more
+    // often (the exact-jaccard verify discards them — more verify work,
+    // same output)
+    val pairs = minhashCandidates(df, textCol, idCol,
+        k = k, bands = bands, minJaccard = minJaccard)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     // cluster ONLY the pair participants: every other doc is trivially its
     // own representative, so the iterative rounds run over the (tiny)
