@@ -157,6 +157,25 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Set((0L, 1L)))
   }
 
+  test("containment pairs: excerpt flagged at 1.0 where jaccard stays tiny") {
+    val source = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, source), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "text", "doc_id", minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the excerpt's 8 shingles all sit inside the source's 58
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // symmetric jaccard on the same pair is far below any dedup threshold
+    val j = Dedup.ngramJaccardPairs(df.where(col("doc_id") < 3), "text", "doc_id",
+        minJaccard = 0.01)
+      .head().getDouble(2)
+    assert(j < 0.2, s"jaccard $j unexpectedly high")
+    // df-cap path composes: capping to df<=1 kills the shared shingles
+    assert(Dedup.containmentPairs(df, "text", "doc_id",
+      minContainment = 0.5, maxDf = Some(1)).isEmpty)
+  }
+
   test("multi-band embedding LSH holds recall at production thresholds (0.9)") {
     // 60 planted pairs at cosine ~0.92 (23° apart): one 8-plane band
     // catches such a pair with prob (1-23/180)^8 ~ 0.33, so single-band
