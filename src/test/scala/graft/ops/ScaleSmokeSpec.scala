@@ -127,6 +127,24 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(labels.count() == 1000001L)
   }
 
+  test("KMV overlap on 5M rows: bounded state, estimates inside the error envelope") {
+    // two 3M-distinct sets with a planted 1M-distinct overlap, sketched
+    // at k=4096 (32 KB of state per side for 3M values)
+    val k = 4096
+    val a = spark.range(0, 3000000).select(col("id"))
+    val b = spark.range(2000000, 5000000).select(col("id"))
+    val sa = a.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "ska")
+    val sb = b.agg(SetSketch.kmv(col("id"), k).alias("sk")).withColumnRenamed("sk", "skb")
+    val row = sa.crossJoin(sb).select(
+      SetSketch.kmvDistinct(col("ska"), k).alias("nd_a"),
+      SetSketch.kmvIntersection(col("ska"), col("skb"), k).alias("shared")).head()
+    val ndA = row.getDouble(0)
+    val shared = row.getDouble(1)
+    // rsd ~ 1/sqrt(k) ~ 1.6%; generous deterministic bounds
+    assert(math.abs(ndA - 3000000) / 3000000 < 0.10, s"nd_a $ndA")
+    assert(shared > 600000 && shared < 1400000, s"shared $shared")
+  }
+
   test("bfs on a 1M-edge forest: depths bounded, frontier-pruned loop terminates") {
     // forest of parent pointers id -> id/2 over 1M nodes
     val edges = spark.range(1, 1000000)
