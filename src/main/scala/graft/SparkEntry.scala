@@ -1151,6 +1151,31 @@ object SparkEntry {
         SetSketch.kmvIntersection(col("ska"), col("skb"), k).cast("long").alias("nd_shared"))
     }),
 
+    "q_sketch_overlap_merge" -> ((s, dir) => {
+      // the KMV MERGE path under oracle (the materialized-view refresh
+      // shape, like q_sketch_median): per-priority distinct-customer
+      // sketches built on the even-key slice, a DELTA built on the odd
+      // slice, merged with kmvMerge, then estimated — in the exact
+      // regime (o_custkey < 3000 bounds cardinality under k independent
+      // of sf) the merged estimate equals a plain COUNT(DISTINCT) over
+      // the union, which is the oracle.
+      val o = T(s, dir, "orders").where(col("o_custkey") < 3000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      val k = 8192
+      val state = o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(SetSketch.kmv(col("o_custkey"), k).alias("sk"))
+      val delta = o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .groupBy(col("o_orderpriority"))
+        .agg(SetSketch.kmv(col("o_custkey"), k).alias("sk"))
+      state.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(SetSketch.kmvMerge(col("sk"), k).alias("sk"))
+        .select(col("o_orderpriority"),
+          SetSketch.kmvDistinct(col("sk"), k).cast("long").alias("nd"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_scd2" -> ((s, dir) =>
       // Type-2 SCD history from a change log: per customer, order-status
       // changes over time become versioned rows with validity intervals.
@@ -2319,6 +2344,13 @@ object SparkEntry {
         |   WHERE a.o_custkey < 3000 AND a.o_orderpriority IN ('1-URGENT', '2-HIGH')
         |     AND a.o_custkey IN (SELECT o_custkey FROM orders
         |       WHERE o_custkey < 3000 AND o_orderpriority IN ('2-HIGH', '3-MEDIUM'))) AS nd_shared""".stripMargin,
+
+    "q_sketch_overlap_merge" ->
+      // exact regime: the merged sketch holds the complete union hash set
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd
+        |FROM orders WHERE o_custkey < 3000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_sketch_median" ->
       // the sketch's exact-regime semantics: smallest value whose rank
