@@ -1416,6 +1416,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_paragraph" -> ((s, dir) => {
+      // C4-style paragraph-granular exact dedup: re-chunk each doc's token
+      // stream into 4-token "paragraphs" (the small shared vocabulary makes
+      // ~6% of them organic cross-doc repeats), drop every occurrence after
+      // the corpus-first one, reassemble. Two map-side-combining aggregates,
+      // no join/window — the survivor choice min(struct(id,pos)) is replayed
+      // in DuckDB as min(doc_id*100000+pos), exact while pos < 100000.
+      val toks = split(col("text"), " ")
+      val nParas = ceil(size(toks) / lit(4.0)).cast("int")
+      val paras = transform(sequence(lit(1), nParas),
+        i => array_join(slice(toks, (i - lit(1)) * lit(4) + lit(1), lit(4)), " "))
+      val chunked = T(s, dir, "documents")
+        .select(col("doc_id"), array_join(paras, "\n").alias("text"))
+      Dedup.dropDuplicateParagraphs(chunked, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_shingle_df" -> ((s, dir) =>
       // document-frequency histogram of word-3-shingles: how many shingles
       // occur in exactly df documents (df>1 = shared/boilerplate text)
@@ -2673,6 +2690,25 @@ object SparkEntry {
         |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / least(len(a.s), len(b.s)), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      // full replay of paragraph-granular dedup: identical 4-token chunking,
+      // corpus-first survivor via min(doc_id*100000+pos) (== the engine's
+      // lexicographic min(struct(id,pos)) while pos < 100000), identical
+      // reassembly order
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+        |  FROM toks, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+        |keep AS (
+        |  SELECT para, min(doc_id * 100000 + pos) AS k FROM paras GROUP BY para),
+        |surv AS (
+        |  SELECT k // 100000 AS doc_id, k % 100000 AS pos, para FROM keep)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |       count(*) AS n_paras
+        |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       // full replay of the simhash operator: the portable 60-bit signatures

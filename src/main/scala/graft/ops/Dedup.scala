@@ -722,4 +722,49 @@ object Dedup {
             (sqrt(col("__n2a")) * sqrt(col("__n2b"))), 6).alias("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  // ---------- 7. paragraph-granular exact dedup ----------
+
+  /** Sub-document exact dedup in the C4 / RefinedWeb style: drop every
+    * repeated occurrence of an identical paragraph ACROSS the whole
+    * corpus, keeping only its first occurrence in (doc, position) order,
+    * then reassemble each document from its surviving paragraphs. This is
+    * the boilerplate-killer whole-document dedup cannot express: nav
+    * bars, license headers, and cookie banners repeat across millions of
+    * otherwise-distinct pages.
+    *
+    * Returns (idCol, textCol, n_paras) — documents whose every paragraph
+    * was seen earlier disappear from the output entirely (they carry no
+    * novel text).
+    *
+    * Scale shape (deliberate): two hash aggregates and NO join or window.
+    *  - survivor per distinct paragraph = `min(struct(id, pos))`, a
+    *    map-side-combining aggregate keyed by the paragraph — a
+    *    boilerplate paragraph occurring 10M times collapses to one row
+    *    per map task before the shuffle, where a `row_number` window
+    *    would funnel all 10M occurrences through one partition;
+    *  - the aggregate's output IS the survivor set (key + winning
+    *    occurrence), so no join-back is needed;
+    *  - reassembly is a second aggregate keyed by document id, bounded
+    *    by single-document size.
+    */
+  def dropDuplicateParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).alias("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+    val survivors = paras.groupBy("__para")
+      .agg(min(struct(col("__id"), col("__pos"))).alias("__keep"))
+      .select(col("__keep.__id").alias("__id"),
+        col("__keep.__pos").alias("__pos"), col("__para"))
+    survivors.groupBy("__id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            x => x("__para")), sep).alias("__text"),
+        count(lit(1)).alias("n_paras"))
+      .select(col("__id").alias(idCol), col("__text").alias(textCol),
+        col("n_paras"))
+  }
 }

@@ -176,6 +176,36 @@ class OpsSpec extends SparkSpecBase {
       minContainment = 0.5, maxDf = Some(1)).isEmpty)
   }
 
+  test("paragraph dedup keeps the corpus-first occurrence and reassembles in order") {
+    val df = Seq(
+      (10L, "COMMON HEADER\nalpha beta\nCOMMON FOOTER"),
+      (11L, "COMMON HEADER\ngamma delta\nCOMMON FOOTER"), // boilerplate repeats
+      (12L, "COMMON HEADER\nCOMMON FOOTER"),              // nothing novel -> vanishes
+      (13L, "alpha beta\nepsilon")                        // para seen in doc 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (10L, "COMMON HEADER\nalpha beta\nCOMMON FOOTER", 3L), // first occurrences all survive
+      (11L, "gamma delta", 1L),                              // boilerplate stripped
+      (13L, "epsilon", 1L)))                                 // doc 12 fully redundant: gone
+  }
+
+  test("paragraph dedup survivor is position-ordered within the first doc") {
+    // the same para at a LATER position of an EARLIER doc still loses to
+    // an earlier position: survivor order is lexicographic (id, pos)
+    val df = Seq(
+      (1L, "b\na"),
+      (2L, "a\nc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // "a" survives in doc 1 (pos 1), not doc 2 (pos 0)
+    assert(out == Seq((1L, "b\na"), (2L, "c")))
+  }
+
   test("multi-band embedding LSH holds recall at production thresholds (0.9)") {
     // 60 planted pairs at cosine ~0.92 (23° apart): one 8-plane band
     // catches such a pair with prob (1-23/180)^8 ~ 0.33, so single-band
