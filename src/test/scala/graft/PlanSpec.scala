@@ -90,6 +90,17 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
   }
 
+  test("q_dedup_paragraph is two aggregate passes: no join, no window, partial min combines") {
+    val plan = planOf("q_dedup_paragraph")
+    assert(!plan.contains("Join"), s"paragraph dedup must not join back survivors:\n$plan")
+    assert(!plan.contains("Window"), s"a window would funnel hot paragraphs to one partition:\n$plan")
+    // the survivor min(struct) must run as partial+final so boilerplate
+    // paragraphs collapse map-side before the shuffle
+    assert(plan.contains("partial_min(struct"), s"no map-side combine on the survivor min:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly the two designed exchanges (__para, __id):\n$plan")
+  }
+
   test("q_topk_group plans as partial heap + survivors sort + streaming final, no Window") {
     val plan = planOf("q_topk_group")
     assert("GroupedTopK \\[".r.findAllIn(plan).size == 2, plan)

@@ -33,6 +33,26 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(kept == 10000L, s"dedup kept $kept of 20000")
   }
 
+  test("paragraph dedup on 200k docs / 600k paras with a 200k-hot boilerplate key") {
+    // every doc carries the same boilerplate paragraph (the skew case a
+    // row_number window could not survive at scale), one unique paragraph,
+    // and one of 1000 shared paragraphs — survivors have a closed form
+    val docs = spark.range(200000).select(col("id").alias("doc_id"),
+      concat(lit("BOILER\nu"), col("id"), lit("\ns"), pmod(col("id"), lit(1000)))
+        .alias("text"))
+    val out = Dedup.dropDuplicateParagraphs(docs, "text", "doc_id").cache()
+    try {
+      assert(out.count() == 200000L) // every doc keeps at least its unique para
+      // boilerplate survives once, each shared para once, uniques all survive
+      val totalParas = out.agg(sum("n_paras")).head().getLong(0)
+      assert(totalParas == 1L + 200000L + 1000L, s"surviving paras: $totalParas")
+      val doc0 = out.where(col("doc_id") === 0).head()
+      assert(doc0.getString(1) == "BOILER\nu0\ns0" && doc0.getLong(2) == 3L)
+      val doc1500 = out.where(col("doc_id") === 1500).head()
+      assert(doc1500.getString(1) == "u1500" && doc1500.getLong(2) == 1L)
+    } finally out.unpersist()
+  }
+
   test("grouped top-k on 2M rows x 10k groups matches the window idiom in aggregate") {
     val df = spark.range(2000000).select(col("id"),
       pmod(col("id") * 2654435761L, lit(10000)).alias("g"),
