@@ -754,6 +754,10 @@ object Dedup {
       .select(col(idCol).alias("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+      // consecutive/leading/trailing separators yield empty paragraphs:
+      // drop them outright — "deduplicating" whitespace corpus-wide would
+      // keep one empty line in an arbitrary first document
+      .where(length(col("__para")) > 0)
     val survivors = paras.groupBy("__para")
       .agg(min(struct(col("__id"), col("__pos"))).alias("__keep"))
       .select(col("__keep.__id").alias("__id"),

@@ -192,6 +192,16 @@ class OpsSpec extends SparkSpecBase {
       (13L, "epsilon", 1L)))                                 // doc 12 fully redundant: gone
   }
 
+  test("paragraph dedup drops empty paragraphs instead of deduplicating them") {
+    val df = Seq(
+      (1L, "a\n\nb\n"),   // double separator + trailing -> two empty paras
+      (2L, "\n\n")        // nothing but separators -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a\nb", 2L)))
+  }
+
   test("paragraph dedup survivor is position-ordered within the first doc") {
     // the same para at a LATER position of an EARLIER doc still loses to
     // an earlier position: survivor order is lexicographic (id, pos)
