@@ -20,6 +20,20 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents corpus re-chunked into "\n"-joined 4-token paragraphs —
+    * the shared fixture of the paragraph-granular dedup/decontamination
+    * queries (the small vocabulary makes ~6% of chunks organic cross-doc
+    * repeats). The DuckDB oracles rebuild the identical chunking.
+    */
+  private def paragraphChunkedDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nParas = ceil(size(toks) / lit(4.0)).cast("int")
+    val paras = transform(sequence(lit(1), nParas),
+      i => array_join(slice(toks, (i - lit(1)) * lit(4) + lit(1), lit(4)), " "))
+    T(s, dir, "documents")
+      .select(col("doc_id"), array_join(paras, "\n").alias("text"))
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright. Read nanos as long and rebuild the µs timestamp with integer
     * division (ns-since-epoch exceeds 2^53, so float division would corrupt
@@ -1417,19 +1431,24 @@ object SparkEntry {
     }),
 
     "q_dedup_paragraph" -> ((s, dir) => {
-      // C4-style paragraph-granular exact dedup: re-chunk each doc's token
-      // stream into 4-token "paragraphs" (the small shared vocabulary makes
-      // ~6% of them organic cross-doc repeats), drop every occurrence after
-      // the corpus-first one, reassemble. Two map-side-combining aggregates,
-      // no join/window — the survivor choice min(struct(id,pos)) is replayed
-      // in DuckDB as min(doc_id*100000+pos), exact while pos < 100000.
-      val toks = split(col("text"), " ")
-      val nParas = ceil(size(toks) / lit(4.0)).cast("int")
-      val paras = transform(sequence(lit(1), nParas),
-        i => array_join(slice(toks, (i - lit(1)) * lit(4) + lit(1), lit(4)), " "))
-      val chunked = T(s, dir, "documents")
-        .select(col("doc_id"), array_join(paras, "\n").alias("text"))
-      Dedup.dropDuplicateParagraphs(chunked, "text", "doc_id")
+      // C4-style paragraph-granular exact dedup over the chunked corpus:
+      // drop every occurrence after the corpus-first one, reassemble. Two
+      // map-side-combining aggregates, no join/window — the survivor choice
+      // min(struct(id,pos)) is replayed in DuckDB as min(doc_id*100000+pos),
+      // exact while pos < 100000.
+      Dedup.dropDuplicateParagraphs(paragraphChunkedDocs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_decontaminate_paragraph" -> ((s, dir) => {
+      // passage-level decontamination: every 25th doc plays the EVAL SET,
+      // and each of its paragraphs is cut out of every corpus document that
+      // carries it verbatim (eval docs themselves vanish whole; other docs
+      // lose only organically-shared chunks). One broadcastable anti-join
+      // on the paragraph + the document-keyed reassembly aggregate.
+      val chunked = paragraphChunkedDocs(s, dir)
+      val evalSet = chunked.where(pmod(col("doc_id"), lit(25)) === 0)
+      Dedup.dropParagraphsIn(chunked, evalSet, "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -2709,6 +2728,24 @@ object SparkEntry {
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
         |       count(*) AS n_paras
         |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate_paragraph" ->
+      // identical chunking; the eval paragraph set (docs % 25) is cut out
+      // of every document via NOT IN (no NULLs by construction)
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+        |  FROM toks, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+        |evalp AS (
+        |  SELECT DISTINCT para FROM paras WHERE doc_id % 25 = 0),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM paras
+        |  WHERE para NOT IN (SELECT para FROM evalp))
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |       count(*) AS n_paras
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       // full replay of the simhash operator: the portable 60-bit signatures

@@ -758,11 +758,43 @@ object Dedup {
       // drop them outright — "deduplicating" whitespace corpus-wide would
       // keep one empty line in an arbitrary first document
       .where(length(col("__para")) > 0)
-    val survivors = paras.groupBy("__para")
-      .agg(min(struct(col("__id"), col("__pos"))).alias("__keep"))
-      .select(col("__keep.__id").alias("__id"),
-        col("__keep.__pos").alias("__pos"), col("__para"))
-    survivors.groupBy("__id")
+    reassembleParas(survivorParas(paras), idCol, textCol, sep)
+  }
+
+  /** Paragraph-level eval-set decontamination: remove from every corpus
+    * document each paragraph that ALSO appears verbatim in `evalSet`,
+    * keeping the rest of the document intact. The complement of
+    * whole-document [[decontaminate]]: a single leaked benchmark passage
+    * inside an otherwise-clean page loses the passage, not the page.
+    *
+    * Scale shape: one LEFT ANTI join keyed by the paragraph — the eval
+    * side is `distinct` paragraphs of the (small) eval corpus, so Spark
+    * broadcasts it and corpus paragraphs never shuffle for the join;
+    * reassembly is the same single document-keyed aggregate as
+    * [[dropDuplicateParagraphs]]. Documents reduced to nothing disappear.
+    */
+  def dropParagraphsIn(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val evalParas = evalSet
+      .select(explode(split(col(textCol), quoted)).alias("__para"))
+      .where(length(col("__para")) > 0)
+      .distinct()
+    val kept = corpus
+      .select(col(idCol).alias("__id"),
+        posexplode(split(col(textCol), quoted)))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+      .where(length(col("__para")) > 0)
+      .join(evalParas, Seq("__para"), "left_anti")
+    reassembleParas(kept, idCol, textCol, sep)
+  }
+
+  /** Rebuild (idCol, textCol, n_paras) documents from exploded
+    * (__id, __pos, __para) rows, paragraphs re-joined in position order.
+    */
+  private def reassembleParas(paras: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    paras.groupBy("__id")
       .agg(
         array_join(
           transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
@@ -770,5 +802,14 @@ object Dedup {
         count(lit(1)).alias("n_paras"))
       .select(col("__id").alias(idCol), col("__text").alias(textCol),
         col("n_paras"))
-  }
+
+  /** The corpus-first-occurrence survivor set of [[dropDuplicateParagraphs]]:
+    * one row per DISTINCT paragraph carrying the (doc, position) that keeps
+    * it. Split out so other paragraph operators can reuse the aggregate.
+    */
+  private def survivorParas(paras: DataFrame): DataFrame =
+    paras.groupBy("__para")
+      .agg(min(struct(col("__id"), col("__pos"))).alias("__keep"))
+      .select(col("__keep.__id").alias("__id"),
+        col("__keep.__pos").alias("__pos"), col("__para"))
 }

@@ -192,6 +192,22 @@ class OpsSpec extends SparkSpecBase {
       (13L, "epsilon", 1L)))                                 // doc 12 fully redundant: gone
   }
 
+  test("paragraph decontamination cuts eval passages out, keeps the rest of the doc") {
+    val corpus = Seq(
+      (1L, "intro\nLEAKED BENCHMARK ITEM\noutro"), // loses only the leak
+      (2L, "clean one\nclean two"),                // untouched
+      (3L, "LEAKED BENCHMARK ITEM\nother leak")    // fully contaminated -> vanishes
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "LEAKED BENCHMARK ITEM\nother leak"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropParagraphsIn(corpus, evalSet, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "intro\noutro", 2L),
+      (2L, "clean one\nclean two", 2L)))
+  }
+
   test("paragraph dedup drops empty paragraphs instead of deduplicating them") {
     val df = Seq(
       (1L, "a\n\nb\n"),   // double separator + trailing -> two empty paras
