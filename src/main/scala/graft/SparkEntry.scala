@@ -1676,12 +1676,19 @@ object SparkEntry {
       // runs StubDecoder's byte histogram over 256-byte payloads; 256 is
       // a power of two, so every normalized float bucket is exactly
       // representable and DuckDB replays the features bit-for-bit from
-      // the same sha256-hex payload definition.
+      // the same sha256-hex payload definition. The vector is posexploded
+      // to one scalar row per (asset, bucket): complex columns don't
+      // survive the driver's compare (serialize-complex convention, see
+      // q_rename_nested), and float->double widening is exact.
       Multimodal.extractFeatures(
           Multimodal.syntheticAssets(s, 200, payloadBytes = 256),
           new Multimodal.StubDecoder(16))
         .toDF()
-        .orderBy(col("asset_id")))
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          posexplode(col("features")))
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          col("pos").alias("j"), col("col").cast("double").alias("feature"))
+        .orderBy(col("asset_id"), col("j")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2998,7 +3005,9 @@ object SparkEntry {
     "q_media_decode" ->
       // replay of StubDecoder: payload = repeat(sha256-hex(id), 4) as
       // ASCII bytes; feature j = count(byte % 16 == j) / 256, exact in
-      // FLOAT because the denominator is a power of two
+      // FLOAT (and so in DOUBLE) because the denominator is a power of
+      // two. One scalar row per (asset, bucket) — complex columns don't
+      // survive the driver's pandas compare.
       """WITH p AS (
         |  SELECT id AS asset_id,
         |    CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -3008,10 +3017,9 @@ object SparkEntry {
         |    list_filter(str_split(s, ''), c -> len(c) > 0) AS cs
         |  FROM p)
         |SELECT asset_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
-        |  list_transform(range(16), j -> CAST(
-        |    CAST(len(list_filter(cs, c -> ord(c) % 16 = j)) AS DOUBLE) / n_bytes
-        |    AS FLOAT)) AS features
-        |FROM ch
-        |ORDER BY asset_id""".stripMargin
+        |  CAST(j AS INTEGER) AS j,
+        |  CAST(len(list_filter(cs, c -> ord(c) % 16 = j)) AS DOUBLE) / n_bytes AS feature
+        |FROM ch CROSS JOIN range(16) r(j)
+        |ORDER BY asset_id, j""".stripMargin
   )
 }
