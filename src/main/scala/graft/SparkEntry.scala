@@ -69,13 +69,31 @@ object SparkEntry {
   // Persisted IVF index shared by q_similarity_ivf_persisted/_pruned:
   // k-means training and the clustering shuffle are paid ONCE per
   // (session, sf dir) into a temp warehouse — the pay-at-ingest asymmetry
-  // a production vector index has; probes never re-train. Weak-keyed on
-  // the session (the Features-cache pattern) so stopped sessions and
-  // their stores become collectable instead of pinned for the process
-  // lifetime; the temp directories live under the OS temp root.
-  private val ivfStores = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]]())
+  // a production vector index has; probes never re-train. Keyed by the
+  // session's UUID (NOT the session object: a weak-keyed map would be
+  // defeated by the TableStore value's strong reference back to the
+  // session) and evicted by a context-end listener that also deletes the
+  // temp warehouse directories, so repeated sessions pin neither heap
+  // nor disk for the process lifetime.
+  private val ivfStores = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
+  private def evictIvfStores(sessionKey: String): Unit = {
+    val dropped = ivfStores.remove(sessionKey)
+    if (dropped != null) dropped.values.forEach { st =>
+      try deleteRecursively(java.nio.file.Paths.get(st.warehouseDir))
+      catch { case _: java.io.IOException => () } // best-effort temp cleanup
+    }
+  }
 
   /** The embeddings corpus plus ten planted near-copies of the query
     * vector (scaled 1.001–1.010: same direction, cosine 1.0) under ids
@@ -111,10 +129,26 @@ object SparkEntry {
           .cast("double") * lit(10.0)
       }: _*).alias("vec"))
 
+  /** Stable identity key for a session that does NOT hold the session:
+    * minted once per session into a weak-keyed side map whose String
+    * values carry no back-reference, so (unlike a TableStore value) they
+    * never defeat the weak keys.
+    */
+  private val sessionKeys = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionKey(s: SparkSession): String =
+    sessionKeys.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   private def persistedIvfStore(s: SparkSession, dir: String): graft.engine.TableStore =
     ivfStores
-      .computeIfAbsent(s, _ =>
-        new java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]())
+      .computeIfAbsent(sessionKey(s), key => {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictIvfStores(key)
+        })
+        new java.util.concurrent.ConcurrentHashMap[String, graft.engine.TableStore]()
+      })
       .computeIfAbsent(dir, _ => {
       val store = new graft.engine.TableStore(
         s, java.nio.file.Files.createTempDirectory("graft_ivf_wh").toString)

@@ -36,7 +36,7 @@ object TableStore {
     rewriteListeners.forEach(f => f(path))
 }
 
-final class TableStore(spark: SparkSession, warehouseDir: String) {
+final class TableStore(spark: SparkSession, val warehouseDir: String) {
 
   private def tablePath(table: String): String =
     s"$warehouseDir/${Names.normalizeTableName(table)}"
@@ -73,8 +73,15 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
   }
 
   def dropTable(table: String): Boolean = {
+    recoverCrashedSwap(table)
     val p = new Path(tablePath(table))
-    val deleted = p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = fs.delete(p, true)
+    // remove swap debris too: a surviving `.__old` would otherwise be
+    // resurrected by recoverCrashedSwap on the next access, silently
+    // un-dropping the table
+    fs.delete(new Path(tablePath(table) + ".__old"), true)
+    fs.delete(new Path(tablePath(table) + ".__staging"), true)
     if (deleted) TableStore.fireRewrite(p.toString)
     deleted
   }
@@ -255,6 +262,7 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
     */
   def writeBucketed(table: String, df: DataFrame,
       bucketCols: Seq[String], buckets: Int = 32): Unit = {
+    recoverCrashedSwap(table)
     val name = Names.normalizeTableName(table)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -277,6 +285,10 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
   def writePartitioned(table: String, df: DataFrame, partitionCols: Seq[String],
       append: Boolean = false): Unit = {
     require(partitionCols.nonEmpty)
+    // heal a crashed swap BEFORE writing: an append onto a path whose
+    // data is parked at `.__old` would silently re-create the table from
+    // the delta alone, and the next swap would delete `.__old` as debris
+    recoverCrashedSwap(table)
     df.write.mode(if (append) "append" else "overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(tablePath(table))
@@ -301,6 +313,9 @@ final class TableStore(spark: SparkSession, warehouseDir: String) {
   def overwritePartitions(table: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty)
+    // heal a crashed swap first: dynamic overwrite on a path whose data
+    // sits at `.__old` would materialize only the incoming partitions
+    recoverCrashedSwap(table)
     // per-WRITE option, not session conf: mutating the global
     // partitionOverwriteMode would race concurrent writers in the same
     // session (a parallel full-truncate write would silently keep stale

@@ -138,29 +138,42 @@ object Graph {
         .dropDuplicates("u", "v")
     }
 
-    var eCount = e.count()
-    var converged = eCount == 0
+    // fixed point = same DISTINCT edge set. One aggregate job per round
+    // reads off BOTH the count and an order-independent content checksum
+    // (sum of per-edge hashes); the exact anti-join equality check runs
+    // only when count AND checksum both repeat — in practice exactly the
+    // final round, so intermediate same-size rounds never pay the extra
+    // driver round-trip (round cost is action-dominated, not
+    // data-dominated).
+    def countAndChecksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(col("u"), col("v")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = countAndChecksum(e)
+    var converged = prev._1 == 0
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixed point = same DISTINCT edge set. Carrying the previous count
-      // makes the cheap probe one count per round; the anti-join check
-      // (next ⊆ e, which with equal counts means equality) runs only when
-      // the sizes already agree — at most the final round plus rare
-      // same-size intermediate rounds.
-      val nextCount = next.count()
-      converged = nextCount == eCount &&
-        next.exceptAll(e).limit(1).count() == 0
+      val cur = countAndChecksum(next)
+      converged = cur == prev && next.exceptAll(e).limit(1).count() == 0
       e = next
-      eCount = nextCount
+      prev = cur
       round += 1
     }
     if (!converged && failOnNonConvergence)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxRounds rounds; raise " +
           "maxRounds or pass failOnNonConvergence = false for partial labels")
+    // converged => e is a star forest (one row per u). A NON-converged
+    // edge set can still hold a node under two representatives; collapse
+    // to min(rep) so the documented one-row-per-id contract holds for
+    // partial labels too.
+    val starEdges =
+      if (converged) e else e.groupBy(col("u")).agg(min(col("v")).alias("v"))
     val labels = nodes.select(col(idCol).alias("id"))
-      .join(e.select(col("u").alias("id"), col("v").alias("rep")), Seq("id"), "left")
+      .join(starEdges.select(col("u").alias("id"), col("v").alias("rep")),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).alias("rep"))
     (labels, round)
   }

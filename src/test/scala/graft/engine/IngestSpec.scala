@@ -287,6 +287,44 @@ class IngestSpec extends SparkSpecBase {
     assert(store.read("t").count() == 6, "merge path must see the recovered table")
   }
 
+  test("partitioned append / dynamic overwrite heal a crashed swap first") {
+    import spark.implicits._
+    val wh = tmpDir("wh-crash-part")
+    val store = new TableStore(spark, wh)
+    store.writePartitioned("p",
+      (1L to 100L).map(i => (i, s"d${i % 2}", i * 1.0)).toDF("id", "day", "v"),
+      Seq("day"))
+    // crash between swapInto's renames: data parked at .__old
+    assert(new java.io.File(s"$wh/p").renameTo(new java.io.File(s"$wh/p.__old")))
+    // an append must NOT re-create the table from the delta alone
+    store.writePartitioned("p",
+      Seq((101L, "d0", 101.0)).toDF("id", "day", "v"), Seq("day"), append = true)
+    assert(store.read("p").count() == 101,
+      "append onto a crashed-swap table must keep the recovered rows")
+
+    assert(new java.io.File(s"$wh/p").renameTo(new java.io.File(s"$wh/p.__old")))
+    // a dynamic partition overwrite of one slice must keep the other slice
+    store.overwritePartitions("p",
+      Seq((200L, "d0", 200.0)).toDF("id", "day", "v"), Seq("day"))
+    val healed = store.read("p")
+    assert(healed.where(col("day") === "d1").count() == 50,
+      "untouched partition must survive a crashed swap + backfill")
+    assert(healed.where(col("day") === "d0").count() == 1)
+  }
+
+  test("dropTable removes swap debris so the table cannot resurrect") {
+    import spark.implicits._
+    val wh = tmpDir("wh-drop")
+    val store = new TableStore(spark, wh)
+    store.write("t", (1L to 5L).toDF("id"))
+    // leave .__old debris (as a completed swap briefly does), then drop
+    store.write("t_old_src", (1L to 3L).toDF("id"))
+    assert(new java.io.File(s"$wh/t_old_src").renameTo(new java.io.File(s"$wh/t.__old")))
+    assert(store.dropTable("t"))
+    // without debris cleanup, recoverCrashedSwap would rename .__old back
+    assert(!store.exists("t"), "dropped table must stay dropped")
+  }
+
   test("a TableStore rewrite invalidates the shared shingle cache") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -34,6 +34,20 @@ class GraphSpec extends SparkSpecBase {
     assert(full.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("non-converged star contraction still emits one row per id") {
+    import spark.implicits._
+    // one round over a long chain cannot converge; partial labels must
+    // still honor the one-row-per-id contract (a node can sit under two
+    // representatives in the raw non-converged edge set)
+    val nodes = (1L to 64L).toDF("id")
+    val edges = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val partial = Graph.connectedComponentsStar(nodes, edges,
+      maxRounds = 1, failOnNonConvergence = false)
+    assert(partial.count() == 64)
+    assert(partial.select("id").distinct().count() == 64,
+      "partial labels must not duplicate ids")
+  }
+
   test("star contraction matches label propagation on random graphs") {
     import spark.implicits._
     // three seeded random graphs of different density: same (id, rep)
