@@ -52,20 +52,35 @@ object CorpusPipeline {
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
-    // with dedup active the filtered corpus is consumed several times
-    // (candidate shingles, the survivor anti-join, decontamination
-    // postings, the final output) — persist it so the regex-heavy
-    // annotate+filter stage runs once, not once per consumer; without
-    // dedup the pipeline is a single linear pass and stays unpersisted.
-    // The cache is deliberately left registered (the returned plan keeps
-    // referencing it lazily, so there is no safe unpersist point inside
-    // this function); like Features' shingle cache it is session-scoped —
+    // with dedup/decontamination active the filtered corpus is consumed
+    // several times (the shared shingle pass, the survivor anti-joins,
+    // the final output) — persist it so the regex-heavy annotate+filter
+    // stage runs once, not once per consumer; without either stage the
+    // pipeline is a single linear pass and stays unpersisted.
+    // The caches are deliberately left registered (the returned plan keeps
+    // referencing them lazily, so there is no safe unpersist point inside
+    // this function); like Features' shingle cache they are session-scoped —
     // callers preparing many corpora in one session can unpersist via
     // spark.catalog.clearCache() between runs.
+    val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
     val filtered =
-      if (cfg.dedupJaccard > 0)
+      if (needShingles)
         filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else filteredPlan
+    // ONE shingle pass feeds both dedup candidates and decontamination
+    // postings (dedup's MinHash and the overlap check share n=3 word
+    // shingles); persisted because the candidate stage alone reads it
+    // three times (band keys + both sides of the exact-Jaccard verify).
+    // Flagging contamination on the pre-dedup shingle frame is exact:
+    // overlap with an eval doc is a per-document property (no df cap in
+    // this path), and the anti-join against the deduped survivors keeps
+    // the final set identical to flagging after dedup.
+    val corpusShingles =
+      if (needShingles)
+        Some(filtered
+          .select(col(cfg.idCol), Dedup.shingleHashes(t, 3).alias("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
     val deduped =
       if (cfg.dedupJaccard > 0)
         // maxRounds = 30: near-dup cluster diameters are tiny (pairs and
@@ -73,13 +88,18 @@ object CorpusPipeline {
         // round budget costs nothing), but the budget headroom keeps a
         // pathological template chain from being silently split into
         // extra survivors by the cap
-        Dedup.dropNearDuplicates(filtered, cfg.textCol, cfg.idCol,
-          cfg.dedupJaccard, maxRounds = 30, bands = cfg.dedupBands)
+        Dedup.dropNearDuplicatesFromShingles(filtered, corpusShingles.get,
+          cfg.idCol, cfg.dedupJaccard, maxRounds = 30, bands = cfg.dedupBands)
       else filtered
     val cleaned = cfg.evalSet match {
       case Some(ev) =>
-        Dedup.decontaminate(deduped, ev, cfg.textCol, cfg.idCol,
-          minShared = cfg.minSharedShingles)
+        val flagged = Dedup.crossOverlapPairsFromShingles(
+            corpusShingles.get,
+            ev.select(col(cfg.idCol),
+              Dedup.shingleHashes(col(cfg.textCol), 3).alias("sh")),
+            cfg.idCol, minShared = cfg.minSharedShingles)
+          .select(col("corpus_id").alias(cfg.idCol)).distinct()
+        deduped.join(flagged, Seq(cfg.idCol), "left_anti")
       case None => deduped
     }
     if (cfg.splits.nonEmpty)

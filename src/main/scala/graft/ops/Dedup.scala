@@ -630,13 +630,25 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.8, maxRounds: Int = 10,
       failOnNonConvergence: Boolean = false,
+      k: Int = 64, bands: Int = 16): DataFrame =
+    dropNearDuplicatesFromShingles(df,
+      df.select(col(idCol), shingleHashes(col(textCol), 3).alias("sh")),
+      idCol, minJaccard, maxRounds, failOnNonConvergence, k, bands)
+
+  /** Same, over a precomputed `(idCol, sh)` shingle-hash frame — the
+    * shared-feature path: a pipeline that also decontaminates reuses ONE
+    * shingle pass for both stages ([[graft.ops.CorpusPipeline]]).
+    */
+  def dropNearDuplicatesFromShingles(df: DataFrame, shingles: DataFrame,
+      idCol: String, minJaccard: Double = 0.8, maxRounds: Int = 10,
+      failOnNonConvergence: Boolean = false,
       k: Int = 64, bands: Int = 16): DataFrame = {
     // bands trades recall for candidate volume: at k=64/bands=16 (r=4) a
     // J=0.8 pair is missed with prob ~2e-4; at bands=32 (r=2) the miss
     // probability drops to ~1e-14 while mid-similarity pairs collide more
     // often (the exact-jaccard verify discards them — more verify work,
     // same output)
-    val pairs = minhashCandidates(df, textCol, idCol,
+    val pairs = minhashCandidatesFromShingles(shingles, idCol,
         k = k, bands = bands, minJaccard = minJaccard)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     // cluster ONLY the pair participants: every other doc is trivially its
