@@ -68,13 +68,47 @@ object Multimodal {
     }
   }
 
-  /** Decode assets into feature vectors, batch-shaped: one decoder per
-    * partition, payload column pruned immediately after use.
+  /** Repartition so each task carries ~`targetBytesPerTask` of payload,
+    * spreading rows by `keyCol`'s hash. Decode cost tracks payload BYTES,
+    * not row count — a frame whose large assets cluster in a few input
+    * partitions (the normal outcome of ingest order: videos arrive
+    * together) decodes at the speed of its most-loaded task unless
+    * rebalanced. One metadata-bounded aggregate sizes the exchange:
+    * partition count = max(totalBytes / target, min(defaultParallelism,
+    * rows)) — big inputs are byte-bounded, small inputs keep full
+    * parallelism instead of collapsing to one task. A single row larger
+    * than `targetBytesPerTask` is atomic and keeps its own task at worst.
     */
-  def extractFeatures(assets: DataFrame, decoder: MediaDecoder): Dataset[MediaFeatures] = {
+  def repartitionBySize(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      sizeBytes: org.apache.spark.sql.Column,
+      targetBytesPerTask: Long): DataFrame = {
+    require(targetBytesPerTask > 0, s"targetBytesPerTask must be > 0")
+    val r = df.agg(
+      sum(coalesce(sizeBytes.cast("long"), lit(0L))),
+      count(lit(1))).head()
+    val totalBytes = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val rows = r.getLong(1)
+    if (rows == 0L) df
+    else {
+      val byBytes = math.ceil(totalBytes.toDouble / targetBytesPerTask).toLong
+      val floor = math.min(df.sparkSession.sparkContext.defaultParallelism.toLong, rows)
+      val nParts = math.max(1L, math.max(byBytes, floor)).toInt
+      df.repartition(nParts, keyCol)
+    }
+  }
+
+  /** Decode assets into feature vectors, batch-shaped: one decoder per
+    * partition, payload column pruned immediately after use. Payloads are
+    * rebalanced by size first ([[repartitionBySize]]) so task runtime
+    * tracks the byte budget, not ingest order.
+    */
+  def extractFeatures(assets: DataFrame, decoder: MediaDecoder,
+      targetBytesPerTask: Long = 128L * 1024 * 1024): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "media_type", "payload")
+    repartitionBySize(
+        assets.select("asset_id", "media_type", "payload"),
+        col("asset_id"), length(col("payload")), targetBytesPerTask)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // decoder is deserialized once per task — per-partition init point

@@ -450,6 +450,41 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: repartitionBySize balances skewed payloads by bytes") {
+    import spark.implicits._
+    // ingest-ordered skew: 2000 x 1 KB small assets, then 8 x 100 KB big
+    // ones clustered at the tail — range partitioning by id puts all the
+    // big payloads in ONE input partition
+    val sizes = (0L until 2000L).map(i => (i, 1000)) ++
+      (2000L until 2008L).map(i => (i, 100000))
+    val skewed = sizes.toDF("asset_id", "n")
+      .select(col("asset_id"),
+        expr("cast(repeat('x', n) as binary)").alias("payload"))
+      .repartitionByRange(4, col("asset_id"))
+    val inputMax = skewed
+      .select(spark_partition_id().alias("p"), length(col("payload")).alias("b"))
+      .groupBy("p").agg(sum("b").alias("bytes"))
+      .agg(max("bytes")).head().getLong(0)
+    assert(inputMax >= 800000L, "precondition: big payloads cluster in one partition")
+
+    val target = 100000L // 100 KB per task
+    val sized = Multimodal.repartitionBySize(
+      skewed, col("asset_id"), length(col("payload")), target)
+    // ~2.8 MB total at a 100 KB target -> byte-derived task count (28),
+    // unless the session's parallelism floor is higher
+    val expectedParts = math.max(28, math.min(
+      spark.sparkContext.defaultParallelism, sizes.size))
+    assert(sized.rdd.getNumPartitions == expectedParts)
+    val perPart = sized
+      .select(spark_partition_id().alias("p"), length(col("payload")).alias("b"))
+      .groupBy("p").agg(sum("b").alias("bytes"))
+      .select("bytes").as[Long].collect()
+    // no task carries more than ~3x the byte target (one atomic big row
+    // plus its hash-share of small ones) — the input's 8x pile-up is gone
+    assert(perPart.max <= 3 * target,
+      s"max per-task bytes ${perPart.max} exceeds bound ${3 * target}")
+  }
+
   test("custom expressions are callable from SQL text after registration") {
     graft.expressions.VectorExpressions.registerSqlFunctions(spark)
     val row = spark.sql(
