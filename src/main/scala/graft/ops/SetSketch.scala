@@ -94,6 +94,21 @@ object SetSketch {
     override def outputEncoder: Encoder[KmvSketch] = Encoders.product[KmvSketch]
   }
 
+  /** JVM-side insert for state-store use (the streaming twin in
+    * [[graft.streaming.Streams.distinctCountStream]]): fold a batch of
+    * raw values into a sketch and flush once. Order-independent — the k
+    * minima of a set don't depend on arrival order — so streaming state
+    * equals the one-shot batch sketch exactly.
+    */
+  private[graft] def insertAll(sk: KmvSketch, values: Iterator[String],
+      k: Int): KmvSketch =
+    flushed(k, KmvSketch(sk.hashes, values.map(hash63).toVector))
+
+  /** JVM-side twin of [[kmvDistinct]]. */
+  private[graft] def estimateDistinct(sk: KmvSketch, k: Int): Double =
+    if (sk.hashes.size < k) sk.hashes.size.toDouble
+    else (k - 1).toDouble / (sk.hashes(k - 1).toDouble / 9.223372036854775808e18)
+
   /** Column form: one KMV sketch of `value`'s distinct set per group. */
   def kmv(value: Column, k: Int): Column = {
     val f = udaf(new Kmv(k), Encoders.STRING)

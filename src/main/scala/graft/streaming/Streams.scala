@@ -102,6 +102,41 @@ object Streams {
       }.toDF()
   }
 
+  /** Continuous per-key approximate-distinct: after each micro-batch,
+    * emit the updated KMV estimate per key. The flatMapGroupsWithState
+    * twin of the foreachBatch MV-refresh path ([[sketchRefreshStream]]):
+    * same estimator, but state lives in the engine's checkpointed state
+    * store instead of an external table — no TableStore round-trip per
+    * batch. State is O(k) longs per key; the k-minima of a SET are
+    * arrival-order-independent, so the streaming state equals the
+    * one-shot batch sketch exactly and an at-least-once redelivery
+    * merges to identical state (the property counter-based streaming
+    * aggregates lack).
+    */
+  case class DistinctRow(key: String, approx_nd: Double, n_sample: Int)
+
+  def distinctCountStream(events: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[graft.ops.SetSketch.KmvSketch, DistinctRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[graft.ops.SetSketch.KmvSketch]) =>
+          val prev = state.getOption
+            .getOrElse(graft.ops.SetSketch.KmvSketch(Vector.empty))
+          val next = graft.ops.SetSketch.insertAll(prev, rows.map(_._2), k)
+          state.update(next)
+          Iterator.single(DistinctRow(key,
+            graft.ops.SetSketch.estimateDistinct(next, k), next.hashes.size))
+      }.toDF()
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted — the streaming face of Dedup.exact for

@@ -252,6 +252,39 @@ class StreamsSpec extends SparkSpecBase {
     assert(board.exists(r => r.key == "en" && r.rank == 2 && r.item == "a" && r.score == 0.9))
   }
 
+  test("streaming KMV distinct state matches the batch sketch across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val k = 16
+    val mem = MemoryStream[(String, String)]
+    val q = Streams.distinctCountStream(
+        mem.toDF().toDF("lang", "user"), "lang", "user", k = k)
+      .writeStream.format("memory").queryName("nd").outputMode("update").start()
+    // "en" stays under capacity (exact regime); "de" exceeds k=16 distinct
+    // (estimator regime) and arrives split across batches with re-deliveries
+    val batch1 = (1 to 10).map(i => ("en", s"u$i")) ++
+      (1 to 30).map(i => ("de", s"v$i"))
+    val batch2 = (6 to 12).map(i => ("en", s"u$i")) ++ // u6..u10 redelivered
+      (20 to 50).map(i => ("de", s"v$i"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val latest = spark.table("nd").as[Streams.DistinctRow].collect()
+      .groupBy(_.key).map { case (key, rows) => key -> rows.last.approx_nd }
+    q.stop()
+    // batch twin over the SAME total input (duplicates and all)
+    val all = (batch1 ++ batch2).toDF("lang", "user")
+    val expected = all.groupBy(col("lang"))
+      .agg(graft.ops.SetSketch.kmvDistinct(
+        graft.ops.SetSketch.kmv(col("user"), k), k).alias("nd"))
+      .as[(String, Double)].collect().toMap
+    // KMV state is a set of minima — arrival order and batching can't
+    // change it, so streaming equals batch EXACTLY in both regimes
+    assert(latest("en") == expected("en") && latest("en") == 12.0)
+    assert(latest("de") == expected("de"))
+    assert(latest("de") > 16.0, "de must be in the estimator regime")
+  }
+
   test("mergeable sketches run as streaming aggregates: quantile state per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
