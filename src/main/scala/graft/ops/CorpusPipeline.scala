@@ -81,6 +81,16 @@ object CorpusPipeline {
           .select(col(cfg.idCol), Dedup.shingleHashes(t, 3).alias("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
+    // Materialize the cache chain ONCE (a single narrow job: shingles pull
+    // filtered through) before the candidate/overlap stages fan out.
+    // Without this, AQE submits the downstream plan's independent shingle
+    // scans as CONCURRENT jobs that race to fill the still-empty caches,
+    // and every racer re-runs the regex annotate + shingle pass for
+    // whichever partitions aren't cached yet — ~4x duplicated CPU observed
+    // locally, and the same thundering herd on a real cluster. One
+    // sequential pass costs the work exactly once; every later stage reads
+    // blocks.
+    corpusShingles.foreach(_.count())
     val deduped =
       if (cfg.dedupJaccard > 0)
         // maxRounds = 30: near-dup cluster diameters are tiny (pairs and

@@ -45,20 +45,24 @@ object Graph {
         .join(labels.withColumnsRenamed(Map("id" -> "id_b", "rep" -> "nrep")), "id_b")
         .groupBy(col("id_a").alias("id"))
         .agg(min(col("nrep")).alias("minNeighborRep"))
-      // localCheckpoint (eager), NOT cache: iterative self-referencing
+      // localCheckpoint (LAZY), NOT cache: iterative self-referencing
       // loops grow the LOGICAL plan each round even when blocks are
       // cached, and analysis/optimizer time explodes after ~10 rounds.
       // Checkpointing truncates the lineage so every round plans against
       // a flat scan; dropped rounds' blocks are reclaimed by the
-      // ContextCleaner once unreferenced.
+      // ContextCleaner once unreferenced. The checkpoint is materialized
+      // by the convergence aggregate below — ONE job per round, not a
+      // materialize job plus a probe job (round cost is action-dominated
+      // on an iterative operator, at any scale). The `__chg` flag rides
+      // along (one byte per row) so the old label never has to be joined
+      // back just to ask "did anything move".
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"))
-        .localCheckpoint(true)
-      // convergence probe reads at most one row
-      val changed = next.join(labels.withColumnRenamed("rep", "oldRep"), "id")
-        .where(col("rep") =!= col("oldRep")).limit(1).count()
-      labels = next
+          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).alias("rep"),
+          (coalesce(col("minNeighborRep"), col("rep")) < col("rep")).alias("__chg"))
+        .localCheckpoint(false)
+      val changed = next.agg(count_if(col("__chg"))).head().getLong(0)
+      labels = next.drop("__chg")
       converged = changed == 0
       round += 1
     }
@@ -138,13 +142,14 @@ object Graph {
         .dropDuplicates("u", "v")
     }
 
-    // fixed point = same DISTINCT edge set. One aggregate job per round
-    // reads off BOTH the count and an order-independent content checksum
-    // (sum of per-edge hashes); the exact anti-join equality check runs
-    // only when count AND checksum both repeat — in practice exactly the
-    // final round, so intermediate same-size rounds never pay the extra
-    // driver round-trip (round cost is action-dominated, not
-    // data-dominated).
+    // fixed point = same DISTINCT edge set. ONE job per round: the round's
+    // aggregate both materializes the lazily-localCheckpointed edge set
+    // (full scan => every partition computes and caches, lineage truncates
+    // at job end) and reads off the count plus an order-independent content
+    // checksum (sum of per-edge hashes); the exact anti-join equality check
+    // runs only when count AND checksum both repeat — in practice exactly
+    // the final round, so intermediate rounds never pay a second driver
+    // round-trip (round cost is action-dominated, not data-dominated).
     def countAndChecksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         sum(hash(col("u"), col("v")).cast("long"))).head()
@@ -154,7 +159,7 @@ object Graph {
     var converged = prev._1 == 0
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = countAndChecksum(next)
       converged = cur == prev && next.exceptAll(e).limit(1).count() == 0
       e = next
@@ -207,10 +212,12 @@ object Graph {
       // localCheckpoint truncates lineage (see connectedComponents): the
       // anti-join references acc, which references every prior round —
       // without truncation the logical plan grows multiplicatively and
-      // the caller's first action re-plans (and re-runs) the whole chain
+      // the caller's first action re-plans (and re-runs) the whole chain.
+      // LAZY + full count: the exhaustion probe is the job that
+      // materializes the checkpoint — one driver action per hop, not two.
       val next = expanded.join(acc, Seq("seed", "node"), "left_anti")
-        .localCheckpoint(true)
-      exhausted = next.limit(1).count() == 0
+        .localCheckpoint(false)
+      exhausted = next.count() == 0
       frontier = next
       if (!exhausted) acc = acc.unionByName(next)
       d += 1
