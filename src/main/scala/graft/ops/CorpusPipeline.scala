@@ -44,29 +44,50 @@ object CorpusPipeline {
     */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val t = col(cfg.textCol)
-    val annotated = docs
-      .withColumn("quality", TextAnalysis.qualityScore(t))
-      .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
-      .withColumn("lang_id", TextAnalysis.languageId(t))
-    val filteredPlan = annotated
-      .where(col("quality") >= cfg.minQuality)
-      .where(col("rep_ratio") <= cfg.maxRepetition)
-      .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
-    // with dedup/decontamination active the filtered corpus is consumed
-    // several times (the shared shingle pass, the survivor anti-joins,
-    // the final output) — persist it so the regex-heavy annotate+filter
-    // stage runs once, not once per consumer; without either stage the
-    // pipeline is a single linear pass and stays unpersisted.
+    val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
+    // Annotation strategy depends on whether the corpus is re-read.
+    //
+    // Multi-consumer path (dedup/decontamination on): quality + repetition
+    // share ONE tokenization (TextAnalysis.tokenStats — a single JVM pass
+    // per document; the HOF expression forms tokenize twice because
+    // lambda-bearing subexpressions are excluded from Catalyst CSE), and
+    // the ANNOTATED frame is the persist point, NOT the filtered one.
+    // Filtering before the cache looks cheaper (smaller cache) but is a
+    // trap: Catalyst pushes the quality/rep predicates through the
+    // projection by INLINING the aliased expressions, so the pushed filter
+    // re-evaluates the tokenization per predicate reference (13 UDF calls
+    // per row observed). Above a cache boundary the predicates evaluate
+    // against materialized scalar columns — annotate cost is paid exactly
+    // once per document, which is the production shape at 100 TB too (the
+    // annotate output is what you'd write to storage).
+    //
+    // Single-pass path (no dedup, no eval set): the canonical expression
+    // forms, unpersisted — one linear scan, nothing to share. Scores are
+    // bit-identical between the two forms (TextAnalysisSpec pins it
+    // row-for-row).
+    //
     // The caches are deliberately left registered (the returned plan keeps
     // referencing them lazily, so there is no safe unpersist point inside
     // this function); like Features' shingle cache they are session-scoped —
     // callers preparing many corpora in one session can unpersist via
     // spark.catalog.clearCache() between runs.
-    val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
-    val filtered =
+    val annotated =
       if (needShingles)
-        filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else filteredPlan
+        docs
+          .withColumn("__tok_stats", TextAnalysis.tokenStats(t))
+          .withColumn("quality", TextAnalysis.qualityScoreFromStats(t, col("__tok_stats")))
+          .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatioFromStats(col("__tok_stats")))
+          .withColumn("lang_id", TextAnalysis.languageId(t))
+          .drop("__tok_stats")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+        .withColumn("quality", TextAnalysis.qualityScore(t))
+        .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
+        .withColumn("lang_id", TextAnalysis.languageId(t))
+    val filtered = annotated
+      .where(col("quality") >= cfg.minQuality)
+      .where(col("rep_ratio") <= cfg.maxRepetition)
+      .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it
@@ -81,8 +102,9 @@ object CorpusPipeline {
           .select(col(cfg.idCol), Dedup.shingleHashes(t, 3).alias("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
-    // Materialize the cache chain ONCE (a single narrow job: shingles pull
-    // filtered through) before the candidate/overlap stages fan out.
+    // Materialize the cache chain ONCE (a single narrow job: the shingle
+    // pass pulls the annotated cache through) before the candidate/overlap
+    // stages fan out.
     // Without this, AQE submits the downstream plan's independent shingle
     // scans as CONCURRENT jobs that race to fill the still-empty caches,
     // and every racer re-runs the regex annotate + shingle pass for
@@ -121,8 +143,11 @@ object CorpusPipeline {
   def stageReport(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val t = col(cfg.textCol)
     docs
-      .withColumn("quality_ok", TextAnalysis.qualityScore(t) >= cfg.minQuality)
-      .withColumn("repetition_ok", TextAnalysis.tokenRepetitionRatio(t) <= cfg.maxRepetition)
+      .withColumn("__tok_stats", TextAnalysis.tokenStats(t))
+      .withColumn("quality_ok",
+        TextAnalysis.qualityScoreFromStats(t, col("__tok_stats")) >= cfg.minQuality)
+      .withColumn("repetition_ok",
+        TextAnalysis.tokenRepetitionRatioFromStats(col("__tok_stats")) <= cfg.maxRepetition)
       .withColumn("lang_ok",
         if (cfg.langs.isEmpty) lit(true)
         else TextAnalysis.languageId(t).isInCollection(cfg.langs))

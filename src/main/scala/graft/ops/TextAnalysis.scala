@@ -56,6 +56,76 @@ object TextAnalysis {
       .otherwise(size(stops).cast("double") / size(toks))
   }
 
+  // ---- one-pass token statistics (the pipeline hot path) ----
+  //
+  // The composite quality/repetition signals above are built from
+  // higher-order filter(split(...)) chains. Those are CORRECT and fine for
+  // one-off queries, but Catalyst's subexpression elimination skips any
+  // expression containing a lambda, so a projection computing quality AND
+  // repetition tokenizes every document twice and evaluates the lambdas
+  // interpreted, element by element. For the corpus-preparation pass —
+  // the linear scan that touches every byte of a 100 TB corpus — the
+  // engine's hot-path convention applies (cf. Dedup.shingleHashes): one
+  // JVM pass per document, counts out, formulas stay in Column arithmetic
+  // so the scores are bit-identical to the canonical expressions
+  // (TextAnalysisSpec pins the equality row-for-row on the fixture).
+
+  private val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  /** struct(n_tokens, n_distinct, n_stop) over lowercased whitespace
+    * tokens, one tokenization pass; null text -> null (matching the
+    * null-propagation of the expression forms).
+    */
+  val tokenStats: Column => Column = {
+    val f = udf { t: String =>
+      if (t == null) None
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val distinct = new java.util.HashSet[String]()
+        var n = 0
+        var stops = 0
+        var i = 0
+        while (i < toks.length) {
+          val w = toks(i)
+          if (w.nonEmpty) {
+            n += 1
+            distinct.add(w)
+            if (stopwordSet.contains(w)) stops += 1
+          }
+          i += 1
+        }
+        Some((n, distinct.size, stops))
+      }
+    }
+    (text: Column) => f(text)
+  }
+
+  /** [[qualityScore]] with the token-derived term fed from a precomputed
+    * [[tokenStats]] struct — identical arithmetic, identical rounding,
+    * one tokenization shared with [[tokenRepetitionRatioFromStats]].
+    */
+  def qualityScoreFromStats(text: Column, stats: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val nToks = stats.getField("_1")
+    val nStop = stats.getField("_3")
+    val stopRatio = when(nToks === 0, 0.0).otherwise(nStop.cast("double") / nToks)
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text)
+    val noiseScore = greatest(lit(0.0), lit(1.0) - noise * 2.0)
+    Rounding.roundAway(lenScore * 0.4 + stopScore * 0.3 + noiseScore * 0.3, 6)
+  }
+
+  /** [[tokenRepetitionRatio]] from a precomputed [[tokenStats]] struct. */
+  def tokenRepetitionRatioFromStats(stats: Column): Column = {
+    val n = stats.getField("_1")
+    val d = stats.getField("_2")
+    when(n === 0, 0.0).otherwise(lit(1.0) - d.cast("double") / n)
+  }
+
   def meanWordLength(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, 0.0)

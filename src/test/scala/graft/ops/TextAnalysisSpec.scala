@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tokenStats-based quality/repetition are bit-identical to the expression forms") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // adversarial rows on top of the fixture: empty, whitespace-only,
+      // null, all-stopword, unicode casing, single token
+      .select(col("text"))
+      .unionByName(Seq(
+        "", "   \t \n ", null, "the the the and of", "ÁRBOL Árbol árbol ÉÉ",
+        "solo", "a b a b a b").toDF("text"))
+
+    val stats = TextAnalysis.tokenStats(col("text"))
+    val got = docs.select(
+      TextAnalysis.qualityScoreFromStats(col("text"), stats).alias("q"),
+      TextAnalysis.tokenRepetitionRatioFromStats(stats).alias("r"))
+    val want = docs.select(
+      TextAnalysis.qualityScore(col("text")).alias("q"),
+      TextAnalysis.tokenRepetitionRatio(col("text")).alias("r"))
+
+    // exact (bitwise) equality row-for-row: the fast path must be a pure
+    // evaluation-strategy change, never a semantic one
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("tokenStats counts: tokens, distinct, stopwords") {
+    val row = Seq("The the AND of foo Foo bar").toDF("text")
+      .select(TextAnalysis.tokenStats(col("text")).alias("s"))
+      .select(col("s._1"), col("s._2"), col("s._3"))
+      .head()
+    // 7 tokens; lowercased distinct = {the, and, of, foo, bar} = 5;
+    // stopwords = the, the, and, of = 4
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((7, 5, 4)))
+  }
+}
