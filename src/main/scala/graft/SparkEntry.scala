@@ -1665,6 +1665,33 @@ object SparkEntry {
           .alias("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    "q_text_gopher" -> ((s, dir) => {
+      // Gopher-style repetition/shape gate (Rae et al. 2021, Table A1)
+      // under oracle. The paragraph-chunked corpus supplies organic
+      // duplicate lines (4-token paragraphs over a small vocabulary);
+      // bullet, ellipsis, and symbol shapes are synthesized on
+      // deterministic doc_id slices so every signal discriminates, the
+      // same decorate-then-measure trick q_text_clean uses. All HOF
+      // expression forms, replayed list-for-list in DuckDB.
+      val decorated = paragraphChunkedDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\n- bullet item one\n- bullet item two")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\n## ## ##")).otherwise(lit(""))).alias("text"))
+      decorated.select(col("doc_id"),
+        Rounding.roundAway(TextAnalysis.dupLineFrac(col("text")), 6).alias("dup_line_frac"),
+        Rounding.roundAway(TextAnalysis.dupLineCharFrac(col("text")), 6).alias("dup_char_frac"),
+        Rounding.roundAway(TextAnalysis.bulletLineFrac(col("text")), 6).alias("bullet_frac"),
+        Rounding.roundAway(TextAnalysis.ellipsisLineFrac(col("text")), 6).alias("ellipsis_frac"),
+        Rounding.roundAway(TextAnalysis.alphaWordFrac(col("text")), 6).alias("alpha_word_frac"),
+        Rounding.roundAway(TextAnalysis.symbolWordRatio(col("text")), 6).alias("symbol_ratio"),
+        TextAnalysis.gopherPass(col("text")).alias("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
@@ -2977,6 +3004,68 @@ object SparkEntry {
         |    ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END
         |    AS rep_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher" ->
+      // identical 4-token chunking + deterministic decoration, then each
+      // Gopher signal rebuilt from the same line/token lists; the pass
+      // gate re-applies the published thresholds on the unrounded values
+      """WITH toks0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+        |  FROM toks0, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+        |chunked AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |  FROM paras GROUP BY doc_id),
+        |decorated AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## ## ##' ELSE '' END AS text
+        |  FROM chunked),
+        |arrs AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS ls,
+        |    list_filter(str_split_regex(text, '\s+'), x -> len(x) > 0) AS tk
+        |  FROM decorated),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dup_line,
+        |    CASE WHEN len(ls) = 0 OR list_aggregate(list_transform(ls, l -> len(l)), 'sum') = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(list_aggregate(list_transform(list_distinct(ls), l -> len(l)), 'sum') AS DOUBLE)
+        |        / list_aggregate(list_transform(ls, l -> len(l)), 'sum') END AS dup_char,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*')
+        |        OR starts_with(l, '•'))) AS DOUBLE) / len(ls) END AS bullet,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+        |        AS DOUBLE) / len(ls) END AS ellipsis,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(tk, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |        / len(tk) END AS alpha_word,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |        + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(tk) END AS symbol,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
+        |        / len(tk) END AS mwl
+        |  FROM arrs)
+        |SELECT doc_id,
+        |  round(dup_line, 6) AS dup_line_frac,
+        |  round(dup_char, 6) AS dup_char_frac,
+        |  round(bullet, 6) AS bullet_frac,
+        |  round(ellipsis, 6) AS ellipsis_frac,
+        |  round(alpha_word, 6) AS alpha_word_frac,
+        |  round(symbol, 6) AS symbol_ratio,
+        |  (mwl >= 3.0 AND mwl <= 10.0 AND alpha_word >= 0.8 AND symbol <= 0.1
+        |    AND bullet < 0.9 AND ellipsis <= 0.3 AND dup_line <= 0.30
+        |    AND dup_char <= 0.20) AS gopher_pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted

@@ -126,6 +126,88 @@ object TextAnalysis {
     when(n === 0, 0.0).otherwise(lit(1.0) - d.cast("double") / n)
   }
 
+  // ---- Gopher-style document shape/repetition signals ----
+  //
+  // The within-document filters of Rae et al. 2021 (Gopher, Table A1),
+  // as HOF Column expressions over the line/token arrays — same
+  // replayability contract as the rest of this file (the DuckDB oracle
+  // rebuilds each signal from list_filter/list_distinct/list_aggregate).
+  // Line-level signals treat a "line" as a trimmed, non-empty
+  // newline-separated segment.
+
+  /** Trimmed non-empty lines of a document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line. */
+  def dupLineFrac(text: Column): Column = {
+    val lines = docLines(text)
+    when(size(lines) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Fraction of characters sitting in duplicate lines (char-weighted
+    * twin of [[dupLineFrac]] — long repeated boilerplate weighs more).
+    */
+  def dupLineCharFrac(text: Column): Column = {
+    val lines = docLines(text)
+    val total = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val kept = aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
+    when(total === 0, 0.0)
+      .otherwise(lit(1.0) - kept.cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of lines that start like a bullet point. */
+  def bulletLineFrac(text: Column): Column = {
+    val lines = docLines(text)
+    val bullets = filter(lines, l => substring(l, 1, 1).isInCollection(Seq("-", "*", "•")))
+    when(size(lines) === 0, 0.0)
+      .otherwise(size(bullets).cast("double") / size(lines))
+  }
+
+  /** Fraction of lines that trail off in an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val lines = docLines(text)
+    val ell = filter(lines, l => l.endsWith("...") || l.endsWith("…"))
+    when(size(lines) === 0, 0.0)
+      .otherwise(size(ell).cast("double") / size(lines))
+  }
+
+  /** Fraction of words containing at least one letter (Gopher demands
+    * >= 0.8 — pages of markup/numbers fail it).
+    */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / size(toks))
+  }
+
+  /** Symbol-to-word ratio: occurrences of '#' and '...' per token
+    * (Gopher rejects > 0.1).
+    */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))).cast("long") / lit(3L)
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise((hashes + ellipses).cast("double") / n)
+  }
+
+  /** The conjunctive Gopher repetition/shape gate with the published
+    * thresholds: mean word length in [3,10], >= 80% alphabetic words,
+    * symbol ratio <= 0.1, < 90% bullet lines, <= 30% ellipsis lines,
+    * duplicate-line fraction <= 0.30, duplicate-line chars <= 0.20.
+    */
+  def gopherPass(text: Column): Column = {
+    val mwl = meanWordLength(text)
+    (mwl >= 3.0) && (mwl <= 10.0) &&
+      (alphaWordFrac(text) >= 0.8) &&
+      (symbolWordRatio(text) <= 0.1) &&
+      (bulletLineFrac(text) < 0.9) &&
+      (ellipsisLineFrac(text) <= 0.3) &&
+      (dupLineFrac(text) <= 0.30) &&
+      (dupLineCharFrac(text) <= 0.20)
+  }
+
   def meanWordLength(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, 0.0)

@@ -31,6 +31,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("gopher signals: hand-computed document") {
+    // 5 lines after trim/empty-drop: "alpha beta", "alpha beta" (dup),
+    // "- bullet", "wait...", "## #"
+    val doc = "alpha beta\n alpha beta \n\n- bullet\nwait...\n## #"
+    val row = Seq(doc).toDF("text").select(
+      TextAnalysis.dupLineFrac(col("text")).alias("dl"),
+      TextAnalysis.dupLineCharFrac(col("text")).alias("dc"),
+      TextAnalysis.bulletLineFrac(col("text")).alias("bl"),
+      TextAnalysis.ellipsisLineFrac(col("text")).alias("el"),
+      TextAnalysis.alphaWordFrac(col("text")).alias("aw"),
+      TextAnalysis.symbolWordRatio(col("text")).alias("sy")).head()
+    assert(row.getDouble(0) == 1.0 - 4.0 / 5.0)           // 1 dup of 5 lines
+    // chars: 10+10+8+7+4=39 total, distinct keeps 10+8+7+4=29
+    assert(math.abs(row.getDouble(1) - (1.0 - 29.0 / 39.0)) < 1e-12)
+    assert(row.getDouble(2) == 1.0 / 5.0)                  // "- bullet"
+    assert(row.getDouble(3) == 1.0 / 5.0)                  // "wait..."
+    // tokens: alpha beta alpha beta - bullet wait... ## # -> 9; alpha-bearing: 6
+    assert(math.abs(row.getDouble(4) - 6.0 / 9.0) < 1e-12)
+    // symbols: 3 hashes + 1 ellipsis over 9 tokens
+    assert(math.abs(row.getDouble(5) - 4.0 / 9.0) < 1e-12)
+  }
+
+  test("gopher gate: clean text passes, repetitive text fails") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog\nanother normal sentence here",
+      "spam line\nspam line\nspam line\nspam line\nonly one real line").toDF("text")
+      .select(TextAnalysis.gopherPass(col("text")).alias("p"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(rows == Seq(true, false))
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
