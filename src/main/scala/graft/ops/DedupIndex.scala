@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.TableStore
+
+/** PERSISTED MinHash-LSH dedup index — the incremental-ingest twin of
+  * [[Dedup.minhashCandidates]] (north-star extensions, BASELINE.json:6),
+  * playing the role [[Similarity.persistIvfIndex]] plays for ANN: pay the
+  * corpus-wide shingle + minhash pass ONCE at build, then dedup every new
+  * ingest batch against the index by probing band buckets — the corpus is
+  * never re-shingled, never re-scanned in full, and (for small batches)
+  * not even fully re-read, because probes prune the band table's
+  * Hive partitions.
+  *
+  * This is the shape a 100 TB corpus forces. `dropNearDuplicates` over
+  * base ∪ delta re-pays the whole corpus's tokenize/shingle/minhash and
+  * re-shuffles every band row per ingest; with the reference's own
+  * high-water-mark loop (find_last_entry + chunk_date_range,
+  * popelines/main.py:208-234) an ingest batch is a sliver of the corpus,
+  * so per-batch cost must track |delta|, not |corpus|.
+  *
+  * Index layout in a [[TableStore]] (same side-table convention as the
+  * persisted ANN indexes):
+  *
+  *  - `<table>` — band posting rows `(band_idx, band_hash, <id>)`,
+  *    Hive-partitioned by `__bk = band_hash mod buckets`. A probe computes
+  *    the delta's own bucket set (≤ `buckets` values, driver-bounded) and
+  *    reads ONLY the matching directories via a partition IN-filter —
+  *    PartitionFilters, pinned in DedupIndexSpec. A tiny patch batch reads
+  *    a fraction of the band table; a corpus-sized delta degrades to the
+  *    full band scan it genuinely needs.
+  *  - `<table>__shingles` — `(id, sh array<long>)`, the exact-Jaccard
+  *    verify side. Only candidate ids are ever joined back to it — the
+  *    shortlist-rescore pattern [[Quantization.ivfPqTopKPersisted]] uses
+  *    for vectors.
+  *  - `<table>__meta` — one row of build parameters (shingle size, k,
+  *    bands, buckets), read back by probes/appends so callers cannot
+  *    probe with mismatched hashing.
+  *
+  * Candidate generation shuffles only `(id, band_idx, band_hash)` triples
+  * of the DELTA (the pruned index side streams into a broadcast-hash join
+  * against the delta's bands); shingle arrays travel only for the
+  * candidate pairs. Hot band buckets are bounded the same way as the
+  * in-memory path: build with `maxDf` to drop boilerplate shingles before
+  * they form hot postings ([[Dedup.capShinglesByDf]]).
+  */
+object DedupIndex {
+
+  /** Read-back of the one-row `__meta` side table. */
+  final case class Meta(shingleSize: Int, k: Int, bands: Int, buckets: Int)
+
+  private def bucketOf(bandHash: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(bandHash, lit(buckets.toLong)).cast("int")
+
+  /** `(id, band_idx, band_hash, __bk)` band posting rows for a shingle
+    * frame, under the index's hashing parameters.
+    */
+  private def bandRows(shingles: DataFrame, idCol: String, meta: Meta): DataFrame =
+    shingles.where(size(col("sh")) > 0)
+      .select(col(idCol),
+        posexplode(Dedup.minhashBandHashes(col("sh"), meta.k, meta.bands)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+      .withColumn("__bk", bucketOf(col("band_hash"), meta.buckets))
+
+  /** Build and persist the index over a corpus. The tokenize + shingle +
+    * minhash pass and the band-table clustering shuffle are paid once
+    * here; the pre-write `repartition(__bk)` collapses each bucket to few
+    * files (without it every task emits a file per bucket — the
+    * small-files problem at scale, cf. [[Similarity.persistIvfIndex]]).
+    */
+  def persist(store: TableStore, table: String, df: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      k: Int = 64, bands: Int = 16, buckets: Int = 64,
+      maxDf: Option[Int] = None): Unit =
+    persistFromShingles(store, table,
+      df.select(col(idCol), Dedup.shingleHashes(col(textCol), shingleSize).alias("sh")),
+      idCol, shingleSize, k, bands, buckets, maxDf)
+
+  /** Same, over a precomputed `(idCol, sh)` shingle-hash frame (the
+    * shared-feature path, [[Features.docShingles]]). `shingleSize` is
+    * recorded in `__meta` so text-level appends/probes re-shingle
+    * consistently.
+    */
+  def persistFromShingles(store: TableStore, table: String, shingles: DataFrame,
+      idCol: String, shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      buckets: Int = 64, maxDf: Option[Int] = None): Unit = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val meta = Meta(shingleSize, k, bands, buckets)
+    val raw = shingles.where(size(col("sh")) > 0)
+    val capped = maxDf match {
+      case Some(cap) => Dedup.capShinglesByDf(raw, idCol, cap).where(size(col("sh")) > 0)
+      case None      => raw
+    }
+    // the verify side table persists the (possibly df-capped) shingle
+    // sets candidate pairs are scored against — identical sets to what
+    // the in-memory path would verify with
+    store.replace(table + "__shingles", capped)
+    val persisted = store.read(table + "__shingles")
+    store.writePartitioned(table,
+      bandRows(persisted, idCol, meta).repartition(col("__bk")), Seq("__bk"))
+    val sp = shingles.sparkSession
+    import sp.implicits._
+    store.replace(table + "__meta",
+      Seq((shingleSize, k, bands, buckets))
+        .toDF("shingle_size", "k", "bands", "buckets"))
+  }
+
+  /** Load the build parameters of a persisted index (one-row driver state). */
+  def readMeta(store: TableStore, table: String): Meta = {
+    require(store.exists(table + "__meta"), s"no meta table for dedup index '$table'")
+    val r = store.read(table + "__meta")
+      .select(col("shingle_size"), col("k"), col("bands"), col("buckets")).head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Append a batch to the index WITHOUT touching existing rows: the
+    * delta's shingle and band rows land under the index's recorded
+    * parameters — band rows into their matching `__bk` directories only
+    * (a Hive append touches just the partitions present in the incoming
+    * frame). Appended part-files accumulate per bucket; compact on a
+    * cadence via [[TableStore.compact]], which preserves the partition
+    * layout. No df-cap is applied to appends: the cap is a corpus-level
+    * statistic — recompute it at the periodic rebuild, not per batch.
+    */
+  def append(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    val meta = readMeta(store, table)
+    appendShingles(store, table, idCol, meta,
+      delta.select(col(idCol),
+        Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh")))
+  }
+
+  private def appendShingles(store: TableStore, table: String, idCol: String,
+      meta: Meta, deltaShingles: DataFrame): Unit = {
+    val nonEmpty = deltaShingles.where(size(col("sh")) > 0)
+    store.write(table + "__shingles", nonEmpty, append = true)
+    store.writePartitioned(table,
+      bandRows(nonEmpty, idCol, meta).repartition(col("__bk")),
+      Seq("__bk"), append = true)
+  }
+
+  /** Near-duplicate pairs between a new batch and the INDEXED corpus:
+    * `(new_id, old_id, jaccard)` with exact (shingle-set) Jaccard ≥
+    * `minJaccard`, verified on candidates only. The probe is |delta|-bound:
+    *
+    *  1. the delta shingles + bands under the index's recorded parameters
+    *     (one pass over the batch);
+    *  2. the delta's distinct `__bk` set (≤ `buckets` values) becomes a
+    *     partition IN-filter — the band-table scan reads only those
+    *     directories;
+    *  3. pruned index bands equi-join the (broadcast) delta bands on
+    *     `(band_idx, band_hash)` → candidate id pairs;
+    *  4. candidates join back to the two shingle sides for the exact
+    *     verify — the corpus shingle table is probed with a broadcast
+    *     candidate list, so it too streams without a shuffle.
+    *
+    * Self-matches (a batch already appended, then re-probed) are excluded
+    * by id inequality.
+    */
+  def deltaPairs(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double = 0.8): DataFrame = {
+    val meta = readMeta(store, table)
+    deltaPairsFromShingles(store, table,
+      delta.select(col(idCol),
+        Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh")),
+      idCol, minJaccard)
+  }
+
+  /** Same, over a precomputed `(idCol, sh)` delta shingle frame. */
+  def deltaPairsFromShingles(store: TableStore, table: String,
+      deltaShingles: DataFrame, idCol: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val meta = readMeta(store, table)
+    val deltaSh = deltaShingles.where(size(col("sh")) > 0)
+    val deltaBands = bandRows(deltaSh, idCol, meta)
+      .withColumnRenamed(idCol, "new_id")
+    // bounded driver state: at most `buckets` distinct values — the same
+    // centroid-sized collect the ANN probe path pays (Similarity.scala)
+    val bks = deltaBands.select(col("__bk")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idxBands = store.read(table)
+      .where(col("__bk").isInCollection(bks))
+      .withColumnRenamed(idCol, "old_id")
+    val candidates = idxBands
+      .join(deltaBands.hint("broadcast"),
+        Seq("band_idx", "band_hash"))
+      .where(col("old_id") =!= col("new_id"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val oldSh = store.read(table + "__shingles")
+      .select(col(idCol).alias("old_id"), col("sh").alias("sh_old"))
+    val newSh = deltaSh.select(col(idCol).alias("new_id"), col("sh").alias("sh_new"))
+    // candidate list broadcasts into the corpus-side shingle scan; the
+    // delta side is batch-sized already
+    oldSh.join(candidates.hint("broadcast"), "old_id")
+      .join(newSh, "new_id")
+      .withColumn("jaccard",
+        Rounding.roundAway(Dedup.jaccardSorted(col("sh_new"), col("sh_old")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
+  /** The full incremental-ingest step: drop batch rows near-duplicating
+    * the INDEXED corpus, then near-dups WITHIN the remaining batch
+    * (first-id survivor, [[Dedup.dropNearDuplicatesFromShingles]]), and —
+    * when `appendSurvivors` — register the survivors in the index so the
+    * next batch dedups against them too. Returns the surviving rows of
+    * `delta` (all original columns). Per-batch cost tracks |delta| and the
+    * candidate volume; the indexed corpus is only partition-pruned-scanned
+    * and shortlist-joined, never recomputed.
+    */
+  def ingestDedup(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double = 0.8,
+      appendSurvivors: Boolean = true): DataFrame = {
+    val meta = readMeta(store, table)
+    val deltaSh = delta
+      .select(col(idCol), Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh"))
+      .localCheckpoint(true) // two consumers (cross probe + intra dedup): one shingle pass
+    val dupVsIndex = deltaPairsFromShingles(store, table, deltaSh, idCol, minJaccard)
+      .select(col("new_id").alias(idCol)).distinct()
+    val freshRows = delta.join(dupVsIndex, Seq(idCol), "left_anti")
+    val freshSh = deltaSh.join(dupVsIndex, Seq(idCol), "left_anti")
+    val survivors = Dedup.dropNearDuplicatesFromShingles(
+      freshRows, freshSh, idCol, minJaccard)
+    if (appendSurvivors) {
+      val survivorIds = survivors.select(col(idCol))
+      appendShingles(store, table, idCol, meta,
+        freshSh.join(survivorIds, Seq(idCol), "left_semi"))
+    }
+    survivors
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index: incremental ingest dedup against an
+  * indexed corpus without re-processing the corpus (ops.DedupIndex).
+  */
+class DedupIndexSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // base corpus: two templates plus unrelated filler; delta batches reuse
+  // the templates under high ids so cross pairs are (old < new) by
+  // construction
+  private def baseDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "spark catalyst optimizer rewrites logical plans into physical plans cheaply"),
+    (2L, "completely unrelated text about mountains valleys rivers and distant weather"),
+    (3L, "a second filler document mentioning tokenizers shingles bands and buckets"),
+    (4L, "yet another base document holding no resemblance to anything else here")
+  ).toDF("doc_id", "text")
+
+  private def freshIndex(name: String): (graft.engine.TableStore, String) = {
+    val store = new graft.engine.TableStore(spark, tmpDir(s"wh-$name"))
+    DedupIndex.persist(store, "docs_mh", baseDocs, "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, buckets = 64)
+    (store, "docs_mh")
+  }
+
+  test("deltaPairs equals the in-memory candidate set restricted to cross pairs") {
+    val (store, table) = freshIndex("eq")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+      (101L, "spark catalyst optimizer rewrites logical plans into physical plans cheaply"), // exact dup of 1
+      (102L, "entirely new material with no overlap whatsoever against the base corpus")
+    ).toDF("doc_id", "text")
+    val got = DedupIndex.deltaPairs(store, table, delta, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("new_id", "old_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: one-shot in-memory LSH over base ∪ delta, cross pairs only
+    val want = Dedup.minhashCandidates(baseDocs.unionByName(delta), "text", "doc_id",
+        minJaccard = 0.5)
+      .where(col("id_a") < 100 && col("id_b") >= 100)
+      .select(col("id_b"), col("id_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want, s"got $got want $want")
+    assert(got.map(_._1) == Set(100L, 101L)) // 102 matches nothing
+  }
+
+  test("probe scan is pruned to the delta's band-hash buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (store, table) = freshIndex("prune")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val res = DedupIndex.deltaPairs(store, table, delta, "text", "doc_id",
+      minJaccard = 0.5)
+    val scans = res.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(l =>
+          l.contains("docs_mh") && !l.contains("__shingles")) => f
+    }
+    assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    // the delta's bucket set must reach the band table as a PARTITION
+    // filter: a 1-doc batch has ≤16 band hashes, so of the base's bucket
+    // directories at most 16 are read — file-level pruning, not post-scan
+    assert(scan.metadata("PartitionFilters").contains("__bk"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount <= 16,
+      s"probe read ${scan.selectedPartitions.partitionCount} bucket dirs")
+    // and the probe still finds its pair through the pruned scan
+    assert(res.select("old_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("append makes a batch visible to later probes; self-pairs are excluded") {
+    val (store, table) = freshIndex("append")
+    val batch1 = Seq(
+      (100L, "fresh subject matter introduced by the first ingest batch of the day"))
+      .toDF("doc_id", "text")
+    // before the append the new subject matches nothing
+    assert(DedupIndex.deltaPairs(store, table, batch1, "text", "doc_id",
+      minJaccard = 0.5).isEmpty)
+    DedupIndex.append(store, table, batch1, "text", "doc_id")
+    // re-probing the appended batch itself yields no self-match
+    assert(DedupIndex.deltaPairs(store, table, batch1, "text", "doc_id",
+      minJaccard = 0.5).isEmpty)
+    // a later batch near-duplicating batch1 is caught against the APPENDED row
+    val batch2 = Seq(
+      (200L, "fresh subject matter introduced by the first ingest batch of the night"))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.deltaPairs(store, table, batch2, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((200L, 100L)), pairs.toString)
+  }
+
+  test("ingestDedup drops cross + intra dups, appends survivors, and is convergent") {
+    val (store, table) = freshIndex("ingest")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of base 0
+      (101L, "brand new content that only exists inside this particular ingest batch"),
+      (102L, "brand new content that only exists inside this particular ingest batch"), // intra dup of 101
+      (103L, "another genuinely novel document with its own completely distinct words")
+    ).toDF("doc_id", "text")
+    val survivors = DedupIndex.ingestDedup(store, table, batch, "text", "doc_id",
+        minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(101L, 103L), survivors.toString)
+    // survivors were registered: the same content under fresh ids is now
+    // ALL duplicate — the second ingest converges to zero survivors
+    val rerun = batch.withColumn("doc_id", col("doc_id") + 100)
+    val second = DedupIndex.ingestDedup(store, table, rerun, "text", "doc_id",
+      minJaccard = 0.7)
+    assert(second.isEmpty, second.select("doc_id").as[Long].collect().toSeq.toString)
+    // index grew by exactly the survivor band/shingle rows each ingest
+    assert(store.read(table + "__shingles").count() == 5 + 2)
+  }
+
+  test("df-capped build equals the uncapped build when no shingle is hot") {
+    val storeA = new graft.engine.TableStore(spark, tmpDir("wh-capA"))
+    DedupIndex.persist(storeA, "docs_mh", baseDocs, "text", "doc_id", buckets = 16)
+    val storeB = new graft.engine.TableStore(spark, tmpDir("wh-capB"))
+    DedupIndex.persist(storeB, "docs_mh", baseDocs, "text", "doc_id", buckets = 16,
+      maxDf = Some(1000))
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    def probe(st: graft.engine.TableStore) =
+      DedupIndex.deltaPairs(st, "docs_mh", delta, "text", "doc_id", minJaccard = 0.5)
+        .select("new_id", "old_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(probe(storeA) == probe(storeB) && probe(storeA).nonEmpty)
+  }
+}
