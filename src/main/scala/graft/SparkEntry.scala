@@ -39,7 +39,7 @@ object SparkEntry {
     * division (ns-since-epoch exceeds 2^53, so float division would corrupt
     * it). DuckDB side: CAST(ts AS TIMESTAMP) truncates identically.
     */
-  private def EV(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def EV(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

@@ -12,9 +12,9 @@ class E2eSpec extends SparkSpecBase {
 
   test("flagship ingest loop over the sf0.001 events fixture") {
     val pope = new Popeline(spark, tmpDir("e2e-wh"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // dtype-branching read (TestData -> SparkEntry.EV): survives both
+    // fixture shapes of events.ts (INT64 nanos vs parquet timestamp[us])
+    val events = TestData.events(spark)
 
     // parse props into a struct with a messy key, then sanitize every key
     val parsed = events.select(col("event_id"), col("ts"),
@@ -37,10 +37,18 @@ class E2eSpec extends SparkSpecBase {
     assert(evolved.schema.fieldNames.contains("source"))
     assert(evolved.where(col("source").isNull).count() == 1000)
 
-    // high-water mark matches the source max
-    val hwm = pope.findLastEntry("event_log", "ts").asInstanceOf[java.sql.Timestamp]
-    val expected = events.agg(max(col("ts"))).head().getTimestamp(0)
-    assert(hwm.getTime == expected.getTime)
+    // high-water mark matches the source max. The JVM-side types differ by
+    // fixture shape (LTZ read -> java.sql.Timestamp, NTZ -> LocalDateTime):
+    // compare as Spark literals under the session's UTC zone, not via casts.
+    // NDJSON serializes at millisecond precision, so compare ms-truncated —
+    // the same contract the previous getTime (ms) comparison asserted.
+    val hwm = pope.findLastEntry("event_log", "ts")
+    val expected = events.agg(max(col("ts"))).head().get(0)
+    val same = spark.range(1)
+      .select((lit(hwm).cast("timestamp") ===
+        date_trunc("millisecond", lit(expected).cast("timestamp"))).alias("eq"))
+      .head().getBoolean(0)
+    assert(same, s"hwm=$hwm expected=$expected")
   }
 
   test("dynamic fix_json_values rewrites containers and scalars in reference order") {

@@ -1,0 +1,62 @@
+package graft
+
+/** Pins the shape of every driver-generated fixture table. When a testdata
+  * regeneration moves a column's type (it happened: `events.ts` went from
+  * INT64 nanos to parquet timestamp[us] between rounds), this spec fails
+  * with a side-by-side diff instead of the suite scattering analysis
+  * errors. Keep tolerances here, not in individual tests — fixture reads
+  * go through [[TestData]].
+  */
+class FixtureContractSpec extends SparkSpecBase {
+
+  // expected shape; alternatives separated by `|` where the engine
+  // tolerates more than one on-disk encoding (TestData normalizes them)
+  private val contract = Map(
+    "region" -> "r_regionkey:int, r_name:string",
+    "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+      "c_acctbal:double, c_mktsegment:string"),
+    "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+    "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, p_type:string, " +
+      "p_size:int, p_retailprice:double"),
+    "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+      "o_totalprice:double, o_orderdate:timestamp_ntz|timestamp, o_orderpriority:string"),
+    "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+      "l_linenumber:int, l_quantity:double, l_extendedprice:double, l_discount:double, " +
+      "l_tax:double, l_returnflag:string, l_linestatus:string, " +
+      "l_shipdate:timestamp_ntz|timestamp"),
+    // ts read raw may be bigint (nanos-as-long) or a timestamp flavor;
+    // TestData.events normalizes all of them to a timestamp column
+    "events" -> ("event_id:bigint, ts:timestamp_ntz|timestamp|bigint, user_id:bigint, " +
+      "event_type:string, value:double, props:string"),
+    "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+    "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int"
+  )
+
+  test("fixture schemas match the pinned contract (diff on drift)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val diffs = contract.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = spark.read.parquet(s"${TestData.dir("0.001")}/$name.parquet")
+        .schema.fields.map(f => f.name + ":" + f.dataType.simpleString)
+      val wanted = want.split(", ").toSeq
+      val colDiffs: Seq[String] =
+        if (got.length != wanted.length)
+          Seq(s"column count ${got.length} != ${wanted.length}")
+        else got.toSeq.zip(wanted).collect {
+          case (g, w) if {
+            val Array(wName, wTypes) = w.split(":", 2)
+            val Array(gName, gType) = g.split(":", 2)
+            gName != wName || !wTypes.split('|').contains(gType)
+          } => s"  $g  (expected $w)"
+        }
+      if (colDiffs.isEmpty) Nil
+      else Seq(s"$name:\n  got      ${got.mkString(", ")}\n  expected $want\n" +
+        colDiffs.mkString("\n"))
+    }
+    assert(diffs.isEmpty, "\nFIXTURE DRIFT DETECTED:\n" + diffs.mkString("\n\n") +
+      "\nUpdate TestData/SparkEntry dtype branches AND this contract together.")
+    // and the normalized reads the suite depends on hold their post-read shape
+    assert(TestData.events(spark).schema("ts").dataType.typeName.startsWith("timestamp"),
+      "TestData.events must normalize ts to a timestamp")
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central fixture access for tests. Fixture shapes have drifted between
+  * driver regenerations (events.ts was INT64 nanos, is now parquet
+  * timestamp[us]); tests must never hardcode one shape. All reads delegate
+  * to the same helpers the main code uses, so a fixture change that the
+  * engine tolerates is tolerated by the suite too — and one that the
+  * engine does NOT tolerate fails loudly in FixtureContractSpec with a
+  * schema diff, not as a scattered analysis error.
+  */
+object TestData {
+
+  val root = "/root/testdata"
+
+  def dir(sf: String): String = s"$root/sf$sf"
+
+  /** The events fixture with `ts` normalized to a timestamp whichever way
+    * the parquet file carries it (INT64 nanos or timestamp[us]) — the same
+    * dtype branch SparkEntry.EV uses for every oracle query.
+    */
+  def events(spark: SparkSession, sf: String = "0.001"): DataFrame =
+    SparkEntry.EV(spark, dir(sf))
+
+  def table(spark: SparkSession, name: String, sf: String = "0.001"): DataFrame =
+    if (name == "events") events(spark, sf)
+    else spark.read.parquet(s"${dir(sf)}/$name.parquet")
+}
