@@ -170,6 +170,23 @@ object SparkEntry {
       store
     })
 
+  /** A fresh throwaway TableStore in a temp directory, deleted at
+    * application end. For queries that exercise a MUTATING persisted-index
+    * flow (e.g. [[ops.DedupIndex.ingestDedup]] appends survivors): unlike
+    * [[persistedIvfStore]] these must NOT be session-cached — a cached
+    * mutated index would make the query non-idempotent across runs.
+    */
+  private def tempStore(s: SparkSession, prefix: String): graft.engine.TableStore = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        try deleteRecursively(dir)
+        catch { case _: java.io.IOException => () }
+    })
+    new graft.engine.TableStore(s, dir.toString)
+  }
+
   /** Force the one-time build of the three persisted indexes
     * (emb_ivf, emb_ivf_aug, grid_pq) for a session+dir. Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
@@ -1540,6 +1557,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_index_ingest" -> ((s, dir) => {
+      // the INCREMENTAL corpus-dedup flagship (ops.DedupIndex) under
+      // oracle: build the persisted band index over docs < 400, then
+      // ingest one delta carrying organic docs (400-479), planted CROSS
+      // dups (copies of base docs under +10000 ids) and planted INTRA
+      // dups (copies of delta docs under +20000 ids). Survivors =
+      // not-near-dup-of-index, then min-id representative per intra-batch
+      // duplicate component. DuckDB replays the identical decision from
+      // shingle STRINGS: exact jaccard >= 0.7 vs the base for the cross
+      // step, and a recursive-CTE connected-components min-label for the
+      // intra step (the engine's Graph.connectedComponents on candidate
+      // pairs). Same hash-vs-string equivalence as q_dedup_minhash.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") < 400)
+      val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
+      val crossPlanted = docs
+        .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
+        .select((col("doc_id") + 10000).alias("doc_id"), col("text"))
+      val intraPlanted = docs
+        .where(col("doc_id") >= 400 && col("doc_id") < 480 &&
+          pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 20000).alias("doc_id"), col("text"))
+      val delta = organic.unionByName(crossPlanted).unionByName(intraPlanted)
+      val store = tempStore(s, "graft_dedupidx_wh")
+      ops.DedupIndex.persist(store, "docs_mh", base, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, buckets = 64)
+      ops.DedupIndex.ingestDedup(store, "docs_mh", delta, "text", "doc_id",
+          minJaccard = 0.7)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
@@ -2752,6 +2801,46 @@ object SparkEntry {
          |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_index_ingest" ->
+      // full replay of the incremental ingest decision: (1) identical
+      // delta construction; (2) cross step = exact shingle-jaccard >= 0.7
+      // against the indexed base; (3) intra step = min-label connected
+      // components over the survivor pair graph via a recursive CTE —
+      // the same component-representative rule as Graph.connectedComponents
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 480
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 400 AND doc_id % 80 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 480 AND doc_id % 40 = 0),
+        |csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |        FROM corpus)),
+        |cross_dup AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM csh d JOIN csh b ON d.doc_id >= 400 AND b.doc_id < 400
+        |  WHERE round(CAST(len(list_intersect(d.s, b.s)) AS DOUBLE)
+        |      / greatest(len(list_distinct(d.s || b.s)), 1), 6) >= 0.7),
+        |fresh AS (
+        |  SELECT * FROM csh WHERE doc_id >= 400
+        |    AND doc_id NOT IN (SELECT doc_id FROM cross_dup)),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM fresh a JOIN fresh b ON a.doc_id <> b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.7),
+        |lbl AS (
+        |  SELECT doc_id AS id, doc_id AS rep FROM fresh
+        |  UNION
+        |  SELECT e.dst AS id, l.rep FROM lbl l JOIN edges e ON e.src = l.id)
+        |SELECT id AS doc_id FROM (SELECT id, min(rep) AS rep FROM lbl GROUP BY id)
+        |WHERE rep = id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""$shingleCte

@@ -295,6 +295,26 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     TableStore.fireRewrite(tablePath(table))
   }
 
+  /** Full rewrite of a Hive-partitioned table through the SAME staged
+    * swap as [[replace]]: the new copy lands in `.__staging` with its
+    * `partitionBy` layout intact, then renames into place. Use this for
+    * index REBUILDS ([[graft.ops.DedupIndex]]): a plain
+    * [[writePartitioned]] overwrite deletes the live directory before the
+    * new data is durable, so a crash mid-rebuild loses the index; the
+    * staged swap keeps the previous copy readable until the new one is
+    * fully committed.
+    */
+  def replacePartitioned(table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    recoverCrashedSwap(table)
+    val path = new Path(tablePath(table))
+    val staging = new Path(tablePath(table) + ".__staging")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(staging.toString)
+    swapInto(fs, staging, path, table)
+  }
+
   /** Overwrite ONLY the partitions present in `df` (Spark's dynamic
     * partition overwrite), leaving every other directory's files
     * physically untouched — the backfill primitive the reference's

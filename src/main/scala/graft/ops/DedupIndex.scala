@@ -88,6 +88,19 @@ object DedupIndex {
       buckets: Int = 64, maxDf: Option[Int] = None): Unit = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val meta = Meta(shingleSize, k, bands, buckets)
+    val sp = shingles.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((shingleSize, k, bands, buckets, committed))
+        .toDF("shingle_size", "k", "bands", "buckets", "committed")
+    // TWO-PHASE rebuild commit. A crash between the data writes and the
+    // meta write must never pair fresh band data with stale hashing
+    // parameters (probes would hash deltas with the wrong k/bands and
+    // silently miss duplicates). Marking the meta uncommitted FIRST turns
+    // every mid-rebuild crash into a loud readMeta failure instead; the
+    // data writes themselves are staged swaps, so the previous copy is
+    // never destroyed before its replacement is durable.
+    store.replace(table + "__meta", metaRow(committed = false))
     val raw = shingles.where(size(col("sh")) > 0)
     val capped = maxDf match {
       case Some(cap) => Dedup.capShinglesByDf(raw, idCol, cap).where(size(col("sh")) > 0)
@@ -98,19 +111,27 @@ object DedupIndex {
     // the in-memory path would verify with
     store.replace(table + "__shingles", capped)
     val persisted = store.read(table + "__shingles")
-    store.writePartitioned(table,
+    store.replacePartitioned(table,
       bandRows(persisted, idCol, meta).repartition(col("__bk")), Seq("__bk"))
-    val sp = shingles.sparkSession
-    import sp.implicits._
-    store.replace(table + "__meta",
-      Seq((shingleSize, k, bands, buckets))
-        .toDF("shingle_size", "k", "bands", "buckets"))
+    store.replace(table + "__meta", metaRow(committed = true))
   }
 
-  /** Load the build parameters of a persisted index (one-row driver state). */
+  /** Load the build parameters of a persisted index (one-row driver state).
+    * Fails loudly on an index whose last rebuild crashed before committing
+    * (`committed=false` — see the two-phase write in
+    * [[persistFromShingles]]); a pre-two-phase meta without the flag is
+    * treated as committed.
+    */
   def readMeta(store: TableStore, table: String): Meta = {
     require(store.exists(table + "__meta"), s"no meta table for dedup index '$table'")
-    val r = store.read(table + "__meta")
+    val metaDf = store.read(table + "__meta")
+    if (metaDf.columns.contains("committed")) {
+      require(metaDf.select(col("committed")).head().getBoolean(0),
+        s"dedup index '$table' has an UNCOMMITTED meta: a rebuild crashed " +
+          "between the parameter and data writes. Re-run the rebuild " +
+          "(DedupIndex.persist*) before probing.")
+    }
+    val r = metaDf
       .select(col("shingle_size"), col("k"), col("bands"), col("buckets")).head()
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
@@ -123,6 +144,14 @@ object DedupIndex {
     * cadence via [[TableStore.compact]], which preserves the partition
     * layout. No df-cap is applied to appends: the cap is a corpus-level
     * statistic — recompute it at the periodic rebuild, not per batch.
+    *
+    * Retry semantics: a crash-rerun append physically duplicates the
+    * batch's shingle/band rows. Probes stay EXACT regardless (candidate
+    * pairs and verify rows are deduped by id pair in
+    * [[deltaPairsFromShingles]]); the duplicate bytes persist until the
+    * periodic rebuild, which re-derives both tables from the shingle
+    * frame. Avoid blind re-appends when possible — they cost storage,
+    * not correctness.
     */
   def append(store: TableStore, table: String, delta: DataFrame,
       textCol: String, idCol: String): Unit = {
@@ -168,6 +197,13 @@ object DedupIndex {
       idCol, minJaccard)
   }
 
+  /** Band-row count above which the probe stops forcing broadcasts and
+    * leaves join strategy to the optimizer/AQE: at ~24 bytes per band row,
+    * 4M rows is comfortably inside a driver but past the point where a
+    * forced broadcast is self-evidently right.
+    */
+  private val broadcastBandRowCap = 4L * 1000 * 1000
+
   /** Same, over a precomputed `(idCol, sh)` delta shingle frame. */
   def deltaPairsFromShingles(store: TableStore, table: String,
       deltaShingles: DataFrame, idCol: String,
@@ -176,16 +212,24 @@ object DedupIndex {
     val deltaSh = deltaShingles.where(size(col("sh")) > 0)
     val deltaBands = bandRows(deltaSh, idCol, meta)
       .withColumnRenamed(idCol, "new_id")
-    // bounded driver state: at most `buckets` distinct values — the same
-    // centroid-sized collect the ANN probe path pays (Similarity.scala)
-    val bks = deltaBands.select(col("__bk")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // bounded driver state: at most `buckets` distinct bucket ids (the
+    // same centroid-sized collect the ANN probe path pays) plus one count,
+    // fused into a single action over the delta's band rows
+    val bkRow = deltaBands
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+    val bks = bkRow.getSeq[Int](0)
+    // a batch-sized delta broadcasts into the pruned index scan; a
+    // corpus-sized delta must NOT be forced into the driver — past the
+    // cap, AQE picks the strategy (and the probe degrades to the full
+    // shuffle join that a corpus-vs-corpus comparison genuinely is)
+    val smallDelta = bkRow.getLong(1) <= broadcastBandRowCap
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallDelta) df.hint("broadcast") else df
     val idxBands = store.read(table)
       .where(col("__bk").isInCollection(bks))
       .withColumnRenamed(idCol, "old_id")
     val candidates = idxBands
-      .join(deltaBands.hint("broadcast"),
-        Seq("band_idx", "band_hash"))
+      .join(maybeBroadcast(deltaBands), Seq("band_idx", "band_hash"))
       .where(col("old_id") =!= col("new_id"))
       .select(col("new_id"), col("old_id"))
       .dropDuplicates("new_id", "old_id")
@@ -193,8 +237,11 @@ object DedupIndex {
       .select(col(idCol).alias("old_id"), col("sh").alias("sh_old"))
     val newSh = deltaSh.select(col(idCol).alias("new_id"), col("sh").alias("sh_new"))
     // candidate list broadcasts into the corpus-side shingle scan; the
-    // delta side is batch-sized already
-    oldSh.join(candidates.hint("broadcast"), "old_id")
+    // dropDuplicates after the corpus join makes probes tolerant of
+    // physically duplicated index rows (a retried append) — dup ids carry
+    // identical shingle sets, so keeping one per (new_id, old_id) is exact
+    oldSh.join(maybeBroadcast(candidates), "old_id")
+      .dropDuplicates("new_id", "old_id")
       .join(newSh, "new_id")
       .withColumn("jaccard",
         Rounding.roundAway(Dedup.jaccardSorted(col("sh_new"), col("sh_old")), 6))
@@ -222,8 +269,11 @@ object DedupIndex {
       .select(col("new_id").alias(idCol)).distinct()
     val freshRows = delta.join(dupVsIndex, Seq(idCol), "left_anti")
     val freshSh = deltaSh.join(dupVsIndex, Seq(idCol), "left_anti")
+    // intra-batch LSH runs under the INDEX's hashing parameters: an index
+    // built with non-default k/bands must give the in-batch pass the same
+    // candidate recall as the cross-index probe
     val survivors = Dedup.dropNearDuplicatesFromShingles(
-      freshRows, freshSh, idCol, minJaccard)
+      freshRows, freshSh, idCol, minJaccard, k = meta.k, bands = meta.bands)
     if (appendSurvivors) {
       val survivorIds = survivors.select(col(idCol))
       appendShingles(store, table, idCol, meta,

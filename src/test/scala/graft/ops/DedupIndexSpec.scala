@@ -126,6 +126,62 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(store.read(table + "__shingles").count() == 5 + 2)
   }
 
+  test("a crashed rebuild (uncommitted meta) fails probes loudly, and a re-run heals it") {
+    val (store, table) = freshIndex("crash")
+    // simulate a rebuild that died between the meta and data writes: the
+    // two-phase persist writes committed=false first — replay just that step
+    val uncommitted = Seq((3, 64, 16, 64, false))
+      .toDF("shingle_size", "k", "bands", "buckets", "committed")
+    store.replace(table + "__meta", uncommitted)
+    val delta = Seq((100L, "whatever text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.deltaPairs(store, table, delta, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("UNCOMMITTED"), e.getMessage)
+    // the documented recovery — re-running the rebuild — restores service
+    DedupIndex.persist(store, table, baseDocs, "text", "doc_id",
+      shingleSize = 3, k = 64, bands = 16, buckets = 64)
+    assert(DedupIndex.readMeta(store, table).bands == 16)
+  }
+
+  test("a retried (duplicate) append yields no duplicate probe pairs") {
+    val (store, table) = freshIndex("retry")
+    val batch = Seq(
+      (100L, "fresh subject matter introduced by the first ingest batch of the day"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(store, table, batch, "text", "doc_id")
+    DedupIndex.append(store, table, batch, "text", "doc_id") // crash-rerun replay
+    val probe = Seq(
+      (200L, "fresh subject matter introduced by the first ingest batch of the night"))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.deltaPairs(store, table, probe, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSeq
+    // the index physically holds 100's rows twice; the probe output must not
+    assert(pairs == Seq((200L, 100L)), pairs.toString)
+  }
+
+  test("ingestDedup under non-default index parameters stays convergent") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-params"))
+    // k=32/bands=8 (r=4): the ingest's intra-batch pass must adopt these
+    // from __meta, not silently use the 64/16 defaults
+    DedupIndex.persist(store, "docs_mh", baseDocs, "text", "doc_id",
+      shingleSize = 3, k = 32, bands = 8, buckets = 32)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of base 0
+      (101L, "novel content appearing twice within one batch for the intra dedup pass"),
+      (102L, "novel content appearing twice within one batch for the intra dedup pass")
+    ).toDF("doc_id", "text")
+    val survivors = DedupIndex.ingestDedup(store, "docs_mh", batch, "text", "doc_id",
+        minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(101L), survivors.toString)
+    // convergence: replaying the same content under fresh ids drops everything
+    val rerun = batch.withColumn("doc_id", col("doc_id") + 100)
+    assert(DedupIndex.ingestDedup(store, "docs_mh", rerun, "text", "doc_id",
+      minJaccard = 0.7).isEmpty)
+  }
+
   test("df-capped build equals the uncapped build when no shingle is hot") {
     val storeA = new graft.engine.TableStore(spark, tmpDir("wh-capA"))
     DedupIndex.persist(storeA, "docs_mh", baseDocs, "text", "doc_id", buckets = 16)
