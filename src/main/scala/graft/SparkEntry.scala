@@ -1408,6 +1408,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_prepare_gopher" -> ((s, dir) => {
+      // the capstone with the GOPHER shape gate active (Config.gopher):
+      // the paragraph-chunked corpus is decorated with bullet/ellipsis/
+      // symbol shapes on deterministic id slices (q_text_gopher's
+      // decorate-then-measure trick) so every gate signal discriminates.
+      // Dedup stays on (bands=32), which forces the multi-consumer
+      // annotate path — the gate's token terms ride the SHARED tokenStats
+      // pass and its line terms one lineStats pass, the wiring this query
+      // exists to pin under oracle.
+      val decorated = paragraphChunkedDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\n- bullet item one\n- bullet item two")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\n## ## ##")).otherwise(lit(""))).alias("text"))
+      ops.CorpusPipeline.prepare(decorated,
+        ops.CorpusPipeline.Config(
+          minQuality = 0.2, maxRepetition = 0.95, langs = Set.empty,
+          dedupJaccard = 0.8, dedupBands = 32,
+          splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+          gopher = true))
+        .select(col("doc_id"), col("lang_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_mixture" -> ((s, dir) =>
       // data-recipe assembly: fixed per-language doc budgets, hash-ordered
       // prefixes so changing one quota never reshuffles another language
@@ -2733,6 +2760,108 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM shc WHERE doc_id IN (SELECT doc_id FROM kept)
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_gopher" -> {
+      val stops = TextAnalysis.stopwordsSql
+      val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS s_$l").mkString(",\n")
+      // identical chunk+decorate to q_text_gopher, identical quality/
+      // repetition/language replay to q_corpus_prepare, the Gopher gate on
+      // the unrounded signals, then the same exact-jaccard transitive
+      // closure for the active dedup stage and the md5 split thresholds
+      s"""WITH RECURSIVE toks0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |paras AS (
+         |  SELECT doc_id, u.i - 1 AS pos,
+         |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+         |  FROM toks0, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+         |chunked AS (
+         |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+         |  FROM paras GROUP BY doc_id),
+         |decorated AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## ## ##' ELSE '' END AS text
+         |  FROM chunked),
+         |base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> len(l) > 0) AS ls
+         |  FROM decorated),
+         |feat AS (SELECT doc_id, padded, ltoks,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio,
+         |  (CASE WHEN len(toks) = 0 THEN 0.0
+         |     ELSE CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+         |       / len(toks) END) AS mwl,
+         |  (CASE WHEN len(toks) = 0 THEN 0.0
+         |     ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+         |       / len(toks) END) AS alpha_word,
+         |  (CASE WHEN len(toks) = 0 THEN 0.0
+         |     ELSE (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         |       + (length(text) - length(replace(text, '...', ''))) / 3.0) / len(toks) END) AS symbol,
+         |  (CASE WHEN len(ls) = 0 THEN 0.0
+         |     ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END) AS dup_line,
+         |  (CASE WHEN len(ls) = 0 OR list_aggregate(list_transform(ls, l -> len(l)), 'sum') = 0 THEN 0.0
+         |     ELSE 1.0 - CAST(list_aggregate(list_transform(list_distinct(ls), l -> len(l)), 'sum') AS DOUBLE)
+         |       / list_aggregate(list_transform(ls, l -> len(l)), 'sum') END) AS dup_char,
+         |  (CASE WHEN len(ls) = 0 THEN 0.0
+         |     ELSE CAST(len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*')
+         |       OR starts_with(l, '•'))) AS DOUBLE) / len(ls) END) AS bullet,
+         |  (CASE WHEN len(ls) = 0 THEN 0.0
+         |     ELSE CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+         |       AS DOUBLE) / len(ls) END) AS ellipsis
+         |  FROM base),
+         |lang AS (SELECT doc_id,
+         |$scoreCols
+         |  FROM feat),
+         |tagged AS (SELECT f.*,
+         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
+         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+         |    WHEN s_es >= s_en THEN 'es'
+         |    ELSE 'en' END AS lang_id
+         |  FROM feat f JOIN lang l ON f.doc_id = l.doc_id),
+         |survivors AS (SELECT doc_id, ltoks, lang_id FROM tagged
+         |  WHERE quality >= 0.2 AND rep_ratio <= 0.95
+         |    AND mwl >= 3.0 AND mwl <= 10.0 AND alpha_word >= 0.8 AND symbol <= 0.1
+         |    AND bullet < 0.9 AND ellipsis <= 0.3 AND dup_line <= 0.30 AND dup_char <= 0.20),
+         |shc AS (SELECT doc_id, lang_id, list_distinct(list_transform(range(len(ltoks)-2),
+         |    i -> ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])) AS s FROM survivors),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shc a JOIN shc b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM shc
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |kept AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id)
+         |SELECT doc_id, lang_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c0000000000000000000000000000000' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM shc WHERE doc_id IN (SELECT doc_id FROM kept)
          |ORDER BY doc_id""".stripMargin
     },
 

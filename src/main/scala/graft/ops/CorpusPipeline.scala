@@ -14,6 +14,11 @@ object CorpusPipeline {
 
   /** @param minQuality   drop docs scoring below (TextAnalysis.qualityScore)
     * @param maxRepetition drop docs with more within-doc token repetition
+    * @param gopher       when true, also apply the Gopher repetition/shape
+    *                     gate (Rae et al. 2021 thresholds,
+    *                     TextAnalysis.gopherPass) in the same annotate
+    *                     pass — token-derived terms ride the shared
+    *                     tokenStats, line-derived terms one lineStats pass
     * @param langs        keep only these language ids (empty = keep all)
     * @param dedupJaccard near-dup threshold for MinHash-LSH removal;
     *                     <= 0 disables dedup
@@ -36,7 +41,8 @@ object CorpusPipeline {
       minSharedShingles: Int = 3,
       splits: Seq[(String, Double)] = Nil,
       textCol: String = "text",
-      idCol: String = "doc_id")
+      idCol: String = "doc_id",
+      gopher: Boolean = false)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -66,28 +72,64 @@ object CorpusPipeline {
     // bit-identical between the two forms (TextAnalysisSpec pins it
     // row-for-row).
     //
-    // The caches are deliberately left registered (the returned plan keeps
-    // referencing them lazily, so there is no safe unpersist point inside
-    // this function); like Features' shingle cache they are session-scoped —
-    // callers preparing many corpora in one session can unpersist via
-    // spark.catalog.clearCache() between runs.
+    // The caches are deliberately left registered here (the returned plan
+    // keeps referencing them lazily, so there is no safe unpersist point
+    // inside this function). Callers that materialize the result and are
+    // done should go through [[prepareManaged]], which releases them;
+    // bare prepare() callers preparing many corpora in one session can
+    // unpersist via spark.catalog.clearCache() between runs.
+    prepareWithHandles(docs, cfg)._1
+  }
+
+  /** [[prepare]], with the pipeline's cache lifecycle managed: runs `use`
+    * (which must MATERIALIZE the prepared frame — write it, collect it,
+    * count it), then unpersists the two MEMORY_AND_DISK caches the
+    * multi-consumer path registers. This is the entry point for callers
+    * preparing many corpora in one session — without it each corpus pins
+    * its annotate + shingle caches until session end. The unpersist
+    * blocks, so storage accounting is deterministic (spec-asserted).
+    */
+  def prepareManaged[A](docs: DataFrame, cfg: Config = Config())(use: DataFrame => A): A = {
+    val (out, caches) = prepareWithHandles(docs, cfg)
+    try use(out)
+    finally caches.foreach(_.unpersist(blocking = true))
+  }
+
+  private def prepareWithHandles(docs: DataFrame,
+      cfg: Config): (DataFrame, Seq[DataFrame]) = {
+    val t = col(cfg.textCol)
+    val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
     val annotated =
-      if (needShingles)
-        docs
+      if (needShingles) {
+        val base = docs
           .withColumn("__tok_stats", TextAnalysis.tokenStats(t))
           .withColumn("quality", TextAnalysis.qualityScoreFromStats(t, col("__tok_stats")))
           .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatioFromStats(col("__tok_stats")))
           .withColumn("lang_id", TextAnalysis.languageId(t))
+        // the Gopher gate rides the SAME annotate pass: token-derived
+        // terms come from the shared tokenStats, line-derived terms from
+        // one lineStats pass — zero extra tokenizations per document
+        (if (cfg.gopher)
+           base.withColumn("__gopher_ok", TextAnalysis.gopherPassFromStats(
+             t, col("__tok_stats"), TextAnalysis.lineStats(t)))
+         else base)
           .drop("__tok_stats")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else docs
-        .withColumn("quality", TextAnalysis.qualityScore(t))
-        .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
-        .withColumn("lang_id", TextAnalysis.languageId(t))
-    val filtered = annotated
+      } else {
+        val base = docs
+          .withColumn("quality", TextAnalysis.qualityScore(t))
+          .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
+          .withColumn("lang_id", TextAnalysis.languageId(t))
+        if (cfg.gopher) base.withColumn("__gopher_ok", TextAnalysis.gopherPass(t))
+        else base
+      }
+    val filteredAll = annotated
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
+    val filtered =
+      if (cfg.gopher) filteredAll.where(col("__gopher_ok")).drop("__gopher_ok")
+      else filteredAll
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it
@@ -134,9 +176,12 @@ object CorpusPipeline {
         deduped.join(flagged, Seq(cfg.idCol), "left_anti")
       case None => deduped
     }
-    if (cfg.splits.nonEmpty)
-      cleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
-    else cleaned
+    val result =
+      if (cfg.splits.nonEmpty)
+        cleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
+      else cleaned
+    val caches = (if (needShingles) Seq(annotated) else Nil) ++ corpusShingles.toSeq
+    (result, caches)
   }
 
   /** Stage-survival report for a prepared corpus (diagnostics). */

@@ -76,29 +76,80 @@ object TextAnalysis {
     s
   }
 
-  /** struct(n_tokens, n_distinct, n_stop) over lowercased whitespace
-    * tokens, one tokenization pass; null text -> null (matching the
-    * null-propagation of the expression forms).
+  /** struct(n_tokens, n_distinct, n_stop, tok_len_sum, n_alpha) over
+    * whitespace tokens (distinct/stopword checks on the lowercased form,
+    * lengths/letter checks on the raw form — matching the expression
+    * twins), one tokenization pass; null text -> null (matching the
+    * null-propagation of the expression forms). Lengths count code
+    * points, as Spark's `length` does.
     */
   val tokenStats: Column => Column = {
     val f = udf { t: String =>
       if (t == null) None
       else {
-        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val toks = t.split("\\s+")
         val distinct = new java.util.HashSet[String]()
         var n = 0
         var stops = 0
+        var lenSum = 0L
+        var alpha = 0
         var i = 0
         while (i < toks.length) {
           val w = toks(i)
           if (w.nonEmpty) {
             n += 1
-            distinct.add(w)
-            if (stopwordSet.contains(w)) stops += 1
+            val lw = w.toLowerCase(java.util.Locale.ROOT)
+            distinct.add(lw)
+            if (stopwordSet.contains(lw)) stops += 1
+            lenSum += w.codePointCount(0, w.length)
+            if (w.codePoints().anyMatch(Character.isLetter _)) alpha += 1
           }
           i += 1
         }
-        Some((n, distinct.size, stops))
+        Some((n, distinct.size, stops, lenSum, alpha))
+      }
+    }
+    (text: Column) => f(text)
+  }
+
+  /** struct(n_lines, n_distinct, total_chars, kept_chars, n_bullet,
+    * n_ellipsis) over trimmed non-empty newline-separated lines
+    * ([[docLines]]) in one JVM pass — the line-level twin of
+    * [[tokenStats]] feeding the Gopher shape signals. Char counts are
+    * code points (Spark `length` semantics); `kept_chars` sums the
+    * DISTINCT lines, matching `aggregate(array_distinct(lines), ...)`.
+    */
+  val lineStats: Column => Column = {
+    val f = udf { t: String =>
+      if (t == null) None
+      else {
+        val distinct = new java.util.LinkedHashSet[String]()
+        var n = 0
+        var total = 0L
+        var bullets = 0
+        var ellipses = 0
+        val raw = t.split("\n", -1)
+        var i = 0
+        while (i < raw.length) {
+          // Spark's trim() strips SPACES only (not \t/\r like Java trim)
+          var a = 0
+          var b = raw(i).length
+          while (a < b && raw(i).charAt(a) == ' ') a += 1
+          while (b > a && raw(i).charAt(b - 1) == ' ') b -= 1
+          val l = raw(i).substring(a, b)
+          if (l.nonEmpty) {
+            n += 1
+            total += l.codePointCount(0, l.length)
+            distinct.add(l)
+            val c = l.charAt(0)
+            if (c == '-' || c == '*' || c == '•') bullets += 1
+            if (l.endsWith("...") || l.endsWith("…")) ellipses += 1
+          }
+          i += 1
+        }
+        var kept = 0L
+        distinct.forEach(l => kept += l.codePointCount(0, l.length))
+        Some((n, distinct.size, total, kept, bullets, ellipses))
       }
     }
     (text: Column) => f(text)
@@ -124,6 +175,45 @@ object TextAnalysis {
     val n = stats.getField("_1")
     val d = stats.getField("_2")
     when(n === 0, 0.0).otherwise(lit(1.0) - d.cast("double") / n)
+  }
+
+  /** [[gopherPass]] with every token/line-derived term fed from
+    * precomputed [[tokenStats]] + [[lineStats]] structs — identical
+    * thresholds and arithmetic, zero extra tokenizations. This is the
+    * form the corpus-preparation pipeline uses so the Gopher gate rides
+    * the SAME one-pass-per-document stats the quality/repetition filters
+    * already share (bit-identity to [[gopherPass]] pinned row-for-row in
+    * TextAnalysisSpec).
+    */
+  def gopherPassFromStats(text: Column, tokStats: Column, lnStats: Column): Column = {
+    val n = tokStats.getField("_1")
+    val mwl = when(n === 0, 0.0)
+      .otherwise(tokStats.getField("_4").cast("double") / n)
+    val alphaFrac = when(n === 0, 0.0)
+      .otherwise(tokStats.getField("_5").cast("double") / n)
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipsisCount =
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast("long") / lit(3L)
+    val symbolRatio = when(n === 0, 0.0)
+      .otherwise((hashes + ellipsisCount).cast("double") / n)
+    val nLines = lnStats.getField("_1")
+    val dupLine = when(nLines === 0, 0.0)
+      .otherwise(lit(1.0) - lnStats.getField("_2").cast("double") / nLines)
+    val total = lnStats.getField("_3")
+    val dupChar = when(total === 0, 0.0)
+      .otherwise(lit(1.0) -
+        lnStats.getField("_4").cast("double") / total.cast("double"))
+    val bullet = when(nLines === 0, 0.0)
+      .otherwise(lnStats.getField("_5").cast("double") / nLines)
+    val ellipsisLine = when(nLines === 0, 0.0)
+      .otherwise(lnStats.getField("_6").cast("double") / nLines)
+    (mwl >= 3.0) && (mwl <= 10.0) &&
+      (alphaFrac >= 0.8) &&
+      (symbolRatio <= 0.1) &&
+      (bullet < 0.9) &&
+      (ellipsisLine <= 0.3) &&
+      (dupLine <= 0.30) &&
+      (dupChar <= 0.20)
   }
 
   // ---- Gopher-style document shape/repetition signals ----

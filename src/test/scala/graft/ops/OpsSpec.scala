@@ -521,6 +521,35 @@ class OpsSpec extends SparkSpecBase {
     assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
+  test("prepareManaged releases the pipeline caches after materialization") {
+    val corpus = (0L to 60L).map(i =>
+      (i, s"document number $i about the weather and the mountains with words w$i x${i % 7}"))
+      .toDF("doc_id", "text")
+    // the CACHE MANAGER is the right ledger here: getPersistentRDDs also
+    // counts localCheckpoint RDDs (the dedup stage pins its pair frame
+    // until GC), which are not what prepareManaged manages
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    // gopher=true + dedup on: the multi-consumer path registers both the
+    // annotate cache and the shingle cache
+    val n = CorpusPipeline.prepareManaged(corpus,
+      CorpusPipeline.Config(minQuality = 0.0, maxRepetition = 1.0,
+        dedupJaccard = 0.8, gopher = true)) { out =>
+      val c = out.count() // materialize inside the managed scope
+      assert(!cm.isEmpty, "caches should be live during use")
+      c
+    }
+    assert(n > 0)
+    // blocking unpersist: storage accounting is deterministic here
+    assert(cm.isEmpty, "pipeline caches leaked past prepareManaged")
+    // bare prepare() still leaves caches registered (session-scoped), and
+    // the result stays usable afterwards — unchanged contract
+    val out2 = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(dedupJaccard = 0.8))
+    assert(out2.count() > 0 && !cm.isEmpty)
+    cm.clearCache()
+  }
+
   test("typed UDAFs: weighted mean and geometric mean merge correctly") {
     val df = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0)).toDF("v", "w")
       .repartition(3) // force buffer merges across partitions

@@ -132,6 +132,49 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(probedFiles.forall(_ == 1), s"probed partitions: $probedFiles")
   }
 
+  test("persisted dedup index on 100k docs: |delta|-bound probe, exact survivors") {
+    import spark.implicits._
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-dedupidx-scale"))
+    // 100k pairwise token-disjoint docs (tokens encode the doc id): the
+    // only near-dup structure is what the delta plants
+    val base = spark.range(100000).select(col("id").alias("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(col("id") * 31 + j * 7, lit(1000000)), lit(s"p$j"))): _*)
+        .alias("text"))
+    DedupIndex.persist(store, "docs100k", base, "text", "doc_id") // k=64, bands=16, buckets=64
+    // delta: one near-copy of base doc 1234 (one appended token, J=28/29)
+    // and one token-disjoint novel doc
+    val delta = base.where(col("doc_id") === 1234)
+      .select((col("doc_id") + 200000).alias("doc_id"),
+        concat(col("text"), lit(" zulu")).alias("text"))
+      .unionByName(Seq((300000L, (0 until 30).map(j => s"q$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = DedupIndex.deltaPairs(store, "docs100k", delta, "text", "doc_id",
+        minJaccard = 0.7)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(l =>
+            l.contains("docs100k") && !l.contains("__shingles")) => f
+      }
+      assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+      // THE 100 TB property: the band-table scan is pruned to the delta's
+      // own bucket set — 2 docs x 16 bands = at most 32 of the corpus's 64
+      // bucket directories, regardless of corpus size
+      assert(scans.head.selectedPartitions.partitionCount <= 32,
+        s"probe read ${scans.head.selectedPartitions.partitionCount} bucket dirs")
+      assert(res.select("new_id", "old_id").as[(Long, Long)].collect().toSeq ==
+        Seq((201234L, 1234L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the full ingest keeps only the novel doc and registers it
+    val survivors = DedupIndex.ingestDedup(store, "docs100k", delta, "text", "doc_id",
+        minJaccard = 0.7)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(300000L), survivors.toString)
+  }
+
   test("star contraction on a 1M-edge chain: O(log n) rounds where propagation needs 1M") {
     // a 1M-node chain is propagation's worst case: diameter = 1e6 means
     // 1e6 full-label shuffles (never runnable); star contraction must

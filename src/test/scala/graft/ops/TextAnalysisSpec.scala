@@ -62,6 +62,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rows == Seq(true, false))
   }
 
+  test("stats-based gopher gate is bit-identical to the expression form") {
+    // fixture docs decorated the way the oracle queries decorate them
+    // (bullets/ellipses/symbols on id slices) plus adversarial rows, so
+    // every signal path — token, line, symbol — is exercised
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\n- bullet item one\n- bullet item two")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\nto be continued...")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\n## ## ##")).otherwise(lit(""))).alias("text"))
+      .unionByName(Seq(
+        "", "   \t \n ", "the the the and of", "ÁRBOL Árbol árbol ÉÉ",
+        "a\na\na\na\nb", "- x\n- y\n- z", "## ## ## ## tiny").toDF("text"))
+    val got = docs.select(TextAnalysis.gopherPassFromStats(col("text"),
+      TextAnalysis.tokenStats(col("text")), TextAnalysis.lineStats(col("text")))
+      .alias("p"))
+    val want = docs.select(TextAnalysis.gopherPass(col("text")).alias("p"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // and both forms discriminate on this corpus (not vacuously equal)
+    val n = want.where(col("p")).count()
+    assert(n > 0 && n < docs.count())
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
