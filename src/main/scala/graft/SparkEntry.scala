@@ -165,30 +165,22 @@ object SparkEntry {
           prunedCorpus(s, dir), "embedding", "vec_id", nCells = 8, iterations = 3)),
         Future(Quantization.persistIvfPqIndex(store, "grid_pq",
           gridCorpus(s, dir), "vec", "vec_id", nCells = 4,
-          m = 8, codebookSize = 4, iters = 2))
+          m = 8, codebookSize = 4, iters = 2)),
+        // the dedup band index over the q_dedup_index_ingest base slice —
+        // the same build-once-probe-many asymmetry as the ANN indexes.
+        // IMMUTABLE here: the consuming query probes with
+        // appendSurvivors=false, so repeated runs stay idempotent.
+        Future(ops.DedupIndex.persist(store, "docs_mh_base",
+          T(s, dir, "documents").select(col("doc_id"), col("text"))
+            .where(col("doc_id") < 400),
+          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, buckets = 16))
       )), Duration.Inf)
       store
     })
 
-  /** A fresh throwaway TableStore in a temp directory, deleted at
-    * application end. For queries that exercise a MUTATING persisted-index
-    * flow (e.g. [[ops.DedupIndex.ingestDedup]] appends survivors): unlike
-    * [[persistedIvfStore]] these must NOT be session-cached — a cached
-    * mutated index would make the query non-idempotent across runs.
-    */
-  private def tempStore(s: SparkSession, prefix: String): graft.engine.TableStore = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-        try deleteRecursively(dir)
-        catch { case _: java.io.IOException => () }
-    })
-    new graft.engine.TableStore(s, dir.toString)
-  }
-
-  /** Force the one-time build of the three persisted indexes
-    * (emb_ivf, emb_ivf_aug, grid_pq) for a session+dir. Bench calls this
+  /** Force the one-time build of the four persisted indexes
+    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base) for a session+dir.
+    * Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
     * numbers measure PROBES — the steady-state cost of a build-once
     * index — rather than absorbing a build whose three concurrent k-means
@@ -1597,7 +1589,6 @@ object SparkEntry {
       // intra step (the engine's Graph.connectedComponents on candidate
       // pairs). Same hash-vs-string equivalence as q_dedup_minhash.
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = docs.where(col("doc_id") < 400)
       val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
       val crossPlanted = docs
         .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
@@ -1607,11 +1598,15 @@ object SparkEntry {
           pmod(col("doc_id"), lit(40)) === 0)
         .select((col("doc_id") + 20000).alias("doc_id"), col("text"))
       val delta = organic.unionByName(crossPlanted).unionByName(intraPlanted)
-      val store = tempStore(s, "graft_dedupidx_wh")
-      ops.DedupIndex.persist(store, "docs_mh", base, "text", "doc_id",
-        shingleSize = 3, k = 64, bands = 16, buckets = 64)
-      ops.DedupIndex.ingestDedup(store, "docs_mh", delta, "text", "doc_id",
-          minJaccard = 0.7)
+      // the base index is a BUILD-ONCE artifact shared via the session's
+      // persisted-index store (built in Bench warm-up alongside the ANN
+      // indexes); the probe runs with appendSurvivors=false so the index
+      // never mutates and the query stays idempotent — the mutating
+      // append/convergence loop is spec-covered (DedupIndexSpec,
+      // ScaleSmokeSpec). The survivor set is identical either way:
+      // appends only affect FUTURE batches.
+      ops.DedupIndex.ingestDedup(persistedIvfStore(s, dir), "docs_mh_base",
+          delta, "text", "doc_id", minJaccard = 0.7, appendSurvivors = false)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
