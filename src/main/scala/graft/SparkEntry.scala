@@ -1774,6 +1774,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_ngram_repetition" -> ((s, dir) => {
+      // the REMAINING Gopher Table A1 signals: top-{2,3,4}-gram character
+      // fractions and duplicate-{5..10}-gram coverage, one UDF pass per
+      // document (TextAnalysis.ngramStats), gate on the published
+      // thresholds. The raw documents corpus discriminates organically
+      // (small synthetic vocabulary -> real repeated n-grams); the DuckDB
+      // oracle rebuilds every signal from the same lowercased token lists
+      // (top tie-break = UTF-8 order on both sides).
+      val st = TextAnalysis.ngramStats(col("text"))
+      T(s, dir, "documents")
+        .withColumn("__ng", st)
+        .select(col("doc_id") +:
+          ((2 to 4).map(n => Rounding.roundAway(col(s"__ng._${n - 1}"), 6)
+            .alias(s"top${n}_frac")) ++
+           (5 to 10).map(n => Rounding.roundAway(col(s"__ng._${n - 1}"), 6)
+             .alias(s"dup${n}_frac")) :+
+           TextAnalysis.gopherNgramPassFromStats(col("__ng")).alias("ngram_pass")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
@@ -3228,6 +3248,64 @@ object SparkEntry {
         |    ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) END
         |    AS rep_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_ngram_repetition" -> {
+      // every signal rebuilt from the lowercased token lists: top-n gram
+      // by (count DESC, gram ASC) — DuckDB's binary UTF-8 order, matched
+      // by the engine's utf8Lt tie-break — and duplicate-n coverage by
+      // position-marking via a lateral unnest of each duplicate window
+      def gramExpr(n: Int, idx: String) =
+        (1 to n).map(k => s"ltoks[$idx+$k]").mkString(" || ' ' || ")
+      val topBlocks = Seq(2, 3, 4).map { n =>
+        s"""tg$n AS (SELECT doc_id, g.gram AS gram, count(*) AS cnt
+           |  FROM base, unnest(list_transform(range(len(ltoks)-${n - 1}),
+           |    i -> ${gramExpr(n, "i")})) g(gram)
+           |  GROUP BY doc_id, gram),
+           |tt$n AS (SELECT doc_id, cnt * (len(gram) - ${n - 1}) AS chars FROM tg$n
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) = 1)"""
+          .stripMargin
+      }
+      val dupBlocks = (5 to 10).map { n =>
+        s"""pg$n AS (SELECT doc_id, u.i AS i, ${gramExpr(n, "u.i")} AS gram
+           |  FROM base, LATERAL unnest(range(len(ltoks)-${n - 1})) u(i)),
+           |cg$n AS (SELECT doc_id, gram FROM pg$n GROUP BY doc_id, gram HAVING count(*) > 1),
+           |cv$n AS (SELECT DISTINCT p.doc_id, v.j AS j
+           |  FROM pg$n p JOIN cg$n c ON p.doc_id = c.doc_id AND p.gram = c.gram,
+           |  LATERAL unnest(range(p.i, p.i + $n)) v(j)),
+           |dd$n AS (SELECT b.doc_id, COALESCE(SUM(len(b.ltoks[cv.j+1])), 0) AS chars
+           |  FROM base b LEFT JOIN cv$n cv ON b.doc_id = cv.doc_id
+           |  GROUP BY b.doc_id)""".stripMargin
+      }
+      val topFracs = Seq(2, 3, 4).map(n =>
+        s"""  CASE WHEN b.total = 0 THEN 0.0
+           |    ELSE COALESCE(tt$n.chars, 0) / CAST(b.total AS DOUBLE) END AS top$n"""
+          .stripMargin)
+      val dupFracs = (5 to 10).map(n =>
+        s"""  CASE WHEN b.total = 0 THEN 0.0
+           |    ELSE dd$n.chars / CAST(b.total AS DOUBLE) END AS dup$n""".stripMargin)
+      val joins = Seq(2, 3, 4).map(n => s"  LEFT JOIN tt$n ON b.doc_id = tt$n.doc_id") ++
+        (5 to 10).map(n => s"  JOIN dd$n ON b.doc_id = dd$n.doc_id")
+      val roundedCols = (Seq(2, 3, 4).map(n => s"round(top$n, 6) AS top${n}_frac") ++
+        (5 to 10).map(n => s"round(dup$n, 6) AS dup${n}_frac")).mkString(",\n  ")
+      val gate = "top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16 AND " +
+        "dup5 <= 0.15 AND dup6 <= 0.14 AND dup7 <= 0.13 AND dup8 <= 0.12 AND " +
+        "dup9 <= 0.11 AND dup10 <= 0.10"
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks,
+         |    COALESCE(list_aggregate(list_transform(
+         |      list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+         |      t -> len(t)), 'sum'), 0) AS total
+         |  FROM documents),
+         |${(topBlocks ++ dupBlocks).mkString(",\n")},
+         |f AS (SELECT b.doc_id,
+         |${(topFracs ++ dupFracs).mkString(",\n")}
+         |  FROM base b
+         |${joins.mkString("\n")})
+         |SELECT doc_id,
+         |  $roundedCols,
+         |  ($gate) AS ngram_pass
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_gopher" ->
       // identical 4-token chunking + deterministic decoration, then each

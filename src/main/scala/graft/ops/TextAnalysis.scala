@@ -304,6 +304,127 @@ object TextAnalysis {
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
+  /** Unsigned UTF-8 byte order — DuckDB's VARCHAR collation, used for the
+    * deterministic top-n-gram tie-break so the oracle replays it exactly
+    * (Java String.compareTo is UTF-16 code-unit order, which disagrees
+    * for supplementary-plane vs U+E000.. characters).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val xa = x(i) & 0xff
+      val yb = y(i) & 0xff
+      if (xa != yb) return xa < yb
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The REMAINING Gopher Table A1 repetition signals (Rae et al. 2021) in
+    * one tokenization pass: struct(top2, top3, top4, dup5..dup10).
+    *
+    *  - `top{n}` (n = 2,3,4): fraction of token characters contained in
+    *    occurrences of the single most frequent word n-gram (ties broken
+    *    to the UTF-8-smallest gram, matching DuckDB ORDER BY).
+    *  - `dup{n}` (n = 5..10): fraction of token characters covered by any
+    *    occurrence of an n-gram that appears more than once (positions
+    *    covered by overlapping duplicate windows count once).
+    *
+    * Tokens are the lowercased non-empty whitespace tokens (the `ltoks`
+    * the oracle side rebuilds); character counts are code points. One
+    * hash-count + one coverage sweep per n over a few hundred tokens per
+    * document — the linear-scan mapper shape the 100 TB annotate pass
+    * needs (cf. [[tokenStats]]).
+    */
+  val ngramStats: Column => Column = {
+    val f = udf { t: String =>
+      if (t == null) None
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        val lens = toks.map(w => w.codePointCount(0, w.length))
+        var total = 0L
+        lens.foreach(total += _)
+        def grams(n: Int): (Array[String], java.util.HashMap[String, Int]) = {
+          val arr = new Array[String](toks.length - n + 1)
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val sb = new java.lang.StringBuilder()
+            var k = i
+            while (k < i + n) {
+              if (k > i) sb.append(' ')
+              sb.append(toks(k))
+              k += 1
+            }
+            val g = sb.toString
+            arr(i) = g
+            counts.put(g, counts.getOrDefault(g, 0) + 1)
+            i += 1
+          }
+          (arr, counts)
+        }
+        def topFrac(n: Int): Double =
+          if (total == 0L || toks.length < n) 0.0
+          else {
+            val (_, counts) = grams(n)
+            var bestCnt = 0
+            var bestGram: String = null
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c = e.getValue.intValue
+              val g = e.getKey
+              if (c > bestCnt || (c == bestCnt && utf8Lt(g, bestGram))) {
+                bestCnt = c; bestGram = g
+              }
+            }
+            val gramChars = bestGram.codePointCount(0, bestGram.length) - (n - 1)
+            bestCnt.toDouble * gramChars / total
+          }
+        def dupFrac(n: Int): Double =
+          if (total == 0L || toks.length < n) 0.0
+          else {
+            val (arr, counts) = grams(n)
+            val covered = new Array[Boolean](toks.length)
+            var i = 0
+            while (i < arr.length) {
+              if (counts.get(arr(i)) > 1) {
+                var j = i
+                while (j < i + n) { covered(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var dup = 0L
+            i = 0
+            while (i < toks.length) {
+              if (covered(i)) dup += lens(i)
+              i += 1
+            }
+            dup.toDouble / total
+          }
+        Some((topFrac(2), topFrac(3), topFrac(4),
+          dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10)))
+      }
+    }
+    (text: Column) => f(text)
+  }
+
+  /** The conjunctive n-gram repetition gate with Gopher's published
+    * thresholds (Table A1): top-2-gram chars <= 0.20, top-3 <= 0.18,
+    * top-4 <= 0.16; duplicate 5..10-gram chars <= 0.15/0.14/0.13/0.12/
+    * 0.11/0.10. Complements [[gopherPass]] (shape + line signals); apply
+    * both for the full published filter set.
+    */
+  def gopherNgramPassFromStats(st: Column): Column =
+    (st.getField("_1") <= 0.20) && (st.getField("_2") <= 0.18) &&
+      (st.getField("_3") <= 0.16) &&
+      (st.getField("_4") <= 0.15) && (st.getField("_5") <= 0.14) &&
+      (st.getField("_6") <= 0.13) && (st.getField("_7") <= 0.12) &&
+      (st.getField("_8") <= 0.11) && (st.getField("_9") <= 0.10)
+
   /** Composite quality score in [0,1] — the C4/Gopher-style shape
     * (length + stopword presence − punctuation/digit noise), deliberately
     * simple and fully inspectable.

@@ -87,6 +87,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(n > 0 && n < docs.count())
   }
 
+  test("ngram repetition signals: hand-computed document") {
+    // tokens: "ab cd ab cd ab zz" -> 6 tokens, 12 chars
+    // 2-grams: "ab cd"(2) "cd ab"(2) "ab zz"(1); top by (cnt desc, gram asc)
+    // = "ab cd", chars = 2*4 = 8 -> top2 = 8/12
+    // 5-grams: "ab cd ab cd ab", "cd ab cd ab zz" each once -> dup5 = 0
+    val doc = "ab cd ab cd ab zz"
+    val st = TextAnalysis.ngramStats(col("text"))
+    val row = Seq(doc).toDF("text")
+      .select(st.getField("_1").alias("t2"), st.getField("_4").alias("d5")).head()
+    assert(math.abs(row.getDouble(0) - 8.0 / 12.0) < 1e-12, row.toString)
+    assert(row.getDouble(1) == 0.0)
+    // duplicate 5-gram coverage: "a b c d e a b c d e" — the 5-gram
+    // "a b c d e" occurs at positions 0 and 5 (count 2), covering all 10
+    // tokens; interior windows ("b c d e a" etc.) are unique
+    val row2 = Seq("a b c d e a b c d e").toDF("text")
+      .select(st.getField("_4").alias("d5"), st.getField("_5").alias("d6")).head()
+    assert(row2.getDouble(0) == 1.0, row2.toString)
+    // 6-grams: all 5 windows distinct -> no coverage
+    assert(row2.getDouble(1) == 0.0)
+    // short/empty docs: every signal 0 (no n-gram of any n fits)
+    val row3 = Seq("solo", "").toDF("text")
+      .select(st.getField("_1"), st.getField("_9")).collect().toSeq
+    assert(row3.forall(r => r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0))
+    // a single repeated 2-token doc: the top 2-gram covers everything
+    val row4 = Seq("one two").toDF("text").select(st.getField("_1")).head()
+    assert(row4.getDouble(0) == 1.0)
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
