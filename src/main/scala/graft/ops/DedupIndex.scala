@@ -123,17 +123,58 @@ object DedupIndex {
     * treated as committed.
     */
   def readMeta(store: TableStore, table: String): Meta = {
-    require(store.exists(table + "__meta"), s"no meta table for dedup index '$table'")
-    val metaDf = store.read(table + "__meta")
+    val metaDf = metaFrame(store, table)
     if (metaDf.columns.contains("committed")) {
       require(metaDf.select(col("committed")).head().getBoolean(0),
         s"dedup index '$table' has an UNCOMMITTED meta: a rebuild crashed " +
           "between the parameter and data writes. Re-run the rebuild " +
-          "(DedupIndex.persist*) before probing.")
+          "(DedupIndex.persist* or rebuildFromIndex) before probing.")
     }
+    metaOf(metaDf)
+  }
+
+  private def metaFrame(store: TableStore, table: String): DataFrame = {
+    require(store.exists(table + "__meta"), s"no meta table for dedup index '$table'")
+    store.read(table + "__meta")
+  }
+
+  private def metaOf(metaDf: DataFrame): Meta = {
     val r = metaDf
       .select(col("shingle_size"), col("k"), col("bands"), col("buckets")).head()
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Periodic MAINTENANCE rebuild from the index's own shingle table — no
+    * corpus re-read, no re-shingling. Dedupes the shingle rows by id
+    * (folding out the physical duplicates a retried [[append]] leaves),
+    * re-derives the band table, and commits fresh meta, all through the
+    * same two-phase staged-swap protocol as [[persistFromShingles]].
+    *
+    * Also the cheap RECOVERY for a crashed rebuild: the meta row is read
+    * REGARDLESS of its committed flag (its parameters are the ones the
+    * interrupted data writes were using). The one unrecoverable-from-here
+    * case is a crash that died before the new shingle table landed while
+    * changing `shingleSize` — shingles on disk then still carry the old
+    * size; re-run the full corpus build ([[persist]]) when changing
+    * shingle size.
+    *
+    * `k`/`bands`/`buckets`/`maxDf` may be changed at rebuild time (e.g.
+    * recompute the df cap as the corpus grows); defaults keep the
+    * recorded values.
+    */
+  def rebuildFromIndex(store: TableStore, table: String,
+      k: Option[Int] = None, bands: Option[Int] = None,
+      buckets: Option[Int] = None, maxDf: Option[Int] = None): Unit = {
+    val m = metaOf(metaFrame(store, table))
+    val sh = store.read(table + "__shingles")
+    val idCol = sh.columns.filterNot(_ == "sh") match {
+      case Array(one) => one
+      case other => throw new IllegalStateException(
+        s"shingle table of '$table' has unexpected columns ${other.mkString(",")}")
+    }
+    persistFromShingles(store, table, sh.dropDuplicates(idCol), idCol,
+      m.shingleSize, k.getOrElse(m.k), bands.getOrElse(m.bands),
+      buckets.getOrElse(m.buckets), maxDf)
   }
 
   /** Append a batch to the index WITHOUT touching existing rows: the

@@ -279,6 +279,44 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS corpus dedup: each micro-batch of documents runs the full
+    * incremental-ingest step against a persisted MinHash-LSH band index
+    * ([[graft.ops.DedupIndex.ingestDedup]]) — drop batch docs
+    * near-duplicating the indexed corpus, drop near-dups within the
+    * batch, append the survivors to BOTH the index (so later batches
+    * dedup against them) and the output table. This is the streaming face
+    * of the high-water-mark ingest loop: per-batch cost tracks the batch,
+    * the corpus is only ever partition-pruned-probed, and the index is
+    * the only state — no unbounded engine state store.
+    *
+    * Delivery semantics: the checkpoint makes each source batch process
+    * once under normal operation; a crash-restart mid-batch can replay
+    * one batch. A replayed batch re-probes an index that already holds
+    * its survivors — self-pairs are excluded by id, so the replay
+    * re-appends and re-emits those survivors (duplicate rows, exact
+    * probes — [[graft.ops.DedupIndex.append]]'s documented retry
+    * contract). Compact or rebuild the index on a cadence; dedup the
+    * output table by id downstream if exactly-once output matters.
+    */
+  def ingestDedupStream(
+      docs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      outTable: String,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = graft.ops.DedupIndex.ingestDedup(
+          store, indexTable, batch, textCol, idCol, minJaccard)
+        store.write(outTable, survivors, append = true)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join within a time bound — the funnel /
     * attribution shape (purchase joined to the clicks that preceded it by
     * at most `bound`). Both sides carry watermarks and the join condition

@@ -182,6 +182,43 @@ class DedupIndexSpec extends SparkSpecBase {
       minJaccard = 0.7).isEmpty)
   }
 
+  test("rebuildFromIndex folds out retried-append duplicates and heals a crashed meta") {
+    val (store, table) = freshIndex("rebuild")
+    val batch = Seq(
+      (100L, "fresh subject matter introduced by the first ingest batch of the day"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(store, table, batch, "text", "doc_id")
+    DedupIndex.append(store, table, batch, "text", "doc_id") // crash-rerun replay
+    assert(store.read(table + "__shingles").count() == 7) // 5 base + 100 twice
+    // maintenance rebuild: shingle rows dedupe by id, bands re-derive
+    DedupIndex.rebuildFromIndex(store, table)
+    assert(store.read(table + "__shingles").count() == 6)
+    val probe = Seq(
+      (200L, "fresh subject matter introduced by the first ingest batch of the night"))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.deltaPairs(store, table, probe, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((200L, 100L)), pairs.toString)
+    // crashed-rebuild recovery: plant an uncommitted meta, rebuild heals it
+    // WITHOUT the corpus (parameters come from the interrupted meta row)
+    store.replace(table + "__meta", Seq((3, 64, 16, 64, false))
+      .toDF("shingle_size", "k", "bands", "buckets", "committed"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.deltaPairs(store, table, probe, "text", "doc_id")
+    }
+    DedupIndex.rebuildFromIndex(store, table)
+    assert(DedupIndex.readMeta(store, table).bands == 16)
+    // and rebuild-time parameter changes take effect for later probes
+    DedupIndex.rebuildFromIndex(store, table, bands = Some(8), buckets = Some(16))
+    val m = DedupIndex.readMeta(store, table)
+    assert(m.bands == 8 && m.buckets == 16 && m.shingleSize == 3)
+    val again = DedupIndex.deltaPairs(store, table, probe, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("old_id").as[Long].collect().toSeq
+    assert(again == Seq(100L), again.toString)
+  }
+
   test("df-capped build equals the uncapped build when no shingle is hot") {
     val storeA = new graft.engine.TableStore(spark, tmpDir("wh-capA"))
     DedupIndex.persist(storeA, "docs_mh", baseDocs, "text", "doc_id", buckets = 16)

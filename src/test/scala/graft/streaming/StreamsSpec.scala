@@ -138,6 +138,43 @@ class StreamsSpec extends SparkSpecBase {
     assert(t.where(col("score").isNull).count() == 1) // old row null-filled
   }
 
+  test("continuous corpus dedup: batches probe the index, survivors chain forward") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    val src = java.nio.file.Files.createTempDirectory("cdd-src")
+    val store = new TableStore(spark, tmpDir("cdd-wh"))
+    val ckpt = tmpDir("cdd-ckpt")
+    // indexed corpus: two known documents
+    DedupIndex.persist(store, "cdd_idx", Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "an unrelated base document about mountains valleys and distant weather"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def run() = Streams.ingestDedupStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "cdd_idx", "cdd_out", "text", "doc_id", minJaccard = 0.7, ckpt)
+      .awaitTermination()
+    // batch 1: a near-dup of indexed doc 0, a novel doc, and an in-batch
+    // duplicate pair of that novel doc -> survivors = {100} (min id wins)
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"doc_id": 100, "text": "completely novel streaming content arriving in the first micro batch here"}
+        |{"doc_id": 101, "text": "completely novel streaming content arriving in the first micro batch here"}
+        |{"doc_id": 102, "text": "the quick brown fox jumps over the lazy dog near the river bank tonight"}
+        |""".stripMargin)
+    run()
+    assert(store.read("cdd_out").select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(100L))
+    // batch 2: near-dups the batch-1 SURVIVOR (caught via the appended
+    // index rows, not the base corpus) plus one genuinely new doc
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      """{"doc_id": 200, "text": "completely novel streaming content arriving in the first micro batch there"}
+        |{"doc_id": 201, "text": "a second wave document with entirely fresh words of its very own kind"}
+        |""".stripMargin)
+    run()
+    assert(store.read("cdd_out").select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 201L))
+  }
+
   test("streaming upsert merges each micro-batch into the table") {
     import graft.engine.TableStore
     val src = java.nio.file.Files.createTempDirectory("ups-src")
