@@ -223,6 +223,21 @@ object SparkEntry {
       .map(g => s"(CASE WHEN strpos(padded, '$g') > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** The language-argmax CASE mirroring the engine's `array_max` over
+    * `struct(score, lang)`: highest score wins, ties break to the
+    * lexicographically LARGEST language code. Generated from the profile
+    * map so adding a language updates every consuming oracle in lockstep.
+    */
+  private def langArgmaxSql: String = {
+    val desc = TextAnalysis.langProfiles.keys.toSeq.sorted.reverse
+    val all = desc.map(l => s"s_$l").mkString(", ")
+    val whens = desc.init.zipWithIndex.map { case (l, i) =>
+      val cond = desc.drop(i + 1).map(m => s"s_$l >= s_$m").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN greatest($all) = 0 THEN 'und' $whens ELSE '${desc.last}' END"
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2741,11 +2756,7 @@ object SparkEntry {
          |$scoreCols
          |  FROM feat),
          |tagged AS (SELECT f.doc_id, f.ltoks, f.quality, f.rep_ratio,
-         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
-         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
-         |    WHEN s_es >= s_en THEN 'es'
-         |    ELSE 'en' END AS lang_id
+         |  $langArgmaxSql AS lang_id
          |  FROM feat f JOIN lang l ON f.doc_id = l.doc_id),
          |survivors AS (SELECT doc_id, ltoks, lang_id FROM tagged
          |  WHERE quality >= 0.3 AND rep_ratio <= 0.6 AND lang_id IN ('en', 'es', 'zh')),
@@ -2848,11 +2859,7 @@ object SparkEntry {
          |$scoreCols
          |  FROM feat),
          |tagged AS (SELECT f.*,
-         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
-         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
-         |    WHEN s_es >= s_en THEN 'es'
-         |    ELSE 'en' END AS lang_id
+         |  $langArgmaxSql AS lang_id
          |  FROM feat f JOIN lang l ON f.doc_id = l.doc_id),
          |survivors AS (SELECT doc_id, ltoks, lang_id FROM tagged
          |  WHERE quality >= 0.2 AND rep_ratio <= 0.95
@@ -3377,11 +3384,7 @@ object SparkEntry {
          |$scoreCols
          |FROM p)
          |SELECT doc_id,
-         |  CASE WHEN greatest(s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en THEN 'zh'
-         |    WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
-         |    WHEN s_es >= s_en THEN 'es'
-         |    ELSE 'en' END AS lang_id
+         |  $langArgmaxSql AS lang_id
          |FROM s ORDER BY doc_id""".stripMargin
     },
 

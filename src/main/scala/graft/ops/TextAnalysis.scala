@@ -454,6 +454,7 @@ object TextAnalysis {
     * codegen-friendly expression.
     */
   val langProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "cht", " ge", "en ", "er "),
     "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ción", " qu"),
     "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),

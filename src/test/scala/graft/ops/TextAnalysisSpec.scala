@@ -115,6 +115,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(row4.getDouble(0) == 1.0)
   }
 
+  test("language id covers all five profile languages on representative text") {
+    val rows = Seq(
+      "the quick brown fox and the lazy dog of the north are running",
+      "der schnelle braune fuchs und die geschichte von einem alten hund",
+      "la casa de la montaña es el lugar de la canción que quiero",
+      "le chien de la maison est le meilleur ami de la vie que nous avons",
+      "这是一个关于我的人的故事他不在这里了").toDF("text")
+      .select(TextAnalysis.languageId(col("text")).alias("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("en", "de", "es", "fr", "zh"), rows.toString)
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
