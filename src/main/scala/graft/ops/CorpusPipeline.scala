@@ -19,6 +19,11 @@ object CorpusPipeline {
     *                     TextAnalysis.gopherPass) in the same annotate
     *                     pass — token-derived terms ride the shared
     *                     tokenStats, line-derived terms one lineStats pass
+    * @param gopherNgrams when true, also apply the Gopher n-gram
+    *                     repetition gate (top-{2,3,4}-gram and
+    *                     dup-{5..10}-gram character fractions,
+    *                     TextAnalysis.ngramStats) — one more single-pass
+    *                     stats column in the same annotate projection
     * @param langs        keep only these language ids (empty = keep all)
     * @param dedupJaccard near-dup threshold for MinHash-LSH removal;
     *                     <= 0 disables dedup
@@ -42,7 +47,8 @@ object CorpusPipeline {
       splits: Seq[(String, Double)] = Nil,
       textCol: String = "text",
       idCol: String = "doc_id",
-      gopher: Boolean = false)
+      gopher: Boolean = false,
+      gopherNgrams: Boolean = false)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -106,13 +112,19 @@ object CorpusPipeline {
           .withColumn("quality", TextAnalysis.qualityScoreFromStats(t, col("__tok_stats")))
           .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatioFromStats(col("__tok_stats")))
           .withColumn("lang_id", TextAnalysis.languageId(t))
-        // the Gopher gate rides the SAME annotate pass: token-derived
+        // the Gopher gates ride the SAME annotate pass: token-derived
         // terms come from the shared tokenStats, line-derived terms from
-        // one lineStats pass — zero extra tokenizations per document
-        (if (cfg.gopher)
-           base.withColumn("__gopher_ok", TextAnalysis.gopherPassFromStats(
-             t, col("__tok_stats"), TextAnalysis.lineStats(t)))
-         else base)
+        // one lineStats pass, n-gram terms from one ngramStats pass —
+        // no re-tokenization per gate
+        val withGopher =
+          if (cfg.gopher)
+            base.withColumn("__gopher_ok", TextAnalysis.gopherPassFromStats(
+              t, col("__tok_stats"), TextAnalysis.lineStats(t)))
+          else base
+        (if (cfg.gopherNgrams)
+           withGopher.withColumn("__ngram_ok",
+             TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(t)))
+         else withGopher)
           .drop("__tok_stats")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else {
@@ -120,16 +132,23 @@ object CorpusPipeline {
           .withColumn("quality", TextAnalysis.qualityScore(t))
           .withColumn("rep_ratio", TextAnalysis.tokenRepetitionRatio(t))
           .withColumn("lang_id", TextAnalysis.languageId(t))
-        if (cfg.gopher) base.withColumn("__gopher_ok", TextAnalysis.gopherPass(t))
-        else base
+        val withGopher =
+          if (cfg.gopher) base.withColumn("__gopher_ok", TextAnalysis.gopherPass(t))
+          else base
+        if (cfg.gopherNgrams)
+          withGopher.withColumn("__ngram_ok",
+            TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(t)))
+        else withGopher
       }
     val filteredAll = annotated
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
-    val filtered =
-      if (cfg.gopher) filteredAll.where(col("__gopher_ok")).drop("__gopher_ok")
-      else filteredAll
+    val gateCols =
+      (if (cfg.gopher) Seq("__gopher_ok") else Nil) ++
+        (if (cfg.gopherNgrams) Seq("__ngram_ok") else Nil)
+    val filtered = gateCols.foldLeft(filteredAll)((df, c) => df.where(col(c)))
+      .drop(gateCols: _*)
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it

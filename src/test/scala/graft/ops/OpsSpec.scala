@@ -521,6 +521,35 @@ class OpsSpec extends SparkSpecBase {
     assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
+  test("capstone gopher gates equal post-hoc filtering on the decorated fixture") {
+    // decorated chunked docs (the q_text_gopher trick) so both gates bite
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), concat(
+        array_join(transform(sequence(lit(1),
+          ceil(size(split(col("text"), " ")) / lit(4.0)).cast("int")),
+          i => array_join(slice(split(col("text"), " "),
+            (i - lit(1)) * lit(4) + lit(1), lit(4)), " ")), "\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\n- bullet item one\n- bullet item two")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("\n## ## ##")).otherwise(lit("")))
+        .alias("text"))
+    val cfg = CorpusPipeline.Config(minQuality = 0.0, maxRepetition = 1.0,
+      dedupJaccard = 0.8, gopher = true, gopherNgrams = true)
+    val got = CorpusPipeline.prepare(docs, cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: same pipeline without the gates, filtered afterwards by
+    // the expression-form gates BEFORE dedup can see the dropped docs
+    val gated = docs.where(TextAnalysis.gopherPass(col("text")) &&
+      TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(col("text"))))
+    val want = CorpusPipeline.prepare(gated,
+        cfg.copy(gopher = false, gopherNgrams = false))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty, s"got ${got.size} want ${want.size}")
+    // and the gates actually drop something on this corpus
+    assert(got.size < docs.count(), "gates were vacuous")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("prepareManaged releases the pipeline caches after materialization") {
     val corpus = (0L to 60L).map(i =>
       (i, s"document number $i about the weather and the mountains with words w$i x${i % 7}"))
