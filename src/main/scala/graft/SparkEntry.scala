@@ -454,6 +454,26 @@ object SparkEntry {
         .orderBy(col("ship_month"))
     }),
 
+    "q_join_interval_overlap" -> ((s, dir) => {
+      // INTERVAL x INTERVAL overlap join (session-overlap shape): both
+      // sides explode to bins, equi-join on the bin, and each pair
+      // survives exactly once via the canonical overlap-start bin — a
+      // theta join would nested-loop. Oracle = the closed-form theta
+      // join in DuckDB over the same derived intervals.
+      val l = T(s, dir, "orders").where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey").alias("lid"),
+          floor(col("o_totalprice")).cast("long").alias("l_lo"))
+        .withColumn("l_hi", col("l_lo") + 3000)
+      val r = T(s, dir, "customer")
+        .select(col("c_custkey").alias("rid"),
+          floor(col("c_acctbal") * 40).cast("long").alias("r_lo"))
+        .withColumn("r_hi", col("r_lo") + 2500)
+      graft.ops.RangeJoin.intervalOverlap(l, r,
+          "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 2048)
+        .select(col("lid"), col("rid"))
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // for each purchase, the most recent prior click by the same user —
       // the as-of join every event pipeline needs; one shuffle by user_id
@@ -1986,6 +2006,19 @@ object SparkEntry {
         |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31') o
         |  ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 6 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_interval_overlap" ->
+      """SELECT l.lid, r.rid FROM
+        |  (SELECT o_orderkey AS lid,
+        |     CAST(floor(o_totalprice) AS BIGINT) AS lo,
+        |     CAST(floor(o_totalprice) AS BIGINT) + 3000 AS hi
+        |   FROM orders WHERE o_orderkey % 10 = 0) l,
+        |  (SELECT c_custkey AS rid,
+        |     CAST(floor(c_acctbal * 40) AS BIGINT) AS lo,
+        |     CAST(floor(c_acctbal * 40) AS BIGINT) + 2500 AS hi
+        |   FROM customer) r
+        |WHERE l.lo <= r.hi AND r.lo <= l.hi
+        |ORDER BY lid, rid""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,

@@ -70,6 +70,48 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** INTERVAL × INTERVAL overlap join: pairs where
+    * `[lStart, lEnd]` and `[rStart, rEnd]` intersect (inclusive), i.e.
+    * `lStart <= rEnd AND rStart <= lEnd` — the session-overlap /
+    * time-range-reconciliation shape that a theta join plans as a
+    * nested loop.
+    *
+    * Both sides explode across their bin ranges and equi-join on the bin;
+    * a pair would meet once per SHARED bin, so the join keeps only the
+    * canonical meeting — the bin containing the overlap's START
+    * (`greatest(lStart, rStart)`), which both intervals necessarily
+    * cover. Each qualifying pair therefore survives exactly once and no
+    * dropDuplicates pass (with its extra shuffle) is needed.
+    *
+    * Inner join only: BOTH sides are exploded, so an outer/semi shape
+    * would surface unmatched rows once per bin; project ids and
+    * aggregate downstream for those. Intervals with `end < start` match
+    * nothing. Pick `binWidth` near the typical interval width (see the
+    * cost model above).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long,
+      extra: Column = lit(true)): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, sc: String, ec: String) = df
+      .where(col(ec) >= col(sc))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(sc) / binWidth).cast("long"),
+          floor(col(ec) / binWidth).cast("long"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, l("__bin") === r("__bin")
+        && col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+        && l("__bin") === floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long")
+        && extra, "inner")
+      .drop("__bin")
+  }
+
   /** Multi-dimensional flavor: join points to BOXES — each dim `d` is a
     * (pointCol, startCol, endCol) triple with its own bin width, and a
     * pair must satisfy every dim's BETWEEN. The optimizer rule and

@@ -694,6 +694,38 @@ class OpsSpec extends SparkSpecBase {
     assert(!want.exists(_._1 == 4L))
   }
 
+  test("interval overlap join equals the naive theta filter, exactly once per pair") {
+    val left = Seq(
+      (1L, -12L, -2L),   // fully negative
+      (2L, 0L, 0L),      // degenerate point interval
+      (3L, 5L, 60L),     // spans many bins
+      (4L, 50L, 40L),    // end < start: matches nothing
+      (5L, 100L, 120L)
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, -5L, -3L),   // overlaps 1
+      (11L, 0L, 4L),     // touches 2 at the boundary point
+      (12L, 59L, 70L),   // overlaps 3 and nothing else
+      (13L, 40L, 50L),   // overlaps 3; also the reversed-left-4 range
+      (14L, 200L, 210L)  // matches nothing
+    ).toDF("rid", "rs", "re")
+    val got = graft.ops.RangeJoin.intervalOverlap(left, right,
+        "ls", "le", "rs", "re", binWidth = 7L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val want = left.crossJoin(right)
+      .where(col("le") >= col("ls")) // reversed intervals match nothing
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // sequence (not set) compare: the canonical-bin trick must emit each
+    // qualifying pair EXACTLY once even when the pair shares many bins
+    assert(got.sorted == want.sorted, s"got $got want $want")
+    assert(got.toSet.contains((2L, 11L)) && !got.exists(_._1 == 4L))
+    // and the plan is an equi-join on the bin, never a nested loop
+    val plan = graft.ops.RangeJoin.intervalOverlap(left, right,
+      "ls", "le", "rs", "re", binWidth = 7L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("incremental agg-state merge equals the full recompute for any split point") {
     import spark.implicits._
     val data = (0 until 3000).map(i => (s"k${i % 7}", (i * 31 % 113) - 50.0, i))
