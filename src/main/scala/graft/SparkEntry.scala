@@ -1660,6 +1660,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_similarity_join" -> ((s, dir) => {
+      // BATCH ANN join: top-5 corpus neighbors for EACH of five query
+      // vectors in one declarative plan — queries explode to their probe
+      // cells, equi-join the cell-assigned corpus, per-query top-k via
+      // the GroupedTopK physical operator. Full probes (nProbe = nCells)
+      // make the result provably equal to per-query brute force, so the
+      // oracle is the windowed exact top-k.
+      val e = T(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 5)
+        .select(col("vec_id").alias("qid"), col("embedding"))
+      val corpus = e.where(col("vec_id") >= 5)
+      val (indexed, cents) = Similarity.buildIvfIndex(corpus, "embedding", "vec_id",
+        nCells = 8)
+      Similarity.ivfTopKJoin(indexed, cents, queries, "embedding", "qid",
+          "embedding", "vec_id", k = 5, nProbe = 8)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    }),
+
     "q_similarity_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       // one driver action for the single query vector (standard for ANN)
@@ -3179,6 +3197,26 @@ object SparkEntry {
         |  6) AS cosine
         |  FROM embeddings e, q)
         |SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_join" ->
+      // full probes => per-query exact top-k; the oracle windows the
+      // brute-force cross score by query id with the identical
+      // (rounded cosine DESC, vec_id) tie order
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT q.qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id >= 5),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c)
+        |SELECT qid, vec_id, cosine FROM r WHERE rn <= 5
+        |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
 
     "q_similarity_ivf" ->
       // with nProbe = nCells the IVF probe provably equals brute force, so

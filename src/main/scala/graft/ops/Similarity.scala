@@ -251,6 +251,53 @@ object Similarity {
       vecCol, idCol, query, k)
   }
 
+  /** BATCH ANN join: top-`k` corpus neighbors for EVERY query row — the
+    * retrieval shape (RAG candidate generation, corpus-vs-corpus linking)
+    * where the query side is a table, not one vector. Each query row
+    * ranks the centroid list (a broadcast literal — no driver loop, no
+    * collect) and explodes its `nProbe` nearest cell ids; the probe is
+    * then a plain EQUI-join on `__cell` against the cell-assigned corpus,
+    * scored by the codegen'd cosine, resolved per query by the
+    * GroupedTopK physical operator (bounded heaps — ≤ k rows per query
+    * per partition shuffle, never a full sort). Each (query, corpus) pair
+    * meets at most once: a corpus row lives in exactly one cell and a
+    * query's probed cells are distinct.
+    *
+    * `nProbe = centroids.size` probes every cell — provably equal to
+    * per-query brute force (the oracle regime); smaller `nProbe` trades
+    * recall for reading ~nProbe/nCells of the corpus per query, same as
+    * the single-vector probe path.
+    */
+  def ivfTopKJoin(indexed: DataFrame, centroids: Seq[Seq[Double]],
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of range 1..${centroids.size}")
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val qv = col(queryVecCol).cast("array<double>")
+    // per-query probe list: rank cells by squared L2 (ties to the lower
+    // cell id via the struct order), keep nProbe. HOFs evaluate
+    // interpreted, but this is one pass per QUERY row over nCells tiny
+    // arrays — linear, and far from the join's hot path.
+    val rankedCells = transform(
+      slice(sort_array(zip_with(centLit, sequence(lit(0), lit(centroids.size - 1)),
+        (c, i) => struct(
+          aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x).alias("d2"),
+          i.alias("i")))), 1, nProbe),
+      s => s.getField("i"))
+    val probed = queries
+      .select(col(queryIdCol), qv.alias("__qv"),
+        explode(rankedCells).alias("__cell"))
+    val scored = probed.join(indexed, "__cell")
+      .select(col(queryIdCol), col(idCol),
+        Rounding.roundAway(
+          graft.expressions.VectorExpressions.cosineNative(col(vecCol), col("__qv")), 6)
+          .alias("cosine"))
+    TopK.perGroup(scored, Seq(queryIdCol),
+      Seq(col("cosine").desc, col(idCol)), k)
+  }
+
   // ---------- index persistence (the 100 TB probe path) ----------
 
   /** Persist an IVF index: the cell-assigned corpus lands as a

@@ -694,6 +694,38 @@ class OpsSpec extends SparkSpecBase {
     assert(!want.exists(_._1 == 4L))
   }
 
+  test("batch ANN join: nProbe=1 routes each query to its cluster; full probe is exact") {
+    // 800 vectors in 8 well-separated axis clusters (cluster = id % 8)
+    val pts = spark.range(800).select(col("id").alias("vec_id"),
+      array((0 until 16).map { d =>
+        when(pmod(col("id"), lit(8)) === d % 8,
+            lit(20.0) + pmod(col("id"), lit(7)).cast("double") * 0.01)
+          .otherwise(pmod(col("id"), lit(5)).cast("double") * 0.01)
+      }: _*).alias("v"))
+    val (indexed, cents) = Similarity.buildIvfIndex(pts, "v", "vec_id", nCells = 8)
+    // one query per cluster direction, qid = the cluster it points at
+    val queries = spark.range(8).select(col("id").alias("qid"),
+      array((0 until 16).map(d =>
+        when(pmod(col("id"), lit(8)) === d % 8, lit(20.0)).otherwise(lit(0.0))): _*)
+        .alias("v"))
+    val pruned = Similarity.ivfTopKJoin(indexed, cents, queries, "v", "qid",
+        "v", "vec_id", k = 10, nProbe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(pruned.length == 80)
+    assert(pruned.forall { case (q, v) => v % 8 == q }, "a probe crossed clusters")
+    // full probe == per-query brute force, row for row
+    val full = Similarity.ivfTopKJoin(indexed, cents, queries, "v", "qid",
+        "v", "vec_id", k = 10, nProbe = 8)
+      .orderBy(col("qid"), col("cosine").desc, col("vec_id")).collect().toSeq
+    val brute = (0 until 8).flatMap { q =>
+      val qv = Seq.tabulate(16)(d => if (d % 8 == q) 20.0 else 0.0)
+      Similarity.bruteForceTopK(pts, "v", "vec_id", qv, 10)
+        .select(lit(q.toLong).alias("qid"), col("vec_id"), col("cosine"))
+        .collect().toSeq
+    }
+    assert(full == brute, s"full-probe join diverged from brute force")
+  }
+
   test("interval overlap join equals the naive theta filter, exactly once per pair") {
     val left = Seq(
       (1L, -12L, -2L),   // fully negative
