@@ -1678,6 +1678,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
     }),
 
+    "q_similarity_join_persisted" -> ((s, dir) => {
+      // the batch ANN join against the PERSISTED session index: the
+      // batch's distinct probe-cell union becomes a partition IN-filter
+      // (bounded driver collect, <= nCells ints), self-matches excluded
+      // by id. Full probes => per-query exact, windowed oracle.
+      val queries = T(s, dir, "embeddings").where(col("vec_id") < 5)
+        .select(col("vec_id").alias("qid"), col("embedding"))
+      Similarity.ivfTopKJoinPersisted(persistedIvfStore(s, dir), "emb_ivf",
+          queries, "embedding", "qid", "embedding", "vec_id", k = 5, nProbe = 8)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    }),
+
     "q_similarity_ivf" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       // one driver action for the single query vector (standard for ANN)
@@ -3212,6 +3224,25 @@ object SparkEntry {
         |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
         |  6) AS cosine
         |  FROM embeddings e, q WHERE e.vec_id >= 5),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c)
+        |SELECT qid, vec_id, cosine FROM r WHERE rn <= 5
+        |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
+
+    "q_similarity_join_persisted" ->
+      // identical windowed brute-force replay; the corpus is the full
+      // embeddings table with self-pairs excluded by id
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT q.qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
         |r AS (SELECT qid, vec_id, cosine,
         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
         |  FROM c)

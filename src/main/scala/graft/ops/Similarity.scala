@@ -271,24 +271,7 @@ object Similarity {
   def ivfTopKJoin(indexed: DataFrame, centroids: Seq[Seq[Double]],
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.size,
-      s"nProbe=$nProbe out of range 1..${centroids.size}")
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val qv = col(queryVecCol).cast("array<double>")
-    // per-query probe list: rank cells by squared L2 (ties to the lower
-    // cell id via the struct order), keep nProbe. HOFs evaluate
-    // interpreted, but this is one pass per QUERY row over nCells tiny
-    // arrays — linear, and far from the join's hot path.
-    val rankedCells = transform(
-      slice(sort_array(zip_with(centLit, sequence(lit(0), lit(centroids.size - 1)),
-        (c, i) => struct(
-          aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (acc, x) => acc + x).alias("d2"),
-          i.alias("i")))), 1, nProbe),
-      s => s.getField("i"))
-    val probed = queries
-      .select(col(queryIdCol), qv.alias("__qv"),
-        explode(rankedCells).alias("__cell"))
+    val probed = probeExplode(queries, queryVecCol, queryIdCol, centroids, nProbe)
     val scored = probed.join(indexed, "__cell")
       .select(col(queryIdCol), col(idCol),
         Rounding.roundAway(
@@ -296,6 +279,30 @@ object Similarity {
           .alias("cosine"))
     TopK.perGroup(scored, Seq(queryIdCol),
       Seq(col("cosine").desc, col(idCol)), k)
+  }
+
+  /** `(queryIdCol, __qv, __cell)` rows: each query exploded to its
+    * `nProbe` nearest cells. Cells rank by squared L2 against the
+    * broadcast centroid literal (ties to the lower cell id via the
+    * struct order). HOFs evaluate interpreted, but this is one pass per
+    * QUERY row over nCells tiny arrays — linear, far from the join's
+    * hot path.
+    */
+  private def probeExplode(queries: DataFrame, queryVecCol: String,
+      queryIdCol: String, centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of range 1..${centroids.size}")
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val qv = col(queryVecCol).cast("array<double>")
+    val rankedCells = transform(
+      slice(sort_array(zip_with(centLit, sequence(lit(0), lit(centroids.size - 1)),
+        (c, i) => struct(
+          aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x).alias("d2"),
+          i.alias("i")))), 1, nProbe),
+      s => s.getField("i"))
+    queries.select(col(queryIdCol), qv.alias("__qv"),
+      explode(rankedCells).alias("__cell"))
   }
 
   // ---------- index persistence (the 100 TB probe path) ----------
@@ -362,6 +369,33 @@ object Similarity {
     bruteForceTopK(
       store.read(table).where(col("__cell").isInCollection(probe)).drop("__cell"),
       vecCol, idCol, query, k)
+  }
+
+  /** [[ivfTopKJoin]] against a PERSISTED index: the batch's distinct
+    * probe-cell set (one bounded driver action, ≤ nCells ints — the same
+    * centroid-sized collect every persisted probe path pays) becomes a
+    * partition IN-filter on the `__cell`-partitioned table, so a sparse
+    * query batch reads only the directories any of its queries probe —
+    * PartitionFilters pruning for batch retrieval, not just single
+    * vectors. Self-matches (a query id also present in the corpus) are
+    * excluded by id inequality.
+    */
+  def ivfTopKJoinPersisted(store: graft.engine.TableStore, table: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = loadIvfCentroids(store, table)
+    val probed = probeExplode(queries, queryVecCol, queryIdCol, cents, nProbe)
+    // bounded driver state: the union of the batch's probe cells
+    val cells = probed.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val indexed = store.read(table).where(col("__cell").isInCollection(cells))
+    val scored = probed.join(indexed, "__cell")
+      .where(col(queryIdCol) =!= col(idCol))
+      .select(col(queryIdCol), col(idCol),
+        Rounding.roundAway(
+          graft.expressions.VectorExpressions.cosineNative(col(vecCol), col("__qv")), 6)
+          .alias("cosine"))
+    TopK.perGroup(scored, Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
   }
 
   /** All signatures within Hamming distance `maxBits` of `sig` — the

@@ -726,6 +726,41 @@ class OpsSpec extends SparkSpecBase {
     assert(full == brute, s"full-probe join diverged from brute force")
   }
 
+  test("persisted batch ANN join prunes the scan to the batch's probe-cell union") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-annjoin"))
+    val pts = spark.range(800).select(col("id").alias("vec_id"),
+      array((0 until 16).map { d =>
+        when(pmod(col("id"), lit(8)) === d % 8,
+            lit(20.0) + pmod(col("id"), lit(7)).cast("double") * 0.01)
+          .otherwise(pmod(col("id"), lit(5)).cast("double") * 0.01)
+      }: _*).alias("v"))
+    Similarity.persistIvfIndex(store, "emb_join", pts, "v", "vec_id",
+      nCells = 8, iterations = 3)
+    // a SPARSE batch: two queries pointing at clusters 2 and 5, nProbe=1
+    // -> the probe-cell union has at most 2 cells of the corpus's 8
+    val queries = Seq(2, 5).toDF("qid").select(col("qid").cast("long").alias("qid"),
+      array((0 until 16).map(d =>
+        when(pmod(col("qid"), lit(8)) === d % 8, lit(20.0)).otherwise(lit(0.0))): _*)
+        .alias("v"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = Similarity.ivfTopKJoinPersisted(store, "emb_join", queries,
+        "v", "qid", "v", "vec_id", k = 10, nProbe = 1)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(l =>
+            l.contains("emb_join") && !l.contains("__centroids")) => f
+      }
+      assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+      assert(scans.head.selectedPartitions.partitionCount <= 2,
+        s"batch probe read ${scans.head.selectedPartitions.partitionCount} cell dirs")
+      val got = res.select("qid", "vec_id").as[(Long, Long)].collect()
+      assert(got.length == 20 && got.forall { case (q, v) => v % 8 == q },
+        "a batch probe crossed clusters")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("interval overlap join equals the naive theta filter, exactly once per pair") {
     val left = Seq(
       (1L, -12L, -2L),   // fully negative
