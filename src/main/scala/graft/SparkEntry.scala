@@ -1859,6 +1859,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_text_hashed_tf" -> ((s, dir) =>
+      // feature-hashed TF vectors (hashing trick): token -> portable
+      // rolling hash -> 64-bucket histogram — the text->vector bridge
+      // (feeds the same vector stack the embedding ops use). The DuckDB
+      // oracle rebuilds the identical hash/buckets (q_dedup_simhash's
+      // portable-hash replay) and assembles the same ordered list.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.hashedTfVector(dims = 64)(col("text")).alias("vec"))
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
@@ -3477,6 +3488,30 @@ object SparkEntry {
         |    AND bullet < 0.9 AND ellipsis <= 0.3 AND dup_line <= 0.30
         |    AND dup_char <= 0.20) AS gopher_pass
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_text_hashed_tf" ->
+      // identical tokenization + rolling hash pair as the simhash replay,
+      // bucketed mod 64 and assembled into the ordered count list
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 1073741824
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, CAST(h % 64 AS INT) AS b, count(*) AS c
+        |  FROM th GROUP BY doc_id, b),
+        |grid AS (SELECT d.doc_id, CAST(r.range AS INT) AS b
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r),
+        |v AS (SELECT g.doc_id, g.b, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS c
+        |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b)
+        |SELECT doc_id, list(c ORDER BY b) AS vec
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted

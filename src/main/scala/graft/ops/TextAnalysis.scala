@@ -412,6 +412,58 @@ object TextAnalysis {
     (text: Column) => f(text)
   }
 
+  /** Feature-hashed term-frequency vector (the hashing trick, Weinberger
+    * et al. ICML'09): each token hashes to one of `dims` buckets and the
+    * vector is the bucket histogram — the text→vector bridge into the
+    * similarity/dedup vector stack ([[Similarity]], [[Dedup]]
+    * embedding ops) when no learned embedding exists. One JVM pass per
+    * document. The token hash is the char-level rolling pair
+    * [[Dedup.portableTokenHashes]] uses (including its lowercase +
+    * strip-non-alphanumeric tokenization), so a DuckDB oracle rebuilds
+    * identical vectors. `normalize` divides by the L2 norm (zero vectors
+    * stay zero).
+    */
+  def hashedTfVector(dims: Int, normalize: Boolean = false): Column => Column = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val f = udf { t: String =>
+      if (t == null) None
+      else {
+        val v = new Array[Double](dims)
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]|\\s+", " ")
+          .split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          val tok = toks(i)
+          if (tok.nonEmpty) {
+            var h1 = 0L; var h2 = 0L
+            var j = 0
+            while (j < tok.length) {
+              val c = tok.charAt(j).toLong
+              h1 = (h1 * 257 + c) % 1000000007L
+              h2 = (h2 * 263 + c) % 998244353L
+              j += 1
+            }
+            v(((h1 * (1L << 30) + h2) % dims).toInt) += 1.0
+          }
+          i += 1
+        }
+        if (normalize) {
+          var ss = 0.0
+          var d = 0
+          while (d < dims) { ss += v(d) * v(d); d += 1 }
+          if (ss > 0) {
+            val n = math.sqrt(ss)
+            d = 0
+            while (d < dims) { v(d) /= n; d += 1 }
+          }
+        }
+        Some(v.toSeq)
+      }
+    }
+    (text: Column) => f(text)
+  }
+
   /** The conjunctive n-gram repetition gate with Gopher's published
     * thresholds (Table A1): top-2-gram chars <= 0.20, top-3 <= 0.18,
     * top-4 <= 0.16; duplicate 5..10-gram chars <= 0.15/0.14/0.13/0.12/

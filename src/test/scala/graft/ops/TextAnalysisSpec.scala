@@ -127,6 +127,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rows == Seq("en", "de", "es", "fr", "zh"), rows.toString)
   }
 
+  test("hashed TF vectors: counts, bucket stability, normalization") {
+    val tf = TextAnalysis.hashedTfVector(dims = 8)
+    val row = Seq("Cat cat DOG").toDF("text").select(tf(col("text")).alias("v")).head()
+    val v = row.getSeq[Double](0)
+    // 3 tokens, "cat" twice -> one bucket holds 2.0, another 1.0, rest 0
+    assert(v.length == 8 && v.sum == 3.0 && v.sorted.reverse.take(2) == Seq(2.0, 1.0), v.toString)
+    // punctuation/case fold into the same token buckets
+    val v2 = Seq("cat! cat, (dog)").toDF("text").select(tf(col("text")).alias("v"))
+      .head().getSeq[Double](0)
+    assert(v2 == v)
+    // normalized: unit L2; zero-token doc stays the zero vector
+    val tfn = TextAnalysis.hashedTfVector(dims = 8, normalize = true)
+    val n = Seq("cat cat dog").toDF("text").select(tfn(col("text")).alias("v"))
+      .head().getSeq[Double](0)
+    assert(math.abs(n.map(x => x * x).sum - 1.0) < 1e-12)
+    val z = Seq("!!!").toDF("text").select(tfn(col("text")).alias("v"))
+      .head().getSeq[Double](0)
+    assert(z.forall(_ == 0.0))
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
