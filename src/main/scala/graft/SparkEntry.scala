@@ -170,10 +170,13 @@ object SparkEntry {
         // the same build-once-probe-many asymmetry as the ANN indexes.
         // IMMUTABLE here: the consuming query probes with
         // appendSurvivors=false, so repeated runs stay idempotent.
+        // bands=32 (r=2): miss probability ~1e-14 at J=0.7, so the exact-
+        // jaccard DuckDB oracle stays safe even if fixture regeneration
+        // plants an organic borderline pair (the capstone dedup's choice).
         Future(ops.DedupIndex.persist(store, "docs_mh_base",
           T(s, dir, "documents").select(col("doc_id"), col("text"))
             .where(col("doc_id") < 400),
-          "text", "doc_id", shingleSize = 3, k = 64, bands = 16, buckets = 16))
+          "text", "doc_id", shingleSize = 3, k = 64, bands = 32, buckets = 16))
       )), Duration.Inf)
       store
     })
@@ -1864,11 +1867,14 @@ object SparkEntry {
       // rolling hash -> 64-bucket histogram — the text->vector bridge
       // (feeds the same vector stack the embedding ops use). The DuckDB
       // oracle rebuilds the identical hash/buckets (q_dedup_simhash's
-      // portable-hash replay) and assembles the same ordered list.
+      // portable-hash replay). Posexploded to one scalar row per
+      // (doc_id, bucket): complex columns don't survive the driver's
+      // compare (serialize-complex convention, see q_media_decode).
       T(s, dir, "documents")
         .select(col("doc_id"),
-          TextAnalysis.hashedTfVector(dims = 64)(col("text")).alias("vec"))
-        .orderBy(col("doc_id"))),
+          posexplode(TextAnalysis.hashedTfVector(dims = 64)(col("text"))))
+        .select(col("doc_id"), col("pos").alias("j"), col("col").alias("weight"))
+        .orderBy(col("doc_id"), col("j"))),
 
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -3491,7 +3497,8 @@ object SparkEntry {
 
     "q_text_hashed_tf" ->
       // identical tokenization + rolling hash pair as the simhash replay,
-      // bucketed mod 64 and assembled into the ordered count list
+      // mixed (h1*31 + h2) and bucketed mod 64; one scalar row per
+      // (doc_id, bucket) — the serialize-complex convention
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
@@ -3500,18 +3507,17 @@ object SparkEntry {
         |th AS (
         |  SELECT doc_id,
         |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
-        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 1073741824
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
         |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
         |  FROM toks),
         |cnt AS (SELECT doc_id, CAST(h % 64 AS INT) AS b, count(*) AS c
         |  FROM th GROUP BY doc_id, b),
         |grid AS (SELECT d.doc_id, CAST(r.range AS INT) AS b
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r),
-        |v AS (SELECT g.doc_id, g.b, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS c
-        |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b)
-        |SELECT doc_id, list(c ORDER BY b) AS vec
-        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r)
+        |SELECT g.doc_id, g.b AS j, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS weight
+        |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
+        |ORDER BY g.doc_id, j""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted

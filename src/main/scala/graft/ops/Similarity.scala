@@ -377,12 +377,16 @@ object Similarity {
     * partition IN-filter on the `__cell`-partitioned table, so a sparse
     * query batch reads only the directories any of its queries probe —
     * PartitionFilters pruning for batch retrieval, not just single
-    * vectors. Self-matches (a query id also present in the corpus) are
-    * excluded by id inequality.
+    * vectors. `excludeSelf = true` (the default) drops pairs where the
+    * query id equals the corpus id — right when queries ARE corpus rows
+    * (near-dup mining); set it false when query ids come from a different
+    * id space (the RAG batch-retrieval case), where a coincidental id
+    * collision would otherwise silently drop a legitimate neighbor.
     */
   def ivfTopKJoinPersisted(store: graft.engine.TableStore, table: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
-      vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = loadIvfCentroids(store, table)
     val probed = probeExplode(queries, queryVecCol, queryIdCol, cents, nProbe)
     // bounded driver state: the union of the batch's probe cells
@@ -390,7 +394,7 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val indexed = store.read(table).where(col("__cell").isInCollection(cells))
     val scored = probed.join(indexed, "__cell")
-      .where(col(queryIdCol) =!= col(idCol))
+      .where(if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true))
       .select(col(queryIdCol), col(idCol),
         Rounding.roundAway(
           graft.expressions.VectorExpressions.cosineNative(col(vecCol), col("__qv")), 6)

@@ -4,11 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
-  * (north-star extensions, BASELINE.json:6). All built from codegen'd
-  * `org.apache.spark.sql.functions` — no UDFs — so they stay inside
-  * WholeStageCodegen and scale linearly with input splits: every operator
-  * here is a narrow per-row projection (no shuffle at all) until the caller
-  * aggregates.
+  * (north-star extensions, BASELINE.json:6). Design rule:
+  * codegen'd `org.apache.spark.sql.functions` expression chains FIRST —
+  * they stay inside WholeStageCodegen — with a tight-JVM-loop Scala UDF
+  * only where an expression chain would be asymptotically worse
+  * (tokenStats/lineStats/ngramStats: one pass over the tokens vs
+  * re-tokenizing per signal; hashedTfVector: O(tokens) vs O(dims·tokens);
+  * same escape hatch as expressions/VectorExpressions.DotProduct).
+  * Every operator here is a narrow per-row projection (no shuffle at all)
+  * until the caller aggregates, so both forms scale linearly with input
+  * splits.
   */
 object TextAnalysis {
 
@@ -444,7 +449,9 @@ object TextAnalysis {
               h2 = (h2 * 263 + c) % 998244353L
               j += 1
             }
-            v(((h1 * (1L << 30) + h2) % dims).toInt) += 1.0
+            // mix with a small odd multiplier: a 2^30 shift would vanish
+            // mod any power-of-two dims, degenerating to the h2 hash alone
+            v(((h1 * 31L + h2) % dims).toInt) += 1.0
           }
           i += 1
         }

@@ -30,6 +30,15 @@ for name, sql in sorted(oracle.items()):
     if g_cols != e_cols:
         fails.append((name, f"COLUMNS differ: spark={g_cols} oracle={e_cols}"))
         continue
+    # the driver's compare sorts frames with pandas, which throws on
+    # list/struct/map cells (unhashable) — enforce the repo's
+    # serialize-complex convention HERE so it can't slip through locally
+    complex_cols = [f.name for f in list(got.schema) + list(exp.schema)
+                    if str(f.type).startswith(("list", "struct", "map", "large_list", "fixed_size_list"))]
+    if complex_cols:
+        fails.append((name, f"COMPLEX column(s) {sorted(set(complex_cols))} violate the "
+                            "serialize-complex convention (driver pandas sort would crash)"))
+        continue
     got, exp = got.select(g_cols), exp.select(e_cols)
     if got.num_rows != exp.num_rows:
         fails.append((name, f"ROWS differ: spark={got.num_rows} oracle={exp.num_rows}"))
