@@ -1876,6 +1876,28 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").alias("j"), col("col").alias("weight"))
         .orderBy(col("doc_id"), col("j"))),
 
+    "q_text_vector_join" -> ((s, dir) => {
+      // the text→vector bridge END-TO-END: hashed-TF vectors with
+      // normalize=true (the flavor the cosine stack actually consumes)
+      // over documents feed the SAME batch ANN join the embedding ops
+      // use — docs 0..4 as the query batch against the rest of the
+      // corpus, IVF cell assignment + equi-join on __cell + GroupedTopK.
+      // Full probes (nProbe = nCells) make the result provably equal to
+      // per-query brute force, so the DuckDB oracle replays the hash →
+      // normalize → windowed exact cosine top-k chain.
+      val tf = TextAnalysis.hashedTfVector(dims = 64, normalize = true)
+      val vecs = T(s, dir, "documents")
+        .select(col("doc_id"), tf(col("text")).alias("vec"))
+      val queries = vecs.where(col("doc_id") < 5)
+        .select(col("doc_id").alias("qid"), col("vec"))
+      val corpus = vecs.where(col("doc_id") >= 5)
+      val (indexed, cents) = Similarity.buildIvfIndex(corpus, "vec", "doc_id",
+        nCells = 8)
+      Similarity.ivfTopKJoin(indexed, cents, queries, "vec", "qid",
+          "vec", "doc_id", k = 5, nProbe = 8)
+        .orderBy(col("qid"), col("cosine").desc, col("doc_id"))
+    }),
+
     "q_text_langid" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).alias("lang_id"))
@@ -3518,6 +3540,49 @@ object SparkEntry {
         |SELECT g.doc_id, g.b AS j, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS weight
         |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
         |ORDER BY g.doc_id, j""".stripMargin,
+
+    "q_text_vector_join" ->
+      // full replay of the bridge: hashed-TF counts (same rolling-hash
+      // mix as q_text_hashed_tf), L2 normalization in the same
+      // element order, then the windowed brute-force cosine top-k with
+      // the identical (rounded cosine DESC, doc_id) tie order — exact
+      // because the engine probes every cell
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, CAST(h % 64 AS INT) AS b, count(*) AS c
+        |  FROM th GROUP BY doc_id, b),
+        |grid AS (SELECT d.doc_id, CAST(r.range AS INT) AS b
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r),
+        |vraw AS (SELECT g.doc_id, list(CAST(COALESCE(cnt.c, 0) AS DOUBLE) ORDER BY g.b) AS v
+        |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
+        |  GROUP BY g.doc_id),
+        |vn AS (SELECT doc_id,
+        |  CASE WHEN list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+        |    THEN list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')))
+        |    ELSE v END AS v
+        |  FROM vraw),
+        |c AS (SELECT q.doc_id AS qid, e.doc_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.v, q.v), p -> p[1] * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM vn e, vn q WHERE q.doc_id < 5 AND e.doc_id >= 5),
+        |r AS (SELECT qid, doc_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rn
+        |  FROM c)
+        |SELECT qid, doc_id, cosine FROM r WHERE rn <= 5
+        |ORDER BY qid, cosine DESC, doc_id""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
