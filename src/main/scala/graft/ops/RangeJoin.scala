@@ -58,12 +58,7 @@ object RangeJoin {
     require(Set("inner", "left", "left_semi", "left_anti").contains(normalized),
       s"unsupported joinType '$joinType': the exploded interval side must stay the inner side")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
-    val i = intervals
-      .where(col(endCol) >= col(startCol))
-      .withColumn("__bin",
-        explode(sequence(
-          floor(col(startCol) / binWidth).cast("long"),
-          floor(col(endCol) / binWidth).cast("long"))))
+    val i = binnedByRange(intervals, startCol, endCol, binWidth)
     p.join(i, p("__bin") === i("__bin")
         && col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
         && extra, normalized)
@@ -88,6 +83,19 @@ object RangeJoin {
     * aggregate downstream for those. Intervals with `end < start` match
     * nothing. Pick `binWidth` near the typical interval width (see the
     * cost model above).
+    *
+    * HOT BINS: when many intervals pile into one bin (a burst hour, a
+    * degenerate default range), that bin's equi-join task goes quadratic
+    * while every other task idles. AQE's skew-split only re-chunks the
+    * PROBE side of a sort-merge join, so for a known-hot workload pass
+    * `saltBuckets > 1`: the left side salts its join key with
+    * `hash(start, end) % saltBuckets` and the right side replicates each
+    * exploded row to every salt (the same spread-the-hot-key pattern as
+    * the salted equi-join, q_skew_join) — one bin's pairs fan out over
+    * `saltBuckets` tasks at the cost of a ×saltBuckets right-side
+    * explosion, so keep it small (8-32) and only when skew is real.
+    * Results are identical for any value: each pair still meets exactly
+    * once, at the left row's salt in the canonical bin.
     */
   def intervalOverlap(
       left: DataFrame,
@@ -95,22 +103,41 @@ object RangeJoin {
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
       binWidth: Long,
-      extra: Column = lit(true)): DataFrame = {
+      extra: Column = lit(true),
+      saltBuckets: Int = 1): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def binned(df: DataFrame, sc: String, ec: String) = df
-      .where(col(ec) >= col(sc))
-      .withColumn("__bin",
-        explode(sequence(
-          floor(col(sc) / binWidth).cast("long"),
-          floor(col(ec) / binWidth).cast("long"))))
-    val l = binned(left, lStart, lEnd)
-    val r = binned(right, rStart, rEnd)
-    l.join(r, l("__bin") === r("__bin")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val l0 = binnedByRange(left, lStart, lEnd, binWidth)
+    val r0 = binnedByRange(right, rStart, rEnd, binWidth)
+    val (l, r, saltCond) =
+      if (saltBuckets == 1) (l0, r0, lit(true))
+      else {
+        val ls = l0.withColumn("__salt",
+          pmod(hash(col(lStart), col(lEnd)), lit(saltBuckets)))
+        val rs = r0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        (ls, rs, ls("__salt") === rs("__salt"))
+      }
+    l.join(r, l("__bin") === r("__bin") && saltCond
         && col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
         && l("__bin") === floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long")
         && extra, "inner")
-      .drop("__bin")
+      .drop("__bin").drop("__salt")
   }
+
+  /** The interval-side explode both join shapes share: one row per bin
+    * the `[startCol, endCol]` interval touches. Amplification per row is
+    * exactly `floor(end/w) - floor(start/w) + 1 <= ceil(span/w) + 1` —
+    * pinned by OpsSpec so a regression here (e.g. padding the range)
+    * can't silently multiply shuffle volume.
+    */
+  private[ops] def binnedByRange(df: DataFrame, sc: String, ec: String,
+      binWidth: Long): DataFrame = df
+    .where(col(ec) >= col(sc))
+    .withColumn("__bin",
+      explode(sequence(
+        floor(col(sc) / binWidth).cast("long"),
+        floor(col(ec) / binWidth).cast("long"))))
 
   /** Multi-dimensional flavor: join points to BOXES — each dim `d` is a
     * (pointCol, startCol, endCol) triple with its own bin width, and a

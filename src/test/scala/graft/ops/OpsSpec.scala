@@ -793,6 +793,51 @@ class OpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("range-bin explode amplification is pinned at ceil(span/w)+1 per row") {
+    // varied widths incl. zero-width, bin-aligned, negative-coordinate and
+    // very wide intervals; the impl's own explode must emit EXACTLY
+    // floor(e/w)-floor(s/w)+1 rows per interval, which is <= ceil(span/w)+1
+    // — a padding regression (say [s-w, e+w]) multiplies shuffle volume
+    // and fails this pin
+    val w = 10L
+    val iv = Seq((1L, 0L, 0L), (2L, 0L, 9L), (3L, 0L, 10L), (4L, -25L, -4L),
+      (5L, 7L, 203L), (6L, 30L, 30L), (7L, -5L, 5L)).toDF("id", "s", "e")
+    val counts = graft.ops.RangeJoin.binnedByRange(iv, "s", "e", w)
+      .groupBy("id").count()
+      .join(iv, "id")
+      .select("id", "count", "s", "e")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(counts.length == 7)
+    counts.foreach { case (id, n, s, e) =>
+      val exact = Math.floorDiv(e, w) - Math.floorDiv(s, w) + 1
+      val bound = (e - s + w - 1) / w + 1 // ceil(span/w) + 1
+      assert(n == exact && n <= bound, s"interval $id: $n rows, exact $exact, bound $bound")
+    }
+  }
+
+  test("hot-bin interval overlap: salting spreads the bin and preserves the result") {
+    // 300x300 intervals ALL inside one bin (binWidth far wider than any
+    // span) — the adversarial skew case where one task would do every
+    // comparison. Salted run must (a) equal the unsalted/naive result
+    // pair-for-pair, (b) key the shuffle on (__bin, __salt) so the hot
+    // bin actually spreads across saltBuckets tasks.
+    val left = (0 until 300).map(i => (i.toLong, (i % 50).toLong, (i % 50 + 3).toLong))
+      .toDF("lid", "ls", "le")
+    val right = (0 until 300).map(i => (i.toLong, (i % 60).toLong, (i % 60 + 2).toLong))
+      .toDF("rid", "rs", "re")
+    val salted = graft.ops.RangeJoin.intervalOverlap(left, right,
+      "ls", "le", "rs", "re", binWidth = 100000L, saltBuckets = 8)
+    val want = left.crossJoin(right)
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val got = salted.select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want, s"salted overlap diverged: ${got.size} vs ${want.size} pairs")
+    assert(got.size > 1000, s"fixture too sparse to exercise the hot bin: ${got.size}")
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("__salt"), s"no salt in the executed plan:\n$planStr")
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"))
+  }
+
   test("incremental agg-state merge equals the full recompute for any split point") {
     import spark.implicits._
     val data = (0 until 3000).map(i => (s"k${i % 7}", (i * 31 % 113) - 50.0, i))
