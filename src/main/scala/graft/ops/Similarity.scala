@@ -326,6 +326,89 @@ object Similarity {
     store.write(table + "__centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
       append = false)
+    writeIvfStats(store, table, vecCol, cents)
+  }
+
+  // ---------- index maintenance: drift-triggered retrain ----------
+
+  /** Mean L2 distance of every indexed row to the centroid of the cell it
+    * is STORED in — the cheap index-health stat for the append-without-
+    * retrain path ([[appendToIvfIndex]] assigns deltas to STALE
+    * centroids, so as the distribution moves this mean rises above the
+    * build-time value persisted in `<table>__stats`). One linear
+    * aggregate over the index, no shuffle, k·dim broadcast state.
+    */
+  def ivfMeanAssignDist(store: graft.engine.TableStore, table: String,
+      vecCol: String): Double =
+    meanAssignDist(store.read(table), vecCol, loadIvfCentroids(store, table))
+
+  private def meanAssignDist(indexed: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): Double = {
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val d = sqrt(aggregate(
+      zip_with(col(vecCol).cast("array<double>"),
+        element_at(centArr, col("__cell") + 1), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x))
+    val row = indexed.agg(avg(d).alias("m")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  private def writeIvfStats(store: graft.engine.TableStore, table: String,
+      vecCol: String, cents: Seq[Seq[Double]]): Unit = {
+    val sp = store.read(table).sparkSession
+    import sp.implicits._
+    store.write(table + "__stats",
+      Seq(meanAssignDist(store.read(table), vecCol, cents))
+        .toDF("mean_assign_dist"),
+      append = false)
+  }
+
+  /** Current mean assign-distance over the build-time baseline: ~1.0 for
+    * a healthy index, rising as appended vectors land far from their
+    * (stale) assigned centroids. The retrain trigger for a cadence job:
+    * compare against a threshold (1.5 is a reasonable default) instead
+    * of retraining blindly every N appends.
+    */
+  def ivfDriftRatio(store: graft.engine.TableStore, table: String,
+      vecCol: String): Double = {
+    val base = store.read(table + "__stats").head().getDouble(0)
+    val cur = ivfMeanAssignDist(store, table, vecCol)
+    if (base <= 0.0) { if (cur > 0.0) Double.PositiveInfinity else 1.0 }
+    else cur / base
+  }
+
+  /** Full retrain of a persisted IVF index from its own rows: re-runs the
+    * distributed k-means over everything (original + appended), then
+    * stage-swaps the re-clustered table ([[graft.engine.TableStore
+    * .replacePartitioned]] — the previous copy stays readable until the
+    * new one commits) and rewrites centroids + stats. Centroids write
+    * AFTER the data swap; a crash in between leaves new cells with old
+    * centroids, which degrades pruned-probe recall until the next rebuild
+    * but never corrupts data — the same bounded-staleness tolerance as
+    * [[DedupIndex.rebuildFromIndex]].
+    */
+  def rebuildIvfIndex(store: graft.engine.TableStore, table: String,
+      vecCol: String, idCol: String, nCells: Int, iterations: Int = 5): Unit = {
+    val rows = store.read(table).drop("__cell")
+    val (indexed, cents) = buildIvfIndexDistributed(rows, vecCol, idCol, nCells, iterations)
+    store.replacePartitioned(table, indexed.repartition(col("__cell")), Seq("__cell"))
+    val sp = rows.sparkSession
+    import sp.implicits._
+    store.write(table + "__centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      append = false)
+    writeIvfStats(store, table, vecCol, cents)
+  }
+
+  /** The cadence entry point: retrain iff drift crossed the threshold.
+    * Returns whether a rebuild ran.
+    */
+  def maybeRetrainIvf(store: graft.engine.TableStore, table: String,
+      vecCol: String, idCol: String, nCells: Int, iterations: Int = 5,
+      driftThreshold: Double = 1.5): Boolean = {
+    val drifted = ivfDriftRatio(store, table, vecCol) >= driftThreshold
+    if (drifted) rebuildIvfIndex(store, table, vecCol, idCol, nCells, iterations)
+    drifted
   }
 
   /** Load the centroid side table of a persisted index (k·dim driver state). */

@@ -761,6 +761,47 @@ class OpsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("IVF drift: shifted appends raise the ratio; threshold retrain restores probe recall") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-drift"))
+    def blob(axis: Int, tiltAxis: Int, tilt: Double, idBase: Long): Seq[(Long, Seq[Double])] =
+      (0 until 40).map { i =>
+        (idBase + i, Seq.tabulate(4) { d =>
+          (if (d == axis) 100.0 else 0.0) +
+            (if (d == tiltAxis) tilt else 0.0) +
+            (if (d == 3) (i % 7) * 0.5 else 0.0)
+        })
+      }
+    // base corpus: two DIRECTION clusters (cosine must discriminate) —
+    // A along axis 0, B along axis 1
+    val base = (blob(0, 0, 0.0, 0L) ++ blob(1, 1, 0.0, 100L)).toDF("id", "v")
+    Similarity.persistIvfIndex(store, "drift", base, "v", "id", nCells = 3, iterations = 5)
+    val healthy = Similarity.ivfDriftRatio(store, "drift", "v")
+    assert(math.abs(healthy - 1.0) < 1e-9, s"fresh index should sit at ratio 1, got $healthy")
+    assert(!Similarity.maybeRetrainIvf(store, "drift", "v", "id", nCells = 3),
+      "healthy index must not retrain")
+    // distribution shift: a NEW direction cluster (axis 2, tilted toward
+    // B so its stale assignment is deterministic) appended without retrain
+    val shifted = blob(2, 1, 30.0, 200L).toDF("id", "v")
+    Similarity.appendToIvfIndex(store, "drift", shifted, "v", "id")
+    val drifted = Similarity.ivfDriftRatio(store, "drift", "v")
+    assert(drifted > 1.5, s"shifted append should blow the drift ratio, got $drifted")
+    // the query points at the shifted cluster but tilts toward A: its
+    // nearest STALE centroid is A's, while its true neighbors sit in a
+    // B-descended cell — the routing failure drift causes
+    val q = Seq(30.0, 0.0, 100.0, 0.0)
+    def recall(): Int = Similarity
+      .ivfTopKPersisted(store, "drift", "v", "id", q, k = 10, nProbe = 1)
+      .select("id").as[Long].collect().count(id => id >= 200L && id < 240L)
+    val pre = recall()
+    assert(pre <= 5, s"stale routing should miss the shifted cluster, found $pre/10")
+    // the cadence entry point fires at the default threshold and rebuilds
+    assert(Similarity.maybeRetrainIvf(store, "drift", "v", "id", nCells = 3))
+    val post = recall()
+    assert(post >= 9, s"retrain should restore probe recall, got $post/10")
+    val healed = Similarity.ivfDriftRatio(store, "drift", "v")
+    assert(healed < 1.2, s"rebuilt index should reset the baseline, got $healed")
+  }
+
   test("interval overlap join equals the naive theta filter, exactly once per pair") {
     val left = Seq(
       (1L, -12L, -2L),   // fully negative
