@@ -175,6 +175,70 @@ class StreamsSpec extends SparkSpecBase {
       Seq(100L, 201L))
   }
 
+  test("continuous corpus dedup: 1-batch and 3-batch chunkings equal the batch ingest") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    // the SAME delta (ids ascending in arrival order, the stream
+    // contract) must yield the same survivor set whether it arrives as
+    // one batch, three micro-batches, or through the batch ingestDedup
+    // with appends on — chunk boundaries only move WHERE a duplicate is
+    // caught (intra-batch component vs cross-batch index probe), never
+    // WHETHER it is caught
+    val baseDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "an unrelated base document about mountains valleys and distant weather"))
+    val novelA = "completely novel streaming content arriving in the first micro batch here"
+    val novelB = "a second subject entirely with different words about oceans and tides"
+    val novelC = "third distinct topic covering ancient history empires and bronze tools"
+    val novelD = "fourth theme on gardening seeds compost and seasonal vegetable rotation"
+    val novelE = "fifth and final subject regarding telescopes orbits and distant comets"
+    val delta = Seq(
+      100L -> novelA,
+      101L -> novelA,                                                        // intra-chunk dup of 100
+      102L -> "the quick brown fox jumps over the lazy dog near the river bank tonight", // near-dup of base 0
+      103L -> novelB,
+      104L -> novelA,                                                        // cross-chunk dup of 100
+      105L -> novelC,
+      106L -> novelC,                                                        // intra-chunk dup of 105
+      107L -> "an unrelated base document about mountains valleys and distant storms",   // near-dup of base 1
+      108L -> novelB,                                                        // cross-chunk dup of 103
+      109L -> novelD,
+      110L -> novelD,                                                        // intra-chunk dup of 109
+      111L -> novelE)
+    val want = Seq(100L, 103L, 105L, 109L, 111L)
+    def freshStore(tag: String): TableStore = {
+      val store = new TableStore(spark, tmpDir(s"eq-wh-$tag"))
+      DedupIndex.persist(store, "eq_idx", baseDocs.toDF("doc_id", "text"), "text", "doc_id")
+      store
+    }
+    // 1) batch ingest with appends on
+    val bStore = freshStore("batch")
+    val batchGot = DedupIndex.ingestDedup(bStore, "eq_idx",
+        delta.toDF("doc_id", "text"), "text", "doc_id",
+        minJaccard = 0.7, appendSurvivors = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batchGot == want, s"batch ingest got $batchGot")
+    // 2) streamed, in `chunks` micro-batches (one AvailableNow run per file)
+    for (chunks <- Seq(1, 3)) {
+      val store = freshStore(s"s$chunks")
+      val src = java.nio.file.Files.createTempDirectory(s"eq-src-$chunks")
+      val ckpt = tmpDir(s"eq-ckpt-$chunks")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+      val per = delta.size / chunks
+      delta.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.writeString(src.resolve(f"c$i%02d.ndjson"),
+          chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+            .mkString("", "\n", "\n"))
+        Streams.ingestDedupStream(
+          spark.readStream.schema(schema).json(src.toString),
+          store, "eq_idx", "eq_out", "text", "doc_id", minJaccard = 0.7, ckpt)
+          .awaitTermination()
+      }
+      val got = store.read("eq_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"$chunks-batch stream got $got, want $want")
+    }
+  }
+
   test("streaming upsert merges each micro-batch into the table") {
     import graft.engine.TableStore
     val src = java.nio.file.Files.createTempDirectory("ups-src")
