@@ -317,6 +317,41 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS ANN-index maintenance: each micro-batch of vectors is
+    * appended to a persisted IVF index ([[graft.ops.Similarity
+    * .appendToIvfIndex]] — broadcast argmin against the EXISTING
+    * centroids, no corpus shuffle), then the drift trigger runs: when
+    * the mean assign-distance has risen past `driftThreshold` × the
+    * build-time baseline, the index retrains from its own rows and
+    * stage-swaps ([[graft.ops.Similarity.maybeRetrainIvf]]). Per-batch
+    * cost tracks the batch except on the (rare) retrain batches, which
+    * pay one distributed k-means over the index — the streaming face of
+    * the append-then-cadence-retrain lifecycle, with the cadence driven
+    * by measured drift instead of wall clock. A crash-replayed batch
+    * re-appends its rows (duplicate ids in the index — same retry
+    * contract as [[ingestDedupStream]]); compact on a cadence.
+    */
+  def ingestIvfStream(
+      vecs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      checkpoint: String,
+      driftThreshold: Double = 1.5,
+      retrainIterations: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Similarity.appendToIvfIndex(store, indexTable, batch, vecCol, idCol)
+        graft.ops.Similarity.maybeRetrainIvf(store, indexTable, vecCol, idCol,
+          nCells, retrainIterations, driftThreshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join within a time bound — the funnel /
     * attribution shape (purchase joined to the clicks that preceded it by
     * at most `bound`). Both sides carry watermarks and the join condition

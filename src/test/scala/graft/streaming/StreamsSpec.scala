@@ -239,6 +239,54 @@ class StreamsSpec extends SparkSpecBase {
     }
   }
 
+  test("continuous IVF ingest: in-distribution batches append; drift batch retrains") {
+    import graft.engine.TableStore
+    import graft.ops.Similarity
+    val store = new TableStore(spark, tmpDir("ivfs-wh"))
+    val src = java.nio.file.Files.createTempDirectory("ivfs-src")
+    val ckpt = tmpDir("ivfs-ckpt")
+    def vecJson(id: Long, v: Seq[Double]): String =
+      s"""{"id": $id, "v": [${v.mkString(", ")}]}"""
+    def blob(axis: Int, tiltAxis: Int, tilt: Double, idBase: Long): Seq[(Long, Seq[Double])] =
+      (0 until 40).map { i =>
+        (idBase + i, Seq.tabulate(4) { d =>
+          (if (d == axis) 100.0 else 0.0) +
+            (if (d == tiltAxis) tilt else 0.0) +
+            (if (d == 3) (i % 7) * 0.5 else 0.0)
+        })
+      }
+    Similarity.persistIvfIndex(store, "ivfs",
+      (blob(0, 0, 0.0, 0L) ++ blob(1, 1, 0.0, 100L)).toDF("id", "v"),
+      "v", "id", nCells = 3, iterations = 5)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, v ARRAY<DOUBLE>")
+    def run() = Streams.ingestIvfStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "ivfs", "v", "id", nCells = 3, ckpt)
+      .awaitTermination()
+    // batch 1: IN-distribution vectors (more of cluster A) — appended,
+    // no retrain, so the centroid table is byte-identical afterwards
+    val centsBefore = Similarity.loadIvfCentroids(store, "ivfs")
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      blob(0, 0, 0.0, 300L).take(10).map((vecJson _).tupled).mkString("", "\n", "\n"))
+    run()
+    assert(Similarity.loadIvfCentroids(store, "ivfs") == centsBefore,
+      "an in-distribution batch must not retrain")
+    assert(store.read("ivfs").count() == 90)
+    // batch 2: the shifted direction cluster — drift crosses 1.5, the
+    // batch itself triggers the rebuild, and stale-routing recall heals
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      blob(2, 1, 30.0, 200L).map((vecJson _).tupled).mkString("", "\n", "\n"))
+    run()
+    assert(Similarity.loadIvfCentroids(store, "ivfs") != centsBefore,
+      "the drifted batch should have retrained")
+    val drift = Similarity.ivfDriftRatio(store, "ivfs", "v")
+    assert(drift < 1.2, s"post-retrain baseline should be fresh, got $drift")
+    val recalled = Similarity
+      .ivfTopKPersisted(store, "ivfs", "v", "id", Seq(30.0, 0.0, 100.0, 0.0), k = 10, nProbe = 1)
+      .select("id").as[Long].collect().count(id => id >= 200L && id < 240L)
+    assert(recalled >= 9, s"retrained routing should find the shifted cluster, got $recalled/10")
+  }
+
   test("streaming upsert merges each micro-batch into the table") {
     import graft.engine.TableStore
     val src = java.nio.file.Files.createTempDirectory("ups-src")
