@@ -1876,6 +1876,16 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").alias("j"), col("col").alias("weight"))
         .orderBy(col("doc_id"), col("j"))),
 
+    "q_text_tfidf" -> ((s, dir) =>
+      // corpus-weighted bridge: sparse hashed TF-IDF rows (smoothed idf,
+      // per-doc L2 norm) — already scalar (doc_id, j, weight) rows, the
+      // serialize-complex convention by construction
+      TextAnalysis.hashedTfIdfSparse(T(s, dir, "documents"), "text", "doc_id",
+          dims = 64)
+        .select(col("doc_id"), col("j"),
+          Rounding.roundAway(col("weight"), 6).alias("weight"))
+        .orderBy(col("doc_id"), col("j"))),
+
     "q_text_vector_join" -> ((s, dir) => {
       // the text→vector bridge END-TO-END: hashed-TF vectors with
       // normalize=true (the flavor the cosine stack actually consumes)
@@ -3540,6 +3550,34 @@ object SparkEntry {
         |SELECT g.doc_id, g.b AS j, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS weight
         |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
         |ORDER BY g.doc_id, j""".stripMargin,
+
+    "q_text_tfidf" ->
+      // same hash replay as q_text_hashed_tf, then smoothed idf
+      // (ln((N+1)/(df+1)) + 1) and the per-doc L2 window norm
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, CAST(h % 64 AS INT) AS b, count(*) AS c
+        |  FROM th GROUP BY doc_id, b),
+        |dfreq AS (SELECT b, count(*) AS df FROM cnt GROUP BY b),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, b,
+        |    CAST(c AS DOUBLE) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+        |  FROM cnt JOIN dfreq USING (b), n),
+        |nm AS (SELECT doc_id, b,
+        |    w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS w
+        |  FROM w)
+        |SELECT doc_id, b AS j, round(w, 6) AS weight
+        |FROM nm ORDER BY doc_id, j""".stripMargin,
 
     "q_text_vector_join" ->
       // full replay of the bridge: hashed-TF counts (same rolling-hash

@@ -471,6 +471,38 @@ object TextAnalysis {
     (text: Column) => f(text)
   }
 
+  /** Hashed TF-IDF in SPARSE form: one `(idCol, j, weight)` row per
+    * non-zero bucket of each document's [[hashedTfVector]], weighted by
+    * smoothed inverse document frequency (`ln((N+1)/(df+1)) + 1`, the
+    * sklearn formulation) and L2-normalized per document by default —
+    * the corpus-aware upgrade of the raw-TF bridge (common tokens stop
+    * dominating cosine). Two aggregates over the corpus: the per-bucket
+    * document frequency (≤ dims rows, broadcast back) and a 1-row count
+    * frame; the only data-sized shuffle is the per-document norm window.
+    * Sparse output is the 100 TB shape: dims· N dense rows never
+    * materialize, downstream cosine is a sum over matching `j` pairs.
+    */
+  def hashedTfIdfSparse(docs: DataFrame, textCol: String, idCol: String,
+      dims: Int, normalize: Boolean = true): DataFrame = {
+    val tf = docs
+      .select(col(idCol), posexplode(hashedTfVector(dims)(col(textCol))))
+      .where(col("col") > 0)
+      .select(col(idCol), col("pos").alias("j"), col("col").alias("tf"))
+    val dfreq = tf.groupBy(col("j")).agg(count(lit(1)).alias("df"))
+    val n = docs.agg(count(lit(1)).alias("n_docs"))
+    val w = tf
+      .join(broadcast(dfreq), "j")
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        col("tf") * (log((col("n_docs") + 1.0d) / (col("df") + 1.0d)) + 1.0d))
+    val out =
+      if (normalize) {
+        val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+        w.withColumn("w", col("w") / sqrt(sum(col("w") * col("w")).over(win)))
+      } else w
+    out.select(col(idCol), col("j"), col("w").alias("weight"))
+  }
+
   /** The conjunctive n-gram repetition gate with Gopher's published
     * thresholds (Table A1): top-2-gram chars <= 0.20, top-3 <= 0.18,
     * top-4 <= 0.16; duplicate 5..10-gram chars <= 0.15/0.14/0.13/0.12/

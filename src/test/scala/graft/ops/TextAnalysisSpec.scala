@@ -147,6 +147,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(z.forall(_ == 0.0))
   }
 
+  test("hashed TF-IDF: shared tokens downweight, sparse rows only, unit norm") {
+    // "cat" appears in both docs (df=2), the other token in one (df=1):
+    // idf(cat) = ln(3/3)+1 = 1, idf(rare) = ln(3/2)+1 — rare must
+    // outweigh cat at equal tf
+    // buckets at dims=8: cat->6, dog->2, fish->4 — no collisions
+    val docs = Seq((1L, "cat dog"), (2L, "cat fish fish")).toDF("id", "text")
+    val raw = TextAnalysis.hashedTfIdfSparse(docs, "text", "id", dims = 8,
+        normalize = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(raw.size == 4, s"expected 4 sparse rows, got $raw") // no zero buckets
+    val idfRare = math.log(3.0 / 2.0) + 1.0
+    val catW = raw.filter(_._2 == 1.0).keys // cat rows: tf=1, idf=1 -> w=1
+    assert(raw.count(_._2 == 1.0) == 2, s"cat should weigh exactly 1.0 in both docs: $raw")
+    assert(math.abs(raw((1L, catW.find(_._1 == 1L).get._2)) - 1.0) < 1e-12)
+    // doc 1's dog: tf=1 * idfRare; doc 2's bird: tf=2 * idfRare
+    assert(raw.values.toSeq.sorted.takeRight(2).zip(Seq(idfRare, 2 * idfRare))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 }, raw.toString)
+    // normalized flavor: per-doc L2 norm is 1
+    val norm = TextAnalysis.hashedTfIdfSparse(docs, "text", "id", dims = 8)
+      .groupBy("id").agg(sum(col("weight") * col("weight")).alias("ss"))
+      .select("ss").as[Double].collect()
+    assert(norm.forall(ss => math.abs(ss - 1.0) < 1e-12), norm.toSeq.toString)
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
