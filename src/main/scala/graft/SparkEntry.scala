@@ -1549,6 +1549,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_spans" -> ((s, dir) =>
+      // duplicated-SPAN removal (word-level ExactSubstr, Lee et al.
+      // 2021): every 5-token window occurring more than once in the
+      // corpus is cut from the text; one linear gram explode + one
+      // counted groupBy, never pairwise. The DuckDB oracle replays gram
+      // extraction, the >1 census, and the kept-token rebuild exactly.
+      ops.Dedup.removeDuplicatedSpans(
+          T(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 5)
+        .select(col("doc_id"), col("clean"),
+          Rounding.roundAway(col("removed_frac"), 6).alias("removed_frac"))
+        .orderBy(col("doc_id"))),
+
     "q_dedup_paragraph" -> ((s, dir) => {
       // C4-style paragraph-granular exact dedup over the chunked corpus:
       // drop every occurrence after the corpus-first one, reassemble. Two
@@ -3177,6 +3190,41 @@ object SparkEntry {
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
         |       count(*) AS n_paras
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      // identical tokenization, 5-gram census over (doc, start), covered
+      // positions via the start-range join, kept tokens re-joined in order
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk) - 4),
+        |    i -> {'s': i, 'g': array_to_string(tk[i+1:i+5], ' ')})) AS gr
+        |  FROM toks WHERE len(tk) >= 5),
+        |g2 AS (SELECT doc_id, gr.s AS start, gr.g AS g FROM grams),
+        |dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) > 1),
+        |ds AS (SELECT doc_id, start FROM g2 JOIN dup USING (g)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+        |    i -> {'p': i, 't': tk[i+1]})) AS tp
+        |  FROM toks),
+        |t2 AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos),
+        |covered AS (
+        |  SELECT DISTINCT t2.doc_id, t2.p FROM t2 JOIN ds
+        |    ON t2.doc_id = ds.doc_id AND t2.p >= ds.start AND t2.p < ds.start + 5),
+        |kept AS (
+        |  SELECT t2.doc_id, t2.p, t2.t FROM t2 LEFT JOIN covered c
+        |    ON t2.doc_id = c.doc_id AND t2.p = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS clean, count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.clean, '') AS clean,
+        |  round(CASE WHEN len(t.tk) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(COALESCE(a.nk, 0) AS DOUBLE) / len(t.tk) END, 6) AS removed_frac
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       // full replay of the simhash operator: the portable 60-bit signatures

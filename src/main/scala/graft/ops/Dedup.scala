@@ -617,6 +617,64 @@ object Dedup {
       .groupBy(col("h"))
       .agg(countDistinct(col(idCol)).alias("df"))
 
+  /** Cross-document duplicated-SPAN removal — the word-level form of
+    * ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499: removing
+    * repeated substrings beats whole-doc dedup because boilerplate and
+    * templates repeat inside otherwise-unique pages). Any `k`-token
+    * window of the normalized text (same lowercase + strip-non-alnum
+    * tokenization as [[portableTokenHashes]]) that occurs MORE THAN ONCE
+    * in the corpus — another document or another position of the same
+    * one — marks its `k` token positions as duplicated; the output keeps
+    * each document with only its unmarked tokens (`clean`, order
+    * preserved, single-space joined) plus the removed token fraction.
+    *
+    * Shape at scale: gram rows are one per token (Σ(n_i − k + 1) —
+    * linear, never pairwise), the duplicate decision is one map-side-
+    * combining count keyed by gram hash, and the mark-back is an
+    * equi-join on that hash where the duplicate-key side is distinct
+    * (each gram row meets at most one key — no fan-out). The per-doc
+    * rebuild is a HOF pass bounded by tokens × duplicated-starts; a
+    * pathological fully-duplicated doc costs O(n²/k) there, bounded in
+    * practice by document length caps upstream.
+    */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"span width must be positive, got $k")
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+    val base = df.select(col(idCol), toks.alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val grams = base
+      .where(col("__n") >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("__n") - k),
+          i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k))))))
+      .select(col(idCol), col("pos").alias("__start"),
+        xxhash64(col("col")).alias("__g"))
+    val dupKeys = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).alias("__c"))
+      .where(col("__c") > 1)
+      .select(col("__g"))
+    val dupStarts = grams.join(dupKeys, "__g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__start"))).alias("__starts"))
+    val pairs = transform(col("__toks"),
+      (t, i) => struct(t.alias("t"), i.alias("p")))
+    val keptArr = transform(
+      filter(pairs, s => !exists(col("__starts"),
+        st => s.getField("p") >= st && s.getField("p") < st + k)),
+      s => s.getField("t"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", keptArr).alias("clean"),
+        when(col("__n") === 0, 0.0d)
+          .otherwise(lit(1.0d) - size(keptArr).cast("double") / col("__n"))
+          .alias("removed_frac"))
+  }
+
   /** End-to-end near-dup REMOVAL: LSH candidates -> duplicate clusters ->
     * keep one representative (min id) per cluster.
     *

@@ -53,6 +53,31 @@ class OpsSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(0L, 2L, 4L)) // {0,1,3} collapse to 0
   }
 
+  test("removeDuplicatedSpans cuts the shared window from every occurrence, keeps unique text") {
+    // the 5-token span "alpha beta gamma delta epsilon" appears in doc 1,
+    // doc 2, and TWICE in doc 3; doc 4 is unique; doc 5 is shorter than k
+    val span = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"unique opening words here $span and unique closing words one"),
+      (2L, s"totally different prefix text $span followed by other suffix material"),
+      (3L, s"$span middle filler tokens again $span"),
+      (4L, "no duplicated content lives anywhere inside this particular document body"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // every occurrence of the span is cut — including both in doc 3 —
+    // and nothing else is: sliding windows STRADDLING the span boundary
+    // occur once each, so only the span's own tokens are marked
+    assert(out(0)._2 == "unique opening words here and unique closing words one")
+    assert(out(1)._2 == "totally different prefix text followed by other suffix material")
+    assert(out(2)._2 == "middle filler tokens again")
+    assert(out(3)._2 == "no duplicated content lives anywhere inside this particular document body")
+    assert(out(3)._3 == 0.0)
+    assert(out(4) == ((5L, "tiny doc", 0.0))) // below k: never marked
+    assert(math.abs(out(2)._3 - 10.0 / 14.0) < 1e-9, out(2).toString)
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
     val sigs = docs.select(col("doc_id"),
         Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).alias("sig"))
