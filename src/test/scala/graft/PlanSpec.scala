@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpecBase {
       s"expected exactly the two designed exchanges (__para, __id):\n$plan")
   }
 
+  test("q_dedup_spans: gram census shuffles hashes only; token arrays cross at most one exchange") {
+    val plan = formattedPlan("q_dedup_spans")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the duplicate census (explode -> count -> mark-back) is keyed by the
+    // 8-byte gram hash; the token ARRAYS may only ride the one final
+    // rebuild join, never the census exchanges
+    val exchangeSections = plan.split("\\(\\d+\\) Exchange").drop(1)
+    val tokShuffles = exchangeSections.count(s => s.takeWhile(_ != '(').contains("__toks#"))
+    assert(tokShuffles <= 1, s"token arrays crossing $tokShuffles exchanges:\n$plan")
+  }
+
   test("q_topk_group plans as partial heap + survivors sort + streaming final, no Window") {
     val plan = planOf("q_topk_group")
     assert("GroupedTopK \\[".r.findAllIn(plan).size == 2, plan)
