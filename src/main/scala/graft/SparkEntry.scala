@@ -1889,6 +1889,17 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").alias("j"), col("col").alias("weight"))
         .orderBy(col("doc_id"), col("j"))),
 
+    "q_text_lm_score" -> ((s, dir) =>
+      // CCNet-style perplexity quality signal from the corpus's own
+      // additive-smoothed bigram LM — two counted groupBys + equi-joins,
+      // no external model artifact. DuckDB replays counts, smoothing,
+      // and the mean negative log exactly (alpha forced to DOUBLE on
+      // both sides).
+      TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          Rounding.roundAway(col("cross_entropy"), 6).alias("cross_entropy"))
+        .orderBy(col("doc_id"))),
+
     "q_text_tfidf" -> ((s, dir) =>
       // corpus-weighted bridge: sparse hashed TF-IDF rows (smoothed idf,
       // per-doc L2 norm) — already scalar (doc_id, j, weight) rows, the
@@ -3598,6 +3609,29 @@ object SparkEntry {
         |SELECT g.doc_id, g.b AS j, CAST(COALESCE(cnt.c, 0) AS DOUBLE) AS weight
         |FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
         |ORDER BY g.doc_id, j""".stripMargin,
+
+    "q_text_lm_score" ->
+      // same tokenization; bigram/context censuses, smoothed probability,
+      // mean negative ln — alpha cast to DOUBLE so DuckDB never routes
+      // the arithmetic through DECIMAL
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+        |    i -> {'prev': CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END, 'tok': tk[i+1]})) AS s
+        |  FROM toks WHERE len(tk) >= 1),
+        |p2 AS (SELECT doc_id, s.prev AS prev, s.tok AS tok FROM pr),
+        |bi AS (SELECT prev, tok, count(*) AS c_bi FROM p2 GROUP BY prev, tok),
+        |uni AS (SELECT prev, count(*) AS c_prev FROM p2 GROUP BY prev),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM p2),
+        |lp AS (SELECT doc_id,
+        |    ln((c_bi + 0.4::DOUBLE) / (c_prev + 0.4::DOUBLE * v)) AS lp
+        |  FROM p2 JOIN bi USING (prev, tok) JOIN uni USING (prev), v)
+        |SELECT doc_id, round(-avg(lp), 6) AS cross_entropy
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       // same hash replay as q_text_hashed_tf, then smoothed idf

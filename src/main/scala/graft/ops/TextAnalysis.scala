@@ -503,6 +503,52 @@ object TextAnalysis {
     out.select(col(idCol), col("j"), col("w").alias("weight"))
   }
 
+  /** Self-trained bigram language-model score per document — the
+    * perplexity-style quality filter (CCNet, Wenzek et al. 2020, filters
+    * web text by LM perplexity; here the LM is the corpus's own additive-
+    * smoothed bigram model, so no external artifact is needed). Returns
+    * `(idCol, cross_entropy)`: the mean negative log of
+    * `p(tok | prev) = (c(prev,tok) + alpha) / (c(prev) + alpha·V)` over
+    * the document's tokens (sentence-start context `<s>` for the first).
+    * LOW cross-entropy = typical corpus text; HIGH = outliers, noise,
+    * boilerplate-free rarity — threshold either tail.
+    *
+    * Shape at scale: one linear pair explode, two counted group-bys
+    * (bigram and context tables, map-side combined), then equi-joins
+    * keyed by the pair/context — the count sides are distinct keys, so
+    * no fan-out; hot contexts ("the") skew the probe side only, which
+    * AQE's skew split handles. Zero-token documents drop out (no rows).
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+    val pairRows = docs
+      .select(col(idCol), toks.alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") >= 1)
+      .select(col(idCol), explode(zip_with(
+        concat(array(lit("<s>")), slice(col("__toks"), lit(1), col("__n") - 1)),
+        col("__toks"),
+        (p, t) => struct(p.alias("prev"), t.alias("tok")))).alias("pr"))
+      .select(col(idCol), col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
+    val bi = pairRows.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).alias("c_bi"))
+    val uni = pairRows.groupBy(col("prev"))
+      .agg(count(lit(1)).alias("c_prev"))
+    val vocab = pairRows.agg(countDistinct(col("tok")).alias("v"))
+    pairRows
+      .join(bi, Seq("prev", "tok"))
+      .join(uni, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("c_bi") + alpha) / (col("c_prev") + lit(alpha) * col("v"))))
+      .groupBy(col(idCol))
+      .agg((-avg(col("__lp"))).alias("cross_entropy"))
+  }
+
   /** The conjunctive n-gram repetition gate with Gopher's published
     * thresholds (Table A1): top-2-gram chars <= 0.20, top-3 <= 0.18,
     * top-4 <= 0.16; duplicate 5..10-gram chars <= 0.15/0.14/0.13/0.12/

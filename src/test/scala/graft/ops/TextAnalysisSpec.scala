@@ -171,6 +171,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(norm.forall(ss => math.abs(ss - 1.0) < 1e-12), norm.toSeq.toString)
   }
 
+  test("bigram LM score: typical corpus text scores lower cross-entropy than outliers") {
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = (1L to 8L).map(i => (i, common)) :+
+      (9L, "zxqv jkwp mnbt rlsd unique gibberish tokens nowhere else seen")
+    val out = TextAnalysis.bigramLmScore(docs.toDF("id", "text"), "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 9)
+    // all copies of the common doc share one (low) score; the outlier's
+    // unseen bigrams push its smoothed probabilities to the alpha floor
+    val typical = out(1L)
+    assert((2L to 8L).forall(i => math.abs(out(i) - typical) < 1e-12))
+    assert(out(9L) > typical + 1.0, s"outlier ${out(9L)} vs typical $typical")
+    // hand-check one probability: with 8 identical docs + 1 outlier,
+    // c(<s>,the)=8, c(<s>)=9 — the first-token logprob alone must beat
+    // the outlier's floor (c_bi=1 everywhere)
+    assert(typical > 0.0)
+  }
+
   test("tokenStats counts: tokens, distinct, stopwords") {
     val row = Seq("The the AND of foo Foo bar").toDF("text")
       .select(TextAnalysis.tokenStats(col("text")).alias("s"))
