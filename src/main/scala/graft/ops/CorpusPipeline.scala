@@ -35,6 +35,19 @@ object CorpusPipeline {
     *                     are dropped (decontamination). None disables.
     * @param splits       when non-empty, append a deterministic `split`
     *                     column (md5-hash assignment, Sampling.splitTag)
+    * @param lmMaxCrossEntropy when > 0, drop docs whose self-trained
+    *                     bigram-LM cross-entropy
+    *                     ([[TextAnalysis.bigramLmScore]], the CCNet-style
+    *                     perplexity filter) exceeds this, with the LM
+    *                     trained on the quality-filtered corpus itself;
+    *                     zero-token docs are dropped too (no score)
+    * @param spanDedupK   when > 0, run duplicated-span removal
+    *                     ([[Dedup.removeDuplicatedSpans]], word-level
+    *                     ExactSubstr) over the FINAL survivor set with
+    *                     this window width: the text column is REPLACED
+    *                     by the normalized cleaned text (lowercased,
+    *                     punctuation stripped — the op's contract) and a
+    *                     `removed_frac` column is appended
     */
   case class Config(
       minQuality: Double = 0.3,
@@ -48,7 +61,9 @@ object CorpusPipeline {
       textCol: String = "text",
       idCol: String = "doc_id",
       gopher: Boolean = false,
-      gopherNgrams: Boolean = false)
+      gopherNgrams: Boolean = false,
+      lmMaxCrossEntropy: Double = 0.0,
+      spanDedupK: Int = 0)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -147,8 +162,19 @@ object CorpusPipeline {
     val gateCols =
       (if (cfg.gopher) Seq("__gopher_ok") else Nil) ++
         (if (cfg.gopherNgrams) Seq("__ngram_ok") else Nil)
-    val filtered = gateCols.foldLeft(filteredAll)((df, c) => df.where(col(c)))
+    val gateFiltered = gateCols.foldLeft(filteredAll)((df, c) => df.where(col(c)))
       .drop(gateCols: _*)
+    // perplexity gate: the bigram LM trains on the quality-filtered
+    // corpus itself (reading the annotate cache, not raw input), then a
+    // semi-join keeps in-threshold docs — censuses and joins are all
+    // keyed, nothing collects
+    val filtered =
+      if (cfg.lmMaxCrossEntropy > 0) {
+        val keep = TextAnalysis.bigramLmScore(gateFiltered, cfg.textCol, cfg.idCol)
+          .where(col("cross_entropy") <= cfg.lmMaxCrossEntropy)
+          .select(col(cfg.idCol))
+        gateFiltered.join(keep, Seq(cfg.idCol), "left_semi")
+      } else gateFiltered
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it
@@ -195,10 +221,21 @@ object CorpusPipeline {
         deduped.join(flagged, Seq(cfg.idCol), "left_anti")
       case None => deduped
     }
+    // span-granular cleanup LAST: the duplicate census runs over the
+    // final survivor set (what the trained model would actually see),
+    // and the rewrite is one id-keyed join back
+    val spanCleaned =
+      if (cfg.spanDedupK > 0)
+        cleaned.drop(cfg.textCol)
+          .join(Dedup.removeDuplicatedSpans(cleaned, cfg.textCol, cfg.idCol,
+              cfg.spanDedupK)
+            .withColumnRenamed("clean", cfg.textCol),
+            Seq(cfg.idCol))
+      else cleaned
     val result =
       if (cfg.splits.nonEmpty)
-        cleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
-      else cleaned
+        spanCleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
+      else spanCleaned
     val caches = (if (needShingles) Seq(annotated) else Nil) ++ corpusShingles.toSeq
     (result, caches)
   }

@@ -546,6 +546,42 @@ class OpsSpec extends SparkSpecBase {
     assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
+  test("capstone LM gate drops the cross-entropy outlier") {
+    // eight copies of typical text concentrate the bigram mass; the
+    // gibberish doc's unseen bigrams sit at the smoothing floor
+    val common = "the quick brown fox jumps over the lazy dog near the river"
+    val corpus = ((1L to 8L).map(i => (i, common)) :+
+      (9L, "zxqv jkwp mnbt rlsd gibberish wqpo dkfj slwn vnrk qpzm"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = (scores(1L) + scores(9L)) / 2
+    val kept = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.0, maxRepetition = 1.0, dedupJaccard = 0,
+        lmMaxCrossEntropy = cut))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (1L to 8L), s"kept $kept")
+  }
+
+  test("capstone span cleanup strips shared boilerplate from the survivors") {
+    val boiler = "subscribe to our newsletter for more updates"
+    val corpus = Seq(
+      (0L, s"one unique story about a curious cat in the garden today and $boiler"),
+      (1L, s"a different tale about mountains and rivers where $boiler"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again now")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.0, maxRepetition = 1.0, dedupJaccard = 0,
+        spanDedupK = 5))
+      .orderBy("doc_id")
+      .select("doc_id", "text", "removed_frac")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L), out.mkString("; "))
+    assert(!out(0)._2.contains("subscribe") && !out(1)._2.contains("subscribe"))
+    assert(out(0)._2.startsWith("one unique story"))
+    assert(out(2)._3 == 0.0 && out(0)._3 > 0.0)
+  }
+
   test("capstone gopher gates equal post-hoc filtering on the decorated fixture") {
     // decorated chunked docs (the q_text_gopher trick) so both gates bite
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
