@@ -135,9 +135,8 @@ object Similarity {
       }
     }
     val cents = centroids.map(_.toSeq).toSeq
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     val assignedDf = df.withColumn("__cell",
-      cellOf(col(vecCol).cast("array<double>"), centArr))
+      cellOf(col(vecCol).cast("array<double>"), cents))
     (assignedDf, cents)
   }
 
@@ -167,9 +166,8 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     require(centroids.nonEmpty, "cannot train centroids on an empty frame")
     for (_ <- 0 until iterations) {
-      val centArr = array(centroids.map(c => array(c.map(lit): _*)): _*)
       val stats = vecs
-        .select(cellOf(col("v"), centArr).alias("cell"), col("v"))
+        .select(cellOf(col("v"), centroids.map(_.toSeq)).alias("cell"), col("v"))
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).alias("sx"), count(lit(1)).alias("n"))
@@ -202,17 +200,36 @@ object Similarity {
   def buildIvfIndexDistributed(df: DataFrame, vecCol: String, idCol: String,
       nCells: Int, iterations: Int = 5): (DataFrame, Seq[Seq[Double]]) = {
     val cents = kmeansCentroids(df, vecCol, nCells, iterations)
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-    (df.withColumn("__cell", cellOf(col(vecCol).cast("array<double>"), centArr)), cents)
+    (df.withColumn("__cell", cellOf(col(vecCol).cast("array<double>"), cents)), cents)
   }
 
-  /** argmin over centroid distances, as a single expression. */
-  private def cellOf(vec: Column, centroids: Column): Column = {
-    val n = size(centroids)
-    val indexed = zip_with(centroids, sequence(lit(0), n - 1), (c, i) =>
-      struct(aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x).alias("d2"), i.alias("i")))
-    array_min(indexed).getField("i")
+  /** argmin over centroid distances. One UDF with the centroid matrix in
+    * its closure, NOT a k·dim literal-array expression: the literal-tree
+    * HOF form costs seconds of per-query analysis/codegen and evaluates
+    * interpreted (boxing every element of the k·dim array per row) — the
+    * same pitfall [[hyperplaneSignature]] documents. Semantics pinned to
+    * the expression form it replaced: left-to-right d2 accumulation,
+    * ties to the LOWER cell id (strict less-than keeps the first min).
+    */
+  private def cellOf(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cents = centroids.map(_.toArray).toArray
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          var s = 0.0d; var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { val d = v(j) - c(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = i }
+          i += 1
+        }
+        best: java.lang.Integer
+      }
+    }
+    f(vec)
   }
 
   private def nearest(v: IndexedSeq[Double], cs: IndexedSeq[IndexedSeq[Double]]): Int =
@@ -282,27 +299,36 @@ object Similarity {
   }
 
   /** `(queryIdCol, __qv, __cell)` rows: each query exploded to its
-    * `nProbe` nearest cells. Cells rank by squared L2 against the
-    * broadcast centroid literal (ties to the lower cell id via the
-    * struct order). HOFs evaluate interpreted, but this is one pass per
-    * QUERY row over nCells tiny arrays — linear, far from the join's
-    * hot path.
+    * `nProbe` nearest cells by squared L2, ties to the lower cell id.
+    * One UDF with the centroid matrix in its closure — the k·dim
+    * literal-array HOF form this replaces cost seconds of per-query
+    * analysis/codegen before the first row moved (see [[cellOf]]);
+    * results are pinned identical (left-to-right d2 sums, (d2, i)
+    * sort order).
     */
   private def probeExplode(queries: DataFrame, queryVecCol: String,
       queryIdCol: String, centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe=$nProbe out of range 1..${centroids.size}")
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cents = centroids.map(_.toArray).toArray
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val d2 = new Array[Double](cents.length)
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          var s = 0.0d; var j = 0
+          val n = math.min(c.length, v.length)
+          while (j < n) { val d = v(j) - c(j); s += d * d; j += 1 }
+          d2(i) = s; i += 1
+        }
+        (0 until cents.length).sortBy(i => (d2(i), i)).take(nProbe)
+      }
+    }
     val qv = col(queryVecCol).cast("array<double>")
-    val rankedCells = transform(
-      slice(sort_array(zip_with(centLit, sequence(lit(0), lit(centroids.size - 1)),
-        (c, i) => struct(
-          aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (acc, x) => acc + x).alias("d2"),
-          i.alias("i")))), 1, nProbe),
-      s => s.getField("i"))
     queries.select(col(queryIdCol), qv.alias("__qv"),
-      explode(rankedCells).alias("__cell"))
+      explode(f(qv)).alias("__cell"))
   }
 
   // ---------- index persistence (the 100 TB probe path) ----------
@@ -431,9 +457,8 @@ object Similarity {
       df: DataFrame, vecCol: String, idCol: String): Unit = {
     val cents = loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF index '$table'")
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     val assigned = df.withColumn("__cell",
-      cellOf(col(vecCol).cast("array<double>"), centArr))
+      cellOf(col(vecCol).cast("array<double>"), cents))
     store.writePartitioned(table, assigned.repartition(col("__cell")),
       Seq("__cell"), append = true)
   }
