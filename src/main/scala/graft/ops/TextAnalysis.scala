@@ -536,9 +536,12 @@ object TextAnalysis {
       .select(col(idCol), col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
     val bi = pairRows.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).alias("c_bi"))
-    val uni = pairRows.groupBy(col("prev"))
-      .agg(count(lit(1)).alias("c_prev"))
-    val vocab = pairRows.agg(countDistinct(col("tok")).alias("v"))
+    // context counts and vocabulary DERIVE from the bigram census —
+    // c(prev) = Σ_tok c(prev,tok) and V = |distinct tok| — so the corpus
+    // is scanned twice total (census + probe), not four times
+    val uni = bi.groupBy(col("prev"))
+      .agg(sum(col("c_bi")).alias("c_prev"))
+    val vocab = bi.agg(countDistinct(col("tok")).alias("v"))
     pairRows
       .join(bi, Seq("prev", "tok"))
       .join(uni, Seq("prev"))
