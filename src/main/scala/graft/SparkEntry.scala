@@ -1505,6 +1505,41 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("eval_id"))
     }),
 
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      // the Dolma-style Bloom screen VERIFIED against the exact join
+      // path: Bloom filters have no false negatives, so no truly-
+      // contaminated doc may survive the screen (n_missed MUST be 0),
+      // and fpp leakage (extra drops) is bounded at 1% of the corpus
+      // (leak_ok). n_corpus/n_flagged are replayed exactly by DuckDB;
+      // n_missed/leak_ok are engine-computed invariants with constant
+      // oracle values — a broken hash, filter build, or threshold flips
+      // them and fails the compare.
+      val docs = T(s, dir, "documents")
+      val corpus = docs.where(col("source") =!= "src0").select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("source") === "src0").select(col("doc_id"), col("text"))
+      val survivors = ops.Dedup.bloomDecontaminate(corpus, evalSet, "text", "doc_id",
+        n = 3, minShared = 3, expectedItems = 500000L, fpp = 0.001)
+      // the exact UNION-based comparator (the screen's own semantics):
+      // >= 3 of a doc's distinct shingles appear anywhere in the eval set
+      val evalHashes = evalSet
+        .select(explode(Dedup.shingleHashes(col("text"), 3)).alias("h")).distinct()
+      val flagged = corpus
+        .select(col("doc_id"), explode(Dedup.shingleHashes(col("text"), 3)).alias("h"))
+        .join(evalHashes, "h")
+        .groupBy(col("doc_id")).agg(count(lit(1)).alias("hits"))
+        .where(col("hits") >= 3)
+        .select(col("doc_id"))
+      val nCorpus = corpus.agg(count(lit(1)).alias("n_corpus"))
+      val nFlagged = flagged.agg(count(lit(1)).alias("n_flagged"))
+      val nMissed = survivors.join(flagged, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).alias("n_missed"))
+      val nSurv = survivors.agg(count(lit(1)).alias("__n_surv"))
+      nCorpus.crossJoin(nFlagged).crossJoin(nMissed).crossJoin(nSurv)
+        .select(col("n_corpus"), col("n_flagged"), col("n_missed"),
+          (col("n_corpus") - col("n_flagged") - col("__n_surv")
+            <= col("n_corpus") * 0.01).alias("leak_ok"))
+    }),
+
     // ---- dedup extensions ----
     "q_dedup_fingerprint" -> ((s, dir) => {
       val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
@@ -3071,6 +3106,29 @@ object SparkEntry {
         |WHERE c.source <> 'src0' AND e.source = 'src0'
         |  AND len(list_intersect(c.s, e.s)) >= 3
         |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "q_bloom_decontaminate" ->
+      // exact replay of n_corpus and the exact-overlap flagged count;
+      // the no-false-negative and leakage-bound booleans are constants
+      // the engine must reproduce
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+        |ov AS (SELECT doc_id FROM (
+        |  SELECT c.doc_id, count(*) AS hits
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0') c
+        |  JOIN ev USING (g) GROUP BY c.doc_id)
+        |  WHERE hits >= 3)
+        |SELECT
+        |  (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_corpus,
+        |  (SELECT count(*) FROM ov) AS n_flagged,
+        |  CAST(0 AS BIGINT) AS n_missed,
+        |  true AS leak_ok""".stripMargin,
 
     "q_dedup_fingerprint" ->
       """SELECT min(doc_id) AS doc_id, fp FROM (

@@ -519,6 +519,47 @@ object Dedup {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the Dolma-style scale path: the eval
+    * set's distinct shingle hashes fold into ONE Bloom filter
+    * (`~1.2·n·ln(1/fpp)/8` bytes of driver/broadcast state, independent
+    * of corpus size), and each corpus document is dropped when ≥
+    * `minShared` of its distinct shingles hit the filter — one linear
+    * pass over the corpus, no posting-list shuffle, no pair join at all
+    * (compare [[decontaminate]], whose shuffle carries a posting row per
+    * (doc, shingle)). NOTE the semantics are UNION-based: a document is
+    * dropped when ≥ `minShared` of its shingles appear anywhere in the
+    * eval set, not necessarily in one eval document — stricter than the
+    * pairwise [[crossOverlapPairs]] gate (every pairwise-contaminated
+    * doc is also union-contaminated). Bloom filters have NO false
+    * negatives, so every union-contaminated document is always dropped;
+    * false positives leak
+    * ~`C(S,minShared)·fpp^minShared` extra drops per S-shingle doc — the
+    * conservative direction for decontamination. Exact-set semantics
+    * need the join path; this is the 100 TB screen in front of it (or a
+    * replacement when ~fpp over-drop is acceptable).
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, minShared: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    require(minShared >= 1 && expectedItems > 0 && fpp > 0 && fpp < 1)
+    val evalHashes = evalSet
+      .select(explode(shingleHashes(col(textCol), n)).alias("h")).distinct()
+    // Spark's tree-aggregated bloomFilter NPEs on an empty frame (no
+    // partial filter to merge); an empty eval set contaminates nothing
+    if (evalHashes.isEmpty) return corpus
+    val bf = evalHashes.stat.bloomFilter("h", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hits = udf { (sh: Seq[Long]) =>
+      if (sh == null) 0
+      else {
+        var c = 0; var i = 0
+        while (i < sh.length) { if (bc.value.mightContainLong(sh(i))) c += 1; i += 1 }
+        c
+      }
+    }
+    corpus.where(hits(shingleHashes(col(textCol), n)) < minShared)
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.0, maxDf: Option[Int] = None): DataFrame =
     ngramJaccardPairsFromShingles(

@@ -1040,6 +1040,30 @@ class OpsSpec extends SparkSpecBase {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("bloom decontamination: contaminated always dropped, clean docs survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark physical plans here"),
+      // shares < 3 shingles with the whole eval union: survives
+      (3L, "a quick brown squirrel sits under an ancient oak tree")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "a quick brown fox jumps over the lazy dog indeed"),
+      (101L, "held out benchmark questions about arithmetic word problems")).toDF("doc_id", "text")
+    val surv = Dedup.bloomDecontaminate(corpus, evalSet, "text", "doc_id",
+        n = 3, minShared = 3, expectedItems = 1000L, fpp = 0.001)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 1 union-shares >= 3 shingles (no false negatives: ALWAYS out);
+    // docs 2-3 hold no 3 shared shingles and at fpp=1e-3 never hit thrice
+    assert(surv == Seq(2L, 3L), s"survivors $surv")
+    // degenerate: empty eval set -> filter of its (empty) distinct hash
+    // set still builds and nothing is dropped
+    val all = Dedup.bloomDecontaminate(corpus,
+        evalSet.where(lit(false)), "text", "doc_id",
+        n = 3, minShared = 1, expectedItems = 10L, fpp = 0.01)
+      .count()
+    assert(all == 3)
+  }
+
   test("gapFill densifies each key's span; forwardFill carries values, leaves leading nulls") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 ${m / 60}%02d:${m % 60}%02d:00")
     val perBucket = Seq(
