@@ -175,6 +175,31 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(survivors == Seq(300000L), survivors.toString)
   }
 
+  test("span removal on 50k docs with a 50k-hot boilerplate span: closed-form cut") {
+    // every doc = 20 doc-unique tokens (id-encoded, so any window touching
+    // one is globally unique) + the SAME 7-token boilerplate tail. The
+    // only duplicated 5-gram windows are the 3 fully inside the tail, so
+    // exactly the 7 tail tokens are cut from every doc: removed_frac is
+    // the constant 7/27 and the clean text is the unique prefix verbatim.
+    // The hot gram (50k occurrences) exercises the census groupBy skew
+    // and the no-fan-out mark-back join.
+    val docs = spark.range(50000).select(col("id").alias("doc_id"),
+      concat(
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("u"), col("id"), lit(s"x$j"))): _*),
+        lit(" subscribe to our newsletter for more updates")).alias("text"))
+    val out = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 5).cache()
+    val n = out.count()
+    assert(n == 50000L)
+    val fracs = out.select(col("removed_frac")).distinct().collect().map(_.getDouble(0))
+    assert(fracs.length == 1 && math.abs(fracs(0) - 7.0 / 27.0) < 1e-12,
+      s"removed fractions: ${fracs.toSeq}")
+    val bad = out.where(col("clean").contains("subscribe") ||
+      !col("clean").startsWith(concat(lit("u"), col("doc_id"), lit("x0 ")))).count()
+    assert(bad == 0, s"$bad docs cut wrong")
+    out.unpersist()
+  }
+
   test("star contraction on a 1M-edge chain: O(log n) rounds where propagation needs 1M") {
     // a 1M-node chain is propagation's worst case: diameter = 1e6 means
     // 1e6 full-label shuffles (never runnable); star contraction must
