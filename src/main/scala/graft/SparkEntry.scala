@@ -1101,6 +1101,27 @@ object SparkEntry {
           blockKey = substring(col("c_name"), 1, 16), maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_pagerank" -> ((s, dir) => {
+      // link centrality (Page et al. 1999) — the source-quality signal of
+      // web-corpus curation — over the natural customer→nation→region
+      // hierarchy in offset id spaces: 5 power iterations, dangling
+      // REGION mass redistributed uniformly. Fixed iteration count makes
+      // the result exactly replayable by the oracle's unrolled SQL.
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 500)
+      val nation = T(s, dir, "nation")
+      val region = T(s, dir, "region")
+      val nodes = cust.select((col("c_custkey") + 10000).cast("long").alias("id"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("id")))
+        .unionByName(region.select(col("r_regionkey").cast("long").alias("id")))
+      val edges = cust.select((col("c_custkey") + 10000).cast("long").alias("src"),
+          (col("c_nationkey") + 100).cast("long").alias("dst"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("src"),
+          col("n_regionkey").cast("long").alias("dst")))
+      graft.ops.Graph.pageRank(nodes, edges, iterations = 5)
+        .select(col("id"), Rounding.roundAway(col("rank"), 6).alias("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_connected_components" -> ((s, dir) => {
       // label propagation end-to-end against a closed-form oracle: edges
       // form cliques within DIV-8 key buckets (diameter 1, so the loop
@@ -2621,6 +2642,46 @@ object SparkEntry {
         |WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
         |  AND levenshtein(l.c_name, r.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pagerank" -> {
+      // the SAME 5 power iterations unrolled as sequential CTEs: per
+      // round one contribution join/aggregate, one dangling-mass scalar,
+      // the identical (1-d)/N + d*(c + dm/N) arithmetic with every
+      // literal forced DOUBLE so DuckDB never routes through DECIMAL
+      val iters = 5
+      val body = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    ((1 - 0.85::DOUBLE) / (SELECT nn FROM cnt))
+           |    + 0.85::DOUBLE * (COALESCE(c.s, 0.0::DOUBLE)
+           |        + ((SELECT dm FROM dang${k - 1}) / (SELECT nn FROM cnt))) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.r / od.deg) AS s
+           |    FROM edges e JOIN r${k - 1} p ON e.src = p.id JOIN od ON od.src = e.src
+           |    GROUP BY e.dst) c ON n.id = c.id),
+           |dang$k AS (
+           |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+           |  FROM r$k p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS id FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(r_regionkey AS BIGINT) FROM region),
+         |edges AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |         CAST(c_nationkey + 100 AS BIGINT) AS dst
+         |  FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT),
+         |    CAST(n_regionkey AS BIGINT) FROM nation),
+         |cnt AS (SELECT count(*) AS nn FROM nodes),
+         |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT nn FROM cnt) AS r FROM nodes),
+         |dang0 AS (
+         |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+         |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         |$body
+         |SELECT id, round(r, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+    },
 
     "q_connected_components" ->
       // clique-bucket graph: the component minimum IS the bucket minimum

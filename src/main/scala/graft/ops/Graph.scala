@@ -226,6 +226,47 @@ object Graph {
     acc
   }
 
+  /** PageRank by power iteration (Page et al. 1999) over a DIRECTED edge
+    * list — the link-centrality signal web-corpus curation pipelines use
+    * for source quality. Per iteration: each node's rank splits evenly
+    * over its out-edges (one equi-join on src + one groupBy dst, the only
+    * data-sized shuffles), DANGLING nodes' mass redistributes uniformly
+    * (their summed rank is the round's single bounded driver action — one
+    * double), and `rank' = (1−d)/N + d·(Σ contribs + dangling/N)`.
+    * Fixed `iterations` (no convergence probe) keeps the result exactly
+    * replayable by an unrolled SQL oracle; `localCheckpoint` flattens the
+    * per-round lineage like the other iterative loops here. Rank mass is
+    * conserved at 1 every round.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, idCol: String = "id",
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0 && damping > 0 && damping < 1)
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank needs a non-empty node set")
+    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
+    for (_ <- 0 until iterations) {
+      val dangling = ranks
+        .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0d)))
+        .head().getDouble(0)
+      val contribs = ranks
+        .join(edges, ranks("id") === edges(srcCol))
+        .join(outDeg, srcCol)
+        .select(col(dstCol).alias("id"), (col("rank") / col("__deg")).alias("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
+      ranks = nodes.select(col(idCol).alias("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("__c"), lit(0.0d)) + lit(dangling / n))).alias("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Same result as [[reachWithin]] when walk multiplicity stays bounded
     * (trees and low-fan-in DAGs): the expansion unrolls into ONE
     * declarative plan — no per-round caching, convergence probes, or

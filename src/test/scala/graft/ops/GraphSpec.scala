@@ -137,4 +137,23 @@ class GraphSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq == Seq((1L, 1L, 0), (1L, 2L, 1), (3L, 2L, 1), (3L, 3L, 0)))
   }
+
+  test("pageRank: hand-computed 4-node graph, dangling mass conserved") {
+    import spark.implicits._
+    // 1->{2,3}, 2->3, 3->1, 4 dangling; d=0.85, 3 iterations — values
+    // hand-computed by the power recurrence (mass conserved at 1.0)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(nodes, edges, iterations = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Map(1L -> 0.3495512695, 2L -> 0.2215698242,
+      3L -> 0.3793178711, 4L -> 0.0495610352)
+    want.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-9, s"node $id: ${got(id)} vs $w") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass ${got.values.sum}")
+    // zero iterations = uniform prior; isolated graph stays uniform
+    val uniform = Graph.pageRank(nodes, edges, iterations = 0)
+      .select("rank").as[Double].collect()
+    assert(uniform.forall(r => math.abs(r - 0.25) < 1e-15))
+  }
 }
