@@ -1338,6 +1338,33 @@ object SparkEntry {
         .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("score"))
         .orderBy(col("doc_id"))),
 
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // HYBRID retrieval: the keyword list (BM25, 3-term query) and the
+      // dense list (cosine against doc 0's normalized hashed-TF vector)
+      // fused by reciprocal-rank fusion — the standard uncalibrated merge
+      // of a sparse and a dense ranking. Scores are pre-rounded (4 / 6
+      // decimals, each side's own oracle precision) so ranks are
+      // deterministic; each list's top-20 cut is TakeOrderedAndProject
+      // (per-partition heaps), and only the 20-row rank assignment is
+      // single-partition. The oracle replays both scorers' closed forms
+      // and the 1/(60+rank) sum.
+      val docs = T(s, dir, "documents")
+      val sparse = graft.ops.TextSearch.bm25(docs, "text", "doc_id",
+          Seq("spark", "shuffle", "partition"))
+        .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("s"))
+      val tf = TextAnalysis.hashedTfVector(dims = 64, normalize = true)
+      val vecs = docs.select(col("doc_id"), tf(col("text")).alias("vec"))
+      val qv = vecs.where(col("doc_id") === 0).select(col("vec").alias("__qv"))
+      val dense = vecs.where(col("doc_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"), Rounding.roundAway(
+          graft.expressions.VectorExpressions.cosineNative(col("vec"), col("__qv")), 6)
+          .alias("s"))
+      graft.ops.TextSearch.rrfFuse(Seq(sparse, dense), "doc_id", "s",
+          depth = 20, kRrf = 60)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     "q_heavy_hitters" -> ((s, dir) =>
       // Misra-Gries one-pass frequency sketch; capacity 32 > the 5
       // distinct priorities, so the sketch is provably exact and the
@@ -1683,6 +1710,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-prune): every vector joins the cluster of
+      // its highest-cosine seed (seeds = vec_id < 8, bounded driver
+      // state like the IVF centroids), then near-dup pairs are compared
+      // ONLY within a cluster and the larger id of each pair is dropped.
+      // Planted dups (every 10th vector scaled ×2: cosine exactly 1 to
+      // its source, and scale-invariant seed cosines put it in the SAME
+      // cluster by construction) are what the prune must remove — the
+      // organic fixture has no pairs above cosine 0.52, so threshold
+      // 0.95 removes exactly the 50 planted copies. DuckDB replays the
+      // rounded argmax assignment and the within-cluster pair prune.
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").alias("v"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).alias("vec_id"),
+          transform(col("v"), x => x * lit(2.0d)).alias("v"))
+      val seeds = base.where(col("vec_id") < 8)
+        .select(col("vec_id").alias("seed_id"), col("v").alias("sv"))
+      Dedup.semanticDedup(base.unionByName(planted), "v", "vec_id",
+          seeds, "seed_id", "sv", minCosine = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     "q_dedup_index_ingest" -> ((s, dir) => {
       // the INCREMENTAL corpus-dedup flagship (ops.DedupIndex) under
       // oracle: build the persisted band index over docs < 400, then
@@ -1874,6 +1924,27 @@ object SparkEntry {
         Rounding.roundAway(TextAnalysis.meanWordLength(col("text")), 6).alias("mean_wlen"),
         TextAnalysis.qualityScore(col("text")).alias("quality"))
         .orderBy(col("doc_id"))),
+
+    "q_quality_gate" -> ((s, dir) => {
+      // curriculum/quality gating: keep each language's top quartile by
+      // quality score — rank gate `rn*4 <= n` on (quality DESC, doc_id)
+      // inside one window shuffle keyed by lang. Quality is already
+      // rounded to 6 decimals, so ranks are deterministic. At 100 TB the
+      // same gate becomes an approx-quantile THRESHOLD join (per-lang
+      // `percentile_approx(quality, 0.75)` aggregated then broadcast
+      // back) instead of a full per-lang sort — the rank form is used
+      // here because it is exactly oracle-replayable.
+      val w = Window.partitionBy(col("lang"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .withColumn("__rn", row_number().over(
+          w.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("__n", count(lit(1)).over(w))
+        .where(col("__rn") * 4 <= col("__n"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_text_repetition" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
@@ -2891,6 +2962,67 @@ object SparkEntry {
         |GROUP BY m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
 
+    "q_hybrid_rrf" ->
+      // both scorers replayed in closed form (the q_bm25 CTEs and the
+      // q_text_vector_join hashed-TF + normalize + cosine CTEs), then
+      // rank each list by (score DESC, doc_id), cut at 20, and sum the
+      // 1/(60+rank) contributions
+      """WITH toks AS (
+        |  SELECT doc_id, u.term FROM (
+        |    SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS ts FROM documents),
+        |    unnest(ts) AS u(term)),
+        |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |         FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |m AS (SELECT * FROM post WHERE term IN ('spark', 'shuffle', 'partition')),
+        |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+        |sp AS (SELECT m.doc_id, round(sum(
+        |    ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)) *
+        |    (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS s
+        |  FROM m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
+        |  GROUP BY m.doc_id),
+        |vtoks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353) AS h
+        |  FROM vtoks),
+        |cnt AS (SELECT doc_id, CAST(h % 64 AS INT) AS b, count(*) AS c
+        |  FROM th GROUP BY doc_id, b),
+        |grid AS (SELECT d.doc_id, CAST(r.range AS INT) AS b
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d, range(64) r),
+        |vraw AS (SELECT g.doc_id, list(CAST(COALESCE(cnt.c, 0) AS DOUBLE) ORDER BY g.b) AS v
+        |  FROM grid g LEFT JOIN cnt ON g.doc_id = cnt.doc_id AND g.b = cnt.b
+        |  GROUP BY g.doc_id),
+        |vn AS (SELECT doc_id,
+        |  CASE WHEN list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+        |    THEN list_transform(v, x -> x / sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')))
+        |    ELSE v END AS v
+        |  FROM vraw),
+        |q AS (SELECT v FROM vn WHERE doc_id = 0),
+        |dn AS (SELECT vn.doc_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(vn.v, q.v), p -> p[1] * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(vn.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.v, x -> x * x), 'sum'))),
+        |  6) AS s
+        |  FROM vn, q WHERE vn.doc_id <> 0),
+        |rs AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sp),
+        |rd AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM dn),
+        |u AS (SELECT doc_id, 1.0 / (60 + rn) AS c FROM rs WHERE rn <= 20
+        |  UNION ALL SELECT doc_id, 1.0 / (60 + rn) AS c FROM rd WHERE rn <= 20)
+        |SELECT doc_id, round(sum(c), 6) AS rrf FROM u
+        |GROUP BY doc_id ORDER BY rrf DESC, doc_id""".stripMargin,
+
     "q_heavy_hitters" ->
       """SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3425,6 +3557,36 @@ object SparkEntry {
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_semantic_dedup" ->
+      // SemDeDup replay: rounded-cosine argmax to the 8 seed anchors
+      // (ties to the smaller seed id), then within-cluster pairs with
+      // cosine >= 0.95 drop their larger id
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |aug AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 2) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |seeds AS (SELECT vec_id AS seed_id, v AS sv FROM base WHERE vec_id < 8),
+        |asg AS (SELECT a.vec_id, s.seed_id,
+        |  round(list_aggregate(list_transform(list_zip(a.v, s.sv), p -> p[1] * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(s.sv, x -> x * x), 'sum'))), 6) AS cos
+        |  FROM aug a, seeds s),
+        |cl AS (SELECT vec_id, seed_id AS cluster FROM (
+        |    SELECT vec_id, seed_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+        |    FROM asg) WHERE rn = 1),
+        |mem AS (SELECT cl.vec_id, cl.cluster, a.v FROM cl JOIN aug a USING (vec_id)),
+        |dups AS (SELECT DISTINCT r.vec_id FROM mem l JOIN mem r
+        |  ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        |  WHERE round(list_aggregate(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(l.v, x -> x * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(r.v, x -> x * x), 'sum'))), 6) >= 0.95)
+        |SELECT vec_id, cluster FROM mem
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        |ORDER BY vec_id""".stripMargin,
+
     "q_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT e.vec_id,
@@ -3572,6 +3734,36 @@ object SparkEntry {
          |    + least(stop_raw * 5.0, 1.0) * 0.3
          |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality_gate" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // same quality closed form as q_text_quality, then the per-language
+      // top-quartile rank gate rn*4 <= n on (quality DESC, doc_id)
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |  list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |r AS (SELECT doc_id, lang, text,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |      x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END AS stop_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit_raw
+         |  FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least(stop_raw * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
+         |  FROM r),
+         |rk AS (SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         |  FROM q)
+         |SELECT doc_id, lang, quality FROM rk WHERE rn * 4 <= n
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_text_repetition" ->

@@ -834,6 +834,88 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  // ---------- 6b. semantic dedup (cluster-then-prune) ----------
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then compare pairs ONLY within a cluster and drop every
+    * member that has a smaller-id near-duplicate (cosine ≥ `minCosine`)
+    * in its cluster. Where [[embeddingNearDups]] bounds the quadratic
+    * step with random-hyperplane buckets, this bounds it with semantic
+    * clusters — the trade SemDeDup makes deliberately: a cluster is a
+    * meaningful neighborhood, so "near-dup pairs split across clusters"
+    * are rarer than pairs split across random LSH buckets at the same
+    * bucket count.
+    *
+    * `seeds` is a small (k-row) frame of cluster anchors; it is collected
+    * to the driver — k·dim doubles, the same bounded driver state as the
+    * IVF centroids ([[Similarity.buildIvfIndex]]) — and each vector joins
+    * the cluster of its highest-cosine seed via a per-row closure (NO
+    * shuffle for assignment; ties go to the smaller seed id, cosines
+    * rounded to 6 decimals so assignment is exactly replayable by the
+    * oracle). The only shuffle is then keyed by the cluster id, and cost
+    * is Σ c² over cluster sizes, never corpus². Seed choice is the
+    * caller's (k-means centroids, a hash-spread sample, …); correctness
+    * of the prune does not depend on it, only the cluster-split recall
+    * does.
+    *
+    * Returns (idCol, cluster) for the surviving rows.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      minCosine: Double): DataFrame = {
+    val seedArr: Array[(Long, Array[Double])] = seeds
+      .select(col(seedIdCol).cast("long"), col(seedVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(seedArr.nonEmpty, "semanticDedup needs at least one seed")
+    val assign = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val vv = v.toArray
+        var n2 = 0.0; var i = 0
+        while (i < vv.length) { n2 += vv(i) * vv(i); i += 1 }
+        val nv = math.sqrt(n2)
+        var bestId = -1L
+        var best = Double.NegativeInfinity
+        seedArr.foreach { case (sid, sv) =>
+          var d = 0.0; var ns = 0.0; var j = 0
+          val n = math.min(sv.length, vv.length)
+          while (j < n) { d += vv(j) * sv(j); j += 1 }
+          j = 0
+          while (j < sv.length) { ns += sv(j) * sv(j); j += 1 }
+          val den = nv * math.sqrt(ns)
+          val raw = if (den == 0) 0.0 else d / den
+          // round half-away-from-zero at 6 decimals — the exact
+          // [[Rounding.roundAway]] formula, so DuckDB's round() replays
+          // the argmax tie behavior bit-for-bit
+          val c = if (raw >= 0) math.floor(raw * 1e6 + 0.5) / 1e6
+                  else -math.floor(-raw * 1e6 + 0.5) / 1e6
+          if (c > best) { best = c; bestId = sid }
+        }
+        bestId: java.lang.Long
+      }
+    }
+    val member = df
+      .select(col(idCol), col(vecCol).cast("array<double>").alias("__v"))
+      .withColumn("cluster", assign(col("__v")))
+      .withColumn("__n2", Similarity.sumSq(col("__v")))
+    val l = member.select(col(idCol).alias("__ida"), col("cluster").alias("__cla"),
+      col("__v").alias("__va"), col("__n2").alias("__n2a"))
+    val r = member.select(col(idCol).alias("__idb"), col("cluster").alias("__clb"),
+      col("__v").alias("__vb"), col("__n2").alias("__n2b"))
+    val dups = l.join(r,
+        col("__cla") === col("__clb") && col("__ida") < col("__idb"))
+      .where(Rounding.roundAway(
+        graft.expressions.VectorExpressions.dotNative(col("__va"), col("__vb")) /
+          (sqrt(col("__n2a")) * sqrt(col("__n2b"))), 6) >= minCosine)
+      .select(col("__idb").alias(idCol))
+      .distinct()
+    member.join(dups, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   // ---------- 7. paragraph-granular exact dedup ----------
 
   /** Sub-document exact dedup in the C4 / RefinedWeb style: drop every

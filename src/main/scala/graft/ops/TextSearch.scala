@@ -75,4 +75,45 @@ object TextSearch {
       .groupBy(col(idCol))
       .agg(sum(col("term_score")).alias("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
+    * rank fusion outperforms Condorcet and individual rank learning
+    * methods"): combine ranked lists into one ranking by summing
+    * 1/(`kRrf` + rank) per document — the standard way a hybrid retrieval
+    * stack merges a keyword (BM25) list with a dense-vector list without
+    * calibrating their incomparable score scales.
+    *
+    * Each input is an (id, score) frame; a list's rank order is
+    * (score DESC, id ASC). The top-`depth` cut uses `orderBy().limit()`,
+    * which Spark plans as `TakeOrderedAndProject` — per-partition heaps
+    * merged on the driver, NO global sort and no single-partition window
+    * over the full list — so the only single-partition step (the
+    * row_number that turns the cut into ranks) touches `depth` rows, not
+    * the corpus. Callers with score ties must pre-round scores so rank
+    * assignment is deterministic.
+    *
+    * Summation order inside a fused group is engine-chosen; with the
+    * default two lists the sum is a single IEEE addition (commutative), so
+    * the rounded `rrf` is exactly reproducible. For 3+ lists, scores whose
+    * contributions differ at the final ulp could round differently —
+    * callers needing byte-exact replay at higher fan-in should fuse
+    * pairwise.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      depth: Int = 20, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(depth > 0 && kRrf >= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val contribs = lists.map { df =>
+      df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol)).limit(depth)
+        .withColumn("__rn", row_number().over(w))
+        .select(col(idCol),
+          (lit(1.0) / (lit(kRrf.toDouble) + col("__rn"))).alias("__contrib"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(Rounding.roundAway(sum(col("__contrib")), 6).alias("rrf"))
+  }
 }

@@ -182,6 +182,41 @@ class OpsSpec extends SparkSpecBase {
     assert(out == Set((0L, 1L)))
   }
 
+  test("semantic dedup prunes within clusters only; larger id drops") {
+    // two seed anchors on different axes; members carry a planted scaled
+    // copy (cosine exactly 1 → dropped) and a CROSS-cluster near pair
+    // (14/15 straddle the seed bisector) that survives because SemDeDup
+    // never compares across clusters — the documented recall trade.
+    val members = Seq(
+      (10L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (11L, Seq(2.0, 0.02, 0.0, 0.0)), // ×2 copy of 10 → same cluster, dup
+      (12L, Seq(0.01, 1.0, 0.0, 0.0)),
+      (13L, Seq(0.1, 1.0, 0.9, 0.0)),  // cluster 1, cosine to 12 ≈ 0.74
+      (14L, Seq(0.7, 0.72, 0.0, 0.0)), // cluster 1 …
+      (15L, Seq(0.72, 0.7, 0.0, 0.0))  // … cluster 0; cosine(14,15) ≈ 0.9996
+    ).toDF("vec_id", "v")
+    val seeds = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("seed_id", "sv")
+    val out = Dedup.semanticDedup(members, "v", "vec_id", seeds, "seed_id", "sv",
+        minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet == Set(10L, 12L, 13L, 14L, 15L)) // 11 pruned
+    assert(out(10L) == 0L && out(15L) == 0L)
+    assert(out(12L) == 1L && out(13L) == 1L && out(14L) == 1L)
+  }
+
+  test("rrfFuse sums 1/(k+rank) across lists and cuts each list at depth") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val l1 = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "s")
+    val l2 = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "s")
+    val out = TextSearch.rrfFuse(Seq(l1, l2), "id", "s", depth = 2, kRrf = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // 3 fell outside l1's depth cut
+    assert(out(1L) == r6(1.0 / 61))
+    assert(out(2L) == r6(1.0 / 62 + 1.0 / 61)) // rank 2 sparse + rank 1 dense
+    assert(out(4L) == r6(1.0 / 62))
+  }
+
   test("containment pairs: excerpt flagged at 1.0 where jaccard stays tiny") {
     val source = (1 to 60).map(i => s"w$i").mkString(" ")
     val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
