@@ -1800,6 +1800,22 @@ object SparkEntry {
         .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
     }),
 
+    "q_knn_graph" -> ((s, dir) => {
+      // corpus-wide kNN-GRAPH construction: EVERY vector is a query
+      // against the IVF index (the self-join retrieval shape that feeds
+      // label propagation, graph clustering, SemDeDup++-style pruning).
+      // excludeSelf drops each vector's own row before the per-query
+      // heap, so each node gets k true neighbors; full probes make the
+      // edges provably equal to brute force → windowed exact oracle.
+      val e = T(s, dir, "embeddings")
+      val queries = e.select(col("vec_id").alias("qid"), col("embedding"))
+      val (indexed, cents) = Similarity.buildIvfIndex(e, "embedding", "vec_id",
+        nCells = 8)
+      Similarity.ivfTopKJoin(indexed, cents, queries, "embedding", "qid",
+          "embedding", "vec_id", k = 3, nProbe = 8, excludeSelf = true)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    }),
+
     "q_similarity_join_persisted" -> ((s, dir) => {
       // the batch ANN join against the PERSISTED session index: the
       // batch's distinct probe-cell union becomes a partition IN-filter
@@ -2026,6 +2042,15 @@ object SparkEntry {
         .select(col("doc_id"),
           Rounding.roundAway(col("cross_entropy"), 6).alias("cross_entropy"))
         .orderBy(col("doc_id"))),
+
+    "q_text_pmi" -> ((s, dir) =>
+      // collocation mining: PMI over adjacent token pairs (c_ab >= 5) —
+      // token + pair censuses as map-side-combining aggregates, unigram
+      // counts joined onto the DISTINCT pair table, corpus constants as
+      // 1-row broadcasts. DuckDB replays censuses and the single-fraction
+      // PMI expression exactly.
+      TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text", minCount = 5)
+        .orderBy(col("pmi").desc, col("a"), col("b"))),
 
     "q_text_tfidf" -> ((s, dir) =>
       // corpus-weighted bridge: sparse hashed TF-IDF rows (smoothed idf,
@@ -3619,6 +3644,23 @@ object SparkEntry {
         |SELECT qid, vec_id, cosine FROM r WHERE rn <= 5
         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
 
+    "q_knn_graph" ->
+      // full probes + excludeSelf => each node's exact 3 nearest
+      // neighbors; brute-force all-pairs windowed by query id
+      """WITH c AS (SELECT q.vec_id AS qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c)
+        |SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
+        |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
+
     "q_similarity_join_persisted" ->
       // identical windowed brute-force replay; the corpus is the full
       // embeddings table with self-pairs excluded by id
@@ -3943,6 +3985,29 @@ object SparkEntry {
         |  FROM p2 JOIN bi USING (prev, tok) JOIN uni USING (prev), v)
         |SELECT doc_id, round(-avg(lp), 6) AS cross_entropy
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_pmi" ->
+      // token + adjacent-pair censuses over the same tokenization, then
+      // the single-fraction PMI with left-to-right products
+      """WITH base AS (SELECT list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tok AS (SELECT unnest(tk) AS w FROM base),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+        |pr AS (SELECT unnest(list_transform(range(len(tk) - 1),
+        |    i -> {'a': tk[i+1], 'b': tk[i+2]})) AS s
+        |  FROM base WHERE len(tk) >= 2),
+        |pc AS (SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM pr GROUP BY 1, 2),
+        |np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM pc)
+        |SELECT pc.a, pc.b, pc.c_ab,
+        |  round(ln((CAST(pc.c_ab AS DOUBLE) * nt.nt * nt.nt)
+        |    / (CAST(np.np AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        |FROM pc JOIN uni ua ON pc.a = ua.w JOIN uni ub ON pc.b = ub.w, nt, np
+        |WHERE pc.c_ab >= 5
+        |ORDER BY pmi DESC, a, b""".stripMargin,
 
     "q_text_tfidf" ->
       // same hash replay as q_text_hashed_tf, then smoothed idf

@@ -287,13 +287,18 @@ object Similarity {
     */
   def ivfTopKJoin(indexed: DataFrame, centroids: Seq[Seq[Double]],
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
-      vecCol: String, idCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val probed = probeExplode(queries, queryVecCol, queryIdCol, centroids, nProbe)
-    val scored = probed.join(indexed, "__cell")
+    val scored0 = probed.join(indexed, "__cell")
       .select(col(queryIdCol), col(idCol),
         Rounding.roundAway(
           graft.expressions.VectorExpressions.cosineNative(col(vecCol), col("__qv")), 6)
           .alias("cosine"))
+    // excludeSelf drops the query's own corpus row BEFORE the heap, so a
+    // self-join (kNN-graph construction) still yields k true neighbors
+    val scored =
+      if (excludeSelf) scored0.where(col(queryIdCol) =!= col(idCol)) else scored0
     TopK.perGroup(scored, Seq(queryIdCol),
       Seq(col("cosine").desc, col(idCol)), k)
   }

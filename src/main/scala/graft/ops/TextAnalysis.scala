@@ -552,6 +552,55 @@ object TextAnalysis {
       .agg((-avg(col("__lp"))).alias("cross_entropy"))
   }
 
+  /** Corpus-level collocation extraction by pointwise mutual information
+    * (Church & Hanks 1990, "Word association norms, mutual information,
+    * and lexicography"): for every adjacent token pair with
+    * `c(a,b) >= minCount`,
+    * `pmi = ln( (c(a,b)/N_pairs) / ((c(a)/N_toks) · (c(b)/N_toks)) )`.
+    * High-PMI pairs are the multi-word units ("los angeles", "machine
+    * learning") a tokenizer or phrase-mining stage wants; the
+    * `minCount` floor is the standard guard against PMI's low-frequency
+    * bias.
+    *
+    * Shape at scale: two linear explodes over the corpus (token census +
+    * adjacent-pair census), both map-side-combining group-bys; the joins
+    * attach unigram counts to the DISTINCT pair table (post-aggregate,
+    * so no row fan-out), and the two corpus constants broadcast as 1-row
+    * aggregates. Returns (a, b, c_ab, pmi).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+    val tokRows = docs.select(explode(toks).alias("w"))
+    val uni = tokRows.groupBy(col("w")).agg(count(lit(1)).alias("c"))
+    val nt = uni.agg(sum(col("c")).alias("nt"))
+    val pairRows = docs
+      .select(toks.alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), col("__n") - 1),
+        slice(col("__toks"), lit(2), col("__n") - 1),
+        (a, b) => struct(a.alias("a"), b.alias("b")))).alias("pr"))
+      .select(col("pr.a").alias("a"), col("pr.b").alias("b"))
+    val pc = pairRows.groupBy(col("a"), col("b")).agg(count(lit(1)).alias("c_ab"))
+    val np = pc.agg(sum(col("c_ab")).alias("np"))
+    // single fraction, left-to-right products — the exact expression the
+    // oracle evaluates, so the rounded PMI replays bit-for-bit (counts
+    // stay < 2^53 as doubles)
+    pc.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").alias("a"), col("c").alias("__ca")), Seq("a"))
+      .join(uni.select(col("w").alias("b"), col("c").alias("__cb")), Seq("b"))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(np))
+      .select(col("a"), col("b"), col("c_ab"),
+        Rounding.roundAway(log(
+          (col("c_ab").cast("double") * col("nt") * col("nt")) /
+            (col("np").cast("double") * col("__ca") * col("__cb"))), 6).alias("pmi"))
+  }
+
   /** The conjunctive n-gram repetition gate with Gopher's published
     * thresholds (Table A1): top-2-gram chars <= 0.20, top-3 <= 0.18,
     * top-4 <= 0.16; duplicate 5..10-gram chars <= 0.15/0.14/0.13/0.12/

@@ -205,6 +205,43 @@ class OpsSpec extends SparkSpecBase {
     assert(out(12L) == 1L && out(13L) == 1L && out(14L) == 1L)
   }
 
+  test("pmiCollocations: the repeated adjacent pair outranks chance pairs") {
+    val corpus = Seq(
+      (0L, "new york is big"),
+      (1L, "new york has people and new york has rain"),
+      (2L, "the city is big and the city is loud")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(corpus, "text", minCount = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // only (new, york) occurs 3+ times adjacently
+    assert(out.keySet == Set(("new", "york")))
+    val (cAb, pmi) = out(("new", "york"))
+    assert(cAb == 3L)
+    // replay: nt = 22 tokens, np = 19 pairs, c(new) = c(york) = 3
+    val expect = math.log((3.0 * 22 * 22) / (19.0 * 3 * 3))
+    assert(math.abs(pmi - expect) < 1e-6)
+  }
+
+  test("ivfTopKJoin excludeSelf builds a kNN graph with no self edges") {
+    val vecs = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (indexed, cents) = Similarity.buildIvfIndex(vecs, "embedding", "vec_id",
+      nCells = 4)
+    val queries = vecs.select(col("vec_id").alias("qid"), col("embedding"))
+    val edges = Similarity.ivfTopKJoin(indexed, cents, queries, "embedding",
+        "qid", "embedding", "vec_id", k = 2, nProbe = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.length == 24) // 12 nodes × k=2, three per axis
+    assert(edges.forall { case (q, n, _) => q != n })
+    // axis-aligned construction: a node's top neighbors share its axis
+    edges.foreach { case (q, n, cos) =>
+      assert(n % 4 == q % 4, s"node $q linked off-axis to $n")
+      assert(cos > 0.99)
+    }
+  }
+
   test("rrfFuse sums 1/(k+rank) across lists and cuts each list at depth") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val l1 = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "s")
