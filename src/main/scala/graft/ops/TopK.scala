@@ -40,4 +40,29 @@ object TopK {
     }
     Bridge.ofRows(spark, GroupedTopKPlan(groupExprs, analyzedSort.order, k, child))
   }
+
+  /** Approximate top-FRACTION gate per group: keep rows whose score clears
+    * their group's (1 − `fraction`) quantile, computed once per group with
+    * `percentile_approx` and joined back. This is the scale form of the
+    * per-group rank-window quartile gate (`q_quality_gate`): the rank form
+    * sorts every group in full, so one giant group (English, in a
+    * language-partitioned corpus) funnels through one partition's sort —
+    * the threshold form replaces that with a map-side-combining sketch
+    * aggregate (bounded state per group) plus a join the optimizer
+    * broadcasts when the group table is small. Boundary behavior is
+    * approximate by construction: rows tied with the estimated quantile
+    * all pass, and the estimate itself carries `percentile_approx`
+    * accuracy error — callers needing an exact cut use the rank gate.
+    */
+  def fractionGate(df: DataFrame, groups: Seq[String], scoreCol: String,
+      fraction: Double, accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    import org.apache.spark.sql.functions._
+    val thr = df.groupBy(groups.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(1 - fraction), lit(accuracy))
+        .alias("__thr"))
+    df.join(thr, groups)
+      .where(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

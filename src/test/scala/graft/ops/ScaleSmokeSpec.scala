@@ -246,4 +246,50 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(n <= seedsN.toLong * 5 && n > seedsN.toLong, s"$n rows for $seedsN seeds")
     assert(got.agg(max("depth")).head().getInt(0) == 4)
   }
+
+  test("semantic dedup on 20k vectors / 16 clusters: closed-form survivors") {
+    // member(id) = e[id%16] + 0.5·e[16 + (id/16)%16]: 256 distinct
+    // directions, ~78 IDENTICAL members each (organic dups by design).
+    // Same cluster, different direction → cosine = 1/1.25 = 0.8 < 0.95;
+    // same direction → cosine 1. So survivors = exactly the min id per
+    // direction = ids 0..255, each in cluster id%16 — while the prune
+    // stays cluster-bounded (16 × C(1250,2) ≈ 12.5M candidate pairs, vs
+    // C(20000,2) ≈ 200M all-pairs).
+    val n = 20000
+    val mkVec = udf { (id: Long) =>
+      val a = (id % 16).toInt
+      val s = 16 + ((id / 16) % 16).toInt
+      Array.tabulate(32)(d => if (d == a) 1.0 else if (d == s) 0.5 else 0.0)
+    }
+    val members = spark.range(n).select(col("id").alias("vec_id"),
+      mkVec(col("id")).alias("v"))
+    val mkSeed = udf { (i: Long) =>
+      Array.tabulate(32)(d => if (d == i.toInt) 1.0 else 0.0)
+    }
+    val seeds = spark.range(16).select(col("id").alias("seed_id"),
+      mkSeed(col("id")).alias("sv"))
+    val out = Dedup.semanticDedup(members, "v", "vec_id", seeds, "seed_id", "sv",
+        minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 256, s"survivors: ${out.length}")
+    assert(out.map(_._1).sorted.toSeq == (0L until 256L), "min-id survivors")
+    assert(out.forall { case (id, cl) => cl == id % 16 }, "cluster = main axis")
+  }
+
+  test("fractionGate threshold join tracks the exact rank gate on a skewed group") {
+    // one giant group (the regime where the rank window's single-group
+    // sort hurts) plus a small one; distinct scores, so the approximate
+    // quantile threshold must land within sketch accuracy of the exact cut
+    val df = spark.range(1000000).select(
+      when(col("id") < 990000, lit("en")).otherwise(lit("kl")).alias("lang"),
+      col("id").alias("doc_id"),
+      (pmod(col("id") * 2654435761L, lit(1000003)).cast("double") / 1000003)
+        .alias("quality"))
+    val kept = TopK.fractionGate(df, Seq("lang"), "quality", fraction = 0.25)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact quartile: 247500 / 2500; allow 1% sketch slack
+    assert(math.abs(kept("en") - 247500L) < 2500, s"en kept ${kept("en")}")
+    assert(math.abs(kept("kl") - 2500L) < 100, s"kl kept ${kept("kl")}")
+  }
 }
