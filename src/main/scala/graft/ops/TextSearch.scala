@@ -76,6 +76,89 @@ object TextSearch {
       .agg(sum(col("term_score")).alias("score"))
   }
 
+  /** Build and persist the inverted index for [[bm25FromIndex]]: one
+    * postings table `(idCol, dl, term, tf)` Hive-partitioned by
+    * `__tb = hash(term) % buckets`, plus a 1-row `__meta` table carrying
+    * the corpus constants (n_docs, avgdl, buckets) and a committed flag.
+    * This is the text twin of the persisted IVF index: the corpus-wide
+    * tokenize + posting shuffle is paid ONCE here, and every query then
+    * reads only its terms' bucket directories — PartitionFilters pruning
+    * instead of a corpus scan per query.
+    *
+    * Same two-phase commit discipline as [[DedupIndex.persistFromShingles]]:
+    * meta is marked uncommitted before the data swap and committed after,
+    * so a crash mid-rebuild fails probes loudly instead of silently
+    * scoring fresh postings with stale corpus constants. The pre-write
+    * `repartition(__tb)` collapses each bucket to few files.
+    */
+  def persistPostings(store: graft.engine.TableStore, table: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val withDl = docs.select(col(idCol), dl.alias("dl"), col(textCol))
+      .where(col("dl") > 0)
+    // 1-row driver state, like every persisted index's meta
+    val st = withDl.agg(count(lit(1)).alias("n_docs"), avg(col("dl")).alias("avgdl"))
+      .head()
+    def metaRow(committed: Boolean) =
+      Seq((st.getLong(0), st.getDouble(1), buckets, committed))
+        .toDF("n_docs", "avgdl", "buckets", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    val postings = withDl
+      .select(col(idCol), col("dl"),
+        explode(split(lower(col(textCol)), "\\s+")).alias("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+      .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
+    store.replacePartitioned(table, postings.repartition(col("__tb")), Seq("__tb"))
+    store.replace(table + "__meta", metaRow(committed = true))
+  }
+
+  /** BM25 against the PERSISTED index — numerically identical to [[bm25]]
+    * (same tokenization, same Lucene "+1" idf, df recomputed exactly as
+    * the count of the term's postings), but the per-query cost is the
+    * pruned read: the query's terms hash to their buckets (computed in a
+    * tiny local projection, no corpus job) and become a partition
+    * IN-filter, so the scan touches ≤ |terms| of the `buckets`
+    * directories. df comes from a window over the already-pruned posting
+    * rows; the corpus constants are literals off the 1-row meta.
+    */
+  def bm25FromIndex(store: graft.engine.TableStore, table: String,
+      idCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val meta = store.read(table + "__meta").head()
+    require(meta.getAs[Boolean]("committed"),
+      s"text index '$table' has an uncommitted rebuild — re-run persistPostings")
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = meta.getAs[Double]("avgdl")
+    val buckets = meta.getAs[Int]("buckets")
+    val posts = store.read(table)
+    val sp = posts.sparkSession
+    import sp.implicits._
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // replicate hash(term) % buckets through Spark itself (local relation,
+    // no distributed job) rather than reimplementing Murmur3 driver-side
+    val tbs = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).alias("__tb"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    posts
+      .where(col("__tb").isInCollection(tbs) && col("term").isInCollection(terms))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).alias("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
     * rank fusion outperforms Condorcet and individual rank learning
     * methods"): combine ranked lists into one ranking by summing

@@ -178,4 +178,9 @@ class PlanSpec extends SparkSpecBase {
     val pruned = formattedPlan("q_similarity_ivf_pruned")
     assert(pruned.contains("PartitionFilters") && pruned.contains("__cell"), pruned)
   }
+
+  test("q_bm25_indexed prunes the postings scan to the query terms' buckets") {
+    val plan = formattedPlan("q_bm25_indexed")
+    assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
+  }
 }

@@ -205,6 +205,18 @@ class OpsSpec extends SparkSpecBase {
     assert(out(12L) == 1L && out(13L) == 1L && out(14L) == 1L)
   }
 
+  test("persisted BM25 index: probe equals the in-memory scorer") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-textidx"))
+    TextSearch.persistPostings(store, "idx", docs, "text", "doc_id", buckets = 8)
+    val terms = Seq("fox", "spark")
+    val fromIdx = TextSearch.bm25FromIndex(store, "idx", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val direct = TextSearch.bm25(docs, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fromIdx == direct) // bit-identical: same expressions, same constants
+    assert(fromIdx.nonEmpty)
+  }
+
   test("pmiCollocations: the repeated adjacent pair outranks chance pairs") {
     val corpus = Seq(
       (0L, "new york is big"),
