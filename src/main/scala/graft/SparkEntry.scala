@@ -1831,6 +1831,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
     }),
 
+    "q_knn_communities" -> ((s, dir) => {
+      // COMMUNITIES over the kNN graph: the q_knn_graph edge list feeds
+      // two rounds of determinized label propagation (most-frequent
+      // neighbor label, ties to the smaller id) — semantic clusters
+      // without a trained model, the embedding-space counterpart of
+      // connected components. Fixed iterations + deterministic ties =
+      // the oracle unrolls both rounds as plain SQL (all-integer: no
+      // float hazard anywhere past the edge list).
+      val e = T(s, dir, "embeddings")
+      val queries = e.select(col("vec_id").alias("qid"), col("embedding"))
+      val (indexed, cents) = Similarity.buildIvfIndex(e, "embedding", "vec_id",
+        nCells = 8)
+      val edges = Similarity.ivfTopKJoin(indexed, cents, queries, "embedding",
+          "qid", "embedding", "vec_id", k = 3, nProbe = 8, excludeSelf = true)
+        .select(col("qid").alias("src"), col("vec_id").alias("dst"))
+      graft.ops.Graph.labelPropagation(edges, iterations = 2)
+        .orderBy(col("node"))
+    }),
+
     "q_similarity_join_persisted" -> ((s, dir) => {
       // the batch ANN join against the PERSISTED session index: the
       // batch's distinct probe-cell union becomes a partition IN-filter
@@ -3698,6 +3717,36 @@ object SparkEntry {
         |  FROM c)
         |SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
+
+    "q_knn_communities" ->
+      // the q_knn_graph edges, symmetrized, then BOTH label-propagation
+      // rounds unrolled (mode = count DESC then smaller label — the
+      // engine's struct-max rule) — integer-exact end to end
+      """WITH c AS (SELECT q.vec_id AS qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c),
+        |e AS (SELECT qid AS a, vec_id AS b FROM r WHERE rn <= 3),
+        |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |s1 AS (SELECT u.a AS node, l.label AS nl, count(*) AS c1
+        |  FROM und u JOIN l0 l ON u.b = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, nl AS label FROM (
+        |  SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY c1 DESC, nl) AS rn1
+        |  FROM s1) WHERE rn1 = 1),
+        |s2 AS (SELECT u.a AS node, l.label AS nl, count(*) AS c2
+        |  FROM und u JOIN l1 l ON u.b = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, nl AS label FROM (
+        |  SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY c2 DESC, nl) AS rn2
+        |  FROM s2) WHERE rn2 = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
     "q_similarity_join_persisted" ->
       // identical windowed brute-force replay; the corpus is the full

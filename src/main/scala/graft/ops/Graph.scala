@@ -267,6 +267,52 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007, "Near
+    * linear time algorithm to detect community structures in large-scale
+    * networks"), determinized: every node starts labeled with its own id,
+    * and each round adopts the MOST FREQUENT label among its neighbors,
+    * ties broken toward the smaller label. The deterministic tie rule
+    * (the published algorithm breaks ties randomly) is what makes the
+    * result exactly replayable — and for a fixed `iterations` the whole
+    * run is a closed form an oracle can unroll.
+    *
+    * `edges` is an undirected edge list (one direction per pair; the op
+    * symmetrizes). Each round is one equi-join keyed by node plus one
+    * counted group-by — the same per-round cost envelope as
+    * [[connectedComponents]] — and the per-node mode is an aggregate max
+    * over (count, -label) structs, so no per-node sort and no window over
+    * the full graph. Nodes with no neighbors keep their own label.
+    *
+    * Output: (node, label). Communities = nodes sharing a label; unlike
+    * [[connectedComponents]] the label partitions DENSE regions, so on a
+    * kNN graph it yields clusters, not just connectivity.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0)
+    val directed = edges.select(col(srcCol).cast("long").alias("a"),
+      col(dstCol).cast("long").alias("b"))
+    val und = directed.unionByName(
+        directed.select(col("b").alias("a"), col("a").alias("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("a").alias("node")).distinct()
+      .select(col("node"), col("node").alias("label"))
+    for (_ <- 0 until iterations) {
+      labels = und
+        .join(labels.select(col("node").alias("b"), col("label").alias("__nl")), "b")
+        .groupBy(col("a"), col("__nl"))
+        .agg(count(lit(1)).alias("__c"))
+        // lexicographic struct max = (highest count, then smallest label);
+        // one aggregate, no per-node window sort
+        .groupBy(col("a").alias("node"))
+        .agg(max(struct(col("__c"), (-col("__nl")).alias("__neg"))).alias("__m"))
+        .select(col("node"), (-col("__m.__neg")).alias("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Same result as [[reachWithin]] when walk multiplicity stays bounded
     * (trees and low-fan-in DAGs): the expansion unrolls into ONE
     * declarative plan — no per-round caching, convergence probes, or

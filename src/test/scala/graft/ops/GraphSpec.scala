@@ -156,4 +156,22 @@ class GraphSpec extends SparkSpecBase {
       .select("rank").as[Double].collect()
     assert(uniform.forall(r => math.abs(r - 0.25) < 1e-15))
   }
+
+  test("label propagation splits two triangles joined by a bridge") {
+    import spark.implicits._
+    // hand-traced under the deterministic min-tie rule: after 3 rounds
+    // triangle A converges to label 0 and triangle B to label 2 — the
+    // bridge edge (2,10) does NOT merge them (unlike connectedComponents,
+    // which would)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L), s"triangle A: $got")
+    assert(Set(10L, 11L, 12L).map(got) == Set(2L), s"triangle B: $got")
+    // zero iterations: every node keeps itself
+    val id0 = Graph.labelPropagation(edges, iterations = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(id0.forall { case (n, l) => n == l })
+  }
 }
