@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Names, NestedRewrite}
-import graft.ops.{Dedup, Multimodal, Quantization, Rounding, SetSketch, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantization, Rounding, SetSketch, Similarity, TextAnalysis, TextClassify}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1162,6 +1162,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_triangle_count" -> ((s, dir) => {
+      // per-node triangle counts via the degree-ordered wedge join (Suri
+      // & Vassilvitskii 2011) on the DIV-8 clique fixture — every member
+      // of an n-clique closes C(n-1,2) triangles. The oracle enumerates
+      // a<b<c triples generically (three joins over the same edge CTE),
+      // so the check does not depend on the clique closed form.
+      val keys = T(s, dir, "orders").select(col("o_orderkey"))
+        .where(col("o_orderkey") < 2000)
+      val a = keys.select(col("o_orderkey").alias("src"),
+        expr("o_orderkey DIV 8").alias("b"))
+      val bb = keys.select(col("o_orderkey").alias("dst"),
+        expr("o_orderkey DIV 8").alias("b"))
+      val edges = a.join(bb, "b").where(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
+
     "q_reachability" -> ((s, dir) => {
       // bounded-depth BFS over a derived key hierarchy (child k -> parent
       // k/2), seeds = every 97th order: ancestors within 3 hops with
@@ -1628,6 +1645,24 @@ object SparkEntry {
           "doc_id", minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      // dedup AUDIT: the near-dup cluster-size histogram a corpus owner
+      // reads before picking a threshold (how much mass sits in pairs vs
+      // boilerplate mega-clusters). Verified minhash pairs → min-label
+      // connected components → two counted aggregates (cluster sizes,
+      // then the histogram). The oracle replays pairs exactly and runs
+      // the recursive-CTE min-rep closure.
+      val pairs = Dedup.minhashCandidatesFromShingles(
+        ops.Features.docShingles(s, dir), "doc_id", k = 64, bands = 16,
+        minJaccard = 0.7)
+      val nodes = pairs.select(col("id_a").alias("id"))
+        .unionByName(pairs.select(col("id_b").alias("id"))).distinct()
+      graft.ops.Graph.connectedComponents(nodes, pairs)
+        .groupBy(col("rep")).agg(count(lit(1)).alias("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).alias("n_clusters"))
+        .orderBy(col("csize"))
+    }),
+
     "q_dedup_containment" -> ((s, dir) => {
       // asymmetric EXCERPT dedup: the first 25 whole tokens of every 50th
       // English doc are planted as standalone docs — their shingle sets
@@ -2076,6 +2111,36 @@ object SparkEntry {
         .select(col("doc_id"),
           Rounding.roundAway(col("cross_entropy"), 6).alias("cross_entropy"))
         .orderBy(col("doc_id"))),
+
+    "q_nb_classify" -> ((s, dir) => {
+      // self-trained multinomial Naive Bayes language classifier: train on
+      // the even-id half of the corpus (labels = lang), score the odd-id
+      // half — model, priors, and scoring all inside one logical plan
+      // (token-keyed censuses + an equi-join; class/prior frames
+      // broadcast). DuckDB replays the censuses, the add-one smoothing,
+      // and the rounded argmax exactly. (The synthetic fixture's lang
+      // labels are independent of its shared word-salad vocabulary, so
+      // predictions hover near the class prior — the gate here is the
+      // exact train+score replay, not fixture accuracy.)
+      val docs = T(s, dir, "documents")
+      TextClassify.naiveBayes(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "text", "lang", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR data selection: importance weight of every document under
+      // two hashed-unigram models (target = the English slice, raw = the
+      // whole corpus) — two bucket censuses, a 64-row model table, one
+      // equi-join. DuckDB replays the shared rolling-hash bucket fragment
+      // and the smoothed log-ratio sum exactly.
+      val docs = T(s, dir, "documents")
+      TextClassify.dsirWeights(docs, docs.where(col("lang") === "en"),
+        "text", "doc_id", dims = 64)
+        .orderBy(col("doc_id"))
+    }),
 
     "q_text_pmi" -> ((s, dir) =>
       // collocation mining: PMI over adjacent token pairs (c_ab >= 5) —
@@ -2828,6 +2893,20 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 4000
         |ORDER BY id""".stripMargin,
 
+    "q_triangle_count" ->
+      // generic triple enumeration over the clique-bucket edges: a<b<c
+      // with all three edges present, then per-member counts
+      """WITH k AS (SELECT o_orderkey AS id, o_orderkey // 8 AS bk
+        |  FROM orders WHERE o_orderkey < 2000),
+        |e AS (SELECT x.id AS a, y.id AS b FROM k x JOIN k y
+        |  ON x.bk = y.bk AND x.id < y.id),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY node ORDER BY node""".stripMargin,
+
     "q_reachability" ->
       """WITH RECURSIVE reach(seed, node, depth) AS (
         |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
@@ -3421,6 +3500,28 @@ object SparkEntry {
          |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          |    / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster_sizes" ->
+      // the q_dedup_minhash pair set, then the min-rep recursive closure
+      // and the size histogram
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.7),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |cs AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize FROM rep GROUP BY rep)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters FROM cs
+         |GROUP BY csize ORDER BY csize""".stripMargin,
 
     "q_dedup_index_ingest" ->
       // full replay of the incremental ingest decision: (1) identical
@@ -4072,6 +4173,69 @@ object SparkEntry {
         |  FROM p2 JOIN bi USING (prev, tok) JOIN uni USING (prev), v)
         |SELECT doc_id, round(-avg(lp), 6) AS cross_entropy
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_nb_classify" ->
+      // same normalization; token-class census, derived class totals and
+      // vocabulary, add-one smoothing, rounded log-posterior argmax with
+      // ties to the smaller label
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+        |trtok AS (SELECT lang AS cls, unnest(tk) AS tok FROM tr),
+        |tc AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS c FROM trtok GROUP BY 1, 2),
+        |nl AS (SELECT cls, CAST(sum(c) AS BIGINT) AS n_c FROM tc GROUP BY 1),
+        |vt AS (SELECT DISTINCT tok FROM tc),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vt),
+        |dt AS (SELECT CAST(count(*) AS BIGINT) AS d FROM tr),
+        |pri AS (SELECT lang AS cls, ln(CAST(count(*) AS DOUBLE) / dt.d) AS lprior
+        |  FROM tr, dt GROUP BY lang, dt.d),
+        |grid AS (SELECT vt.tok, nl.cls,
+        |    ln((COALESCE(tc.c, 0) + 1.0::DOUBLE) / (nl.n_c + v.v)) AS lp
+        |  FROM vt CROSS JOIN nl LEFT JOIN tc ON tc.tok = vt.tok AND tc.cls = nl.cls, v),
+        |tetok AS (SELECT doc_id, unnest(tk) AS tok FROM te),
+        |sums AS (SELECT t.doc_id, g.cls, sum(g.lp) AS s
+        |  FROM tetok t JOIN grid g ON g.tok = t.tok GROUP BY 1, 2),
+        |sc AS (SELECT te.doc_id, te.lang, p.cls,
+        |    round(COALESCE(s.s, 0) + p.lprior, 6) AS score
+        |  FROM te CROSS JOIN pri p
+        |  LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.cls = p.cls)
+        |SELECT doc_id, lang, cls AS pred, score FROM (
+        |  SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cls) AS rn FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      // the shared rolling-hash bucket fragment (mod 64), per-doc and
+      // corpus/target censuses, the smoothed 64-row log-ratio model, and
+      // the weighted sum
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang, CAST((
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 64 AS INT) AS b
+        |  FROM toks),
+        |rawr AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM tb GROUP BY 1, 2),
+        |rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM rawr GROUP BY 1),
+        |tcen AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+        |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+        |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tcen),
+        |model AS (SELECT CAST(r.range AS INT) AS b,
+        |    ln((COALESCE(tcen.ct, 0) + 1.0::DOUBLE) / (nt.nt + 64))
+        |    - ln((COALESCE(rc.cr, 0) + 1.0::DOUBLE) / (nr.nr + 64)) AS lr
+        |  FROM range(64) r LEFT JOIN rc ON rc.b = r.range LEFT JOIN tcen ON tcen.b = r.range, nr, nt)
+        |SELECT rawr.doc_id, round(sum(rawr.n * m.lr), 6) AS weight
+        |FROM rawr JOIN model m ON m.b = rawr.b
+        |GROUP BY rawr.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_pmi" ->
       // token + adjacent-pair censuses over the same tokenization, then

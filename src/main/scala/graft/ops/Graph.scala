@@ -313,6 +313,56 @@ object Graph {
     labels
   }
 
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering / community-density signal (and the sum/3 is the global
+    * triangle count). Degree-ordered wedge join (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer"):
+    * orient every edge from the lower (degree, id) endpoint to the
+    * higher, generate wedges only at each node's OUT-neighbors, and close
+    * them against the canonical edge set. The orientation is a total
+    * order, so each triangle materializes exactly one wedge — no
+    * triple-counting, and the wedge fan-out is bounded by out-degree²
+    * where out-degree is O(√m) even for hub nodes: the skew mitigation
+    * that makes this survive power-law graphs at 100 TB. All three stages
+    * are equi-joins (on node, then on the wedge's endpoint pair); nothing
+    * is ever keyed all-pairs.
+    *
+    * Output: (node, n_triangles) for nodes in at least one triangle.
+    */
+  def triangleCounts(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    // canonical undirected edges (a < b), self-loops and duplicates dropped;
+    // reused by both the orientation and the closure join
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").alias("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").alias("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(explode(array(col("a"), col("b"))).alias("n"))
+      .groupBy(col("n")).agg(count(lit(1)).alias("d"))
+    val oriented = canon
+      .join(deg.select(col("n").alias("a"), col("d").alias("__da")), Seq("a"))
+      .join(deg.select(col("n").alias("b"), col("d").alias("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db")
+            || (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").alias("u"), col("b").alias("v")))
+          .otherwise(struct(col("b").alias("u"), col("a").alias("v"))).alias("e"))
+      .select(col("e.u").alias("u"), col("e.v").alias("v"))
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").alias("u"), col("e1.v").alias("v"),
+        col("e2.v").alias("w"))
+    val closed = wedges.join(canon,
+      least(col("v"), col("w")) === col("a")
+        && greatest(col("v"), col("w")) === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    closed.select(explode(array(col("u"), col("v"), col("w"))).alias("node"))
+      .groupBy(col("node")).agg(count(lit(1)).alias("n_triangles"))
+  }
+
   /** Same result as [[reachWithin]] when walk multiplicity stays bounded
     * (trees and low-fan-in DAGs): the expansion unrolls into ONE
     * declarative plan — no per-round caching, convergence probes, or

@@ -19,4 +19,10 @@ object Rounding {
     val f = lit(math.pow(10.0, n))
     when(c >= 0, floor(c * f + 0.5)).otherwise(-floor(-c * f + 0.5)) / f
   }
+
+  /** Driver-side scalar twin of [[roundAway]], for spec expectations. */
+  def roundAwayDouble(v: Double, n: Int): Double = {
+    val f = math.pow(10.0, n)
+    (if (v >= 0) math.floor(v * f + 0.5) else -math.floor(-v * f + 0.5)) / f
+  }
 }

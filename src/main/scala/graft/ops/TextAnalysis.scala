@@ -471,6 +471,21 @@ object TextAnalysis {
     (text: Column) => f(text)
   }
 
+  /** Bucket index of a single (already-normalized) token under the SAME
+    * double polynomial hash + odd-multiplier mix as [[hashedTfVector]],
+    * but as a scalar Column expression — the form a sparse pipeline uses
+    * after exploding tokens to rows (one bucket per token row, no dense
+    * vector materialized). Oracles replay it with the shared
+    * `list_reduce` rolling-hash SQL fragment.
+    */
+  def tokenBucket(tok: Column, dims: Int): Column = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val chars = filter(split(tok, ""), c => length(c) > 0)
+    val h1 = aggregate(chars, lit(0L), (a, c) => pmod(a * 257 + ascii(c), lit(1000000007L)))
+    val h2 = aggregate(chars, lit(0L), (a, c) => pmod(a * 263 + ascii(c), lit(998244353L)))
+    pmod(h1 * 31 + h2, lit(dims.toLong)).cast("int")
+  }
+
   /** Hashed TF-IDF in SPARSE form: one `(idCol, j, weight)` row per
     * non-zero bucket of each document's [[hashedTfVector]], weighted by
     * smoothed inverse document frequency (`ln((N+1)/(df+1)) + 1`, the

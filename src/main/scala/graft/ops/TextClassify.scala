@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Self-trained text classification and data-selection scoring — the
+  * model-assisted filtering stages of a training-data pipeline (quality
+  * classifiers a la GPT-3/LLaMA webtext filters, importance weighting a la
+  * DSIR) expressed entirely as DataFrame aggregations: the "model" is a
+  * handful of counted group-bys, the "inference" is an equi-join, and both
+  * fit the same one-pass, shuffle-by-token shape as the rest of the text
+  * family. No external artifact, no driver-side training loop.
+  *
+  * Shape at scale: every census is a map-side-combining group-by keyed by
+  * token (or hash bucket); model tables are vocabulary-sized, never
+  * corpus-sized; corpus constants ride as 1-row broadcasts; scoring joins
+  * the test corpus's token rows against the model table on the token key
+  * — linear in corpus tokens, fanned out only by the (tiny) label set.
+  */
+object TextClassify {
+
+  /** The text-family tokenization: lower-case, strip non-alphanumerics,
+    * whitespace-split (same normalization as [[TextAnalysis.bigramLmScore]]
+    * so oracles replay it with one regex).
+    */
+  private def normToks(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+
+  /** Multinomial Naive Bayes with add-one (Laplace) smoothing, trained and
+    * scored in ONE logical plan (McCallum & Nigam 1998, "A Comparison of
+    * Event Models for Naive Bayes Text Classification"). For each class c
+    * and in-vocabulary token w:
+    *
+    *   log p(w|c) = ln( (count(w,c) + 1) / (N_c + |V|) )
+    *   score(d,c) = ln(D_c / D) + SUM_{w in d, w in V} log p(w|c)
+    *
+    * Out-of-vocabulary test tokens are dropped (the standard convention:
+    * they carry the same smoothed mass in every class, so they only shift
+    * all scores equally). Returns one row per test document:
+    * (idCol, labelCol, pred, score) with `pred` the argmax class (ties to
+    * the lexicographically smaller label) and `score` its rounded log
+    * posterior — so a misclassification is visible against the true label.
+    *
+    * Shape at scale: the token-class census is one explode + counted
+    * group-by over the train corpus; class totals and priors DERIVE from
+    * it (no second scan); the smoothed model grid is |V| x |classes| built
+    * by crossing the vocabulary with the (tiny, broadcast) class table;
+    * scoring joins test token rows on the token key — the only wide
+    * shuffles are keyed by token and by (doc, class), both well-distributed.
+    * The |V| x |classes| grid stays a fraction of corpus size for any real
+    * vocabulary; nothing is collected to the driver.
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame, textCol: String,
+      labelCol: String, idCol: String): DataFrame = {
+    val trainToks = train.select(col(labelCol).alias("__cls"),
+      normToks(col(textCol)).alias("__toks"))
+    val testToks = test.select(col(idCol), col(labelCol),
+      normToks(col(textCol)).alias("__toks"))
+
+    // token-class census; class token totals and the vocabulary both
+    // derive from it, so the train corpus is exploded exactly once
+    val tc = trainToks.select(col("__cls"), explode(col("__toks")).alias("__tok"))
+      .groupBy(col("__cls"), col("__tok"))
+      .agg(count(lit(1)).alias("__c"))
+    val classTotals = tc.groupBy(col("__cls")).agg(sum(col("__c")).alias("__n_c"))
+    val vocabRows = tc.select(col("__tok")).distinct()
+    val vocabSize = vocabRows.agg(count(lit(1)).alias("__v"))
+
+    // log priors from train document counts — a class-cardinality frame,
+    // broadcast everywhere it appears
+    val docTotal = trainToks.agg(count(lit(1)).alias("__d"))
+    val priors = trainToks.groupBy(col("__cls"))
+      .agg(count(lit(1)).alias("__d_c"))
+      .crossJoin(broadcast(docTotal))
+      .select(col("__cls"),
+        log(col("__d_c").cast("double") / col("__d")).alias("__lprior"))
+
+    // smoothed model grid: |V| x |classes|, absent (token, class) pairs
+    // get the pure-smoothing probability 1 / (N_c + V)
+    val grid = vocabRows
+      .crossJoin(broadcast(classTotals))
+      .join(tc, Seq("__tok", "__cls"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("__tok"), col("__cls"),
+        log((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+          (col("__n_c") + col("__v"))).alias("__lp"))
+
+    // per-(doc, class) likelihood sums over in-vocabulary token occurrences
+    val sums = testToks
+      .select(col(idCol), explode(col("__toks")).alias("__tok"))
+      .join(grid, Seq("__tok"))
+      .groupBy(col(idCol), col("__cls"))
+      .agg(sum(col("__lp")).alias("__s"))
+
+    // every test doc scores every class even with zero in-vocab tokens
+    // (priors alone decide) — hence the doc x class base, not the join
+    val scored = testToks.select(col(idCol), col(labelCol))
+      .crossJoin(broadcast(priors))
+      .join(sums, Seq(idCol, "__cls"), "left")
+      .select(col(idCol), col(labelCol), col("__cls"),
+        Rounding.roundAway(coalesce(col("__s"), lit(0.0)) + col("__lprior"), 6)
+          .alias("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("__cls"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("__cls").alias("pred"), col("score"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how target-like its hashed bag-of-tokens is under two
+    * add-one-smoothed unigram models,
+    *
+    *   w(d) = SUM_{b in buckets(d)} n_d(b) * ln( p_target(b) / p_raw(b) )
+    *
+    * with token-to-bucket hashing bounding both models to `dims` cells
+    * regardless of vocabulary (the hashing trick, Weinberger et al. 2009
+    * — same bucket function as [[TextAnalysis.hashedTfVector]] so the
+    * replay is shared). `target` is the in-domain exemplar set (clean
+    * wiki-like text, a curated eval set); `raw` is the corpus being
+    * selected from. High-weight documents are the ones importance
+    * resampling keeps.
+    *
+    * Deterministic selection: DSIR proper adds Gumbel noise before the
+    * top-k cut; this engine's sampling family keys all randomness to
+    * hashes, so callers who want the stochastic variant compose
+    * [[Sampling.weighted]] on the returned weights. Returned frame:
+    * (idCol, weight) for every raw document.
+    *
+    * Shape at scale: two bucket censuses (one per corpus, map-side
+    * combining, at most `dims` result rows each), one `dims`-row model
+    * table crossed from broadcast totals, and one equi-join of the raw
+    * corpus's (doc, bucket, n) rows against it — linear end-to-end, with
+    * model state bounded by `dims`, never by vocabulary.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, dims: Int = 1024): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    // (doc, bucket, n) rows for a corpus — the sparse hashed representation
+    def bucketRows(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) col(idCol) else lit(0L).alias(idCol)),
+        explode(normToks(col(textCol))).alias("__tok"))
+        .select(col(idCol),
+          TextAnalysis.tokenBucket(col("__tok"), dims).alias("__b"))
+      if (withId)
+        base.groupBy(col(idCol), col("__b")).agg(count(lit(1)).alias("__n"))
+      else base.groupBy(col("__b")).agg(count(lit(1)).alias("__n"))
+    }
+    val rawRows = bucketRows(raw, withId = true)
+    val rawCensus = rawRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__cr"))
+    val tgtCensus = bucketRows(target, withId = false)
+      .select(col("__b"), col("__n").alias("__ct"))
+    val rawTotal = rawCensus.agg(sum(col("__cr")).alias("__nr"))
+    val tgtTotal = tgtCensus.agg(sum(col("__ct")).alias("__nt"))
+    // dense dims-row model: absent buckets carry pure smoothing mass
+    val model = rawRows.sparkSession.range(0, dims)
+      .select(col("id").cast("int").alias("__b"))
+      .join(rawCensus, Seq("__b"), "left")
+      .join(tgtCensus, Seq("__b"), "left")
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) / (col("__nt") + lit(dims)))
+          - log((coalesce(col("__cr"), lit(0L)) + lit(1.0)) / (col("__nr") + lit(dims))))
+          .alias("__lr"))
+    rawRows.join(model, Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(Rounding.roundAway(sum(col("__n") * col("__lr")), 6).alias("weight"))
+  }
+}

@@ -174,4 +174,22 @@ class GraphSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(id0.forall { case (n, l) => n == l })
   }
+
+  test("triangleCounts: shared-edge triangles, a 4-clique hub, and triangle-free tails") {
+    import spark.implicits._
+    // {1,2,3} and {2,3,4} share edge (2,3); {10,11,12,13} is a 4-clique
+    // (each member in C(3,2)=3 triangles); (20,21) is an isolated edge and
+    // 5 hangs off node 1 — both triangle-free, so absent from the output.
+    // Edges arrive unordered/duplicated/reversed to exercise canonicalization.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (20L, 21L), (1L, 5L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L), s"got $got")
+    // 6 triangles total (2 shared-edge + C(4,3)=4 in the clique); each
+    // contributes to 3 nodes, so the per-node counts sum to 18
+    assert(got.values.sum == 18L)
+  }
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class TextClassifySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // two separable classes: "fruit" docs and "metal" docs share only the
+  // connective "and" — NB must recover the separation from counts alone
+  private def trainDocs = Seq(
+    (0L, "apple banana and cherry apple", "fruit"),
+    (2L, "banana cherry and apple", "fruit"),
+    (4L, "mango banana apple and", "fruit"),
+    (6L, "iron copper and zinc", "metal"),
+    (8L, "zinc iron copper copper", "metal")
+  ).toDF("id", "text", "label")
+
+  test("naiveBayes recovers a separable split and breaks prior ties deterministically") {
+    val test = Seq(
+      (1L, "apple banana", "fruit"),   // fruit evidence
+      (3L, "copper zinc iron", "metal"), // metal evidence
+      (5L, "and", "fruit"),            // shared token only -> prior decides
+      (7L, "", "metal")                // no tokens at all -> prior decides
+    ).toDF("id", "text", "label")
+
+    val out = TextClassify.naiveBayes(trainDocs, test, "text", "label", "id")
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(2)).toSeq ==
+      Seq(1L -> "fruit", 3L -> "metal", 5L -> "fruit", 7L -> "fruit"))
+    // prior-only rows: fruit has 3/5 docs, so ln(0.6) beats ln(0.4); the
+    // "and" doc additionally pays one smoothed token in each class
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(7L) == Rounding.roundAwayDouble(math.log(3.0 / 5.0), 6))
+    // every test doc appears exactly once even with zero in-vocab tokens
+    assert(out.length == 4)
+  }
+
+  test("naiveBayes hand-computed posterior: add-one smoothing over the derived vocabulary") {
+    val test = Seq((1L, "apple iron", "x")).toDF("id", "text", "label")
+    val out = TextClassify.naiveBayes(trainDocs, test, "text", "label", "id").collect()
+    assert(out.length == 1)
+    // train census: fruit tokens = 17-4=13? compute: doc0 5 toks, doc2 4, doc4 4 -> 13;
+    // metal: 4 + 4 -> 8; vocab = {apple,banana,and,cherry,mango,iron,copper,zinc} = 8
+    // fruit: c(apple)=4, c(iron)=0 -> ln(5/21) + ln(1/21) + ln(3/5)
+    // metal: c(apple)=0, c(iron)=2 -> ln(1/16) + ln(3/16) + ln(2/5)
+    val fruit = math.log(5.0 / 21) + math.log(1.0 / 21) + math.log(3.0 / 5)
+    val metal = math.log(1.0 / 16) + math.log(3.0 / 16) + math.log(2.0 / 5)
+    val expPred = if (metal > fruit) "metal" else "fruit"
+    assert(out.head.getString(2) == expPred)
+    assert(out.head.getDouble(3) ==
+      Rounding.roundAwayDouble(math.max(fruit, metal), 6))
+  }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    // raw corpus: half looks like the target distribution, half does not
+    val raw = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "apple cherry banana"),
+      (2L, "iron zinc copper iron"),
+      (3L, "zinc copper zinc")
+    ).toDF("id", "text")
+    val target = Seq((100L, "apple banana cherry apple banana"))
+      .toDF("id", "text")
+    val w = TextClassify.dsirWeights(raw, target, "text", "id", dims = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 4)
+    // fruit-docs must carry strictly higher importance than metal-docs
+    assert(math.min(w(0L), w(1L)) > math.max(w(2L), w(3L)))
+    // weights are finite and deterministic across evaluations
+    val w2 = TextClassify.dsirWeights(raw, target, "text", "id", dims = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == w2)
+  }
+
+  test("tokenBucket column form matches the hashedTfVector bucket assignment") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val dims = 64
+    // dense path: bucket counts from the UDF vector
+    val dense = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.hashedTfVector(dims)(col("text"))))
+      .where(col("col") > 0)
+      .select(col("doc_id"), col("pos").cast("int").alias("b"),
+        col("col").cast("long").alias("n"))
+    // sparse path: explode normalized tokens, bucket each with the Column fn
+    val toks = filter(
+      split(regexp_replace(lower(col("text")), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+    val sparse = docs.select(col("doc_id"), explode(toks).alias("tok"))
+      .select(col("doc_id"), TextAnalysis.tokenBucket(col("tok"), dims).alias("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).alias("n"))
+    assert(dense.orderBy("doc_id", "b").collect().toSeq ==
+      sparse.orderBy("doc_id", "b").collect().toSeq)
+  }
+}
