@@ -183,4 +183,25 @@ class PlanSpec extends SparkSpecBase {
     val plan = formattedPlan("q_bm25_indexed")
     assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
   }
+
+  test("q_triangle_count stays equi-join end-to-end (no cartesian wedge closure)") {
+    val plan = planOf("q_triangle_count")
+    // wedge generation joins on the shared low endpoint and the closure
+    // joins on the (least, greatest) endpoint pair — a cartesian or
+    // data-sized nested-loop here is the all-pairs failure mode
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("NB and DSIR scoring join on token/bucket keys, never all-pairs") {
+    for (q <- Seq("q_nb_classify", "q_dsir_weights")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // the only nested-loop joins are tiny broadcast scalar/class frames
+      // (NB: class totals, vocab size, doc total, priors — 4; DSIR: the
+      // two corpus totals), never two data-sized sides
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 4, s"$q grew a data-sized nested-loop join:\n$plan")
+    }
+  }
 }
