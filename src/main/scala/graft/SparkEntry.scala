@@ -1518,6 +1518,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_prepare_dsir" -> ((s, dir) => {
+      // the capstone with the DSIR selection gate active: quality +
+      // repetition filters, then importance weighting of the survivors
+      // against the in-domain exemplar slice (the corpus's English docs
+      // — large enough that smoothing does not swamp the target model);
+      // keep docs above a log-ratio floor of -0.2 (~the corpus median on
+      // this fixture — a realistic "keep the better half" cut).
+      // Dedup/decontamination are off so the oracle isolates the gate.
+      val docs = T(s, dir, "documents")
+      ops.CorpusPipeline.prepare(
+          docs.where(col("source") =!= "src0"),
+          ops.CorpusPipeline.Config(
+            minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
+            dsirTarget = Some(docs.where(col("lang") === "en")),
+            dsirMinWeight = -0.2, dsirDims = 64))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_prepare_gopher" -> ((s, dir) => {
       // the capstone with the GOPHER shape gate active (Config.gopher):
       // the paragraph-chunked corpus is decorated with bullet/ellipsis/
@@ -3312,6 +3331,67 @@ object SparkEntry {
          |FROM shc WHERE doc_id IN (SELECT doc_id FROM kept)
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_dsir" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality/repetition replay (as q_corpus_prepare), then the DSIR
+      // weight replay (as q_dsir_weights) with raw = the survivor set and
+      // target = the corpus's English slice; keep weight >= -0.2
+      s"""WITH raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+         |base AS (SELECT doc_id, text,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM raw),
+         |feat AS (SELECT doc_id, text,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base),
+         |surv AS (SELECT doc_id, text, quality FROM feat
+         |  WHERE quality >= 0.3 AND rep_ratio <= 0.95),
+         |rtok AS (SELECT doc_id, unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS tok FROM surv),
+         |ttok AS (SELECT unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents WHERE lang = 'en'),
+         |rb AS (SELECT doc_id, CAST((
+         |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+         |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 64 AS INT) AS b
+         |  FROM rtok),
+         |tb AS (SELECT CAST((
+         |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+         |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 64 AS INT) AS b
+         |  FROM ttok),
+         |rawr AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM rb GROUP BY 1, 2),
+         |rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM rawr GROUP BY 1),
+         |tcen AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY 1),
+         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+         |nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tcen),
+         |model AS (SELECT CAST(r.range AS INT) AS b,
+         |    ln((COALESCE(tcen.ct, 0) + 1.0::DOUBLE) / (nt.nt + 64))
+         |    - ln((COALESCE(rc.cr, 0) + 1.0::DOUBLE) / (nr.nr + 64)) AS lr
+         |  FROM range(64) r LEFT JOIN rc ON rc.b = r.range LEFT JOIN tcen ON tcen.b = r.range, nr, nt),
+         |w AS (SELECT rawr.doc_id, round(sum(rawr.n * m.lr), 6) AS weight
+         |  FROM rawr JOIN model m ON m.b = rawr.b GROUP BY 1)
+         |SELECT s.doc_id, s.quality FROM surv s JOIN w ON w.doc_id = s.doc_id
+         |WHERE w.weight >= -0.2 ORDER BY s.doc_id""".stripMargin
     },
 
     "q_corpus_prepare_gopher" -> {

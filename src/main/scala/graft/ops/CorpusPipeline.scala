@@ -48,6 +48,16 @@ object CorpusPipeline {
     *                     by the normalized cleaned text (lowercased,
     *                     punctuation stripped — the op's contract) and a
     *                     `removed_frac` column is appended
+    * @param dsirTarget   when set, apply DSIR importance selection
+    *                     ([[TextClassify.dsirWeights]]): weight every
+    *                     gate-surviving doc against this in-domain
+    *                     exemplar set and keep docs with
+    *                     weight >= `dsirMinWeight` — the "looks more like
+    *                     the target than the raw corpus" data-selection
+    *                     gate, running right after the perplexity gate
+    * @param dsirMinWeight inclusion threshold for the DSIR gate (log-ratio
+    *                     units; 0.0 = "more target-like than neutral")
+    * @param dsirDims     hashed-model size for the DSIR gate
     */
   case class Config(
       minQuality: Double = 0.3,
@@ -63,7 +73,10 @@ object CorpusPipeline {
       gopher: Boolean = false,
       gopherNgrams: Boolean = false,
       lmMaxCrossEntropy: Double = 0.0,
-      spanDedupK: Int = 0)
+      spanDedupK: Int = 0,
+      dsirTarget: Option[DataFrame] = None,
+      dsirMinWeight: Double = 0.0,
+      dsirDims: Int = 1024)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -168,13 +181,26 @@ object CorpusPipeline {
     // corpus itself (reading the annotate cache, not raw input), then a
     // semi-join keeps in-threshold docs — censuses and joins are all
     // keyed, nothing collects
-    val filtered =
+    val lmFiltered =
       if (cfg.lmMaxCrossEntropy > 0) {
         val keep = TextAnalysis.bigramLmScore(gateFiltered, cfg.textCol, cfg.idCol)
           .where(col("cross_entropy") <= cfg.lmMaxCrossEntropy)
           .select(col(cfg.idCol))
         gateFiltered.join(keep, Seq(cfg.idCol), "left_semi")
       } else gateFiltered
+    // DSIR selection gate: weight the survivors against the in-domain
+    // exemplar set (raw model = the survivor corpus itself, as DSIR
+    // prescribes) and semi-join the in-threshold ids — the same keyed,
+    // collect-free shape as the perplexity gate
+    val filtered = cfg.dsirTarget match {
+      case Some(target) =>
+        val keep = TextClassify.dsirWeights(lmFiltered, target,
+            cfg.textCol, cfg.idCol, cfg.dsirDims)
+          .where(col("weight") >= cfg.dsirMinWeight)
+          .select(col(cfg.idCol))
+        lmFiltered.join(keep, Seq(cfg.idCol), "left_semi")
+      case None => lmFiltered
+    }
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it

@@ -647,6 +647,38 @@ class OpsSpec extends SparkSpecBase {
     assert(kept == (1L to 8L), s"kept $kept")
   }
 
+  test("capstone DSIR gate keeps target-like docs and composes with the quality filter") {
+    // fruit docs resemble the target; metal docs do not; doc 9 is junk the
+    // quality filter removes before the DSIR model ever sees it
+    val corpus = Seq(
+      (0L, "the apple and the banana are in the orchard with a cherry for the picking today"),
+      (1L, "a banana and an apple sit by the cherry tree in the orchard on this morning"),
+      (2L, "the iron and the copper are in the furnace with a zinc ingot for the smelting today"),
+      (3L, "!!! ### $$$ %%% ^^^ &&&")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "apple banana cherry orchard apple banana cherry"))
+      .toDF("doc_id", "text")
+    // calibrate the floor the way a pipeline owner would: from the weight
+    // distribution itself (midpoint between the fruit and metal docs)
+    val w = TextClassify.dsirWeights(corpus.where(col("doc_id") < 3L), target,
+        "text", "doc_id", dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.min(w(0L), w(1L)) > w(2L), s"weights $w")
+    val cut = (math.min(w(0L), w(1L)) + w(2L)) / 2
+    val kept = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 1.0, dedupJaccard = 0,
+        dsirTarget = Some(target), dsirMinWeight = cut, dsirDims = 64))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L), s"kept $kept")
+    // a permissive floor admits the off-target doc too (the gate is a
+    // threshold, not a hard classifier); junk stays quality-filtered
+    val loose = CorpusPipeline.prepare(corpus,
+      CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 1.0, dedupJaccard = 0,
+        dsirTarget = Some(target), dsirMinWeight = -100.0, dsirDims = 64))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose == Seq(0L, 1L, 2L), s"kept $loose")
+  }
+
   test("capstone span cleanup strips shared boilerplate from the survivors") {
     val boiler = "subscribe to our newsletter for more updates"
     val corpus = Seq(
