@@ -669,6 +669,42 @@ object SparkEntry {
             .alias("cov_qp"))
         .orderBy(col("l_returnflag"))),
 
+    "q_anomaly_zscore" -> ((s, dir) => {
+      // per-entity anomaly flagging: each event's z-score against ITS OWN
+      // user's value distribution — one window shuffle keyed by user, the
+      // monitoring primitive for metric streams. Degenerate users (single
+      // event or zero variance) flag nothing rather than dividing by zero.
+      val w = Window.partitionBy(col("user_id"))
+      EV(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          avg(col("value")).over(w).alias("__mu"),
+          stddev(col("value")).over(w).alias("__sd"))
+        .select(col("event_id"), col("user_id"),
+          Rounding.roundAway(
+            when(col("__sd").isNull || col("__sd") === 0, lit(0.0))
+              .otherwise((col("value") - col("__mu")) / col("__sd")), 6).alias("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 2.5)
+        .orderBy(col("event_id"))
+    }),
+
+    "q_equidepth_hist" -> ((s, dir) =>
+      // equi-depth histogram (the optimizer-statistics / drift-monitoring
+      // primitive): ntile(8) over a deterministic total order, then one
+      // aggregate for per-bucket count and bounds. The ntile shuffle is a
+      // single global sort at bench scale; the 100 TB form swaps in
+      // percentile_approx cuts (cf. TopK.fractionGate) at the cost of
+      // exactness.
+      T(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(Window.orderBy(
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).alias("n"),
+          min(col("l_extendedprice")).alias("lo"),
+          max(col("l_extendedprice")).alias("hi"))
+        .orderBy(col("bucket"))),
+
     "q_agg_collect" -> ((s, dir) =>
       // collect_set is the operator under test; the sorted set is serialized
       // to one scalar so the driver's pandas compare can hash the column
@@ -2511,6 +2547,27 @@ object SparkEntry {
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      // same per-user mean/stddev window; stddev_samp on both sides
+      """SELECT event_id, user_id,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+        |    ELSE (value - mu) / sd END, 6) AS z,
+        |  abs(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+        |    ELSE round((value - mu) / sd, 6) END) > 2.5 AS is_anomaly
+        |FROM (SELECT event_id, user_id, value,
+        |    avg(value) OVER (PARTITION BY user_id) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_equidepth_hist" ->
+      """SELECT bucket, count(*) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM (SELECT l_extendedprice,
+        |    ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
