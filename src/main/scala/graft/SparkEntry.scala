@@ -222,6 +222,42 @@ object SparkEntry {
       |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
       |        FROM documents))""".stripMargin
 
+  /** One unrolled BPE round for the q_bpe_* oracles: the weighted
+    * adjacent-pair census over `v{n-1}`, its deterministic argmax as
+    * `m$n`, and the merged vocabulary as `v$n` — greedy left-to-right
+    * non-overlap (the exact [[graft.ops.Bpe.mergeOnce]] semantics),
+    * expressed POSITIONALLY: explode symbols to rows, then a merge can
+    * only chain into the next when left = right, so "merge-start" is
+    * `match AND (l <> r OR even offset within the equal-symbol run)` and
+    * "consumed" is `lag(merge-start)` — no sequential scan needed.
+    * (The natural struct-accumulator list_reduce form mis-evaluates in
+    * DuckDB 1.0 beyond small batches — property-tested against
+    * mergeOnce on 600 randomized sequences instead.)
+    */
+  private def bpeRoundSql(n: Int): String = {
+    val (vPrev, p, m) = (s"v${n - 1}", s"p$n", s"m$n")
+    s"""$p AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(f) AS BIGINT) AS c
+       |  FROM (SELECT f, unnest(list_transform(range(len(s) - 1),
+       |      i -> {'l': s[i+1], 'r': s[i+2]})) AS pr FROM $vPrev WHERE len(s) >= 2)
+       |  GROUP BY 1, 2),
+       |$m AS (SELECT l, r, c FROM $p ORDER BY c DESC, l, r LIMIT 1),
+       |x$n AS (SELECT w, f, pos, sym,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+       |    pos - row_number() OVER (PARTITION BY w, sym ORDER BY pos) AS isl
+       |  FROM (SELECT w, f, pos, s[pos + 1] AS sym
+       |    FROM (SELECT w, f, s, unnest(range(len(s))) AS pos FROM $vPrev))),
+       |y$n AS (SELECT w, f, pos, sym,
+       |    (sym = $m.l AND nxt = $m.r AND ($m.l <> $m.r OR
+       |      (pos - min(pos) OVER (PARTITION BY w, sym, isl)) % 2 = 0)) AS ms
+       |  FROM x$n, $m),
+       |v$n AS (SELECT w, f,
+       |    list(CASE WHEN ms THEN $m.l || $m.r ELSE sym END ORDER BY pos) AS s
+       |  FROM (SELECT w, f, pos, sym, ms,
+       |      coalesce(lag(ms) OVER (PARTITION BY w ORDER BY pos), false) AS cons
+       |    FROM y$n), $m
+       |  WHERE NOT cons GROUP BY w, f)""".stripMargin
+  }
+
   /** DuckDB per-language ngram-presence score over column `padded`
     * (mirrors TextAnalysis.languageId).
     */
@@ -2055,6 +2091,30 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).alias("n"))
         .orderBy(col("n").desc, col("tok"))
         .limit(50)),
+
+    "q_bpe_merges" -> ((s, dir) =>
+      // tokenizer induction: the first three BPE merge rules learned from
+      // the corpus's own word census (Sennrich et al. 2016) — one corpus
+      // scan, then vocabulary-bounded rounds with a 1-row argmax each.
+      // The oracle unrolls all three rounds in SQL, including the greedy
+      // non-overlapping merge rewrite and the lexicographic tie-break.
+      ops.Bpe.learnMergeTable(T(s, dir, "documents"), "text", numMerges = 3)
+        .orderBy(col("rank"))),
+
+    "q_bpe_vocab" -> ((s, dir) => {
+      // the induced subword vocabulary in use: segment the word census
+      // with the learned rules (rank-order replay, Bpe.segment) and count
+      // piece occurrences corpus-wide — equal, by construction, to the
+      // oracle's third-round vocabulary census, so the whole learn+apply
+      // loop is what's being checked.
+      val docs = T(s, dir, "documents")
+      val census = ops.Bpe.wordCensus(docs, "text")
+      val merges = ops.Bpe.learnMerges(census, 3)
+      census.select(col("freq"),
+          explode(ops.Bpe.segment(merges)(col("word"))).alias("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).alias("n"))
+        .orderBy(col("n").desc, col("piece")).limit(30)
+    }),
 
     "q_text_quality" -> ((s, dir) =>
       T(s, dir, "documents").select(col("doc_id"),
@@ -4074,6 +4134,39 @@ object SparkEntry {
         |  SELECT unnest(list_filter(str_split_regex(text, '\s+'), t -> len(t) > 0)) AS tok
         |  FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    "q_bpe_merges" ->
+      // word census -> char symbols + end marker -> three unrolled merge
+      // rounds (bpeRoundSql), then the ranked merge table
+      s"""WITH toks AS (SELECT unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS w FROM documents),
+         |census AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+         |v0 AS (SELECT w, f, list_append(list_filter(str_split(w, ''), c -> len(c) > 0),
+         |    '${ops.Bpe.EndMark}') AS s FROM census),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT rank, lhs, rhs, freq FROM (
+         |  SELECT 1 AS rank, l AS lhs, r AS rhs, c AS freq FROM m1
+         |  UNION ALL SELECT 2, l, r, c FROM m2
+         |  UNION ALL SELECT 3, l, r, c FROM m3)
+         |ORDER BY rank""".stripMargin,
+
+    "q_bpe_vocab" ->
+      // the third-round vocabulary census read off directly
+      s"""WITH toks AS (SELECT unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS w FROM documents),
+         |census AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+         |v0 AS (SELECT w, f, list_append(list_filter(str_split(w, ''), c -> len(c) > 0),
+         |    '${ops.Bpe.EndMark}') AS s FROM census),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT piece, CAST(sum(f) AS BIGINT) AS n
+         |FROM (SELECT f, unnest(s) AS piece FROM v3)
+         |GROUP BY piece ORDER BY n DESC, piece LIMIT 30""".stripMargin,
 
     "q_text_quality" -> {
       val stops = TextAnalysis.stopwordsSql

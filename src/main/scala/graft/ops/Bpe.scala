@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training stage of a training-data pipeline, learned from the
+  * corpus itself.
+  *
+  * Scale design: the corpus is scanned ONCE, into the word census
+  * (distinct word, frequency) — every later step operates on that
+  * vocabulary-bounded table, exactly as the reference algorithm does. Each
+  * merge round is one pair census (explode adjacent symbol pairs weighted
+  * by word frequency, counted group-by) plus one single-row argmax collect
+  * (the only driver state: the merge rules themselves, `numMerges` rows)
+  * and one symbol-array rewrite. In production BPE is trained on a sample
+  * anyway (a few GB of text saturates the merge table), so "rounds over
+  * the census" is the honest cost envelope, not a small-data shortcut.
+  *
+  * Determinism: ties in the pair census break lexicographically
+  * ((count DESC, left ASC, right ASC)), and merge application is greedy
+  * left-to-right non-overlapping ("aaa" + (a,a) -> "aa","a") — both pinned
+  * by spec and replayed exactly by the DuckDB oracle.
+  */
+object Bpe {
+
+  /** The end-of-word marker; tokens are normalized to [a-z0-9] so it can
+    * never collide with a learned symbol.
+    */
+  val EndMark = "</w>"
+
+  case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** (word, freq) census over the text family's normalized tokenization
+    * (lower-case, strip non-alphanumerics, whitespace-split) — the one
+    * corpus-sized scan.
+    */
+  def wordCensus(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+    docs.select(explode(toks).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("freq"))
+  }
+
+  /** Greedy left-to-right non-overlapping application of ONE merge rule
+    * to a symbol sequence — the per-round rewrite, and the semantics the
+    * oracle replays with a list_reduce accumulator.
+    */
+  private[ops] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `numMerges` merge rules from a (word, freq) census. Stops early
+    * if no pair remains. Returns rules in rank order with the pair's
+    * census frequency at merge time.
+    */
+  def learnMerges(census: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 0)
+    val spark = census.sparkSession
+    import org.apache.spark.sql.Row
+    var vocab = census.select(col("freq"),
+        concat(split(col("word"), ""), array(lit(EndMark))).alias("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // adjacent-pair census weighted by word frequency; deterministic
+      // argmax (count DESC, left, right) — ONE collected row per round
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.alias("l"), b.alias("r")))).alias("pr"))
+        .groupBy(col("pr.l").alias("l"), col("pr.r").alias("r"))
+        .agg(sum(col("freq")).alias("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(Row(l: String, r: String, c: Long)) =>
+          merges += Merge(rank, l, r, c)
+          val f = udf((syms: Seq[String]) => mergeOnce(syms, l, r))
+          // eager checkpoint: the round's rewrite materializes once and
+          // the next census plans against a flat scan, not k stacked UDFs
+          vocab = vocab.select(col("freq"), f(col("syms")).alias("syms"))
+            .localCheckpoint(true)
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[learnMerges]] over a corpus, returned as a DataFrame
+    * (rank, lhs, rhs, freq) — the oracle-checkable merge table.
+    */
+  def learnMergeTable(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(wordCensus(docs, textCol), numMerges)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** Segment a token column with a learned merge list: rank-order
+    * application of each rule (the standard inference rule: training
+    * replay, not longest-match), broadcast via UDF closure. Returns an
+    * array of subword pieces, end-marker attached to the final piece.
+    */
+  def segment(merges: Seq[Merge]): Column => Column = {
+    val rules = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val f = udf { (tok: String) =>
+      if (tok == null) None
+      else {
+        var syms: Seq[String] = tok.split("").toSeq.filter(_.nonEmpty) :+ EndMark
+        rules.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
+        Some(syms)
+      }
+    }
+    (tok: Column) => f(tok)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // the classic Sennrich et al. fixture: {low:5, lower:2, newest:6, widest:3}
+  private def census = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+  ).toDF("word", "freq")
+
+  test("learnMerges reproduces the hand-computed Sennrich sequence with deterministic ties") {
+    val merges = Bpe.learnMerges(census, 5)
+    // round 1: (e,s)=(s,t)=(t,</w>)=9 tie -> lexicographic smallest (e,s);
+    // round 2: (es,t)=9 ties (t has gone) -> (es,t); round 3: (est,</w>)=9;
+    // round 4: (l,o)=(o,w)=7 tie -> (l,o); round 5: (lo,w)=7
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", Bpe.EndMark, 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("segment applies rules in rank order: 'lowest' = low + est</w>") {
+    val merges = Bpe.learnMerges(census, 5)
+    val got = Seq("lowest", "low", "wider").toDF("tok")
+      .select(Bpe.segment(merges)(col("tok")).alias("p"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) == Seq("low", "est" + Bpe.EndMark))
+    assert(got(1) == Seq("low", Bpe.EndMark))
+    // unseen suffix falls back to finer pieces, never crashes
+    assert(got(2).mkString == "wider" + Bpe.EndMark)
+  }
+
+  test("mergeOnce is greedy left-to-right non-overlapping") {
+    assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(Bpe.mergeOnce(Seq("x"), "a", "a") == Seq("x"))
+    assert(Bpe.mergeOnce(Nil, "a", "a") == Nil)
+  }
+
+  test("learnMerges stops early when the vocabulary is exhausted") {
+    val tiny = Seq(("ab", 3L)).toDF("word", "freq")
+    // ab</w> has pairs (a,b) then (ab,</w>) then the single symbol remains
+    val merges = Bpe.learnMerges(tiny, 10)
+    assert(merges.length == 2)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("ab", Bpe.EndMark)))
+  }
+}
