@@ -397,4 +397,57 @@ object Streams {
   def tumblingCountsBatch(events: DataFrame, tsCol: String, every: Column): DataFrame =
     events.groupBy(date_trunc("hour", col(tsCol)).alias("window_start"))
       .agg(count(lit(1)).alias("n"), sum(col("value")).alias("sum_value"))
+
+  /** Per-key running Welford moments (count, mean, M2) — O(1) state per
+    * key, numerically stable, and EXACT: after any batch split the final
+    * (n, mean, m2) equal the one-pass values over the same id-ordered
+    * sequence (spec-pinned).
+    */
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+  case class AnomalyRow(key: String, id: Long, value: Double, z: Double,
+      is_anomaly: Boolean)
+
+  /** Streaming twin of q_anomaly_zscore: PREQUENTIAL per-entity anomaly
+    * flagging — each event is scored against its key's state BEFORE the
+    * event is absorbed (the online-monitoring semantics: an alert can
+    * only use the past), then folded into the running Welford moments.
+    * Unlike the batch query (which scores against the full-corpus
+    * distribution), early events see a cold state and score 0 until the
+    * key has two points — the inherent batch/stream semantic gap for
+    * non-algebraic signals; the STATE itself converges to the exact
+    * batch moments, which is what the spec pins.
+    *
+    * Rows within a micro-batch are folded in id order so redelivery and
+    * partition jitter cannot reorder the floating-point fold. State is
+    * three scalars per key — watermark/TTL-free monitoring stays cheap
+    * at any key cardinality.
+    */
+  def anomalyStream(events: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, threshold: Double = 2.5): DataFrame = {
+    require(threshold > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WelfordState, AnomalyRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+            val sd = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val z = if (sd > 0) (v - st.mean) / sd else 0.0
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (v - mean1))
+            AnomalyRow(key, id, v, z, math.abs(z) > threshold)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
 }

@@ -476,6 +476,45 @@ class StreamsSpec extends SparkSpecBase {
     assert(got == Set((1L, 10.0, Some("gold")), (3L, 30.0, None),
       (2L, 20.0, Some("silver"))))
   }
+
+  test("streaming anomaly z-scores: prequential scoring, exact Welford state, batch-split invariance") {
+    implicit val sc = spark.sqlContext
+    // reference prequential fold (id order), mirrored driver-side
+    def prequential(vals: Seq[(Long, Double)], threshold: Double): Seq[(Long, Double, Boolean)] = {
+      var (n, mean, m2) = (0L, 0.0, 0.0)
+      vals.sortBy(_._1).map { case (id, v) =>
+        val sd = if (n >= 2) math.sqrt(m2 / (n - 1)) else 0.0
+        val z = if (sd > 0) (v - mean) / sd else 0.0
+        val n1 = n + 1; val d = v - mean; val mean1 = mean + d / n1
+        n = n1; m2 += d * (v - mean1); mean = mean1
+        (id, z, math.abs(z) > threshold)
+      }
+    }
+    val b1 = Seq((1L, 10.0), (2L, 12.0), (3L, 11.0), (4L, 9.0))
+    val b2 = Seq((5L, 50.0), (6L, 10.5)) // 50.0 is the planted outlier
+
+    def run(batches: Seq[Seq[(Long, Double)]], name: String): Map[Long, (Double, Boolean)] = {
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = Streams.anomalyStream(
+          mem.toDF().toDF("user", "id", "value"), "user", "id", "value")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b =>
+        mem.addData(b.map { case (id, v) => ("u1", id, v) }: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table(name).as[Streams.AnomalyRow].collect()
+      q.stop()
+      rows.map(r => r.id -> (r.z, r.is_anomaly)).toMap
+    }
+
+    val got = run(Seq(b1, b2), "anom2")
+    val want = prequential(b1 ++ b2, 2.5).map { case (id, z, f) => id -> (z, f) }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the outlier is flagged against the PAST state; the cold start is not
+    assert(got(5L)._2 && !got(1L)._2 && got(5L)._1 > 2.5)
+    // id-ordered folding makes a different batch split bit-identical
+    assert(run(Seq(b1 ++ b2), "anom1") == got)
+  }
 }
 
 object StreamsSpec {
