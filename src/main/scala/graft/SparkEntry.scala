@@ -1407,6 +1407,27 @@ object SparkEntry {
           tracked = Seq("o_orderstatus"), tieBreak = Seq("o_orderkey"))
         .orderBy(col("o_custkey"), col("version"))),
 
+    "q_scd2_lookup" -> ((s, dir) => {
+      // point-in-time (temporal) join against the SCD2 history: every 7th
+      // order asks "what was this customer's status-version 45 days after
+      // my order date" — equi hash join on the key with the interval
+      // containment as a residual; per-key fan-in = that key's version
+      // count. Each probe lands in exactly one [valid_from, valid_to).
+      val hist = graft.ops.Scd.buildHistory(
+        T(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_orderkey")),
+        keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+        tracked = Seq("o_orderstatus"), tieBreak = Seq("o_orderkey"))
+      val probes = T(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").alias("probe_key"), col("o_custkey"),
+          (col("o_orderdate") + expr("INTERVAL 45 DAYS")).alias("probe_ts"))
+      graft.ops.Scd.temporalJoin(probes, hist, Seq("o_custkey"), "probe_ts")
+        .select(col("probe_key"), col("__f.o_custkey").alias("o_custkey"),
+          col("o_orderstatus").alias("status_at"), col("version"))
+        .orderBy(col("probe_key"))
+    }),
+
     "q_funnel" -> ((s, dir) =>
       // Ordered conversion funnel view -> click -> purchase: stage i
       // counts a user only from their first stage-(i-1) event onward.
@@ -3180,6 +3201,34 @@ object SparkEntry {
         |FROM versions
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    "q_scd2_lookup" ->
+      // the q_scd2 history CTE, probed with a per-row interval lookup
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |versions AS (
+        |  SELECT * FROM ordered
+        |  WHERE prev IS NULL OR o_orderstatus IS DISTINCT FROM prev),
+        |hist AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to,
+        |    CAST(row_number() OVER w AS INTEGER) AS version
+        |  FROM versions
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |probes AS (
+        |  SELECT o_orderkey AS probe_key, o_custkey,
+        |    o_orderdate + INTERVAL 45 DAY AS probe_ts
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT p.probe_key, p.o_custkey,
+        |  h.o_orderstatus AS status_at, h.version
+        |FROM probes p JOIN hist h ON h.o_custkey = p.o_custkey
+        |  AND h.valid_from <= p.probe_ts
+        |  AND (h.valid_to IS NULL OR h.valid_to > p.probe_ts)
+        |ORDER BY p.probe_key""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id

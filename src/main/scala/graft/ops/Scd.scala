@@ -62,4 +62,26 @@ object Scd {
   def asOf(history: DataFrame, asOf: Column): DataFrame =
     history.where(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Per-row temporal (point-in-time) JOIN: each fact row joins the
+    * history version valid at the fact's OWN `tsCol` — the "what did the
+    * dimension look like when this event happened" lookup that makes SCD2
+    * tables useful. The condition is equi on `keyCols` with the interval
+    * containment as a residual, so Catalyst plans a hash join shuffled by
+    * key; per-key fan-in is the key's version count (small by
+    * construction — versions exist only where tracked attributes
+    * changed), so the residual filter never sees a data-sized cross
+    * product. Fact columns come back under their own names; history
+    * columns under theirs (alias upstream on collisions).
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+      tsCol: String, joinType: String = "inner"): DataFrame = {
+    require(keyCols.nonEmpty)
+    val f = facts.alias("__f")
+    val h = history.alias("__h")
+    val keyCond = keyCols.map(k => col(s"__f.$k") === col(s"__h.$k")).reduce(_ && _)
+    val ts = col(s"__f.$tsCol")
+    f.join(h, keyCond && col("__h.valid_from") <= ts &&
+      (col("__h.valid_to").isNull || col("__h.valid_to") > ts), joinType)
+  }
 }

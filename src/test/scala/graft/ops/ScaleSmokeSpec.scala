@@ -292,4 +292,31 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(math.abs(kept("en") - 247500L) < 2500, s"en kept ${kept("en")}")
     assert(math.abs(kept("kl") - 2500L) < 100, s"kl kept ${kept("kl")}")
   }
+
+  test("triangle counts on 240k clique edges + a 40k-degree hub: closed form, skew-safe") {
+    // 20k nodes in 5k 4-cliques (4 triangles each, every member in 3) plus
+    // a hub node adjacent to EVERY node — the power-law stressor. The
+    // degree orientation points every clique node at the hub (hub degree
+    // 20k >> 3+1), so the hub acquires in-degree only: its wedge fan-out
+    // stays 0 and the quadratic term lands on the low-degree side, which
+    // is the entire point of Suri & Vassilvitskii's orientation.
+    // Closed form: each clique edge + hub closes a triangle through the
+    // hub's edges to both endpoints -> per clique 4 + 6 hub triangles.
+    val n = 20000L
+    val intra = spark.range(n).selectExpr("id AS src", "id AS x")
+      .select(col("src"), explode(sequence(col("x") + 1,
+        least(col("x") - pmod(col("x"), lit(4)) + 3, lit(n - 1)))).alias("dst"))
+      .where(expr("src DIV 4 = dst DIV 4"))
+    val hub = spark.range(n).select(lit(n).alias("src"), col("id").alias("dst"))
+    val counts = Graph.triangleCounts(intra.unionByName(hub)).cache()
+    val total = counts.agg(sum(col("n_triangles"))).head().getLong(0)
+    // per 4-clique: C(4,3)=4 internal (3 per member) + 6 hub triangles
+    // (one per intra edge; contributes 1 to each endpoint, 6 to the hub)
+    // -> per-node count 3 + 3 = 6; hub count 5000 * 6 = 30000
+    val hubCount = counts.where(col("node") === n).head().getLong(1)
+    counts.unpersist()
+    assert(hubCount == 30000L, s"hub triangles $hubCount")
+    // triple-sum: 5000 cliques * (4 + 6) triangles * 3 nodes each
+    assert(total == 150000L, s"total membership $total")
+  }
 }
