@@ -67,7 +67,9 @@ object Bpe {
     require(numMerges >= 0)
     val spark = census.sparkSession
     import org.apache.spark.sql.Row
-    var vocab = census.select(col("freq"),
+    // freq normalized to long so the argmax row shape is stable no matter
+    // how the caller computed weights (Spark's `/` yields doubles)
+    var vocab = census.select(col("freq").cast("long").alias("freq"),
         concat(split(col("word"), ""), array(lit(EndMark))).alias("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]

@@ -184,6 +184,15 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
   }
 
+  test("q_scd2_lookup plans the temporal probe as a keyed hash join, not a nested loop") {
+    val plan = planOf("q_scd2_lookup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the interval containment must ride the key join as a residual
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("q_triangle_count stays equi-join end-to-end (no cartesian wedge closure)") {
     val plan = planOf("q_triangle_count")
     // wedge generation joins on the shared low endpoint and the closure

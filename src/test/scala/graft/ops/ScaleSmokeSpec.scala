@@ -293,6 +293,33 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(math.abs(kept("kl") - 2500L) < 100, s"kl kept ${kept("kl")}")
   }
 
+  test("BPE rounds cost tracks the VOCABULARY, not the corpus: 30k-word census, 12 merges") {
+    // a synthetic Zipf-ish census: 30k distinct words over a 26-letter
+    // alphabet; the corpus behind it would be arbitrarily large — the
+    // learner must never touch it again after the census
+    val census = spark.range(30000).select(
+      concat_ws("", (0 until 7).map(j =>
+        // letters a..z, position-salted so words are distinct
+        chr(lit(97) + pmod(col("id") * (17 + j) + j * j, lit(26)))): _*)
+        .alias("word"),
+      expr("1000000 DIV (id + 1)").alias("freq")) // Zipf weights
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(census, 12)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 12)
+    assert(merges.map(_.rank) == (1 to 12), merges.toString)
+    // ranks are monotone non-increasing in census frequency (greedy argmax
+    // can only see counts shrink or stay as pairs are consumed... not
+    // strictly true in general BPE, but each rank's pick was the max of
+    // its round — pin that every freq is positive and deterministic
+    assert(merges.forall(_.freq > 0))
+    val again = Bpe.learnMerges(census, 12)
+    assert(again == merges, "merge learning must be deterministic")
+    // 12 rounds over a 30k-row table: seconds, not minutes — the lineage
+    // is cut each round (eager localCheckpoint), so round cost is flat
+    assert(secs < 120, s"12 merge rounds took $secs s")
+  }
+
   test("triangle counts on 240k clique edges + a 40k-degree hub: closed form, skew-safe") {
     // 20k nodes in 5k 4-cliques (4 triangles each, every member in 3) plus
     // a hub node adjacent to EVERY node — the power-law stressor. The
