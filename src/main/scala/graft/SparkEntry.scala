@@ -1437,6 +1437,27 @@ object SparkEntry {
           tieBreak = "event_id", stages = Seq("view", "click", "purchase"))
         .orderBy(col("stage_idx"))),
 
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the same user's most
+      // recent click within a 7-day lookback — the as-of join (one
+      // user-keyed window shuffle, union-and-carry-forward) composed with
+      // a tolerance null-out. Purchases with no in-window click stay, with
+      // a null touch (the unattributed bucket every report needs).
+      val ev = EV(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").alias("click_ts"),
+          col("event_id").alias("click_id"))
+      graft.ops.AsofJoin.lastBefore(purchases, clicks,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+          valueCols = Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"),
+          when(col("asof_click_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("asof_click_id")).alias("touch_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_cohort_retention" -> ((s, dir) =>
       // Weekly cohort retention: users cohorted by first-event week,
       // counted in every week they were active.
@@ -3251,6 +3272,22 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', count(t2) FROM u
         |  UNION ALL SELECT 3, 'purchase', count(t3) FROM u)
         |ORDER BY stage_idx""".stripMargin,
+
+    "q_attribution" ->
+      // DuckDB's native ASOF JOIN has the same inclusive last-before
+      // semantics as AsofJoin.lastBefore; the 7-day tolerance nulls the
+      // credit afterwards, exactly like the engine's when()
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN c.click_ts >= p.ts - INTERVAL 7 DAY THEN c.click_id
+        |    ELSE NULL END AS touch_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
