@@ -1,0 +1,138 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned (time-travel) table tier: every commit writes an IMMUTABLE
+  * data directory and a numbered manifest listing the directories that
+  * version reads — the snapshot-isolation layout every lakehouse format
+  * builds on, reduced to parquet + rename-committed text manifests.
+  *
+  *   table/
+  *     _manifests/v00000001        one data-dir name per line
+  *     d1-<uuid>/  d2-<uuid>/ ...  immutable parquet directories
+  *
+  * - An APPEND commit's manifest = previous manifest + the new directory:
+  *   no data file is ever rewritten, so every prior version stays
+  *   readable (the property that makes this viable at 100 TB — version
+  *   cost is a few hundred bytes of manifest, never a copy).
+  * - A REPLACE commit's manifest = just the new directory; the old
+  *   directories stay on disk for older versions until [[vacuum]].
+  * - Commit = atomic rename of the manifest into its numbered slot, AFTER
+  *   the data directory is fully written: a crash mid-commit leaves an
+  *   orphan data directory (reclaimed by [[vacuum]]) and the table at its
+  *   previous version — never a torn read.
+  * - Reads take a version number ([[readAt]]) or default to the latest;
+  *   schema evolution across appends surfaces via parquet `mergeSchema`,
+  *   same policy as [[TableStore]].
+  *
+  * Single-writer per table, like [[TableStore]] (the reference's BigQuery
+  * jobs are serialized per table the same way); readers never block.
+  */
+final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
+
+  private def tableDir(table: String): Path =
+    new Path(s"$warehouseDir/${Names.normalizeTableName(table)}")
+  private def manifestDir(table: String): Path =
+    new Path(tableDir(table), "_manifests")
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, v: Long): Path =
+    new Path(manifestDir(table), f"v$v%08d")
+
+  /** Committed version numbers, ascending (empty when the table is new). */
+  def versions(table: String): Seq[Long] = {
+    val md = manifestDir(table)
+    val f = fs(md)
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The latest committed version, or 0 when none. */
+  def currentVersion(table: String): Long =
+    versions(table).lastOption.getOrElse(0L)
+
+  private def readManifest(table: String, v: Long): Seq[String] = {
+    val p = manifestPath(table, v)
+    val in = fs(p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(table: String, v: Long, dirs: Seq[String]): Unit = {
+    val md = manifestDir(table)
+    val f = fs(md)
+    f.mkdirs(md)
+    val tmp = new Path(md, s".v$v.tmp")
+    val out = f.create(tmp, true)
+    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = manifestPath(table, v)
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"version $v of '$table' already committed (concurrent writer?)")
+    }
+  }
+
+  private def newDataDir(table: String, v: Long, df: DataFrame): String = {
+    val name = s"d$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(new Path(tableDir(table), name).toString)
+    name
+  }
+
+  /** Append commit: new immutable directory, manifest = previous + it.
+    * Returns the committed version number.
+    */
+  def commitAppend(table: String, df: DataFrame): Long = {
+    val cur = currentVersion(table)
+    val prev = if (cur == 0) Nil else readManifest(table, cur)
+    val v = cur + 1
+    writeManifest(table, v, prev :+ newDataDir(table, v, df))
+    v
+  }
+
+  /** Replace commit: manifest = only the new directory; older versions
+    * keep reading the retained directories. Returns the version number.
+    */
+  def commitReplace(table: String, df: DataFrame): Long = {
+    val v = currentVersion(table) + 1
+    writeManifest(table, v, Seq(newDataDir(table, v, df)))
+    v
+  }
+
+  /** Read the table at a specific committed version (time travel). */
+  def readAt(table: String, version: Long): DataFrame = {
+    require(versions(table).contains(version),
+      s"version $version of '$table' does not exist (or was vacuumed)")
+    val base = tableDir(table)
+    val dirs = readManifest(table, version)
+      .map(d => new Path(base, d).toString)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Read the latest version. */
+  def read(table: String): DataFrame = readAt(table, currentVersion(table))
+
+  /** Drop all but the last `retainLast` versions and delete every data
+    * directory no retained manifest references — including orphans from
+    * crashed commits. The only operation that deletes data.
+    */
+  def vacuum(table: String, retainLast: Int = 1): Unit = {
+    require(retainLast >= 1)
+    val vs = versions(table)
+    val (expired, retained) = vs.splitAt(math.max(0, vs.length - retainLast))
+    val live = retained.flatMap(readManifest(table, _)).toSet
+    val td = tableDir(table)
+    val f = fs(td)
+    f.listStatus(td).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d"))
+      .filterNot(st => live.contains(st.getPath.getName))
+      .foreach(st => f.delete(st.getPath, true))
+    expired.foreach(v => f.delete(manifestPath(table, v), false))
+    TableStore.fireRewrite(td.toString)
+  }
+}

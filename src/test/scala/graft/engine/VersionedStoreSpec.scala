@@ -1,0 +1,79 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class VersionedStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newStore() = new VersionedStore(spark, tmpDir("vstore"))
+
+  test("append commits accumulate; every prior version stays readable (time travel)") {
+    val st = newStore()
+    assert(st.versions("t").isEmpty && st.currentVersion("t") == 0L)
+    assert(st.commitAppend("t", Seq(1, 2).toDF("x")) == 1L)
+    assert(st.commitAppend("t", Seq(3).toDF("x")) == 2L)
+    assert(st.commitAppend("t", Seq(4, 5, 6).toDF("x")) == 3L)
+    assert(st.versions("t") == Seq(1L, 2L, 3L))
+    assert(st.readAt("t", 1).count() == 2)
+    assert(st.readAt("t", 2).count() == 3)
+    assert(st.readAt("t", 3).count() == 6)
+    assert(st.read("t").as[Int].collect().sorted.toSeq == (1 to 6))
+  }
+
+  test("replace starts a fresh lineage but time travel still reads the past") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1, 2).toDF("x"))
+    val v = st.commitReplace("t", Seq(10).toDF("x"))
+    assert(v == 2L)
+    assert(st.read("t").as[Int].collect().toSeq == Seq(10))
+    assert(st.readAt("t", 1).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("schema evolution across appends surfaces via mergeSchema with nulls") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1).toDF("x"))
+    st.commitAppend("t", Seq((2, "b")).toDF("x", "y"))
+    val rows = st.read("t").orderBy("x")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(1 -> None, 2 -> Some("b")))
+    // the old version never sees the new column
+    assert(st.readAt("t", 1).columns.toSeq == Seq("x"))
+  }
+
+  test("vacuum keeps the retained tail, expires old versions, reclaims orphans") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1).toDF("x"))
+    st.commitReplace("t", Seq(2).toDF("x"))
+    st.commitAppend("t", Seq(3).toDF("x"))
+    // simulate a crashed commit: a fully-written data dir with no manifest
+    Seq(9).toDF("x").write.parquet(s"${st.warehouseDir}/t/d99-orphan")
+    st.vacuum("t", retainLast = 2)
+    assert(st.versions("t") == Seq(2L, 3L))
+    assert(st.read("t").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(st.readAt("t", 2).as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException] { st.readAt("t", 1) }
+    // v1's directory and the orphan are both gone from disk
+    val fs = new org.apache.hadoop.fs.Path(st.warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"${st.warehouseDir}/t"))
+      .map(_.getPath.getName).filter(_.startsWith("d")).toSet
+    assert(!dirs.exists(_.startsWith("d1-")) && !dirs.contains("d99-orphan"), dirs.toString)
+  }
+
+  test("a torn manifest write can never commit: tmp files are invisible to readers") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1).toDF("x"))
+    // a leftover .tmp manifest (crash before rename) is not a version
+    val fs = new org.apache.hadoop.fs.Path(st.warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"${st.warehouseDir}/t/_manifests/.v2.tmp")
+    val out = fs.create(tmp, true); out.write("dZZZ\n".getBytes); out.close()
+    assert(st.versions("t") == Seq(1L))
+    assert(st.read("t").count() == 1)
+    // the next real commit takes v2 and is unaffected by the debris
+    assert(st.commitAppend("t", Seq(2).toDF("x")) == 2L)
+    assert(st.read("t").count() == 2)
+  }
+}
