@@ -117,6 +117,14 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
   /** Read the latest version. */
   def read(table: String): DataFrame = readAt(table, currentVersion(table))
 
+  /** Snapshot-to-snapshot change feed: the minimal insert/update/delete
+    * set between two committed versions, via [[graft.ops.Merge.diff]] —
+    * CDC derived from time travel, no log kept.
+    */
+  def versionDiff(table: String, fromVersion: Long, toVersion: Long,
+      keyCols: Seq[String]): DataFrame =
+    graft.ops.Merge.diff(readAt(table, fromVersion), readAt(table, toVersion), keyCols)
+
   /** Drop all but the last `retainLast` versions and delete every data
     * directory no retained manifest references — including orphans from
     * crashed commits. The only operation that deletes data.

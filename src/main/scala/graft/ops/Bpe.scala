@@ -46,7 +46,8 @@ object Bpe {
 
   /** Greedy left-to-right non-overlapping application of ONE merge rule
     * to a symbol sequence — the per-round rewrite, and the semantics the
-    * oracle replays with a list_reduce accumulator.
+    * oracle replays positionally (SparkEntry.bpeRoundSql's run-parity +
+    * lag(merge-start) windows, property-tested against this function).
     */
   private[ops] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -65,7 +66,6 @@ object Bpe {
     */
   def learnMerges(census: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 0)
-    val spark = census.sparkSession
     import org.apache.spark.sql.Row
     // freq normalized to long so the argmax row shape is stable no matter
     // how the caller computed weights (Spark's `/` yields doubles)

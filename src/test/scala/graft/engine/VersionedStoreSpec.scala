@@ -62,6 +62,16 @@ class VersionedStoreSpec extends SparkSpecBase {
     assert(!dirs.exists(_.startsWith("d1-")) && !dirs.contains("d99-orphan"), dirs.toString)
   }
 
+  test("versionDiff derives the CDC set between two snapshots") {
+    val st = newStore()
+    st.commitAppend("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    st.commitReplace("t", Seq((2, "B"), (3, "c")).toDF("k", "v"))
+    val ops = st.versionDiff("t", 1L, 2L, Seq("k"))
+      .select(col("k"), col("op")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops == Map(1 -> "D", 2 -> "U", 3 -> "I"), ops.toString)
+  }
+
   test("a torn manifest write can never commit: tmp files are invisible to readers") {
     val st = newStore()
     st.commitAppend("t", Seq(1).toDF("x"))
