@@ -1446,9 +1446,13 @@ object SparkEntry {
       val ev = EV(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"))
+      // equal-ts clicks collapse to the max event_id BEFORE the as-of
+      // join: lastBefore's carry-forward window orders by (ts, side) only,
+      // so same-ts duplicates would otherwise pick a partition-order-
+      // dependent winner (and DuckDB's ASOF is equally arbitrary there)
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").alias("click_ts"),
-          col("event_id").alias("click_id"))
+        .groupBy(col("user_id"), col("ts").alias("click_ts"))
+        .agg(max(col("event_id")).alias("click_id"))
       graft.ops.AsofJoin.lastBefore(purchases, clicks,
           keyCols = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
           valueCols = Seq("click_id", "click_ts"))
@@ -3280,8 +3284,8 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),
         |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
-        |  FROM e WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id, p.user_id,
         |  CASE WHEN c.click_ts >= p.ts - INTERVAL 7 DAY THEN c.click_id
         |    ELSE NULL END AS touch_id

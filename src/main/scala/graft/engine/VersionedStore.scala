@@ -47,7 +47,7 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     val f = fs(md)
     if (!f.exists(md)) Nil
     else f.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted
+      .filter(_.matches("v\\d{8,}")).map(_.drop(1).toLong).sorted
   }
 
   /** The latest committed version, or 0 when none. */

@@ -37,10 +37,7 @@ object Bpe {
     * corpus-sized scan.
     */
   def wordCensus(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
-      t => length(t) > 0)
-    docs.select(explode(toks).alias("word"))
+    docs.select(explode(TextAnalysis.normTokens(col(textCol))).alias("word"))
       .groupBy(col("word")).agg(count(lit(1)).alias("freq"))
   }
 

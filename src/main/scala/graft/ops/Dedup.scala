@@ -671,7 +671,11 @@ object Dedup {
     *
     * Shape at scale: gram rows are one per token (Σ(n_i − k + 1) —
     * linear, never pairwise), the duplicate decision is one map-side-
-    * combining count keyed by gram hash, and the mark-back is an
+    * combining count keyed by the gram's xxhash64 — a deliberate
+    * approximation: a 64-bit collision between two distinct grams would
+    * cut both (expected collisions ≈ n²/2^65, i.e. a handful at 10^10
+    * gram rows; use the gram STRING as the census key if exactness
+    * matters more than shuffle width) — and the mark-back is an
     * equi-join on that hash where the duplicate-key side is distinct
     * (each gram row meets at most one key — no fan-out). The per-doc
     * rebuild is a HOF pass bounded by tokens × duplicated-starts; a
@@ -681,9 +685,7 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 1, s"span width must be positive, got $k")
-    val toks = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
-      t => length(t) > 0)
+    val toks = TextAnalysis.normTokens(col(textCol))
     val base = df.select(col(idCol), toks.alias("__toks"))
       .withColumn("__n", size(col("__toks")))
     val grams = base

@@ -88,10 +88,13 @@ object RangeJoin {
     * degenerate default range), that bin's equi-join task goes quadratic
     * while every other task idles. AQE's skew-split only re-chunks the
     * PROBE side of a sort-merge join, so for a known-hot workload pass
-    * `saltBuckets > 1`: the left side salts its join key with
-    * `hash(start, end) % saltBuckets` and the right side replicates each
-    * exploded row to every salt (the same spread-the-hot-key pattern as
-    * the salted equi-join, q_skew_join) — one bin's pairs fan out over
+    * `saltBuckets > 1`: each left row draws a salt from its position
+    * (`monotonically_increasing_id % saltBuckets` — NOT a hash of the
+    * interval, which would re-concentrate the exact hot case of many
+    * rows sharing one degenerate interval into a single salt) and the
+    * right side replicates each exploded row to every salt (the same
+    * spread-the-hot-key pattern as the salted equi-join, q_skew_join) —
+    * one bin's pairs fan out over
     * `saltBuckets` tasks at the cost of a ×saltBuckets right-side
     * explosion, so keep it small (8-32) and only when skew is real.
     * Results are identical for any value: each pair still meets exactly
@@ -112,8 +115,11 @@ object RangeJoin {
     val (l, r, saltCond) =
       if (saltBuckets == 1) (l0, r0, lit(true))
       else {
+        // the salt value never affects the result set (each pair meets
+        // exactly once at the left row's salt), so positional assignment
+        // is safe even though task retries may re-deal it
         val ls = l0.withColumn("__salt",
-          pmod(hash(col(lStart), col(lEnd)), lit(saltBuckets)))
+          pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
         val rs = r0.withColumn("__salt",
           explode(sequence(lit(0), lit(saltBuckets - 1))))
         (ls, rs, ls("__salt") === rs("__salt"))

@@ -375,12 +375,22 @@ object Similarity {
 
   private def meanAssignDist(indexed: DataFrame, vecCol: String,
       cents: Seq[Seq[Double]]): Double = {
-    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val d = sqrt(aggregate(
-      zip_with(col(vecCol).cast("array<double>"),
-        element_at(centArr, col("__cell") + 1), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x))
-    val row = indexed.agg(avg(d).alias("m")).head()
+    // closure UDF, same rationale as cellOf: the literal centroid-array
+    // HOF form costs seconds of analysis/codegen per invocation, and this
+    // runs once per streaming micro-batch in ingestIvfStream
+    val centArr = cents.map(_.toArray).toArray
+    val distToAssigned = udf { (v: Seq[Double], cell: Int) =>
+      if (v == null || cell < 0 || cell >= centArr.length) null
+      else {
+        val c = centArr(cell)
+        var s = 0.0d; var j = 0
+        val n = math.min(c.length, v.length)
+        while (j < n) { val d = v(j) - c(j); s += d * d; j += 1 }
+        math.sqrt(s): java.lang.Double
+      }
+    }
+    val row = indexed.agg(avg(distToAssigned(
+      col(vecCol).cast("array<double>"), col("__cell"))).alias("m")).head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 

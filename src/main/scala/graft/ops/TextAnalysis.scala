@@ -23,6 +23,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** The NORMALIZED tokenization the statistical text family shares
+    * (bigram LM, PMI, NB, DSIR, BPE, span dedup): lower-case, strip
+    * non-alphanumerics, whitespace-split, drop empties. Every DuckDB
+    * oracle replays it with one shared `str_split_regex(regexp_replace(
+    * lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' ')` fragment — keep
+    * this single definition and that fragment in lockstep.
+    */
+  def normTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text), "[^a-z0-9 ]|\\s+", " "), " "),
+      t => length(t) > 0)
+
   /** BPE-ish subword count without a vocab: words are split at
     * letter/digit/punct boundaries, then length-capped chunks approximate
     * merges (a public heuristic: ~4 chars per token).
@@ -537,9 +549,7 @@ object TextAnalysis {
   def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
-    val toks = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
-      t => length(t) > 0)
+    val toks = normTokens(col(textCol))
     val pairRows = docs
       .select(col(idCol), toks.alias("__toks"))
       .withColumn("__n", size(col("__toks")))
@@ -585,9 +595,7 @@ object TextAnalysis {
     */
   def pmiCollocations(docs: DataFrame, textCol: String,
       minCount: Long = 5): DataFrame = {
-    val toks = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]|\\s+", " "), " "),
-      t => length(t) > 0)
+    val toks = normTokens(col(textCol))
     val tokRows = docs.select(explode(toks).alias("w"))
     val uni = tokRows.groupBy(col("w")).agg(count(lit(1)).alias("c"))
     val nt = uni.agg(sum(col("c")).alias("nt"))

@@ -24,10 +24,7 @@ object TextClassify {
     * whitespace-split (same normalization as [[TextAnalysis.bigramLmScore]]
     * so oracles replay it with one regex).
     */
-  private def normToks(text: Column): Column =
-    filter(
-      split(regexp_replace(lower(text), "[^a-z0-9 ]|\\s+", " "), " "),
-      t => length(t) > 0)
+  private def normToks(text: Column): Column = TextAnalysis.normTokens(text)
 
   /** Multinomial Naive Bayes with add-one (Laplace) smoothing, trained and
     * scored in ONE logical plan (McCallum & Nigam 1998, "A Comparison of
