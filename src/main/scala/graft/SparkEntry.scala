@@ -705,6 +705,16 @@ object SparkEntry {
             .alias("cov_qp"))
         .orderBy(col("l_returnflag"))),
 
+    "q_drift_psi" -> ((s, dir) =>
+      // numeric-feature drift monitoring: PSI of l_extendedprice between
+      // the odd- and even-orderkey halves over a fixed 10-bin grid (+
+      // under/overflow) — two linear censuses, a grid join, one
+      // aggregate. DuckDB replays bins, smoothing, and the rounded sum.
+      graft.ops.Drift.psi(
+        T(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(2)) === 1),
+        T(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(2)) === 0),
+        "l_extendedprice", lo = 0.0, hi = 110000.0, buckets = 10)),
+
     "q_anomaly_zscore" -> ((s, dir) => {
       // per-entity anomaly flagging: each event's z-score against ITS OWN
       // user's value distribution — one window shuffle keyed by user, the
@@ -2653,6 +2663,30 @@ object SparkEntry {
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
         |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_drift_psi" ->
+      // fixed-grid bins with under/overflow, Laplace-smoothed
+      // proportions, single rounded sum
+      """WITH ca AS (SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 11000.0) AS BIGINT), -1), 10) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |cb AS (SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) / 11000.0) AS BIGINT), -1), 10) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT CAST(g.range AS BIGINT) AS b,
+        |    COALESCE(ca.c, 0) AS cnt_a, COALESCE(cb.c, 0) AS cnt_b
+        |  FROM range(-1, 11) g
+        |  LEFT JOIN ca ON ca.b = g.range LEFT JOIN cb ON cb.b = g.range),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+        |    CAST(sum(cnt_b) AS BIGINT) AS nb, CAST(count(*) AS BIGINT) AS nbins FROM j)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  any_value(na) AS n_a, any_value(nb) AS n_b
+        |FROM (SELECT t.na, t.nb,
+        |    (j.cnt_a + 1)::DOUBLE / (t.na + t.nbins) AS p,
+        |    (j.cnt_b + 1)::DOUBLE / (t.nb + t.nbins) AS q
+        |  FROM j, t)""".stripMargin,
 
     "q_anomaly_zscore" ->
       // same per-user mean/stddev window; stddev_samp on both sides

@@ -82,4 +82,54 @@ object Drift {
         ((col("cnt_b") + 1).cast("double") / (col("n_b") + col("v")))
           .alias("q"))
   }
+
+  /** Population stability index of a NUMERIC column between two slices —
+    * the standard model-monitoring drift score (PSI < 0.1 stable,
+    * 0.1-0.25 moderate shift, > 0.25 act):
+    *
+    *   psi = SUM_buckets (p_i - q_i) * ln(p_i / q_i)
+    *
+    * over a FIXED [lo, hi) grid of `buckets` equal-width bins plus
+    * underflow/overflow bins (fixed cuts, not quantiles, so two runs are
+    * comparable and the score is exactly replayable); Laplace-smoothed
+    * proportions keep empty bins finite, same policy as the token KL.
+    * Calibrate `lo`/`hi` once from [[graft.SparkEntry]]'s equi-depth
+    * histogram (q_equidepth_hist) or a percentile sketch.
+    *
+    * Shape at scale: two linear bucket censuses (map-side combining,
+    * <= buckets+2 result rows each), a driver-free grid join, one
+    * aggregate. Returns one row: (psi, n_a, n_b).
+    */
+  def psi(before: DataFrame, after: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    // bin -1 = underflow, `buckets` = overflow; nulls are dropped (a
+    // null-rate drift is a different monitor)
+    def census(df: DataFrame) = df
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(
+          floor((col(valueCol) - lo) / w).cast("long"), lit(-1L)),
+        lit(buckets.toLong)).alias("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).alias("__c"))
+    val ca = census(before).withColumnRenamed("__c", "__ca")
+    val cb = census(after).withColumnRenamed("__c", "__cb")
+    val grid = before.sparkSession.range(-1L, buckets + 1L)
+      .select(col("id").alias("__b"))
+      .join(ca, Seq("__b"), "left").join(cb, Seq("__b"), "left")
+      .select(col("__b"),
+        coalesce(col("__ca"), lit(0L)).alias("__ca"),
+        coalesce(col("__cb"), lit(0L)).alias("__cb"))
+    val totals = grid.agg(sum(col("__ca")).alias("__na"),
+      sum(col("__cb")).alias("__nb"), count(lit(1)).alias("__nb_bins"))
+    grid.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        ((col("__ca") + 1).cast("double") / (col("__na") + col("__nb_bins"))).alias("__p"),
+        ((col("__cb") + 1).cast("double") / (col("__nb") + col("__nb_bins"))).alias("__q"))
+      .groupBy(col("__na").alias("n_a"), col("__nb").alias("n_b"))
+      .agg(Rounding.roundAway(
+        sum((col("__p") - col("__q")) * log(col("__p") / col("__q"))), 6).alias("psi"))
+      .select(col("psi"), col("n_a"), col("n_b"))
+  }
 }

@@ -208,6 +208,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got.getLong(1) == 3L && got.getLong(2) == 3L)
   }
 
+  test("psi: near zero on a same-distribution split, large on a planted shift, under/overflow binned") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    // identical distributions -> smoothing-only noise
+    val stable = Drift.psi(base, base, "v", lo = 0.0, hi = 100.0, buckets = 10).head()
+    assert(math.abs(stable.getDouble(0)) < 1e-12, stable.toString)
+    assert(stable.getLong(1) == 1000L && stable.getLong(2) == 1000L)
+    // planted shift: the after-slice doubles and lands half its mass in
+    // the overflow bin -> PSI far past the 0.25 action threshold
+    val shifted = base.select((col("v") * 2).alias("v"))
+    val moved = Drift.psi(base, shifted, "v", 0.0, 100.0, 10).head().getDouble(0)
+    assert(moved > 0.25, s"psi $moved")
+    // hand-checked tiny case incl. underflow: before {-5, 5}, after {15, 205}
+    // grid [0,100) x 10 -> bins: before {-1:1, 0:1}, after {1:1, 10:1}
+    val got = Drift.psi(Seq(-5.0, 5.0).toDF("v"), Seq(15.0, 205.0).toDF("v"),
+      "v", 0.0, 100.0, 10).head().getDouble(0)
+    def pr(c: Long) = (c + 1.0) / (2.0 + 12.0)
+    val want = 2 * (pr(1) - pr(0)) * math.log(pr(1) / pr(0)) +
+      2 * (pr(0) - pr(1)) * math.log(pr(0) / pr(1))
+    assert(math.abs(got - Rounding.roundAwayDouble(want, 6)) < 1e-12,
+      s"got $got want $want")
+  }
+
   test("tokenJsDivergence: symmetric, bounded by ln 2, zero on identical slices") {
     import spark.implicits._
     val df = Seq(("a", "x x y"), ("b", "x z z")).toDF("grp", "text")
