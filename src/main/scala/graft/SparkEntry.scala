@@ -1333,6 +1333,16 @@ object SparkEntry {
           col("n_a"), col("n_b"))
         .orderBy(col("n_a"))),
 
+    "q_token_js" -> ((s, dir) =>
+      // symmetric drift twin: Jensen-Shannon divergence over the same
+      // smoothed union-vocabulary distributions as q_token_drift —
+      // bounded by ln 2, so it's the thresholdable variant.
+      graft.ops.Drift.tokenJsDivergence(T(s, dir, "documents"),
+          "text", "lang", "en", "de")
+        .select(Rounding.roundAway(col("js"), 6).alias("js"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("n_a"))),
+
     "q_sketch_median" -> ((s, dir) => {
       // Incrementally-maintained percentile: per-flag KLL-style quantile
       // sketches built on two slices of lineitem, MERGED, then evaluated
@@ -3229,6 +3239,28 @@ object SparkEntry {
         |FROM orders WHERE o_custkey < 3000
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_token_js" ->
+      """WITH toks AS (
+        |  SELECT lang, u.term FROM (
+        |    SELECT lang, list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS ts
+        |    FROM documents WHERE lang IN ('en', 'de')), unnest(ts) AS u(term)),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+        |      FROM (SELECT term, cnt FROM c WHERE lang = 'en') a
+        |      FULL OUTER JOIN (SELECT term, cnt FROM c WHERE lang = 'de') b
+        |        ON a.term = b.term),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+        |             CAST(count(*) AS BIGINT) AS v FROM j),
+        |pq AS (SELECT n_a, n_b,
+        |    (cnt_a + 1) / CAST(n_a + v AS DOUBLE) AS p,
+        |    (cnt_b + 1) / CAST(n_b + v AS DOUBLE) AS q
+        |  FROM j, t)
+        |SELECT round((sum(p * ln(p / ((p + q) / 2)))
+        |    + sum(q * ln(q / ((p + q) / 2)))) / 2, 6) AS js, n_a, n_b
+        |FROM pq GROUP BY n_a, n_b ORDER BY n_a""".stripMargin,
 
     "q_sketch_median" ->
       // the sketch's exact-regime semantics: smallest value whose rank
