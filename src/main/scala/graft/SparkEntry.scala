@@ -1208,6 +1208,28 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_pagerank_personalized" -> ((s, dir) => {
+      // locality-biased centrality ("similar to these seeds"): the same
+      // hierarchy graph, but the surfer teleports only to the first 50
+      // customers — their nations/regions concentrate rank, unreachable
+      // customers score exactly 0. Same unrolled-oracle regime (3 rounds).
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 500)
+      val nation = T(s, dir, "nation")
+      val region = T(s, dir, "region")
+      val nodes = cust.select((col("c_custkey") + 10000).cast("long").alias("id"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("id")))
+        .unionByName(region.select(col("r_regionkey").cast("long").alias("id")))
+      val edges = cust.select((col("c_custkey") + 10000).cast("long").alias("src"),
+          (col("c_nationkey") + 100).cast("long").alias("dst"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("src"),
+          col("n_regionkey").cast("long").alias("dst")))
+      val seeds = cust.where(col("c_custkey") < 50)
+        .select((col("c_custkey") + 10000).cast("long").alias("id"))
+      graft.ops.Graph.personalizedPageRank(nodes, edges, seeds, iterations = 3)
+        .select(col("id"), Rounding.roundAway(col("rank"), 6).alias("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_connected_components" -> ((s, dir) => {
       // label propagation end-to-end against a closed-form oracle: edges
       // form cliques within DIV-8 key buckets (diameter 1, so the loop
@@ -3097,6 +3119,50 @@ object SparkEntry {
          |cnt AS (SELECT count(*) AS nn FROM nodes),
          |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT nn FROM cnt) AS r FROM nodes),
+         |dang0 AS (
+         |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+         |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         |$body
+         |SELECT id, round(r, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+    },
+
+    "q_pagerank_personalized" -> {
+      // same unroll, teleport vector = uniform over the seed set (pv),
+      // dangling mass returned to pv instead of 1/N
+      val iters = 3
+      val body = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    (1 - 0.85::DOUBLE) * n.pv
+           |    + 0.85::DOUBLE * (COALESCE(c.s, 0.0::DOUBLE)
+           |        + (SELECT dm FROM dang${k - 1}) * n.pv) AS r
+           |  FROM pv n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.r / od.deg) AS s
+           |    FROM edges e JOIN r${k - 1} p ON e.src = p.id JOIN od ON od.src = e.src
+           |    GROUP BY e.dst) c ON n.id = c.id),
+           |dang$k AS (
+           |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+           |  FROM r$k p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS id FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(r_regionkey AS BIGINT) FROM region),
+         |edges AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |         CAST(c_nationkey + 100 AS BIGINT) AS dst
+         |  FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT),
+         |    CAST(n_regionkey AS BIGINT) FROM nation),
+         |seeds AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS id
+         |  FROM customer WHERE c_custkey < 50),
+         |sc AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+         |pv AS (SELECT n.id,
+         |    CASE WHEN s.id IS NULL THEN 0.0::DOUBLE
+         |      ELSE 1.0::DOUBLE / (SELECT s FROM sc) END AS pv
+         |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, pv AS r FROM pv),
          |dang0 AS (
          |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
          |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),

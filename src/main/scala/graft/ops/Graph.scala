@@ -267,6 +267,54 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the random surfer
+    * teleports to the SEED set instead of everywhere) — the
+    * locality-biased centrality behind "similar pages to these" and
+    * seed-expanded topic curation. Identical iteration shape to
+    * [[pageRank]] (one contribution join + aggregate and one dangling
+    * scalar per round); only the teleport vector changes: uniform over
+    * `seeds` (1/|S| there, 0 elsewhere), which is also where dangling
+    * mass returns. Ranks concentrate near the seeds; far components get
+    * exactly 0.
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0 && damping > 0 && damping < 1)
+    val seedCol = seeds.columns.head
+    val sN = seeds.select(col(seedCol)).distinct().count().toDouble
+    require(sN > 0, "personalizedPageRank needs a non-empty seed set")
+    // per-node teleport probability: 1/|S| on seeds, 0 elsewhere — the
+    // one frame every round's rank update re-reads
+    val pv = nodes.select(col(idCol).alias("id"))
+      .join(seeds.select(col(seedCol).alias("id"), lit(1.0 / sN).alias("__pv"))
+        .distinct(), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__pv"), lit(0.0d)).alias("__pv"))
+      .localCheckpoint(true)
+    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
+      .localCheckpoint(true)
+    var ranks = pv.select(col("id"), col("__pv").alias("rank"))
+    for (_ <- 0 until iterations) {
+      val dangling = ranks
+        .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0d)))
+        .head().getDouble(0)
+      val contribs = ranks
+        .join(edges, ranks("id") === edges(srcCol))
+        .join(outDeg, srcCol)
+        .select(col(dstCol).alias("id"), (col("rank") / col("__deg")).alias("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
+      ranks = pv
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) * col("__pv") + lit(damping) *
+            (coalesce(col("__c"), lit(0.0d)) + lit(dangling) * col("__pv")))
+            .alias("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007, "Near
     * linear time algorithm to detect community structures in large-scale
     * networks"), determinized: every node starts labeled with its own id,

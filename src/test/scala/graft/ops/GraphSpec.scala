@@ -157,6 +157,28 @@ class GraphSpec extends SparkSpecBase {
     assert(uniform.forall(r => math.abs(r - 0.25) < 1e-15))
   }
 
+  test("personalized pageRank: rank concentrates at the seeds, far components get exactly 0") {
+    import spark.implicits._
+    // component A: 1 -> 2 -> 3 (3 dangling); component B: 10 <-> 11
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRank(nodes, edges, seeds, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the unreachable component carries NOTHING (unlike global pageRank,
+    // where teleportation gives every node (1-d)/N)
+    assert(got(10L) == 0.0 && got(11L) == 0.0, got.toString)
+    // all mass stays in the seed's component and sums to 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass ${got.values.sum}")
+    // the seed keeps at least the teleport share, and the dangling sink
+    // (node 3) accumulates more than the pass-through node 2
+    assert(got(1L) >= 0.15 - 1e-12 && got(3L) > got(2L), got.toString)
+    // zero iterations = the teleport vector itself
+    val init = Graph.personalizedPageRank(nodes, edges, seeds, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(init == Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 10L -> 0.0, 11L -> 0.0))
+  }
+
   test("label propagation splits two triangles joined by a bridge") {
     import spark.implicits._
     // hand-traced under the deterministic min-tie rule: after 3 rounds
