@@ -293,6 +293,30 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(math.abs(kept("kl") - 2500L) < 100, s"kl kept ${kept("kl")}")
   }
 
+  test("naive Bayes on 100k docs x 2 classes: one-plan train+score, perfect separable recovery") {
+    // two classes with disjoint content vocabularies (docs are id-salted
+    // so the vocab is ~20k tokens, exercising the |V| x |classes| grid)
+    // plus shared stopwords carrying no signal
+    def gen(cls: String, offset: Int) = spark.range(50000).select(
+      (col("id") + offset).alias("id"),
+      concat_ws(" ", lit("the"), lit("and"),
+        concat(lit(cls), pmod(col("id") * 13, lit(10000))),
+        concat(lit(cls), pmod(col("id") * 7 + 3, lit(10000))),
+        concat(lit(cls), pmod(col("id"), lit(10000)))).alias("text"),
+      lit(cls).alias("label"))
+    val corpus = gen("alpha", 0).unionByName(gen("beta", 50000))
+    val train = corpus.where(pmod(col("id"), lit(2)) === 0)
+    val test = corpus.where(pmod(col("id"), lit(2)) === 1)
+    val out = TextClassify.naiveBayes(train, test, "text", "label", "id")
+    val agg = out.select(
+        count(lit(1)).alias("n"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L)).alias("ok"))
+      .head()
+    // disjoint vocab -> every test doc classifies correctly
+    assert(agg.getLong(0) == 50000L && agg.getLong(1) == 50000L,
+      s"${agg.getLong(1)}/${agg.getLong(0)} correct")
+  }
+
   test("BPE rounds cost tracks the VOCABULARY, not the corpus: 30k-word census, 12 merges") {
     // a synthetic Zipf-ish census: 30k distinct words over a 26-letter
     // alphabet; the corpus behind it would be arbitrarily large — the
