@@ -18,10 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   cost is a few hundred bytes of manifest, never a copy).
   * - A REPLACE commit's manifest = just the new directory; the old
   *   directories stay on disk for older versions until [[vacuum]].
-  * - Commit = atomic rename of the manifest into its numbered slot, AFTER
-  *   the data directory is fully written: a crash mid-commit leaves an
-  *   orphan data directory (reclaimed by [[vacuum]]) and the table at its
-  *   previous version — never a torn read.
+  * - Commit = create-if-absent of the manifest in its numbered slot
+  *   (`create(overwrite = false)` — exact one-winner semantics on
+  *   HDFS-like stores; a narrow check-then-create window on POSIX),
+  *   AFTER the data directory is fully written: a crash mid-commit
+  *   leaves an orphan data directory (reclaimed by [[vacuum]]) and, at
+  *   worst, an empty claimed manifest that reads reject loudly — never
+  *   a silently torn read.
   * - Reads take a version number ([[readAt]]) or default to the latest;
   *   schema evolution across appends surfaces via parquet `mergeSchema`,
   *   same policy as [[TableStore]].
@@ -57,25 +60,45 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
   private def readManifest(table: String, v: Long): Seq[String] = {
     val p = manifestPath(table, v)
     val in = fs(p).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val dirs =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    // every commit lists >= 1 directory, so an empty read means the
+    // writer claimed the slot but has not finished its single
+    // write+close yet (or crashed between them) — fail loudly instead
+    // of serving the torn commit as an empty table
+    if (dirs.isEmpty) throw new java.io.IOException(
+      s"manifest v$v of '$table' is empty — commit in flight or torn; retry")
+    dirs
   }
 
   private def writeManifest(table: String, v: Long, dirs: Seq[String]): Unit = {
     val md = manifestDir(table)
     val f = fs(md)
     f.mkdirs(md)
-    val tmp = new Path(md, s".v$v.tmp")
-    val out = f.create(tmp, true)
+    val dst = manifestPath(table, v)
+    // CREATE-IF-ABSENT claim, not rename: rename's contract varies —
+    // HDFS returns false on an existing destination, but POSIX/RawLocal
+    // rename OVERWRITES it and reports success, so two writers racing
+    // the same version number would both "commit" and one manifest would
+    // be silently lost. create(overwrite = false) makes the existence
+    // check part of the create on HDFS-like stores (exact one-winner
+    // detection); on RawLocal the check-then-create window is merely
+    // narrow, which is why single-writer per table stays the documented
+    // contract — this guard detects the race, it is not a lock service.
+    val out =
+      try f.create(dst, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"version $v of '$table' already committed (concurrent writer?)", e)
+      }
+    // one write + close; a reader listing the claimed-but-unclosed file
+    // sees an empty manifest, which readManifest rejects loudly below
+    // rather than serving a half commit as an empty table
     try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    val dst = manifestPath(table, v)
-    if (!f.rename(tmp, dst)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"version $v of '$table' already committed (concurrent writer?)")
-    }
   }
 
   private def newDataDir(table: String, v: Long, df: DataFrame): String = {

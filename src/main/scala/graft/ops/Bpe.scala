@@ -65,9 +65,16 @@ object Bpe {
     require(numMerges >= 0)
     import org.apache.spark.sql.Row
     // freq normalized to long so the argmax row shape is stable no matter
-    // how the caller computed weights (Spark's `/` yields doubles)
+    // how the caller computed weights (Spark's `/` yields doubles).
+    // filter(length > 0): Spark >= 3.4 drops the empty-regex split's
+    // trailing empty element (SPARK-40194), but older split semantics
+    // would emit one — and an empty-string symbol would enter EVERY
+    // word's pair census (e.g. ('', EndMark) at corpus scale) and
+    // corrupt merge learning; same defensive filter as
+    // TextAnalysis.tokenBucket
     var vocab = census.select(col("freq").cast("long").alias("freq"),
-        concat(split(col("word"), ""), array(lit(EndMark))).alias("syms"))
+        concat(filter(split(col("word"), ""), c => length(c) > 0),
+          array(lit(EndMark))).alias("syms"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 1

@@ -58,6 +58,16 @@ object CorpusPipeline {
     * @param dsirMinWeight inclusion threshold for the DSIR gate (log-ratio
     *                     units; 0.0 = "more target-like than neutral")
     * @param dsirDims     hashed-model size for the DSIR gate
+    * @param dsirBuckets  optional precomputed `(idCol, __b, __n)` hashed
+    *                     bag-of-tokens frame ([[TextClassify.docBucketRows]]
+    *                     at `dsirDims`, typically the session-cached
+    *                     [[Features.docTokenBuckets]]) covering BOTH the
+    *                     input corpus and the target exemplars. When set,
+    *                     the DSIR gate semi-joins id subsets out of it
+    *                     instead of re-tokenizing — the artifact-reuse
+    *                     shape at 100 TB, where the hashed BoW table is
+    *                     written once at ingest and every selection pass
+    *                     reads it
     */
   case class Config(
       minQuality: Double = 0.3,
@@ -76,7 +86,8 @@ object CorpusPipeline {
       spanDedupK: Int = 0,
       dsirTarget: Option[DataFrame] = None,
       dsirMinWeight: Double = 0.0,
-      dsirDims: Int = 1024)
+      dsirDims: Int = 1024,
+      dsirBuckets: Option[DataFrame] = None)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -194,8 +205,20 @@ object CorpusPipeline {
     // collect-free shape as the perplexity gate
     val filtered = cfg.dsirTarget match {
       case Some(target) =>
-        val keep = TextClassify.dsirWeights(lmFiltered, target,
-            cfg.textCol, cfg.idCol, cfg.dsirDims)
+        // with a precomputed bucket table, both models are id semi-joins
+        // out of the one cached tokenization; otherwise tokenize inline
+        val weights = cfg.dsirBuckets match {
+          case Some(buckets) =>
+            TextClassify.dsirWeightsFromBuckets(
+              buckets.join(lmFiltered.select(col(cfg.idCol)), Seq(cfg.idCol), "left_semi"),
+              buckets.join(target.select(col(cfg.idCol)).distinct(),
+                Seq(cfg.idCol), "left_semi"),
+              cfg.idCol, cfg.dsirDims)
+          case None =>
+            TextClassify.dsirWeights(lmFiltered, target,
+              cfg.textCol, cfg.idCol, cfg.dsirDims)
+        }
+        val keep = weights
           .where(col("weight") >= cfg.dsirMinWeight)
           .select(col(cfg.idCol))
         lmFiltered.join(keep, Seq(cfg.idCol), "left_semi")

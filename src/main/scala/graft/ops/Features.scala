@@ -50,6 +50,24 @@ object Features {
           .select(col(idCol), Dedup.shingleHashes(col(textCol), n).alias("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Cached `(idCol, __b, __n)` hashed bag-of-tokens frame for
+    * `dir/table.parquet` — [[TextClassify.docBucketRows]] paid once per
+    * (corpus, dims). Every DSIR consumer (standalone weighting, the
+    * capstone's selection gate) derives its raw/target models from
+    * row-subsets of this one frame via id semi-joins, so the dominant
+    * tokenize+hash scan is never repeated across queries in a session —
+    * the same role [[docShingles]] plays for the dedup family.
+    */
+  def docTokenBuckets(spark: SparkSession, dir: String, dims: Int,
+      table: String = "documents", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    cache.computeIfAbsent(spark, _ => new ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(
+        s"$dir|$table|$textCol|$idCol|buckets$dims",
+        _ => TextClassify.docBucketRows(
+            spark.read.parquet(s"$dir/$table.parquet"), textCol, idCol, dims)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Drop cached frames whose source data overlaps `path` — called by
     * [[graft.engine.TableStore]]'s rewrite paths (registered above) so an
     * in-session replace()/compact() of the underlying table can't leave a

@@ -230,9 +230,14 @@ object Graph {
     * list — the link-centrality signal web-corpus curation pipelines use
     * for source quality. Per iteration: each node's rank splits evenly
     * over its out-edges (one equi-join on src + one groupBy dst, the only
-    * data-sized shuffles), DANGLING nodes' mass redistributes uniformly
-    * (their summed rank is the round's single bounded driver action — one
-    * double), and `rank' = (1−d)/N + d·(Σ contribs + dangling/N)`.
+    * data-sized shuffles), DANGLING nodes' mass redistributes uniformly,
+    * and `rank' = (1−d)/N + d·(Σ contribs + dangling/N)`. The dangling
+    * sum rides along as a broadcast 1-row frame crossJoined into the rank
+    * update — the same no-extra-action trick as [[connectedComponents]]'
+    * `__chg` flag — so each round runs exactly ONE driver action (the
+    * eager checkpoint); on an iterative operator the per-round cost is
+    * action-dominated at any scale, and a separate dangling probe would
+    * double the job count.
     * Fixed `iterations` (no convergence probe) keeps the result exactly
     * replayable by an unrolled SQL oracle; `localCheckpoint` flattens the
     * per-round lineage like the other iterative loops here. Rank mass is
@@ -248,10 +253,12 @@ object Graph {
       .localCheckpoint(true)
     var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
     for (_ <- 0 until iterations) {
+      // aggregate over the CURRENT (checkpointed, flat-lineage) ranks: an
+      // ungrouped agg always yields exactly one row (sum -> null when no
+      // dangling nodes), so the crossJoin below never changes cardinality
       val dangling = ranks
         .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0d)))
-        .head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
       val contribs = ranks
         .join(edges, ranks("id") === edges(srcCol))
         .join(outDeg, srcCol)
@@ -259,9 +266,10 @@ object Graph {
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
       ranks = nodes.select(col(idCol).alias("id"))
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0d)) + lit(dangling / n))).alias("rank"))
+            (coalesce(col("__c"), lit(0.0d)) + col("__dm") / lit(n))).alias("rank"))
         .localCheckpoint(true)
     }
     ranks
@@ -271,8 +279,9 @@ object Graph {
     * teleports to the SEED set instead of everywhere) — the
     * locality-biased centrality behind "similar pages to these" and
     * seed-expanded topic curation. Identical iteration shape to
-    * [[pageRank]] (one contribution join + aggregate and one dangling
-    * scalar per round); only the teleport vector changes: uniform over
+    * [[pageRank]] (one contribution join + aggregate, dangling mass as a
+    * broadcast 1-row ride-along, ONE action per round); only the teleport
+    * vector changes: uniform over
     * `seeds` (1/|S| there, 0 elsewhere), which is also where dangling
     * mass returns. Ranks concentrate near the seeds; far components get
     * exactly 0.
@@ -297,8 +306,7 @@ object Graph {
     for (_ <- 0 until iterations) {
       val dangling = ranks
         .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0d)))
-        .head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
       val contribs = ranks
         .join(edges, ranks("id") === edges(srcCol))
         .join(outDeg, srcCol)
@@ -306,9 +314,10 @@ object Graph {
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
       ranks = pv
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(1 - damping) * col("__pv") + lit(damping) *
-            (coalesce(col("__c"), lit(0.0d)) + lit(dangling) * col("__pv")))
+            (coalesce(col("__c"), lit(0.0d)) + col("__dm") * col("__pv")))
             .alias("rank"))
         .localCheckpoint(true)
     }
@@ -338,16 +347,27 @@ object Graph {
   def labelPropagation(edges: DataFrame, iterations: Int,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iterations >= 0)
-    val directed = edges.select(col(srcCol).cast("long").alias("a"),
+    val raw = edges.select(col(srcCol).cast("long").alias("a"),
       col(dstCol).cast("long").alias("b"))
+    // self-loops are dropped from the VOTING edge set (same
+    // canonicalization as triangleCounts): a surviving (v,v) row would
+    // have v vote for its own label every round, diverging from "most
+    // frequent label among its NEIGHBORS"
+    val directed = raw.where(col("a") =!= col("b"))
     val und = directed.unionByName(
         directed.select(col("b").alias("a"), col("a").alias("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = und.select(col("a").alias("node")).distinct()
-      .select(col("node"), col("node").alias("label"))
+    // node set from the RAW endpoints: a node whose only edge is a
+    // self-loop has no neighbors, so it keeps its own label — it must
+    // stay in the output, just never receive votes
+    val nodes = raw.select(col("a").alias("node"))
+      .unionByName(raw.select(col("b").alias("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").alias("label"))
     for (_ <- 0 until iterations) {
-      labels = und
+      val voted = und
         .join(labels.select(col("node").alias("b"), col("label").alias("__nl")), "b")
         .groupBy(col("a"), col("__nl"))
         .agg(count(lit(1)).alias("__c"))
@@ -355,7 +375,11 @@ object Graph {
         // one aggregate, no per-node window sort
         .groupBy(col("a").alias("node"))
         .agg(max(struct(col("__c"), (-col("__nl")).alias("__neg"))).alias("__m"))
-        .select(col("node"), (-col("__m.__neg")).alias("label"))
+        .select(col("node"), (-col("__m.__neg")).alias("__vl"))
+      // neighborless nodes (no voting edges) keep their own id as label
+      labels = nodes
+        .join(voted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__vl"), col("node")).alias("label"))
         .localCheckpoint(true)
     }
     labels

@@ -88,17 +88,23 @@ object RangeJoin {
     * degenerate default range), that bin's equi-join task goes quadratic
     * while every other task idles. AQE's skew-split only re-chunks the
     * PROBE side of a sort-merge join, so for a known-hot workload pass
-    * `saltBuckets > 1`: each left row draws a salt from its position
-    * (`monotonically_increasing_id % saltBuckets` — NOT a hash of the
-    * interval, which would re-concentrate the exact hot case of many
-    * rows sharing one degenerate interval into a single salt) and the
-    * right side replicates each exploded row to every salt (the same
-    * spread-the-hot-key pattern as the salted equi-join, q_skew_join) —
-    * one bin's pairs fan out over
-    * `saltBuckets` tasks at the cost of a ×saltBuckets right-side
-    * explosion, so keep it small (8-32) and only when skew is real.
-    * Results are identical for any value: each pair still meets exactly
-    * once, at the left row's salt in the canonical bin.
+    * `saltBuckets > 1`: each left row draws a salt from a DETERMINISTIC
+    * hash of its full row (`xxhash64` over every left column — NOT a
+    * hash of just the interval, which would re-concentrate the exact hot
+    * case of many rows sharing one degenerate interval into a single
+    * salt, and NOT `monotonically_increasing_id`, whose value depends on
+    * partition id and intra-partition order: under a partial stage retry
+    * or speculation a re-executed map task would re-deal salts, and
+    * reducers holding the old attempt's output plus reducers reading the
+    * new one could duplicate or drop rows) and the right side replicates
+    * each exploded row to every salt (the same spread-the-hot-key
+    * pattern as the salted equi-join, q_skew_join) — one bin's pairs fan
+    * out over `saltBuckets` tasks at the cost of a ×saltBuckets
+    * right-side explosion, so keep it small (8-32) and only when skew is
+    * real. Rows identical in EVERY column hash to one salt — keep a
+    * unique id column in the frame (any real table has one) so the hot
+    * case spreads. Results are identical for any value: each pair still
+    * meets exactly once, at the left row's salt in the canonical bin.
     */
   def intervalOverlap(
       left: DataFrame,
@@ -116,10 +122,12 @@ object RangeJoin {
       if (saltBuckets == 1) (l0, r0, lit(true))
       else {
         // the salt value never affects the result set (each pair meets
-        // exactly once at the left row's salt), so positional assignment
-        // is safe even though task retries may re-deal it
+        // exactly once at the left row's salt) but it MUST be stable
+        // across recomputation: it is part of the shuffle key, and a
+        // retried map task that re-dealt salts positionally would let
+        // mixed old/new reducer reads duplicate or drop rows
         val ls = l0.withColumn("__salt",
-          pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+          pmod(xxhash64(l0.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
         val rs = r0.withColumn("__salt",
           explode(sequence(lit(0), lit(saltBuckets - 1))))
         (ls, rs, ls("__salt") === rs("__salt"))

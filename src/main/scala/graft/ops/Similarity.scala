@@ -525,6 +525,26 @@ object Similarity {
     TopK.perGroup(scored, Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
   }
 
+  /** Materialize the corpus-wide kNN EDGE LIST from a persisted IVF index
+    * into its own table — the artifact-reuse step between retrieval and
+    * graph analytics. The kNN join (every vector queried against the
+    * index, [[ivfTopKJoinPersisted]] with `excludeSelf`) is paid ONCE at
+    * index-build time; every downstream graph consumer (label
+    * propagation, community detection, SemDeDup-style pruning) then READS
+    * edges instead of re-running k-means + the cell join per query. At
+    * 100 TB the edge list is exactly the kind of derived table a
+    * production pipeline snapshots alongside the index it came from.
+    * Output schema: `(queryIdCol, idCol, cosine)`.
+    */
+  def persistKnnEdges(store: graft.engine.TableStore, indexTable: String,
+      edgeTable: String, queries: DataFrame, queryVecCol: String,
+      queryIdCol: String, vecCol: String, idCol: String, k: Int,
+      nProbe: Int): Unit =
+    store.write(edgeTable,
+      ivfTopKJoinPersisted(store, indexTable, queries, queryVecCol, queryIdCol,
+        vecCol, idCol, k, nProbe, excludeSelf = true),
+      append = false)
+
   /** All signatures within Hamming distance `maxBits` of `sig` — the
     * multi-probe ball, enumerated driver-side: Σ_{i≤maxBits} C(planes,i)
     * values (137 at planes=16, maxBits=2), independent of corpus size.

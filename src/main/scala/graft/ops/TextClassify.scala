@@ -135,23 +135,37 @@ object TextClassify {
     * model state bounded by `dims`, never by vocabulary.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
-      idCol: String, dims: Int = 1024): DataFrame = {
+      idCol: String, dims: Int = 1024): DataFrame =
+    dsirWeightsFromBuckets(docBucketRows(raw, textCol, idCol, dims),
+      docBucketRows(target, textCol, idCol, dims), idCol, dims)
+
+  /** The per-document hashed bag-of-tokens — `(idCol, __b, __n)` rows,
+    * the sparse representation both DSIR models aggregate from. Exposed
+    * (and cached by [[Features.docTokenBuckets]]) because the
+    * tokenize+hash pass over the corpus is the dominant cost of
+    * [[dsirWeights]], and every DSIR consumer over the same corpus —
+    * standalone weighting, the capstone's selection gate — starts from
+    * this exact frame: compute once, semi-join subsets per consumer.
+    */
+  def docBucketRows(df: DataFrame, textCol: String, idCol: String,
+      dims: Int): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
-    // (doc, bucket, n) rows for a corpus — the sparse hashed representation
-    def bucketRows(df: DataFrame, withId: Boolean): DataFrame = {
-      val base = df.select(
-        (if (withId) col(idCol) else lit(0L).alias(idCol)),
-        explode(normToks(col(textCol))).alias("__tok"))
-        .select(col(idCol),
-          TextAnalysis.tokenBucket(col("__tok"), dims).alias("__b"))
-      if (withId)
-        base.groupBy(col(idCol), col("__b")).agg(count(lit(1)).alias("__n"))
-      else base.groupBy(col("__b")).agg(count(lit(1)).alias("__n"))
-    }
-    val rawRows = bucketRows(raw, withId = true)
+    df.select(col(idCol), explode(normToks(col(textCol))).alias("__tok"))
+      .select(col(idCol), TextAnalysis.tokenBucket(col("__tok"), dims).alias("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).alias("__n"))
+  }
+
+  /** [[dsirWeights]] from precomputed [[docBucketRows]] frames: `rawRows`
+    * and `tgtRows` are `(idCol, __b, __n)` per-document bucket rows for
+    * the raw corpus and the target exemplars. Same math, same output —
+    * only the tokenization pass is factored out so callers can pay it
+    * once per corpus and feed row-subsets (semi-joins) per invocation.
+    */
+  def dsirWeightsFromBuckets(rawRows: DataFrame, tgtRows: DataFrame,
+      idCol: String, dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
     val rawCensus = rawRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__cr"))
-    val tgtCensus = bucketRows(target, withId = false)
-      .select(col("__b"), col("__n").alias("__ct"))
+    val tgtCensus = tgtRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__ct"))
     val rawTotal = rawCensus.agg(sum(col("__cr")).alias("__nr"))
     val tgtTotal = tgtCensus.agg(sum(col("__ct")).alias("__nt"))
     // dense dims-row model: absent buckets carry pure smoothing mass

@@ -53,6 +53,9 @@ object TopK {
     * approximate by construction: rows tied with the estimated quantile
     * all pass, and the estimate itself carries `percentile_approx`
     * accuracy error — callers needing an exact cut use the rank gate.
+    * Null group keys form their own group and are gated like any other
+    * (the threshold attaches via a null-safe `<=>` join), matching how a
+    * rank window would partition them.
     */
   def fractionGate(df: DataFrame, groups: Seq[String], scoreCol: String,
       fraction: Double, accuracy: Int = 10000): DataFrame = {
@@ -61,8 +64,12 @@ object TopK {
     val thr = df.groupBy(groups.map(col): _*)
       .agg(percentile_approx(col(scoreCol), lit(1 - fraction), lit(accuracy))
         .alias("__thr"))
-    df.join(thr, groups)
-      .where(col(scoreCol) >= col("__thr"))
-      .drop("__thr")
+    // NULL-SAFE equality on the group keys: groupBy collects null keys
+    // into their own group (as a rank window would partition them), but a
+    // plain equi-join would drop those rows from the gate entirely — <=>
+    // keeps the null group gated like every other group
+    val cond = groups.map(g => df(g) <=> thr(g)).reduce(_ && _)
+    val joined = df.join(thr, cond).where(col(scoreCol) >= col("__thr"))
+    groups.foldLeft(joined.drop(col("__thr")))((d, g) => d.drop(thr(g)))
   }
 }

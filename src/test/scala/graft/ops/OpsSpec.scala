@@ -1056,12 +1056,13 @@ class OpsSpec extends SparkSpecBase {
     assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"))
   }
 
-  test("identical-interval hot case: positional salt spreads it and preserves the result") {
+  test("identical-interval hot case: full-row hash salt spreads it and preserves the result") {
     import spark.implicits._
     // 2000 left rows share ONE degenerate interval (a default [0,0]
     // range) — an interval-value hash salt would re-concentrate them all
-    // into a single salt bucket; the positional salt must both spread
-    // them and return the exact pair set
+    // into a single salt bucket; the full-row hash salt (deterministic
+    // under task retry, unlike a positional deal) must both spread them
+    // via their distinct ids and return the exact pair set
     val left = (0 until 2000).map(i => (i.toLong, 0L, 0L)).toDF("lid", "ls", "le")
     val right = Seq((1L, 0L, 5L), (2L, -3L, 0L), (3L, 1L, 9L)).toDF("rid", "rs", "re")
     val salted = graft.ops.RangeJoin.intervalOverlap(left, right,
@@ -1070,10 +1071,12 @@ class OpsSpec extends SparkSpecBase {
     // [0,0] overlaps rids 1 and 2, not 3 -> exactly 4000 pairs
     assert(salted.size == 4000 && salted.forall(p => p._2 == 1L || p._2 == 2L),
       s"got ${salted.size} pairs")
-    // the positional salt genuinely spreads the identical rows
-    val salts = graft.ops.RangeJoin.binnedByRange(left, "ls", "le", 100L)
+    // the full-row hash salt genuinely spreads the identical intervals
+    // (distinct lids -> distinct hashes), and is replay-stable
+    val binned = graft.ops.RangeJoin.binnedByRange(left, "ls", "le", 100L)
+    val salts = binned
       .withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+        pmod(xxhash64(binned.columns.map(col): _*), lit(8L)).cast("int"))
       .select(countDistinct(col("__salt"))).head().getLong(0)
     assert(salts == 8L, s"only $salts salt buckets used for identical intervals")
   }
