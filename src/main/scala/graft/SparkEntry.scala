@@ -1714,6 +1714,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_prepare_ranked" -> ((s, dir) => {
+      // the capstone with the SOURCE-RANK graph gate active: PageRank
+      // over a deterministic source-link graph (feeder sources src4+
+      // each link to their id%4 authority; the four authorities are
+      // dangling) for 2 power iterations — the web-curation "rank flows
+      // to authoritative sources" signal — then keep docs whose source
+      // clears a 0.06 rank floor (authorities ~0.094, feeders ~0.039 on
+      // this fixture). The rank table is sources-sized, so the gate is a
+      // broadcast semi-join on the corpus. Dedup/decontamination are off
+      // so the oracle isolates the gate; the rank replay is the
+      // q_pagerank CTE unroll over the source graph.
+      val docs = T(s, dir, "documents")
+      val nodes = docs.select(col("source")).distinct()
+        .select(col("source").substr(lit(4), lit(10)).cast("bigint").alias("id"))
+      val edges = nodes.where(col("id") >= 4)
+        .select(col("id").alias("src"), pmod(col("id"), lit(4L)).alias("dst"))
+      val ranks = graft.ops.Graph.pageRank(nodes, edges, iterations = 2)
+        .select(concat(lit("src"), col("id").cast("string")).alias("source"),
+          Rounding.roundAway(col("rank"), 6).alias("rank"))
+      ops.CorpusPipeline.prepare(docs,
+          ops.CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.95,
+            dedupJaccard = 0, sourceRank = Some(ranks), minSourceRank = 0.06))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_prepare_gopher" -> ((s, dir) => {
       // the capstone with the GOPHER shape gate active (Config.gopher):
       // the paragraph-chunked corpus is decorated with bullet/ellipsis/
@@ -3750,6 +3776,64 @@ object SparkEntry {
          |  FROM rawr JOIN model m ON m.b = rawr.b GROUP BY 1)
          |SELECT s.doc_id, s.quality FROM surv s JOIN w ON w.doc_id = s.doc_id
          |WHERE w.weight >= -0.2 ORDER BY s.doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_ranked" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality/repetition replay (as q_corpus_prepare_dsir's skeleton)
+      // plus the source-rank gate: 2 PageRank iterations over the
+      // deterministic source graph unrolled as CTEs (the q_pagerank
+      // regime), rounded rank >= 0.06
+      val prBody = (1 to 2).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    ((1 - 0.85::DOUBLE) / (SELECT nn FROM cnt))
+           |    + 0.85::DOUBLE * (COALESCE(c.s, 0.0::DOUBLE)
+           |        + ((SELECT dm FROM dang${k - 1}) / (SELECT nn FROM cnt))) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.r / od.deg) AS s
+           |    FROM edges e JOIN r${k - 1} p ON e.src = p.id JOIN od ON od.src = e.src
+           |    GROUP BY e.dst) c ON n.id = c.id),
+           |dang$k AS (
+           |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+           |  FROM r$k p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(substring(source, 4) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |edges AS (SELECT id AS src, id % 4 AS dst FROM nodes WHERE id >= 4),
+         |cnt AS (SELECT count(*) AS nn FROM nodes),
+         |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT nn FROM cnt) AS r FROM nodes),
+         |dang0 AS (
+         |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+         |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         |$prBody,
+         |pass AS (SELECT 'src' || CAST(id AS VARCHAR) AS source
+         |  FROM r2 WHERE round(r, 6) >= 0.06),
+         |base AS (SELECT doc_id, text, source,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents),
+         |feat AS (SELECT doc_id, source,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base)
+         |SELECT doc_id, quality FROM feat
+         |WHERE quality >= 0.3 AND rep_ratio <= 0.95
+         |  AND source IN (SELECT source FROM pass)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_corpus_prepare_gopher" -> {

@@ -68,6 +68,18 @@ object CorpusPipeline {
     *                     shape at 100 TB, where the hashed BoW table is
     *                     written once at ingest and every selection pass
     *                     reads it
+    * @param sourceRank   when set, apply the SOURCE-QUALITY graph gate:
+    *                     a `(sourceCol, rank)` frame (typically
+    *                     [[Graph.pageRank]] over a source-link graph —
+    *                     the web-corpus curation signal: rank flows to
+    *                     authoritative sources) keyed by the corpus's
+    *                     source column; docs whose source ranks below
+    *                     `minSourceRank` are dropped. The rank table is
+    *                     sources-sized (never corpus-sized), so the gate
+    *                     is a broadcast semi-join — zero extra shuffle on
+    *                     the corpus at any scale
+    * @param minSourceRank inclusion floor for the source-rank gate
+    * @param sourceCol    the corpus + rank-frame column naming the source
     */
   case class Config(
       minQuality: Double = 0.3,
@@ -87,7 +99,10 @@ object CorpusPipeline {
       dsirTarget: Option[DataFrame] = None,
       dsirMinWeight: Double = 0.0,
       dsirDims: Int = 1024,
-      dsirBuckets: Option[DataFrame] = None)
+      dsirBuckets: Option[DataFrame] = None,
+      sourceRank: Option[DataFrame] = None,
+      minSourceRank: Double = 0.0,
+      sourceCol: String = "source")
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -224,6 +239,15 @@ object CorpusPipeline {
         lmFiltered.join(keep, Seq(cfg.idCol), "left_semi")
       case None => lmFiltered
     }
+    // source-rank gate: the passing-source set is sources-sized, so it
+    // broadcasts — the corpus is filtered in place with no shuffle
+    val rankGated = cfg.sourceRank match {
+      case Some(ranks) =>
+        val pass = ranks.where(col("rank") >= cfg.minSourceRank)
+          .select(col(cfg.sourceCol))
+        filtered.join(broadcast(pass), Seq(cfg.sourceCol), "left_semi")
+      case None => filtered
+    }
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word
     // shingles); persisted because the candidate stage alone reads it
@@ -234,7 +258,7 @@ object CorpusPipeline {
     // the final set identical to flagging after dedup.
     val corpusShingles =
       if (needShingles)
-        Some(filtered
+        Some(rankGated
           .select(col(cfg.idCol), Dedup.shingleHashes(t, 3).alias("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
@@ -256,9 +280,9 @@ object CorpusPipeline {
         // round budget costs nothing), but the budget headroom keeps a
         // pathological template chain from being silently split into
         // extra survivors by the cap
-        Dedup.dropNearDuplicatesFromShingles(filtered, corpusShingles.get,
+        Dedup.dropNearDuplicatesFromShingles(rankGated, corpusShingles.get,
           cfg.idCol, cfg.dedupJaccard, maxRounds = 30, bands = cfg.dedupBands)
-      else filtered
+      else rankGated
     val cleaned = cfg.evalSet match {
       case Some(ev) =>
         val flagged = Dedup.crossOverlapPairsFromShingles(
