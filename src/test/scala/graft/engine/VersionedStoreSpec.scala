@@ -86,4 +86,73 @@ class VersionedStoreSpec extends SparkSpecBase {
     assert(st.commitAppend("t", Seq(2).toDF("x")) == 2L)
     assert(st.read("t").count() == 2)
   }
+
+  test("rollback x dedup index: re-ingest resurrects no duplicates; realign stops ghost drops") {
+    // The compaction/rollback interaction a production pipeline hits:
+    // corpus versions live in the VersionedStore, the incremental dedup
+    // index in a TableStore. Rolling the corpus back does NOT roll the
+    // index back — the contract is to REBUILD the index from the
+    // rolled-back snapshot before re-ingesting. This spec pins both
+    // directions: (a) after rollback + realign, re-running the ingest
+    // still drops the duplicate (time travel resurrects nothing), and
+    // (b) without the realign, the stale index ghost-drops a twin of a
+    // rolled-back survivor against an entry no longer in the corpus.
+    val vs = newStore()
+    val idx = new graft.engine.TableStore(spark, tmpDir("vs-dedup-wh"))
+    def rebuildIndexFrom(snapshot: org.apache.spark.sql.DataFrame): Unit =
+      graft.ops.DedupIndex.persist(idx, "mh", snapshot, "text", "doc_id",
+        shingleSize = 3, k = 64, bands = 16, buckets = 16)
+    def ingest(batch: org.apache.spark.sql.DataFrame, register: Boolean) =
+      graft.ops.DedupIndex.ingestDedup(idx, "mh", batch, "text", "doc_id",
+          minJaccard = 0.5, appendSurvivors = register)
+        .select("doc_id").as[Long].collect().toSet
+
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans cheaply"))
+      .toDF("doc_id", "text")
+    val v1 = vs.commitAppend("corpus", base)
+    rebuildIndexFrom(vs.readAt("corpus", v1))
+
+    // batch: 10 near-duplicates doc 0 (dropped), 11 is fresh (survives
+    // and is registered in the index)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (11L, "entirely new material with no overlap whatsoever against the base corpus"))
+      .toDF("doc_id", "text")
+    val surv1 = graft.ops.DedupIndex.ingestDedup(idx, "mh", batch, "text",
+      "doc_id", minJaccard = 0.5)
+    assert(surv1.select("doc_id").as[Long].collect().toSet == Set(11L))
+    vs.commitAppend("corpus", surv1)
+    assert(vs.read("corpus").select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 11L))
+
+    // operational rollback: the batch commit was bad — re-commit v1's
+    // snapshot as the new head (rollback is itself a commit; history stays)
+    val v3 = vs.commitReplace("corpus", vs.readAt("corpus", v1))
+    assert(vs.read("corpus").select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+
+    // (b) the index still carries doc 11 — stale vs the rolled-back
+    // corpus: a twin of the rolled-back survivor is dropped against a
+    // GHOST (an id the corpus no longer contains)
+    val twin = Seq(
+      (12L, "entirely new material with no overlap whatsoever against the base corpus"))
+      .toDF("doc_id", "text")
+    assert(ingest(twin, register = false).isEmpty,
+      "expected the stale index to ghost-drop the twin (this is the hazard)")
+
+    // realign: rebuild the index FROM the rolled-back snapshot
+    rebuildIndexFrom(vs.readAt("corpus", v3))
+
+    // the twin now survives — nothing in the v3 corpus resembles it
+    assert(ingest(twin, register = false) == Set(12L))
+    // (a) re-running the original ingest: the duplicate of doc 0 stays
+    // dropped (rollback resurrected nothing), the fresh doc re-survives
+    assert(ingest(batch, register = true) == Set(11L))
+    vs.commitAppend("corpus",
+      batch.where(col("doc_id") === 11L))
+    assert(vs.read("corpus").select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 11L))
+    // and with 11 genuinely back in the corpus+index, dropping its twin
+    // is now the CORRECT behavior, not a ghost drop
+    assert(ingest(twin, register = false).isEmpty)
+  }
 }
