@@ -1652,6 +1652,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("cum_chars"))
         .orderBy(col("lang"), col("cum_chars"))),
 
+    "q_mixture_allocation" -> ((s, dir) => {
+      // DoReMi-lite DATA RECIPE: one global 60k-char budget split across
+      // languages proportionally to each language's MEAN QUALITY score
+      // (better domains earn more of the budget), then each language's
+      // quota filled greedily in deterministic hash order. The
+      // allocation is a domains-sized broadcast (one 1-row total, no
+      // driver math); the packing is the same single window pass as
+      // q_budget_pack — the whole recipe replays closed-form.
+      val docs = T(s, dir, "documents")
+        .withColumn("quality", ops.TextAnalysis.qualityScore(col("text")))
+      val weights = docs.groupBy(col("lang"))
+        .agg(Rounding.roundAway(avg(col("quality")), 6).alias("w"))
+      val budgets = ops.Sampling.mixtureAllocation(weights, Seq("lang"), "w", 60000L)
+      ops.Sampling.budgetPackPerGroup(docs, Seq("lang"), col("n_chars"),
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")), budgets)
+        .select(col("doc_id"), col("lang"),
+          col("cum_weight").cast("bigint").alias("cum_chars"))
+        .orderBy(col("lang"), col("cum_chars"))
+    }),
+
     "q_gap_fill" -> ((s, dir) =>
       // regularize per-user hourly activity onto a dense hourly grid:
       // missing hours appear with n = 0 (two shuffles total, key-partitioned)
@@ -2112,6 +2132,24 @@ object SparkEntry {
         .select(col("vec_id").alias("qid"), col("embedding"))
       Similarity.ivfTopKJoinPersisted(persistedIvfStore(s, dir), "emb_ivf",
           queries, "embedding", "qid", "embedding", "vec_id", k = 5, nProbe = 8)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    }),
+
+    "q_hard_negatives" -> ((s, dir) => {
+      // HARD-NEGATIVE MINING for contrastive training: for each query
+      // vector, the k most-similar corpus vectors with a DIFFERENT
+      // label — the label predicate rides the persisted index's pruned
+      // cell scan BEFORE the per-query heap (carryCols/extra on
+      // ivfTopKJoinPersisted), so every returned row is a true
+      // cross-label neighbor, not a post-filtered remainder. Full
+      // probes => exact; the oracle windows the label-filtered
+      // brute-force scores.
+      val queries = T(s, dir, "embeddings").where(col("vec_id") < 50)
+        .select(col("vec_id").alias("qid"), col("embedding"),
+          col("label").alias("qlabel"))
+      Similarity.ivfTopKJoinPersisted(persistedIvfStore(s, dir), "emb_ivf",
+          queries, "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 8,
+          carryCols = Seq("qlabel"), extra = col("qlabel") =!= col("label"))
         .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
     }),
 
@@ -3641,6 +3679,43 @@ object SparkEntry {
         |  FROM documents)
         |WHERE cum_chars <= 60000 ORDER BY lang, cum_chars""".stripMargin,
 
+    "q_mixture_allocation" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality closed form (as q_text_quality), per-language mean ->
+      // proportional floor-allocated budgets (ratio rounded to 6 before
+      // the floor, as the engine does) -> the q_budget_pack window gated
+      // by each language's own budget
+      s"""WITH t AS (SELECT doc_id, lang, text, n_chars,
+         |  list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |r AS (SELECT doc_id, lang, text, n_chars,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |      x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END AS stop_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS punct_raw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / length(text) END AS digit_raw
+         |  FROM t),
+         |q AS (SELECT doc_id, lang, n_chars,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least(stop_raw * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
+         |  FROM r),
+         |w AS (SELECT lang, round(avg(quality), 6) AS w FROM q GROUP BY 1),
+         |tot AS (SELECT sum(w) AS wsum FROM w),
+         |b AS (SELECT lang,
+         |  CAST(floor(round(60000 * w / (SELECT wsum FROM tot), 6)) AS BIGINT) AS budget
+         |  FROM w),
+         |packed AS (SELECT q.doc_id, q.lang, b.budget, CAST(sum(q.n_chars) OVER (
+         |    PARTITION BY q.lang ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+         |  FROM q JOIN b ON b.lang = q.lang)
+         |SELECT doc_id, lang, cum_chars FROM packed
+         |WHERE cum_chars <= budget ORDER BY lang, cum_chars""".stripMargin
+    },
+
     "q_gap_fill" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
         |    count(*) AS n
@@ -4370,6 +4445,26 @@ object SparkEntry {
         |  SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY c2 DESC, nl) AS rn2
         |  FROM s2) WHERE rn2 = 1)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+
+    "q_hard_negatives" ->
+      // label-filtered brute force windowed by query id: every candidate
+      // with the query's own label is excluded BEFORE the rank, exactly
+      // as the engine applies `extra` before the per-query heap
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT q.qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, q WHERE e.label <> q.ql AND e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c)
+        |SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
+        |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
 
     "q_similarity_join_persisted" ->
       // identical windowed brute-force replay; the corpus is the full

@@ -189,4 +189,48 @@ object Sampling {
     df.withColumn(cumCol, sum(weight).over(w))
       .where(col(cumCol) <= budget)
   }
+
+  /** Proportional MIXTURE ALLOCATION — the static-weights core of a
+    * DoReMi-style data recipe (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining"): split `totalBudget`
+    * across the groups of a (groups…, `weightCol`) frame proportionally,
+    *
+    *   budget_g = floor(totalBudget · w_g / Σ w)
+    *
+    * with the ratio rounded to 6 decimals before the floor so the cut is
+    * replayable across engines (an unrounded ratio landing a last-ulp
+    * below an integer would floor differently per summation order).
+    * The weights frame is domains-sized — broadcast territory — so the
+    * whole allocation is driver-free and costs one 1-row total.
+    * Output: (groups…, `budgetCol`). Feed to [[budgetPackPerGroup]].
+    */
+  def mixtureAllocation(weights: DataFrame, groups: Seq[String],
+      weightCol: String, totalBudget: Long,
+      budgetCol: String = "budget"): DataFrame = {
+    require(totalBudget > 0)
+    val tot = weights.agg(sum(col(weightCol)).alias("__wsum"))
+    weights.crossJoin(broadcast(tot))
+      .select(groups.map(col) :+
+        floor(Rounding.roundAway(
+          lit(totalBudget) * col(weightCol) / col("__wsum"), 6))
+          .cast("long").alias(budgetCol): _*)
+  }
+
+  /** [[budgetPack]] with PER-GROUP budgets: `budgets` is a (groups…,
+    * `budgetCol`) frame — typically [[mixtureAllocation]]'s output — so
+    * each domain fills the quota its weighting earned instead of one
+    * global constant. The budget table is domains-sized and broadcasts
+    * into the corpus; the cumulative window is the same single pass as
+    * [[budgetPack]].
+    */
+  def budgetPackPerGroup(df: DataFrame, groups: Seq[String], weight: Column,
+      order: Seq[Column], budgets: DataFrame, budgetCol: String = "budget",
+      cumCol: String = "cum_weight"): DataFrame = {
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets), groups)
+      .withColumn(cumCol, sum(weight).over(w))
+      .where(col(cumCol) <= col(budgetCol))
+      .drop(budgetCol)
+  }
 }

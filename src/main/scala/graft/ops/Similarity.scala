@@ -312,7 +312,8 @@ object Similarity {
     * sort order).
     */
   private def probeExplode(queries: DataFrame, queryVecCol: String,
-      queryIdCol: String, centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+      queryIdCol: String, centroids: Seq[Seq[Double]], nProbe: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe=$nProbe out of range 1..${centroids.size}")
     val cents = centroids.map(_.toArray).toArray
@@ -332,8 +333,12 @@ object Similarity {
       }
     }
     val qv = col(queryVecCol).cast("array<double>")
-    queries.select(col(queryIdCol), qv.alias("__qv"),
-      explode(f(qv)).alias("__cell"))
+    // `carry` columns ride along for caller-side predicates (e.g. the
+    // query's label in hard-negative mining); NOT all columns — the raw
+    // query vector column would collide with the corpus side's vecCol
+    // name in the cell join
+    queries.select((col(queryIdCol) +: carry.map(col)) ++
+      Seq(qv.alias("__qv"), explode(f(qv)).alias("__cell")): _*)
   }
 
   // ---------- index persistence (the 100 TB probe path) ----------
@@ -505,18 +510,30 @@ object Similarity {
     * (near-dup mining); set it false when query ids come from a different
     * id space (the RAG batch-retrieval case), where a coincidental id
     * collision would otherwise silently drop a legitimate neighbor.
+    *
+    * `carryCols`/`extra` make the probe LABEL-AWARE: `carryCols` names
+    * query-side columns to ride through the cell join, and `extra` is a
+    * predicate over (carried query columns × index columns) applied
+    * BEFORE the per-query heap — the top-k is taken over the filtered
+    * candidate set, not filtered after it. The canonical use is
+    * hard-negative mining for contrastive training (most-similar corpus
+    * rows with a DIFFERENT label); the predicate rides the same pruned
+    * scan, adding no pass at any scale.
     */
   def ivfTopKJoinPersisted(store: graft.engine.TableStore, table: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       vecCol: String, idCol: String, k: Int, nProbe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, carryCols: Seq[String] = Nil,
+      extra: Column = lit(true)): DataFrame = {
     val cents = loadIvfCentroids(store, table)
-    val probed = probeExplode(queries, queryVecCol, queryIdCol, cents, nProbe)
+    val probed = probeExplode(queries, queryVecCol, queryIdCol, cents, nProbe,
+      carryCols)
     // bounded driver state: the union of the batch's probe cells
     val cells = probed.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val indexed = store.read(table).where(col("__cell").isInCollection(cells))
     val scored = probed.join(indexed, "__cell")
+      .where(extra)
       .where(if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true))
       .select(col(queryIdCol), col(idCol),
         Rounding.roundAway(

@@ -938,6 +938,38 @@ class OpsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("label-aware persisted ANN filters BEFORE the per-query heap (hard negatives)") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-hardneg"))
+    // two direction clusters, label = cluster. The query's raw top-k is
+    // entirely same-cluster, so a post-heap filter would return nothing
+    // useful — the extra predicate must reach past them into the other
+    // cluster, i.e. filter the candidate set the heap ranks.
+    val pts = spark.range(40).select(col("id").alias("vec_id"),
+      array(
+        when(pmod(col("id"), lit(2)) === 0,
+          lit(10.0) + col("id").cast("double") * 0.01).otherwise(lit(0.0)),
+        when(pmod(col("id"), lit(2)) === 1,
+          lit(10.0) + col("id").cast("double") * 0.01).otherwise(lit(0.0)),
+        lit(1.0)).alias("v"),
+      pmod(col("id"), lit(2)).cast("int").alias("label"))
+    Similarity.persistIvfIndex(store, "hn", pts, "v", "vec_id",
+      nCells = 2, iterations = 3)
+    val queries = pts.where(col("vec_id") === 0)
+      .select(col("vec_id").alias("qid"), col("v"), col("label").alias("qlabel"))
+    // raw (label-blind) top-5: all even — the same cluster as the query
+    val raw = Similarity.ivfTopKJoinPersisted(store, "hn", queries, "v", "qid",
+        "v", "vec_id", k = 5, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(raw.forall(_ % 2 == 0), s"expected same-cluster raw top-k, got $raw")
+    // hard negatives: the 5 nearest CROSS-label rows — cosine with the
+    // orthogonal cluster is 1/(|q||v|), so the smallest odd ids win
+    val got = Similarity.ivfTopKJoinPersisted(store, "hn", queries, "v", "qid",
+        "v", "vec_id", k = 5, nProbe = 2, carryCols = Seq("qlabel"),
+        extra = col("qlabel") =!= col("label"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L, 7L, 9L), got.toString)
+  }
+
   test("IVF drift: shifted appends raise the ratio; threshold retrain restores probe recall") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-drift"))
     def blob(axis: Int, tiltAxis: Int, tilt: Double, idBase: Long): Seq[(Long, Seq[Double])] =

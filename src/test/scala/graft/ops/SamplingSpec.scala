@@ -132,6 +132,42 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("mixtureAllocation splits the budget proportionally with floor semantics") {
+    import spark.implicits._
+    val weights = Seq(("a", 1.0), ("b", 3.0), ("c", 4.0)).toDF("dom", "w")
+    val got = Sampling.mixtureAllocation(weights, Seq("dom"), "w", 1000L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 125L, "b" -> 375L, "c" -> 500L), got.toString)
+    // floor never over-allocates: shares that don't divide evenly round DOWN
+    val uneven = Sampling.mixtureAllocation(
+        Seq(("x", 1.0), ("y", 1.0), ("z", 1.0)).toDF("dom", "w"), Seq("dom"), "w", 100L)
+      .as[(String, Long)].collect().toMap
+    assert(uneven.values.forall(_ == 33L) && uneven.values.sum <= 100L, uneven.toString)
+  }
+
+  test("budgetPackPerGroup: each group fills its own quota; constant budgets equal budgetPack") {
+    import spark.implicits._
+    val budgets = Seq(("class_0", 200L), ("class_1", 800L)).toDF("label", "budget")
+    val sub = docs.where(col("label").isin("class_0", "class_1"))
+    val packed = Sampling.budgetPackPerGroup(sub, Seq("label"), col("weight"),
+      Seq(Sampling.hashScore(col("id")), col("id")), budgets)
+    val caps = packed.groupBy("label").agg(max("cum_weight").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(caps("class_0") <= 200L && caps("class_1") <= 800L, caps.toString)
+    // the larger quota genuinely admits more rows
+    val n = packed.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(n("class_1") > n("class_0"), n.toString)
+    // with every group at the same budget the per-group form IS budgetPack
+    val const = Seq(("class_0", 500L), ("class_1", 500L)).toDF("label", "budget")
+    val viaPer = Sampling.budgetPackPerGroup(sub, Seq("label"), col("weight"),
+        Seq(Sampling.hashScore(col("id")), col("id")), const)
+      .select("id", "label", "cum_weight")
+    val viaGlobal = Sampling.budgetPack(sub, Seq("label"), col("weight"),
+        Seq(Sampling.hashScore(col("id")), col("id")), budget = 500L)
+      .select("id", "label", "cum_weight")
+    assert(viaPer.exceptAll(viaGlobal).isEmpty && viaGlobal.exceptAll(viaPer).isEmpty)
+  }
+
   test("prioritySample: exact size, weight-biased inclusion, deterministic") {
     import spark.implicits._
     // 1000 light rows (w=1) vs 100 heavy rows (w=200): a 50-row draw
