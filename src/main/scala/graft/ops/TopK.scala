@@ -66,10 +66,16 @@ object TopK {
         .alias("__thr"))
     // NULL-SAFE equality on the group keys: groupBy collects null keys
     // into their own group (as a rank window would partition them), but a
-    // plain equi-join would drop those rows from the gate entirely — <=>
-    // keeps the null group gated like every other group
-    val cond = groups.map(g => df(g) <=> thr(g)).reduce(_ && _)
-    val joined = df.join(thr, cond).where(col(scoreCol) >= col("__thr"))
-    groups.foldLeft(joined.drop(col("__thr")))((d, g) => d.drop(thr(g)))
+    // plain equi-join (or USING-style Seq join) would drop those rows
+    // from the gate entirely — <=> keeps the null group gated like every
+    // other group. Explicit aliases, not df(col)/thr(col): thr derives
+    // from df, so un-aliased references resolve to the SAME attribute
+    // and the condition degenerates to a trivially-true self-compare.
+    val l = df.alias("__fg_l")
+    val t = thr.alias("__fg_t")
+    val cond = groups.map(g => col(s"__fg_l.$g") <=> col(s"__fg_t.$g")).reduce(_ && _)
+    l.join(t, cond)
+      .where(col(s"__fg_l.$scoreCol") >= col("__thr"))
+      .select(df.columns.map(c => col(s"__fg_l.$c")): _*)
   }
 }

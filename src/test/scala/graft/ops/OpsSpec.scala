@@ -938,6 +938,28 @@ class OpsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("fractionGate keeps null group keys as their own gated group") {
+    import spark.implicits._
+    // a rank window would partition null keys into their own group; the
+    // threshold join must do the same (null-safe <=>), not drop them
+    val df = Seq(
+      (Some("en"), 1L, 0.1), (Some("en"), 2L, 0.9),
+      (None, 3L, 0.1), (None, 4L, 0.2),
+      (None, 5L, 0.9), (None, 6L, 0.8)
+    ).map { case (l, id, q) => (l.orNull, id, q) }.toDF("lang", "doc_id", "q")
+    val gated = TopK.fractionGate(df, Seq("lang"), "q", fraction = 0.5)
+    assert(gated.columns.toSeq == Seq("lang", "doc_id", "q"), gated.columns.toSeq)
+    val keptRows = gated.select("doc_id").as[Long].collect()
+    val kept = keptRows.toSet
+    // exactly one threshold row joins per input row — a degenerate
+    // (trivially-true) self-compare condition would duplicate rows here
+    assert(keptRows.length == kept.size, s"duplicated rows: ${keptRows.toSeq}")
+    // the null group is gated against its OWN threshold: its top rows
+    // stay, its bottom row goes — it is not silently excluded wholesale
+    assert(kept.contains(5L) && kept.contains(6L), kept.toString)
+    assert(!kept.contains(3L), kept.toString)
+  }
+
   test("label-aware persisted ANN filters BEFORE the per-query heap (hard negatives)") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-hardneg"))
     // two direction clusters, label = cluster. The query's raw top-k is
