@@ -126,6 +126,44 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(store.read(table + "__shingles").count() == 5 + 2)
   }
 
+  test("compaction after appends: probes stay exact, bucket dirs collapse to one file") {
+    // the production cadence: small appends fragment the __bk-partitioned
+    // band table into a part-file per (append, bucket); TableStore.compact
+    // rewrites each directory to ~one file WITHOUT changing the layout the
+    // probe's partition pruning depends on
+    val (store, table) = freshIndex("compact")
+    (0 until 4).foreach { i =>
+      DedupIndex.append(store, table,
+        Seq((100L + i, s"filler number $i about completely disjoint topic streams and channels"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+    }
+    val probe = Seq(
+      (900L, "filler number 2 about completely disjoint topic streams and channels"))
+      .toDF("doc_id", "text")
+    def pairs() = DedupIndex.deltaPairs(store, table, probe, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("new_id", "old_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val before = pairs()
+    assert(before.exists { case (n, o, j) => n == 900L && o == 102L && j == 1.0 },
+      before.toString)
+    def bandFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"${store.warehouseDir}/$table")
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("__bk="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val fragmented = bandFiles()
+    assert(fragmented.values.exists(_ > 1),
+      s"fixture failed to fragment any bucket: $fragmented")
+    store.compact(table)
+    store.compact(table + "__shingles")
+    val compacted = bandFiles()
+    assert(compacted.keySet == fragmented.keySet,
+      s"compaction changed the bucket layout: $fragmented -> $compacted")
+    assert(compacted.values.forall(_ == 1), compacted.toString)
+    assert(pairs() == before, "probe results changed across compaction")
+  }
+
   test("a crashed rebuild (uncommitted meta) fails probes loudly, and a re-run heals it") {
     val (store, table) = freshIndex("crash")
     // simulate a rebuild that died between the meta and data writes: the
