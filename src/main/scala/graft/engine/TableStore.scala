@@ -272,6 +272,27 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     TableStore.fireRewrite(tablePath(name))
   }
 
+  /** GLOBALLY SORTED export: rows range-partitioned into `numFiles`
+    * part-files by `sortCols` (a distributed sample picks the range
+    * bounds — no driver sort) and sorted within each file, so file i's
+    * maximum key precedes file i+1's minimum. Two training-pipeline uses:
+    * curriculum export (shards consumed in part-file order replay the
+    * global easy→hard order) and reader-side range pruning (each file's
+    * parquet min/max stats span a disjoint key range, so a key-range
+    * predicate skips whole files — the 1-D analogue of what
+    * [[graft.ops.ZOrder]] buys multi-dim predicates). The global sort
+    * costs one range-exchange shuffle, paid once at export.
+    */
+  def writeSorted(table: String, df: DataFrame, sortCols: Seq[String],
+      numFiles: Int = 32): Unit = {
+    require(sortCols.nonEmpty && numFiles > 0)
+    recoverCrashedSwap(table)
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(tablePath(table))
+    TableStore.fireRewrite(tablePath(table))
+  }
+
   /** Hive-layout PARTITIONED table: part-files under
     * `table/<col>=<value>/…` directories. Readers filtering on a partition
     * column scan only the matching directories — the plan's

@@ -195,6 +195,32 @@ class IngestSpec extends SparkSpecBase {
     assert(store.read("frag2").count() == 10000)
   }
 
+  test("writeSorted: disjoint ascending file ranges, rows sorted within each file") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("wh-sorted"))
+    // write shuffled keys; the export must impose the global order
+    store.writeSorted("cur",
+      spark.range(10000).toDF("id")
+        .withColumn("key", org.apache.spark.sql.functions.xxhash64(col("id"))),
+      Seq("key"), numFiles = 8)
+    val files = store.read("cur").inputFiles.sorted
+    assert(files.length == 8, files.length.toString)
+    // per-file: sorted within; across files (in part-file name order):
+    // each file's min exceeds the previous file's max — disjoint ranges,
+    // so shard-order consumption replays the global order and a range
+    // predicate can skip whole files on parquet min/max stats
+    var prevMax = Long.MinValue
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("key")
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"file $f not internally sorted")
+      assert(keys.head > prevMax, s"file $f overlaps the previous range")
+      prevMax = keys.last
+    }
+    // whole-table content survives the re-layout
+    assert(store.read("cur").count() == 10000)
+  }
+
   test("compact preserves a Hive-partitioned layout; refuses bucketed tables") {
     import org.apache.spark.sql.functions.{col, pmod}
     val store = new TableStore(spark, tmpDir("wh-compact-layout"))
