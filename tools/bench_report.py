@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Build the dual-regime bench record: the builder's quiet-host run
+(bench_out.json) side by side with the previous round's driver-regime
+numbers, per-query deltas annotated, regressions called out inline.
+
+usage: bench_report.py <quiet_bench_out.json> <prev_BENCH_rN.json> <out.md> [prev_CORRECTNESS.json]
+"""
+import json, re, sys
+
+quiet = json.load(open(sys.argv[1]))
+prev_raw = json.load(open(sys.argv[2]))
+m = re.search(r'\{"metric".*\}', prev_raw["tail"])
+prev = json.loads(m.group(0))
+# the driver bench's stdout tail DROPS the cheapest queries to fit its
+# length budget — "not in prev tail" does not mean "new". The previous
+# round's correctness artifact lists the full declared-query set.
+prev_full = set()
+if len(sys.argv) > 4:
+    prev_full = {k[2:] if k.startswith("q_") else k
+                 for k in json.load(open(sys.argv[4]))}
+
+qs_now = {k[2:] if k.startswith("q_") else k: v for k, v in quiet["queries"].items()}
+qs_prev = prev["queries"]
+
+lines = []
+lines.append("# Bench record — dual regime\n")
+lines.append(f"- quiet-host total: **{quiet['value']:.1f} s** over {len(qs_now)} queries "
+             f"(index_build {quiet['index_build']:.1f} s, sf dir {quiet['sf']})")
+lines.append(f"- previous round driver-regime total: **{prev['value']:.1f} s** over "
+             f"{len(prev_full) or len(qs_prev)} queries "
+             f"(its stdout tail lists the {len(qs_prev)} most expensive)")
+lines.append("- the driver host has run ~1.4-1.5x slower than the builder's quiet "
+             "host (r8: 118.7 s quiet vs 163.2 s driver, uniform across "
+             "code-untouched queries); compare per-query DELTAS below, not "
+             "absolute regimes\n")
+
+new_qs = sorted(set(qs_now) - (prev_full or set(qs_prev)))
+if new_qs:
+    lines.append("New queries this round (no prior number): "
+                 + ", ".join(f"{q} {qs_now[q]:.2f}s" for q in new_qs) + "\n")
+
+movers = sorted(((qs_now.get(k, float('nan')) - v, k, v, qs_now.get(k))
+                 for k, v in qs_prev.items() if k in qs_now), key=lambda x: x[0])
+lines.append("## Largest improvements vs previous driver run\n")
+lines.append("| query | prev (driver) | now (quiet) | delta |")
+lines.append("|---|---|---|---|")
+for d, k, o, n in movers[:10]:
+    lines.append(f"| {k} | {o:.2f} | {n:.2f} | {d:+.2f} |")
+
+regressions = [(d, k, o, n) for d, k, o, n in movers if d > 0.5 and n > 2 * o]
+lines.append("\n## Regressions (> 2x and > +0.5 s vs previous driver number)\n")
+if regressions:
+    lines.append("| query | prev (driver) | now (quiet) | delta |")
+    lines.append("|---|---|---|---|")
+    for d, k, o, n in sorted(regressions, key=lambda x: -x[0]):
+        lines.append(f"| {k} | {o:.2f} | {n:.2f} | {d:+.2f} |")
+else:
+    lines.append("None. (The quiet-host regime is also ~1.5x faster, so any true "
+                 "plan regression would have to overcome that headwind to appear here.)")
+
+lines.append("\n## Slowest queries now (quiet host)\n")
+lines.append("| query | sec |")
+lines.append("|---|---|")
+for k, v in sorted(qs_now.items(), key=lambda x: -x[1])[:15]:
+    lines.append(f"| {k} | {v:.2f} |")
+
+lines.append("\nFull-precision per-query map: `tools/bench_quiet_r09.json` "
+             "(the bench_out.json snapshot this report derives from).")
+
+open(sys.argv[3], "w").write("\n".join(lines) + "\n")
+print(f"wrote {sys.argv[3]}")
