@@ -1359,6 +1359,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    "q_sample_priority_group" -> ((s, dir) =>
+      // per-domain importance resampling: each language independently
+      // draws its 15 highest-priority docs (u^(1/n_chars), deterministic
+      // md5 base) through the GroupedTopK bounded heap — the stratified
+      // form of q_sample_priority and the selection step a mixture
+      // recipe runs after mixtureAllocation sets the quotas
+      graft.ops.Sampling.prioritySampleByGroup(T(s, dir, "documents"),
+          Seq("lang"), col("doc_id"), col("n_chars"), n = 15)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "q_token_drift" -> ((s, dir) =>
       // Token-distribution drift between the English and German slices:
       // add-one-smoothed KL divergence over the union vocabulary.
@@ -1729,7 +1740,8 @@ object SparkEntry {
             minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
             dsirTarget = Some(docs.where(col("lang") === "en")),
             dsirMinWeight = -0.2, dsirDims = 64,
-            dsirBuckets = Some(ops.Features.docTokenBuckets(s, dir, 64))))
+            dsirBuckets = Some(ops.Features.docTokenBuckets(s, dir, 64)),
+            annotations = Some(ops.Features.docAnnotations(s, dir))))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -1755,7 +1767,8 @@ object SparkEntry {
           Rounding.roundAway(col("rank"), 6).alias("rank"))
       ops.CorpusPipeline.prepare(docs,
           ops.CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.95,
-            dedupJaccard = 0, sourceRank = Some(ranks), minSourceRank = 0.06))
+            dedupJaccard = 0, sourceRank = Some(ranks), minSourceRank = 0.06,
+            annotations = Some(ops.Features.docAnnotations(s, dir))))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -3347,6 +3360,19 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY pr DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_priority_group" ->
+      // the same u^(1/w) priority, windowed per language instead of a
+      // global limit
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+        |            / 4503599627370496.0,
+        |          1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1e-12)) DESC,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "q_token_drift" ->
       """WITH toks AS (

@@ -68,6 +68,18 @@ object CorpusPipeline {
     *                     shape at 100 TB, where the hashed BoW table is
     *                     written once at ingest and every selection pass
     *                     reads it
+    * @param annotations  optional precomputed `(idCol, quality,
+    *                     rep_ratio, lang_id)` frame (typically the
+    *                     session-cached [[Features.docAnnotations]])
+    *                     covering every input doc by id: the pipeline
+    *                     then ATTACHES annotations with an id join
+    *                     instead of re-running the regex-heavy annotate
+    *                     pass — the "annotations written at ingest"
+    *                     shape. Ignored when a Gopher gate is on (those
+    *                     need the token/line stats structs the frame
+    *                     does not carry). Input docs missing from the
+    *                     frame are dropped (inner join) — pass a
+    *                     superset, same contract as `dsirBuckets`
     * @param sourceRank   when set, apply the SOURCE-QUALITY graph gate:
     *                     a `(sourceCol, rank)` frame (typically
     *                     [[Graph.pageRank]] over a source-link graph —
@@ -100,6 +112,7 @@ object CorpusPipeline {
       dsirMinWeight: Double = 0.0,
       dsirDims: Int = 1024,
       dsirBuckets: Option[DataFrame] = None,
+      annotations: Option[DataFrame] = None,
       sourceRank: Option[DataFrame] = None,
       minSourceRank: Double = 0.0,
       sourceCol: String = "source")
@@ -159,7 +172,14 @@ object CorpusPipeline {
       cfg: Config): (DataFrame, Seq[DataFrame]) = {
     val t = col(cfg.textCol)
     val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
-    val annotated =
+    // precomputed-annotations path: attach by id join — the cached frame
+    // is already persisted upstream (Features.docAnnotations), so every
+    // downstream consumer re-reads blocks + a cheap join, and neither of
+    // the regex-annotate branches below runs at all
+    val preAnnotated = cfg.annotations
+      .filter(_ => !cfg.gopher && !cfg.gopherNgrams)
+      .map(ann => docs.join(ann, Seq(cfg.idCol)))
+    val annotated = preAnnotated.getOrElse {
       if (needShingles) {
         val base = docs
           .withColumn("__tok_stats", TextAnalysis.tokenStats(t))
@@ -194,6 +214,7 @@ object CorpusPipeline {
             TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(t)))
         else withGopher
       }
+    }
     val filteredAll = annotated
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
@@ -309,7 +330,11 @@ object CorpusPipeline {
       if (cfg.splits.nonEmpty)
         spanCleaned.withColumn("split", Sampling.splitTag(col(cfg.idCol), cfg.splits))
       else spanCleaned
-    val caches = (if (needShingles) Seq(annotated) else Nil) ++ corpusShingles.toSeq
+    // the precomputed-annotations frame is owned (and persisted) by its
+    // provider, not this pipeline — only release caches registered here
+    val caches =
+      (if (needShingles && preAnnotated.isEmpty) Seq(annotated) else Nil) ++
+        corpusShingles.toSeq
     (result, caches)
   }
 

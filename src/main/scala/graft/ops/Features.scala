@@ -68,6 +68,32 @@ object Features {
             spark.read.parquet(s"$dir/$table.parquet"), textCol, idCol, dims)
           .persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Cached per-document annotation frame `(idCol, quality, rep_ratio,
+    * lang_id)` for `dir/table.parquet` — the regex-heavy quality /
+    * repetition / language-ID pass paid once per corpus. Capstone runs
+    * over row-subsets of the table attach it by id join
+    * ([[CorpusPipeline.Config.annotations]]) instead of re-annotating —
+    * the in-session stand-in for writing annotations at ingest, which is
+    * what a 100 TB pipeline does (the annotate output IS a stored
+    * table). Uses the canonical expression forms, which are pinned
+    * bit-identical to the shared-stats forms the inline path uses.
+    */
+  def docAnnotations(spark: SparkSession, dir: String,
+      table: String = "documents", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    cache.computeIfAbsent(spark, _ => new ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(
+        s"$dir|$table|$textCol|$idCol|annotations",
+        _ => {
+          val t = col(textCol)
+          spark.read.parquet(s"$dir/$table.parquet")
+            .select(col(idCol),
+              TextAnalysis.qualityScore(t).alias("quality"),
+              TextAnalysis.tokenRepetitionRatio(t).alias("rep_ratio"),
+              TextAnalysis.languageId(t).alias("lang_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        })
+
   /** Drop cached frames whose source data overlaps `path` — called by
     * [[graft.engine.TableStore]]'s rewrite paths (registered above) so an
     * in-session replace()/compact() of the underlying table can't leave a

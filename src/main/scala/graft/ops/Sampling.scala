@@ -99,6 +99,27 @@ object Sampling {
       .drop("__graft_priority")
   }
 
+  /** [[prioritySample]] PER GROUP — stratified weighted sampling without
+    * replacement: each group independently keeps its `n` highest-priority
+    * rows (u^(1/w), same deterministic md5 base), resolved by the
+    * GroupedTopK bounded-heap operator — ≤ n rows per group move per
+    * partition, no per-group full sort and no window over the corpus, so
+    * one giant domain costs the same per row as a tiny one. This is the
+    * per-domain RESAMPLING step of a mixture recipe: [[mixtureAllocation]]
+    * decides each domain's quota, this draws which documents fill it when
+    * selection should be importance-weighted (DSIR-style) rather than
+    * hash-ordered.
+    */
+  def prioritySampleByGroup(df: DataFrame, groups: Seq[String], key: Column,
+      weight: Column, n: Int): DataFrame = {
+    require(n > 0)
+    val w = greatest(weight.cast("double"), lit(1e-12))
+    TopK.perGroup(
+        df.withColumn("__graft_priority", pow(unitScore(key), lit(1.0) / w)),
+        groups, Seq(col("__graft_priority").desc, key), n)
+      .drop("__graft_priority")
+  }
+
   /** Tag each row with its split name. `fractions` must sum to 1; the
     * last split absorbs the hash-space remainder so every row is tagged.
     * Use binary fractions (0.75/0.125/0.125) when an external system must

@@ -630,6 +630,37 @@ class OpsSpec extends SparkSpecBase {
     assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
+  test("precomputed annotations equal inline annotate; Gopher configs ignore them") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water tonight"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (4L, "an entirely different and rather pleasant document about the weather in the mountains with plenty of words")
+    ).toDF("doc_id", "text")
+    // the "written at ingest" frame covers the WHOLE table; the pipeline
+    // input is a row-subset — attach-by-id must equal inline annotate
+    val ann = corpus.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).alias("quality"),
+      TextAnalysis.tokenRepetitionRatio(col("text")).alias("rep_ratio"),
+      TextAnalysis.languageId(col("text")).alias("lang_id"))
+    val cfg = CorpusPipeline.Config(minQuality = 0.3, maxRepetition = 0.6,
+      dedupJaccard = 0.7)
+    val subset = corpus.where(col("doc_id") =!= 3L)
+    val inline = CorpusPipeline.prepare(subset, cfg).orderBy("doc_id").collect()
+    val attached = CorpusPipeline.prepare(subset,
+      cfg.copy(annotations = Some(ann))).orderBy("doc_id").collect()
+    assert(attached.toSeq == inline.toSeq,
+      s"attached=${attached.toSeq} inline=${inline.toSeq}")
+    // a Gopher config needs the stats structs the frame does not carry:
+    // the provided annotations are ignored and the inline pass still runs
+    val gInline = CorpusPipeline.prepare(subset, cfg.copy(gopher = true))
+      .orderBy("doc_id").collect()
+    val gAttached = CorpusPipeline.prepare(subset,
+      cfg.copy(gopher = true, annotations = Some(ann))).orderBy("doc_id").collect()
+    assert(gAttached.toSeq == gInline.toSeq)
+  }
+
   test("capstone LM gate drops the cross-entropy outlier") {
     // eight copies of typical text concentrate the bigram mass; the
     // gibberish doc's unseen bigrams sit at the smoothing floor
