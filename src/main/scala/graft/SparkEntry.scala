@@ -1359,6 +1359,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    "q_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget planning: the coverage(k) point of the OOV-rate
+      // curve at k=200 — token census, bounded top-k (vocabulary-sized,
+      // plans as TakeOrderedAndProject), 1-row ratio
+      ops.TextAnalysis.vocabCoverage(T(s, dir, "documents"), "text", k = 200)),
+
     "q_sample_priority_group" -> ((s, dir) =>
       // per-domain importance resampling: each language independently
       // draws its 15 highest-priority docs (u^(1/n_chars), deterministic
@@ -3360,6 +3366,20 @@ object SparkEntry {
         |  FROM documents
         |  ORDER BY pr DESC, doc_id LIMIT 50)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      // shared normTokens fragment -> census -> deterministic top-k
+      // (count DESC, token ASC) -> coverage ratio
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |top AS (SELECT c, tok FROM c ORDER BY c DESC, tok LIMIT 200)
+        |SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS vocab_size,
+        |  CAST((SELECT sum(c) FROM top) AS BIGINT) AS covered,
+        |  CAST((SELECT sum(c) FROM c) AS BIGINT) AS total,
+        |  round((SELECT sum(c) FROM top) / CAST((SELECT sum(c) FROM c) AS DOUBLE), 6)
+        |    AS coverage""".stripMargin,
 
     "q_sample_priority_group" ->
       // the same u^(1/w) priority, windowed per language instead of a

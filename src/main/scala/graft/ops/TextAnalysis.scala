@@ -35,6 +35,29 @@ object TextAnalysis {
       split(regexp_replace(lower(text), "[^a-z0-9 ]|\\s+", " "), " "),
       t => length(t) > 0)
 
+  /** Vocabulary COVERAGE point: the fraction of corpus token occurrences
+    * a top-`k`-by-frequency vocabulary covers — the OOV-rate signal
+    * tokenizer-budget planning reads (coverage(k) = 1 − OOV(k); sweep k
+    * to draw the curve). One token census (map-side combining, keyed by
+    * token), one bounded top-k over the census (vocabulary-sized, never
+    * corpus-sized — it plans as TakeOrderedAndProject), one 1-row ratio.
+    * Ties at the k boundary break deterministically on (count DESC,
+    * token ASC) so the number replays exactly. Returns one row:
+    * (vocab_size, covered, total, coverage).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val census = df.select(explode(normTokens(col(textCol))).alias("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).alias("c"))
+    val top = census.orderBy(col("c").desc, col("tok")).limit(k)
+    val tot = census.agg(sum(col("c")).alias("total"))
+    top.agg(count(lit(1)).alias("vocab_size"), sum(col("c")).alias("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("covered"), col("total"),
+        Rounding.roundAway(col("covered").cast("double") / col("total"), 6)
+          .alias("coverage"))
+  }
+
   /** BPE-ish subword count without a vocab: words are split at
     * letter/digit/punct boundaries, then length-capped chunks approximate
     * merges (a public heuristic: ~4 chars per token).
