@@ -213,4 +213,35 @@ class PlanSpec extends SparkSpecBase {
       assert(bnlj <= 4, s"$q grew a data-sized nested-loop join:\n$plan")
     }
   }
+
+  test("q_knn_graph reads the persisted edge artifact: no k-means, no kNN join in the plan") {
+    SparkEntry.prebuildPersistedIndexes(spark, sf)
+    val plan = planOf("q_knn_graph")
+    // the timed query is a scan of the knn_edges table plus the output
+    // sort — re-training or re-joining here would mean the artifact-reuse
+    // contract regressed to the r8 inline build
+    assert(plan.contains("knn_edges"), plan)
+    for (bad <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "CartesianProduct", "GroupedTopK"))
+      assert(!plan.contains(bad), s"q_knn_graph plan regrew a $bad:\n$plan")
+  }
+
+  test("q_vocab_coverage's top-k is a bounded heap, not a global sort") {
+    val plan = planOf("q_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_hard_negatives prunes the index scan and keeps the label filter before the heap") {
+    SparkEntry.prebuildPersistedIndexes(spark, sf)
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"), plan)
+    // the cross-label predicate must sit below GroupedTopK (a join
+    // condition/filter), not above it — post-heap filtering would return
+    // fewer than k true negatives
+    val heapIdx = plan.indexOf("GroupedTopK")
+    val lastHeap = plan.lastIndexOf("GroupedTopK")
+    val labelIdx = plan.indexOf("qlabel")
+    assert(heapIdx >= 0 && labelIdx > lastHeap,
+      s"label predicate not below the heap (heap@$heapIdx/$lastHeap label@$labelIdx):\n$plan")
+  }
 }
