@@ -25,7 +25,15 @@ object Bench {
     // k-means build (r6: the build swung that one row 4.6 -> 24.1 s).
     val tIdx = System.nanoTime()
     val indexBuildSec =
-      try { SparkEntry.prebuildPersistedIndexes(spark, sfDir); (System.nanoTime() - tIdx) / 1e9 }
+      try {
+        SparkEntry.prebuildPersistedIndexes(spark, sfDir)
+        // the session-shared feature caches (shingles, hashed BoW,
+        // annotations) are ingest-time artifacts too: force them here so
+        // per-query numbers measure consumers, not whichever query
+        // alphabetically pays the one-time pass
+        SparkEntry.prebuildSharedFeatures(spark, sfDir)
+        (System.nanoTime() - tIdx) / 1e9
+      }
       catch { case _: Throwable => -1.0 }
     // Sorted order: Map iteration order shifts as queries are added, which
     // silently redistributes shared JIT/codegen warm-up between queries and

@@ -210,6 +210,28 @@ object SparkEntry {
     persistedIvfStore(s, dir); ()
   }
 
+  /** Force the session-shared FEATURE caches for a session+dir — the
+    * doc-shingle frame (dedup family), the DSIR hashed bag-of-tokens
+    * (selection family), and the quality/repetition/language annotations
+    * (capstone family). At 100 TB these are tables written once at
+    * ingest; in-session they are the [[graft.ops.Features]] caches,
+    * built lazily by whichever consumer runs first. Bench forces them in
+    * its warm-up under the same `index_build` label as the persisted
+    * indexes, so gated per-query numbers measure CONSUMERS of the
+    * artifacts rather than whichever query alphabetically pays the
+    * one-time pass.
+    */
+  def prebuildSharedFeatures(s: SparkSession, dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future { ops.Features.docShingles(s, dir).count(); () },
+      Future { ops.Features.docTokenBuckets(s, dir, 64).count(); () },
+      Future { ops.Features.docAnnotations(s, dir).count(); () }
+    )), Duration.Inf)
+  }
+
   /** The reference's column sanitizer as a pure expression chain
     * (popelines/main.py:180-191): digit-prefix, [. ]->_, strip others.
     */

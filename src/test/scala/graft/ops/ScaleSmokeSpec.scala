@@ -293,6 +293,32 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(math.abs(kept("kl") - 2500L) < 100, s"kl kept ${kept("kl")}")
   }
 
+  test("prioritySampleByGroup: bounded heap survives one giant group, draw is weight-biased") {
+    // 990k rows in one group, 10k in the other — the regime where a
+    // per-group rank window would funnel the giant group through one
+    // partition's sort; the GroupedTopK heap moves <= n rows per group
+    // per partition instead
+    val df = spark.range(1000000).select(
+      when(col("id") < 990000, lit("en")).otherwise(lit("kl")).alias("lang"),
+      col("id").alias("doc_id"),
+      when(pmod(col("id"), lit(100)) === 0, lit(1000.0)).otherwise(lit(1.0))
+        .alias("w"))
+    val got = Sampling.prioritySampleByGroup(df, Seq("lang"), col("doc_id"),
+      col("w"), n = 100)
+    assert(got.queryExecution.executedPlan.toString.contains("GroupedTopK"),
+      "stratified draw regressed to a window/sort")
+    val rows = got.select("lang", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 100, "kl" -> 100), byLang.toString)
+    // u^(1/1000) concentrates near 1 while u^(1/1) is uniform: heavy
+    // rows are 1% of the en group, so an unweighted draw would seat ~1
+    // of them — the weighted draw must be heavy-DOMINATED (the md5 base
+    // makes the exact count, 92, deterministic; assert with slack)
+    val heavyEn = rows.count { case (l, w) => l == "en" && w == 1000.0 }
+    assert(heavyEn >= 80, s"only $heavyEn/100 heavy rows won the en draw")
+  }
+
   test("naive Bayes on 100k docs x 2 classes: one-plan train+score, perfect separable recovery") {
     // two classes with disjoint content vocabularies (docs are id-salted
     // so the vocab is ~20k tokens, exercising the |V| x |classes| grid)
