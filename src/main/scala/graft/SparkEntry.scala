@@ -1265,6 +1265,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_kcore" -> ((s, dir) => {
+      // k-CORE density signal (link-farm / bot-ring detection in
+      // web-graph curation): 3 fixed peel rounds at k=2 over the
+      // bipartite order–part graph (orders offset into their own id
+      // space) — single-item orders and single-order parts peel away,
+      // leaving the densely cross-referenced core. Fixed rounds =
+      // exactly-replayable unrolled SQL, the q_pagerank regime.
+      val li = T(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+      val edges = li.select(
+        (col("l_orderkey") + 10000000L).cast("long").alias("src"),
+        col("l_partkey").cast("long").alias("dst"))
+      graft.ops.Graph.kCorePeel(edges, k = 2, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     "q_connected_components" -> ((s, dir) => {
       // label propagation end-to-end against a closed-form oracle: edges
       // form cliques within DIV-8 key buckets (diameter 1, so the loop
@@ -3292,6 +3307,25 @@ object SparkEntry {
          |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
          |$body
          |SELECT id, round(r, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+    },
+
+    "q_kcore" -> {
+      // the 3 peel rounds unrolled: per round, survivors = nodes with
+      // remaining degree >= 2, edges restricted to survivor pairs
+      val body = (1 to 3).map { r =>
+        s"""k$r AS (SELECT a FROM e${r - 1} GROUP BY a HAVING count(*) >= 2),
+           |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT CAST(l_orderkey + 10000000 AS BIGINT) AS a,
+         |         CAST(l_partkey AS BIGINT) AS b
+         |  FROM lineitem WHERE l_orderkey < 2000),
+         |e0 AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base)),
+         |$body
+         |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree FROM e3
+         |GROUP BY 1 ORDER BY node""".stripMargin
     },
 
     "q_connected_components" ->

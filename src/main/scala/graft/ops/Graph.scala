@@ -435,6 +435,95 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).alias("n_triangles"))
   }
 
+  /** k-CORE decomposition by iterative peeling (Seidman 1983, "Network
+    * structure and minimum degree"; distributed peeling as in
+    * Montresor et al. 2013): repeatedly remove every node whose degree in
+    * the REMAINING graph is < `k`, until no node falls below k — what
+    * survives is the maximal subgraph with minimum degree ≥ k. The
+    * density signal web-corpus curation reads for link-farm / bot
+    * subgraph detection (spam rings are high-k-core; organic long-tail
+    * pages peel away early) and community-scaffold extraction.
+    *
+    * Each round is one degree aggregate plus two semi-joins keyed by
+    * node id — the same cost envelope as [[connectedComponents]], with
+    * the edge set only ever SHRINKING. The per-round survivor count
+    * rides the convergence probe (one driver action per round, the
+    * `__chg` pattern); rounds needed = peel depth, which is ≤ the
+    * degeneracy ordering length and in practice small. Fails loudly on
+    * non-convergence within `maxRounds` (opt out for partial peels).
+    *
+    * Output: (node, degree) for the members of the k-core, with their
+    * degree WITHIN the core. Empty when the graph has no k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst",
+      failOnNonConvergence: Boolean = true): DataFrame = {
+    require(k >= 1)
+    val directed = edges.select(col(srcCol).cast("long").alias("a"),
+        col(dstCol).cast("long").alias("b"))
+      .where(col("a") =!= col("b"))
+    var und = directed.unionByName(
+        directed.select(col("b").alias("a"), col("a").alias("b")))
+      .distinct()
+      .localCheckpoint(true)
+    // carry the edge count across rounds so each round runs exactly ONE
+    // driver action: the count that materializes the lazy checkpoint is
+    // also the convergence probe (edge count strictly decreases whenever
+    // any node fell below k — both directions of its edges leave the
+    // symmetrized set)
+    var prevN = und.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = und.groupBy(col("a")).agg(count(lit(1)).alias("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      // edges survive only when BOTH endpoints survive
+      val next = und
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").alias("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      val nextN = next.count()
+      converged = nextN == prevN
+      prevN = nextN
+      und = next
+      round += 1
+    }
+    if (!converged && failOnNonConvergence)
+      throw new IllegalStateException(
+        s"kCore($k) did not converge in $maxRounds rounds — raise maxRounds " +
+          "or pass failOnNonConvergence = false for a partial peel")
+    und.groupBy(col("a").alias("node")).agg(count(lit(1)).alias("degree"))
+  }
+
+  /** [[kCore]] with a FIXED number of peel rounds — the exactly-replayable
+    * regime (each round unrolls to plain SQL, like the fixed-iteration
+    * [[pageRank]]/[[labelPropagation]] variants): `rounds` applications
+    * of "drop nodes with remaining degree < k", whether or not a
+    * fixpoint was reached. Output schema matches [[kCore]].
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val directed = edges.select(col(srcCol).cast("long").alias("a"),
+        col(dstCol).cast("long").alias("b"))
+      .where(col("a") =!= col("b"))
+    var und = directed.unionByName(
+        directed.select(col("b").alias("a"), col("a").alias("b")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val keep = und.groupBy(col("a")).agg(count(lit(1)).alias("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      und = und
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").alias("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    und.groupBy(col("a").alias("node")).agg(count(lit(1)).alias("degree"))
+  }
+
   /** Same result as [[reachWithin]] when walk multiplicity stays bounded
     * (trees and low-fan-in DAGs): the expansion unrolls into ONE
     * declarative plan — no per-round caching, convergence probes, or

@@ -214,4 +214,32 @@ class GraphSpec extends SparkSpecBase {
     // contributes to 3 nodes, so the per-node counts sum to 18
     assert(got.values.sum == 18L)
   }
+
+  test("kCore peels tails to the dense core; peel variant matches at the fixpoint") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5 and a pendant 6 off node 1:
+    // the 2-core is exactly the triangle — 5 peels first (degree 1),
+    // which drops 4 to degree 1, which peels next; 6 peels in round 1.
+    // Edges arrive with duplicates/reversals/self-loops to exercise
+    // canonicalization.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (1L, 6L), (2L, 2L)).toDF("src", "dst")
+    val core2 = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core2")
+    // no 3-core anywhere in this graph
+    assert(Graph.kCore(edges, k = 3).isEmpty)
+    // the fixed-rounds peel reaches the same fixpoint once rounds cover
+    // the peel depth (2 here); extra rounds are no-ops
+    for (r <- Seq(2, 3, 5)) {
+      val peeled = Graph.kCorePeel(edges, k = 2, rounds = r)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(peeled == core2, s"rounds=$r: $peeled")
+    }
+    // one round of peeling is NOT the fixpoint: 4 still present (its
+    // degree only fell below 2 after 5 left)
+    val one = Graph.kCorePeel(edges, k = 2, rounds = 1)
+      .select("node").as[Long].collect().toSet
+    assert(one == Set(1L, 2L, 3L, 4L), one.toString)
+  }
 }
