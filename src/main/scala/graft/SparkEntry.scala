@@ -1243,6 +1243,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // WEIGHTED link centrality: each customer splits its rank between
+      // its nation (weight custkey%3+1) and a direct region link
+      // (weight 2) in proportion to edge weight — the link-strength form
+      // a citation/quality graph uses; nations forward to their region,
+      // regions dangle. 3 iterations, same unrolled-oracle regime with
+      // od = sum(w) and contributions r·w/od.
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 500)
+      val nation = T(s, dir, "nation")
+      val region = T(s, dir, "region")
+      val nodes = cust.select((col("c_custkey") + 10000).cast("long").alias("id"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("id")))
+        .unionByName(region.select(col("r_regionkey").cast("long").alias("id")))
+      val edges = cust.select((col("c_custkey") + 10000).cast("long").alias("src"),
+          (col("c_nationkey") + 100).cast("long").alias("dst"),
+          (pmod(col("c_custkey"), lit(3)) + 1).cast("double").alias("w"))
+        .unionByName(cust.select((col("c_custkey") + 10000).cast("long").alias("src"),
+          pmod(col("c_custkey"), lit(5)).cast("long").alias("dst"),
+          lit(2.0).alias("w")))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("src"),
+          col("n_regionkey").cast("long").alias("dst"), lit(1.0).alias("w")))
+      graft.ops.Graph.pageRank(nodes, edges, iterations = 3, weightCol = Some("w"))
+        .select(col("id"), Rounding.roundAway(col("rank"), 6).alias("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_pagerank_personalized" -> ((s, dir) => {
       // locality-biased centrality ("similar to these seeds"): the same
       // hierarchy graph, but the surfer teleports only to the first 50
@@ -3257,6 +3283,48 @@ object SparkEntry {
          |    CAST(n_regionkey AS BIGINT) FROM nation),
          |cnt AS (SELECT count(*) AS nn FROM nodes),
          |od AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT nn FROM cnt) AS r FROM nodes),
+         |dang0 AS (
+         |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+         |  FROM r0 p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL),
+         |$body
+         |SELECT id, round(r, 6) AS rank FROM r$iters ORDER BY id""".stripMargin
+    },
+
+    "q_pagerank_weighted" -> {
+      // the q_pagerank unroll with od = sum(w) per src and contributions
+      // r * w / od — every literal forced DOUBLE as usual
+      val iters = 3
+      val body = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    ((1 - 0.85::DOUBLE) / (SELECT nn FROM cnt))
+           |    + 0.85::DOUBLE * (COALESCE(c.s, 0.0::DOUBLE)
+           |        + ((SELECT dm FROM dang${k - 1}) / (SELECT nn FROM cnt))) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.r * e.w / od.sw) AS s
+           |    FROM edges e JOIN r${k - 1} p ON e.src = p.id JOIN od ON od.src = e.src
+           |    GROUP BY e.dst) c ON n.id = c.id),
+           |dang$k AS (
+           |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm
+           |  FROM r$k p LEFT JOIN od ON od.src = p.id WHERE od.src IS NULL)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS id FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(r_regionkey AS BIGINT) FROM region),
+         |edges AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |         CAST(c_nationkey + 100 AS BIGINT) AS dst,
+         |         CAST(c_custkey % 3 + 1 AS DOUBLE) AS w
+         |  FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(c_custkey + 10000 AS BIGINT),
+         |    CAST(c_custkey % 5 AS BIGINT), 2.0::DOUBLE
+         |  FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT),
+         |    CAST(n_regionkey AS BIGINT), 1.0::DOUBLE FROM nation),
+         |cnt AS (SELECT count(*) AS nn FROM nodes),
+         |od AS (SELECT src, sum(w) AS sw FROM edges GROUP BY src),
          |r0 AS (SELECT id, 1.0::DOUBLE / (SELECT nn FROM cnt) AS r FROM nodes),
          |dang0 AS (
          |  SELECT COALESCE(sum(p.r), 0.0::DOUBLE) AS dm

@@ -245,11 +245,19 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, idCol: String = "id",
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && damping > 0 && damping < 1)
     val n = nodes.count().toDouble
     require(n > 0, "pageRank needs a non-empty node set")
-    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
+    // WEIGHTED flavor: each node's rank splits over its out-edges in
+    // proportion to edge weight (weights must be positive — a zero out-
+    // weight total would make the split undefined), the link-strength
+    // form citation/quality graphs use. Unweighted = every edge at
+    // weight 1.0, whose arithmetic is bit-identical to the count form
+    // (pow/sum of exact 1.0s; rank * 1.0 is exact).
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0d))
+    val outDeg = edges.groupBy(col(srcCol)).agg(sum(w).alias("__deg"))
       .localCheckpoint(true)
     var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
     for (_ <- 0 until iterations) {
@@ -262,7 +270,8 @@ object Graph {
       val contribs = ranks
         .join(edges, ranks("id") === edges(srcCol))
         .join(outDeg, srcCol)
-        .select(col(dstCol).alias("id"), (col("rank") / col("__deg")).alias("__c"))
+        .select(col(dstCol).alias("id"),
+          (col("rank") * w / col("__deg")).alias("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
       ranks = nodes.select(col(idCol).alias("id"))
         .join(contribs, Seq("id"), "left")

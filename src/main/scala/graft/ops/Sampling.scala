@@ -216,24 +216,30 @@ object Sampling {
     * Mixtures Speeds Up Language Model Pretraining"): split `totalBudget`
     * across the groups of a (groups…, `weightCol`) frame proportionally,
     *
-    *   budget_g = floor(totalBudget · w_g / Σ w)
+    *   budget_g = floor(totalBudget · w_g^α / Σ w^α)
     *
     * with the ratio rounded to 6 decimals before the floor so the cut is
     * replayable across engines (an unrounded ratio landing a last-ulp
     * below an integer would floor differently per summation order).
+    * `alpha` is the TEMPERATURE exponent of multilingual sampling
+    * (Conneau et al. 2020, XLM-R trains at α = 0.3; α = 1 is plain
+    * proportional, α = 0 uniform): α < 1 flattens the mixture so
+    * low-resource domains are not starved by head-heavy weights.
     * The weights frame is domains-sized — broadcast territory — so the
     * whole allocation is driver-free and costs one 1-row total.
     * Output: (groups…, `budgetCol`). Feed to [[budgetPackPerGroup]].
     */
   def mixtureAllocation(weights: DataFrame, groups: Seq[String],
       weightCol: String, totalBudget: Long,
-      budgetCol: String = "budget"): DataFrame = {
+      budgetCol: String = "budget", alpha: Double = 1.0): DataFrame = {
     require(totalBudget > 0)
-    val tot = weights.agg(sum(col(weightCol)).alias("__wsum"))
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val wA = pow(col(weightCol).cast("double"), lit(alpha))
+    val tot = weights.agg(sum(wA).alias("__wsum"))
     weights.crossJoin(broadcast(tot))
       .select(groups.map(col) :+
         floor(Rounding.roundAway(
-          lit(totalBudget) * col(weightCol) / col("__wsum"), 6))
+          lit(totalBudget) * wA / col("__wsum"), 6))
           .cast("long").alias(budgetCol): _*)
   }
 

@@ -143,6 +143,15 @@ class SamplingSpec extends SparkSpecBase {
         Seq(("x", 1.0), ("y", 1.0), ("z", 1.0)).toDF("dom", "w"), Seq("dom"), "w", 100L)
       .as[(String, Long)].collect().toMap
     assert(uneven.values.forall(_ == 33L) && uneven.values.sum <= 100L, uneven.toString)
+    // temperature exponent (XLM-style): alpha=0.5 takes sqrt weights
+    // (1,4 -> 1,2 -> 33/66), alpha=0 flattens to uniform
+    val skew = Seq(("lo", 1.0), ("hi", 4.0)).toDF("dom", "w")
+    val tempered = Sampling.mixtureAllocation(skew, Seq("dom"), "w", 100L,
+      alpha = 0.5).as[(String, Long)].collect().toMap
+    assert(tempered == Map("lo" -> 33L, "hi" -> 66L), tempered.toString)
+    val flat = Sampling.mixtureAllocation(skew, Seq("dom"), "w", 100L,
+      alpha = 0.0).as[(String, Long)].collect().toMap
+    assert(flat == Map("lo" -> 50L, "hi" -> 50L), flat.toString)
   }
 
   test("budgetPackPerGroup: each group fills its own quota; constant budgets equal budgetPack") {
