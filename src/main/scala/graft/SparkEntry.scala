@@ -61,6 +61,15 @@ object SparkEntry {
   /** The suite's ANN query vector (vec_id = 0) — one bounded driver action
     * (a single 64-dim row), standard for ANN serving.
     */
+  /** The hashed-model size every DSIR consumer (q_dsir_weights, the
+    * capstone's selection gate) AND the Bench warm-up prebuild share —
+    * one constant so the warmed [[graft.ops.Features.docTokenBuckets]]
+    * cache is keyed exactly as the queries request it; a divergence
+    * would silently push the one-time tokenize pass back into whichever
+    * timed query runs first.
+    */
+  private[graft] val DsirDims = 64
+
   private def queryVec(s: SparkSession, dir: String): IndexedSeq[Double] =
     T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -227,7 +236,7 @@ object SparkEntry {
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
       Future { ops.Features.docShingles(s, dir).count(); () },
-      Future { ops.Features.docTokenBuckets(s, dir, 64).count(); () },
+      Future { ops.Features.docTokenBuckets(s, dir, DsirDims).count(); () },
       Future { ops.Features.docAnnotations(s, dir).count(); () }
     )), Duration.Inf)
   }
@@ -1808,8 +1817,8 @@ object SparkEntry {
           ops.CorpusPipeline.Config(
             minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
             dsirTarget = Some(docs.where(col("lang") === "en")),
-            dsirMinWeight = -0.2, dsirDims = 64,
-            dsirBuckets = Some(ops.Features.docTokenBuckets(s, dir, 64)),
+            dsirMinWeight = -0.2, dsirDims = DsirDims,
+            dsirBuckets = Some(ops.Features.docTokenBuckets(s, dir, DsirDims)),
             annotations = Some(ops.Features.docAnnotations(s, dir))))
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
@@ -2502,11 +2511,11 @@ object SparkEntry {
       // raw = the whole frame, target = its English-id semi-join — the
       // corpus tokenization is paid once and shared with the capstone's
       // DSIR gate (q_corpus_prepare_dsir).
-      val buckets = ops.Features.docTokenBuckets(s, dir, 64)
+      val buckets = ops.Features.docTokenBuckets(s, dir, DsirDims)
       val enIds = T(s, dir, "documents").where(col("lang") === "en")
         .select(col("doc_id"))
       TextClassify.dsirWeightsFromBuckets(buckets,
-          buckets.join(enIds, Seq("doc_id"), "left_semi"), "doc_id", dims = 64)
+          buckets.join(enIds, Seq("doc_id"), "left_semi"), "doc_id", dims = DsirDims)
         .orderBy(col("doc_id"))
     }),
 

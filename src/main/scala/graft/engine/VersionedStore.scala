@@ -18,13 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   cost is a few hundred bytes of manifest, never a copy).
   * - A REPLACE commit's manifest = just the new directory; the old
   *   directories stay on disk for older versions until [[vacuum]].
-  * - Commit = create-if-absent of the manifest in its numbered slot
-  *   (`create(overwrite = false)` — exact one-winner semantics on
-  *   HDFS-like stores; a narrow check-then-create window on POSIX),
-  *   AFTER the data directory is fully written: a crash mid-commit
-  *   leaves an orphan data directory (reclaimed by [[vacuum]]) and, at
-  *   worst, an empty claimed manifest that reads reject loudly — never
-  *   a silently torn read.
+  * - Commit = atomic rename of a token-headed manifest into its numbered
+  *   slot AFTER the data directory is fully written, then a readback of
+  *   the committed token: readers only ever see complete manifests
+  *   (rename is atomic), a crash mid-commit leaves an ignorable `.tmp`
+  *   and the table at its previous version, and a same-version race is
+  *   detected either by rename failure (HDFS semantics) or by the token
+  *   readback (POSIX rename overwrites) — never a silently lost commit.
   * - Reads take a version number ([[readAt]]) or default to the latest;
   *   schema evolution across appends surfaces via parquet `mergeSchema`,
   *   same policy as [[TableStore]].
@@ -62,14 +62,14 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     val in = fs(p).open(p)
     val dirs =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
       finally in.close()
-    // every commit lists >= 1 directory, so an empty read means the
-    // writer claimed the slot but has not finished its single
-    // write+close yet (or crashed between them) — fail loudly instead
-    // of serving the torn commit as an empty table
+    // every commit lists >= 1 directory (the '#commit <token>' header
+    // does not count) — an empty list can only be corruption; rename
+    // committed the file atomically, so fail loudly rather than serve
+    // an empty table
     if (dirs.isEmpty) throw new java.io.IOException(
-      s"manifest v$v of '$table' is empty — commit in flight or torn; retry")
+      s"manifest v$v of '$table' lists no data directories — corrupt manifest")
     dirs
   }
 
@@ -78,27 +78,39 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     val f = fs(md)
     f.mkdirs(md)
     val dst = manifestPath(table, v)
-    // CREATE-IF-ABSENT claim, not rename: rename's contract varies —
-    // HDFS returns false on an existing destination, but POSIX/RawLocal
-    // rename OVERWRITES it and reports success, so two writers racing
-    // the same version number would both "commit" and one manifest would
-    // be silently lost. create(overwrite = false) makes the existence
-    // check part of the create on HDFS-like stores (exact one-winner
-    // detection); on RawLocal the check-then-create window is merely
-    // narrow, which is why single-writer per table stays the documented
-    // contract — this guard detects the race, it is not a lock service.
-    val out =
-      try f.create(dst, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.io.IOException(
-            s"version $v of '$table' already committed (concurrent writer?)", e)
-      }
-    // one write + close; a reader listing the claimed-but-unclosed file
-    // sees an empty manifest, which readManifest rejects loudly below
-    // rather than serving a half commit as an empty table
-    try out.write((dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+    // TMP + RENAME + TOKEN READBACK. Rename keeps the two properties a
+    // direct create-in-place write cannot give: readers only ever see a
+    // COMPLETE manifest (a flushed prefix of an in-place write past the
+    // FS buffer size would read as a valid truncated dir list — a silent
+    // subset table), and a crash mid-commit leaves only an ignorable
+    // .tmp file, never a wedged version slot. The race remains: POSIX
+    // rename OVERWRITES an existing destination and reports success
+    // (HDFS returns false — exact detection there), so after renaming we
+    // READ BACK the committed token: a loser whose manifest was
+    // clobbered (or who clobbered the winner after its readback, on the
+    // unlucky interleave) sees a foreign token and throws instead of
+    // silently dropping a commit. Single-writer per table stays the
+    // documented contract — this detects the race, it is not a lock.
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(md, s".v$v.$token.tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"#commit $token\n" + dirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"version $v of '$table' already committed (concurrent writer?)")
+    }
+    val in = f.open(dst)
+    val firstLine =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .nextOption().getOrElse("")
+      finally in.close()
+    if (firstLine != s"#commit $token")
+      throw new java.io.IOException(
+        s"version $v of '$table' was committed by a concurrent writer " +
+          "(this writer's manifest lost the rename race)")
   }
 
   private def newDataDir(table: String, v: Long, df: DataFrame): String = {

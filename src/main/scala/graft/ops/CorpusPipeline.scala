@@ -175,10 +175,27 @@ object CorpusPipeline {
     // precomputed-annotations path: attach by id join — the cached frame
     // is already persisted upstream (Features.docAnnotations), so every
     // downstream consumer re-reads blocks + a cheap join, and neither of
-    // the regex-annotate branches below runs at all
+    // the regex-annotate branches below runs at all. LEFT join + per-row
+    // presence check, not an inner join: a stale annotation table (doc
+    // ingested after the frame was built) must fail LOUDLY at execution,
+    // not silently shrink the corpus before any gate runs — the same
+    // stale-derived-artifact hazard the dedup-index rollback contract
+    // guards against. No extra action: the error rides the quality
+    // column every downstream filter already evaluates.
     val preAnnotated = cfg.annotations
       .filter(_ => !cfg.gopher && !cfg.gopherNgrams)
-      .map(ann => docs.join(ann, Seq(cfg.idCol)))
+      .map { ann =>
+        docs.join(ann.withColumn("__ann", lit(true)), Seq(cfg.idCol), "left")
+          .withColumn("quality",
+            when(col("__ann").isNull,
+              raise_error(concat(
+                lit("Config.annotations does not cover doc "),
+                col(cfg.idCol).cast("string"),
+                lit(" — rebuild the annotation frame over the current corpus")))
+                .cast("double"))
+              .otherwise(col("quality")))
+          .drop("__ann")
+      }
     val annotated = preAnnotated.getOrElse {
       if (needShingles) {
         val base = docs

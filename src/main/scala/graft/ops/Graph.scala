@@ -251,12 +251,22 @@ object Graph {
     val n = nodes.count().toDouble
     require(n > 0, "pageRank needs a non-empty node set")
     // WEIGHTED flavor: each node's rank splits over its out-edges in
-    // proportion to edge weight (weights must be positive — a zero out-
-    // weight total would make the split undefined), the link-strength
-    // form citation/quality graphs use. Unweighted = every edge at
-    // weight 1.0, whose arithmetic is bit-identical to the count form
-    // (pow/sum of exact 1.0s; rank * 1.0 is exact).
+    // proportion to edge weight, the link-strength form citation/quality
+    // graphs use. Weights must be positive: a null weight would silently
+    // drop that edge's contribution while still counting the node as
+    // non-dangling, and a zero out-weight total makes the split NaN and
+    // poisons every downstream rank — validate loudly up front (one
+    // bounded action, only on the weighted path; per-round actions
+    // dominate the call anyway). Unweighted = every edge at weight 1.0,
+    // whose arithmetic is bit-identical to the count form (sums of exact
+    // 1.0s; rank * 1.0 is exact).
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0d))
+    weightCol.foreach { c =>
+      val bad = edges.where(col(c).isNull || col(c).cast("double") <= 0.0
+          || isnan(col(c).cast("double"))).limit(1).count()
+      require(bad == 0,
+        s"pageRank weight column '$c' must be positive and non-null on every edge")
+    }
     val outDeg = edges.groupBy(col(srcCol)).agg(sum(w).alias("__deg"))
       .localCheckpoint(true)
     var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
@@ -484,14 +494,7 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val keep = und.groupBy(col("a")).agg(count(lit(1)).alias("__d"))
-        .where(col("__d") >= k).select(col("a"))
-      // edges survive only when BOTH endpoints survive
-      val next = und
-        .join(keep, Seq("a"), "left_semi")
-        .join(keep.select(col("a").alias("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(false)
+      val next = peelRound(und, k).localCheckpoint(false)
       val nextN = next.count()
       converged = nextN == prevN
       prevN = nextN
@@ -522,15 +525,24 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     for (_ <- 0 until rounds) {
-      val keep = und.groupBy(col("a")).agg(count(lit(1)).alias("__d"))
-        .where(col("__d") >= k).select(col("a"))
-      und = und
-        .join(keep, Seq("a"), "left_semi")
-        .join(keep.select(col("a").alias("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
+      und = peelRound(und, k).localCheckpoint(true)
     }
     und.groupBy(col("a").alias("node")).agg(count(lit(1)).alias("degree"))
+  }
+
+  /** One k-core peel round over a symmetrized edge set: survivors =
+    * nodes with remaining degree ≥ k; edges survive only when BOTH
+    * endpoints survive. Shared by [[kCore]] (convergent) and
+    * [[kCorePeel]] (fixed rounds) so the peel semantics cannot drift
+    * between the two entry points.
+    */
+  private def peelRound(und: DataFrame, k: Int): DataFrame = {
+    val keep = und.groupBy(col("a")).agg(count(lit(1)).alias("__d"))
+      .where(col("__d") >= k).select(col("a"))
+    und
+      .join(keep, Seq("a"), "left_semi")
+      .join(keep.select(col("a").alias("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
   }
 
   /** Same result as [[reachWithin]] when walk multiplicity stays bounded

@@ -236,10 +236,21 @@ object Sampling {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     val wA = pow(col(weightCol).cast("double"), lit(alpha))
     val tot = weights.agg(sum(wA).alias("__wsum"))
+    // a non-positive/NaN weight sum (all-zero weights, a negative weight
+    // under fractional alpha) would floor to NULL budgets and the
+    // downstream pack would silently return an EMPTY selection — fail
+    // loudly in the row instead (no extra action; rides the projection)
+    val share = lit(totalBudget) * wA / col("__wsum")
+    val guarded = when(
+      col("__wsum").isNull || isnan(col("__wsum")) || col("__wsum") <= 0.0
+        || isnan(share),
+      raise_error(lit("mixtureAllocation needs positive finite weights " +
+        "(weight sum and every w^alpha share must be positive and finite)"))
+        .cast("double"))
+      .otherwise(share)
     weights.crossJoin(broadcast(tot))
       .select(groups.map(col) :+
-        floor(Rounding.roundAway(
-          lit(totalBudget) * wA / col("__wsum"), 6))
+        floor(Rounding.roundAway(guarded, 6))
           .cast("long").alias(budgetCol): _*)
   }
 

@@ -60,6 +60,9 @@ object TopK {
   def fractionGate(df: DataFrame, groups: Seq[String], scoreCol: String,
       fraction: Double, accuracy: Int = 10000): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    require(groups.nonEmpty,
+      "fractionGate needs at least one group column; for a global gate, " +
+        "filter on percentile_approx over the whole frame directly")
     import org.apache.spark.sql.functions._
     val thr = df.groupBy(groups.map(col): _*)
       .agg(percentile_approx(col(scoreCol), lit(1 - fraction), lit(accuracy))
