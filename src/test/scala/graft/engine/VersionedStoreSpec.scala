@@ -87,6 +87,28 @@ class VersionedStoreSpec extends SparkSpecBase {
     assert(st.read("t").count() == 2)
   }
 
+  test("manifests carry a commit token; pre-token (headerless) manifests still read") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1, 2).toDF("x"))
+    // the committed manifest leads with its commit token and readers
+    // skip it when listing data directories
+    val fs = new org.apache.hadoop.fs.Path(st.warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = new org.apache.hadoop.fs.Path(s"${st.warehouseDir}/t/_manifests/v00000001")
+    val lines = scala.io.Source.fromInputStream(fs.open(m1), "UTF-8")
+      .getLines().toList
+    assert(lines.head.startsWith("#commit "), lines.head)
+    assert(st.read("t").count() == 2)
+    // a manifest written by the pre-token protocol (no header) keeps
+    // reading — version history written by older builds stays valid
+    val dataDir = lines.filterNot(_.startsWith("#")).head
+    val m2 = new org.apache.hadoop.fs.Path(s"${st.warehouseDir}/t/_manifests/v00000002")
+    val out = fs.create(m2, false)
+    out.write((dataDir + "\n").getBytes("UTF-8")); out.close()
+    assert(st.currentVersion("t") == 2L)
+    assert(st.readAt("t", 2).count() == 2)
+  }
+
   test("rollback x dedup index: re-ingest resurrects no duplicates; realign stops ghost drops") {
     // The compaction/rollback interaction a production pipeline hits:
     // corpus versions live in the VersionedStore, the incremental dedup
