@@ -201,14 +201,37 @@ object SparkEntry {
           "text", "doc_id", shingleSize = 3, k = 64, bands = 32, buckets = 16)),
         // the inverted text index — the BM25 build-once-probe-many twin
         Future(ops.TextSearch.persistPostings(store, "docs_text_idx",
-          T(s, dir, "documents"), "text", "doc_id", buckets = 16))
+          T(s, dir, "documents"), "text", "doc_id", buckets = 16)),
+        // bucketed FACT tables — the pay-at-ingest layout for repeated
+        // big-big joins: both sides hash-bucketed + sorted on the join
+        // key at write, so every later orderkey join runs with ZERO
+        // exchange (q_join_bucketed; PlanSpec pins the shuffle-free
+        // shape). Pre-clustering on the bucket key (same murmur3 hash as
+        // bucketBy) lands each bucket in one task → one file per bucket,
+        // so the reader's per-bucket sort order survives too.
+        Future {
+          store.writeBucketed(bucketedName(dir, "orders"),
+            T(s, dir, "orders").repartition(8, col("o_orderkey")),
+            Seq("o_orderkey"), buckets = 8)
+          store.writeBucketed(bucketedName(dir, "lineitem"),
+            T(s, dir, "lineitem").repartition(8, col("l_orderkey")),
+            Seq("l_orderkey"), buckets = 8)
+        }
       )), Duration.Inf)
       store
     })
 
+  /** Session-catalog name of the bucketed copy of `base` built for `dir` —
+    * suffixed with the dir's hash so two scale factors probed from one
+    * session never collide in the shared catalog namespace
+    * (String.hashCode is stable across JVMs, so the name is replayable).
+    */
+  private[graft] def bucketedName(dir: String, base: String): String =
+    s"${base}_bkt_" + java.lang.Integer.toHexString(dir.hashCode)
+
   /** Force the one-time build of the five persisted indexes
-    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base, docs_text_idx) for a
-    * session+dir.
+    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base, docs_text_idx) plus
+    * the two bucketed fact tables for a session+dir.
     * Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
     * numbers measure PROBES — the steady-state cost of a build-once
@@ -377,6 +400,27 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_cust"),
           Rounding.roundAway(sum(col("c_acctbal")), 4).alias("sum_bal"))
         .orderBy(col("n_name"))),
+
+    "q_join_bucketed" -> ((s, dir) => {
+      // big-big join on PRE-BUCKETED tables: both sides were hash-bucketed
+      // (and sorted) on the orderkey at ingest (persistedIvfStore build),
+      // so this merge join runs with NO exchange on either side — the
+      // pay-once layout for a join repeated every pipeline run, and the
+      // co-location story that survives 100 TB where re-shuffling both
+      // facts per query would not. hint("merge") pins the sort-merge path
+      // at every scale factor (at sf0.01 a broadcastable orders side
+      // would otherwise hide the bucketed plan).
+      persistedIvfStore(s, dir)
+      val li = s.table(bucketedName(dir, "lineitem"))
+      val ord = s.table(bucketedName(dir, "orders"))
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n_items"),
+          Rounding.roundAway(
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .alias("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
 
     "q_join_full" -> ((s, dir) => {
       // full outer: high-value customers vs customers with urgent orders —
@@ -1726,6 +1770,25 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).alias("n"))
         .orderBy(col("split"))),
 
+    "q_sample_split_leakfree" -> ((s, dir) => {
+      // LEAKAGE-FREE split: every exact-duplicate cluster (keyed by the
+      // text hash) is assigned to train/val/test AS A UNIT — the tag is a
+      // pure function of the cluster representative (min doc_id), so two
+      // copies of one page can never straddle train and test and leak
+      // test text into training. One map-side-combining aggregate builds
+      // the (cluster, representative) table; the tag is the same
+      // md5-threshold closed form as q_sample_split.
+      val docs = T(s, dir, "documents")
+      val reps = docs.groupBy(md5(col("text")).alias("__k"))
+        .agg(min(col("doc_id")).alias("__rep"))
+      docs.select(col("doc_id"), md5(col("text")).alias("__k"))
+        .join(reps, Seq("__k"))
+        .select(col("doc_id"),
+          ops.Sampling.splitTag(col("__rep"),
+            Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))).alias("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_stratified" -> ((s, dir) =>
       // class balancing: at most 20 docs per (lang), chosen by hash order
       ops.Sampling.stratifiedTake(T(s, dir, "documents"), Seq("lang"), 20, col("doc_id"))
@@ -2038,6 +2101,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_paragraph_intra" -> ((s, dir) => {
+      // WITHIN-document repeated-paragraph removal — the intra-page
+      // complement of q_dedup_paragraph: a template block stamped twice
+      // into ONE page loses its repeats, while identical paragraphs in
+      // different documents stay put. One (doc, para)-keyed aggregate;
+      // paragraph text never shuffles across documents, so a corpus-wide
+      // hot paragraph creates no hot key here.
+      Dedup.dropRepeatedParagraphsWithinDoc(
+          paragraphChunkedDocs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_decontaminate_paragraph" -> ((s, dir) => {
       // passage-level decontamination: every 25th doc plays the EVAL SET,
       // and each of its paragraphs is cut out of every corpus document that
@@ -2048,6 +2123,30 @@ object SparkEntry {
       val evalSet = chunked.where(pmod(col("doc_id"), lit(25)) === 0)
       Dedup.dropParagraphsIn(chunked, evalSet, "text", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_contamination_report" -> ((s, dir) => {
+      // contamination DASHBOARD: which sources leak eval passages, and how
+      // badly — per source, the count of docs carrying >=1 eval paragraph
+      // and the contamination rate. Same eval slice + paragraph semantics
+      // as q_decontaminate_paragraph; the flagged set is one broadcast
+      // semi-join + a distinct on doc ids, the report one source-keyed
+      // aggregate — the audit artifact a pipeline publishes alongside the
+      // decontaminated corpus.
+      val paras = paragraphChunkedDocs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).alias("__para"))
+      val evalParas = paras.where(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("__para")).distinct()
+      val flagged = paras.join(broadcast(evalParas), Seq("__para"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("__hit", lit(1))
+      T(s, dir, "documents")
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(coalesce(col("__hit"), lit(0))).alias("n_contaminated"),
+          Rounding.roundAway(
+            avg(coalesce(col("__hit"), lit(0)).cast("double")), 6).alias("rate"))
+        .orderBy(col("source"))
     }),
 
     "q_shingle_df" -> ((s, dir) =>
@@ -2163,6 +2262,37 @@ object SparkEntry {
             .alias("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    "q_embedding_outliers" -> ((s, dir) => {
+      // embedding QC before ANN indexing: robust per-label z-score on the
+      // L2 norm (exact median + MAD — outliers can't drag a median the
+      // way they drag a mean), with junk vectors planted at x10 scale so
+      // the gate has something real to catch. Two exact percentile
+      // aggregates per label (labels-sized frames, broadcast back); the
+      // flag compares UNROUNDED doubles produced by arithmetic both
+      // engines share left-to-right, so the boundary can't flap.
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").alias("v"))
+      val aug = base.unionByName(
+        base.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select((col("vec_id") + 20000).alias("vec_id"), col("label"),
+            transform(col("v"), x => x * lit(10.0d)).alias("v")))
+      val norms = aug.select(col("vec_id"), col("label"),
+        sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0d), (a, x) => a + x)).alias("norm"))
+      val med = norms.groupBy(col("label"))
+        .agg(expr("percentile(norm, 0.5)").alias("med"))
+      val mad = norms.join(broadcast(med), Seq("label"))
+        .groupBy(col("label"), col("med"))
+        .agg(expr("percentile(abs(norm - med), 0.5)").alias("mad"))
+      norms.join(broadcast(mad), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          Rounding.roundAway(col("norm"), 6).alias("norm"),
+          (abs(col("norm") - col("med")) > lit(2.0) * lit(1.4826) * col("mad"))
+            .cast("int").alias("is_outlier"))
+        .orderBy(col("vec_id"))
     }),
 
     "q_similarity_join" -> ((s, dir) => {
@@ -2659,6 +2789,14 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_bucketed" ->
+      // the bucketed layout changes the PLAN (zero-exchange merge join),
+      // not the result: the oracle is the plain join over the raw tables
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_full" ->
       """SELECT coalesce(c_custkey, o_custkey) AS custkey,
@@ -3843,6 +3981,18 @@ object SparkEntry {
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
+    "q_sample_split_leakfree" ->
+      // cluster representative = min doc_id per exact-text hash; the tag
+      // is the q_sample_split closed form applied to the representative
+      """WITH reps AS (
+        |  SELECT md5(text) AS k, min(doc_id) AS rep FROM documents GROUP BY 1)
+        |SELECT d.doc_id, CASE
+        |  WHEN md5(CAST(r.rep AS VARCHAR)) < 'c0000000000000000000000000000000' THEN 'train'
+        |  WHEN md5(CAST(r.rep AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents d JOIN reps r ON md5(d.text) = r.k
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
@@ -4394,6 +4544,21 @@ object SparkEntry {
         |       count(*) AS n_paras
         |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_paragraph_intra" ->
+      // identical 4-token chunking; survivor = first position per
+      // (doc, para) — repeats WITHIN a doc collapse, cross-doc copies stay
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (
+        |  SELECT doc_id, u.i - 1 AS pos,
+        |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+        |  FROM toks, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+        |surv AS (
+        |  SELECT doc_id, para, min(pos) AS pos FROM paras GROUP BY doc_id, para)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |       count(*) AS n_paras
+        |FROM surv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_decontaminate_paragraph" ->
       // identical chunking; the eval paragraph set (docs % 25) is cut out
       // of every document via NOT IN (no NULLs by construction)
@@ -4411,6 +4576,27 @@ object SparkEntry {
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
         |       count(*) AS n_paras
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination_report" ->
+      // identical chunking + eval slice; a doc is contaminated iff any of
+      // its paragraphs appears in the eval set — aggregated per source
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |         array_to_string(t[(u.i-1)*4+1 : u.i*4], ' ') AS para
+        |  FROM toks, LATERAL unnest(range(1, CAST(ceil(len(t)/4.0) AS INT) + 1)) u(i)),
+        |evalp AS (
+        |  SELECT DISTINCT para FROM paras WHERE doc_id % 25 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM paras
+        |  WHERE para IN (SELECT para FROM evalp))
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  round(avg(CASE WHEN f.doc_id IS NULL THEN 0.0 ELSE 1.0 END), 6) AS rate
+        |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_dedup_spans" ->
       // identical tokenization, 5-gram census over (doc, start), covered
@@ -4515,6 +4701,26 @@ object SparkEntry {
         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_outliers" ->
+      // same planted x10 junk vectors; per-label exact median + MAD over
+      // the L2 norm, flag on the identical unrounded comparison
+      """WITH base AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |aug AS (SELECT vec_id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 20000 AS vec_id, label,
+        |    list_transform(v, x -> x * 10) AS v FROM base WHERE vec_id % 50 = 0),
+        |norms AS (SELECT vec_id, label,
+        |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS norm
+        |  FROM aug),
+        |med AS (SELECT label, median(norm) AS med FROM norms GROUP BY label),
+        |mad AS (SELECT n.label, m.med, median(abs(n.norm - m.med)) AS mad
+        |  FROM norms n JOIN med m ON n.label = m.label GROUP BY n.label, m.med)
+        |SELECT n.vec_id, n.label, round(n.norm, 6) AS norm,
+        |  CAST(abs(n.norm - a.med) > 2.0 * 1.4826 * a.mad AS INT) AS is_outlier
+        |FROM norms n JOIN mad a ON n.label = a.label
+        |ORDER BY n.vec_id""".stripMargin,
 
     "q_semantic_dedup" ->
       // SemDeDup replay: rounded-cosine argmax to the 8 seed anchors

@@ -998,6 +998,32 @@ object Dedup {
       .select(col("__id").alias(idCol), col("__text").alias(textCol),
         col("n_paras"))
 
+  /** WITHIN-document paragraph dedup: drop every repeated occurrence of a
+    * paragraph inside the SAME document, keeping its first position, and
+    * leave identical paragraphs in different documents untouched. The
+    * intra-page complement of [[dropDuplicateParagraphs]]: kills the
+    * repeated nav/footer block a template stamps several times into one
+    * page without deduplicating legitimate cross-document quotes.
+    *
+    * Scale shape: ONE aggregate keyed by (document, paragraph) — survivor
+    * selection and reassembly both shuffle on the document id, so
+    * paragraph text never leaves its document's partition group and a
+    * corpus-wide hot paragraph ("click here") creates no hot key: its
+    * occurrences are spread across as many keys as documents carrying it.
+    */
+  def dropRepeatedParagraphsWithinDoc(df: DataFrame, textCol: String,
+      idCol: String, sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).alias("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+      .where(length(col("__para")) > 0)
+      // first occurrence per (doc, para): map-side-combining min, no window
+      .groupBy(col("__id"), col("__para"))
+      .agg(min(col("__pos")).alias("__pos"))
+    reassembleParas(paras, idCol, textCol, sep)
+  }
+
   /** The corpus-first-occurrence survivor set of [[dropDuplicateParagraphs]]:
     * one row per DISTINCT paragraph carrying the (doc, position) that keeps
     * it. Split out so other paragraph operators can reuse the aggregate.

@@ -41,6 +41,17 @@ class PlanSpec extends SparkSpecBase {
     assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_bucketed: fact-fact merge join with ZERO exchange on the orderkey") {
+    val plan = planOf("q_join_bucketed")
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the bucketed layout satisfies the join's distribution — the only
+    // exchanges left are the 5-row aggregate/order-by, never the facts
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    val formatted = formattedPlan("q_join_bucketed")
+    assert(formatted.contains("Bucketed: true"), formatted)
+  }
+
   test("q_agg_group is a two-phase hash aggregate with one data shuffle") {
     val plan = planOf("q_agg_group")
     assert(plan.contains("HashAggregate"))

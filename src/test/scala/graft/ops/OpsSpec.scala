@@ -301,6 +301,38 @@ class OpsSpec extends SparkSpecBase {
       (13L, "epsilon", 1L)))                                 // doc 12 fully redundant: gone
   }
 
+  test("within-doc paragraph dedup drops repeats in ONE doc, keeps cross-doc copies") {
+    val df = Seq(
+      (1L, "NAV\nalpha\nNAV\nbeta\nNAV"), // template stamped 3x into one page
+      (2L, "NAV\ngamma"),                 // cross-doc copy untouched
+      (3L, "\n\n")                        // only separators -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphsWithinDoc(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "NAV\nalpha\nbeta", 3L),
+      (2L, "NAV\ngamma", 2L)))
+  }
+
+  test("q_embedding_outliers flags exactly the planted x10 vectors, no base row") {
+    // synthetic embeddings with norms spread over [1, 2]: the robust
+    // (median/MAD) gate must flag the two x10-scaled plants the query
+    // itself adds at vec_id%50==0 and NOTHING from the base spread —
+    // a mean/stddev gate would have its stddev dragged by the plants
+    val dir = tmpDir("embqc")
+    val rows = (0 until 100).map(i =>
+      (i.toLong, i % 2, Array(1f + i / 100f, 0f)))
+    spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_embedding_outliers")(spark, dir)
+      .select("vec_id", "is_outlier")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out.size == 102) // 100 base + 2 plants
+    val flagged = out.filter(_._2 == 1).keySet
+    assert(flagged == Set(20000L, 20050L), s"flagged $flagged")
+  }
+
   test("paragraph decontamination cuts eval passages out, keeps the rest of the doc") {
     val corpus = Seq(
       (1L, "intro\nLEAKED BENCHMARK ITEM\noutro"), // loses only the leak

@@ -37,6 +37,28 @@ class SamplingSpec extends SparkSpecBase {
     assert(counts.keySet == Set("train", "val", "test"))
   }
 
+  test("q_sample_split_leakfree: exact duplicates never straddle splits") {
+    import spark.implicits._
+    // synthetic corpus where text 'dup' repeats across MANY doc_ids: a
+    // per-doc hash split would scatter the copies across train/val/test;
+    // the cluster-consistent assignment must give them all ONE tag, and
+    // that tag must be the representative's (min doc_id) own tag.
+    val dir = tmpDir("leakfree")
+    (0L until 400L).map(i => (i, if (i % 4 == 0) "dup" else s"unique $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_sample_split_leakfree")(spark, dir)
+    val dupTags = out
+      .join(spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id"))
+      .where(col("text") === "dup")
+      .select(col("split")).distinct().collect().map(_.getString(0)).toSeq
+    assert(dupTags.size == 1, s"duplicate cluster straddles splits: $dupTags")
+    val repTag = out.where(col("doc_id") === 0).head.getString(1)
+    assert(dupTags.head == repTag)
+    // uniques keep the plain per-doc distribution (coverage, all tagged)
+    assert(out.count() == 400)
+  }
+
   test("stratifiedTake bounds every stratum at k and is deterministic") {
     val taken = Sampling.stratifiedTake(docs, Seq("label"), 12, col("id"))
     val perLabel = taken.groupBy("label").count().collect().map(_.getLong(1))
