@@ -416,9 +416,13 @@ object SparkEntry {
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).alias("n_items"),
-          Rounding.roundAway(
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-            .alias("revenue"))
+          // revenue as EXACT integer ten-thousandths (price cents x
+          // (100 - discount percent), both tie-free integers — the
+          // q_decimal_agg convention): a double sum over 100k+ items
+          // differs across engines in the 4th decimal at sf0.1
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .alias("revenue_e4"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -2794,7 +2798,9 @@ object SparkEntry {
       // the bucketed layout changes the PLAN (zero-exchange merge join),
       // not the result: the oracle is the plain join over the raw tables
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
