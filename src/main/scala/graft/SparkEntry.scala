@@ -682,6 +682,15 @@ object SparkEntry {
           count(lit(1)).alias("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    "q_table_stats" -> ((s, dir) =>
+      // ANALYZE-style ingest profiling: per-column min/max/nulls/exact-NDV
+      // for the fact table in one scan (engine/Analyze.scala) — the stats
+      // that drive broadcast thresholds and bucket-count choices at scale
+      graft.engine.Analyze.columnStats(T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount"))
+        .orderBy(col("column_name"))),
+
     "q_decimal_agg" -> ((s, dir) =>
       // decimal built from EXACT integer ten-thousandths: Spark's
       // cast(double→decimal) rounds HALF_UP on the shortest string repr
@@ -2937,6 +2946,35 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_table_stats" ->
+      // per-column profile replayed as one UNION ALL branch per column
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name, CAST(min(l_orderkey) AS DOUBLE) AS min_val,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS max_val,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE),
+        |    CAST(count(*) - count(l_partkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE),
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |    CAST(count(*) - count(l_quantity) AS BIGINT),
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
+        |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    CAST(count(*) - count(l_discount) AS BIGINT),
+        |    CAST(count(DISTINCT l_discount) AS BIGINT) FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
 
     "q_decimal_agg" ->
       """WITH d AS (SELECT l_returnflag,

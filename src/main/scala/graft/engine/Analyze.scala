@@ -1,0 +1,48 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-time table profiling — the ANALYZE TABLE step a warehouse runs
+  * so the optimizer (and the humans operating it) can make size-based
+  * decisions: broadcast-vs-shuffle join thresholds, bucket counts,
+  * partition-pruning sanity, skew candidates. The reference delegates this
+  * to its warehouse backend (popelines/main.py:100-155 loads and trusts
+  * the service's own statistics); a standalone engine has to collect its
+  * own.
+  *
+  * Scale shape: ONE scan. All per-column min/max/null aggregates fuse into
+  * a single aggregate pass; the exact distinct counts share that pass
+  * through Spark's Expand-based multi-distinct planning (each row fans out
+  * once per distinct aggregate before the partial combine — the standard
+  * cost of exact NDV; swap in approx_count_distinct when 2% error is
+  * acceptable at 100 TB). The result is columns-sized, never data-sized.
+  */
+object Analyze {
+
+  /** One row per profiled column: (column_name, min_val, max_val, n_nulls,
+    * ndv), numeric bounds widened to double so every column shares one
+    * schema. `exact=false` trades exact NDV for HLL (one Expand less —
+    * the 100 TB default; the oracle-checked path uses exact).
+    */
+  def columnStats(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val exprs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").alias(s"__min_$c"),
+        max(col(c)).cast("double").alias(s"__max_$c"),
+        (count(lit(1)) - count(col(c))).alias(s"__nulls_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).alias(s"__ndv_$c"))
+    }
+    val wide = df.agg(exprs.head, exprs.tail: _*)
+    // stack the single wide row into one row per column; stack() keeps
+    // this inside the same single-row local plan — no extra shuffle
+    val stackArgs = cols.map(c =>
+      s"'$c', __min_$c, __max_$c, __nulls_$c, __ndv_$c").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, min_val, max_val, n_nulls, ndv)")
+  }
+}

@@ -1,0 +1,29 @@
+package graft.engine
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AnalyzeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("columnStats profiles min/max/nulls/ndv in one pass, one row per column") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (2L, 2.5), (3L, 2.5), (null, -1.0)
+    ).toDF("k", "v")
+    val out = Analyze.columnStats(df, Seq("k", "v"))
+      .orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("k", 1.0, 3.0, 1L, 3L),
+      ("v", -1.0, 2.5, 1L, 3L)))
+  }
+
+  test("approx mode stays within HLL error on a wide key range") {
+    val df = spark.range(10000).toDF("id")
+    val ndv = Analyze.columnStats(df, Seq("id"), exact = false)
+      .head.getLong(4)
+    assert(math.abs(ndv - 10000) < 500, s"ndv $ndv")
+  }
+}
