@@ -2436,6 +2436,22 @@ object SparkEntry {
         .select(lit(10).alias("k"), (col("hits") >= 9).alias("recall_ok"))
     }),
 
+    "q_similarity_sq8" -> ((s, dir) => {
+      // SQ8 (scalar int8) compression under oracle over the REAL
+      // embedding fixture: grid fit, encode, and asymmetric
+      // reconstruction are all closed-form (floor half-up, zero
+      // training), so DuckDB replays codes and distances bit-for-bit —
+      // the zero-training compression tier below PQ. Selection orders on
+      // the UNROUNDED distance both sides; output rounds to 6.
+      val e = T(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toSeq
+      Quantization.sqTopK(e, "embedding", "vec_id", qv, k = 10)
+        .select(col("vec_id"),
+          Rounding.roundAway(col("approx_dist"), 6).alias("approx_dist"))
+    }),
+
     "q_similarity_pq" -> ((s, dir) => {
       // IVF-PQ's compression layer (train -> encode -> ADC top-k) under an
       // EXACT oracle: the corpus is a deterministic codeword grid derived
@@ -4945,6 +4961,28 @@ object SparkEntry {
       // recall-bound boolean oracle (q_approx_distinct style): the pruned
       // probe must keep recall@10 >= 0.9 or the hash compare fails
       "SELECT 10 AS k, TRUE AS recall_ok",
+
+    "q_similarity_sq8" ->
+      // full SQ8 replay: per-dim min/max grid, floor-half-up codes with
+      // [0,255] clamp, reconstruction distance summed in dimension order
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT u.i AS d, min(v[u.i]) AS lo, max(v[u.i]) AS hi
+        |  FROM base, LATERAL unnest(range(1, len(v) + 1)) u(i) GROUP BY u.i),
+        |grid AS (SELECT list(lo ORDER BY d) AS lo,
+        |    list((hi - lo) / 255.0 ORDER BY d) AS st FROM dims),
+        |q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+        |enc AS (SELECT vec_id, list_transform(list_zip(v, g.lo, g.st), p ->
+        |    CASE WHEN p[3] = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
+        |           floor((p[1] - p[2]) / p[3] + 0.5))) END) AS codes
+        |  FROM base CROSS JOIN grid g),
+        |sc AS (SELECT vec_id,
+        |    list_aggregate(list_transform(list_zip(codes, g.lo, g.st, q.qv), p ->
+        |      (p[2] + p[1] * p[3] - p[4]) * (p[2] + p[1] * p[3] - p[4])), 'sum') AS dist
+        |  FROM enc CROSS JOIN grid g CROSS JOIN q)
+        |SELECT vec_id, round(dist, 6) AS approx_dist FROM sc
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     "q_similarity_pq" ->
       // the codeword-grid corpus makes ADC == true squared L2, so the

@@ -256,4 +256,85 @@ object Quantization {
       .limit(shortlist)
     rerankExact(candidates, base, vecCol, idCol, query, k)
   }
+
+  // ---------- scalar (int8) quantization ----------
+
+  /** SQ8 grid: per-dimension affine int8 quantization fitted from the
+    * corpus min/max — the ZERO-TRAINING compression tier below PQ (FAISS
+    * `ScalarQuantizer` QT_8bit): 4× less scan I/O than float32 with no
+    * codebook k-means at all, the right default when ingest throughput
+    * matters more than the last 8× of compression. One stats pass
+    * (dims-sized aggregate); the grid is a dims-sized driver artifact,
+    * same envelope as IVF centroids / PQ codebooks.
+    *
+    * Returns (lo, step) per dimension with step = (hi-lo)/255; a
+    * constant dimension gets step 0 and always encodes to 0.
+    */
+  def sqTrainGrid(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val stats = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).alias("lo"), max(col("x")).alias("hi"))
+      .orderBy(col("dim"))
+      .collect()
+    val lo = stats.map(_.getDouble(1)).toSeq
+    val step = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    (lo, step)
+  }
+
+  /** SQ8 encode: code_j = clamp(floor((x_j - lo_j)/step_j + 0.5), 0, 255).
+    * floor(+0.5), not round(): identical half-up semantics in every
+    * engine, so an exact-SQL oracle replays the codes bit-for-bit. JIT'd
+    * UDF loop, same rationale as [[pqEncode]].
+    */
+  def sqEncode(lo: Seq[Double], step: Seq[Double]): Column => Column = {
+    val loA = lo.toArray
+    val stA = step.toArray
+    val f = udf { v: Seq[Double] =>
+      Array.tabulate(math.min(v.length, loA.length)) { j =>
+        if (stA(j) == 0.0) 0
+        else math.max(0.0,
+          math.min(255.0, math.floor((v(j) - loA(j)) / stA(j) + 0.5))).toInt
+      }
+    }
+    v => f(v.cast("array<double>"))
+  }
+
+  /** Asymmetric SQ8 squared-L2: the exact query against RECONSTRUCTED
+    * codes (lo_j + code_j·step_j) — the scan reads int8 codes, never
+    * float vectors, mirroring [[adcDistance]]'s asymmetry.
+    */
+  def sqDistance(lo: Seq[Double], step: Seq[Double],
+      query: Seq[Double]): Column => Column = {
+    val loA = lo.toArray
+    val stA = step.toArray
+    val q = query.toArray
+    val f = udf { codes: Seq[Int] =>
+      var s = 0.0d
+      var j = 0
+      val n = math.min(codes.length, q.length)
+      while (j < n) {
+        val d = loA(j) + codes(j) * stA(j) - q(j)
+        s += d * d
+        j += 1
+      }
+      s
+    }
+    codes => f(codes)
+  }
+
+  /** End-to-end SQ8 search: fit grid, encode, score, top-k over the
+    * approximate distances (bounded heap, never a full sort). In
+    * production the grid fits once at ingest and the encoded column
+    * persists next to the IVF cell layout.
+    */
+  def sqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    require(k > 0)
+    val (lo, step) = sqTrainGrid(df, vecCol)
+    df.select(col(idCol), sqEncode(lo, step)(col(vecCol)).alias("__codes"))
+      .select(col(idCol), sqDistance(lo, step, query)(col("__codes")).alias("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(k)
+  }
 }

@@ -168,4 +168,39 @@ class QuantizationSpec extends SparkSpecBase {
     assert(got.length == 10 && got.forall(_ % 3 == 1),
       s"expected cluster-1 members, got ${got.toSeq}")
   }
+
+  test("SQ8: codes reconstruct within half a step; self is the top-1 hit") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i * (j + 1)).toDouble / 10)))
+    val sq = rows.toDF("vec_id", "vec")
+    val (lo, step) = Quantization.sqTrainGrid(sq, "vec")
+    assert(lo.size == 4 && step.forall(_ >= 0))
+    val enc = sq
+      .select(col("vec_id"), Quantization.sqEncode(lo, step)(col("vec")).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val codes = enc(id)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      v.indices.foreach { j =>
+        val recon = lo(j) + codes(j) * step(j)
+        assert(math.abs(recon - v(j)) <= step(j) / 2 + 1e-12,
+          s"id $id dim $j: $recon vs ${v(j)} (step ${step(j)})")
+      }
+    }
+    val top = Quantization.sqTopK(sq, "vec", "vec_id", rows(17)._2, k = 1)
+      .head.getLong(0)
+    assert(top == 17L)
+  }
+
+  test("SQ8: a constant dimension encodes to 0 and reconstructs exactly") {
+    import spark.implicits._
+    val sq = (0 until 20).map(i => (i.toLong, Seq(7.5, i.toDouble)))
+      .toDF("vec_id", "vec")
+    val (lo, step) = Quantization.sqTrainGrid(sq, "vec")
+    assert(step.head == 0.0 && lo.head == 7.5)
+    val codes = sq.select(Quantization.sqEncode(lo, step)(col("vec")))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(_.head == 0))
+  }
 }
