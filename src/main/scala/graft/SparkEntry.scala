@@ -2499,6 +2499,23 @@ object SparkEntry {
         .select(lit(10).alias("k"), (col("hits") >= 8).alias("recall_ok"))
     }),
 
+    "q_similarity_sq8_recall" -> ((s, dir) => {
+      // SQ8 in the lossy regime, same recall-bound oracle as pq_recall:
+      // on the planted-near-copy corpus the int8 shortlist must keep
+      // recall@10 >= 0.8 vs the exact top-10 — 1/255-resolution
+      // quantization noise cannot reorder the planted margin, while a
+      // broken grid/encode would drop recall toward the random baseline.
+      val q = queryVec(s, dir)
+      val sqTop = Quantization.sqTopK(prunedCorpus(s, dir),
+        "embedding", "vec_id", q, k = 10)
+      val exact = Similarity.bruteForceTopK(prunedCorpus(s, dir),
+        "embedding", "vec_id", q, 10)
+      sqTop.alias("p")
+        .join(exact.alias("e"), col("p.vec_id") === col("e.vec_id"), "left_semi")
+        .agg(count(lit(1)).alias("hits"))
+        .select(lit(10).alias("k"), (col("hits") >= 8).alias("recall_ok"))
+    }),
+
     // ---- text analysis ----
     "q_text_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -5014,6 +5031,11 @@ object SparkEntry {
     "q_similarity_pq_recall" ->
       // recall-bound boolean oracle: lossy-regime ADC must keep
       // recall@10 >= 0.8 on the planted-neighbor corpus
+      "SELECT 10 AS k, TRUE AS recall_ok",
+
+    "q_similarity_sq8_recall" ->
+      // recall-bound boolean oracle, as pq_recall: int8 reconstruction
+      // must keep recall@10 >= 0.8 on the planted-neighbor corpus
       "SELECT 10 AS k, TRUE AS recall_ok",
 
     "q_text_tokens" ->

@@ -150,6 +150,18 @@ class IngestSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("aggregation keyed on the bucket column runs with zero shuffle") {
+    val store = new TableStore(spark, tmpDir("wh-bucketed-agg"))
+    val facts = spark.range(1000)
+      .select((col("id") % 100).alias("k"), col("id").alias("x"))
+    store.writeBucketed("bagg", facts, Seq("k"), buckets = 4)
+    val agged = spark.table("bagg").groupBy("k").agg(sum("x").alias("s"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-keyed aggregate should not shuffle:\n$plan")
+    assert(agged.count() == 100)
+  }
+
   test("partitioned table prunes directories on the partition filter; append touches one slice") {
     import spark.implicits._
     val wh = tmpDir("wh-part")
