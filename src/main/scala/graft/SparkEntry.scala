@@ -1441,6 +1441,22 @@ object SparkEntry {
         .orderBy(col("seed"), col("node"))
     }),
 
+    "q_shortest_paths" -> ((s, dir) => {
+      // bounded-round WEIGHTED shortest paths over the same k -> k/2
+      // hierarchy, edge weight (src % 7) + 1: Bellman-Ford relax rounds
+      // with a per-round min-reduce, one unrolled plan. Costs are sums of
+      // <= 3 small integers in doubles — exact in both engines.
+      val orders = T(s, dir, "orders").select(col("o_orderkey"))
+      val edges = orders.where(col("o_orderkey") >= 2)
+        .select(col("o_orderkey").alias("src"),
+          expr("o_orderkey DIV 2").alias("dst"),
+          (pmod(col("o_orderkey"), lit(7)) + 1).cast("double").alias("w"))
+      val seeds = orders.where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").alias("node"))
+      graft.ops.Graph.shortestPathsUnrolled(edges, seeds, maxHops = 3)
+        .orderBy(col("seed"), col("node"))
+    }),
+
     "q_reachability_pruned" -> ((s, dir) => {
       // the same reachability semantics through the PRUNED iterative loop
       // (per-round first-discovery anti-join + localCheckpoint — the
@@ -3660,6 +3676,23 @@ object SparkEntry {
         |  WHERE r.depth < 3)
         |SELECT seed, node, CAST(min(depth) AS INTEGER) AS depth
         |FROM reach GROUP BY seed, node
+        |ORDER BY seed, node""".stripMargin,
+
+    "q_shortest_paths" ->
+      // weighted twin of the reachability CTE: accumulate path cost, bound
+      // on hop depth, min per (seed, node)
+      """WITH RECURSIVE sp(seed, node, cost, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, CAST(0 AS DOUBLE), 0
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION
+        |  SELECT r.seed, e.dst, r.cost + e.w, r.depth + 1
+        |  FROM sp r
+        |  JOIN (SELECT o_orderkey AS src, o_orderkey // 2 AS dst,
+        |          CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w
+        |        FROM orders WHERE o_orderkey >= 2) e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT seed, node, min(cost) AS cost
+        |FROM sp GROUP BY seed, node
         |ORDER BY seed, node""".stripMargin,
 
     "q_reachability_pruned" ->

@@ -569,4 +569,36 @@ object Graph {
     }
     acc.groupBy(col("seed"), col("node")).agg(min(col("depth")).alias("depth"))
   }
+
+  /** Bounded-round WEIGHTED single-source shortest paths — Bellman-Ford
+    * (Bellman 1958) as relational rounds, the Pregel SSSP kernel in
+    * DataFrame form: after round r, `cost(seed, node)` is the cheapest
+    * path using at most r edges. Each round RELAXES (frontier ⋈ edges on
+    * the node key, cost+w) and immediately min-reduces per (seed, node),
+    * so the frontier never exceeds the reachable node set — no path
+    * enumeration, unlike a naive unrolled walk. Fully unrolled into one
+    * plan: no driver state, no actions; data-sized shuffles keyed by the
+    * node. For unbounded convergence, wrap the same round body in the
+    * checkpointed loop [[connectedComponents]] uses; bounded rounds are
+    * the honest contract at 100 TB (GraphFrames' bfs makes the same
+    * choice).
+    */
+  def shortestPathsUnrolled(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "w"): DataFrame = {
+    require(maxHops >= 0)
+    val seedCol = seeds.columns.head
+    var dist = seeds
+      .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
+        lit(0.0d).alias("cost"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.alias("f")
+        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
+          (col("f.cost") + col(s"e.$wCol").cast("double")).alias("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("cost")).alias("cost"))
+    }
+    dist
+  }
 }

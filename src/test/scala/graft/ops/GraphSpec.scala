@@ -119,6 +119,25 @@ class GraphSpec extends SparkSpecBase {
     assert(pruned == unrolled)
   }
 
+  test("shortestPathsUnrolled: a cheap 2-hop path beats the expensive direct edge") {
+    import spark.implicits._
+    // diamond: 1->4 direct costs 10; 1->2->4 costs 1+2=3; 1->3->4 costs 1+5=6
+    val edges = Seq(
+      (1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 4L, 2.0),
+      (1L, 3L, 1.0), (3L, 4L, 5.0), (4L, 9L, 1.0)
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.shortestPathsUnrolled(edges, seeds, maxHops = 2)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // node 9 needs 3 hops via the cheap path BUT is reachable in 2 via the
+    // direct edge: bounded Bellman-Ford reports the cheapest <=2-edge path
+    assert(got == Seq(1L -> 0.0, 2L -> 1.0, 3L -> 1.0, 4L -> 3.0, 9L -> 11.0))
+    // one more round relaxes 9 through the cheap diamond path
+    val r3 = Graph.shortestPathsUnrolled(edges, seeds, maxHops = 3)
+      .where(col("node") === 9).head.getDouble(2)
+    assert(r3 == 4.0)
+  }
+
   test("reachWithin: early exit when the frontier empties before the bound") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("src", "dst")
