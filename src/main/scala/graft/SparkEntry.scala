@@ -624,6 +624,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_join_asof_forward" -> ((s, dir) => {
+      // FORWARD as-of: for each click, the same user's NEXT purchase
+      // at-or-after it — the time-to-conversion join; one shuffle by
+      // user_id, the reverse-scan twin of q_join_asof
+      val ev = EV(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.ops.AsofJoin.firstAfter(clicks, purchases,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts", valueCols = Seq("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").alias("next_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_mkt_topk" -> ((s, dir) => {
       // TPC-H Q3 shape: the canonical 3-table star probe — filters reach
       // all three scans, lineitem⋈orders shuffles on the key, the filtered
@@ -2960,6 +2976,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  CAST(p.ts AS TIMESTAMP) AS next_purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_mkt_topk" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,

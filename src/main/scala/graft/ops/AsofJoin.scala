@@ -26,7 +26,27 @@ object AsofJoin {
   def lastBefore(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    carry(left, right, keyCols, leftTs, rightTs, valueCols, backward = true)
+
+  /** FORWARD as-of: per left row, the EARLIEST right row with the same key
+    * and `rightTs >= leftTs` — "the next event at-or-after": next tick,
+    * next maintenance window, time-to-next-conversion. Same single-shuffle
+    * carry trick as [[lastBefore]] with the scan order reversed; a right
+    * row AT the left timestamp matches (>= semantics), mirroring DuckDB's
+    * `ASOF ... ON l.ts <= r.ts`. Output columns are `asof_*`, as
+    * [[lastBefore]].
+    */
+  def firstAfter(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    carry(left, right, keyCols, leftTs, rightTs, valueCols, backward = false)
+
+  private def carry(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      valueCols: Seq[String], backward: Boolean): DataFrame = {
     val restCols = left.columns.toSeq.filterNot(keyCols.contains)
     val sideTs = "__asof_ts"
     val sideTag = "__asof_side"
@@ -48,8 +68,12 @@ object AsofJoin {
         valueCols.map(c => lit(null).cast(wrapType(c)).alias(s"__r_$c")) ++
         restCols.map(col): _*)
 
+    // forward flavor = the same carry scanned in reverse time order; the
+    // side tag still orders right-before-left at equal timestamps, which
+    // yields <= semantics backward and >= semantics forward
+    val tsOrder = if (backward) col(sideTs).asc else col(sideTs).desc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(sideTs), col(sideTag))
+      .orderBy(tsOrder, col(sideTag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val outCols: Seq[Column] =

@@ -870,6 +870,20 @@ class OpsSpec extends SparkSpecBase {
     assert(out("p3").isEmpty)         // t7 > t5: nothing prior
   }
 
+  test("forward asof join carries the EARLIEST following right value per key") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, t(10), "p1"), (1L, t(30), "p2"), (2L, t(9), "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t(10), 50.0), (1L, t(25), 200.0), (2L, t(7), 300.0))
+      .toDF("k", "rts", "price")
+    val out = AsofJoin.firstAfter(left, right, Seq("k"), "ts", "rts", Seq("price"))
+      .select("tag", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(50.0))  // right AT the left ts matches (>=)
+    assert(out("p2").isEmpty)         // nothing at-or-after t30
+    assert(out("p3").isEmpty)         // t7 < t9: only a prior row exists
+  }
+
   test("asof join yields NULL when the latest prior right value is genuinely NULL") {
     import java.sql.Timestamp
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
