@@ -1869,6 +1869,18 @@ object SparkEntry {
         .orderBy(col("lang"), col("cum_chars"))
     }),
 
+    "q_ewma" -> ((s, dir) =>
+      // per-user EWMA of event values (alpha = 0.5, an exact binary
+      // fraction): the drift-monitor smoother, folded exactly over each
+      // user's ordered history — both engines run the identical
+      // left-to-right recursion, so the hash compare is bit-for-bit
+      ops.Timeseries.ewma(
+          EV(s, dir).select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value", alpha = 0.5, tieCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          Rounding.roundAway(col("ewma"), 6).alias("ewma"))
+        .orderBy(col("event_id"))),
+
     "q_gap_fill" -> ((s, dir) =>
       // regularize per-user hourly activity onto a dense hourly grid:
       // missing hours appear with n = 0 (two shuffles total, key-partitioned)
@@ -4178,6 +4190,19 @@ object SparkEntry {
          |SELECT doc_id, lang, cum_chars FROM packed
          |WHERE cum_chars <= budget ORDER BY lang, cum_chars""".stripMargin
     },
+
+    "q_ewma" ->
+      // identical left-to-right fold: window list in (ts, event_id) order,
+      // list_reduce's accumulator-first lambda = the engine's aggregate()
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(value AS DOUBLE) AS x FROM events),
+        |h AS (SELECT event_id, user_id,
+        |    list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  round(list_reduce(hist, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+        |FROM h ORDER BY event_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH b AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,

@@ -50,4 +50,32 @@ object Timeseries {
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Per-entity exponentially weighted moving average — the standard
+    * smoother behind drift monitors and anomaly baselines (Roberts 1959,
+    * the EWMA control chart): y_0 = x_0, y_t = α·x_t + (1-α)·y_{t-1},
+    * folded EXACTLY over each key's ordered history (no closed-form
+    * power-series rewrite, so an exact-binary α like 0.5 replays
+    * bit-for-bit in any engine that folds left-to-right).
+    *
+    * Scale shape: one key-partitioned window pass; the running collect
+    * carries each key's history PREFIX, so this batch form is for
+    * bounded per-entity histories (sessions, daily slices — the usual
+    * monitoring grain). For unbounded streams keep the O(1) recursion
+    * state per key in `mapGroupsWithState` instead
+    * ([[graft.streaming.Streams]] holds the stateful pattern).
+    * `tieCol` breaks equal-timestamp ordering deterministically.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      alpha: Double, tieCol: String, outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", collect_list(col(valCol).cast("double")).over(w))
+      .withColumn(outCol,
+        aggregate(slice(col("__h"), lit(2), size(col("__h"))),
+          element_at(col("__h"), 1),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+      .drop("__h")
+  }
 }

@@ -1336,6 +1336,21 @@ class OpsSpec extends SparkSpecBase {
     assert(all == 3)
   }
 
+  test("ewma folds the control-chart recursion per key in time order") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, t(1), 1L, 1.0), (1L, t(2), 2L, 10.0), (1L, t(3), 3L, 100.0),
+      (2L, t(1), 4L, 8.0) // single observation: ewma = x0
+    ).toDF("k", "ts", "id", "x")
+    val out = Timeseries.ewma(df, "k", "ts", "x", alpha = 0.5, tieCol = "id")
+      .select("id", "ewma").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 5.5)    // 0.5*10 + 0.5*1
+    assert(out(3L) == 52.75)  // 0.5*100 + 0.5*5.5
+    assert(out(4L) == 8.0)
+  }
+
   test("gapFill densifies each key's span; forwardFill carries values, leaves leading nulls") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 ${m / 60}%02d:${m % 60}%02d:00")
     val perBucket = Seq(
