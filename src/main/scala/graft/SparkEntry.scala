@@ -1815,6 +1815,15 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).alias("n"))
         .orderBy(col("split"))),
 
+    "q_epoch_shuffle" -> ((s, dir) =>
+      // reproducible training order: per-epoch pseudorandom shard + rank,
+      // a pure function of (epoch, seed, doc_id) — resume-safe, no global
+      // sort, no driver state
+      ops.Sampling.epochShuffle(T(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), seed = "ep", epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy(col("doc_id"))),
+
     "q_sample_split_leakfree" -> ((s, dir) => {
       // LEAKAGE-FREE split: every exact-duplicate cluster (keyed by the
       // text hash) is assigned to train/val/test AS A UNIT — the tag is a
@@ -4126,6 +4135,18 @@ object SparkEntry {
         |  WHEN md5(CAST(doc_id AS VARCHAR)) < 'e0000000000000000000000000000000' THEN 'val'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      // identical hash → 52-bit fraction → shard floor → within-shard rank
+      """WITH t AS (SELECT doc_id,
+        |    md5('1:ep:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |u AS (SELECT doc_id, h,
+        |    CAST(('0x' || substring(h, 1, 13)) AS UBIGINT) / 4503599627370496.0 AS u
+        |  FROM t)
+        |SELECT doc_id, CAST(floor(u * 8.0) AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(floor(u * 8.0) AS INT) ORDER BY h, doc_id) AS INT) AS ord
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q_sample_split_leakfree" ->
       // cluster representative = min doc_id per exact-text hash; the tag

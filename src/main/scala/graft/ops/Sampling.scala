@@ -271,4 +271,28 @@ object Sampling {
       .where(col(cumCol) <= col(budgetCol))
       .drop(budgetCol)
   }
+
+  /** Deterministic EPOCH SHUFFLE — the reproducible data-order assignment
+    * a training run needs: each row's (shard, within-shard rank) for a
+    * given epoch is a pure function of (epoch, seed, key), so any worker
+    * recomputes its own shard's order independently (no global sort, no
+    * driver state) and a re-run — or a resumed run — replays the exact
+    * byte order. Re-shuffling between epochs = bumping the epoch
+    * component; nothing is stored. shard = floor(u · nShards) with u the
+    * exact 52-bit [[unitScore]] fraction; the rank is one window keyed by
+    * the shard — at scale, pick nShards so a shard fits one task (the
+    * same knob as shuffle partitions).
+    */
+  def epochShuffle(df: DataFrame, key: Column, seed: String, epoch: Int,
+      nShards: Int, shardCol: String = "shard",
+      ordCol: String = "ord"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(concat(lit(s"$epoch:$seed:"), key.cast("string")))
+    val u = conv(substring(h, 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52, as unitScore
+    val shard = floor(u * lit(nShards.toDouble)).cast("int")
+    df.withColumn(shardCol, shard)
+      .withColumn(ordCol,
+        row_number().over(Window.partitionBy(col(shardCol)).orderBy(h, key)))
+  }
 }

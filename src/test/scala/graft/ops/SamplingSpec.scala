@@ -37,6 +37,27 @@ class SamplingSpec extends SparkSpecBase {
     assert(counts.keySet == Set("train", "val", "test"))
   }
 
+  test("epochShuffle: contiguous ranks per shard, reproducible, epoch-sensitive") {
+    val out = Sampling.epochShuffle(docs.select(col("id")), col("id"),
+      seed = "s", epoch = 1, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 2000)
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // ranks within each shard are exactly 1..|shard|
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq, s"shard $sh")
+    }
+    // identical rerun = identical assignment; a different epoch is not
+    val again = Sampling.epochShuffle(docs.select(col("id")), col("id"),
+      seed = "s", epoch = 1, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val ep2 = Sampling.epochShuffle(docs.select(col("id")), col("id"),
+      seed = "s", epoch = 2, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(!out.sortBy(_._1).sameElements(ep2.sortBy(_._1)))
+  }
+
   test("q_sample_split_leakfree: exact duplicates never straddle splits") {
     import spark.implicits._
     // synthetic corpus where text 'dup' repeats across MANY doc_ids: a
