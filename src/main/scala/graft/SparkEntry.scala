@@ -2730,6 +2730,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lr_classify" -> ((s, dir) => {
+      // gradient-TRAINED linear classifier inside the engine (the
+      // fastText-shaped quality/domain filter): 2 unrolled batch-GD steps
+      // on 32-bucket hashed BoW, train = even doc_ids (y = lang 'en'),
+      // score = odd doc_ids. The whole train+score computation is one
+      // driver-free plan; weight state never exceeds 32 rows. The
+      // prediction compares the ROUNDED score so last-ulp exp()
+      // differences between engines cannot flap the boundary; an empty
+      // doc scores exactly 0.5 and predicts 0.
+      val rows = ops.Features.docTokenBuckets(s, dir, dims = 32)
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1.0d).otherwise(0.0d).alias("__y"))
+      val w = ops.TextClassify.logisticTrainFromBuckets(
+        rows, train, "doc_id", dims = 32, iters = 2, lr = 0.1)
+      val testIds = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"))
+      ops.TextClassify.logisticScore(testIds, rows, w, "doc_id")
+        .select(col("doc_id"),
+          Rounding.roundAway(col("score"), 6).alias("score"),
+          (Rounding.roundAway(col("score"), 6) > 0.5).cast("int").alias("pred_en"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR data selection: importance weight of every document under
       // two hashed-unigram models (target = the English slice, raw = the
@@ -5449,6 +5474,49 @@ object SparkEntry {
         |  SELECT sc.*, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, cls) AS rn FROM sc)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_lr_classify" ->
+      // full GD replay: the shared rolling-hash bucket fragment (mod 32),
+      // iteration 1 with p = 0.5 exactly (w0 = 0 makes every margin 0),
+      // iteration 2 through sigmoid, then the odd-half scoring pass
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, CAST((
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 32 AS INT) AS b
+        |  FROM toks),
+        |feats AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS x FROM tb GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+        |tf AS (SELECT f.* FROM feats f WHERE f.doc_id IN (SELECT doc_id FROM lab)),
+        |g1 AS (SELECT b, sum(x * (0.5 - l.y)) AS s FROM tf JOIN lab l USING (doc_id) GROUP BY b),
+        |w1 AS (SELECT CAST(r.range AS INT) AS b,
+        |    0.0 - 0.1 * COALESCE(g1.s / n.n, 0.0) AS w
+        |  FROM range(32) r LEFT JOIN g1 ON g1.b = r.range CROSS JOIN n),
+        |z2 AS (SELECT tf.doc_id, sum(tf.x * w1.w) AS z FROM tf JOIN w1 ON tf.b = w1.b GROUP BY 1),
+        |p2 AS (SELECT l.doc_id, l.y, 1.0 / (1.0 + exp(-COALESCE(z2.z, 0.0))) AS p
+        |  FROM lab l LEFT JOIN z2 ON l.doc_id = z2.doc_id),
+        |g2 AS (SELECT b, sum(tf.x * (p2.p - p2.y)) AS s
+        |  FROM tf JOIN p2 ON tf.doc_id = p2.doc_id GROUP BY b),
+        |w2 AS (SELECT w1.b, w1.w - 0.1 * COALESCE(g2.s / n.n, 0.0) AS w
+        |  FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n),
+        |test AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        |zt AS (SELECT f.doc_id, sum(f.x * w2.w) AS z
+        |  FROM feats f JOIN w2 ON f.b = w2.b
+        |  WHERE f.doc_id IN (SELECT doc_id FROM test) GROUP BY 1),
+        |sc AS (SELECT t.doc_id, 1.0 / (1.0 + exp(-COALESCE(zt.z, 0.0))) AS score
+        |  FROM test t LEFT JOIN zt ON t.doc_id = zt.doc_id)
+        |SELECT doc_id, round(score, 6) AS score,
+        |  CAST(round(score, 6) > 0.5 AS INT) AS pred_en
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       // the shared rolling-hash bucket fragment (mod 64), per-doc and

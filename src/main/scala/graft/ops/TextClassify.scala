@@ -182,4 +182,66 @@ object TextClassify {
       .groupBy(col(idCol))
       .agg(Rounding.roundAway(sum(col("__n") * col("__lr")), 6).alias("weight"))
   }
+
+  /** Binary logistic regression trained INSIDE the engine by `iters`
+    * unrolled full-batch gradient steps over hashed bag-of-words
+    * features — the fastText-shaped linear quality/domain filter (Joulin
+    * et al., "Bag of Tricks for Efficient Text Classification", 2016;
+    * the GPT-3/LLaMA-class corpus filters are this model family).
+    * w_0 = 0; each step computes
+    *   p_i = sigmoid(Σ_j x_ij·w_j),   w_j ← w_j − lr·Σ_i x_ij(p_i−y_i)/N.
+    *
+    * Scale shape: training is DRIVER-FREE and stays in one unrolled
+    * plan — per step, (a) the dims-sized weight frame broadcast-joins
+    * onto the sparse (id, bucket, count) rows, (b) one id-keyed
+    * aggregate forms the margins, (c) one bucket-keyed aggregate forms
+    * the next weight frame; N rides along as a broadcast 1-row frame.
+    * Model state never exceeds `dims` rows (vs. the vocabulary-sized NB
+    * censuses), so dims — not corpus size — bounds every weight frame.
+    *
+    * `trainRows` are [[docBucketRows]] rows; `labels` is (idCol, __y)
+    * with __y in {0.0, 1.0}. Returns the dims-row (__b, __w) frame.
+    */
+  def logisticTrainFromBuckets(trainRows: DataFrame, labels: DataFrame,
+      idCol: String, dims: Int, iters: Int, lr: Double): DataFrame = {
+    require(dims > 0 && iters >= 0 && lr > 0.0)
+    val spark = trainRows.sparkSession
+    val n1 = broadcast(labels.agg(count(lit(1)).cast("double").alias("__N")))
+    val feats = trainRows.join(labels.select(col(idCol)), Seq(idCol), "left_semi")
+    var w = spark.range(dims)
+      .select(col("id").cast("int").alias("__b"), lit(0.0d).alias("__w"))
+    for (_ <- 1 to iters) {
+      val z = feats.join(broadcast(w), Seq("__b"))
+        .groupBy(col(idCol)).agg(sum(col("__n") * col("__w")).alias("__z"))
+      // a train doc with zero feature rows still votes, at p = 0.5
+      val p = labels.join(z, Seq(idCol), "left")
+        .select(col(idCol), col("__y"),
+          (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__z"), lit(0.0d)))))
+            .alias("__p"))
+      val g = feats.join(p, Seq(idCol))
+        .groupBy(col("__b"))
+        .agg(sum(col("__n") * (col("__p") - col("__y"))).alias("__s"))
+        .crossJoin(n1)
+        .select(col("__b"), (col("__s") / col("__N")).alias("__g"))
+      w = w.join(g, Seq("__b"), "left")
+        .select(col("__b"),
+          (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0d))).alias("__w"))
+    }
+    w
+  }
+
+  /** Score `ids` with a [[logisticTrainFromBuckets]] weight frame:
+    * sigmoid of the sparse dot product; a doc with no feature rows
+    * scores exactly 0.5. One broadcast join + one id-keyed aggregate.
+    */
+  def logisticScore(ids: DataFrame, rows: DataFrame, weights: DataFrame,
+      idCol: String): DataFrame = {
+    val z = rows.join(ids, Seq(idCol), "left_semi")
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum(col("__n") * col("__w")).alias("__z"))
+    ids.join(z, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__z"), lit(0.0d)))))
+          .alias("score"))
+  }
 }

@@ -94,4 +94,29 @@ class TextClassifySpec extends SparkSpecBase {
     assert(dense.orderBy("doc_id", "b").collect().toSeq ==
       sparse.orderBy("doc_id", "b").collect().toSeq)
   }
+
+  test("logistic GD separates the fruit/metal classes after a few steps") {
+    val rows = TextClassify.docBucketRows(trainDocs, "text", "id", dims = 32)
+    val labels = trainDocs.select(col("id"),
+      when(col("label") === "fruit", 1.0d).otherwise(0.0d).alias("__y"))
+    val w = TextClassify.logisticTrainFromBuckets(rows, labels, "id",
+      dims = 32, iters = 8, lr = 0.5)
+    assert(w.count() == 32)
+    val test = Seq(
+      (1L, "apple banana cherry"),
+      (3L, "copper zinc iron"),
+      (5L, "")                    // no tokens -> exactly 0.5
+    ).toDF("id", "text")
+    val testRows = TextClassify.docBucketRows(test, "text", "id", dims = 32)
+    val scores = TextClassify.logisticScore(test.select(col("id")), testRows, w, "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.6, s"fruit doc scored ${scores(1L)}")
+    assert(scores(3L) < 0.4, s"metal doc scored ${scores(3L)}")
+    assert(scores(5L) == 0.5)
+    // a rerun is bit-identical (no randomness anywhere in training)
+    val again = TextClassify.logisticScore(test.select(col("id")), testRows,
+        TextClassify.logisticTrainFromBuckets(rows, labels, "id", 32, 8, 0.5), "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores)
+  }
 }
