@@ -64,6 +64,42 @@ object Streams {
       }.toDF()
   }
 
+  /** Streaming EWMA — the O(1)-state twin of
+    * [[graft.ops.Timeseries.ewma]]: per key the state is just (current
+    * smoothed value, count); each micro-batch folds its rows in
+    * EVENT-TIME order into the recursion and emits the updated value.
+    * The batch op's history-prefix window disappears entirely — this is
+    * the form an unbounded monitor runs. Fold order is the semantics:
+    * arrival must be in-order per key ACROSS micro-batches (within one
+    * batch the rows are sorted here); out-of-order pipelines window
+    * first. Chunking a stream arbitrarily yields the batch result
+    * (spec-pinned equivalence).
+    */
+  case class EwmaState(y: Double, n: Long)
+  case class EwmaRow(key: String, ewma: Double, n: Long)
+
+  def ewmaStream(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"), col(tsCol).cast("timestamp"),
+        col(valCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, _, x) =>
+            st =
+              if (st.n == 0L) EwmaState(x, 1L)
+              else EwmaState(alpha * x + (1.0 - alpha) * st.y, st.n + 1L)
+          }
+          state.update(st)
+          EwmaRow(key, st.y, st.n)
+      }.toDF()
+  }
+
   /** Continuous per-key top-k leaderboard: after each micro-batch, emit
     * the k best (score, item) pairs seen so far per key. State is the
     * leaderboard itself — exactly k entries per key, the streaming face of

@@ -343,6 +343,36 @@ class ScaleSmokeSpec extends SparkSpecBase {
       s"${agg.getLong(1)}/${agg.getLong(0)} correct")
   }
 
+  test("logistic GD on 100k docs: dims-bounded weight state, strong separable accuracy") {
+    // two classes whose token sets hash into mostly-disjoint bucket
+    // usage patterns; 4 unrolled GD steps over 64 buckets — the weight
+    // frame is 64 rows no matter the corpus size
+    def gen(cls: String, offset: Int) = spark.range(50000).select(
+      (col("id") + offset).alias("id"),
+      concat_ws(" ",
+        concat(lit(cls), pmod(col("id") * 13, lit(40))),
+        concat(lit(cls), pmod(col("id") * 7 + 3, lit(40))),
+        concat(lit(cls), pmod(col("id"), lit(40)))).alias("text"),
+      when(lit(cls) === "pos", 1.0d).otherwise(0.0d).alias("__y"))
+    val corpus = gen("pos", 0).unionByName(gen("neg", 50000))
+    val rows = TextClassify.docBucketRows(corpus, "text", "id", dims = 64)
+    val train = corpus.where(pmod(col("id"), lit(2)) === 0).select(col("id"), col("__y"))
+    val w = TextClassify.logisticTrainFromBuckets(rows, train, "id",
+      dims = 64, iters = 4, lr = 1.0)
+    assert(w.count() == 64)
+    val testDocs = corpus.where(pmod(col("id"), lit(2)) === 1)
+    val scored = TextClassify.logisticScore(testDocs.select(col("id")), rows, w, "id")
+      .join(testDocs.select(col("id"), col("__y")), Seq("id"))
+    val agg = scored.select(count(lit(1)).alias("n"),
+        sum(when((col("score") > 0.5) === (col("__y") === 1.0), 1L).otherwise(0L))
+          .alias("ok")).head()
+    // hash collisions between the two class vocabularies cost a little
+    // accuracy; anything above 90% on 50k test docs means the GD loop
+    // actually learned (coin-flip baseline is 50%)
+    assert(agg.getLong(0) == 50000L && agg.getLong(1) > 45000L,
+      s"${agg.getLong(1)}/${agg.getLong(0)} correct")
+  }
+
   test("BPE rounds cost tracks the VOCABULARY, not the corpus: 30k-word census, 12 merges") {
     // a synthetic Zipf-ish census: 30k distinct words over a 26-letter
     // alphabet; the corpus behind it would be arbitrarily large — the

@@ -36,6 +36,39 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed(ts(0)) == 2 && streamed(ts(60)) == 2)
   }
 
+  test("streaming EWMA equals the batch fold for any micro-batch chunking") {
+    implicit val sc = spark.sqlContext
+    val events = (0 until 24).map(i => Ev(ts(i), i % 3, (i * 7 % 11).toDouble))
+    // batch reference: last EWMA row per user
+    val batch = graft.ops.Timeseries
+      .ewma(events.toDF("ts", "user_id", "value"), "user_id", "ts", "value",
+        alpha = 0.5, tieCol = "value")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id").cast("string"), col("ewma"))
+      .as[(String, Double)].collect().toMap
+    for (chunks <- Seq(1, 4)) {
+      val mem = MemoryStream[Ev]
+      val q = Streams.ewmaStream(mem.toDF(), "user_id", "ts", "value", alpha = 0.5)
+        .writeStream.format("memory").queryName(s"ewma$chunks")
+        .outputMode("update").start()
+      events.grouped(events.size / chunks).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table(s"ewma$chunks")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("key").orderBy(col("n").desc)))
+        .where(col("rn") === 1)
+        .select("key", "ewma").as[(String, Double)].collect().toMap
+      q.stop()
+      assert(streamed == batch, s"chunks=$chunks: $streamed vs $batch")
+    }
+  }
+
   test("watermark drops a too-late row in append mode") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
