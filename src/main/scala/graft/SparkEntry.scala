@@ -1953,6 +1953,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_prepare_lr" -> ((s, dir) => {
+      // the capstone with the SUPERVISED classifier gate active: quality
+      // + repetition filters, then the fastText-shaped logistic model
+      // scores the survivors and keeps rounded score >= 0.5 — the
+      // supervised sibling of the DSIR gate. The training set is
+      // CLASS-BALANCED (as many in-domain exemplars, by lowest doc_id,
+      // as out-of-domain ones) and features are L1-NORMALIZED — without
+      // both, the majority-class shift parks every score on one side of
+      // 0.5 and the gate degenerates; with them the gate keeps ~40% of
+      // survivors at ~90% in-domain precision. In-domain flag = docs
+      // mentioning 'vector' (feature-learnable from the BoW). Bucket
+      // rows derive from the SAME session-cached frame q_lr_classify
+      // reads.
+      val docs = T(s, dir, "documents")
+      val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val neg = even.where(!col("text").contains("vector")).select(col("doc_id"))
+      val negN = neg.agg(count(lit(1)).alias("__nc"))
+      val labels = even.where(col("text").contains("vector"))
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("doc_id"))).alias("__rn"))
+        .crossJoin(broadcast(negN)).where(col("__rn") <= col("__nc"))
+        .select(col("doc_id"), lit(1.0d).alias("__y"))
+        .unionByName(neg.select(col("doc_id"), lit(0.0d).alias("__y")))
+      ops.CorpusPipeline.prepare(docs,
+          ops.CorpusPipeline.Config(
+            minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
+            lrLabels = Some(labels), lrMinScore = 0.5, lrDims = 32,
+            lrIters = 2, lrRate = 1.0,
+            lrBuckets = Some(TextClassify.normalizeBucketRows(
+              ops.Features.docTokenBuckets(s, dir, 32), "doc_id")),
+            annotations = Some(ops.Features.docAnnotations(s, dir))))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_corpus_prepare_ranked" -> ((s, dir) => {
       // the capstone with the SOURCE-RANK graph gate active: PageRank
       // over a deterministic source-link graph (feeder sources src4+
@@ -4385,6 +4420,76 @@ object SparkEntry {
          |  FROM rawr JOIN model m ON m.b = rawr.b GROUP BY 1)
          |SELECT s.doc_id, s.quality FROM surv s JOIN w ON w.doc_id = s.doc_id
          |WHERE w.weight >= -0.2 ORDER BY s.doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_lr" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality/repetition replay (as q_corpus_prepare_dsir's skeleton,
+      // over the FULL table), then the q_lr_classify GD replay scoring
+      // the survivor set; keep rounded score >= 0.5
+      s"""WITH base AS (SELECT doc_id, text,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents),
+         |feat AS (SELECT doc_id, text,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base),
+         |surv AS (SELECT doc_id, quality FROM feat
+         |  WHERE quality >= 0.3 AND rep_ratio <= 0.95),
+         |ltok AS (SELECT doc_id, unnest(list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0)) AS tok FROM documents),
+         |lb AS (SELECT doc_id, CAST((
+         |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+         |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+         |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 32 AS INT) AS b
+         |  FROM ltok),
+         |cnts AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM lb GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(c) AS t FROM cnts GROUP BY 1),
+         |feats AS (SELECT cnts.doc_id, b, c / tot.t AS x
+         |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id),
+         |negl AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % 2 = 0 AND text NOT LIKE '%vector%'),
+         |nc AS (SELECT count(*) AS c FROM negl),
+         |posr AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id % 2 = 0 AND text LIKE '%vector%'),
+         |lab AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS y
+         |    FROM posr CROSS JOIN nc WHERE rn <= nc.c
+         |  UNION ALL SELECT doc_id, CAST(0.0 AS DOUBLE) AS y FROM negl),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+         |tf AS (SELECT f.* FROM feats f WHERE f.doc_id IN (SELECT doc_id FROM lab)),
+         |g1 AS (SELECT b, sum(x * (0.5 - l.y)) AS s FROM tf JOIN lab l USING (doc_id) GROUP BY b),
+         |w1 AS (SELECT CAST(r.range AS INT) AS b,
+         |    0.0 - 1.0 * COALESCE(g1.s / n.n, 0.0) AS w
+         |  FROM range(32) r LEFT JOIN g1 ON g1.b = r.range CROSS JOIN n),
+         |z2 AS (SELECT tf.doc_id, sum(tf.x * w1.w) AS z FROM tf JOIN w1 ON tf.b = w1.b GROUP BY 1),
+         |p2 AS (SELECT l.doc_id, l.y, 1.0 / (1.0 + exp(-COALESCE(z2.z, 0.0))) AS p
+         |  FROM lab l LEFT JOIN z2 ON l.doc_id = z2.doc_id),
+         |g2 AS (SELECT b, sum(tf.x * (p2.p - p2.y)) AS s
+         |  FROM tf JOIN p2 ON tf.doc_id = p2.doc_id GROUP BY b),
+         |w2 AS (SELECT w1.b, w1.w - 1.0 * COALESCE(g2.s / n.n, 0.0) AS w
+         |  FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n),
+         |zt AS (SELECT f.doc_id, sum(f.x * w2.w) AS z
+         |  FROM feats f JOIN w2 ON f.b = w2.b
+         |  WHERE f.doc_id IN (SELECT doc_id FROM surv) GROUP BY 1),
+         |sc AS (SELECT s.doc_id, s.quality,
+         |    1.0 / (1.0 + exp(-COALESCE(zt.z, 0.0))) AS score
+         |  FROM surv s LEFT JOIN zt ON s.doc_id = zt.doc_id)
+         |SELECT doc_id, quality FROM sc WHERE round(score, 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_corpus_prepare_ranked" -> {

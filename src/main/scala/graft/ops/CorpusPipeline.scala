@@ -92,6 +92,25 @@ object CorpusPipeline {
     *                     the corpus at any scale
     * @param minSourceRank inclusion floor for the source-rank gate
     * @param sourceCol    the corpus + rank-frame column naming the source
+    * @param lrLabels     when set, apply the SUPERVISED classifier gate:
+    *                     a `(idCol, __y)` frame of labeled exemplars
+    *                     (y in {0.0, 1.0}) trains the fastText-shaped
+    *                     logistic model in-plan
+    *                     ([[TextClassify.logisticTrainFromBuckets]]);
+    *                     survivors keep only if their ROUNDED sigmoid
+    *                     score clears `lrMinScore` (rounding makes the
+    *                     boundary engine-stable). The supervised sibling
+    *                     of the unsupervised DSIR gate; weight state is
+    *                     `lrDims` rows throughout
+    * @param lrMinScore   inclusion floor on the rounded classifier score
+    * @param lrDims       hashed-feature buckets for the classifier gate
+    * @param lrIters      unrolled gradient steps
+    * @param lrRate       gradient step size
+    * @param lrBuckets    optional precomputed `(idCol, __b, __n)` rows at
+    *                     `lrDims` covering corpus AND label docs —
+    *                     typically the session-cached
+    *                     [[Features.docTokenBuckets]]; absent, tokenizes
+    *                     the input inline
     */
   case class Config(
       minQuality: Double = 0.3,
@@ -115,7 +134,13 @@ object CorpusPipeline {
       annotations: Option[DataFrame] = None,
       sourceRank: Option[DataFrame] = None,
       minSourceRank: Double = 0.0,
-      sourceCol: String = "source")
+      sourceCol: String = "source",
+      lrLabels: Option[DataFrame] = None,
+      lrMinScore: Double = 0.5,
+      lrDims: Int = 32,
+      lrIters: Int = 2,
+      lrRate: Double = 0.1,
+      lrBuckets: Option[DataFrame] = None)
 
   /** Returns the filtered corpus plus the per-stage survival counts (one
     * action per stage boundary is avoided — counts come from a single
@@ -277,14 +302,32 @@ object CorpusPipeline {
         lmFiltered.join(keep, Seq(cfg.idCol), "left_semi")
       case None => lmFiltered
     }
+    // supervised classifier gate: train the fastText-shaped logistic
+    // model on the labeled exemplars (dims-row weight state, one
+    // driver-free unrolled plan), score the survivors, keep docs whose
+    // ROUNDED score clears the floor — the supervised sibling of the
+    // DSIR gate, same keyed collect-free shape
+    val lrGated = cfg.lrLabels match {
+      case Some(labels) =>
+        val buckets = cfg.lrBuckets.getOrElse(
+          TextClassify.docBucketRows(docs, cfg.textCol, cfg.idCol, cfg.lrDims))
+        val w = TextClassify.logisticTrainFromBuckets(
+          buckets, labels, cfg.idCol, cfg.lrDims, cfg.lrIters, cfg.lrRate)
+        val keep = TextClassify.logisticScore(
+            filtered.select(col(cfg.idCol)), buckets, w, cfg.idCol)
+          .where(Rounding.roundAway(col("score"), 6) >= cfg.lrMinScore)
+          .select(col(cfg.idCol))
+        filtered.join(keep, Seq(cfg.idCol), "left_semi")
+      case None => filtered
+    }
     // source-rank gate: the passing-source set is sources-sized, so it
     // broadcasts — the corpus is filtered in place with no shuffle
     val rankGated = cfg.sourceRank match {
       case Some(ranks) =>
         val pass = ranks.where(col("rank") >= cfg.minSourceRank)
           .select(col(cfg.sourceCol))
-        filtered.join(broadcast(pass), Seq(cfg.sourceCol), "left_semi")
-      case None => filtered
+        lrGated.join(broadcast(pass), Seq(cfg.sourceCol), "left_semi")
+      case None => lrGated
     }
     // ONE shingle pass feeds both dedup candidates and decontamination
     // postings (dedup's MinHash and the overlap check share n=3 word

@@ -230,6 +230,19 @@ object TextClassify {
     w
   }
 
+  /** L1-normalize [[docBucketRows]] counts to per-document term
+    * frequencies. This is the feature scaling that keeps logistic
+    * margins LENGTH-INVARIANT: raw counts on long documents saturate
+    * the sigmoid (every z lands far from 0 on the majority-class side),
+    * while normalized rows bound |z| by max|w| regardless of document
+    * length. One id-keyed window, no extra shuffle beyond the rows'
+    * existing key.
+    */
+  def normalizeBucketRows(rows: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+    rows.withColumn("__n", col("__n").cast("double") / sum(col("__n")).over(w))
+  }
+
   /** Score `ids` with a [[logisticTrainFromBuckets]] weight frame:
     * sigmoid of the sparse dot product; a doc with no feature rows
     * scores exactly 0.5. One broadcast join + one id-keyed aggregate.
