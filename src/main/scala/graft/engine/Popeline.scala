@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.functions.{col, input_file_name, max}
 
 /** The engine facade — the Spark-native equivalent of `class popeline`
   * (popelines/main.py:12-310). One object per "dataset" (= warehouse
@@ -41,6 +41,44 @@ final class Popeline(val spark: SparkSession, warehouseDir: String, val datasetI
   def ingestNdjson(table: String, path: String, append: Boolean = true,
       ignoreUnknownValues: Boolean = false): Unit =
     store.write(table, SchemaInfer.readNdjson(spark, path), append, ignoreUnknownValues)
+
+  /** The safety valve the reference's loader lacks (main.py:100-155
+    * surfaces the service's whole-batch rejection): PERMISSIVE NDJSON
+    * ingest that QUARANTINES malformed lines instead of failing the load
+    * or silently nulling them. Parseable rows land in `table`; every
+    * unparseable raw line lands verbatim in `<table>__quarantine` with
+    * its source file — the triage table an operator replays after fixing
+    * the producer. One read of the source: the corrupt-record column
+    * splits the cached frame; returns (loaded, quarantined) counts so
+    * the caller can alert on a quarantine spike.
+    */
+  def ingestNdjsonQuarantine(table: String, path: String,
+      append: Boolean = true): (Long, Long) = {
+    val corruptCol = "_corrupt_record"
+    val inferred = SchemaInfer.readNdjson(spark, path).schema
+    val schema =
+      if (inferred.fieldNames.contains(corruptCol)) inferred
+      else inferred.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .option("dropFieldIfAllNull", false)
+      .option("inferTimestamp", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema).json(path)
+      // Spark refuses corrupt-column-only predicates on a raw JSON scan
+      // (the column exists only during parsing) — cache first, by design
+      .cache()
+    try {
+      val good = raw.where(col(corruptCol).isNull).drop(corruptCol)
+      val bad = raw.where(col(corruptCol).isNotNull)
+        .select(col(corruptCol).alias("raw_line"),
+          input_file_name().alias("source_file"))
+      val nBad = bad.count()
+      if (nBad > 0) store.write(s"${table}__quarantine", bad, append = true)
+      store.write(table, good, append)
+      (store.read(table).count(), nBad)
+    } finally { raw.unpersist(); () }
+  }
 
   def writeTable(table: String, df: DataFrame, append: Boolean = true,
       ignoreUnknownValues: Boolean = false): Unit =

@@ -134,6 +134,33 @@ class IngestSpec extends SparkSpecBase {
     assert(out.select(size(col("items"))).head().getInt(0) == 1)
   }
 
+  test("quarantine ingest: good rows load, malformed lines survive verbatim for triage") {
+    val pope = new Popeline(spark, tmpDir("wh-quar"))
+    val src = tmpDir("quar-src")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/a.ndjson"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "ok too"}
+        |not json at all
+        |{"id": 5, "v": "fine"}
+        |""".stripMargin)
+    val (loaded, quarantined) = pope.ingestNdjsonQuarantine("ev", src)
+    assert(loaded == 3L && quarantined == 2L, s"($loaded, $quarantined)")
+    assert(pope.table("ev").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 5L))
+    val quar = pope.table("ev__quarantine")
+      .select("raw_line").collect().map(_.getString(0)).sorted.toSeq
+    assert(quar == Seq("not json at all", """{"id": 2 "v": "missing comma"}"""))
+    // a second batch APPENDS to both tables; a clean batch adds no quarantine rows
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/a.ndjson"),
+      """{"id": 7, "v": "later"}
+        |broken again
+        |""".stripMargin)
+    val (l2, q2) = pope.ingestNdjsonQuarantine("ev", src)
+    assert(l2 == 4L && q2 == 1L, s"($l2, $q2)")
+    assert(pope.table("ev__quarantine").count() == 3L)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val store = new TableStore(spark, tmpDir("wh-bucketed"))
     val left = spark.range(1000).select(col("id").alias("k"), (col("id") * 2).alias("x"))
