@@ -402,12 +402,20 @@ object Streams {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       bound: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // "leftOuter"/"rightOuter" are legal here BECAUSE both sides carry
+    // watermarks and the condition time-bounds both — Spark then knows
+    // when an unmatched row can never match and emits it null-padded.
+    // The null rows arrive only after the watermark PASSES the row's
+    // match window, i.e. a micro-batch or more later than the inner
+    // results (spec-pinned) — an outer stream join is never "complete
+    // as of now".
     l.join(r, col(leftKey) === col(rightKey) &&
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
-      col(rightTs) <= col(leftTs))
+      col(rightTs) <= col(leftTs), joinType)
   }
 
   /** Stream-static enrichment: join a stream against a static dimension

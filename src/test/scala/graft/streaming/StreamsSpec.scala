@@ -119,6 +119,39 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows == Set((1L, 9.0)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit null-padded AFTER the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF()
+      .select(col("user_id").alias("c_user"), col("ts").alias("c_ts"))
+    val p = purchases.toDF()
+      .select(col("user_id").alias("p_user"), col("ts").alias("p_ts"), col("value"))
+    val joined = Streams.intervalJoinStreams(p, c,
+      leftKey = "p_user", rightKey = "c_user", leftTs = "p_ts", rightTs = "c_ts",
+      bound = "30 minutes", watermark = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssoj").outputMode("append").start()
+    clicks.addData(Ev(ts(10), 1, 0.0))
+    purchases.addData(Ev(ts(20), 1, 9.0), Ev(ts(25), 2, 7.0)) // user2: no click at all
+    q.processAllAvailable()
+    val early = spark.table("ssoj").select("p_user", "c_user")
+      .as[(Long, Option[Long])].collect().toSet
+    // the matched pair is out immediately; the unmatched purchase is NOT —
+    // the engine can't yet know no click will arrive for its window
+    assert(early == Set((1L, Some(1L))), early.toString)
+    // advance BOTH watermarks far past user2's match window
+    clicks.addData(Ev(ts(300), 99, 0.0))
+    purchases.addData(Ev(ts(300), 99, 0.0))
+    q.processAllAvailable()
+    clicks.addData(Ev(ts(310), 98, 0.0))
+    purchases.addData(Ev(ts(310), 98, 0.0))
+    q.processAllAvailable()
+    val late = spark.table("ssoj").select("p_user", "c_user")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(late.contains((2L, None)), s"unmatched row never emitted: $late")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
