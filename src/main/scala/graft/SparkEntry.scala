@@ -260,6 +260,10 @@ object SparkEntry {
     Await.result(Future.sequence(Seq(
       Future { ops.Features.docShingles(s, dir).count(); () },
       Future { ops.Features.docTokenBuckets(s, dir, DsirDims).count(); () },
+      // the LR family's 32-bucket frame is a separate cache entry —
+      // prebuild it too, or whichever LR consumer runs first pays the
+      // tokenization inside its timed window
+      Future { ops.Features.docTokenBuckets(s, dir, 32).count(); () },
       Future { ops.Features.docAnnotations(s, dir).count(); () }
     )), Duration.Inf)
   }
