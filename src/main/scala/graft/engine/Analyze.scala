@@ -45,4 +45,19 @@ object Analyze {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, min_val, max_val, n_nulls, ndv)")
   }
+
+  /** Profile a path-backed table for the stats-fed broadcast decision
+    * ([[graft.plans.StatsBroadcastRule]]): estimated in-memory bytes =
+    * row count × the schema's per-row width (Catalyst `defaultSize` per
+    * field — the same estimator Spark's own statistics use for unknown
+    * columns). One count action, run at INGEST time next to the write,
+    * so every later query against the path gets cost-based broadcast
+    * decisions for free. Returns the registered estimate.
+    */
+  def registerBroadcastStats(df: DataFrame, rootPath: String): Long = {
+    val rowWidth = df.schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    val est = df.count() * rowWidth
+    graft.plans.StatsBroadcastRule.register(rootPath, est)
+    est
+  }
 }

@@ -29,6 +29,7 @@ import graft.expressions.{CosineSimilarity, DotProduct, JaccardSorted}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => StatsBroadcastRule)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
     // same array-element coercion as VectorExpressions.registerSqlFunctions:
     // the expressions read unsafe arrays at a fixed element width, so SQL

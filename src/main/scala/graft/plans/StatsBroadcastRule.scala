@@ -1,0 +1,125 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rule: broadcast-hint a join side whose PROFILED size (the
+  * engine's own ingest-time statistics, [[graft.engine.Analyze]]) says it
+  * fits — the cost-based broadcast decision Spark only makes from
+  * catalog statistics (`ANALYZE TABLE`), made available to plain
+  * path-based parquet scans.
+  *
+  * Why file-size alone is not enough: Spark's default estimate for a
+  * path-backed relation is the COMPRESSED on-disk byte count. A
+  * dictionary-compressed dimension can be 10-50× larger in memory
+  * (broadcasting it OOMs the driver on a false positive), and a wide
+  * fact narrowed to two join columns is far smaller than its file size
+  * (a false negative that forfeits the broadcast). A profiled
+  * (rowCount × serialized-row-width) estimate registered at ingest is
+  * the number the decision actually needs.
+  *
+  * Mechanics: enabled by setting `spark.graft.statsBroadcast.threshold`
+  * (bytes, positive) — off by default, like [[BinnedRangeJoinRule]].
+  * Ingest code registers `(rootPath, estimatedBytes)` via [[register]];
+  * the rule walks each un-hinted eligible join side through
+  * Project/Filter chains down to its scan, sums registered estimates
+  * (every leaf must be registered — one unknown leaf disables the
+  * side), and injects the same `BROADCAST` hint a user would write by
+  * hand. Filters only shrink a side, so the registered estimate is an
+  * upper bound and the hint stays safe. Sides under aggregates, joins,
+  * or generators are left alone: their cardinality is not the scan's.
+  *
+  * At 100 TB this is the difference between "the operator author
+  * remembered `broadcast(dims)`" and "every query against profiled
+  * tables gets the right join side for free, including generated SQL".
+  */
+object StatsBroadcastRule extends Rule[LogicalPlan] {
+
+  val ThresholdConf = "spark.graft.statsBroadcast.threshold"
+
+  // java.lang.Long, deliberately: a scala.Long-valued map's get would
+  // auto-unbox a missing key's null to 0 and register phantom stats
+  private val registry = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Register a profiled size estimate for a scan root path (normally
+    * rowCount × average serialized row width from [[graft.engine.Analyze]]
+    * at ingest). Re-registering overwrites — stats follow the table's
+    * latest write.
+    */
+  def register(rootPath: String, estimatedBytes: Long): Unit = {
+    require(estimatedBytes >= 0L)
+    registry.put(normalize(rootPath), estimatedBytes); ()
+  }
+
+  def unregister(rootPath: String): Unit = { registry.remove(normalize(rootPath)); () }
+
+  def clear(): Unit = registry.clear()
+
+  /** Scan locations print as URIs (`file:/x`, `hdfs://nn/x`) while
+    * ingest code usually registers plain paths — strip a local-file
+    * scheme so both spellings key the same entry; non-local schemes
+    * keep their authority (two clusters' `/x` must not collide).
+    */
+  private def normalize(p: String): String = {
+    val noSlash = p.stripSuffix("/")
+    if (noSlash.startsWith("file:"))
+      new java.net.URI(noSlash).getPath.stripSuffix("/")
+    else noSlash
+  }
+
+  private def threshold: Long =
+    conf.getConfString(ThresholdConf, "-1").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val thr = threshold
+    if (thr <= 0L || registry.isEmpty) return plan
+    plan.transformUp {
+      case j @ Join(l, r, jt, _, hint)
+          if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        val lFits = jt match {
+          // the left side may only broadcast when it is the BUILD side
+          case Inner | RightOuter => profiledBytes(l).exists(_ <= thr)
+          case _ => false
+        }
+        val rFits = jt match {
+          case Inner | LeftOuter | LeftSemi | LeftAnti =>
+            profiledBytes(r).exists(_ <= thr)
+          case _ => false
+        }
+        // prefer the smaller registered side when both qualify
+        if (lFits && (!rFits ||
+            profiledBytes(l).get <= profiledBytes(r).get))
+          j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+        else if (rFits)
+          j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        else j
+    }
+  }
+
+  /** Registered upper-bound byte estimate of a join side: defined only
+    * when the side is Project/Filter/alias chains over scans whose root
+    * paths are ALL registered (anything cardinality-changing — joins,
+    * aggregates, generators, unions — makes the side unknown; unions
+    * could be summed but are conservatively skipped).
+    */
+  private def profiledBytes(p: LogicalPlan): Option[Long] = p match {
+    case Project(_, c) => profiledBytes(c)
+    case Filter(_, c) => profiledBytes(c)
+    case SubqueryAlias(_, c) => profiledBytes(c)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(rp => normalize(rp.toString))
+          val sizes = paths.map(registry.get(_))
+          if (paths.nonEmpty && sizes.forall(_ != null))
+            Some(sizes.map(_.longValue).sum)
+          else None
+        case _ => None
+      }
+    case _ => None
+  }
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** StatsBroadcastRule: the profiled-size broadcast decision — hint
+  * injection on registered scans, conservative refusal everywhere else,
+  * and the end-to-end BroadcastHashJoin with Spark's own size-based
+  * threshold disabled.
+  */
+class StatsBroadcastSpec extends SparkSpecBase {
+
+  private lazy val (dimPath, factPath) = {
+    val d = tmpDir("sbr-dim")
+    val f = tmpDir("sbr-fact")
+    spark.range(100).select(col("id").alias("k"), (col("id") * 2).alias("attr"))
+      .write.mode("overwrite").parquet(d)
+    spark.range(10000).select((col("id") % 100).alias("k"), col("id").alias("x"))
+      .write.mode("overwrite").parquet(f)
+    (d, f)
+  }
+
+  private def withRule[T](thresholdBytes: Long)(f: => T): T = {
+    SparkSession.setActiveSession(spark)
+    spark.conf.set(StatsBroadcastRule.ThresholdConf, thresholdBytes.toString)
+    try f
+    finally {
+      spark.conf.unset(StatsBroadcastRule.ThresholdConf)
+      StatsBroadcastRule.clear()
+    }
+  }
+
+  private def joinHints(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect { case j: Join => j.hint }
+
+  test("a registered small side gets the BROADCAST hint; unknown sides never do") {
+    withRule(1L << 20) {
+      val dim = spark.read.parquet(dimPath)
+      val fact = spark.read.parquet(factPath)
+      val joined = fact.join(dim, "k")
+      // nothing registered: rule must refuse (unknown side)
+      val untouched = StatsBroadcastRule(joined.queryExecution.optimizedPlan)
+      assert(joinHints(untouched).forall(h =>
+        h.leftHint.isEmpty && h.rightHint.isEmpty), untouched.toString)
+      // register the dim's profile: the dim (right) side gets the hint
+      graft.engine.Analyze.registerBroadcastStats(dim, dimPath)
+      val hinted = StatsBroadcastRule(joined.queryExecution.optimizedPlan)
+      val hints = joinHints(hinted)
+      assert(hints.exists(_.rightHint.exists(_.strategy.contains(BROADCAST))),
+        hinted.toString)
+      assert(hints.forall(_.leftHint.isEmpty))
+    }
+  }
+
+  test("a profile over the threshold refuses; projections and filters traverse") {
+    withRule(100L) { // 100 bytes: nothing fits
+      val dim = spark.read.parquet(dimPath)
+      graft.engine.Analyze.registerBroadcastStats(dim, dimPath)
+      val joined = spark.read.parquet(factPath).join(dim, "k")
+      val plan = StatsBroadcastRule(joined.queryExecution.optimizedPlan)
+      assert(joinHints(plan).forall(_.rightHint.isEmpty), plan.toString)
+    }
+    withRule(1L << 20) {
+      val dim = spark.read.parquet(dimPath)
+      graft.engine.Analyze.registerBroadcastStats(dim, dimPath)
+      // a filtered+projected dim still resolves to its registered scan
+      val narrowed = spark.read.parquet(dimPath)
+        .where(col("attr") > 10).select(col("k"))
+      val joined = spark.read.parquet(factPath).join(narrowed, "k")
+      val plan = StatsBroadcastRule(joined.queryExecution.optimizedPlan)
+      assert(joinHints(plan)
+        .exists(_.rightHint.exists(_.strategy.contains(BROADCAST))), plan.toString)
+    }
+  }
+
+  test("end-to-end: with Spark's size threshold off, the profiled dim still broadcast-joins") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ StatsBroadcastRule
+    try withRule(1L << 20) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = spark.read.parquet(dimPath)
+      graft.engine.Analyze.registerBroadcastStats(dim, dimPath)
+      val joined = spark.read.parquet(factPath).join(dim, "k")
+        .groupBy(col("attr")).agg(sum(col("x")).alias("s"))
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq StatsBroadcastRule)
+    }
+  }
+}
