@@ -293,6 +293,26 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     TableStore.fireRewrite(tablePath(table))
   }
 
+  /** Z-ORDERED export: [[graft.ops.ZOrder.cluster]]'s multi-dimensional
+    * layout through the store's write path — rows land in `numFiles`
+    * part-files range-partitioned and sorted by the interleaved
+    * z-value, so a selective predicate on ANY clustered dimension skips
+    * most files via parquet min/max stats (the multi-dimensional
+    * analogue of [[writeSorted]]'s 1-D pruning, and the layout Delta's
+    * OPTIMIZE ZORDER produces after the fact — here paid once at
+    * write). `dims` carries each column's (lo, hi) domain for the
+    * fixed-grid bucketization.
+    */
+  def writeZOrdered(table: String, df: DataFrame,
+      dims: Seq[(String, (Double, Double))], numFiles: Int = 32,
+      bits: Int = 16): Unit = {
+    require(dims.nonEmpty && numFiles > 0)
+    recoverCrashedSwap(table)
+    graft.ops.ZOrder.cluster(df, dims, numFiles, bits)
+      .write.mode("overwrite").parquet(tablePath(table))
+    TableStore.fireRewrite(tablePath(table))
+  }
+
   /** Hive-layout PARTITIONED table: part-files under
     * `table/<col>=<value>/…` directories. Readers filtering on a partition
     * column scan only the matching directories — the plan's

@@ -260,6 +260,25 @@ class IngestSpec extends SparkSpecBase {
     assert(store.read("cur").count() == 10000)
   }
 
+  test("writeZOrdered: part files localize BOTH dimensions, not just the sort key") {
+    val store = new TableStore(spark, tmpDir("wh-zord"))
+    val grid = spark.range(1024)
+      .select((col("id") % 32).alias("x"), expr("id DIV 32").alias("y"))
+    store.writeZOrdered("zt",
+      grid, Seq("x" -> (0.0, 31.0), "y" -> (0.0, 31.0)), numFiles = 4, bits = 5)
+    val spans = store.read("zt")
+      .groupBy(input_file_name().alias("f"))
+      .agg((max("x") - min("x")).alias("xs"),
+        (max("y") - min("y")).alias("ys"), count(lit(1)).alias("n"))
+      .collect()
+    assert(spans.length == 4 && spans.map(_.getLong(3)).sum == 1024)
+    // the morton quartiles are the four 16x16 quadrants; range-bound
+    // sampling may smudge one boundary file, so demand 3 of 4 tight —
+    // a 1-D sort by x would leave every file's y-span at the full 31
+    val tight = spans.count(r => r.getLong(1) <= 16 && r.getLong(2) <= 16)
+    assert(tight >= 3, spans.mkString(", "))
+  }
+
   test("compact preserves a Hive-partitioned layout; refuses bucketed tables") {
     import org.apache.spark.sql.functions.{col, pmod}
     val store = new TableStore(spark, tmpDir("wh-compact-layout"))
