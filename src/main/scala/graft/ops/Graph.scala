@@ -583,6 +583,65 @@ object Graph {
     * the honest contract at 100 TB (GraphFrames' bfs makes the same
     * choice).
     */
+  /** CONVERGING weighted shortest paths — [[shortestPathsUnrolled]]'s
+    * relax-and-min round body inside the checkpointed loop
+    * [[reachWithin]] uses: iterate until NO (seed, node) cost improves.
+    * Only last round's improved rows re-expand (the Bellman-Ford queue
+    * optimization), so a settled region costs nothing; lineage truncates
+    * per round and the improvement count is the round's single driver
+    * action (it materializes the lazy checkpoints). Positive weights
+    * always converge within the graph's hop diameter; a NEGATIVE cycle
+    * never does — `maxRounds` turns that into a loud failure instead of
+    * an infinite loop, the same contract as [[connectedComponents]].
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxRounds: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "w"): DataFrame = {
+    require(maxRounds > 0)
+    val seedCol = seeds.columns.head
+    var dist = seeds
+      .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
+        lit(0.0d).alias("cost"))
+      .dropDuplicates("seed", "node").localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"shortestPaths did not converge within $maxRounds rounds — " +
+          "negative cycle, or raise maxRounds for a larger hop diameter")
+      val relaxed = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
+          (col("f.cost") + col(s"e.$wCol").cast("double")).alias("cost"))
+        .groupBy(col("seed"), col("node")).agg(min(col("cost")).alias("cost"))
+      // merge by FULL OUTER join + least-cost choice — one node-keyed
+      // shuffle pair, and no self-union (a union of `dist` with a frame
+      // derived from `dist` trips Catalyst's constraint rewrite). The
+      // improvement flag rides along, so the convergence probe is the
+      // round's single driver action and it materializes the checkpoint.
+      val merged = dist.alias("d")
+        .join(relaxed.alias("r"),
+          col("d.seed") === col("r.seed") && col("d.node") === col("r.node"),
+          "full_outer")
+        .select(
+          coalesce(col("d.seed"), col("r.seed")).alias("seed"),
+          coalesce(col("d.node"), col("r.node")).alias("node"),
+          when(col("d.cost").isNull ||
+              (col("r.cost").isNotNull && col("r.cost") < col("d.cost")),
+            col("r.cost")).otherwise(col("d.cost")).alias("cost"),
+          (col("d.cost").isNull ||
+            (col("r.cost").isNotNull && col("r.cost") < col("d.cost")))
+            .alias("__imp"))
+        .localCheckpoint(false)
+      done = merged.where(col("__imp")).count() == 0
+      frontier = merged.where(col("__imp")).drop("__imp")
+      dist = merged.drop("__imp")
+    }
+    dist
+  }
+
   def shortestPathsUnrolled(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       srcCol: String = "src", dstCol: String = "dst",
       wCol: String = "w"): DataFrame = {

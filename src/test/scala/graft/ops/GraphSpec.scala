@@ -138,6 +138,28 @@ class GraphSpec extends SparkSpecBase {
     assert(r3 == 4.0)
   }
 
+  test("shortestPaths converges to the unrolled answer; negative cycles fail loudly") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 4L, 2.0),
+      (1L, 3L, 1.0), (3L, 4L, 5.0), (4L, 9L, 1.0),
+      (9L, 1L, 1.0) // cycle back to the seed: positive, so still converges
+    ).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val converged = Graph.shortestPaths(edges, seeds)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // fixpoint == the unrolled form run past the hop diameter
+    val unrolled = Graph.shortestPathsUnrolled(edges, seeds, maxHops = 6)
+      .orderBy("node").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(converged == unrolled, s"$converged vs $unrolled")
+    assert(converged.toMap.apply(9L) == 4.0) // via the cheap diamond path
+    val negCycle = Seq((1L, 2L, -1.0), (2L, 1L, -1.0)).toDF("src", "dst", "w")
+    val e = intercept[IllegalStateException] {
+      Graph.shortestPaths(negCycle, seeds, maxRounds = 8)
+    }
+    assert(e.getMessage.contains("negative cycle"))
+  }
+
   test("reachWithin: early exit when the frontier empties before the bound") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("src", "dst")
