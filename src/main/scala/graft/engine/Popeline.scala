@@ -49,8 +49,9 @@ final class Popeline(val spark: SparkSession, warehouseDir: String, val datasetI
     * unparseable raw line lands verbatim in `<table>__quarantine` with
     * its source file — the triage table an operator replays after fixing
     * the producer. One read of the source: the corrupt-record column
-    * splits the cached frame; returns (loaded, quarantined) counts so
-    * the caller can alert on a quarantine spike.
+    * splits the cached frame; returns (table rows AFTER the load,
+    * lines quarantined from THIS batch) so the caller can alert on a
+    * quarantine spike.
     */
   def ingestNdjsonQuarantine(table: String, path: String,
       append: Boolean = true): (Long, Long) = {

@@ -291,7 +291,9 @@ object Quantization {
     val loA = lo.toArray
     val stA = step.toArray
     val f = udf { v: Seq[Double] =>
-      Array.tabulate(math.min(v.length, loA.length)) { j =>
+      // null in -> null out, like pqEncode (spec-pinned there)
+      if (v == null) null
+      else Array.tabulate(math.min(v.length, loA.length)) { j =>
         if (stA(j) == 0.0) 0
         else math.max(0.0,
           math.min(255.0, math.floor((v(j) - loA(j)) / stA(j) + 0.5))).toInt
@@ -310,15 +312,18 @@ object Quantization {
     val stA = step.toArray
     val q = query.toArray
     val f = udf { codes: Seq[Int] =>
-      var s = 0.0d
-      var j = 0
-      val n = math.min(codes.length, q.length)
-      while (j < n) {
-        val d = loA(j) + codes(j) * stA(j) - q(j)
-        s += d * d
-        j += 1
+      if (codes == null) null
+      else {
+        var s = 0.0d
+        var j = 0
+        val n = math.min(codes.length, q.length)
+        while (j < n) {
+          val d = loA(j) + codes(j) * stA(j) - q(j)
+          s += d * d
+          j += 1
+        }
+        java.lang.Double.valueOf(s)
       }
-      s
     }
     codes => f(codes)
   }
