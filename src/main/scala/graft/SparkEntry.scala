@@ -2649,6 +2649,24 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).alias("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_corpus_datasheet" -> ((s, dir) =>
+      // the "datasheet for datasets" summary (Gebru et al. 2021) a
+      // pipeline publishes with every corpus snapshot: per language,
+      // volume (docs/tokens/chars), central quality, median length —
+      // one scan, languages-sized output
+      T(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("__nt"),
+          col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).alias("__q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("__nt")).alias("total_tokens"),
+          sum(col("n_chars")).alias("total_chars"),
+          Rounding.roundAway(avg(col("__q")), 6).alias("mean_quality"),
+          expr("percentile(n_chars, 0.5)").alias("p50_chars"))
+        .orderBy(col("lang"))),
+
     "q_quality_gate" -> ((s, dir) => {
       // curriculum/quality gating: keep each language's top quartile by
       // quality score — rank gate `rn*4 <= n` on (quality DESC, doc_id)
@@ -5340,6 +5358,32 @@ object SparkEntry {
          |    + least(stop_raw * 5.0, 1.0) * 0.3
          |    + greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2.0) * 0.3, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_datasheet" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // q_text_quality's closed form aggregated per language
+      s"""WITH t AS (SELECT lang, text, n_chars,
+         |  list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+         |r AS (SELECT lang, n_chars, len(toks) AS nt,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS q
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(avg(q), 6) AS mean_quality,
+         |  median(n_chars) AS p50_chars
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q_quality_gate" -> {
