@@ -430,6 +430,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_agg_bucketed" -> ((s, dir) => {
+      // aggregation keyed on the BUCKET column of the pre-bucketed fact:
+      // partial and final aggregate fuse into one exchange-free stage
+      // (PlanSpec pins no hash exchange on the orderkey) — bucketing
+      // pays off for aggregations, not just joins. Exact-integer cents
+      // keep the 600k-row sum engine-stable (q_decimal_agg convention).
+      persistedIvfStore(s, dir)
+      s.table(bucketedName(dir, "lineitem"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).alias("n_items"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .alias("price_e2"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     "q_join_full" -> ((s, dir) => {
       // full outer: high-value customers vs customers with urgent orders —
       // both unmatched sides survive with nulls
@@ -2970,6 +2985,13 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_agg_bucketed" ->
+      // layout changes the plan, not the result: plain aggregate
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_e2
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_join_bucketed" ->
       // the bucketed layout changes the PLAN (zero-exchange merge join),

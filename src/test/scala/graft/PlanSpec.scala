@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpecBase {
     assert(formatted.contains("Bucketed: true"), formatted)
   }
 
+  test("q_agg_bucketed: the orderkey aggregate runs with no hash exchange") {
+    val plan = planOf("q_agg_bucketed")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+  }
+
   test("q_agg_group is a two-phase hash aggregate with one data shuffle") {
     val plan = planOf("q_agg_group")
     assert(plan.contains("HashAggregate"))
