@@ -1740,6 +1740,23 @@ object SparkEntry {
         .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("score"))
         .orderBy(col("doc_id"))),
 
+    "q_phrase_search" -> ((s, dir) => {
+      // Positional phrase search, two phrases including a repeated-term
+      // one: the ANCHOR CENSUS formulation — each posting matching a
+      // phrase slot votes for the occurrence that would start at
+      // (pos - slot); one aggregation keyed by (doc, anchor), join count
+      // independent of phrase length, postings filtered to the phrase's
+      // own terms before any shuffle. Overlapping occurrences each count
+      // ("table table table" holds "table table" twice). Both phrases
+      // ride ONE corpus scan (phraseMatchesMany — the batch form a
+      // blocklist screen uses). The oracle replays it as the textbook
+      // positional adjacency SELF-JOIN, so two independent formulations
+      // check each other.
+      graft.ops.TextSearch.phraseMatchesMany(T(s, dir, "documents"),
+          "text", "doc_id", Seq(Seq("big", "table"), Seq("table", "table")))
+        .orderBy(col("phrase"), col("doc_id"))
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval: the keyword list (BM25, 3-term query) and the
       // dense list (cosine against doc 0's normalized hashed-TF vector)
@@ -4139,6 +4156,31 @@ object SparkEntry {
         |FROM m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
         |GROUP BY m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      // independent formulation on purpose: the engine counts phrase hits
+      // via the anchor census; this replay uses the positional adjacency
+      // self-join over the same normalized tokenization
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+        |    i -> {'p': i, 't': tk[i+1]})) AS tp
+        |  FROM toks)),
+        |hits AS (
+        |  SELECT 'big table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
+        |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.t = 'big' AND b.t = 'table'
+        |  UNION ALL
+        |  SELECT 'table table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
+        |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |  WHERE a.t = 'table' AND b.t = 'table')
+        |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM hits GROUP BY 1, 2
+        |ORDER BY phrase, doc_id""".stripMargin,
 
     "q_hybrid_rrf" ->
       // both scorers replayed in closed form (the q_bm25 CTEs and the

@@ -159,6 +159,64 @@ object TextSearch {
       .agg(sum(col("term_score")).alias("score"))
   }
 
+  /** Positional phrase search: count every occurrence of `phrase` — the
+    * terms consecutive under [[TextAnalysis.normTokens]] — per document.
+    * Output: (`idCol`, n_hits LONG), documents with at least one hit.
+    *
+    * Scale design: the textbook formulation self-joins positional postings
+    * k-1 times (adjacency per phrase slot), which at corpus scale is k-1
+    * shuffles of the full posting list. This is instead an ANCHOR CENSUS:
+    * each posting that matches some phrase slot j votes for the occurrence
+    * that would START at `pos - j`, and an anchor wins when all k distinct
+    * slots voted. One corpus scan, postings filtered to the phrase's own
+    * terms directly above the explode (nothing else is shuffled), the slot
+    * table broadcast (k rows), then ONE aggregation keyed by (doc, anchor)
+    * — join count independent of phrase length. Repeated phrase terms work
+    * because a term maps to every slot it fills, and overlapping
+    * occurrences each count ("a a a" contains "a a" twice) — both pinned
+    * by spec and replayed by the oracle's independent adjacency-join
+    * formulation.
+    */
+  def phraseMatches(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame =
+    phraseMatchesMany(docs, textCol, idCol, Seq(phrase)).drop("phrase")
+
+  /** [[phraseMatches]] for a phrase BATCH — a screening pipeline checking
+    * hundreds of phrases (blocklists, eval-set titles, attribution
+    * strings) pays ONE corpus scan for all of them: the slot table is
+    * (phrase, term, slot) rows, each matching posting votes per phrase it
+    * could serve, and the anchor census groups by (phrase, doc, anchor).
+    * Output: (phrase, `idCol`, n_hits LONG), hit rows only.
+    */
+  def phraseMatchesMany(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phraseMatchesMany needs at least one non-empty phrase")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val norm = phrases.map(_.map(_.toLowerCase)).distinct
+    val slots = norm.flatMap { p =>
+      p.zipWithIndex.map { case (t, j) =>
+        (p.mkString(" "), t, j, p.length)
+      }
+    }.toDF("phrase", "__term", "__j", "__k")
+    val allTerms = norm.flatten.distinct
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.normTokens(col(textCol)))
+          .as(Seq("__pos", "__term")))
+      .where(col("__term").isInCollection(allTerms))
+      .join(broadcast(slots), "__term")
+      // a slot-j vote for an anchor before the document start is noise
+      .where(col("__pos") >= col("__j"))
+      .groupBy(col("phrase"), col(idCol),
+        (col("__pos") - col("__j")).alias("__anchor"), col("__k"))
+      .agg(countDistinct(col("__j")).alias("__slots"))
+      .where(col("__slots") === col("__k"))
+      .groupBy(col("phrase"), col(idCol))
+      .agg(count(lit(1)).alias("n_hits"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal
     * rank fusion outperforms Condorcet and individual rank learning
     * methods"): combine ranked lists into one ranking by summing

@@ -217,6 +217,37 @@ class OpsSpec extends SparkSpecBase {
     assert(fromIdx.nonEmpty)
   }
 
+  test("phraseMatches: anchor census equals brute-force sliding window") {
+    // overlap + repeated-term cases the anchor census must get right
+    val corpus = Seq(
+      (0L, "a a a b a a"),          // "a a": anchors 0,1,4 (overlaps count)
+      (1L, "x a a b y"),            // "a a b": one hit mid-document
+      (2L, "Big, Table! big table"),// normalization: punctuation stripped
+      (3L, "b a"),                  // reversed order: no hit
+      (4L, "a")                     // shorter than the phrase: no hit
+    ).toDF("doc_id", "text")
+    def run(phrase: Seq[String]) =
+      TextSearch.phraseMatches(corpus, "text", "doc_id", phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def brute(phrase: Seq[String]) = Seq(
+      0L -> "a a a b a a", 1L -> "x a a b y", 2L -> "big table big table",
+      3L -> "b a", 4L -> "a").map { case (id, s) =>
+        val tk = s.split(" ").toSeq
+        id -> tk.indices.count(i =>
+          i + phrase.length <= tk.length && tk.slice(i, i + phrase.length) == phrase)
+      }.filter(_._2 > 0).map { case (id, n) => (id, n.toLong) }.toMap
+    for (phrase <- Seq(Seq("a", "a"), Seq("a", "a", "b"), Seq("big", "table"),
+        Seq("a", "b", "a"), Seq("table")))
+      assert(run(phrase) == brute(phrase), s"phrase $phrase")
+    assert(run(Seq("a", "a")) == Map(0L -> 3L, 1L -> 1L)) // overlaps counted
+    // the batch form: one scan, same answers per phrase
+    val many = TextSearch.phraseMatchesMany(corpus, "text", "doc_id",
+        Seq(Seq("a", "a"), Seq("big", "table")))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(many == Map(("a a", 0L) -> 3L, ("a a", 1L) -> 1L,
+      ("big table", 2L) -> 2L))
+  }
+
   test("pmiCollocations: the repeated adjacent pair outranks chance pairs") {
     val corpus = Seq(
       (0L, "new york is big"),
