@@ -2051,6 +2051,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_prepare_blocklist" -> ((s, dir) =>
+      // the capstone with the PHRASE-BLOCKLIST gate active: quality +
+      // repetition skeleton, then any document containing a blocklist
+      // phrase (consecutive normalized tokens) is dropped — the PII /
+      // forbidden-content screen, deliberately FIRST among the content
+      // gates so blocked text never reaches a gate model's training
+      // corpus. Both phrases ride ONE posexplode scan of the survivors
+      // (phraseMatchesMany's anchor census); the oracle replays the
+      // screen as the independent adjacency self-join. Dedup and
+      // decontamination are off so the oracle isolates the gate;
+      // annotations ride the shared session cache.
+      ops.CorpusPipeline.prepare(T(s, dir, "documents"),
+          ops.CorpusPipeline.Config(
+            minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
+            blockPhrases = Seq(Seq("big", "table"), Seq("fast", "scan")),
+            annotations = Some(ops.Features.docAnnotations(s, dir))))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     "q_corpus_prepare_gopher" -> ((s, dir) => {
       // the capstone with the GOPHER shape gate active (Config.gopher):
       // the paragraph-chunked corpus is decorated with bullet/ellipsis/
@@ -4633,6 +4652,50 @@ object SparkEntry {
          |SELECT doc_id, quality FROM feat
          |WHERE quality >= 0.3 AND rep_ratio <= 0.95
          |  AND source IN (SELECT source FROM pass)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_blocklist" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality/repetition replay (the q_corpus_prepare_dsir skeleton)
+      // plus the phrase screen replayed INDEPENDENTLY as the positional
+      // adjacency self-join over the normalized tokenization (the engine
+      // uses the anchor census)
+      s"""WITH base AS (SELECT doc_id, text,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents),
+         |feat AS (SELECT doc_id,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base),
+         |ntk AS (
+         |  SELECT doc_id, list_filter(
+         |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+         |    t -> len(t) > 0) AS tk
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+         |    i -> {'p': i, 't': tk[i+1]})) AS tp
+         |  FROM ntk)),
+         |blocked AS (
+         |  SELECT DISTINCT a.doc_id FROM t2 a JOIN t2 b
+         |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |  WHERE (a.t = 'big' AND b.t = 'table') OR (a.t = 'fast' AND b.t = 'scan'))
+         |SELECT doc_id, quality FROM feat
+         |WHERE quality >= 0.3 AND rep_ratio <= 0.95
+         |  AND doc_id NOT IN (SELECT doc_id FROM blocked)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -126,6 +126,7 @@ object CorpusPipeline {
       gopher: Boolean = false,
       gopherNgrams: Boolean = false,
       lmMaxCrossEntropy: Double = 0.0,
+      blockPhrases: Seq[Seq[String]] = Nil,
       spanDedupK: Int = 0,
       dsirTarget: Option[DataFrame] = None,
       dsirMinWeight: Double = 0.0,
@@ -266,17 +267,31 @@ object CorpusPipeline {
         (if (cfg.gopherNgrams) Seq("__ngram_ok") else Nil)
     val gateFiltered = gateCols.foldLeft(filteredAll)((df, c) => df.where(col(c)))
       .drop(gateCols: _*)
+    // phrase-blocklist screen (PII / forbidden content), FIRST among the
+    // content gates: blocked documents must not reach the LM/DSIR/
+    // classifier gates' TRAINING corpora either — screening after those
+    // gates would leave the gate models fit on text the corpus policy
+    // forbids. One posexplode scan of the static-gate survivors (the
+    // whole blocklist rides it, TextSearch.phraseMatchesMany's anchor
+    // census), then an id anti-join.
+    val blockGated =
+      if (cfg.blockPhrases.nonEmpty) {
+        val hits = TextSearch.phraseMatchesMany(
+            gateFiltered, cfg.textCol, cfg.idCol, cfg.blockPhrases)
+          .select(col(cfg.idCol))
+        gateFiltered.join(hits, Seq(cfg.idCol), "left_anti")
+      } else gateFiltered
     // perplexity gate: the bigram LM trains on the quality-filtered
     // corpus itself (reading the annotate cache, not raw input), then a
     // semi-join keeps in-threshold docs — censuses and joins are all
     // keyed, nothing collects
     val lmFiltered =
       if (cfg.lmMaxCrossEntropy > 0) {
-        val keep = TextAnalysis.bigramLmScore(gateFiltered, cfg.textCol, cfg.idCol)
+        val keep = TextAnalysis.bigramLmScore(blockGated, cfg.textCol, cfg.idCol)
           .where(col("cross_entropy") <= cfg.lmMaxCrossEntropy)
           .select(col(cfg.idCol))
-        gateFiltered.join(keep, Seq(cfg.idCol), "left_semi")
-      } else gateFiltered
+        blockGated.join(keep, Seq(cfg.idCol), "left_semi")
+      } else blockGated
     // DSIR selection gate: weight the survivors against the in-domain
     // exemplar set (raw model = the survivor corpus itself, as DSIR
     // prescribes) and semi-join the in-threshold ids — the same keyed,

@@ -693,6 +693,39 @@ class OpsSpec extends SparkSpecBase {
     assert(Set("train", "val", "test").contains(full.select("split").as[String].head()))
   }
 
+  test("blocklist gate drops phrase-bearing docs before the LM gate trains") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
+      (1L, "an entirely different and rather pleasant document about the weather in the mountains with plenty of words"),
+      (2L, "plenty of words about the weather with a pleasant document structure and nothing else of note today"),
+      (3L, "the weather report is pleasant and the mountains are quiet with plenty of calm words in the morning")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minQuality = 0.2, maxRepetition = 0.95,
+      dedupJaccard = 0, blockPhrases = Seq(Seq("lazy", "dog")))
+    val kept = CorpusPipeline.prepare(corpus, cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L)) // 0 carries the phrase
+    // normalization: punctuation and case can't hide a phrase
+    val sneaky = corpus.withColumn("text",
+      when(col("doc_id") === 1L,
+        lit("a pleasant note today ... the LAZY, dog runs free in the hills with plenty of words"))
+        .otherwise(col("text")))
+    assert(CorpusPipeline.prepare(sneaky, cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the screen runs BEFORE the LM gate, so a blocked doc is invisible
+    // to the gate model's training corpus: blocklist + LM over the full
+    // corpus equals LM alone over the pre-dropped corpus
+    val minus0 = corpus.where(col("doc_id") =!= 0L)
+    val ce = TextAnalysis.bigramLmScore(minus0, "text", "doc_id")
+      .orderBy("cross_entropy").select("cross_entropy").as[Double].collect()
+    val thr = ce(1) // self-calibrated: keeps 2 of the 3 clean docs
+    val withBlock = CorpusPipeline.prepare(corpus,
+      cfg.copy(lmMaxCrossEntropy = thr)).orderBy("doc_id").collect()
+    val preDropped = CorpusPipeline.prepare(minus0,
+      cfg.copy(blockPhrases = Nil, lmMaxCrossEntropy = thr)).orderBy("doc_id").collect()
+    assert(withBlock.toSeq == preDropped.toSeq)
+  }
+
   test("precomputed annotations equal inline annotate; Gopher configs ignore them") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
