@@ -185,6 +185,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_phrase_search screens postings before any shuffle; slot table broadcasts") {
+    val plan = planOf("q_phrase_search")
+    // the slot join must never grow beyond a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the phrase-term IN filter must sit DIRECTLY on the posexplode —
+    // only the phrases' own postings may reach the anchor shuffle
+    val lines = plan.split("\n")
+    val gi = lines.indexWhere(_.contains("Generate posexplode"))
+    assert(gi > 0, plan)
+    assert(lines(gi - 1).contains("Filter") && lines(gi - 1).contains("__term"),
+      s"term filter not directly above the explode:\n$plan")
+    // scan reads only (doc_id, text)
+    val fm = formattedPlan("q_phrase_search")
+    assert(fm.contains("ReadSchema: struct<doc_id:bigint,text:string>"), fm)
+  }
+
   test("q_similarity_ivf_persisted's probe scan is pruned to __cell partitions") {
     // the DECLARED 100 TB ANN path: the probe must reach the parquet scan
     // as a partition filter on the index's __cell directories — if this
