@@ -202,6 +202,11 @@ object SparkEntry {
         // the inverted text index — the BM25 build-once-probe-many twin
         Future(ops.TextSearch.persistPostings(store, "docs_text_idx",
           T(s, dir, "documents"), "text", "doc_id", buckets = 16)),
+        // the POSITIONAL postings (normTokens + token position) — the
+        // phrase-screen twin: blocklists change often, corpora don't, so
+        // the tokenize is paid at build and each screen is a pruned read
+        Future(ops.TextSearch.persistPositionalPostings(store, "docs_pos_idx",
+          T(s, dir, "documents"), "text", "doc_id", buckets = 16)),
         // bucketed FACT tables — the pay-at-ingest layout for repeated
         // big-big joins: both sides hash-bucketed + sorted on the join
         // key at write, so every later orderkey join runs with ZERO
@@ -230,7 +235,8 @@ object SparkEntry {
     s"${base}_bkt_" + java.lang.Integer.toHexString(dir.hashCode)
 
   /** Force the one-time build of the five persisted indexes
-    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base, docs_text_idx) plus
+    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base, docs_text_idx,
+    * docs_pos_idx) plus
     * the two bucketed fact tables for a session+dir.
     * Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
@@ -281,6 +287,33 @@ object SparkEntry {
   private def sanitizeSql(m: String): String =
     s"regexp_replace(regexp_replace(CASE WHEN substring($m,1,1) BETWEEN '0' AND '9' " +
     s"THEN '_' || $m ELSE $m END, '[. ]', '_', 'g'), '[^a-zA-Z0-9_]', '', 'g')"
+
+  /** DuckDB replay of the two-phrase screen as the positional adjacency
+    * self-join (the engine's anchor census, independently reformulated) —
+    * shared by q_phrase_search (corpus scan) and q_phrase_search_indexed
+    * (pruned positional-index read), which are identical by construction.
+    */
+  private val phraseSearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(tk)),
+      |    i -> {'p': i, 't': tk[i+1]})) AS tp
+      |  FROM toks)),
+      |hits AS (
+      |  SELECT 'big table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
+      |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  WHERE a.t = 'big' AND b.t = 'table'
+      |  UNION ALL
+      |  SELECT 'table table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
+      |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      |  WHERE a.t = 'table' AND b.t = 'table')
+      |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM hits GROUP BY 1, 2
+      |ORDER BY phrase, doc_id""".stripMargin
 
   /** DuckDB word-3-shingle CTE over `documents` (mirrors
     * TextAnalysis.wordShingles + array_distinct).
@@ -1756,6 +1789,18 @@ object SparkEntry {
           "text", "doc_id", Seq(Seq("big", "table"), Seq("table", "table")))
         .orderBy(col("phrase"), col("doc_id"))
     }),
+
+    "q_phrase_search_indexed" -> ((s, dir) =>
+      // the same two-phrase screen against the PERSISTED positional
+      // index: the phrases' terms hash to partition buckets and the scan
+      // reads ≤ |terms| of the 16 `__tb` directories (PartitionFilters
+      // pruning, PlanSpec-pinned) instead of re-tokenizing the corpus —
+      // identical results by construction (same tokenization, same
+      // anchor census), so it shares q_phrase_search's oracle.
+      graft.ops.TextSearch.phraseMatchesFromIndex(persistedIvfStore(s, dir),
+          "docs_pos_idx", "doc_id",
+          Seq(Seq("big", "table"), Seq("table", "table")))
+        .orderBy(col("phrase"), col("doc_id"))),
 
     "q_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval: the keyword list (BM25, 3-term query) and the
@@ -4180,26 +4225,12 @@ object SparkEntry {
       // independent formulation on purpose: the engine counts phrase hits
       // via the anchor census; this replay uses the positional adjacency
       // self-join over the same normalized tokenization
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(
-        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
-        |    t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |t2 AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM (
-        |  SELECT doc_id, unnest(list_transform(range(len(tk)),
-        |    i -> {'p': i, 't': tk[i+1]})) AS tp
-        |  FROM toks)),
-        |hits AS (
-        |  SELECT 'big table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
-        |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
-        |  WHERE a.t = 'big' AND b.t = 'table'
-        |  UNION ALL
-        |  SELECT 'table table' AS phrase, a.doc_id FROM t2 a JOIN t2 b
-        |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
-        |  WHERE a.t = 'table' AND b.t = 'table')
-        |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM hits GROUP BY 1, 2
-        |ORDER BY phrase, doc_id""".stripMargin,
+      phraseSearchSql,
+
+    "q_phrase_search_indexed" ->
+      // identical to q_phrase_search by construction — only the ACCESS
+      // PATH differs (pruned positional-index read vs corpus scan)
+      phraseSearchSql,
 
     "q_hybrid_rrf" ->
       // both scorers replayed in closed form (the q_bm25 CTEs and the

@@ -190,22 +190,38 @@ object TextSearch {
     */
   def phraseMatchesMany(docs: DataFrame, textCol: String, idCol: String,
       phrases: Seq[Seq[String]]): DataFrame = {
-    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
-      "phraseMatchesMany needs at least one non-empty phrase")
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val norm = phrases.map(_.map(_.toLowerCase)).distinct
-    val slots = norm.flatMap { p =>
-      p.zipWithIndex.map { case (t, j) =>
-        (p.mkString(" "), t, j, p.length)
-      }
-    }.toDF("phrase", "__term", "__j", "__k")
+    val norm = normalizePhrases(phrases)
     val allTerms = norm.flatten.distinct
-    docs
+    val postings = docs
       .select(col(idCol),
         posexplode(TextAnalysis.normTokens(col(textCol)))
           .as(Seq("__pos", "__term")))
       .where(col("__term").isInCollection(allTerms))
+    anchorCensus(postings, slotTable(docs.sparkSession, norm), idCol)
+  }
+
+  private def normalizePhrases(phrases: Seq[Seq[String]]): Seq[Seq[String]] = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrase matching needs at least one non-empty phrase")
+    phrases.map(_.map(_.toLowerCase)).distinct
+  }
+
+  /** (phrase, term, slot, length) rows — one per slot of each phrase. */
+  private def slotTable(sp: org.apache.spark.sql.SparkSession,
+      norm: Seq[Seq[String]]): DataFrame = {
+    import sp.implicits._
+    norm.flatMap { p =>
+      p.zipWithIndex.map { case (t, j) => (p.mkString(" "), t, j, p.length) }
+    }.toDF("phrase", "__term", "__j", "__k")
+  }
+
+  /** The shared anchor-census core: postings already restricted to the
+    * phrases' own terms, as (`idCol`, __pos, __term) rows, in; per-phrase
+    * hit counts out.
+    */
+  private def anchorCensus(postings: DataFrame, slots: DataFrame,
+      idCol: String): DataFrame =
+    postings
       .join(broadcast(slots), "__term")
       // a slot-j vote for an anchor before the document start is noise
       .where(col("__pos") >= col("__j"))
@@ -215,6 +231,60 @@ object TextSearch {
       .where(col("__slots") === col("__k"))
       .groupBy(col("phrase"), col(idCol))
       .agg(count(lit(1)).alias("n_hits"))
+
+  /** Build and persist the POSITIONAL postings for
+    * [[phraseMatchesFromIndex]]: `(idCol, pos, term)` rows under
+    * [[TextAnalysis.normTokens]] (the phrase family's tokenization — NOT
+    * [[persistPostings]]'s raw whitespace split, which serves BM25),
+    * Hive-partitioned by `__tb = hash(term) % buckets`, plus a 1-row
+    * `__meta` table with the same two-phase commit discipline. The
+    * corpus-wide tokenize is paid ONCE here; every later phrase screen
+    * reads only its terms' bucket directories.
+    */
+  def persistPositionalPostings(store: graft.engine.TableStore, table: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((buckets, committed)).toDF("buckets", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    val postings = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.normTokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
+    store.replacePartitioned(table, postings.repartition(col("__tb")), Seq("__tb"))
+    store.replace(table + "__meta", metaRow(committed = true))
+  }
+
+  /** [[phraseMatchesMany]] against the PERSISTED positional index —
+    * identical results by construction (same tokenization, same anchor
+    * census), but the per-screen cost is the pruned read: the phrases'
+    * terms hash to their buckets (a tiny local projection, no corpus job)
+    * and become a partition IN-filter, so the scan touches ≤ |terms| of
+    * the `buckets` directories instead of re-tokenizing the corpus.
+    */
+  def phraseMatchesFromIndex(store: graft.engine.TableStore, table: String,
+      idCol: String, phrases: Seq[Seq[String]]): DataFrame = {
+    val norm = normalizePhrases(phrases)
+    val meta = store.read(table + "__meta").head()
+    require(meta.getAs[Boolean]("committed"),
+      s"positional index '$table' has an uncommitted rebuild — re-run " +
+        "persistPositionalPostings")
+    val buckets = meta.getAs[Int]("buckets")
+    val posts = store.read(table)
+    val sp = posts.sparkSession
+    import sp.implicits._
+    val allTerms = norm.flatten.distinct
+    val tbs = allTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).alias("__tb"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val pruned = posts
+      .where(col("__tb").isInCollection(tbs) && col("term").isInCollection(allTerms))
+      .select(col(idCol), col("pos").alias("__pos"), col("term").alias("__term"))
+    anchorCensus(pruned, slotTable(sp, norm), idCol)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, "Reciprocal

@@ -203,6 +203,11 @@ class PlanSpec extends SparkSpecBase {
     assert(fm.contains("ReadSchema: struct<doc_id:bigint,text:string>"), fm)
   }
 
+  test("q_phrase_search_indexed prunes the postings scan to the phrases' term buckets") {
+    val plan = formattedPlan("q_phrase_search_indexed")
+    assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
+  }
+
   test("q_similarity_ivf_persisted's probe scan is pruned to __cell partitions") {
     // the DECLARED 100 TB ANN path: the probe must reach the parquet scan
     // as a partition filter on the index's __cell directories — if this

@@ -246,6 +246,14 @@ class OpsSpec extends SparkSpecBase {
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     assert(many == Map(("a a", 0L) -> 3L, ("a a", 1L) -> 1L,
       ("big table", 2L) -> 2L))
+    // the persisted positional index: identical results, pruned read
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-posidx"))
+    TextSearch.persistPositionalPostings(store, "pidx", corpus,
+      "text", "doc_id", buckets = 8)
+    val fromIdx = TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id",
+        Seq(Seq("a", "a"), Seq("big", "table")))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(fromIdx == many)
   }
 
   test("pmiCollocations: the repeated adjacent pair outranks chance pairs") {
