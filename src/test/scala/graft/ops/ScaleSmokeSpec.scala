@@ -426,4 +426,37 @@ class ScaleSmokeSpec extends SparkSpecBase {
     // triple-sum: 5000 cliques * (4 + 6) triangles * 3 nodes each
     assert(total == 150000L, s"total membership $total")
   }
+
+  test("phrase screen on 100k docs x 100-phrase blocklist: one scan, closed-form hits") {
+    // per-doc unique junk tokens (x<id>) plus planted phrases on id
+    // slices: every 10th doc holds "alpha beta" once; the next slice
+    // holds "alpha alpha alpha" (= TWO overlapping "alpha alpha" hits).
+    // 98 of the 100 blocklist phrases never occur — they must ride the
+    // same single scan, not add work.
+    val docs = spark.range(100000).select(col("id").alias("doc_id"),
+      concat(
+        concat(lit("x"), col("id").cast("string")), lit(" filler "),
+        concat(lit("x"), col("id").cast("string")),
+        when(pmod(col("id"), lit(10)) === 0, lit(" alpha beta")).otherwise(lit("")),
+        when(pmod(col("id"), lit(10)) === 1, lit(" alpha alpha alpha"))
+          .otherwise(lit(""))).alias("text"))
+    val blocklist = Seq(Seq("alpha", "beta"), Seq("alpha", "alpha")) ++
+      (1 to 98).map(n => Seq(s"zz${n}a", s"zz${n}b"))
+    val screen = TextSearch.phraseMatchesMany(docs, "text", "doc_id", blocklist)
+    // a 100-phrase blocklist costs ONE tokenize of the corpus: exactly
+    // one posexplode Generate in the physical plan
+    val gens = screen.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Generate"))
+    assert(gens == 1, s"expected one Generate, saw $gens")
+    val out = screen.cache()
+    try {
+      assert(out.count() == 20000L)
+      val ab = out.where(col("phrase") === "alpha beta")
+      assert(ab.count() == 10000L)
+      assert(ab.where(col("n_hits") =!= 1L).count() == 0L)
+      val aa = out.where(col("phrase") === "alpha alpha")
+      assert(aa.count() == 10000L)
+      assert(aa.where(col("n_hits") =!= 2L).count() == 0L) // overlaps
+    } finally out.unpersist()
+  }
 }
