@@ -1259,6 +1259,32 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q_incremental_join" -> ((s, dir) => {
+      // materialized-JOIN refresh (Blakeley et al. 1986): orders and
+      // lineitem each land an append delta (orderkey % 10 == 0); the
+      // view's delta is the three keyed joins dA⋈B ∪ A⋈dB ∪ dA⋈dB —
+      // cost tracks |delta|, never |A ⋈ B|. The oracle checks the
+      // ADDITIVITY the maintenance rule relies on, independently:
+      // agg(full join) - agg(base join), never forming the 3-way delta.
+      // Exact-integer revenue units (the q_decimal_agg convention).
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      def slice(df: DataFrame, delta: Boolean) =
+        df.where(if (delta) pmod(col("o_orderkey"), lit(10)) === 0
+                 else pmod(col("o_orderkey"), lit(10)) =!= 0)
+      graft.ops.Incremental.joinDelta(
+          slice(o, delta = false), slice(o, delta = true),
+          slice(l, delta = false), slice(l, delta = true),
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n_rows"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+            " * (100 - CAST(round(l_discount * 100) AS BIGINT))"))
+            .alias("revenue_e4"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_zorder_value" -> ((s, dir) =>
       // the z-value (Morton) computation under cross-engine oracle: both
       // sides bucketize two dims to 16 bits and interleave — bit j of dim
@@ -3664,6 +3690,31 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_nd,
         |  true AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_incremental_join" ->
+      // independent replay via inner-join additivity under inserts: the
+      // delta's aggregate equals agg(full join) minus agg(base join) —
+      // DuckDB never builds the three-way delta union the engine
+      // maintains
+      """WITH fullj AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderpriority),
+        |basej AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey % 10 <> 0
+        |  GROUP BY o_orderpriority)
+        |SELECT f.o_orderpriority,
+        |  f.n - COALESCE(b.n, 0) AS n_rows,
+        |  f.r - COALESCE(b.r, 0) AS revenue_e4
+        |FROM fullj f LEFT JOIN basej b USING (o_orderpriority)
+        |WHERE f.n - COALESCE(b.n, 0) > 0
+        |ORDER BY f.o_orderpriority""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (

@@ -75,4 +75,24 @@ object Incremental {
 
   def quantileEstimate(state: DataFrame, q: Double): DataFrame =
     state.withColumn(s"approx_q", Udafs.sketchQuantile(col("qsk"), q))
+
+  /** Incremental INNER-JOIN maintenance under APPEND-ONLY deltas
+    * (Blakeley, Larson & Tompa 1986, "Efficiently Updating Materialized
+    * Views"): the join's delta is
+    *
+    *   ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * and the maintained view is `view ∪ joinDelta(...)` — per refresh,
+    * each base side is scanned once and every shuffle/broadcast carries a
+    * delta on at least one input, so cost tracks |Δ|, not |A ⋈ B|. At
+    * scale the deltas broadcast (or AQE shrinks them), and with both base
+    * facts key-bucketed the big probes run exchange-free. Append-only is
+    * load-bearing: updates/deletes change EXISTING view rows and must
+    * route through [[Merge.upsert]] / CDC derivation instead.
+    */
+  def joinDelta(a: DataFrame, deltaA: DataFrame, b: DataFrame,
+      deltaB: DataFrame, keys: Seq[String]): DataFrame =
+    deltaA.join(b, keys)
+      .unionByName(a.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
 }

@@ -1300,6 +1300,31 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("joinDelta: view ∪ delta equals the full recompute, multiplicities included") {
+    import spark.implicits._
+    // duplicate keys on BOTH sides so the multiset algebra is exercised:
+    // key k appears (k % 3) times in A-ish rows and (k % 2 + 1) times in B
+    val a = (0 until 600).flatMap(i => Seq.fill(i % 3)((i % 40, s"a$i", i)))
+      .toDF("k", "pa", "i")
+    val b = (0 until 500).flatMap(i => Seq.fill(i % 2 + 1)((i % 40, s"pb$i", i)))
+      .toDF("k", "pb", "i")
+    // split by ROW, not key: most keys then have base AND delta rows on
+    // both sides, so all three delta terms carry weight
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.where(pmod(col("i"), lit(5)) =!= 0).drop("i"),
+      df.where(pmod(col("i"), lit(5)) === 0).drop("i"))
+    val (aBase, aDelta) = split(a)
+    val (bBase, bDelta) = split(b)
+    val maintained = aBase.join(bBase, Seq("k"))
+      .unionByName(Incremental.joinDelta(aBase, aDelta, bBase, bDelta, Seq("k")))
+    val recompute = a.drop("i").join(b.drop("i"), Seq("k"))
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "pa", "pb").count().orderBy("k", "pa", "pb")
+        .collect().map(_.toSeq).toSeq
+    assert(census(maintained) == census(recompute))
+    assert(maintained.count() == recompute.count() && recompute.count() > 0)
+  }
+
   test("HLL distinct-state merge estimates exactly like the one-shot sketch") {
     import spark.implicits._
     val data = (0 until 4000).map(i => (s"k${i % 3}", s"u${i * 17 % 800}", i)).toDF("k", "u", "seq")
