@@ -353,6 +353,53 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS materialized-JOIN maintenance — the streaming face of
+    * [[graft.ops.Incremental.joinDelta]]. One stream carries BOTH sides'
+    * appends (`sideCol` tags "a"/"b"; the inactive side's payload columns
+    * ride as nulls); each micro-batch computes the Blakeley delta
+    * dA ⋈ B ∪ A ⋈ dB ∪ dA ⋈ dB against the PERSISTED base snapshots,
+    * appends it to the view, then folds the batch into the snapshots.
+    * The view write runs FIRST, so the delta is materialized against the
+    * pre-batch snapshots before either snapshot table mutates. The store
+    * tables are the ONLY state (no engine state store), and per-batch
+    * shuffle volume tracks the batch.
+    *
+    * Delivery: same retry contract as [[ingestDedupStream]] — a
+    * crash-replayed batch re-appends (duplicate view rows); dedup
+    * downstream or rebuild if exactly-once output matters. APPEND-ONLY
+    * inputs, per [[graft.ops.Incremental.joinDelta]]'s contract —
+    * updates/deletes route through [[graft.ops.Merge]] + a batch rebuild.
+    */
+  def joinViewStream(
+      tagged: DataFrame,
+      store: graft.engine.TableStore,
+      aTable: String,
+      bTable: String,
+      viewTable: String,
+      sideCol: String,
+      keys: Seq[String],
+      aCols: Seq[String],
+      bCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = batch0.persist()
+        try {
+          val dA = batch.where(col(sideCol) === "a")
+            .select((keys ++ aCols).map(col): _*)
+          val dB = batch.where(col(sideCol) === "b")
+            .select((keys ++ bCols).map(col): _*)
+          val delta = graft.ops.Incremental.joinDelta(
+            store.read(aTable), dA, store.read(bTable), dB, keys)
+          store.write(viewTable, delta, append = true)
+          store.write(aTable, dA, append = true)
+          store.write(bTable, dB, append = true)
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** CONTINUOUS ANN-index maintenance: each micro-batch of vectors is
     * appended to a persisted IVF index ([[graft.ops.Similarity
     * .appendToIvfIndex]] — broadcast argmin against the EXISTING

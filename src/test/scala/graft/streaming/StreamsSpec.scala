@@ -204,6 +204,49 @@ class StreamsSpec extends SparkSpecBase {
     assert(t.where(col("score").isNull).count() == 1) // old row null-filled
   }
 
+  test("streaming join-view maintenance equals the batch recompute across batches") {
+    import graft.engine.TableStore
+    val src = java.nio.file.Files.createTempDirectory("jv-src")
+    val store = new TableStore(spark, tmpDir("jv-wh"))
+    val ckpt = tmpDir("jv-ckpt")
+    // seeded snapshots + the seeded view = A0 ⋈ B0
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val b0 = Seq((1L, "b1"), (3L, "b3")).toDF("k", "pb")
+    store.write("jv_a", a0)
+    store.write("jv_b", b0)
+    store.write("jv_view", a0.join(b0, Seq("k")))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("side STRING, k LONG, pa STRING, pb STRING")
+    def run() = Streams.joinViewStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "jv_a", "jv_b", "jv_view", "side", Seq("k"),
+      aCols = Seq("pa"), bCols = Seq("pb"), ckpt).awaitTermination()
+    // batch 1: an A append joining the b-base, a B append joining the
+    // a-base (the two cross terms)
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"side": "a", "k": 3, "pa": "a3"}
+        |{"side": "b", "k": 2, "pb": "b2"}
+        |""".stripMargin)
+    run()
+    // batch 2: a same-batch pair on a NEW key (the dA ⋈ dB term) plus a
+    // B append joining batch-1's accumulated A row
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      """{"side": "a", "k": 4, "pa": "a4"}
+        |{"side": "b", "k": 4, "pb": "b4"}
+        |{"side": "b", "k": 3, "pb": "b3x"}
+        |""".stripMargin)
+    run()
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "pa", "pb").count().orderBy("k", "pa", "pb")
+        .collect().map(_.toSeq).toSeq
+    val recompute = store.read("jv_a").join(store.read("jv_b"), Seq("k"))
+    assert(census(store.read("jv_view")) == census(recompute))
+    // and the folded snapshots hold everything that streamed in
+    assert(store.read("jv_a").count() == 4 && store.read("jv_b").count() == 5)
+    assert(store.read("jv_view").where(col("k") === 4).count() == 1) // dA⋈dB
+    assert(store.read("jv_view").where(col("pb") === "b3x").count() == 1)
+  }
+
   test("continuous corpus dedup: batches probe the index, survivors chain forward") {
     import graft.engine.TableStore
     import graft.ops.DedupIndex
