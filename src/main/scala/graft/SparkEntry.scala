@@ -2491,6 +2491,23 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q_embedding_pca" -> ((s, dir) =>
+      // embedding-space ANISOTROPY diagnostic (Ethayarajh 2019): the top
+      // principal component by 3 power-iteration rounds run as relational
+      // rounds — one aliased self-join builds the dims²-row covariance
+      // census, then each round is a keyed join with the dims-row iterate
+      // and a 1-row broadcast normalizer (NO driver action per round; the
+      // pageRank dangling-mass pattern). The oracle unrolls all three
+      // rounds as CTEs over the identical E[xy] − mx·my census. A
+      // dominant eigenvalue share here means cosine scores are inflated
+      // by a common direction — the QC alarm before ANN indexing.
+      ops.Pca.topComponent(T(s, dir, "embeddings"), "embedding", "vec_id",
+          iters = 3)
+        .select(col("dim").cast("long").alias("dim"),
+          Rounding.roundAway(col("loading"), 6).alias("loading"),
+          Rounding.roundAway(col("eigenvalue"), 6).alias("eigenvalue"))
+        .orderBy(col("dim"))),
+
     "q_embedding_outliers" -> ((s, dir) => {
       // embedding QC before ANN indexing: robust per-label z-score on the
       // L2 norm (exact median + MAD — outliers can't drag a median the
@@ -5242,6 +5259,38 @@ object SparkEntry {
         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_pca" -> {
+      // the three power rounds unrolled as CTEs over the identical
+      // E[xy] - mx*my covariance census; v0 = e0, per-round L2
+      // normalization, Rayleigh quotient at the end
+      val rounds = (1 to 3).map { t =>
+        s"""w$t AS (SELECT c.i, sum(c.c * v${t - 1}.v) AS w
+           |  FROM cov c JOIN v${t - 1} ON c.j = v${t - 1}.i GROUP BY c.i),
+           |v$t AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w$t) AS v
+           |  FROM w$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH el AS (
+         |  SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, unnest(list_transform(range(len(embedding)),
+         |    k -> {'i': k, 'x': embedding[k+1]})) AS u FROM embeddings)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |means AS (SELECT i, avg(x) AS m FROM el GROUP BY i),
+         |prod AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+         |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+         |cov AS (SELECT p.i, p.j,
+         |    p.sxy / (SELECT n FROM nn) - ma.m * mb.m AS c
+         |  FROM prod p JOIN means ma ON ma.i = p.i
+         |    JOIN means mb ON mb.i = p.j),
+         |v0 AS (SELECT i, CASE WHEN i = 0 THEN 1.0::DOUBLE
+         |  ELSE 0.0::DOUBLE END AS v FROM means),
+         |$rounds,
+         |ray AS (SELECT sum(c.c * a.v * b.v) AS ev
+         |  FROM cov c JOIN v3 a ON c.i = a.i JOIN v3 b ON c.j = b.i)
+         |SELECT v3.i AS dim, round(v3.v, 6) AS loading,
+         |  round((SELECT ev FROM ray), 6) AS eigenvalue
+         |FROM v3 ORDER BY dim""".stripMargin
+    },
 
     "q_embedding_outliers" ->
       // same planted x10 junk vectors; per-label exact median + MAD over

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal component of an embedding column by POWER ITERATION run
+  * as relational rounds (von Mises & Pollaczek-Geiringer 1929) — the
+  * embedding-space ANISOTROPY diagnostic a pipeline runs before trusting
+  * cosine scores (Ethayarajh 2019, "How Contextual are Contextualized
+  * Word Representations?": a dominant common direction inflates all
+  * cosines; its eigenvalue share is the alarm signal), and the natural
+  * companion to the norm-outlier QC gate.
+  *
+  * Scale design: the covariance census is ONE self-join of the exploded
+  * vectors keyed by the row id — fan-out dims² per row, aggregated
+  * map-side into a dims²-row frame; E[x·y] − mx·my keeps it a single
+  * products pass with the means applied at the aggregate level. Each
+  * power round is then a keyed join of that dims²-row frame with the
+  * dims-row iterate plus a 1-row broadcast norm — NO driver action per
+  * round (the normalizer rides as a crossJoin(broadcast(...)), the
+  * pageRank dangling-mass pattern). The census itself is eager-
+  * checkpointed ONCE (it feeds every round plus the Rayleigh pass — the
+  * op's single driver action); the iterate stays a frame throughout,
+  * which is why this survives dims where a collect-the-matrix approach
+  * (dims² doubles on the driver) would not.
+  *
+  * Determinism: v0 = e0, `iters` fixed rounds, each normalized by its L2
+  * norm — replayed exactly by the oracle's unrolled CTEs. Output:
+  * (dim, loading, eigenvalue) with the Rayleigh quotient vᵀCv repeated
+  * per row; the sign is pinned by v0 (flip-invariant callers may ignore
+  * it).
+  */
+object Pca {
+
+  def topComponent(vecs: DataFrame, vecCol: String, idCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val el = vecs.select(col(idCol).alias("__id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+    val nRows = vecs.agg(count(lit(1)).cast("double").alias("__n"))
+    val means = el.groupBy(col("i")).agg(avg(col("x")).alias("m"))
+    // E[x_i x_j] - m_i m_j: one products pass (the self-join is aliased —
+    // joining a frame with its own derivative by bare column reference
+    // can silently self-compare)
+    val left = el.alias("__pl")
+    val right = el.select(col("__id"), col("i").alias("j"),
+      col("x").alias("y")).alias("__pr")
+    val cov = left.join(right, col("__pl.__id") === col("__pr.__id"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("x") * col("y")).alias("sxy"))
+      .crossJoin(broadcast(nRows))
+      .join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").alias("j"), col("m").alias("mj"))),
+        Seq("j"))
+      .select(col("i"), col("j"),
+        (col("sxy") / col("__n") - col("m") * col("mj")).alias("c"))
+      // the census is read by every round AND the Rayleigh pass — eager
+      // checkpoint pays the corpus self-join exactly once (dims²-row
+      // result; this is the op's ONE driver action)
+      .localCheckpoint(true)
+    var v = means.select(col("i"),
+      when(col("i") === 0, lit(1.0d)).otherwise(lit(0.0d)).alias("v"))
+    for (_ <- 1 to iters) {
+      val w = cov
+        .join(v.select(col("i").alias("j"), col("v").alias("vj")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("vj")).alias("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).alias("__nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("w") / col("__nrm")).alias("v"))
+    }
+    val ray = cov
+      .join(v.select(col("i"), col("v").alias("vi")), Seq("i"))
+      .join(v.select(col("i").alias("j"), col("v").alias("vj")), Seq("j"))
+      .agg(sum(col("c") * col("vi") * col("vj")).alias("__ev"))
+    v.crossJoin(broadcast(ray))
+      .select(col("i").alias("dim"), col("v").alias("loading"),
+        col("__ev").alias("eigenvalue"))
+  }
+}

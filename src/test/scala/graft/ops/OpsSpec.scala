@@ -1300,6 +1300,29 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("power-iteration PCA recovers a planted rank-1 direction through a mean shift") {
+    import spark.implicits._
+    // x_k = shift + a_k * d with balanced a = ±2: the centered covariance
+    // is rank-1 (E[a²] d dᵀ), so ONE power round already lands exactly on
+    // d/|d| and the Rayleigh quotient on E[a²]·|d|² = 4 — the shift must
+    // vanish through the centering
+    val d = Seq(0.6, 0.8, 0.0, 0.0)
+    val vecs = (0 until 200).map { k =>
+      val a = if (k % 2 == 0) 2.0 else -2.0
+      (k.toLong, d.map(x => (1.0 + a * x).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Pca.topComponent(vecs, "embedding", "vec_id", iters = 2)
+      .orderBy("dim").collect()
+    val loadings = out.map(_.getDouble(1))
+    // float32 storage quantizes 0.6/0.8; compare to 1e-5
+    assert(math.abs(loadings(0) - 0.6) < 1e-5 &&
+      math.abs(loadings(1) - 0.8) < 1e-5 &&
+      math.abs(loadings(2)) < 1e-9 && math.abs(loadings(3)) < 1e-9,
+      loadings.toSeq.toString)
+    val ev = out.head.getDouble(2)
+    assert(math.abs(ev - 4.0) < 1e-4, s"eigenvalue $ev")
+  }
+
   test("joinDelta: view ∪ delta equals the full recompute, multiplicities included") {
     import spark.implicits._
     // duplicate keys on BOTH sides so the multiset algebra is exercised:
