@@ -326,6 +326,41 @@ object SparkEntry {
       |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
       |        FROM documents))""".stripMargin
 
+  /** DuckDB winnowing selection over `documents` (mirrors
+    * TextAnalysis.winnowFingerprints k=3, w=4): per-position word-3-gram
+    * polynomial hashes (the q_text_fingerprint fold, applied per gram),
+    * then each 4-window's minimum with the rightmost tie rule — replayed
+    * as a ranged self-join + two-stage argmin (min hash per window, then
+    * max position among its holders). Ends in CTE `sel(doc_id, fpos, fp)`.
+    */
+  private val winnowSelCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_transform(range(len(tk) - 2),
+      |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS gs
+      |  FROM toks WHERE len(tk) >= 3),
+      |hr AS (
+      |  SELECT doc_id, ph.p AS p, ph.h AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(gs)), i -> {
+      |      'p': i,
+      |      'h': list_reduce([0]::BIGINT[] ||
+      |             list_transform(list_filter(str_split(gs[i+1], ''), c -> len(c) > 0),
+      |               c -> CAST(ord(c) AS BIGINT)),
+      |             (a, c) -> (a * 257 + c) % 1000000007)})) AS ph
+      |    FROM grams)),
+      |win AS (
+      |  SELECT a.doc_id, a.p AS e, b.p AS p, b.h AS h
+      |  FROM hr a JOIN hr b ON b.doc_id = a.doc_id AND b.p BETWEEN a.p - 3 AND a.p
+      |  WHERE a.p >= 3),
+      |wm AS (SELECT doc_id, e, min(h) AS mh FROM win GROUP BY doc_id, e),
+      |sel AS (
+      |  SELECT w.doc_id, max(v.p) AS fpos, w.mh AS fp
+      |  FROM wm w JOIN win v ON v.doc_id = w.doc_id AND v.e = w.e AND v.h = w.mh
+      |  GROUP BY w.doc_id, w.e, w.mh)""".stripMargin
+
   /** One unrolled BPE round for the q_bpe_* oracles: the weighted
     * adjacent-pair census over `v{n-1}`, its deterministic argmax as
     * `m$n`, and the merged vocabulary as `v$n` — greedy left-to-right
@@ -902,6 +937,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_anomaly_mad" -> ((s, dir) => {
+      // ROBUST per-entity anomaly score (Iglewicz & Hoaglin 1993, "How to
+      // detect and handle outliers"): modified z = 0.6745·(x − med)/MAD
+      // with med/MAD exact per-user medians — unlike q_anomaly_zscore's
+      // mean/stddev, one planted spike can't inflate its own yardstick
+      // (the masking problem). Two keyed aggregates + two equi-joins; the
+      // exact `percentile` buffers one user's values per group, so the
+      // 100 TB swap is `percentile_approx` (the TopK.fractionGate trade).
+      // MAD = 0 (constant or single-event users) flags nothing rather
+      // than dividing by zero; the flag reads the ROUNDED score so the
+      // 3.5 boundary can't flap between engines.
+      val ev = EV(s, dir)
+      val med = ev.groupBy(col("user_id"))
+        .agg(percentile(col("value"), lit(0.5)).alias("__med"))
+      val dev = ev.join(med, "user_id")
+      val mad = dev.groupBy(col("user_id"))
+        .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).alias("__mad"))
+      dev.join(mad, "user_id")
+        .select(col("event_id"), col("user_id"),
+          Rounding.roundAway(
+            when(col("__mad") === 0, lit(0.0))
+              .otherwise(lit(0.6745) * (col("value") - col("__med")) / col("__mad")),
+            6).alias("mz"))
+        .withColumn("is_outlier", abs(col("mz")) > 3.5)
+        .orderBy(col("event_id"))
+    }),
+
     "q_equidepth_hist" -> ((s, dir) =>
       // equi-depth histogram (the optimizer-statistics / drift-monitoring
       // primitive): ntile(8) over a deterministic total order, then one
@@ -1426,6 +1488,28 @@ object SparkEntry {
           col("n_regionkey").cast("long").alias("dst"), lit(1.0).alias("w")))
       graft.ops.Graph.pageRank(nodes, edges, iterations = 3, weightCol = Some("w"))
         .select(col("id"), Rounding.roundAway(col("rank"), 6).alias("rank"))
+        .orderBy(col("id"))
+    }),
+
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs & authorities (Kleinberg 1999) over the same hierarchy
+      // graph: customers are pure hubs (they only point), regions pure
+      // authorities (only pointed at), nations both — the two-sided
+      // centrality PageRank's single score can't express. 3 iterations,
+      // L1-normalized, exactly replayable by the oracle's unrolled CTEs.
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 500)
+      val nation = T(s, dir, "nation")
+      val region = T(s, dir, "region")
+      val nodes = cust.select((col("c_custkey") + 10000).cast("long").alias("id"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("id")))
+        .unionByName(region.select(col("r_regionkey").cast("long").alias("id")))
+      val edges = cust.select((col("c_custkey") + 10000).cast("long").alias("src"),
+          (col("c_nationkey") + 100).cast("long").alias("dst"))
+        .unionByName(nation.select((col("n_nationkey") + 100).cast("long").alias("src"),
+          col("n_regionkey").cast("long").alias("dst")))
+      graft.ops.Graph.hits(nodes, edges, iterations = 3)
+        .select(col("id"), Rounding.roundAway(col("hub"), 6).alias("hub"),
+          Rounding.roundAway(col("auth"), 6).alias("auth"))
         .orderBy(col("id"))
     }),
 
@@ -3020,6 +3104,39 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).alias("fp"))
         .orderBy(col("doc_id"))),
 
+    "q_text_winnow" -> ((s, dir) =>
+      // winnowing document sketches (Schleimer et al. 2003, the MOSS
+      // algorithm): rightmost-min of each 4-window of word-3-gram
+      // hashes — any shared run of >= 6 tokens is GUARANTEED to share a
+      // fingerprint (the local guarantee MinHash sampling lacks). One
+      // Generate + one doc-keyed window pass; the oracle rebuilds the
+      // identical polynomial hashes and replays the selection as a
+      // ranged self-join + per-window argmin.
+      TextAnalysis.winnowFingerprints(T(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id"), col("fpos").cast("long").alias("fpos"), col("fp"))
+        .orderBy(col("doc_id"), col("fpos"), col("fp"))),
+
+    "q_dedup_winnow" -> ((s, dir) => {
+      // near-dup candidate pairs from shared winnowing fingerprints —
+      // the MOSS match step: postings-style equi-join on the fingerprint
+      // hash (bucketed by fp, never all-pairs), with ubiquitous
+      // fingerprints (df > 20 docs — boilerplate) dropped BEFORE the
+      // join, the same hot-key screen as the shingle-df dedup family.
+      val fps = TextAnalysis.winnowFingerprints(T(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id"), col("fp")).distinct()
+      val rare = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).alias("__df")).where(col("__df") <= 20)
+      val f = fps.join(rare.select(col("fp")), "fp")
+      f.alias("wa").join(f.alias("wb"),
+          col("wa.fp") === col("wb.fp") && col("wa.doc_id") < col("wb.doc_id"))
+        .groupBy(col("wa.doc_id").alias("doc_a"), col("wb.doc_id").alias("doc_b"))
+        .agg(count(lit(1)).alias("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_text_clean" -> ((s, dir) => {
       // web-crawl cleanup: wrap each doc in markup + entities + PII (so
       // the transforms have something real to chew on), then strip tags,
@@ -3411,6 +3528,28 @@ object SparkEntry {
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
 
+    "q_anomaly_mad" ->
+      // same two median aggregates; quantile_cont is DuckDB's exact
+      // interpolating percentile (= Spark's `percentile`); the flag reads
+      // the rounded score on both sides
+      """WITH med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY user_id),
+        |dev AS (
+        |  SELECT e.event_id, e.user_id, e.value, m.med
+        |  FROM events e JOIN med m USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM dev GROUP BY user_id)
+        |SELECT d.event_id, d.user_id,
+        |  round(CASE WHEN m.mad = 0 THEN 0.0::DOUBLE
+        |    ELSE 0.6745::DOUBLE * (d.value - d.med) / m.mad END, 6) AS mz,
+        |  abs(round(CASE WHEN m.mad = 0 THEN 0.0::DOUBLE
+        |    ELSE 0.6745::DOUBLE * (d.value - d.med) / m.mad END, 6)) > 3.5
+        |    AS is_outlier
+        |FROM dev d JOIN mad m USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+
     "q_equidepth_hist" ->
       """SELECT bucket, count(*) AS n,
         |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
@@ -3788,6 +3927,62 @@ object SparkEntry {
         |WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
         |  AND levenshtein(l.c_name, r.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_hits" -> {
+      // the 3 HITS iterations unrolled: per round the auth update (sum of
+      // CURRENT hubs over in-edges, L1-normalized) then the hub update
+      // over the NEW auths — the classic sequential order — with every
+      // literal forced DOUBLE and the zero-total guard as a CASE
+      val iters = 3
+      // MATERIALIZED pins each round's frame to one evaluation: DuckDB
+      // inlines multiply-referenced CTEs by default, and the per-round
+      // fan-out (each s_k reads a_k twice, a_k reads a_kraw twice)
+      // compounds exponentially across rounds. The 1-row totals CROSS
+      // JOIN in — the exact shape of the Spark side's
+      // crossJoin(broadcast(...)) — rather than correlating a scalar
+      // subquery per row.
+      val body = (1 to iters).map { k =>
+        s"""a${k}raw AS MATERIALIZED (
+           |  SELECT e.dst AS id, sum(s.hub) AS a
+           |  FROM edges e JOIN s${k - 1} s ON e.src = s.id GROUP BY e.dst),
+           |at$k AS MATERIALIZED (
+           |  SELECT COALESCE(sum(a), 0.0::DOUBLE) AS t FROM a${k}raw),
+           |a$k AS MATERIALIZED (
+           |  SELECT n.id,
+           |    CASE WHEN at$k.t > 0
+           |      THEN COALESCE(r.a, 0.0::DOUBLE) / at$k.t
+           |      ELSE 0.0::DOUBLE END AS auth
+           |  FROM nodes n LEFT JOIN a${k}raw r ON n.id = r.id
+           |  CROSS JOIN at$k),
+           |h${k}raw AS MATERIALIZED (
+           |  SELECT e.src AS id, sum(a.auth) AS h
+           |  FROM edges e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+           |ht$k AS MATERIALIZED (
+           |  SELECT COALESCE(sum(h), 0.0::DOUBLE) AS t FROM h${k}raw),
+           |s$k AS MATERIALIZED (
+           |  SELECT a.id,
+           |    CASE WHEN ht$k.t > 0
+           |      THEN COALESCE(r.h, 0.0::DOUBLE) / ht$k.t
+           |      ELSE 0.0::DOUBLE END AS hub,
+           |    a.auth
+           |  FROM a$k a LEFT JOIN h${k}raw r ON a.id = r.id
+           |  CROSS JOIN ht$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS id FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation
+         |  UNION ALL SELECT CAST(r_regionkey AS BIGINT) FROM region),
+         |edges AS (
+         |  SELECT CAST(c_custkey + 10000 AS BIGINT) AS src,
+         |         CAST(c_nationkey + 100 AS BIGINT) AS dst
+         |  FROM customer WHERE c_custkey < 500
+         |  UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT),
+         |    CAST(n_regionkey AS BIGINT) FROM nation),
+         |s0 AS (SELECT id, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS auth FROM nodes),
+         |$body
+         |SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth
+         |FROM s$iters ORDER BY id""".stripMargin
+    },
 
     "q_pagerank" -> {
       // the SAME 5 power iterations unrolled as sequential CTEs: per
@@ -6071,6 +6266,23 @@ object SparkEntry {
         |      c -> CAST(ord(c) AS BIGINT)),
         |    (a, c) -> (a * 257 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_winnow" ->
+      s"""$winnowSelCte
+         |SELECT DISTINCT doc_id, fpos, fp FROM sel
+         |ORDER BY doc_id, fpos, fp""".stripMargin,
+
+    "q_dedup_winnow" ->
+      s"""$winnowSelCte,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_text_clean" ->
       """WITH raw AS (

@@ -660,4 +660,64 @@ object Graph {
     }
     dist
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") — the bipartite-reinforcement sibling of
+    * [[pageRank]]: a good HUB points at good authorities, a good
+    * AUTHORITY is pointed at by good hubs. The signal pair web-corpus
+    * curation uses to separate directory/aggregator pages (hubs) from
+    * content pages worth keeping (authorities) — one centrality can't
+    * tell them apart.
+    *
+    * Per iteration, over the directed edge list: `auth'(v) = Σ_{u→v}
+    * hub(u)`, then `hub'(u) = Σ_{u→v} auth'(v)` (the classic sequential
+    * update order — hubs read the NEW authorities), each vector L1
+    * normalized so scores are comparable across rounds and graphs. The
+    * normalizer rides along as a broadcast 1-row crossJoin (the same
+    * no-extra-action trick as [[pageRank]]'s dangling mass), so each
+    * round runs exactly ONE driver action — the eager checkpoint that
+    * also flattens lineage. Both updates are node-keyed equi-join +
+    * aggregate: the shuffles carry the score frontier, never N², and
+    * with edges bucketed by src/dst the joins plan exchange-free.
+    *
+    * Fixed `iterations` (no convergence probe) keeps the result exactly
+    * replayable by an unrolled SQL oracle. Nodes with no out-edges get
+    * hub 0, no in-edges auth 0; an edgeless graph yields all-zero scores
+    * (guarded division) rather than NaN.
+    *
+    * Output: (id, hub, auth).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iterations: Int = 10,
+      idCol: String = "id", srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val ids = nodes.select(col(idCol).alias("id")).localCheckpoint(true)
+    var scores = ids.select(col("id"), lit(1.0d).alias("hub"),
+      lit(1.0d).alias("auth"))
+    for (_ <- 0 until iterations) {
+      // auth update reads the current hubs over in-edges; the L1 total is
+      // an ungrouped agg (always exactly one row, coalesced to 0 on an
+      // edgeless graph) broadcast into the normalize — no driver action
+      val aRaw = scores.join(edges, scores("id") === edges(srcCol))
+        .groupBy(col(dstCol).alias("id")).agg(sum(col("hub")).alias("__a"))
+      val aTot = aRaw.agg(coalesce(sum(col("__a")), lit(0.0d)).alias("__at"))
+      val auth1 = ids.join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("id"),
+          when(col("__at") > 0, coalesce(col("__a"), lit(0.0d)) / col("__at"))
+            .otherwise(lit(0.0d)).alias("auth"))
+      // hub update reads the NEW authorities back over the same edges
+      val hRaw = auth1.join(edges, auth1("id") === edges(dstCol))
+        .groupBy(col(srcCol).alias("id")).agg(sum(col("auth")).alias("__h"))
+      val hTot = hRaw.agg(coalesce(sum(col("__h")), lit(0.0d)).alias("__ht"))
+      scores = auth1.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("id"),
+          when(col("__ht") > 0, coalesce(col("__h"), lit(0.0d)) / col("__ht"))
+            .otherwise(lit(0.0d)).alias("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+    }
+    scores.select(col("id"), col("hub"), col("auth"))
+  }
 }

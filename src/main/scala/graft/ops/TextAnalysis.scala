@@ -721,6 +721,88 @@ object TextAnalysis {
       (acc, c) => pmod(acc * base + ascii(c), lit(mod)))
   }
 
+  /** Per-position word-`k`-gram polynomial hashes in ONE pass — the
+    * POSITIONAL twin of [[fingerprint]]: element i is the [[fingerprint]]
+    * hash of `tokens[i..i+k-1]` joined by single spaces, tokens =
+    * `lower` + whitespace-split + drop-empties (the [[wordShingles]]
+    * convention). Portable by construction — a DuckDB oracle rebuilds
+    * identical values with `ord`/`list_reduce` — unlike murmur-based
+    * `Dedup.shingleHashes`, which trades portability for 64-bit width.
+    * A UDF for the same reason as shingleHashes: the expression form
+    * re-evaluates the captured token array per element (interpreted HOFs
+    * do no CSE), going O(tokens²) per document on the hot path.
+    */
+  def posGramHashes(text: Column, k: Int,
+      base: Long = 257L, mod: Long = 1000000007L): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (toks.length < k) Array.empty[Long]
+        else {
+          val out = new Array[Long](toks.length - k + 1)
+          var i = 0
+          while (i <= toks.length - k) {
+            var acc = 0L
+            var j = 0
+            while (j < k) {
+              if (j > 0) acc = (acc * base + ' '.toInt) % mod
+              val s = toks(i + j)
+              var c = 0
+              while (c < s.length) {
+                acc = (acc * base + s.charAt(c).toInt) % mod
+                c += 1
+              }
+              j += 1
+            }
+            out(i) = acc
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    f(text)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Schwartzman & Aiken,
+    * SIGMOD 2003, "Winnowing: local algorithms for document
+    * fingerprinting" — the MOSS algorithm): from the per-position k-gram
+    * hash sequence, every window of `w` consecutive hashes selects its
+    * minimum, ties broken to the RIGHTMOST position (the paper's robust
+    * rule). The selected (position, hash) set is the document sketch:
+    * any match of length ≥ w + k − 1 tokens between two documents is
+    * GUARANTEED to share a fingerprint, at expected density 2/(w+1) —
+    * the local-guarantee property random MinHash sampling lacks.
+    *
+    * Shape: one Generate (posexplode of the one-pass hash array) + one
+    * doc-keyed window pass with a ROWS `w−1` PRECEDING frame — the
+    * rightmost-min rule is a single `min(struct(hash, −pos))` over that
+    * frame, no self-join, no per-window group-by. Linear in corpus size,
+    * embarrassingly parallel across documents; documents shorter than
+    * w + k − 1 tokens emit nothing (no full window exists).
+    *
+    * Output: (`idCol`, fpos, fp) — distinct selected fingerprints.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol),
+      posexplode(posGramHashes(col(textCol), k)).as(Seq("__p", "__h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .select(col(idCol), col("__p"),
+        min(struct(col("__h").alias("h"), (-col("__p")).alias("np")))
+          .over(win).alias("__m"))
+      .where(col("__p") >= w - 1)
+      .select(col(idCol), (-col("__m.np")).alias("fpos"), col("__m.h").alias("fp"))
+      .distinct()
+  }
+
   /** Word-level shingles (n-grams of tokens), the dedup building block.
     *
     * NOTE: interpreted higher-order lambdas re-evaluate the captured token

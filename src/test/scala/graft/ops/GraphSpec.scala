@@ -198,6 +198,36 @@ class GraphSpec extends SparkSpecBase {
     assert(uniform.forall(r => math.abs(r - 0.25) < 1e-15))
   }
 
+  test("hits: hand-computed bipartite graph; zero guards on edgeless/isolated") {
+    import spark.implicits._
+    // hubs {1,2} -> authorities {3,4}: 1->3, 1->4, 2->3; node 5 isolated.
+    // Two iterations hand-traced (auth from current hubs, hub from the
+    // NEW auths, L1 normalize each): after r2 hub = (8/13, 5/13),
+    // auth = (5/8, 3/8); isolated node stays at exactly 0 both sides.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.hits(nodes, edges, iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = Map(
+      1L -> (8.0 / 13, 0.0), 2L -> (5.0 / 13, 0.0),
+      3L -> (0.0, 0.625), 4L -> (0.0, 0.375), 5L -> (0.0, 0.0))
+    want.foreach { case (id, (h, a)) =>
+      assert(math.abs(got(id)._1 - h) < 1e-12 && math.abs(got(id)._2 - a) < 1e-12,
+        s"node $id: ${got(id)} vs ($h, $a)") }
+    // both L1 masses are 1 after any iteration
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // edgeless graph: the division guard yields exact zeros, never NaN
+    val zero = Graph.hits(nodes, spark.emptyDataset[(Long, Long)]
+      .toDF("src", "dst"), iterations = 2)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(zero.forall(_ == (0.0, 0.0)), zero.toSeq.toString)
+    // zero iterations = the unnormalized init vector
+    val init = Graph.hits(nodes, edges, iterations = 0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(init.forall(_ == (1.0, 1.0)))
+  }
+
   test("personalized pageRank: rank concentrates at the seeds, far components get exactly 0") {
     import spark.implicits._
     // component A: 1 -> 2 -> 3 (3 dangling); component B: 10 <-> 11

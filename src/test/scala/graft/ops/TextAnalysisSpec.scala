@@ -198,4 +198,52 @@ class TextAnalysisSpec extends SparkSpecBase {
     // stopwords = the, the, and, of = 4
     assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((7, 5, 4)))
   }
+
+  test("posGramHashes: element i equals fingerprint() of the i-th space-joined gram") {
+    // the one-pass UDF must be bit-identical to the declarative
+    // fingerprint fold over each gram string — the portability contract
+    // the winnow oracle leans on
+    val text = "The  quick\tBrown fox JUMPS over the lazy dog"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val k = 3
+    val gramStrs = toks.sliding(k).map(_.mkString(" ")).toSeq
+    val got = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.posGramHashes(col("text"), k)).alias("h"))
+      .as[Long].collect().toSeq
+    val want = gramStrs.toDF("g")
+      .select(TextAnalysis.fingerprint(col("g")).alias("h"))
+      .as[Long].collect().toSeq
+    assert(got == want && got.length == toks.length - k + 1)
+    // short/null/empty docs emit empty arrays, not nulls or crashes
+    val degenerate = Seq("one two", "", null).toDF("text")
+      .select(size(TextAnalysis.posGramHashes(col("text"), k)).alias("n"))
+      .as[Int].collect().toSeq
+    assert(degenerate == Seq(0, 0, 0))
+  }
+
+  test("winnowFingerprints: local guarantee, rightmost ties, short-doc emptiness") {
+    val k = 3
+    val w = 4
+    // two docs sharing a run of w + k - 1 = 6 tokens MUST share >= 1
+    // fingerprint (Schleimer et al. 2003's guarantee threshold t = w+k-1)
+    val shared = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"uno dos tres cuatro $shared cinco seis siete")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getLong(2)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"no shared fingerprint across a $shared run: $byDoc")
+    // all-identical tokens -> every gram hash equal -> the rightmost-min
+    // rule selects exactly positions w-1..n_grams-1 (a leftmost rule
+    // would select 0..n_grams-w — this pins the tie direction)
+    val rep = Seq((9L, Array.fill(10)("same").mkString(" "))).toDF("doc_id", "text")
+    val selPos = TextAnalysis.winnowFingerprints(rep, "doc_id", "text", k, w)
+      .select(col("fpos")).as[Int].collect().toSet
+    assert(selPos == (w - 1 to 10 - k).toSet, selPos.toString)
+    // a doc shorter than w + k - 1 tokens has no full window: no sketch
+    val short = Seq((5L, "only four tokens here!")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(short, "doc_id", "text", k, w).count() == 0)
+  }
 }
