@@ -2352,6 +2352,22 @@ object SparkEntry {
           "doc_id", minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_dedup_prefix" -> ((s, dir) =>
+      // EXACT token-set Jaccard pairs via prefix filtering (Bayardo et
+      // al. 2007): unlike the minhash rows above, a guarantee — no
+      // near-dup pair can escape the candidate join. Jaccard is a ratio
+      // of exact integer counts, so the 0.9 cut is bit-deterministic;
+      // rounding is display only. Same doc_id < 500 fixture bound as
+      // q_dedup_ngram: unigram SETS on templated text overlap heavily,
+      // so pair counts grow quadratically with corpus size.
+      Dedup.prefixFilterPairs(
+          T(s, dir, "documents").where(col("doc_id") < 500), "text", "doc_id",
+          threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          Rounding.roundAway(col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter")), 6).alias("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q_dedup_cluster_sizes" -> ((s, dir) => {
       // dedup AUDIT: the near-dup cluster-size histogram a corpus owner
       // reads before picking a threshold (how much mass sits in pairs vs
@@ -5241,6 +5257,40 @@ object SparkEntry {
         |  SELECT e.dst AS id, l.rep FROM lbl l JOIN edges e ON e.src = l.id)
         |SELECT id AS doc_id FROM (SELECT id, min(rep) AS rep FROM lbl GROUP BY id)
         |WHERE rep = id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_prefix" ->
+      // the same prefix-filter pipeline replayed relationally: census ->
+      // ascending (df, token) rank -> prefix postings -> candidate join
+      // with the symmetric length filter -> exact shared-token counts.
+      // The threshold compares the UNROUNDED integer ratio, like Spark.
+      """WITH tk AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tk
+        |  FROM documents WHERE doc_id < 500),
+        |sized AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+        |post AS (SELECT doc_id, n, unnest(tk) AS tok FROM sized),
+        |census AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+        |ranked AS (
+        |  SELECT p.doc_id, p.n, p.tok,
+        |    row_number() OVER (PARTITION BY p.doc_id ORDER BY c.df, p.tok) AS rn
+        |  FROM post p JOIN census c USING (tok)),
+        |pref AS (SELECT doc_id, n, tok FROM ranked
+        |  WHERE rn <= n - ceil(0.9::DOUBLE * n) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.n AS n_a,
+        |    b.doc_id AS doc_b, b.n AS n_b
+        |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND b.n >= 0.9::DOUBLE * a.n AND a.n >= 0.9::DOUBLE * b.n),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN post pa ON pa.doc_id = c.doc_a
+        |  JOIN post pb ON pb.doc_id = c.doc_b AND pb.tok = pa.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(i::DOUBLE / (n_a + n_b - i), 6) AS jaccard
+        |FROM inter WHERE i::DOUBLE / (n_a + n_b - i) >= 0.9::DOUBLE
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""$shingleCte

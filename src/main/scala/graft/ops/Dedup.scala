@@ -641,6 +641,67 @@ object Dedup {
       df.select(col(idCol), shingleHashes(col(textCol), n).alias("sh")),
       idCol, minContainment, maxDf)
 
+  /** EXACT all-pairs token-set Jaccard join via PREFIX FILTERING
+    * (Bayardo, Ma & Srikant, WWW 2007, "Scaling up all pairs similarity
+    * search"; distributed form Vernica, Carey & Li, SIGMOD 2010) — the
+    * no-false-negative alternative to MinHash banding: LSH candidates
+    * are probabilistic (a near-dup pair can miss every band), prefix
+    * filtering is a guarantee. Order every document's distinct tokens by
+    * ascending global document frequency (rarest first, ties on the
+    * token string — one total order corpus-wide); two sets with
+    * `jaccard >= t` MUST collide on at least one token inside their
+    * first `n − ceil(t·n) + 1` tokens, so only those PREFIX tokens
+    * generate postings. The prefix is each document's rarest tokens by
+    * construction, which self-caps posting-list length — the hot-token
+    * screen the shingle family needs a df-cap for comes built in.
+    *
+    * Shape: one token census (map-side combining), one doc-keyed window
+    * for the rank, a token-keyed candidate equi-join with the symmetric
+    * length filter (`t·n_a <= n_b <= n_a/t`) folded into the join
+    * predicate, then exact verification by counting shared tokens on the
+    * candidate pairs only. Jaccard = i/(n_a + n_b − i) is a ratio of
+    * exact integers, so the `>= t` cut is bit-deterministic across
+    * engines — no rounding convention needed at the boundary.
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, inter) for pairs meeting the
+    * threshold — callers derive jaccard from the exact counts.
+    */
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sized = df.select(col(idCol).alias("__id"),
+        array_distinct(TextAnalysis.tokens(lower(col(textCol)))).alias("__tk"))
+      .select(col("__id"), col("__tk"), size(col("__tk")).alias("__n"))
+      .where(col("__n") > 0)
+    val post = sized.select(col("__id"), col("__n"),
+      explode(col("__tk")).alias("__tok"))
+    val census = post.groupBy(col("__tok"))
+      .agg(count(lit(1)).alias("__df"))
+    val ranked = post.join(census, "__tok")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+    val pref = ranked.where(
+      col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val cand = pref.alias("pa").join(pref.alias("pb"),
+        col("pa.__tok") === col("pb.__tok")
+          && col("pa.__id") < col("pb.__id")
+          && col("pb.__n") >= lit(threshold) * col("pa.__n")
+          && col("pa.__n") >= lit(threshold) * col("pb.__n"))
+      .select(col("pa.__id").alias("doc_a"), col("pa.__n").alias("n_a"),
+        col("pb.__id").alias("doc_b"), col("pb.__n").alias("n_b"))
+      .distinct()
+    val inter = cand
+      .join(post.select(col("__id").alias("doc_a"), col("__tok")), Seq("doc_a"))
+      .join(post.select(col("__id").alias("doc_b"), col("__tok")),
+        Seq("doc_b", "__tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).alias("inter"))
+    inter.where(col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"))
+  }
+
   /** Shingle document-frequency view — the boilerplate detector: shingles
     * appearing in many documents are templates/headers/spam. One explode +
     * one groupBy (shuffle keyed by shingle hash); at scale this is also

@@ -1509,4 +1509,33 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     assert(rows.forall { case (id, off) => id % 3 == 2 && off % 2500 == 0 })
   }
+
+  test("prefixFilterPairs: exactly the brute-force pair set — the no-false-negative guarantee") {
+    // randomized corpus with planted near-dups: every token-set pair with
+    // jaccard >= t must surface, none below it — prefix filtering is a
+    // guarantee, not a probabilistic screen like minhash banding
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(6 + rnd.nextInt(10)).mkString(" "))
+    }
+    // planted: drop one token from doc i's set -> high-jaccard partner
+    val planted = base.take(8).map { case (id, t) =>
+      (id + 1000L, t.split(" ").drop(1).mkString(" ")) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val t = 0.7
+    val got = Dedup.prefixFilterPairs(docs, "text", "doc_id", t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over collected token sets
+    val sets = (base ++ planted).map { case (id, txt) =>
+      id -> txt.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa intersect sb).size.toDouble / (sa union sb).size
+      if j >= t
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture must plant at least one qualifying pair")
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }
