@@ -2091,6 +2091,39 @@ object SparkEntry {
           "user_id", "bucket_ts", "1 HOUR", Map("n" -> lit(0L)))
         .orderBy(col("user_id"), col("bucket_ts"))),
 
+    "q_seasonal_decompose" -> ((s, dir) => {
+      // CLASSICAL additive seasonal decomposition (the moving-average
+      // method, Kendall & Stuart; the pre-STL textbook form): daily
+      // totals split into trend (centered 7-day moving average, only
+      // where the full window exists), weekly seasonal (per-weekday mean
+      // of the detrended series, centered to sum ~0), and residual — the
+      // anomaly baseline a metrics monitor subtracts before flagging.
+      // The AGGREGATED series is calendar-bounded (one row per day), so
+      // the unpartitioned window is a few-thousand-row frame at any
+      // corpus scale; the heavy work is the one groupBy(day) shuffle.
+      val daily = EV(s, dir)
+        .groupBy(date_trunc("day", col("ts")).alias("day"))
+        .agg(sum(col("value")).alias("y"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t1 = daily.select(col("day"), col("y"),
+        when(count(lit(1)).over(w7) === 7, avg(col("y")).over(w7))
+          .alias("trend"))
+      val t2 = t1.withColumn("det", col("y") - col("trend"))
+        .withColumn("dow", weekday(col("day")))
+      val sdow = t2.where(col("det").isNotNull)
+        .groupBy(col("dow")).agg(avg(col("det")).alias("sraw"))
+      val sm = sdow.agg(avg(col("sraw")).alias("__sm"))
+      val seas = sdow.crossJoin(broadcast(sm))
+        .select(col("dow"), (col("sraw") - col("__sm")).alias("seasonal"))
+      t2.join(seas, Seq("dow"), "left")
+        .select(col("day").cast("date").alias("day"),
+          Rounding.roundAway(col("y"), 6).alias("y"),
+          Rounding.roundAway(col("trend"), 6).alias("trend"),
+          Rounding.roundAway(col("seasonal"), 6).alias("seasonal"),
+          Rounding.roundAway(col("det") - col("seasonal"), 6).alias("resid"))
+        .orderBy(col("day"))
+    }),
+
     "q_corpus_prepare" -> ((s, dir) => {
       // the CAPSTONE under oracle test: quality + repetition + language
       // filters, MinHash-LSH near-dup removal, eval-set decontamination,
@@ -2259,6 +2292,36 @@ object SparkEntry {
           Map("en" -> 120, "de" -> 40, "fr" -> 25), col("doc_id"))
         .groupBy(col("lang")).agg(count(lit(1)).alias("n"), min(col("doc_id")).alias("first_doc"))
         .orderBy(col("lang"))),
+
+    "q_sample_temperature" -> ((s, dir) => {
+      // TEMPERATURE-scaled multilingual sampling (Conneau & Lample 2019,
+      // XLM; the multinomial q_i ∝ p_i^α rule every multilingual
+      // pretraining corpus uses): α = 0.3 flattens the language
+      // distribution so low-resource languages keep representation
+      // without drowning the head. Per-language rate = min(1, B·q_i/n_i)
+      // against a 300-doc budget, drawn per doc by the deterministic md5
+      // unit score. The α-power is transcendental, so rates are ROUNDED
+      // before the draw compares them (both engines then gate on the
+      // identical constant — the boundary can't flap); the normalizer is
+      // a 1-row broadcast crossJoin, no driver math.
+      val alpha = 0.3
+      val docs = T(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).alias("n"))
+      val z = counts.agg(sum(pow(col("n").cast("double"), lit(alpha)))
+        .alias("__z"))
+      val rates = counts.crossJoin(broadcast(z))
+        .select(col("lang"), col("n"),
+          Rounding.roundAway(
+            pow(col("n").cast("double"), lit(alpha)) / col("__z"), 6).alias("q"))
+        .withColumn("rate", least(lit(1.0),
+          Rounding.roundAway(lit(300.0) * col("q") / col("n"), 6)))
+      docs.join(rates, "lang")
+        .where(ops.Sampling.unitScore(col("doc_id")) < col("rate"))
+        .groupBy(col("lang"), col("n"), col("q"), col("rate"))
+        .agg(count(lit(1)).alias("n_sampled"))
+        .select(col("lang"), col("n"), col("q"), col("rate"), col("n_sampled"))
+        .orderBy(col("lang"))
+    }),
 
     "q_pack_sequences" -> ((s, dir) =>
       // pack documents into ~8k-char training sequences per language,
@@ -4244,6 +4307,23 @@ object SparkEntry {
         |      < LEAST(1.0, n_chars / 400.0)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_sample_temperature" ->
+      // same α-power census + rounded-rate draw; the md5 unit score is
+      // exact on both engines, so the gate constant is the only float
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3::DOUBLE)) AS z FROM counts),
+        |rates AS (
+        |  SELECT lang, n, round(pow(CAST(n AS DOUBLE), 0.3::DOUBLE) / z.z, 6) AS q
+        |  FROM counts CROSS JOIN z),
+        |r2 AS (SELECT lang, n, q,
+        |  LEAST(1.0::DOUBLE, round(300.0::DOUBLE * q / n, 6)) AS rate FROM rates)
+        |SELECT r.lang, r.n, r.q, r.rate, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN r2 r USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+        |        / 4503599627370496.0 < r.rate
+        |GROUP BY r.lang, r.n, r.q, r.rate
+        |ORDER BY 1""".stripMargin,
+
     "q_sample_priority" ->
       // same u^(1/w) priority draw: the winners' identity is stable under
       // last-ulp pow differences because priorities of distinct docs are
@@ -4710,6 +4790,28 @@ object SparkEntry {
         |SELECT grid.user_id AS user_id, grid.bucket_ts AS bucket_ts, coalesce(b.n, 0) AS n
         |FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bucket_ts = b.bucket_ts
         |ORDER BY grid.user_id, grid.bucket_ts""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      // same daily census + 7-row centered window + weekday means; dow
+      // is an internal join key only (isodow-1 = Spark's weekday), so
+      // its type never reaches the compared schema
+      """WITH daily AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, sum(value) AS y
+        |  FROM events GROUP BY 1),
+        |t1 AS (
+        |  SELECT day, y,
+        |    CASE WHEN count(*) OVER w = 7 THEN avg(y) OVER w END AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, y, trend, y - trend AS det, isodow(day) - 1 AS dow FROM t1),
+        |sdow AS (SELECT dow, avg(det) AS sraw FROM t2 WHERE det IS NOT NULL GROUP BY dow),
+        |sm AS (SELECT avg(sraw) AS sm FROM sdow),
+        |seas AS (SELECT dow, sraw - sm.sm AS seasonal FROM sdow CROSS JOIN sm)
+        |SELECT t2.day, round(t2.y, 6) AS y, round(t2.trend, 6) AS trend,
+        |  round(seas.seasonal, 6) AS seasonal,
+        |  round(t2.det - seas.seasonal, 6) AS resid
+        |FROM t2 LEFT JOIN seas USING (dow)
+        |ORDER BY day""".stripMargin,
 
     "q_corpus_prepare" -> {
       val stops = TextAnalysis.stopwordsSql
