@@ -1444,6 +1444,18 @@ object SparkEntry {
           blockKey = substring(col("c_name"), 1, 16), maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q_fuzzy_jaro" -> ((s, dir) =>
+      // the same blocked linkage under JARO-WINKLER: transposition- and
+      // prefix-aware — at 0.98 the survivors are exactly the DIGIT-SWAP
+      // pairs levenshtein charges 2 for (q_fuzzy_match at maxDist=1
+      // can't see them), the single cleanest demonstration of why
+      // record linkage uses this scorer. Scores are rounded BEFORE the
+      // cut; DuckDB's native jaro_winkler_similarity replays them.
+      Dedup.jaroPairs(T(s, dir, "customer").where(col("c_custkey") < 1000),
+          "c_name", "c_custkey",
+          blockKey = substring(col("c_name"), 1, 16), minSim = 0.98)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q_pagerank" -> ((s, dir) => {
       // link centrality (Page et al. 1999) — the source-quality signal of
       // web-corpus curation — over the natural customer→nation→region
@@ -4005,6 +4017,16 @@ object SparkEntry {
         |  AND l.c_custkey < r.c_custkey
         |WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
         |  AND levenshtein(l.c_name, r.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_jaro" ->
+      """SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(l.c_name, r.c_name), 6) AS sim
+        |FROM customer l JOIN customer r
+        |  ON substring(l.c_name, 1, 16) = substring(r.c_name, 1, 16)
+        |  AND l.c_custkey < r.c_custkey
+        |WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
+        |  AND round(jaro_winkler_similarity(l.c_name, r.c_name), 6) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_hits" -> {

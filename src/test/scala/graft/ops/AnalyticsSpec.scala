@@ -288,4 +288,32 @@ class AnalyticsSpec extends SparkSpecBase {
       .collect().map(_.getDouble(1))
     assert(scores.length == 3 && scores.forall(_ > 0))
   }
+
+  test("jaroWinkler: textbook values, boost threshold, transpositions, degenerate inputs") {
+    import spark.implicits._
+    // hand-traced standard values (cross-checked against DuckDB's
+    // jaro_winkler_similarity, which the q_fuzzy_jaro oracle replays):
+    //  - martha/marhta: jaro 17/18 with one transposition -> 0.944444,
+    //    prefix 3 boost -> 0.961111
+    //  - dixon/dicksonx: 0.766667 -> boost 0.813333
+    //  - abcdefgh/abzzzzzz: jaro 0.5 <= 0.7 -> prefix boost SUPPRESSED
+    //  - ab/ba: match window floor(2/2)-1 = 0 allows only same-position
+    //    matches -> no matches -> 0 (not a transposition!)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),
+      ("dixon", "dicksonx", 0.813333),
+      ("hello", "hallo", 0.88),
+      ("dwayne", "duane", 0.84),
+      ("abcdefgh", "abzzzzzz", 0.5),
+      ("ab", "ba", 0.0),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      (null, "abc", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(graft.ops.Rounding.roundAway(
+        Dedup.jaroWinkler(col("a"), col("b")), 6).alias("sim"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"${r.toString}") }
+  }
 }
