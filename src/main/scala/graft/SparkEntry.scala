@@ -2963,6 +2963,43 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).alias("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_text_entropy" -> ((s, dir) =>
+      // character-entropy quality gate: repeated templates/runs collapse
+      // toward 0 bits/char, natural prose sits near 4.2 — the gibberish
+      // detector the token-shape filters can't express. One-pass UDF per
+      // row (no per-character shuffle); the flag reads the ROUNDED value.
+      T(s, dir, "documents").select(col("doc_id"),
+          Rounding.roundAway(TextAnalysis.charEntropy(col("text")), 6)
+            .alias("entropy"))
+        .withColumn("is_low_entropy", col("entropy") < 3.8)
+        .orderBy(col("doc_id"))),
+
+    "q_corpus_zipf" -> ((s, dir) => {
+      // Zipf rank-frequency diagnostic (Zipf 1949; natural language fits
+      // log f ≈ a + s·log r with s near −1): the corpus-health number a
+      // datasheet quotes — template-heavy or deduplicated-to-death
+      // corpora bend away from the law. Closed-form least squares over
+      // the top-100 token census; at scale the only heavy step is the
+      // census itself (the global top-100 is a TakeOrderedAndProject).
+      val census = T(s, dir, "documents")
+        .select(explode(TextAnalysis.normTokens(col("text"))).alias("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).alias("n"))
+      val top = census.orderBy(col("n").desc, col("tok")).limit(100)
+      val ranked = top.withColumn("r",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      val pts = ranked.select(log(col("r").cast("double")).alias("x"),
+        log(col("n").cast("double")).alias("y"))
+      val st = pts.agg(count(lit(1)).cast("double").alias("m"),
+        sum(col("x")).alias("sx"), sum(col("y")).alias("sy"),
+        sum(col("x") * col("y")).alias("sxy"),
+        sum(col("x") * col("x")).alias("sxx"))
+      val slope = (col("sxy") - col("sx") * col("sy") / col("m")) /
+        (col("sxx") - col("sx") * col("sx") / col("m"))
+      st.select(Rounding.roundAway(slope, 6).alias("zipf_slope"),
+        Rounding.roundAway((col("sy") - slope * col("sx")) / col("m"), 6)
+          .alias("intercept"))
+    }),
+
     "q_corpus_datasheet" -> ((s, dir) =>
       // the "datasheet for datasets" summary (Gebru et al. 2021) a
       // pipeline publishes with every corpus snapshot: per language,
@@ -5958,6 +5995,44 @@ object SparkEntry {
          |SELECT piece, CAST(sum(f) AS BIGINT) AS n
          |FROM (SELECT f, unnest(s) AS piece FROM v3)
          |GROUP BY piece ORDER BY n DESC, piece LIMIT 30""".stripMargin,
+
+    "q_text_entropy" ->
+      // relational replay of the one-pass UDF: per-(doc, char) census,
+      // then -sum(p log2 p); the flag reads the rounded value
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_filter(str_split(text, ''), c -> len(c) > 0)) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS nn FROM cc GROUP BY 1),
+        |h AS (SELECT cc.doc_id,
+        |    round(-sum((CAST(n AS DOUBLE) / nn) * log2(CAST(n AS DOUBLE) / nn)), 6)
+        |      AS entropy
+        |  FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+        |SELECT d.doc_id, coalesce(h.entropy, 0.0::DOUBLE) AS entropy,
+        |  coalesce(h.entropy, 0.0::DOUBLE) < 3.8 AS is_low_entropy
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_zipf" ->
+      // the same top-100 census + closed-form least squares on the
+      // log-log points; the slope expression is written once and reused
+      // for the intercept, exactly like the Spark side
+      """WITH census AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(list_filter(
+        |      str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\s+', ' ', 'g'), ' '),
+        |      t -> len(t) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY tok),
+        |top AS (SELECT tok, n FROM census ORDER BY n DESC, tok LIMIT 100),
+        |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM top),
+        |pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM ranked),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT round((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS zipf_slope,
+        |  round((sy - ((sxy - sx * sy / m) / (sxx - sx * sx / m)) * sx) / m, 6)
+        |    AS intercept
+        |FROM st""".stripMargin,
 
     "q_text_quality" -> {
       val stops = TextAnalysis.stopwordsSql

@@ -721,6 +721,39 @@ object TextAnalysis {
       (acc, c) => pmod(acc * base + ascii(c), lit(mod)))
   }
 
+  /** Character-level Shannon entropy in bits — the gibberish/boilerplate
+    * signal quality pipelines pair with the token-shape filters: natural
+    * prose sits near 4.1–4.4 bits/char, repeated templates and
+    * single-character runs collapse toward 0, and base64/hex blobs push
+    * past natural text. One tight pass per row (sort + run-length — the
+    * tokenStats escape hatch; an explode-and-aggregate form would shuffle
+    * every character in the corpus). Summation runs in sorted-char order,
+    * so the value is deterministic; oracles replay the same counts
+    * relationally and agree under round(6). Empty/null → 0.
+    */
+  def charEntropy(text: Column): Column = {
+    val f = udf { t: String =>
+      if (t == null || t.isEmpty) 0.0
+      else {
+        val cs = t.toCharArray
+        java.util.Arrays.sort(cs)
+        val n = cs.length.toDouble
+        val ln2 = math.log(2.0)
+        var h = 0.0
+        var i = 0
+        while (i < cs.length) {
+          var j = i
+          while (j < cs.length && cs(j) == cs(i)) j += 1
+          val p = (j - i) / n
+          h -= p * (math.log(p) / ln2)
+          i = j
+        }
+        h
+      }
+    }
+    f(text)
+  }
+
   /** Per-position word-`k`-gram polynomial hashes in ONE pass — the
     * POSITIONAL twin of [[fingerprint]]: element i is the [[fingerprint]]
     * hash of `tokens[i..i+k-1]` joined by single spaces, tokens =

@@ -199,6 +199,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((7, 5, 4)))
   }
 
+  test("charEntropy: hand-computed values and degenerate inputs") {
+    // H("aaaa")=0, H("ab")=1, H("abcd")=2 bits;
+    // H("aab") = -(2/3·log2(2/3) + 1/3·log2(1/3)) = 0.918295834...
+    val got = Seq("aaaa", "ab", "abcd", "aab", "", null)
+      .toDF("text")
+      .select(TextAnalysis.charEntropy(col("text")).alias("h"))
+      .as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 1.0 && got(2) == 2.0)
+    assert(math.abs(got(3) - 0.9182958340544896) < 1e-12, got(3).toString)
+    assert(got(4) == 0.0 && got(5) == 0.0)
+  }
+
   test("posGramHashes: element i equals fingerprint() of the i-th space-joined gram") {
     // the one-pass UDF must be bit-identical to the declarative
     // fingerprint fold over each gram string — the portability contract
