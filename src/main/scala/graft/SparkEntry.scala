@@ -2270,6 +2270,21 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    "q_corpus_prepare_entropy" -> ((s, dir) =>
+      // the capstone with the CHARACTER-ENTROPY gate active: quality +
+      // repetition skeleton, then docs under 4.0 rounded bits/char are
+      // dropped — the gibberish/template screen riding the static gate
+      // family as a per-row scalar (no extra pass, no shuffle). Dedup
+      // and decontamination off so the oracle isolates the gate;
+      // annotations ride the shared session cache.
+      ops.CorpusPipeline.prepare(T(s, dir, "documents"),
+          ops.CorpusPipeline.Config(
+            minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
+            minCharEntropy = 4.0,
+            annotations = Some(ops.Features.docAnnotations(s, dir))))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     "q_corpus_prepare_gopher" -> ((s, dir) => {
       // the capstone with the GOPHER shape gate active (Config.gopher):
       // the paragraph-chunked corpus is decorated with bullet/ellipsis/
@@ -5123,6 +5138,43 @@ object SparkEntry {
          |SELECT doc_id, quality FROM feat
          |WHERE quality >= 0.3 AND rep_ratio <= 0.95
          |  AND source IN (SELECT source FROM pass)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_prepare_entropy" -> {
+      val stops = TextAnalysis.stopwordsSql
+      // quality/repetition skeleton plus the q_text_entropy census with
+      // the >= 4.0 gate on the rounded value
+      s"""WITH base AS (SELECT doc_id, text,
+         |    list_filter(str_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    list_filter(str_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ltoks
+         |  FROM documents),
+         |feat AS (SELECT doc_id,
+         |  round(least(length(text) / 500.0, 1.0) * 0.4
+         |    + least((CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+         |          x -> list_contains($stops, x))) AS DOUBLE) / len(toks) END) * 5.0, 1.0) * 0.3
+         |    + greatest(0.0, 1.0 -
+         |        ((CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)
+         |       + (CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |             / length(text) END)) * 2.0) * 0.3, 6) AS quality,
+         |  CASE WHEN len(ltoks) = 0 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) END AS rep_ratio
+         |  FROM base),
+         |chars AS (
+         |  SELECT doc_id, unnest(list_filter(str_split(text, ''), c -> len(c) > 0)) AS c
+         |  FROM documents),
+         |cc AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS nn FROM cc GROUP BY 1),
+         |ent AS (SELECT cc.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / nn) * log2(CAST(n AS DOUBLE) / nn)), 6)
+         |      AS entropy
+         |  FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+         |SELECT f.doc_id, f.quality FROM feat f JOIN ent USING (doc_id)
+         |WHERE f.quality >= 0.3 AND f.rep_ratio <= 0.95 AND ent.entropy >= 4.0
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -14,6 +14,11 @@ object CorpusPipeline {
 
   /** @param minQuality   drop docs scoring below (TextAnalysis.qualityScore)
     * @param maxRepetition drop docs with more within-doc token repetition
+    * @param minCharEntropy when > 0, drop docs whose ROUNDED character
+    *                     entropy ([[TextAnalysis.charEntropy]], bits/char)
+    *                     falls below — the gibberish/template screen the
+    *                     token-shape filters miss; rides the static gate
+    *                     family as a per-row scalar
     * @param gopher       when true, also apply the Gopher repetition/shape
     *                     gate (Rae et al. 2021 thresholds,
     *                     TextAnalysis.gopherPass) in the same annotate
@@ -115,6 +120,7 @@ object CorpusPipeline {
   case class Config(
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.95,
+      minCharEntropy: Double = 0.0,
       langs: Set[String] = Set.empty,
       dedupJaccard: Double = 0.8,
       dedupBands: Int = 16,
@@ -261,6 +267,13 @@ object CorpusPipeline {
     val filteredAll = annotated
       .where(col("quality") >= cfg.minQuality)
       .where(col("rep_ratio") <= cfg.maxRepetition)
+      // character-entropy gate (gibberish/template screen): a per-row
+      // scalar like quality, evaluated above the annotate cache on the
+      // multi-consumer path (once per cached row); the ROUNDED value
+      // gates, matching the oracle convention
+      .where(if (cfg.minCharEntropy > 0)
+        Rounding.roundAway(TextAnalysis.charEntropy(t), 6) >= cfg.minCharEntropy
+      else lit(true))
       .where(if (cfg.langs.isEmpty) lit(true) else col("lang_id").isInCollection(cfg.langs))
     val gateCols =
       (if (cfg.gopher) Seq("__gopher_ok") else Nil) ++

@@ -734,6 +734,29 @@ class OpsSpec extends SparkSpecBase {
     assert(withBlock.toSeq == preDropped.toSeq)
   }
 
+  test("entropy gate: equivalent to filtering the base pipeline by rounded charEntropy") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
+      (1L, "an entirely different and rather pleasant document about the weather in the mountains with plenty of words"),
+      (2L, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),
+      (3L, "abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab abab")
+    ).toDF("doc_id", "text")
+    val base = CorpusPipeline.Config(minQuality = 0.0, maxRepetition = 1.0,
+      dedupJaccard = 0)
+    // gate-by-equivalence pin: prepare(minCharEntropy=t) == prepare()
+    // then filtered by the rounded per-doc entropy — the knob adds
+    // exactly the documented predicate, nothing else
+    val thr = 3.0
+    val gated = CorpusPipeline.prepare(corpus, base.copy(minCharEntropy = thr))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val manual = CorpusPipeline.prepare(corpus, base)
+      .where(graft.ops.Rounding.roundAway(
+        TextAnalysis.charEntropy(col("text")), 6) >= thr)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gated == manual && gated == Seq(0L, 1L),
+      s"gated=$gated manual=$manual") // the repeated-template docs drop
+  }
+
   test("precomputed annotations equal inline annotate; Gopher configs ignore them") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs to the river bank for a drink of water today"),
