@@ -284,4 +284,24 @@ class PlanSpec extends SparkSpecBase {
     assert(heapIdx >= 0 && labelIdx > lastHeap,
       s"label predicate not below the heap (heap@$heapIdx/$lastHeap label@$labelIdx):\n$plan")
   }
+
+  test("q_text_winnow: one Generate + one doc-keyed window, no self-join") {
+    val plan = planOf("q_text_winnow")
+    // the rightmost-min tie rule must stay a single min(struct) window
+    // pass — the oracle's ranged self-join replay is the shape this op
+    // exists to avoid
+    assert(!plan.contains("Join"), s"winnow selection must not self-join:\n$plan")
+    assert(plan.contains("Window"), plan)
+    assert("\\(\\d+\\) Generate".r.findAllIn(plan).size <= 1
+      && plan.contains("Generate"), s"expected exactly one posexplode:\n$plan")
+  }
+
+  test("q_dedup_prefix: every join carries equi-keys, no cartesian anywhere") {
+    val plan = planOf("q_dedup_prefix")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"prefix filtering degenerated to an unkeyed join:\n$plan")
+    // candidate generation must join postings on the token, not pair ids
+    assert(plan.contains("Window"), s"the (df, token) rank window vanished:\n$plan")
+  }
 }
