@@ -1420,6 +1420,31 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("session_id"))
         .orderBy(col("event_id"))),
 
+    "q_window_corr" -> ((s, dir) => {
+      // rolling Pearson correlation between a user's event values and
+      // their arrival order (trailing 20 events) — the window-aggregate
+      // trend detector: a sustained drift pushes |corr| toward 1, noise
+      // hovers near 0. The second corr input is the in-partition row
+      // number (exact ints — no timestamp arithmetic to diverge on);
+      // emitted only where the frame holds >= 2 rows, since a 1-row
+      // frame is NaN on Spark but NULL on DuckDB. One user-keyed shuffle.
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // the frame re-orders by the materialized row number (ts is
+      // projected away), exactly as the oracle's WINDOW clause does
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__rn"))
+        .rowsBetween(-19, 0)
+      EV(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          row_number().over(order).alias("__rn"))
+        .select(col("event_id"), col("user_id"),
+          Rounding.roundAway(
+            when(count(lit(1)).over(w) >= 2,
+              corr(col("value"), col("__rn").cast("double")).over(w)),
+            6).alias("trend_corr"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_window_range_time" -> ((s, dir) => {
       // time-based RANGE frame: per-customer rolling 7-day order total —
       // the interval frame moves by VALUE (seconds), not by row count,
@@ -4053,6 +4078,21 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
         |    AS session_id
         |FROM g ORDER BY event_id""".stripMargin,
+
+    "q_window_corr" ->
+      // same row-number pairing; the 1-row frame is masked on both sides
+      // (Spark yields NaN there, DuckDB NULL — the guard unifies them)
+      """WITH r AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN count(*) OVER w >= 2
+        |    THEN corr(value, CAST(rn AS DOUBLE)) OVER w END, 6) AS trend_corr
+        |FROM r
+        |WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_range_time" ->
       """SELECT o_orderkey, o_custkey,
