@@ -34,6 +34,30 @@ object SparkEntry {
       .select(col("doc_id"), array_join(paras, "\n").alias("text"))
   }
 
+  /** Shared logistic train+score output for the classifier family: the
+    * q_lr_classify pipeline's held-out half with ROUND-6 scores and true
+    * labels attached — defined once so the classifier query and its
+    * graders (q_classifier_auc, q_calibration) score the exact same
+    * frame, the way a production eval job reads the scoring job's output
+    * table instead of re-training. Columns: (doc_id, score, y).
+    */
+  private def lrScoredTest(s: SparkSession, dir: String): DataFrame = {
+    val rows = ops.Features.docTokenBuckets(s, dir, dims = 32)
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).alias("__y"))
+    val w = ops.TextClassify.logisticTrainFromBuckets(
+      rows, train, "doc_id", dims = 32, iters = 2, lr = 0.1)
+    val testIds = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"))
+    ops.TextClassify.logisticScore(testIds, rows, w, "doc_id")
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        Rounding.roundAway(col("score"), 6).alias("score"),
+        when(col("lang") === "en", 1).otherwise(0).alias("y"))
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     * outright. Read nanos as long and rebuild the µs timestamp with integer
     * division (ns-since-epoch exceeds 2^53, so float division would corrupt
@@ -325,6 +349,67 @@ object SparkEntry {
       |  FROM (SELECT doc_id,
       |          list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
       |        FROM documents))""".stripMargin
+
+  /** DuckDB brute-force kNN edge CTE (full-probe top-3 cosine, mirrors
+    * the persisted `knn_edges` artifact): ends in CTE `r(qid, vec_id,
+    * cosine, rn)` — keep `rn <= 3`. Shared by the kNN-graph,
+    * communities, and assortativity oracles.
+    */
+  private val knnTopCte =
+    """WITH c AS (SELECT q.vec_id AS qid, e.vec_id,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(e.embedding, q.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
+        |  6) AS cosine
+        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        |  FROM c)""".stripMargin
+
+  /** DuckDB replay of the logistic train+score pipeline (mirrors the
+    * q_lr_classify plan: rolling-hash buckets mod 32, two GD steps,
+    * odd-half scoring) — ends in CTE `sc(doc_id, score)`. Shared by the
+    * classifier query and its AUC / calibration graders so the scored
+    * frame is defined once.
+    */
+  private val lrScoreCte =
+    """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, CAST((
+        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
+        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
+        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 32 AS INT) AS b
+        |  FROM toks),
+        |feats AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS x FROM tb GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+        |tf AS (SELECT f.* FROM feats f WHERE f.doc_id IN (SELECT doc_id FROM lab)),
+        |g1 AS (SELECT b, sum(x * (0.5 - l.y)) AS s FROM tf JOIN lab l USING (doc_id) GROUP BY b),
+        |w1 AS (SELECT CAST(r.range AS INT) AS b,
+        |    0.0 - 0.1 * COALESCE(g1.s / n.n, 0.0) AS w
+        |  FROM range(32) r LEFT JOIN g1 ON g1.b = r.range CROSS JOIN n),
+        |z2 AS (SELECT tf.doc_id, sum(tf.x * w1.w) AS z FROM tf JOIN w1 ON tf.b = w1.b GROUP BY 1),
+        |p2 AS (SELECT l.doc_id, l.y, 1.0 / (1.0 + exp(-COALESCE(z2.z, 0.0))) AS p
+        |  FROM lab l LEFT JOIN z2 ON l.doc_id = z2.doc_id),
+        |g2 AS (SELECT b, sum(tf.x * (p2.p - p2.y)) AS s
+        |  FROM tf JOIN p2 ON tf.doc_id = p2.doc_id GROUP BY b),
+        |w2 AS (SELECT w1.b, w1.w - 0.1 * COALESCE(g2.s / n.n, 0.0) AS w
+        |  FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n),
+        |test AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+        |zt AS (SELECT f.doc_id, sum(f.x * w2.w) AS z
+        |  FROM feats f JOIN w2 ON f.b = w2.b
+        |  WHERE f.doc_id IN (SELECT doc_id FROM test) GROUP BY 1),
+        |sc AS (SELECT t.doc_id, 1.0 / (1.0 + exp(-COALESCE(zt.z, 0.0))) AS score
+        |  FROM test t LEFT JOIN zt ON t.doc_id = zt.doc_id)""".stripMargin
 
   /** DuckDB winnowing selection over `documents` (mirrors
     * TextAnalysis.winnowFingerprints k=3, w=4): per-position word-3-gram
@@ -3187,21 +3272,137 @@ object SparkEntry {
       // prediction compares the ROUNDED score so last-ulp exp()
       // differences between engines cannot flap the boundary; an empty
       // doc scores exactly 0.5 and predicts 0.
-      val rows = ops.Features.docTokenBuckets(s, dir, dims = 32)
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
-        .select(col("doc_id"),
-          when(col("lang") === "en", 1.0d).otherwise(0.0d).alias("__y"))
-      val w = ops.TextClassify.logisticTrainFromBuckets(
-        rows, train, "doc_id", dims = 32, iters = 2, lr = 0.1)
-      val testIds = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-        .select(col("doc_id"))
-      ops.TextClassify.logisticScore(testIds, rows, w, "doc_id")
-        .select(col("doc_id"),
-          Rounding.roundAway(col("score"), 6).alias("score"),
-          (Rounding.roundAway(col("score"), 6) > 0.5).cast("int").alias("pred_en"))
+      lrScoredTest(s, dir)
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0.5).cast("int").alias("pred_en"))
         .orderBy(col("doc_id"))
     }),
+
+    "q_classifier_auc" -> ((s, dir) =>
+      // GRADING the trained gate: ROC AUC of the q_lr_classify scores
+      // against the held-out labels, via the Mann-Whitney midrank
+      // statistic over the score CENSUS (distinct-score-sized window,
+      // never a corpus-row sort). Ranks form on the ROUND-6 score so tie
+      // groups are identical across engines, making the rank sum — and
+      // so the AUC — exactly replayable.
+      ops.Eval.rocAuc(lrScoredTest(s, dir), "score", "y")),
+
+    "q_calibration" -> ((s, dir) =>
+      // probability HONESTY of the same gate: 10-bin reliability table
+      // (bin size, mean round-6 score, empirical positive rate) — a
+      // calibrated filter has mean_score tracking frac_pos, and a gap is
+      // the signal to temperature-scale before using scores as sampling
+      // weights. One map-side-combining aggregate.
+      ops.Eval.calibrationBins(lrScoredTest(s, dir), "score", "y", bins = 10)
+        .orderBy(col("bin"))),
+
+    "q_drift_ks" -> ((s, dir) =>
+      // nonparametric drift: two-sample Kolmogorov-Smirnov between the
+      // click and view value distributions — the drift family's
+      // "same distribution at all?" member next to KL/JS (token space)
+      // and PSI (fixed bins). Value census + cumulative-count ECDFs over
+      // the census (distinct-value-sized window); the max ECDF gap is a
+      // ratio of exact integers, so the statistic cannot flap.
+      ops.Eval.ksTest(EV(s, dir), "value", "event_type", "click", "view")),
+
+    "q_cusum" -> ((s, dir) =>
+      // sequential changepoint scores: two-sided CUSUM per event type in
+      // arrival order (target 50, slack 5, alarm at 500) — the
+      // mean-shift detector that catches sustained drifts isolated-spike
+      // monitors miss. The max(0,·) recursion telescopes to prefix-sum
+      // minus prefix-min, so the whole detector is two window passes in
+      // exact integer cents — no iteration, no fp-order hazard.
+      ops.Timeseries.cusum(EV(s, dir), "event_type", "ts", "event_id",
+          "value", target = 50.0, slack = 5.0, threshold = 500.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("s_hi"), col("s_lo"), col("alarm"))
+        .orderBy(col("event_id"))),
+
+    "q_pareto_front" -> ((s, dir) => {
+      // multi-objective data selection: the documents on the Pareto
+      // frontier of (length, lexical diversity) — kept because NO other
+      // document beats them on both, with no arbitrary weighted score
+      // baking in an exchange rate. Census form: distinct-x max-y +
+      // a census-sized running max, never the O(n^2) dominance join the
+      // oracle cross-checks with.
+      val lex = size(array_distinct(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0))).alias("n_lex")
+      ops.TopK.paretoFront2D(
+          T(s, dir, "documents").select(col("doc_id"), col("n_chars"), lex),
+          "n_chars", "n_lex")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_mutual_info" -> ((s, dir) =>
+      // feature-selection screen: mutual information between a
+      // document's source and its language — "does knowing the domain
+      // tell you the language?" as one number in nats. Joint census +
+      // broadcast marginals; only observed cells contribute.
+      ops.Eval.mutualInformation(T(s, dir, "documents"), "source", "lang")),
+
+    "q_quantile_normalize" -> ((s, dir) =>
+      // cross-domain score comparability: each document's length score
+      // quantile-matched to the GLOBAL decile medians within its source,
+      // so one global cut selects fairly across domains that score on
+      // different scales. Deterministic ntile (doc_id tiebreak) + a
+      // 10-row broadcast median table.
+      ops.Eval.quantileNormalize(
+          T(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id", buckets = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("bucket"), col("norm"))
+        .orderBy(col("doc_id"))),
+
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation: recency / frequency / monetary quartiles per
+      // customer — the classic customer-value cut, here as the warehouse
+      // tier's cohorting companion. Monetary sums run in exact integer
+      // cents; the quartile windows run over the CUSTOMER census (one
+      // row per customer, already aggregated), not raw orders — at
+      // extreme customer cardinality the ntiles become percentile-cut
+      // joins, same shape as TopK.fractionGate.
+      val o = T(s, dir, "orders")
+      val ref = o.agg(max(col("o_orderdate")).alias("__ref"))
+      val base = o
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").alias("__cents"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).alias("__last"),
+          count(lit(1)).alias("frequency"),
+          sum(col("__cents")).alias("__m"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("__ref"), col("__last")).alias("recency_days"),
+          col("frequency"), col("__m"))
+      val r = ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+      val m = ntile(4).over(Window.orderBy(col("__m").desc, col("o_custkey")))
+      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          Rounding.roundAway(col("__m").cast("double") / 100, 2).alias("monetary"),
+          r.alias("r"), f.alias("f"), m.alias("m"))
+        .withColumn("segment", concat(col("r").cast("string"),
+          col("f").cast("string"), col("m").cast("string")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_graph_assortativity" -> ((s, dir) =>
+      // topology health of the GENERATED graph artifact: degree
+      // assortativity of the persisted kNN edge list (negative = hubby
+      // star shape from an over-attracting centroid region, ~0 =
+      // degree-blind wiring). Reads the same persisted edges as
+      // q_knn_graph — no inline k-means; the coefficient assembles from
+      // exact integer moment sums.
+      ops.Graph.degreeAssortativity(
+        persistedIvfStore(s, dir).read("knn_edges"), "qid", "vec_id")),
+
+    "q_ngram_novelty" -> ((s, dir) =>
+      // per-document novelty against everything ingested before it: the
+      // fraction of a doc's distinct 3-grams first seen in an earlier
+      // doc — the soft complement of the hard dedup cuts, and the
+      // template-flood early-warning when corpus-wide novelty collapses.
+      // Gram census (min id) + join back; corpus-linear postings.
+      Dedup.shingleNovelty(T(s, dir, "documents"), "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))),
 
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR data selection: importance weight of every document under
@@ -5875,17 +6076,7 @@ object SparkEntry {
     "q_knn_graph" ->
       // full probes + excludeSelf => each node's exact 3 nearest
       // neighbors; brute-force all-pairs windowed by query id
-      """WITH c AS (SELECT q.vec_id AS qid, e.vec_id,
-        |  round(
-        |    list_aggregate(list_transform(list_zip(e.embedding, q.embedding),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
-        |     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
-        |  6) AS cosine
-        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-        |r AS (SELECT qid, vec_id, cosine,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-        |  FROM c)
+      s"""$knnTopCte
         |SELECT qid, vec_id, cosine FROM r WHERE rn <= 3
         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
 
@@ -5893,17 +6084,7 @@ object SparkEntry {
       // the q_knn_graph edges, symmetrized, then BOTH label-propagation
       // rounds unrolled (mode = count DESC then smaller label — the
       // engine's struct-max rule) — integer-exact end to end
-      """WITH c AS (SELECT q.vec_id AS qid, e.vec_id,
-        |  round(
-        |    list_aggregate(list_transform(list_zip(e.embedding, q.embedding),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
-        |     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))),
-        |  6) AS cosine
-        |  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-        |r AS (SELECT qid, vec_id, cosine,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-        |  FROM c),
+      s"""$knnTopCte,
         |e AS (SELECT qid AS a, vec_id AS b FROM r WHERE rn <= 3),
         |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
@@ -6426,44 +6607,179 @@ object SparkEntry {
       // full GD replay: the shared rolling-hash bucket fragment (mod 32),
       // iteration 1 with p = 0.5 exactly (w0 = 0 makes every margin 0),
       // iteration 2 through sigmoid, then the odd-half scoring pass
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    str_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]|\\s+', ' ', 'g'), ' '),
-        |    t -> len(t) > 0)) AS tok
-        |  FROM documents),
-        |tb AS (
-        |  SELECT doc_id, CAST((
-        |    list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
-        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 257 + c) % 1000000007) * 31
-        |    + list_reduce([0]::BIGINT[] || list_transform(list_filter(str_split(tok, ''), c -> len(c) > 0),
-        |      c -> CAST(ord(c) AS BIGINT)), (a, c) -> (a * 263 + c) % 998244353)) % 32 AS INT) AS b
-        |  FROM toks),
-        |feats AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS x FROM tb GROUP BY 1, 2),
-        |lab AS (SELECT doc_id,
-        |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
-        |tf AS (SELECT f.* FROM feats f WHERE f.doc_id IN (SELECT doc_id FROM lab)),
-        |g1 AS (SELECT b, sum(x * (0.5 - l.y)) AS s FROM tf JOIN lab l USING (doc_id) GROUP BY b),
-        |w1 AS (SELECT CAST(r.range AS INT) AS b,
-        |    0.0 - 0.1 * COALESCE(g1.s / n.n, 0.0) AS w
-        |  FROM range(32) r LEFT JOIN g1 ON g1.b = r.range CROSS JOIN n),
-        |z2 AS (SELECT tf.doc_id, sum(tf.x * w1.w) AS z FROM tf JOIN w1 ON tf.b = w1.b GROUP BY 1),
-        |p2 AS (SELECT l.doc_id, l.y, 1.0 / (1.0 + exp(-COALESCE(z2.z, 0.0))) AS p
-        |  FROM lab l LEFT JOIN z2 ON l.doc_id = z2.doc_id),
-        |g2 AS (SELECT b, sum(tf.x * (p2.p - p2.y)) AS s
-        |  FROM tf JOIN p2 ON tf.doc_id = p2.doc_id GROUP BY b),
-        |w2 AS (SELECT w1.b, w1.w - 0.1 * COALESCE(g2.s / n.n, 0.0) AS w
-        |  FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN n),
-        |test AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
-        |zt AS (SELECT f.doc_id, sum(f.x * w2.w) AS z
-        |  FROM feats f JOIN w2 ON f.b = w2.b
-        |  WHERE f.doc_id IN (SELECT doc_id FROM test) GROUP BY 1),
-        |sc AS (SELECT t.doc_id, 1.0 / (1.0 + exp(-COALESCE(zt.z, 0.0))) AS score
-        |  FROM test t LEFT JOIN zt ON t.doc_id = zt.doc_id)
+      s"""$lrScoreCte
         |SELECT doc_id, round(score, 6) AS score,
         |  CAST(round(score, 6) > 0.5 AS INT) AS pred_en
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_classifier_auc" ->
+      // same scored frame, graded: score census with midranks (exact
+      // halves), then the Mann-Whitney identity — tie groups form on the
+      // round-6 score on both sides
+      s"""$lrScoreCte,
+        |lab2 AS (SELECT s.doc_id, round(s.score, 6) AS s6,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |cen AS (SELECT s6, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM lab2 GROUP BY s6),
+        |mr AS (SELECT cnt, pos,
+        |    CAST(COALESCE(sum(cnt) OVER (ORDER BY s6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      + (cnt + 1) / 2.0 AS midrank
+        |  FROM cen)
+        |SELECT
+        |  round(CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0 THEN
+        |    (sum(pos * midrank) - CAST(sum(pos) AS DOUBLE) * (sum(pos) + 1) / 2)
+        |      / (CAST(sum(pos) AS DOUBLE) * CAST(sum(cnt - pos) AS DOUBLE)) END, 6) AS auc,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+        |FROM mr""".stripMargin,
+
+    "q_calibration" ->
+      // reliability bins over the same scored frame: equal-width bins on
+      // the round-6 score (1.0 folds into the top bin)
+      s"""$lrScoreCte,
+        |lab2 AS (SELECT s.doc_id, round(s.score, 6) AS s6,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d USING (doc_id))
+        |SELECT CAST(least(floor(s6 * 10), 9) AS INT) AS bin, count(*) AS n,
+        |  round(avg(s6), 6) AS mean_score,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        |FROM lab2 GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_drift_ks" ->
+      // value census, cumulative-count ECDFs, max absolute gap — all
+      // ratios of exact integers
+      """WITH cen AS (
+        |  SELECT value AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY value),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM cen),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM cen)
+        |SELECT round(max(abs(CAST(cuma AS DOUBLE) / n_a - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks,
+        |  n_a, n_b
+        |FROM c, tot GROUP BY n_a, n_b""".stripMargin,
+
+    "q_cusum" ->
+      // the telescoped recursion replayed: prefix sums and prefix mins
+      // of exact integer cents, per event type in arrival order
+      """WITH b AS (SELECT event_type, event_id, ts, value,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |c AS (SELECT event_type, event_id, ts, value,
+        |    sum(vc - 5500) OVER w AS csh,
+        |    sum(4500 - vc) OVER w AS csl
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, event_id, value,
+        |    csh - least(0, min(csh) OVER w2) AS sh,
+        |    csl - least(0, min(csl) OVER w2) AS sl
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, value,
+        |  round(sh / 100.0, 6) AS s_hi, round(sl / 100.0, 6) AS s_lo,
+        |  CAST(sh >= 50000 OR sl >= 50000 AS INT) AS alarm
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_pareto_front" ->
+      // independent O(n^2) dominance formulation cross-checks the
+      // engine's census-window form
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0))) AS INT) AS n_lex
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_lex FROM d p
+        |WHERE NOT EXISTS (SELECT 1 FROM d q
+        |  WHERE q.n_chars >= p.n_chars AND q.n_lex >= p.n_lex
+        |    AND (q.n_chars > p.n_chars OR q.n_lex > p.n_lex))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mutual_info" ->
+      // joint census + marginals; only observed cells contribute
+      """WITH j AS (SELECT source AS a, lang AS b, count(*) AS cab FROM documents
+        |    WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM j GROUP BY b),
+        |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM j)
+        |SELECT round(sum((CAST(cab AS DOUBLE) / tot.n) *
+        |    ln((CAST(cab AS DOUBLE) * tot.n) / (CAST(ca AS DOUBLE) * cb))), 6) AS mi,
+        |  tot.n AS n
+        |FROM j JOIN ma USING (a) JOIN mb USING (b), tot
+        |GROUP BY tot.n""".stripMargin,
+
+    "q_quantile_normalize" ->
+      // same deterministic ntile (doc_id tiebreak) on both sides; global
+      // decile medians interpolate identically (avg of two middles)
+      """WITH g AS (SELECT doc_id, n_chars,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS gb
+        |  FROM documents),
+        |gm AS (SELECT gb AS bucket, round(median(n_chars), 6) AS norm FROM g GROUP BY gb),
+        |l AS (SELECT doc_id, source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INT) AS bucket
+        |  FROM documents)
+        |SELECT l.doc_id, l.source, l.n_chars, l.bucket, gm.norm
+        |FROM l JOIN gm USING (bucket) ORDER BY doc_id""".stripMargin,
+
+    "q_rfm" ->
+      // customer census first (monetary in exact cents), then quartile
+      // ntiles over the census with custkey tiebreaks
+      """WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+        |base AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), CAST(ref.r AS DATE)) AS INT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders, ref GROUP BY o_custkey, ref.r),
+        |t AS (SELECT o_custkey, recency_days, frequency, cents,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+        |    CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS INT) AS m
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency,
+        |  round(cents / 100.0, 2) AS monetary, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+        |FROM t ORDER BY o_custkey""".stripMargin,
+
+    "q_graph_assortativity" ->
+      // the same brute-force kNN edges, symmetrized; Newman's r from
+      // exact integer moment sums
+      s"""$knnTopCte,
+        |e AS (SELECT qid AS a, vec_id AS b FROM r WHERE rn <= 3),
+        |und AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e) WHERE a <> b),
+        |deg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY a),
+        |pr AS (SELECT da.d AS dx, db.d AS dy
+        |  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy
+        |  FROM pr)
+        |SELECT round(CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END, 6) AS assortativity,
+        |  CAST(n / 2 AS BIGINT) AS n_edges
+        |FROM mo""".stripMargin,
+
+    "q_ngram_novelty" ->
+      // gram census with first-occurrence ids, joined back per document
+      s"""$shingleCte,
+        |ex AS (SELECT doc_id, u.s AS g FROM sh, unnest(sh.s) AS u(s)),
+        |f AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY g)
+        |SELECT e.doc_id, count(*) AS n_shingles,
+        |  round(CAST(sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS seen_frac
+        |FROM ex e JOIN f ON e.g = f.g
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       // the shared rolling-hash bucket fragment (mod 64), per-doc and

@@ -1178,4 +1178,44 @@ object Dedup {
       .agg(min(struct(col("__id"), col("__pos"))).alias("__keep"))
       .select(col("__keep.__id").alias("__id"),
         col("__keep.__pos").alias("__pos"), col("__para"))
+
+  /** Per-document n-gram NOVELTY against everything ingested before it:
+    * the fraction of a document's distinct word-`n`-grams whose first
+    * corpus occurrence (minimum id) is an EARLIER document. 0 = all
+    * fresh, 1 = every shingle already seen — the soft, per-document
+    * complement of the hard dedup cuts: novelty-weighted sampling
+    * up-weights fresh text without discarding partial overlaps, and a
+    * corpus-wide novelty collapse is the earliest template-flood signal
+    * (id order stands in for ingest order, as in [[dedupExact]]'s
+    * keep-first rule).
+    *
+    * Shingles are plain strings via codegen'd array expressions (not the
+    * murmur path — the census key IS the gram). Plan: explode the
+    * per-doc distinct gram sets, one gram-keyed census (min id — the
+    * same first-occurrence algebra as the exact family), join back, one
+    * id-keyed aggregate. Both shuffles carry (gram, id) postings —
+    * corpus-linear, never pairwise. Documents with fewer than `n` tokens
+    * have no shingles and emit no row.
+    *
+    * Output: (id, n_shingles, seen_frac round-6).
+    */
+  def shingleNovelty(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"shingle width must be positive, got $n")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val grams = array_distinct(transform(sequence(lit(0), size(col("__t")) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*)))
+    val exploded = docs
+      .select(col(idCol).alias("__id"), toks.alias("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col("__id"), explode(grams).alias("__g"))
+    val first = exploded.groupBy(col("__g"))
+      .agg(min(col("__id")).alias("__first"))
+    exploded.join(first, Seq("__g"))
+      .groupBy(col("__id").alias(idCol))
+      .agg(count(lit(1)).alias("n_shingles"),
+        Rounding.roundAway(
+          sum(when(col("__first") < col("__id"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).alias("seen_frac"))
+  }
 }

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics for the classifier/gate tier: once a
+  * pipeline trains quality filters (logistic gate, Naive Bayes, DSIR) it
+  * needs to GRADE them — ranking power (ROC AUC), probability honesty
+  * (calibration bins), and score-distribution drift between slices
+  * (two-sample Kolmogorov–Smirnov). Plus the cross-domain score
+  * normalizer (quantile matching) that makes per-source scores
+  * comparable before a global selection cut.
+  *
+  * Shape at scale: everything here is CENSUS algebra — one shuffle keyed
+  * by (rounded) score value or bin, then windows/aggregates over the
+  * census, whose size tracks DISTINCT scores, never corpus rows. No
+  * global window ever runs over the raw frame, so a 100 TB scored corpus
+  * reduces to a censused frame a single stage can finish. All float
+  * outputs derive from exact integer counts (ranks, cumulative counts,
+  * positives) so engine-order-dependent double summation can never flap
+  * a comparison.
+  */
+object Eval {
+
+  /** ROC AUC via the Mann–Whitney rank statistic with midranks for ties:
+    *
+    *   AUC = (sum of positive midranks − P(P+1)/2) / (P · N)
+    *
+    * computed from the score CENSUS, not the raw rows: per distinct
+    * score, (cnt, pos); ordered by score, each distinct score's midrank
+    * is cumBelow + (cnt+1)/2 — exact halves, so the weighted sum is
+    * integer-exact in doubles up to 2^52 rows. One shuffle keyed by
+    * score + a window over the census (distinct-score-sized, NOT
+    * corpus-sized). Callers should pre-round scores so tie groups are
+    * reproducible across engines.
+    *
+    * Returns one row (auc DOUBLE round-6, n_pos BIGINT, n_neg BIGINT);
+    * auc is null when either class is empty.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val census = scored
+      .groupBy(col(scoreCol).alias("__s"))
+      .agg(count(lit(1)).alias("__cnt"),
+        sum(col(labelCol).cast("long")).alias("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .select(col("__cnt"), col("__pos"),
+        (coalesce(sum(col("__cnt")).over(w), lit(0L)).cast("double") +
+          (col("__cnt") + 1).cast("double") / 2).alias("__midrank"))
+      .agg(sum(col("__pos").cast("double") * col("__midrank")).alias("__rp"),
+        sum(col("__pos")).alias("n_pos"),
+        sum(col("__cnt") - col("__pos")).alias("n_neg"))
+      .select(
+        Rounding.roundAway(
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("__rp") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
+              (col("n_pos") * col("n_neg")).cast("double")),
+          6).alias("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Reliability diagram: scores bucketed into `bins` equal-width bins
+    * over [0,1] (scores of exactly 1.0 fold into the top bin), each bin
+    * reporting its size, mean score, and empirical positive rate. A
+    * calibrated classifier has mean_score ≈ frac_pos per bin. One
+    * map-side-combining aggregate; `bins` result rows.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    scored
+      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1L))
+        .cast("int").alias("bin"))
+      .agg(count(lit(1)).alias("n"),
+        Rounding.roundAway(avg(col(scoreCol)), 6).alias("mean_score"),
+        Rounding.roundAway(
+          sum(col(labelCol).cast("long")).cast("double") / count(lit(1)), 6)
+          .alias("frac_pos"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of slices `a` and `b` of `groupCol`:
+    *
+    *   KS = max over observed values v of |F_a(v) − F_b(v)|
+    *
+    * via the value census: per distinct value, per-slice counts; ECDFs
+    * as cumulative-count windows over the census (distinct-value-sized);
+    * one max. ECDF differences are exact integer ratios, so the max is
+    * order-independent. The drift family's nonparametric member — KL/JS
+    * (token space) and PSI (fixed bins) ask "how far", KS asks "are
+    * these even the same distribution" with a distribution-free null.
+    * Returns one row (ks DOUBLE round-6, n_a BIGINT, n_b BIGINT).
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val census = df
+      .where(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).alias("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).alias("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).alias("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .select(sum(col("__ca")).over(w).alias("__cuma"),
+        sum(col("__cb")).over(w).alias("__cumb"))
+      .crossJoin(broadcast(census.agg(sum(col("__ca")).alias("n_a"),
+        sum(col("__cb")).alias("n_b"))))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(Rounding.roundAway(
+        max(abs(col("__cuma").cast("double") / col("n_a") -
+          col("__cumb").cast("double") / col("n_b"))), 6).alias("ks"))
+      .select(col("ks"), col("n_a"), col("n_b"))
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-selection screen ("how much does source predict language"):
+    *
+    *   MI = sum over observed (a,b) of p_ab · ln(p_ab / (p_a · p_b))
+    *
+    * Joint census (one shuffle, |A|·|B| rows), marginals as two
+    * aggregates of it, total as a 1-row broadcast. Only observed cells
+    * contribute (absent cells have p_ab = 0 → zero contribution), so no
+    * smoothing is needed. Returns one row (mi DOUBLE round-6, n BIGINT).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).alias("__a"), col(bCol).alias("__b"))
+      .agg(count(lit(1)).alias("__cab"))
+    val ma = joint.groupBy(col("__a")).agg(sum(col("__cab")).alias("__ca"))
+    val mb = joint.groupBy(col("__b")).agg(sum(col("__cab")).alias("__cb"))
+    val n = joint.agg(sum(col("__cab")).alias("n"))
+    joint.join(broadcast(ma), Seq("__a"))
+      .join(broadcast(mb), Seq("__b"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("n"))
+      .agg(Rounding.roundAway(
+        sum((col("__cab").cast("double") / col("n")) *
+          log((col("__cab").cast("double") * col("n")) /
+            (col("__ca").cast("double") * col("__cb")))), 6).alias("mi"))
+      .select(col("mi"), col("n"))
+  }
+
+  /** Cross-domain score normalization by quantile matching: each row's
+    * score is replaced by the GLOBAL `buckets`-quantile median of the
+    * within-group quantile bucket it falls in — after which "top decile
+    * of src7" and "top decile of src12" mean the same number and one
+    * global cut selects fairly across domains (the per-source
+    * comparability step a mixed-corpus quality gate needs, since raw
+    * gate scores are not comparable across domains the gate saw at
+    * different rates).
+    *
+    * Bucketing uses ntile over (`scoreCol`, `tieCol`) — the tie column
+    * (a unique id) makes the assignment total-order deterministic.
+    * Plan: two ntile windows (per-group and global — the global one runs
+    * over rows, so at extreme scale substitute a percentile-sketch cut
+    * table; the GROUP side is the skew-prone one and stays windowed),
+    * one `buckets`-row broadcast join back. Output: input columns plus
+    * `bucket` and `norm` (the matched global bucket median, round-6).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val byGroup = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(tieCol))
+    val global = Window.orderBy(col(scoreCol), col(tieCol))
+    val globalMedians = df
+      .select(col(scoreCol), ntile(buckets).over(global).alias("bucket"))
+      .groupBy(col("bucket"))
+      .agg(Rounding.roundAway(median(col(scoreCol)), 6).alias("norm"))
+    df.withColumn("bucket", ntile(buckets).over(byGroup))
+      .join(broadcast(globalMedians), Seq("bucket"))
+  }
+}

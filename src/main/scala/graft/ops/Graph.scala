@@ -720,4 +720,53 @@ object Graph {
     }
     scores.select(col("id"), col("hub"), col("auth"))
   }
+
+  /** Degree assortativity coefficient (Newman 2002, "Assortative mixing
+    * in networks"): the Pearson correlation of endpoint degrees over the
+    * undirected edge set, each edge counted in both orientations.
+    * Positive = hubs link to hubs (social-graph shape), negative = hubs
+    * link to leaves (star/hub-and-spoke — the shape a kNN graph takes
+    * when one centroid region over-attracts), ≈0 = degree-blind wiring.
+    * The one-number topology health check for a generated graph
+    * artifact.
+    *
+    * Plan: symmetrize+distinct (self-loops dropped, same canonical form
+    * as [[triangleCounts]]), degree census, two degree joins, then the
+    * correlation assembled from INTEGER moment sums (degrees are
+    * counts): r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²)·√(n·Σyy − Σy²)).
+    * The sums are exact BIGINTs — no accumulation-order float hazard —
+    * and only the final assembly is floating-point, so the value is
+    * exactly replayable. Two edge-keyed shuffles + one 1-row result.
+    * Returns (assortativity DOUBLE round-6, n_edges BIGINT); null
+    * coefficient when a degree is constant (zero variance — e.g. a
+    * perfect k-regular kNN graph).
+    */
+  def degreeAssortativity(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).alias("a"), col(dstCol).alias("b"))
+      .union(edges.select(col(dstCol).alias("a"), col(srcCol).alias("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.groupBy(col("a").alias("id"))
+      .agg(count(lit(1)).alias("deg"))
+    val paired = und
+      .join(deg.select(col("id").alias("a"), col("deg").alias("__dx")), Seq("a"))
+      .join(deg.select(col("id").alias("b"), col("deg").alias("__dy")), Seq("b"))
+    val m = paired.agg(
+      count(lit(1)).alias("__n"),
+      sum(col("__dx")).alias("__sx"), sum(col("__dy")).alias("__sy"),
+      sum(col("__dx") * col("__dy")).alias("__sxy"),
+      sum(col("__dx") * col("__dx")).alias("__sxx"),
+      sum(col("__dy") * col("__dy")).alias("__syy"))
+    m.select(
+      Rounding.roundAway(
+        when(col("__n") * col("__sxx") > col("__sx") * col("__sx") &&
+          col("__n") * col("__syy") > col("__sy") * col("__sy"),
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            (sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")) *
+              sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")))),
+        6).alias("assortativity"),
+      // __n counts both orientations, so it is even and the halving exact
+      (col("__n") / 2).cast("long").alias("n_edges"))
+  }
 }

@@ -66,6 +66,56 @@ object Timeseries {
     * ([[graft.streaming.Streams]] holds the stateful pattern).
     * `tieCol` breaks equal-timestamp ordering deterministically.
     */
+  /** One-sided CUSUM changepoint scores (Page 1954, "Continuous
+    * inspection schemes"): per key, in (`tsCol`, `tieCol`) order,
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))
+    *   S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t))
+    *
+    * — the sequential detector for a sustained MEAN SHIFT: isolated
+    * spikes decay back to 0, a persistent drift accumulates linearly
+    * until S crosses the alarm threshold. `target` is the in-control
+    * mean and `slack` the half-dead-band (classically k = δ/2 for a
+    * shift of size δ), both caller-supplied so the score is exactly
+    * replayable (no data-dependent standardization inside the op).
+    *
+    * The recursion is NOT run as a loop: max(0, ·) folding telescopes to
+    *
+    *   S⁺_t = cs_t − min(0, min_{j ≤ t} cs_j),  cs = prefix sum of (x−k)
+    *
+    * so both sides are two stock window passes (prefix sum, prefix min)
+    * per key — one shuffle, no iteration, no driver actions. All
+    * arithmetic runs in integer `scale`-ths of a unit (cents by
+    * default): exact, order-independent, immune to windowed-sum
+    * fp-association differences across engines.
+    *
+    * Output: key, ts, tie, value, s_hi, s_lo (descaled round-6 doubles),
+    * alarm (1 when either side ≥ `threshold`).
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, target: Double, slack: Double, threshold: Double,
+      scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def scaled(x: Double) = math.round(x * scale)
+    val kHi = scaled(target) + scaled(slack)
+    val kLo = scaled(target) - scaled(slack)
+    val thr = scaled(threshold)
+    val v = round(col(valCol) * scale).cast("long")
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
+        sum(v - kHi).over(w).alias("__csh"),
+        sum(lit(kLo) - v).over(w).alias("__csl"))
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
+        (col("__csh") - least(lit(0L), min(col("__csh")).over(w))).alias("__sh"),
+        (col("__csl") - least(lit(0L), min(col("__csl")).over(w))).alias("__sl"))
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valCol),
+        Rounding.roundAway(col("__sh").cast("double") / scale, 6).alias("s_hi"),
+        Rounding.roundAway(col("__sl").cast("double") / scale, 6).alias("s_lo"),
+        (col("__sh") >= thr || col("__sl") >= thr).cast("int").alias("alarm"))
+  }
+
   def ewma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
       alpha: Double, tieCol: String, outCol: String = "ewma"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")

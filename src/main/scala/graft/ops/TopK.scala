@@ -81,4 +81,41 @@ object TopK {
       .where(col(s"__fg_l.$scoreCol") >= col("__thr"))
       .select(df.columns.map(c => col(s"__fg_l.$c")): _*)
   }
+
+  /** 2-objective Pareto front (maximize both `xCol` and `yCol`): keep
+    * the rows no other row dominates, where p dominates q iff p ≥ q on
+    * both objectives and > on at least one. The multi-objective
+    * selection cut — e.g. documents best trading off length against
+    * lexical diversity — where any single weighted score would bake in
+    * an arbitrary exchange rate between the objectives.
+    *
+    * NOT the O(n²) NOT-EXISTS form: dominance in 2D collapses to two
+    * maxima per distinct x —
+    *
+    *   dominated(r) ⟺ max{y : x > r.x} ≥ r.y  ∨  max{y : x = r.x} > r.y
+    *
+    * so the plan is an x-CENSUS (per distinct x: max y), a running max
+    * over the census in descending x (census-sized window, not
+    * corpus-sized), and one join back on x. Two shuffles keyed by x;
+    * 100 TB safe. Duplicate (x, y) points do not dominate each other
+    * (no strict inequality) and all survive, matching the set
+    * definition.
+    */
+  def paretoFront2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val census = df.groupBy(col(xCol).alias("__px"))
+      .agg(max(col(yCol)).alias("__maxy"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__px").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = census
+      .select(col("__px"), col("__maxy"),
+        max(col("__maxy")).over(wDesc).alias("__best_above"))
+    // no broadcast hint: the frontier is distinct-x-sized — usually tiny
+    // (AQE broadcasts it), but a high-cardinality x must stay shuffleable
+    df.join(frontier, col(xCol) === col("__px"))
+      .where((col("__best_above").isNull || col("__best_above") < col(yCol)) &&
+        col("__maxy") <= col(yCol))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The evaluation tier: ROC AUC, calibration bins, two-sample KS,
+  * mutual information, quantile normalization, CUSUM, the Pareto front,
+  * degree assortativity, and shingle novelty — each checked against a
+  * hand-computed (or brute-force recomputed) ground truth on frames
+  * small enough to verify by eye.
+  */
+class EvalSpec extends SparkSpecBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private def scored(rows: Seq[(Double, Int)]) = {
+    import spark.implicits._
+    rows.toDF("score", "y")
+  }
+
+  test("rocAuc: perfect separation scores 1, reversal 0, constant 0.5") {
+    def auc(rows: Seq[(Double, Int)]): Option[Double] =
+      Option(Eval.rocAuc(scored(rows), "score", "y").head.get(0))
+        .map(_.asInstanceOf[Double])
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))).contains(1.0))
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))).contains(0.0))
+    // every score identical: one tie group, AUC exactly 1/2
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))).contains(0.5))
+  }
+
+  test("rocAuc: midrank tie handling matches the hand-computed statistic") {
+    // scores asc: 0.1(neg) 0.4(pos) 0.4(neg) 0.7(pos)
+    // ranks: 1, then the 0.4 pair midrank 2.5 each, then 4
+    // U = sum pos ranks - P(P+1)/2 = (2.5 + 4) - 3 = 3.5; AUC = 3.5/4
+    val out = Eval.rocAuc(
+      scored(Seq((0.1, 0), (0.4, 1), (0.4, 0), (0.7, 1))), "score", "y").head
+    assert(out.getDouble(0) === 0.875)
+    assert(out.getLong(1) === 2L && out.getLong(2) === 2L)
+  }
+
+  test("rocAuc: single-class input yields null AUC, not a crash") {
+    val out = Eval.rocAuc(scored(Seq((0.2, 1), (0.9, 1))), "score", "y").head
+    assert(out.isNullAt(0) && out.getLong(1) === 2L && out.getLong(2) === 0L)
+  }
+
+  test("calibrationBins: equal-width bins, 1.0 folds into the top bin") {
+    val out = Eval.calibrationBins(
+      scored(Seq((0.05, 0), (0.08, 1), (0.95, 1), (1.0, 1))), "score", "y")
+      .orderBy(col("bin")).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 9))
+    val bin0 = out(0)
+    assert(bin0.getLong(1) === 2L && bin0.getDouble(3) === 0.5)
+    val bin9 = out(1)
+    assert(bin9.getLong(1) === 2L && bin9.getDouble(3) === 1.0)
+  }
+
+  private def twoSlices(a: Seq[Double], b: Seq[Double]) = {
+    import spark.implicits._
+    (a.map(("a", _)) ++ b.map(("b", _))).toDF("grp", "v")
+  }
+
+  test("ksTest: identical samples give 0, disjoint samples give 1") {
+    val same = Eval.ksTest(
+      twoSlices(Seq(1, 2, 3), Seq(1, 2, 3)), "v", "grp", "a", "b").head
+    assert(same.getDouble(0) === 0.0)
+    val disj = Eval.ksTest(
+      twoSlices(Seq(1, 2), Seq(5, 6)), "v", "grp", "a", "b").head
+    assert(disj.getDouble(0) === 1.0 && disj.getLong(1) === 2L)
+  }
+
+  test("ksTest: hand-computed max ECDF gap with unequal sizes") {
+    // a = {1,2,3,4}, b = {3,4}: at v=2, F_a=0.5, F_b=0 -> gap 0.5 (max)
+    val out = Eval.ksTest(
+      twoSlices(Seq(1, 2, 3, 4), Seq(3, 4)), "v", "grp", "a", "b").head
+    assert(out.getDouble(0) === 0.5)
+  }
+
+  test("mutualInformation: independence gives 0, identity gives ln k") {
+    import spark.implicits._
+    // product distribution: every (a,b) cell equally likely -> MI = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v") } yield (a, b))
+      .toDF("a", "b")
+    assert(Eval.mutualInformation(indep, "a", "b").head.getDouble(0) === 0.0)
+    // b determined by a over k=2 equal classes -> MI = ln 2
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v")).toDF("a", "b")
+    assert(Eval.mutualInformation(dep, "a", "b").head.getDouble(0) ===
+      Rounding.roundAwayDouble(math.log(2), 6))
+  }
+
+  test("quantileNormalize: group scores map onto global bucket medians") {
+    import spark.implicits._
+    // two groups of 4 over a global frame of 8, 2 buckets: global
+    // halves have medians 2.5 and 6.5. Quantile MATCHING maps a row at
+    // within-group quantile q to the global value at q — so group
+    // "lo"'s upper half (3,4) lands on the global upper-half median
+    // 6.5, and group "hi"'s lower half (5,6) lands on 2.5: the group
+    // offset is normalized away, which is the point of the op.
+    val df = Seq(("lo", 1, 1), ("lo", 2, 2), ("lo", 3, 3), ("lo", 4, 4),
+      ("hi", 5, 5), ("hi", 6, 6), ("hi", 7, 7), ("hi", 8, 8))
+      .toDF("g", "s", "id")
+    val out = Eval.quantileNormalize(df, "g", "s", "id", buckets = 2)
+      .orderBy(col("s")).collect()
+    assert(out.map(r => (r.getAs[Int]("s"), r.getAs[Int]("bucket"),
+      r.getAs[Double]("norm"))).toSeq === Seq(
+      (1, 1, 2.5), (2, 1, 2.5), (3, 2, 6.5), (4, 2, 6.5),
+      (5, 1, 2.5), (6, 1, 2.5), (7, 2, 6.5), (8, 2, 6.5)))
+  }
+
+  test("cusum: telescoped window form equals the brute-force recursion") {
+    import spark.implicits._
+    val vals = Seq(3.0, 9.0, 8.5, 2.0, 1.0, 9.9, 9.9, 9.9, 0.1, 5.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
+      .toDF("key", "t", "v")
+    val out = Timeseries.cusum(df, "key", "t", "t", "v",
+        target = 5.0, slack = 1.0, threshold = 4.0)
+      .orderBy(col("t")).collect()
+    // brute-force the published recursion in scaled integers
+    var (sh, sl) = (0L, 0L)
+    val expected = vals.map { v =>
+      val vc = math.round(v * 100)
+      sh = math.max(0L, sh + vc - 600)
+      sl = math.max(0L, sl + 400 - vc)
+      (sh / 100.0, sl / 100.0, if (sh >= 400 || sl >= 400) 1 else 0)
+    }
+    val got = out.map(r => (r.getAs[Double]("s_hi"), r.getAs[Double]("s_lo"),
+      r.getAs[Int]("alarm"))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 == 1), "fixture should trip the alarm")
+  }
+
+  test("cusum: keys accumulate independently") {
+    import spark.implicits._
+    val df = Seq(("a", 0, 9.0), ("b", 0, 9.0), ("a", 1, 9.0), ("b", 1, 1.0))
+      .toDF("key", "t", "v")
+    val out = Timeseries.cusum(df, "key", "t", "t", "v", 5.0, 0.0, 100.0)
+      .orderBy(col("key"), col("t")).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("s_hi"))).toSeq
+    assert(out === Seq(("a", 4.0), ("a", 8.0), ("b", 4.0), ("b", 0.0)))
+  }
+
+  test("paretoFront2D: equals brute-force dominance, duplicates survive") {
+    import spark.implicits._
+    val pts = Seq((1, 10, 9), (2, 10, 9), (3, 12, 7), (4, 12, 7), (5, 12, 6),
+      (6, 8, 12), (7, 11, 8), (8, 5, 5), (9, 13, 1), (10, 10, 10))
+    val df = pts.toDF("id", "x", "y")
+    val got = TopK.paretoFront2D(df, "x", "y")
+      .orderBy(col("id")).collect().map(_.getInt(0)).toSeq
+    val brute = pts.filterNot { case (_, px, py) =>
+      pts.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.map(_._1)
+    assert(got === brute)
+    // the duplicate frontier pair (12,7)x2 both survive; (10,9)x2 are
+    // dominated by (10,10); (11,8) stays — nothing with x >= 11 reaches
+    // y = 8; (12,6) falls to its duplicate-x sibling (12,7)
+    assert(got === Seq(3, 4, 6, 7, 9, 10))
+  }
+
+  test("degreeAssortativity: star is maximally disassortative, hand graph checks out") {
+    import spark.implicits._
+    // 4-leaf star: r = -1 (every edge pairs degree 4 with degree 1)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val out = Graph.degreeAssortativity(star).head
+    assert(out.getDouble(0) === -1.0 && out.getLong(1) === 4L)
+    // 2-regular triangle: constant degree -> zero variance -> null
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val triOut = Graph.degreeAssortativity(tri).head
+    assert(triOut.isNullAt(0) && triOut.getLong(1) === 3L)
+  }
+
+  test("degreeAssortativity: symmetrization dedupes reversed and self edges") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 2L), (1L, 2L)).toDF("src", "dst")
+    // effective undirected edges: {0,1}, {1,2} — a 2-path, n_edges 2
+    assert(Graph.degreeAssortativity(edges).head.getLong(1) === 2L)
+  }
+
+  test("shingleNovelty: later duplicates see earlier grams; short docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // grams: a b g, b g d — fresh
+      (2L, "alpha beta gamma epsilon"),   // a b g seen, b g e fresh
+      (3L, "alpha beta gamma delta"),     // both seen
+      (4L, "too short")                   // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.shingleNovelty(docs, "text", "doc_id", n = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((1L, 2L, 0.0), (2L, 2L, 0.5), (3L, 2L, 1.0)))
+  }
+}
