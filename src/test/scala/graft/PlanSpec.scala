@@ -304,4 +304,46 @@ class PlanSpec extends SparkSpecBase {
     // candidate generation must join postings on the token, not pair ids
     assert(plan.contains("Window"), s"the (df, token) rank window vanished:\n$plan")
   }
+
+  test("q_pareto_front: census-window form, never the O(n^2) dominance join") {
+    val plan = planOf("q_pareto_front")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"Pareto front degenerated to the NOT-EXISTS shape:\n$plan")
+    // the frontier attaches by an x-keyed equi-join onto the census
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_classifier_auc: the rank window runs over the score CENSUS, not raw rows") {
+    val df = SparkEntry.queries("q_classifier_auc")(spark, sf)
+    val analyzed = df.queryExecution.optimizedPlan
+    // every Window in the plan must sit above an Aggregate (the census):
+    // a Window whose subtree has no Aggregate would be a corpus-row sort
+    val windows = analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the midrank window")
+    windows.foreach { w =>
+      val hasCensusBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasCensusBelow,
+        s"midrank window runs over raw scored rows (no census below it):\n$analyzed")
+    }
+  }
+
+  test("q_cusum alarms ride ONE event-type shuffle: both window passes share the key") {
+    val plan = planOf("q_cusum")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"cusum re-shuffled between the prefix-sum and prefix-min passes:\n$plan")
+  }
+
+  test("q_graph_assortativity reads the persisted edge artifact, no inline kNN") {
+    val plan = planOf("q_graph_assortativity")
+    assert(!plan.toLowerCase.contains("kmeans"), plan)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"assortativity plans an all-pairs stage:\n$plan")
+  }
 }
