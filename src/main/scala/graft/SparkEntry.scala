@@ -3404,6 +3404,49 @@ object SparkEntry {
       Dedup.shingleNovelty(T(s, dir, "documents"), "text", "doc_id", n = 3)
         .orderBy(col("doc_id"))),
 
+    "q_entity_resolution" -> ((s, dir) => {
+      // record linkage END-TO-END: the q_fuzzy_jaro pair set closed into
+      // ENTITIES via min-label connected components — pairwise match
+      // scores alone leave A~B, B~C as two facts; the closure makes
+      // {A,B,C} one customer. Every id is a node (singletons stay their
+      // own entity); blocked candidates keep the pair stage linear.
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 1000)
+      val pairs = Dedup.jaroPairs(cust, "c_name", "c_custkey",
+        blockKey = substring(col("c_name"), 1, 16), minSim = 0.98)
+      graft.ops.Graph.connectedComponents(
+          cust.select(col("c_custkey").alias("id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").alias("c_custkey"), col("rep").alias("entity_id"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_trend_lines" -> ((s, dir) =>
+      // per-entity drift summary: OLS slope/intercept of event value
+      // against epoch day, one map-side-combining aggregate whose five
+      // moment sums are exact BIGINTs (value in cents, x in days) — only
+      // the final division is floating-point, so the fit is exactly
+      // replayable. The "is this source sliding?" number next to the
+      // CUSUM alarm (when did it move?).
+      ops.Timeseries.trendLines(
+          EV(s, dir).select(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").alias("__x"),
+            round(col("value") * 100).cast("long").alias("__y")),
+          "event_type", "__x", "__y")
+        .select(col("event_type"), col("n"),
+          Rounding.roundAway(col("slope") / 100, 6).alias("slope"),
+          Rounding.roundAway(col("intercept") / 100, 6).alias("intercept"))
+        .orderBy(col("event_type"))),
+
+    "q_classifier_prf" -> ((s, dir) =>
+      // threshold-point grading of the same gate the AUC ranks: binary
+      // precision/recall/F1 from exact confusion counts at the shipped
+      // 0.5 cut — the numbers a deployed filter is monitored by.
+      ops.Eval.binaryPrf(
+        lrScoredTest(s, dir)
+          .select((col("score") > 0.5).cast("int").alias("pred"), col("y")),
+        "pred", "y")),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR data selection: importance weight of every document under
       // two hashed-unigram models (target = the English slice, raw = the
@@ -6780,6 +6823,66 @@ object SparkEntry {
         |    / count(*), 6) AS seen_frac
         |FROM ex e JOIN f ON e.g = f.g
         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q_entity_resolution" ->
+      // the q_fuzzy_jaro pairs as edges, min-label closure via the
+      // recursive reach CTE (same component rule as the engine)
+      """WITH RECURSIVE pairs AS (
+        |  SELECT l.c_custkey AS id_a, r.c_custkey AS id_b
+        |  FROM customer l JOIN customer r
+        |    ON substring(l.c_name, 1, 16) = substring(r.c_name, 1, 16)
+        |    AND l.c_custkey < r.c_custkey
+        |  WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
+        |    AND round(jaro_winkler_similarity(l.c_name, r.c_name), 6) >= 0.98),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 1000),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS c_custkey, min(r) AS entity_id FROM reach
+        |GROUP BY id ORDER BY c_custkey""".stripMargin,
+
+    "q_trend_lines" ->
+      // exact integer moment sums per event type, closed-form OLS
+      """WITH b AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CASE WHEN n * sxx > sx * sx THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100
+        |  END, 6) AS slope,
+        |  round(CASE WHEN n * sxx > sx * sx THEN
+        |    (CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+        |      / n / 100
+        |  END, 6) AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_classifier_prf" ->
+      // confusion counts at the round-6 0.5 cut, ratios from exact ints
+      s"""$lrScoreCte,
+        |lab2 AS (SELECT CAST(round(s.score, 6) > 0.5 AS INT) AS pred,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM lab2)
+        |SELECT tp, fp, fn, tn,
+        |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+        |  round(CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
+        |FROM m""".stripMargin,
 
     "q_dsir_weights" ->
       // the shared rolling-hash bucket fragment (mod 64), per-doc and

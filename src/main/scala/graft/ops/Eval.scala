@@ -143,6 +143,34 @@ object Eval {
       .select(col("mi"), col("n"))
   }
 
+  /** Binary precision/recall/F1 from the confusion counts — the other
+    * half of gate grading next to [[rocAuc]] (ranking) and
+    * [[calibrationBins]] (probability honesty): once a THRESHOLD is
+    * picked, these are the numbers the gate ships with. One
+    * map-side-combining aggregate; every ratio derives from exact
+    * integer counts (null when its denominator is 0, rather than a
+    * division error).
+    *
+    * Returns one row (tp, fp, fn, tn, precision, recall, f1 — ratios
+    * round-6).
+    */
+  def binaryPrf(scored: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val p = col(predCol).cast("long")
+    val y = col(labelCol).cast("long")
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val m = scored.agg(
+      cnt(p === 1 && y === 1).alias("tp"), cnt(p === 1 && y === 0).alias("fp"),
+      cnt(p === 0 && y === 1).alias("fn"), cnt(p === 0 && y === 0).alias("tn"))
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      Rounding.roundAway(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))), 6).alias("precision"),
+      Rounding.roundAway(when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))), 6).alias("recall"),
+      Rounding.roundAway(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn"))), 6).alias("f1"))
+  }
+
   /** Cross-domain score normalization by quantile matching: each row's
     * score is replaced by the GLOBAL `buckets`-quantile median of the
     * within-group quantile bucket it falls in — after which "top decile

@@ -66,6 +66,37 @@ object Timeseries {
     * ([[graft.streaming.Streams]] holds the stateful pattern).
     * `tieCol` breaks equal-timestamp ordering deterministically.
     */
+  /** Per-key ordinary-least-squares trend line of `yCol` against `xCol`
+    * (both INTEGER columns — scale doubles to fixed-point first): the
+    * per-entity drift summary ("is this source's quality sliding?") as
+    * one map-side-combining aggregate. The five moment sums are exact
+    * BIGINTs, so the closed-form slope/intercept are deterministic — no
+    * accumulation-order float hazard; only the final division is
+    * floating-point. Constant-x keys yield null slope (zero variance).
+    * At extreme magnitudes the BIGINT moments can overflow (Spark ANSI
+    * mode fails loudly); center x per key first if x is epoch-scaled
+    * and rows-per-key exceed ~1e6.
+    *
+    * Output: key, n, slope, intercept (y-units per x-unit, unrounded —
+    * callers round for oracles).
+    */
+  def trendLines(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("n"),
+        sum(col(xCol)).alias("__sx"), sum(col(yCol)).alias("__sy"),
+        sum(col(xCol) * col(yCol)).alias("__sxy"),
+        sum(col(xCol) * col(xCol)).alias("__sxx"))
+    val det = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") / det.cast("double")
+    m.select(col(keyCol), col("n"),
+      when(det > 0, slope).alias("slope"),
+      when(det > 0,
+        (col("__sy").cast("double") - slope * col("__sx")) / col("n"))
+        .alias("intercept"))
+  }
+
   /** One-sided CUSUM changepoint scores (Page 1954, "Continuous
     * inspection schemes"): per key, in (`tsCol`, `tieCol`) order,
     *

@@ -541,4 +541,53 @@ object Streams {
           out.iterator
       }.toDF()
   }
+
+  /** Two integer CUSUM accumulators per key — the whole detector state. */
+  case class CusumState(sHi: Long, sLo: Long)
+  case class CusumRow(key: String, id: Long, value: Double, s_hi: Double,
+      s_lo: Double, alarm: Int)
+
+  /** Streaming twin of q_cusum: per-key two-sided CUSUM maintained as
+    * mapGroupsWithState — here the published recursion runs DIRECTLY
+    * (the batch op's prefix-sum/prefix-min telescoping exists to avoid
+    * iteration in a one-shot plan; a stateful stream IS the recursion).
+    * Exact batch/stream equivalence, not just convergence: the
+    * accumulators are integer `scale`-ths of a unit and rows fold in id
+    * order, so any micro-batch split yields bit-identical scores to
+    * [[graft.ops.Timeseries.cusum]] over the same sequence (spec-pinned)
+    * — the property that makes redeployments and replays safe. State is
+    * two longs per key, watermark/TTL-free.
+    */
+  def cusumStream(events: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, target: Double, slack: Double, threshold: Double,
+      scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    def scaled(x: Double) = math.round(x * scale)
+    val (kHi, kLo, thr) = (scaled(target) + scaled(slack),
+      scaled(target) - scaled(slack), scaled(threshold))
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(valueCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+            val vc = math.round(v * scale)
+            st = CusumState(math.max(0L, st.sHi + vc - kHi),
+              math.max(0L, st.sLo + kLo - vc))
+            CusumRow(key, id, v, st.sHi.toDouble / scale,
+              st.sLo.toDouble / scale,
+              if (st.sHi >= thr || st.sLo >= thr) 1 else 0)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
 }

@@ -177,6 +177,34 @@ class EvalSpec extends SparkSpecBase {
     assert(Graph.degreeAssortativity(edges).head.getLong(1) === 2L)
   }
 
+  test("binaryPrf: hand-computed confusion ratios, zero denominators go null") {
+    import spark.implicits._
+    // tp=2 fp=1 fn=1 tn=2: precision 2/3, recall 2/3, f1 2/3
+    val df = Seq((1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0))
+      .toDF("pred", "y")
+    val out = Eval.binaryPrf(df, "pred", "y").head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert(out.getDouble(4) === Rounding.roundAwayDouble(2.0 / 3, 6))
+    assert(out.getDouble(5) === Rounding.roundAwayDouble(2.0 / 3, 6))
+    assert(out.getDouble(6) === Rounding.roundAwayDouble(2.0 / 3, 6))
+    // never-predicts-positive: precision null (0/0), recall 0
+    val never = Eval.binaryPrf(Seq((0, 1), (0, 0)).toDF("pred", "y"), "pred", "y").head
+    assert(never.isNullAt(4) && never.getDouble(5) === 0.0)
+  }
+
+  test("trendLines: exact fit on a perfect line, null slope on constant x") {
+    import spark.implicits._
+    // y = 3x + 7 exactly: integer moments make the fit exact
+    val line = Seq((0L, 7L), (1L, 10L), (2L, 13L), (5L, 22L))
+      .map { case (x, y) => ("k", x, y) }.toDF("key", "x", "y")
+    val out = Timeseries.trendLines(line, "key", "x", "y").head
+    assert(out.getDouble(2) === 3.0 && out.getDouble(3) === 7.0)
+    val flat = Seq(("k", 4L, 1L), ("k", 4L, 9L)).toDF("key", "x", "y")
+    val fo = Timeseries.trendLines(flat, "key", "x", "y").head
+    assert(fo.isNullAt(2) && fo.isNullAt(3))
+  }
+
   test("shingleNovelty: later duplicates see earlier grams; short docs emit nothing") {
     import spark.implicits._
     val docs = Seq(

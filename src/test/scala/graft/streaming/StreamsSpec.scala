@@ -624,6 +624,47 @@ class StreamsSpec extends SparkSpecBase {
     // id-ordered folding makes a different batch split bit-identical
     assert(run(Seq(b1 ++ b2), "anom1") == got)
   }
+
+  test("streaming CUSUM: bit-identical to the batch telescoped form under any batch split") {
+    implicit val sc = spark.sqlContext
+    // a drift fixture: in-control values, then a sustained +shift that
+    // must trip the alarm a few rows in (not on the first shifted row)
+    val vals = Seq(5.1, 4.9, 5.0, 4.8, 7.5, 7.7, 7.6, 7.9, 5.0, 4.7)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val (b1, b2) = vals.splitAt(4)
+
+    def run(batches: Seq[Seq[(Long, Double)]], name: String): Seq[Streams.CusumRow] = {
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = Streams.cusumStream(
+          mem.toDF().toDF("key", "id", "value"), "key", "id", "value",
+          target = 5.0, slack = 0.5, threshold = 5.0)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b =>
+        mem.addData(b.map { case (id, v) => ("k1", id, v) }: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table(name).as[Streams.CusumRow].collect().sortBy(_.id).toSeq
+      q.stop()
+      rows
+    }
+
+    val split = run(Seq(b1, b2), "cusum2")
+    assert(run(Seq(b1 ++ b2), "cusum1") === split, "batch split changed the scores")
+
+    // batch twin over the same sequence: graft.ops.Timeseries.cusum
+    val batchDf = vals.map { case (id, v) => ("k1", id, v) }.toDF("key", "id", "value")
+    val batch = graft.ops.Timeseries.cusum(batchDf, "key", "id", "id", "value",
+        target = 5.0, slack = 0.5, threshold = 5.0)
+      .orderBy(col("id"))
+      .select(col("id"), col("s_hi"), col("s_lo"), col("alarm"))
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(split.map(r => (r.id, r.s_hi, r.s_lo, r.alarm)) === batch,
+      "stream diverged from the batch telescoped form")
+    // the shift accumulates: alarm trips DURING the shifted run, then the
+    // score decays once values return to target
+    assert(split.exists(_.alarm == 1) && split.head.alarm == 0)
+    assert(split.map(_.id).indexWhere(_ == split.filter(_.alarm == 1).head.id) > 4)
+  }
 }
 
 object StreamsSpec {
