@@ -3447,6 +3447,83 @@ object SparkEntry {
           .select((col("score") > 0.5).cast("int").alias("pred"), col("y")),
         "pred", "y")),
 
+    "q_target_encode" -> ((s, dir) => {
+      // leave-one-out target encoding: each order sees its customer's
+      // mean price EXCLUDING itself — the feature-engineering form that
+      // doesn't leak the row's own label ((sum − y)/(n − 1), null for
+      // singleton keys). Sums run in exact integer cents over one
+      // key-partitioned window; the ratio of exact ints cannot flap.
+      val w = Window.partitionBy(col("o_custkey"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), cents.alias("__c"),
+          sum(cents).over(w).alias("__s"), count(lit(1)).over(w).alias("__n"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          Rounding.roundAway(
+            when(col("__n") > 1,
+              (col("__s") - col("__c")).cast("double") / (col("__n") - 1) / 100),
+            6).alias("loo_mean"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_source_similarity" -> ((s, dir) => {
+      // domain-redundancy map: cosine similarity between per-LANGUAGE
+      // embedding centroids — which slices of the corpus say the same
+      // thing in vector space (the signal behind cross-domain dedup
+      // budgets and mixture down-weighting). Centroids live in the
+      // relational (lang, dim, c) layout: one explode + one census, the
+      // pairwise stage is centroids × centroids on the dim equi-key —
+      // languages-sized, never corpus-sized.
+      val cent = T(s, dir, "embeddings")
+        .join(T(s, dir, "documents"), col("doc_id") === col("vec_id"))
+        .select(col("lang"), posexplode(col("embedding")).as(Seq("dim", "__x")))
+        .groupBy(col("lang"), col("dim"))
+        .agg(avg(col("__x").cast("double")).alias("__c"))
+      val a = cent.select(col("lang").alias("lang_a"), col("dim"), col("__c").alias("__ca"))
+      val b = cent.select(col("lang").alias("lang_b"), col("dim"), col("__c").alias("__cb"))
+      val dots = a.join(b, Seq("dim"))
+        .where(col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(sum(col("__ca") * col("__cb")).alias("__dot"))
+      val norms = cent.groupBy(col("lang"))
+        .agg(sqrt(sum(col("__c") * col("__c"))).alias("__n"))
+      dots
+        .join(norms.select(col("lang").alias("lang_a"), col("__n").alias("__na")), Seq("lang_a"))
+        .join(norms.select(col("lang").alias("lang_b"), col("__n").alias("__nb")), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          Rounding.roundAway(col("__dot") / (col("__na") * col("__nb")), 6)
+            .alias("centroid_cos"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    "q_attribution_multitouch" -> ((s, dir) => {
+      // LINEAR multi-touch attribution next to q_attribution's last-touch:
+      // each purchase splits one unit of credit equally across ALL the
+      // same user's click/view touches in the prior 7 days; per-channel
+      // totals. Credit is integer parts-per-million (floor(1e6 / k)) so
+      // the cross-purchase sum is exact integer arithmetic — no
+      // float-accumulation hazard at any purchase count. The join is
+      // user-keyed with a time residual: per-user fan-in, never a
+      // cross join.
+      val ev = EV(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").alias("__pid"), col("ts").alias("__pts"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"), col("event_id").alias("__tid"),
+          col("ts").alias("__tts"))
+      val attributed = purchases.join(touches, Seq("user_id"))
+        .where(col("__tts") < col("__pts") &&
+          col("__tts") >= col("__pts") - expr("INTERVAL 7 DAYS"))
+      val k = attributed.groupBy(col("__pid")).agg(count(lit(1)).alias("__k"))
+      attributed.join(k, Seq("__pid"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).alias("n_touches"),
+          Rounding.roundAway(
+            sum(floor(lit(1000000L) / col("__k"))).cast("double") / 1000000, 6)
+            .alias("credit"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR data selection: importance weight of every document under
       // two hashed-unigram models (target = the English slice, raw = the
@@ -6883,6 +6960,52 @@ object SparkEntry {
         |  round(CASE WHEN 2 * tp + fp + fn > 0 THEN
         |    CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
         |FROM m""".stripMargin,
+
+    "q_target_encode" ->
+      // per-customer window sums in exact cents, the LOO ratio
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |w AS (SELECT o_orderkey, o_custkey, c,
+        |    CAST(sum(c) OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+        |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT o_orderkey, o_custkey,
+        |  round(CASE WHEN n > 1 THEN CAST(s - c AS DOUBLE) / (n - 1) / 100 END, 6)
+        |    AS loo_mean
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
+    "q_source_similarity" ->
+      // lateral range over list positions builds the same (lang, dim, c)
+      // census; pairwise cosine over the language-sized centroid table
+      """WITH ex AS (
+        |  SELECT d.lang,
+        |    CAST(unnest(range(len(e.embedding))) AS INT) AS dim,
+        |    unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |cent AS (SELECT lang, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |norms AS (SELECT lang, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY lang),
+        |dots AS (SELECT a.lang AS lang_a, b.lang AS lang_b, sum(a.c * b.c) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b,
+        |  round(dot / (na.nrm * nb.nrm), 6) AS centroid_cos
+        |FROM dots JOIN norms na ON na.lang = lang_a JOIN norms nb ON nb.lang = lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    "q_attribution_multitouch" ->
+      // the same user-keyed time-residual join; credit in exact integer
+      // parts-per-million before the final descale
+      """WITH p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type, event_id AS tid, ts AS tts FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT p.pid, t.event_type FROM p JOIN t ON p.user_id = t.user_id
+        |  AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        |k AS (SELECT pid, CAST(count(*) AS BIGINT) AS k FROM a GROUP BY pid)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(floor(1000000 / k.k)) AS DOUBLE) / 1000000, 6) AS credit
+        |FROM a JOIN k ON a.pid = k.pid
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
 
     "q_dsir_weights" ->
       // the shared rolling-hash bucket fragment (mod 64), per-doc and

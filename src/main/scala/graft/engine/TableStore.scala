@@ -388,6 +388,57 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     TableStore.fireRewrite(tablePath(table))
   }
 
+  /** Predicate DELETE — the right-to-be-forgotten / bad-batch-purge
+    * primitive (Parquet files are immutable, so a delete is a rewrite of
+    * the files that contain matches):
+    *
+    *  - unpartitioned table: one staged-swap [[replace]] with the
+    *    complement — the previous copy stays readable until the new one
+    *    is fully committed;
+    *  - Hive-partitioned table: only the partitions CONTAINING matches
+    *    rewrite, via dynamic partition overwrite — at 100 TB deleting
+    *    one user rewrites their partitions, not the table. If a hit
+    *    partition would end up EMPTY (dynamic overwrite cannot express
+    *    "this directory vanishes"), the delete falls back to the full
+    *    staged [[replacePartitioned]] rewrite — correctness over the
+    *    partial-rewrite optimization.
+    *
+    * Rows where the predicate is NULL are KEPT (SQL DELETE semantics:
+    * only TRUE deletes). Returns the number of rows deleted; a
+    * zero-match delete touches no files. Driver state is bounded by the
+    * hit-partition list, never row data.
+    */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
+    recoverCrashedSwap(table)
+    val path = new Path(tablePath(table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = partitionColumnsOf(fs, path)
+    val df = read(table)
+    val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
+    val deleted = df.where(hit).count()
+    if (deleted == 0L) return 0L
+    if (parts.isEmpty) {
+      replace(table, df.where(!hit))
+    } else {
+      val partCols = parts.map(col)
+      // distinct partition tuples containing matches — bounded driver
+      // state (the partition list), the same bound listTables-style
+      // maintenance already lives with
+      val hitParts = df.where(hit).select(partCols: _*).distinct().collect()
+      val hitPartDf = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(hitParts: _*)),
+        df.select(partCols: _*).schema)
+      val survivors = df.where(!hit)
+        .join(org.apache.spark.sql.functions.broadcast(hitPartDf), parts, "left_semi")
+      val survivorParts = survivors.select(partCols: _*).distinct().count()
+      if (survivorParts == hitParts.length.toLong)
+        overwritePartitions(table, survivors, parts)
+      else
+        replacePartitioned(table, df.where(!hit), parts)
+    }
+    deleted
+  }
+
   /** The write_to_bq equivalent for an already-loaded DataFrame. */
   def write(
       table: String,

@@ -427,4 +427,61 @@ class IngestSpec extends SparkSpecBase {
     val after = graft.ops.Features.docShingles(spark, wh, n = 3, table = "docs")
     assert(after.count() == 1, "stale shingle frame served after rewrite")
   }
+
+  test("deleteWhere: unpartitioned delete keeps NULL-predicate rows; zero-match touches nothing") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-delete"))
+    store.write("t", Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "tag"), append = false)
+    // predicate is NULL for id=3 (tag null): SQL DELETE keeps it
+    assert(store.deleteWhere("t", col("tag") === "a") === 1L)
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // zero matches: no rewrite (file listing byte-identical)
+    def listing(t: String) = {
+      val p = new org.apache.hadoop.fs.Path(store.read(t).inputFiles.head).getParent
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(s => (s.getPath.toString, s.getModificationTime)).toSet
+    }
+    val before = listing("t")
+    assert(store.deleteWhere("t", col("tag") === "zzz") === 0L)
+    assert(listing("t") === before, "zero-match delete rewrote files")
+  }
+
+  test("deleteWhere: partitioned delete rewrites ONLY the hit partitions") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-delete-part"))
+    val df = Seq((1L, "d1", "x"), (2L, "d1", "y"), (3L, "d2", "x"), (4L, "d3", "z"))
+      .toDF("id", "day", "v")
+    store.writePartitioned("t", df, Seq("day"))
+    def files(day: String) = {
+      val root = new org.apache.hadoop.fs.Path(
+        store.read("t").inputFiles.head).getParent.getParent
+      val p = new org.apache.hadoop.fs.Path(root, s"day=$day")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+        .map(s => (s.getPath.toString, s.getModificationTime)).toSet
+    }
+    val d2Before = files("d2"); val d3Before = files("d3")
+    assert(store.deleteWhere("t", col("v") === "y") === 1L)
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L))
+    // untouched partitions keep their physical files
+    assert(files("d2") === d2Before && files("d3") === d3Before,
+      "delete rewrote partitions with no matches")
+  }
+
+  test("deleteWhere: emptying a whole partition removes its directory") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-delete-empty"))
+    store.writePartitioned("t",
+      Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day"), Seq("day"))
+    assert(store.deleteWhere("t", col("day") === "d1") === 2L)
+    assert(store.read("t").select("id").as[Long].collect().toSeq === Seq(3L))
+    // the emptied directory is gone, not a zero-row husk
+    val root = new org.apache.hadoop.fs.Path(
+      store.read("t").inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "day=d1")),
+      "emptied partition directory survived the delete")
+  }
 }
