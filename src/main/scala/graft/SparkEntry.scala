@@ -3447,6 +3447,121 @@ object SparkEntry {
           .select((col("score") > 0.5).cast("int").alias("pred"), col("y")),
         "pred", "y")),
 
+    "q_heaps_law" -> ((s, dir) => {
+      // Heaps' law fit: vocabulary growth V(N) ≈ k·N^β sampled at
+      // power-of-two token prefixes, β from the log-log OLS — the
+      // corpus-health companion to q_corpus_zipf (β drifting toward 1
+      // means template floods are minting "new" tokens; natural text
+      // sits near 0.4-0.6). First-occurrence positions are exact
+      // integers: per-doc offsets ride a doc-census window (one row per
+      // DOCUMENT — at extreme doc counts swap for the percentile-cut
+      // offset table, same note as q_equidepth_hist); V(N) at ~15
+      // sample points is one broadcast pass over the vocabulary census.
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val wOff = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g = T(s, dir, "documents")
+        .select(col("doc_id"), toks.alias("__tk"))
+        .select(col("doc_id"), col("__tk"),
+          coalesce(sum(size(col("__tk")).cast("long")).over(wOff), lit(0L))
+            .alias("__off"))
+        .select(col("__off"), posexplode(col("__tk")).as(Seq("__p", "__tok")))
+        .select((col("__off") + col("__p") + 1).alias("__gpos"), col("__tok"))
+      val firsts = g.groupBy(col("__tok")).agg(min(col("__gpos")).alias("__fp"))
+      val tot = g.agg(count(lit(1)).alias("__n"))
+      val samples = s.range(4, 40)
+        .select(pow(lit(2.0), col("id")).cast("long").alias("np"))
+        .crossJoin(broadcast(tot)).where(col("np") <= col("__n"))
+        .select(col("np"))
+      val growth = firsts.crossJoin(broadcast(samples))
+        .groupBy(col("np"))
+        .agg(sum(when(col("__fp") <= col("np"), 1L).otherwise(0L)).alias("vn"))
+      ops.Timeseries.trendLines(
+          growth.select(lit("corpus").alias("__k"),
+            log(col("np").cast("double")).alias("__x"),
+            log(col("vn").cast("double")).alias("__y")),
+          "__k", "__x", "__y")
+        .select(col("n").alias("n_points"),
+          Rounding.roundAway(col("slope"), 6).alias("beta"),
+          Rounding.roundAway(col("intercept"), 6).alias("ln_k"))
+    }),
+
+    "q_burstiness" -> ((s, dir) => {
+      // traffic-shape fingerprint: per-user inter-arrival coefficient of
+      // variation — CV ≈ 0 is metronome traffic (bots, schedulers),
+      // CV ≈ 1 Poisson, CV >> 1 bursty humans. Gaps are exact integer
+      // SECONDS; the moment sums (n, Σg, Σg²) are exact BIGINTs on one
+      // user-keyed window + aggregate, so the score cannot flap.
+      val secs = floor(expr("unix_micros(ts)") / 1000000L).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = EV(s, dir)
+        .select(col("user_id"), secs.alias("__t"),
+          lag(secs, 1).over(w).alias("__prev"))
+        .where(col("__prev").isNotNull)
+        .select(col("user_id"), (col("__t") - col("__prev")).alias("__g"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_gaps"),
+          sum(col("__g")).alias("__s"), sum(col("__g") * col("__g")).alias("__sq"))
+        .select(col("user_id"), col("n_gaps"),
+          Rounding.roundAway(col("__s").cast("double") / col("n_gaps"), 6)
+            .alias("mean_gap_s"),
+          Rounding.roundAway(
+            when(col("n_gaps") > 1 && col("__s") > 0,
+              sqrt((col("n_gaps") * col("__sq") - col("__s") * col("__s"))
+                  .cast("double") / (col("n_gaps") * (col("n_gaps") - 1)))
+                / (col("__s").cast("double") / col("n_gaps"))),
+            6).alias("cv"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_markov_sequences" -> ((s, dir) => {
+      // behavioral-sequence scoring: each user's event-type stream under
+      // the corpus's own add-one-smoothed first-order Markov model —
+      // high per-transition NLL is an out-of-pattern session (the
+      // sequence-shaped cousin of q_text_lm_score's bigram gate).
+      // Transition census + a states-sized model table joined back;
+      // nothing collects.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = EV(s, dir)
+        .select(col("user_id"), col("event_type").alias("__b"),
+          lag(col("event_type"), 1).over(w).alias("__a"))
+        .where(col("__a").isNotNull)
+      val cAb = trans.groupBy(col("__a"), col("__b")).agg(count(lit(1)).alias("__cab"))
+      val cA = cAb.groupBy(col("__a")).agg(sum(col("__cab")).alias("__ca"))
+      val v = cAb.select(col("__b")).distinct().agg(count(lit(1)).alias("__v"))
+      val model = cAb.join(cA, Seq("__a")).crossJoin(broadcast(v))
+        .select(col("__a"), col("__b"),
+          log((col("__cab") + 1).cast("double") / (col("__ca") + col("__v")))
+            .alias("__lp"))
+      trans.join(broadcast(model), Seq("__a", "__b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_trans"),
+          Rounding.roundAway(-avg(col("__lp")), 6).alias("nll"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_golden_record" -> ((s, dir) => {
+      // survivorship on top of q_entity_resolution: each linked entity
+      // collapses to ONE golden record — canonical identity from the
+      // lowest member key (deterministic), best-value rules for the
+      // rest (max balance, member count). The merge step every MDM /
+      // customer-360 pipeline runs after the closure.
+      val cust = T(s, dir, "customer").where(col("c_custkey") < 1000)
+      val pairs = Dedup.jaroPairs(cust, "c_name", "c_custkey",
+        blockKey = substring(col("c_name"), 1, 16), minSim = 0.98)
+      graft.ops.Graph.connectedComponents(
+          cust.select(col("c_custkey").alias("id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .join(cust, col("id") === col("c_custkey"))
+        .groupBy(col("rep").alias("entity_id"))
+        .agg(count(lit(1)).alias("n_members"),
+          min(struct(col("c_custkey"), col("c_name"))).alias("__canon"),
+          Rounding.roundAway(max(col("c_acctbal")), 2).alias("best_acctbal"))
+        .select(col("entity_id"), col("n_members"),
+          col("__canon.c_name").alias("canonical_name"), col("best_acctbal"))
+        .orderBy(col("entity_id"))
+    }),
+
     "q_target_encode" -> ((s, dir) => {
       // leave-one-out target encoding: each order sees its customer's
       // mean price EXCLUDING itself — the feature-engineering form that
@@ -6960,6 +7075,93 @@ object SparkEntry {
         |  round(CASE WHEN 2 * tp + fp + fn > 0 THEN
         |    CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1
         |FROM m""".stripMargin,
+
+    "q_heaps_law" ->
+      // global token positions from doc-census offsets, first-occurrence
+      // census, power-of-two prefix sample, log-log OLS
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |o AS (SELECT doc_id, tk,
+        |    COALESCE(sum(len(tk)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |g AS (SELECT off + CAST(unnest(range(len(tk))) AS BIGINT) + 1 AS gpos,
+        |    unnest(tk) AS tok
+        |  FROM o),
+        |f AS (SELECT tok, min(gpos) AS fp FROM g GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |s AS (SELECT CAST(pow(2, r.range) AS BIGINT) AS np FROM range(4, 40) r, tot
+        |  WHERE CAST(pow(2, r.range) AS BIGINT) <= tot.n),
+        |v AS (SELECT s.np,
+        |    CAST(sum(CASE WHEN f.fp <= s.np THEN 1 ELSE 0 END) AS BIGINT) AS vn
+        |  FROM s, f GROUP BY s.np),
+        |pts AS (SELECT ln(CAST(np AS DOUBLE)) AS x, ln(CAST(vn AS DOUBLE)) AS y FROM v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT n AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS ln_k
+        |FROM m""".stripMargin,
+
+    "q_burstiness" ->
+      // integer-second gaps via lag, exact BIGINT moment sums, CV
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT) AS t,
+        |    ts
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    t - lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS sq
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  round(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+        |  round(CASE WHEN n_gaps > 1 AND s > 0 THEN
+        |    sqrt(CAST(n_gaps * sq - s * s AS DOUBLE) / (n_gaps * (n_gaps - 1)))
+        |      / (CAST(s AS DOUBLE) / n_gaps) END, 6) AS cv
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    "q_markov_sequences" ->
+      // transition census, smoothed model, per-user mean NLL
+      """WITH tr AS (SELECT user_id, event_type AS b,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a
+        |  FROM events),
+        |t2 AS (SELECT user_id, a, b FROM tr WHERE a IS NOT NULL),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM t2 GROUP BY a, b),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+        |v AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS v FROM cab),
+        |model AS (SELECT cab.a, cab.b,
+        |    ln((cab.cab + 1.0::DOUBLE) / (ca.ca + v.v)) AS lp
+        |  FROM cab JOIN ca ON ca.a = cab.a, v)
+        |SELECT t2.user_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |  round(-avg(m.lp), 6) AS nll
+        |FROM t2 JOIN model m ON m.a = t2.a AND m.b = t2.b
+        |GROUP BY t2.user_id ORDER BY t2.user_id""".stripMargin,
+
+    "q_golden_record" ->
+      // the q_entity_resolution closure + survivorship rules
+      """WITH RECURSIVE pairs AS (
+        |  SELECT l.c_custkey AS id_a, r.c_custkey AS id_b
+        |  FROM customer l JOIN customer r
+        |    ON substring(l.c_name, 1, 16) = substring(r.c_name, 1, 16)
+        |    AND l.c_custkey < r.c_custkey
+        |  WHERE l.c_custkey < 1000 AND r.c_custkey < 1000
+        |    AND round(jaro_winkler_similarity(l.c_name, r.c_name), 6) >= 0.98),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 1000),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |rep AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id)
+        |SELECT rep.entity_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  arg_min(c.c_name, c.c_custkey) AS canonical_name,
+        |  round(max(c.c_acctbal), 2) AS best_acctbal
+        |FROM rep JOIN customer c ON c.c_custkey = rep.id
+        |GROUP BY rep.entity_id ORDER BY rep.entity_id""".stripMargin,
 
     "q_target_encode" ->
       // per-customer window sums in exact cents, the LOO ratio
