@@ -50,9 +50,15 @@ object Bench {
     // file the harness can read whole.
     val fileQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }
       .mkString("{", ",", "}")
+    // Itemized build: per-artifact wall seconds (concurrent — they overlap,
+    // so they don't sum to index_build; they attribute drift inside it).
+    val buildItems = SparkEntry.indexBuildTimings.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }
+      .mkString("{", ",", "}")
     val fileLine =
       s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$fileQs,""" +
-        s""""index_build":${fmt4(indexBuildSec)},"sf":"$sfDir"}"""
+        s""""index_build":${fmt4(indexBuildSec)},"index_build_items":$buildItems,""" +
+        s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -681,13 +681,20 @@ object Dedup {
     val ranked = post.join(census, "__tok")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))))
+    // ceil(t·n) must not overshoot when t·n is mathematically integral
+    // (0.9*10 -> 9.000000000000002 in binary FP -> ceil 10, shortening the
+    // prefix and breaking the no-false-negative guarantee). round(·, 9)
+    // snaps the product back to its decimal value before the ceil; the
+    // same minOverlap form guards the symmetric length filter (n_b >= t·n_a
+    // over integers ⟺ n_b >= ceil(t·n_a)).
+    def minOverlap(n: Column): Column = ceil(round(lit(threshold) * n, 9))
     val pref = ranked.where(
-      col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      col("__rn") <= col("__n") - minOverlap(col("__n")) + 1)
     val cand = pref.alias("pa").join(pref.alias("pb"),
         col("pa.__tok") === col("pb.__tok")
           && col("pa.__id") < col("pb.__id")
-          && col("pb.__n") >= lit(threshold) * col("pa.__n")
-          && col("pa.__n") >= lit(threshold) * col("pb.__n"))
+          && col("pb.__n") >= minOverlap(col("pa.__n"))
+          && col("pa.__n") >= minOverlap(col("pb.__n")))
       .select(col("pa.__id").alias("doc_a"), col("pa.__n").alias("n_a"),
         col("pb.__id").alias("doc_b"), col("pb.__n").alias("n_b"))
       .distinct()

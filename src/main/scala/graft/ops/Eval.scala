@@ -62,16 +62,19 @@ object Eval {
   }
 
   /** Reliability diagram: scores bucketed into `bins` equal-width bins
-    * over [0,1] (scores of exactly 1.0 fold into the top bin), each bin
-    * reporting its size, mean score, and empirical positive rate. A
-    * calibrated classifier has mean_score ≈ frac_pos per bin. One
+    * over [0,1] (scores of exactly 1.0 fold into the top bin, scores
+    * below 0 — a caller passing a non-probability score — clamp to bin
+    * 0 rather than emitting out-of-range bin ids), each bin reporting
+    * its size, mean score, and empirical positive rate. A calibrated
+    * classifier has mean_score ≈ frac_pos per bin. One
     * map-side-combining aggregate; `bins` result rows.
     */
   def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be positive, got $bins")
     scored
-      .groupBy(least(floor(col(scoreCol) * bins), lit(bins - 1L))
+      .groupBy(greatest(lit(0L),
+          least(floor(col(scoreCol) * bins), lit(bins - 1L)))
         .cast("int").alias("bin"))
       .agg(count(lit(1)).alias("n"),
         Rounding.roundAway(avg(col(scoreCol)), 6).alias("mean_score"),
@@ -200,5 +203,41 @@ object Eval {
       .agg(Rounding.roundAway(median(col(scoreCol)), 6).alias("norm"))
     df.withColumn("bucket", ntile(buckets).over(byGroup))
       .join(broadcast(globalMedians), Seq("bucket"))
+  }
+
+  /** The 100 TB form of [[quantileNormalize]]: NO ntile anywhere — the
+    * global decile medians come from sketch-cut buckets
+    * ([[QuantileSketch]]: one `percentile_approx` aggregate + broadcast
+    * assignment) with a per-bucket `percentile_approx(0.5)` as the norm,
+    * and the within-group bucket comes from per-GROUP sketch cuts (one
+    * grouped aggregate, bounded state per group — where the windowed
+    * form funnels one giant group through a single task's sort, this is
+    * a plain map-side-combining aggregate). Semantics match the exact
+    * form up to the sketch's rank error and tie handling: a fully tied
+    * value lands in ONE bucket here, where ntile would split it — the
+    * spec pins equivalence on tie-free data, the declared query pins the
+    * rank-bound contract on real data.
+    */
+  def quantileNormalizeSketch(df: DataFrame, groupCol: String,
+      scoreCol: String, buckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val gcuts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol).cast("double"), qs, lit(accuracy))
+        .alias("__gcuts"))
+    val norms = QuantileSketch
+      .assignBuckets(df.where(col(scoreCol).isNotNull),
+        scoreCol, QuantileSketch.cutArray(df, scoreCol, buckets, accuracy))
+      .groupBy(col("bucket"))
+      .agg(Rounding.roundAway(
+        percentile_approx(col(scoreCol).cast("double"), lit(0.5), lit(accuracy)),
+        6).alias("norm"))
+    df.join(gcuts, Seq(groupCol))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("__gcuts"),
+          c => c < col(scoreCol).cast("double")))).cast("long"))
+      .drop("__gcuts")
+      .join(broadcast(norms), Seq("bucket"))
   }
 }

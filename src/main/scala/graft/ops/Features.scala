@@ -94,6 +94,35 @@ object Features {
             .persist(StorageLevel.MEMORY_AND_DISK)
         })
 
+  /** Generic session-scoped cached frame derived from `dir/table.parquet`,
+    * keyed by a caller-chosen `tag` — the same compute-once/invalidate-on-
+    * rewrite discipline as the named feature frames, for composite frames
+    * that live outside this file (e.g. the classifier family's shared
+    * train+score output: four eval queries read one scored frame instead
+    * of each re-running the training loop, the way production eval jobs
+    * read the scoring job's output table). The key embeds dir and table
+    * in the same positions as the named entries so [[invalidate]] drops
+    * it when the underlying table is rewritten.
+    */
+  def cached(spark: SparkSession, dir: String, table: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    val m = cache.computeIfAbsent(spark,
+      _ => new ConcurrentHashMap[String, DataFrame]())
+    val key = s"$dir|$table|$tag"
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      // build OUTSIDE computeIfAbsent: the builder may itself consult
+      // this cache (the LR-scored frame reads docTokenBuckets), and a
+      // nested computeIfAbsent on one ConcurrentHashMap is forbidden
+      // (recursive-update). putIfAbsent makes a concurrent double-build
+      // cost one wasted plan, never a wrong answer.
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(false); prev } else built
+    }
+  }
+
   /** Drop cached frames whose source data overlaps `path` — called by
     * [[graft.engine.TableStore]]'s rewrite paths (registered above) so an
     * in-session replace()/compact() of the underlying table can't leave a

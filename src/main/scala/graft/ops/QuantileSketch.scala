@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch-cut quantile bucketing — the 100 TB form of the global-ntile
+  * family (`q_equidepth_hist`, `Eval.quantileNormalize`, `q_rfm`): an
+  * `ntile(b)` over an unpartitioned window funnels every row through ONE
+  * task's sort, so it stops scaling exactly when the data gets
+  * interesting. Here the b−1 cut values come from `percentile_approx`
+  * (one map-side-combining sketch aggregate, bounded state per
+  * partition), and rows bucket themselves against the broadcast cut
+  * array — no row-level sort anywhere in the plan.
+  *
+  * The price is the sketch's rank-error contract: a returned cut `c` for
+  * quantile φ guarantees rank(c) within φ·N ± N/accuracy. Ties make
+  * bucket COUNTS diverge from N/b arbitrarily (every tied value lands in
+  * one bucket, where ntile would split it), so the certification here is
+  * the tie-robust RANK-BOUND form, not a bucket-count bound:
+  *
+  *   frac(x < c_i) ≤ i/b + ε   and   frac(x ≤ c_i) ≥ i/b − ε
+  *
+  * which is exactly what the sketch promises and holds under any tie
+  * structure. [[rankBoundGate]] verifies it with exact integer counts —
+  * the `q_similarity_pq_recall` regime: the exact side computes the
+  * truth, the sketch must land within tolerance or the boolean flips.
+  */
+object QuantileSketch {
+
+  /** 1-row frame holding the ascending array of b−1 interior cut values
+    * of `scoreCol` (quantiles 1/b … (b−1)/b), as doubles. One sketch
+    * aggregate over the data; the array is b−1 scalars — broadcastable
+    * state, never data-sized.
+    */
+  def cutArray(df: DataFrame, scoreCol: String, buckets: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    df.where(col(scoreCol).isNotNull)
+      .agg(percentile_approx(col(scoreCol).cast("double"), qs, lit(accuracy))
+        .alias("__cuts"))
+  }
+
+  /** Attach `bucketCol` ∈ [1, buckets] to every row: bucket i covers
+    * (c_{i−1}, c_i], computed as 1 + |{cuts < x}| against the broadcast
+    * 1-row cut array — a scan + crossJoin(1 row) + scalar array filter,
+    * fully codegen'd, no shuffle beyond the cut aggregate itself.
+    */
+  def assignBuckets(df: DataFrame, scoreCol: String, cuts: DataFrame,
+      bucketCol: String = "bucket"): DataFrame =
+    df.crossJoin(broadcast(cuts))
+      .withColumn(bucketCol,
+        (lit(1) + size(filter(col("__cuts"),
+          c => c < col(scoreCol).cast("double")))).cast("long"))
+      .drop("__cuts")
+
+  /** Equi-depth histogram without a global sort: sketch cuts, broadcast
+    * bucket assignment, one aggregate. Output (bucket, n, lo, hi) — the
+    * drift-monitoring / optimizer-statistics primitive in its scale
+    * form. Bucket populations are N/b ± sketch-and-tie error; callers
+    * needing exact equal counts use the ntile form and accept its
+    * single-task sort.
+    */
+  def equidepthHistogram(df: DataFrame, scoreCol: String, buckets: Int,
+      accuracy: Int = 10000): DataFrame = {
+    val cuts = cutArray(df, scoreCol, buckets, accuracy)
+    assignBuckets(df.where(col(scoreCol).isNotNull)
+        .select(col(scoreCol)), scoreCol, cuts)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).alias("n"),
+        min(col(scoreCol)).alias("lo"),
+        max(col(scoreCol)).alias("hi"))
+  }
+
+  /** EXACT exclusive prefix sum of `valueCol` in `orderCol` order without
+    * an unpartitioned window — the two-level scan: rows bucket by sketch
+    * cuts ON THE ORDER COLUMN (bucket id is monotone in the order, so
+    * bucket boundaries respect it), per-bucket prefix sums run inside a
+    * PARTITIONED window, and each bucket's base offset comes from a
+    * window over the buckets-sized census. The classic parallel
+    * prefix-sum decomposition (Blelloch 1990), expressed relationally.
+    *
+    * Exactness: identical to `sum(value) OVER (ORDER BY orderCol ROWS
+    * UNBOUNDED PRECEDING AND -1)` whenever `orderCol` is UNIQUE (ties
+    * are nondeterministically ordered in both forms — don't use either
+    * with ties). The sketch only places bucket BOUNDARIES; sums are
+    * exact integers either way. Bucket populations are balanced to
+    * N/buckets ± sketch error, so no task sorts more than ~1/buckets of
+    * the data — where the global-window form funnels every row through
+    * one task.
+    */
+  def prefixSumByCuts(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 64, accuracy: Int = 10000): DataFrame = {
+    val cuts = cutArray(df, orderCol, buckets, accuracy)
+    val b = assignBuckets(df, orderCol, cuts, "__psb")
+    val wBins = Window.orderBy(col("__psb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // buckets-sized census: the only unpartitioned window left runs over
+    // <= `buckets` rows, never over data
+    val bases = b.groupBy(col("__psb"))
+      .agg(sum(col(valueCol)).alias("__bsum"))
+      .select(col("__psb"),
+        coalesce(sum(col("__bsum")).over(wBins), lit(0L)).alias("__base"))
+    val wIn = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bases), Seq("__psb"))
+      .withColumn(outCol,
+        col("__base") + coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+      .drop("__psb", "__base")
+  }
+
+  /** Certify the sketch cuts of `scoreCol` against exact integer rank
+    * counts — one row per interior cut:
+    *
+    *   (cut_idx, n, ok)
+    *
+    * `n` is the total non-null row count REASSEMBLED from the bucketed
+    * histogram (so it also proves bucket assignment conserves rows
+    * exactly — a dropped or double-counted row breaks the equality the
+    * oracle checks), and `ok` is the two-sided rank bound above with
+    * tolerance `eps`. The whole certification is two data passes (cut
+    * sketch + one census aggregate); per-cut counts assemble from a
+    * ≤ b² -cell census of (|cuts<x|, |cuts≤x|) pairs, never from a
+    * rows×cuts expansion.
+    */
+  def rankBoundGate(df: DataFrame, scoreCol: String, buckets: Int,
+      eps: Double, accuracy: Int = 10000): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val cuts = cutArray(df, scoreCol, buckets, accuracy)
+    val v = df.where(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").alias("__v"))
+    // per-row: how many cuts sit strictly below / at-or-below the value;
+    // census over the pair is at most (b)² cells regardless of data size
+    val census = v.crossJoin(broadcast(cuts))
+      .select(
+        size(filter(col("__cuts"), c => c < col("__v"))).alias("__jlt"),
+        size(filter(col("__cuts"), c => c <= col("__v"))).alias("__jle"))
+      .groupBy(col("__jlt"), col("__jle"))
+      .agg(count(lit(1)).alias("__cnt"))
+    // conservation total: sum of the histogram's bucket counts, NOT a
+    // direct count(*) — proves assignBuckets kept every row exactly once
+    val tot = equidepthHistogram(df, scoreCol, buckets, accuracy)
+      .agg(sum(col("n")).alias("n"))
+    // x < c_i  ⟺  i > |cuts ≤ x|;  x ≤ c_i  ⟺  i > |cuts < x|
+    val idx = cuts.select(posexplode(col("__cuts")))
+      .select((col("pos") + 1).cast("int").alias("cut_idx"))
+    idx.join(broadcast(census),
+        // tiny × tiny: (b−1) cut rows × ≤ b² census cells
+        col("cut_idx") > col("__jle") || col("cut_idx") > col("__jlt"), "left")
+      .groupBy(col("cut_idx"))
+      .agg(
+        sum(when(col("cut_idx") > col("__jle"), col("__cnt")).otherwise(0L))
+          .alias("__lt"),
+        sum(when(col("cut_idx") > col("__jlt"), col("__cnt")).otherwise(0L))
+          .alias("__le"))
+      .crossJoin(broadcast(tot))
+      .select(col("cut_idx"), col("n"),
+        (col("__lt").cast("double") / col("n")
+            <= col("cut_idx").cast("double") / buckets + eps
+          && col("__le").cast("double") / col("n")
+            >= col("cut_idx").cast("double") / buckets - eps).alias("ok"))
+  }
+}

@@ -45,6 +45,20 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
   // auto-unbox a missing key's null to 0 and register phantom stats
   private val registry = new ConcurrentHashMap[String, java.lang.Long]()
 
+  // Stale-estimate guard: a table that grows after registerBroadcastStats
+  // must not keep serving its old small estimate — that is exactly the
+  // driver-OOM false positive profiled stats exist to prevent. Subscribe
+  // to TableStore rewrites (the same bus Features' caches use) and drop
+  // the estimate for any registered root touched by a write/replace/
+  // delete — the next ingest re-profiles and re-registers. Prefix
+  // matching both ways covers partition-level writes under a registered
+  // root and a registered partition under a rewritten root.
+  graft.engine.TableStore.addRewriteListener { p =>
+    val norm = normalize(p)
+    registry.keySet.removeIf(k =>
+      k == norm || k.startsWith(norm + "/") || norm.startsWith(k + "/"))
+  }
+
   /** Register a profiled size estimate for a scan root path (normally
     * rowCount × average serialized row width from [[graft.engine.Analyze]]
     * at ingest). Re-registering overwrites — stats follow the table's

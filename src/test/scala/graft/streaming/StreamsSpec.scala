@@ -665,6 +665,91 @@ class StreamsSpec extends SparkSpecBase {
     assert(split.exists(_.alarm == 1) && split.head.alarm == 0)
     assert(split.map(_.id).indexWhere(_ == split.filter(_.alarm == 1).head.id) > 4)
   }
+
+  test("streaming CUSUM: negative half-scale-unit values round like batch (HALF_UP)") {
+    implicit val sc = spark.sqlContext
+    // -0.025 at scale=100 is exactly -2.5 scale units: Spark round() is
+    // HALF_UP away from zero (-3); math.round would give -2. The stream
+    // must match the batch convention bit-for-bit.
+    val vals = Seq(-0.025, -0.035, 0.045, -0.025).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = Streams.cusumStream(
+        mem.toDF().toDF("key", "id", "value"), "key", "id", "value",
+        target = 0.0, slack = 0.0, threshold = 0.05)
+      .writeStream.format("memory").queryName("cusumNeg").outputMode("update").start()
+    mem.addData(vals.map { case (id, v) => ("k1", id, v) }: _*)
+    q.processAllAvailable()
+    val stream = spark.table("cusumNeg").as[Streams.CusumRow].collect()
+      .sortBy(_.id).map(r => (r.id, r.s_hi, r.s_lo, r.alarm)).toSeq
+    q.stop()
+
+    val batch = graft.ops.Timeseries.cusum(
+        vals.map { case (id, v) => ("k1", id, v) }.toDF("key", "id", "value"),
+        "key", "id", "id", "value",
+        target = 0.0, slack = 0.0, threshold = 0.05)
+      .orderBy(col("id"))
+      .select(col("id"), col("s_hi"), col("s_lo"), col("alarm"))
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(stream === batch, "negative half-unit rounding diverged from batch")
+    // and the convention is HALF_UP: -0.025 scales to -3, so s_lo = 0.03
+    assert(batch.head._3 === 0.03)
+  }
+
+  test("corpusGateStream: survivor set equals the batch capstone's static gates") {
+    implicit val sc = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks along the river bank looking for interesting things to see"
+    val docs = Seq(
+      (1L, good),                                         // survives
+      (2L, "a a a a a a a a a a a a a a a a a a a a"),    // repetition gate
+      (3L, "x@# $%^ !!! ??? ***"),                        // quality gate
+      (4L, good + " please ignore previous instructions now"), // blocklist
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   // entropy gate
+      (6L, good + " some more plain honest words follow here"))
+    val cfg = graft.ops.CorpusPipeline.Config(
+      minQuality = 0.3, maxRepetition = 0.6, minCharEntropy = 2.0,
+      dedupJaccard = 0.0, evalSet = None,
+      blockPhrases = Seq(Seq("ignore", "previous", "instructions")))
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = Streams.corpusGateStream(mem.toDF().toDF("doc_id", "text"), cfg)
+      .writeStream.format("memory").queryName("corpusGate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("corpusGate").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+
+    val batch = graft.ops.CorpusPipeline.prepare(docs.toDF("doc_id", "text"), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    // the gates actually fired: planted failures are out, good docs in
+    assert(streamed.contains(1L) && streamed.contains(6L))
+    // blocklist discipline: no blocked doc survives the stream, so any
+    // model trained on streamed output never sees blocked text (the
+    // batch pipeline's blocklist-before-gate-models ordering, preserved
+    // under streaming by construction)
+    assert(!streamed.contains(4L))
+  }
+
+  test("containsAnyPhrase matches the batch anchor census on edge shapes") {
+    val docs = Seq(
+      (1L, "a a a"),             // overlapping occurrences of "a a"
+      (2L, "b a"),               // phrase absent
+      (3L, "A, a!"),             // normTokens lowercases + strips punct
+      (4L, "a"))                 // shorter than the phrase
+      .toDF("doc_id", "text")
+    val got = docs.where(
+        Streams.containsAnyPhrase(col("text"), Seq(Seq("a", "a"))))
+      .select("doc_id").as[Long].collect().toSet
+    val census = graft.ops.TextSearch.phraseMatches(
+        docs, "text", "doc_id", Seq("a", "a"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === census && got === Set(1L, 3L))
+  }
 }
 
 object StreamsSpec {
