@@ -2549,6 +2549,18 @@ object SparkEntry {
           chunkSize = 40, stride = 30)
         .orderBy(col("doc_id"), col("start"))),
 
+    "q_chunk_cdc" -> ((s, dir) =>
+      // CONTENT-DEFINED chunking: boundaries where the word-3-gram
+      // rolling hash ≡ 0 mod 32 (expected ~32-token chunks) — boundaries
+      // move with the content, so re-crawled near-duplicate pages chunk
+      // mostly identically and chunk-level dedup/embedding caches hit
+      // (fixed-stride q_chunk_text re-chunks everything after any
+      // insertion). Pure per-row array algebra, no shuffle; the portable
+      // polynomial hash lets DuckDB rebuild identical boundaries.
+      ops.TextAnalysis.chunkByContent(T(s, dir, "documents"), "text", "doc_id",
+          k = 3, divisor = 32L)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "q_decontaminate" -> ((s, dir) => {
       // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
       // shingles with any doc of the held-out source 'src0'
@@ -5963,6 +5975,42 @@ object SparkEntry {
         |FROM toks, unnest(generate_series(0, len(toks) - 1, 30)) AS gs(g)
         |WHERE len(toks) > 0
         |ORDER BY doc_id, start""".stripMargin,
+
+    "q_chunk_cdc" ->
+      // the same portable rolling-hash replay as the winnow family
+      // (char-by-char polynomial fold over the 3-gram strings), boundary
+      // grams at h % 32 = 0, chunks assembled from the start list
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(tk) - 2),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS gs
+        |  FROM toks WHERE len(tk) >= 3),
+        |hr AS (
+        |  SELECT doc_id, ph.p AS p, ph.h AS h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(gs)), i -> {
+        |      'p': i,
+        |      'h': list_reduce([0]::BIGINT[] ||
+        |             list_transform(list_filter(str_split(gs[i+1], ''), c -> len(c) > 0),
+        |               c -> CAST(ord(c) AS BIGINT)),
+        |             (a, c) -> (a * 257 + c) % 1000000007)})) AS ph
+        |    FROM grams)),
+        |bnd AS (SELECT doc_id, list_sort(list(p + 3)) AS bs
+        |  FROM hr WHERE h % 32 = 0 GROUP BY doc_id),
+        |st AS (SELECT t.doc_id, t.tk,
+        |    [0] || coalesce(list_filter(b.bs, s -> s < len(t.tk)), []) AS ss
+        |  FROM toks t LEFT JOIN bnd b USING (doc_id)
+        |  WHERE len(t.tk) > 0),
+        |ex AS (SELECT doc_id, tk, ss, unnest(range(len(ss))) AS j FROM st)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |  CAST(ss[j+1] AS INTEGER) AS start_tok,
+        |  CAST((CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END) - ss[j+1]
+        |    AS INTEGER) AS n_toks,
+        |  array_to_string(list_slice(tk, ss[j+1] + 1,
+        |    CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END), ' ') AS chunk
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_decontaminate" ->
       // shingle intersection on the strings themselves; the engine counts

@@ -100,6 +100,28 @@ object Drift {
     * <= buckets+2 result rows each), a driver-free grid join, one
     * aggregate. Returns one row: (psi, n_a, n_b).
     */
+  /** The fixed-grid bin census of `valueCol` as a DRIVER-SIDE array —
+    * bins −1 (underflow) through `buckets` (overflow), length
+    * `buckets + 2`. This is the REFERENCE side of a PSI monitor,
+    * computed once over the training slice and shipped to consumers
+    * ([[graft.streaming.Streams.psiStream]]) as plain numbers: bounded
+    * driver state (b+2 longs, like an IVF centroid table), never
+    * data-sized. Binning is identical to [[psi]]'s, so scores agree.
+    */
+  def psiReferenceCensus(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int = 10): Array[Long] = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    val byBin = df.where(col(valueCol).isNotNull)
+      .select(least(greatest(
+          floor((col(valueCol) - lo) / w).cast("long"), lit(-1L)),
+        lit(buckets.toLong)).alias("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).alias("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (-1 to buckets).map(i => byBin.getOrElse(i.toLong, 0L)).toArray
+  }
+
   def psi(before: DataFrame, after: DataFrame, valueCol: String,
       lo: Double, hi: Double, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

@@ -115,14 +115,16 @@ object QuantileSketch {
     *
     *   (cut_idx, n, ok)
     *
-    * `n` is the total non-null row count REASSEMBLED from the bucketed
-    * histogram (so it also proves bucket assignment conserves rows
-    * exactly — a dropped or double-counted row breaks the equality the
-    * oracle checks), and `ok` is the two-sided rank bound above with
-    * tolerance `eps`. The whole certification is two data passes (cut
-    * sketch + one census aggregate); per-cut counts assemble from a
-    * ≤ b² -cell census of (|cuts<x|, |cuts≤x|) pairs, never from a
-    * rows×cuts expansion.
+    * `n` is the total non-null row count REASSEMBLED from the bucket
+    * census (bucket assignment is 1 + |cuts < x| ≡ `__jlt` + 1, so the
+    * census cells ARE the histogram's bucket populations — summing them
+    * proves the assignment machinery kept every row exactly once; a
+    * dropped or double-counted row breaks the equality the oracle
+    * checks), and `ok` is the two-sided rank bound above with tolerance
+    * `eps`. The whole certification is two data passes (cut sketch +
+    * one census aggregate); per-cut counts assemble from a ≤ b² -cell
+    * census of (|cuts<x|, |cuts≤x|) pairs, never from a rows×cuts
+    * expansion.
     */
   def rankBoundGate(df: DataFrame, scoreCol: String, buckets: Int,
       eps: Double, accuracy: Int = 10000): DataFrame = {
@@ -138,10 +140,10 @@ object QuantileSketch {
         size(filter(col("__cuts"), c => c <= col("__v"))).alias("__jle"))
       .groupBy(col("__jlt"), col("__jle"))
       .agg(count(lit(1)).alias("__cnt"))
-    // conservation total: sum of the histogram's bucket counts, NOT a
-    // direct count(*) — proves assignBuckets kept every row exactly once
-    val tot = equidepthHistogram(df, scoreCol, buckets, accuracy)
-      .agg(sum(col("n")).alias("n"))
+    // conservation total: the bucket-census cells summed back up (the
+    // cells are [[assignBuckets]]'s own bucket populations, grouped one
+    // level finer), NOT a direct count(*) over the input
+    val tot = census.agg(sum(col("__cnt")).alias("n"))
     // x < c_i  ⟺  i > |cuts ≤ x|;  x ≤ c_i  ⟺  i > |cuts < x|
     val idx = cuts.select(posexplode(col("__cuts")))
       .select((col("pos") + 1).cast("int").alias("cut_idx"))

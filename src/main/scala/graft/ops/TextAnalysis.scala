@@ -883,6 +883,62 @@ object TextAnalysis {
         array_join(slice(col("__toks"), col("start") + 1, lit(chunkSize)), " ").alias("chunk"))
   }
 
+  /** CONTENT-DEFINED chunking (the FastCDC/rsync boundary idea over word
+    * tokens): a chunk boundary falls AFTER token `i + k − 1` whenever the
+    * k-gram rolling hash at position `i` ([[posGramHashes]] — portable
+    * polynomial hashes, DuckDB-replayable) is ≡ 0 mod `divisor`, giving
+    * expected chunk length ≈ `divisor` tokens. Unlike fixed-stride
+    * [[chunkByTokens]], boundaries move WITH the content: inserting or
+    * deleting a prefix shifts only the chunks up to the next surviving
+    * boundary, and everything after re-aligns — so near-duplicate
+    * documents produce mostly-identical chunk sets, which is what makes
+    * chunk-level dedup/embedding caches effective on crawl re-snapshots
+    * (spec pins the re-alignment property).
+    *
+    * Tokenization is [[posGramHashes]]'s own (lowercase, whitespace
+    * split, drop empties) so hash positions and token positions agree.
+    * Documents shorter than `k` tokens have no grams and form one chunk;
+    * empty documents emit nothing. Plan shape: pure per-row array
+    * algebra + one posexplode — no shuffle at all, chunking 100 TB stays
+    * embarrassingly parallel.
+    *
+    * Output: (`idCol`, chunk_idx, start_tok, n_toks, chunk).
+    */
+  def chunkByContent(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, divisor: Long = 64L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val tk = tokens(lower(col(textCol)))
+    val hs = posGramHashes(col(textCol), k)
+    // chunk-start token indexes: 0, plus i+k for every boundary gram i
+    // (guarded: sequence(0,-1) on gram-less docs would need a negative step)
+    val bounds = when(size(hs) > 0,
+      filter(
+        transform(sequence(lit(0), size(hs) - 1),
+          i => when(pmod(element_at(hs, i + 1), lit(divisor)) === 0, i + lit(k))
+            .otherwise(lit(-1))),
+        x => x >= 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = filter(concat(array(lit(0)), bounds), s => s < size(tk))
+    // (start, end) per chunk: end = next start, or the token count for
+    // the last chunk (try_element_at past the end is null -> coalesce;
+    // plain element_at throws under Spark 4's strict indexing)
+    val spans = when(size(starts) > 0,
+      transform(sequence(lit(0), size(starts) - 1), j =>
+        struct(element_at(starts, j + 1).alias("s"),
+          coalesce(try_element_at(starts, j + 2), size(tk)).alias("e"))))
+      .otherwise(array().cast("array<struct<s:int,e:int>>"))
+    df.select(col(idCol), tk.alias("__tk"), spans.alias("__ch"))
+      .select(col(idCol), col("__tk"),
+        posexplode(col("__ch")).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.s").alias("start_tok"),
+        (col("__c.e") - col("__c.s")).alias("n_toks"),
+        array_join(
+          slice(col("__tk"), col("__c.s") + 1, col("__c.e") - col("__c.s")),
+          " ").alias("chunk"))
+  }
+
   /** Strip markup: drop tags, decode the common entities (&amp; LAST, or
     * double-encoded text like &amp;lt; would double-decode), collapse
     * whitespace. A regexp/replace chain — codegen'd, no UDF; the web-crawl

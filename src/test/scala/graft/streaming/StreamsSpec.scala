@@ -697,6 +697,38 @@ class StreamsSpec extends SparkSpecBase {
     assert(batch.head._3 === 0.03)
   }
 
+  test("psiStream: per-window PSI equals batch Drift.psi vs the same reference") {
+    implicit val sc = spark.sqlContext
+    // reference slice: centered values; window 1 matches it, window 2 is
+    // shifted high — the monitor must flag the second window only
+    val ref = (1 to 200).map(i => 40.0 + (i % 21)).toDF("v")
+    val census = graft.ops.Drift.psiReferenceCensus(ref, "v", 0.0, 100.0, 10)
+    assert(census.length === 12 && census.sum === 200L)
+
+    val w1 = (1 to 100).map(i => (ts(5), 40.0 + (i % 21)))
+    val w2 = (1 to 100).map(i => (ts(65), 80.0 + (i % 15)))
+    val mem = MemoryStream[(Timestamp, Double)]
+    mem.addData(w1 ++ w2: _*)
+    val q = Streams.psiStream(mem.toDF().toDF("ts", "v"), "ts", "v",
+        every = "1 hour", reference = census, lo = 0.0, hi = 100.0, buckets = 10)
+      .writeStream.format("memory").queryName("psiw").outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("psiw").select("window_start", "n", "psi")
+      .as[(Timestamp, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+
+    // batch twin per window (PSI is symmetric, so reference-as-before
+    // equals the stream's reference-as-q orientation)
+    def batchPsi(rows: Seq[(Timestamp, Double)]): Double =
+      graft.ops.Drift.psi(ref, rows.map(_._2).toDF("v"), "v", 0.0, 100.0, 10)
+        .head().getAs[Double]("psi")
+    assert(got(ts(0))._1 === 100L && got(ts(60))._1 === 100L)
+    assert(got(ts(0))._2 === batchPsi(w1), "in-distribution window diverged from batch")
+    assert(got(ts(60))._2 === batchPsi(w2), "shifted window diverged from batch")
+    // and the monitor's verdicts are right: stable vs act
+    assert(got(ts(0))._2 < 0.1 && got(ts(60))._2 > 0.25)
+  }
+
   test("corpusGateStream: survivor set equals the batch capstone's static gates") {
     implicit val sc = spark.sqlContext
     val good = "the quick brown fox jumps over the lazy dog and then " +
