@@ -226,13 +226,39 @@ object Eval {
       .groupBy(col(groupCol))
       .agg(percentile_approx(col(scoreCol).cast("double"), qs, lit(accuracy))
         .alias("__gcuts"))
-    val norms = QuantileSketch
-      .assignBuckets(df.where(col(scoreCol).isNotNull),
-        scoreCol, QuantileSketch.cutArray(df, scoreCol, buckets, accuracy))
+    // Collected global cuts (b−1 doubles, bounded driver state): heavy
+    // ties can make adjacent cuts EQUAL, leaving some global buckets
+    // empty — a per-bucket aggregate would then be missing those bucket
+    // ids, and the final join would silently DROP every row whose
+    // group-side bucket id lands on one (the exact form never drops
+    // rows). The norm table is therefore built over the full 1..b grid:
+    // populated buckets carry their approx median, and an empty bucket
+    // j — possible only when c_{j−1} == c_j, i.e. its value range is the
+    // single point c_j — carries that cut value itself.
+    val cutRow = QuantileSketch.cutArray(df, scoreCol, buckets, accuracy).head()
+    val cutVals: Seq[Double] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Double](0)
+    val sp = df.sparkSession
+    val cutsLit = sp.range(1).select(
+      (if (cutVals.isEmpty) lit(Array.empty[Double])
+       else array(cutVals.map(lit(_)): _*)).alias("__cuts"))
+    val populated = QuantileSketch
+      .assignBuckets(df.where(col(scoreCol).isNotNull), scoreCol, cutsLit)
       .groupBy(col("bucket"))
       .agg(Rounding.roundAway(
         percentile_approx(col(scoreCol).cast("double"), lit(0.5), lit(accuracy)),
-        6).alias("norm"))
+        6).alias("__pnorm"))
+    import sp.implicits._
+    // bucket j's fallback: its upper cut c_j (j < b), the top cut for j = b
+    val grid = (1 to buckets).map { j =>
+      val fallback =
+        if (cutVals.isEmpty) Double.NaN
+        else cutVals(math.min(j, cutVals.length) - 1)
+      (j.toLong, fallback)
+    }.toDF("bucket", "__fb")
+    val norms = grid.join(populated, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("__pnorm"), Rounding.roundAway(col("__fb"), 6)).alias("norm"))
     df.join(gcuts, Seq(groupCol))
       .withColumn("bucket",
         (lit(1) + size(filter(col("__gcuts"),

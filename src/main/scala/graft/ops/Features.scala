@@ -116,10 +116,15 @@ object Features {
       // this cache (the LR-scored frame reads docTokenBuckets), and a
       // nested computeIfAbsent on one ConcurrentHashMap is forbidden
       // (recursive-update). putIfAbsent makes a concurrent double-build
-      // cost one wasted plan, never a wrong answer.
+      // cost one wasted plan, never a wrong answer. The loser must NOT
+      // unpersist its frame: Spark's CacheManager keys entries by
+      // CANONICALIZED plan, so the loser's unpersist would evict the
+      // winner's identical entry and every later read would silently
+      // recompute — the loser's persist was already a no-op against the
+      // same shared entry, so dropping the reference leaks nothing.
       val built = build.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = m.putIfAbsent(key, built)
-      if (prev != null) { built.unpersist(false); prev } else built
+      if (prev != null) prev else built
     }
   }
 

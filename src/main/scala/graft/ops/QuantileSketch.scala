@@ -92,22 +92,44 @@ object QuantileSketch {
     */
   def prefixSumByCuts(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, buckets: Int = 64, accuracy: Int = 10000): DataFrame = {
-    val cuts = cutArray(df, orderCol, buckets, accuracy)
+    // The bucketed frame is referenced TWICE below (base census + join
+    // side), so the cut array must be a single fixed value, not a
+    // subtree evaluated once per reference: percentile_approx's partial
+    // merge is completion-order-sensitive on a cluster, and two
+    // evaluations disagreeing at one boundary would sum a row into one
+    // bucket while joining it the base of another — a silently wrong
+    // prefix. Collect the b−1 doubles once (bounded driver state, the
+    // IVF-centroid convention) and inline them as a literal. Eager by
+    // design: the sketch runs at plan-construction time.
+    val cutRow = cutArray(df, orderCol, buckets, accuracy).head()
+    val collected: Seq[Double] =
+      if (cutRow.isNullAt(0)) Seq.empty else cutRow.getSeq[Double](0)
+    val cuts = df.sparkSession.range(1).select(
+      (if (collected.isEmpty) lit(Array.empty[Double])
+       else array(collected.map(lit(_)): _*)).alias("__cuts"))
     val b = assignBuckets(df, orderCol, cuts, "__psb")
-    val wBins = Window.orderBy(col("__psb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // buckets-sized census: the only unpartitioned window left runs over
-    // <= `buckets` rows, never over data
-    val bases = b.groupBy(col("__psb"))
+    // per-bucket base offsets: a buckets-sized census, exclusive-summed
+    // on the DRIVER (<= `buckets` longs — the same bounded-state
+    // convention as the collected cuts) and attached as a literal map.
+    // Joining `b` back against an aggregate of itself would be a
+    // self-derived join — its colliding attribute ids miscompile the
+    // downstream window (observed as a runtime binding failure) — and a
+    // window above such a join is worse; the literal sidesteps both.
+    val binSums = b.groupBy(col("__psb"))
       .agg(sum(col(valueCol)).alias("__bsum"))
-      .select(col("__psb"),
-        coalesce(sum(col("__bsum")).over(wBins), lit(0L)).alias("__base"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = binSums.zip(binSums.scanLeft(0L)(_ + _._2))
+      .map { case ((bucket, _), base) => bucket -> base }
+    val baseExpr =
+      if (bases.isEmpty) lit(0L)
+      else element_at(
+        map(bases.flatMap { case (k0, v0) => Seq(lit(k0), lit(v0)) }: _*),
+        col("__psb"))
     val wIn = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.join(broadcast(bases), Seq("__psb"))
-      .withColumn(outCol,
-        col("__base") + coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
-      .drop("__psb", "__base")
+    b.withColumn(outCol,
+        baseExpr + coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+      .drop("__psb")
   }
 
   /** Certify the sketch cuts of `scoreCol` against exact integer rank
@@ -148,8 +170,9 @@ object QuantileSketch {
     val idx = cuts.select(posexplode(col("__cuts")))
       .select((col("pos") + 1).cast("int").alias("cut_idx"))
     idx.join(broadcast(census),
-        // tiny × tiny: (b−1) cut rows × ≤ b² census cells
-        col("cut_idx") > col("__jle") || col("cut_idx") > col("__jlt"), "left")
+        // tiny × tiny: (b−1) cut rows × ≤ b² census cells; __jlt ≤ __jle
+        // always, so this one condition admits every cell either sum needs
+        col("cut_idx") > col("__jlt"), "left")
       .groupBy(col("cut_idx"))
       .agg(
         sum(when(col("cut_idx") > col("__jle"), col("__cnt")).otherwise(0L))

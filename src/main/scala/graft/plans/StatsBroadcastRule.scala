@@ -71,6 +71,13 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
 
   def unregister(rootPath: String): Unit = { registry.remove(normalize(rootPath)); () }
 
+  /** Whether a profile is currently registered for `rootPath` — lets
+    * ingest-side callers skip re-profiling a table whose stats are
+    * already live (registration survives until a rewrite drops it).
+    */
+  def isRegistered(rootPath: String): Boolean =
+    registry.containsKey(normalize(rootPath))
+
   def clear(): Unit = registry.clear()
 
   /** Scan locations print as URIs (`file:/x`, `hdfs://nn/x`) while

@@ -99,6 +99,23 @@ class QuantileCutsSpec extends SparkSpecBase {
     assert(maxNormGap <= 30.0, s"norm gap $maxNormGap")
   }
 
+  test("quantileNormalizeSketch never drops rows when ties empty a global bucket") {
+    import spark.implicits._
+    // 60% of rows tied at one value: adjacent global decile cuts become
+    // EQUAL, leaving several global buckets empty — every row must still
+    // come back (the exact ntile form never drops rows), with the empty
+    // buckets' norm filled from the degenerate cut value itself
+    val df = ((1 to 120).map(i => ("a", 50.0, i))
+      ++ (1 to 40).map(i => ("a", i.toDouble, 1000 + i))
+      ++ (1 to 40).map(i => ("b", 200.0 + i, 2000 + i)))
+      .toDF("g", "s", "id")
+    val out = Eval.quantileNormalizeSketch(df, "g", "s", buckets = 10)
+    assert(out.count() === 200L, "tied global buckets dropped rows")
+    assert(out.where(col("norm").isNull).count() === 0L)
+    // rows landing in a degenerate bucket get the tied cut value as norm
+    assert(out.where(col("s") === 50.0 && col("norm") === 50.0).count() > 0L)
+  }
+
   test("prefixSumByCuts equals the global-window exclusive prefix sum exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -468,12 +468,16 @@ class ScaleSmokeSpec extends SparkSpecBase {
     val ps = QuantileSketch.prefixSumByCuts(df, "k", "v", "ps", buckets = 64)
     assert(ps.where(col("ps") =!= col("k")).count() == 0L,
       "prefix sum diverged from the closed form")
-    // structural lock: the data-sized window partitions by the bucket
-    // key (the sole unpartitioned window is the 64-row base census, and
-    // it sorts only __psb)
+    // structural lock: every Window that orders by the DATA column k
+    // must be partitioned by the bucket key — a regression back to one
+    // unpartitioned window over k would order by k WITHOUT __psb and
+    // fail here (the census window orders only __psb, so the filter
+    // never matches it)
     val windowLines = ps.queryExecution.executedPlan.toString
       .split("\n").filter(_.contains("Window "))
-    assert(windowLines.exists(_.contains("partitionBy" + "=[__psb")) ||
-      windowLines.exists(_.contains("__psb")), windowLines.mkString("\n"))
+    val dataWindows = windowLines.filter(_.contains("k#"))
+    assert(dataWindows.nonEmpty, windowLines.mkString("\n"))
+    assert(dataWindows.forall(_.contains("__psb")),
+      s"unpartitioned data-sized window:\n${dataWindows.mkString("\n")}")
   }
 }
