@@ -905,38 +905,59 @@ object TextAnalysis {
     * Output: (`idCol`, chunk_idx, start_tok, n_toks, chunk).
     */
   def chunkByContent(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, divisor: Long = 64L): DataFrame = {
+      k: Int = 3, divisor: Long = 64L, base: Long = 257L,
+      mod: Long = 1000000007L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
-    val tk = tokens(lower(col(textCol)))
-    val hs = posGramHashes(col(textCol), k)
-    // chunk-start token indexes: 0, plus i+k for every boundary gram i
-    // (guarded: sequence(0,-1) on gram-less docs would need a negative step)
-    val bounds = when(size(hs) > 0,
-      filter(
-        transform(sequence(lit(0), size(hs) - 1),
-          i => when(pmod(element_at(hs, i + 1), lit(divisor)) === 0, i + lit(k))
-            .otherwise(lit(-1))),
-        x => x >= 0))
-      .otherwise(array().cast("array<int>"))
-    val starts = filter(concat(array(lit(0)), bounds), s => s < size(tk))
-    // (start, end) per chunk: end = next start, or the token count for
-    // the last chunk (try_element_at past the end is null -> coalesce;
-    // plain element_at throws under Spark 4's strict indexing)
-    val spans = when(size(starts) > 0,
-      transform(sequence(lit(0), size(starts) - 1), j =>
-        struct(element_at(starts, j + 1).alias("s"),
-          coalesce(try_element_at(starts, j + 2), size(tk)).alias("e"))))
-      .otherwise(array().cast("array<struct<s:int,e:int>>"))
-    df.select(col(idCol), tk.alias("__tk"), spans.alias("__ch"))
-      .select(col(idCol), col("__tk"),
-        posexplode(col("__ch")).as(Seq("chunk_idx", "__c")))
+    // One single-pass UDF per row, not array-HOF algebra over
+    // [[posGramHashes]]: interpreted lambda-bearing expressions are
+    // excluded from CSE, so an `element_at(posGramHashes(...), i)`
+    // inside a transform re-runs the whole hash UDF PER ELEMENT —
+    // O(tokens²) per document (observed 76 s over sf0.1's documents vs
+    // ~1 s for this form). Same contract as the expression chain it
+    // replaces: [[posGramHashes]]'s tokenization and polynomial fold, a
+    // boundary after token i+k−1 whenever gram i's hash ≡ 0 mod
+    // `divisor`, short docs one chunk, empty docs none.
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[(Int, Int, String)]
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        if (n == 0) Array.empty[(Int, Int, String)]
+        else {
+          val starts = scala.collection.mutable.ArrayBuffer(0)
+          var i = 0
+          while (i <= n - k) {
+            var acc = 0L
+            var j = 0
+            while (j < k) {
+              if (j > 0) acc = (acc * base + ' '.toInt) % mod
+              val s = toks(i + j)
+              var c = 0
+              while (c < s.length) {
+                acc = (acc * base + s.charAt(c).toInt) % mod
+                c += 1
+              }
+              j += 1
+            }
+            if (acc % divisor == 0 && i + k < n) starts += (i + k)
+            i += 1
+          }
+          Array.tabulate(starts.length) { j =>
+            val s = starts(j)
+            val e = if (j + 1 < starts.length) starts(j + 1) else n
+            (s, e - s, toks.slice(s, e).mkString(" "))
+          }
+        }
+      }
+    }
+    df.select(col(idCol), f(col(textCol)).alias("__ch"))
+      .select(col(idCol), posexplode(col("__ch")).as(Seq("chunk_idx", "__c")))
       .select(col(idCol), col("chunk_idx"),
-        col("__c.s").alias("start_tok"),
-        (col("__c.e") - col("__c.s")).alias("n_toks"),
-        array_join(
-          slice(col("__tk"), col("__c.s") + 1, col("__c.e") - col("__c.s")),
-          " ").alias("chunk"))
+        col("__c._1").alias("start_tok"),
+        col("__c._2").alias("n_toks"),
+        col("__c._3").alias("chunk"))
   }
 
   /** Strip markup: drop tags, decode the common entities (&amp; LAST, or
