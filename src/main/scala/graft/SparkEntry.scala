@@ -452,6 +452,46 @@ object SparkEntry {
     * as a ranged self-join + two-stage argmin (min hash per window, then
     * max position among its holders). Ends in CTE `sel(doc_id, fpos, fp)`.
     */
+  /** DuckDB replay of [[ops.TextAnalysis.chunkByContent]] (k = 3,
+    * divisor = 32) over `documents`: the winnow family's portable
+    * rolling-hash fold per 3-gram, boundary grams at h % 32 = 0, chunk
+    * spans assembled from the start list. Ends with `ch` =
+    * (doc_id, chunk_idx, start_tok, n_toks, chunk) — shared by
+    * q_chunk_cdc and the chunk-census q_dedup_chunks.
+    */
+  private val cdcChunkCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_transform(range(len(tk) - 2),
+      |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS gs
+      |  FROM toks WHERE len(tk) >= 3),
+      |hr AS (
+      |  SELECT doc_id, ph.p AS p, ph.h AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(gs)), i -> {
+      |      'p': i,
+      |      'h': list_reduce([0]::BIGINT[] ||
+      |             list_transform(list_filter(str_split(gs[i+1], ''), c -> len(c) > 0),
+      |               c -> CAST(ord(c) AS BIGINT)),
+      |             (a, c) -> (a * 257 + c) % 1000000007)})) AS ph
+      |    FROM grams)),
+      |bnd AS (SELECT doc_id, list_sort(list(p + 3)) AS bs
+      |  FROM hr WHERE h % 32 = 0 GROUP BY doc_id),
+      |st AS (SELECT t.doc_id, t.tk,
+      |    [0] || coalesce(list_filter(b.bs, s -> s < len(t.tk)), []) AS ss
+      |  FROM toks t LEFT JOIN bnd b USING (doc_id)
+      |  WHERE len(t.tk) > 0),
+      |ex AS (SELECT doc_id, tk, ss, unnest(range(len(ss))) AS j FROM st),
+      |ch AS (SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+      |  CAST(ss[j+1] AS INTEGER) AS start_tok,
+      |  CAST((CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END) - ss[j+1]
+      |    AS INTEGER) AS n_toks,
+      |  array_to_string(list_slice(tk, ss[j+1] + 1,
+      |    CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END), ' ') AS chunk
+      |  FROM ex)""".stripMargin
+
   private val winnowSelCte =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -2572,6 +2612,33 @@ object SparkEntry {
       ops.TextAnalysis.chunkByContent(T(s, dir, "documents"), "text", "doc_id",
           k = 3, divisor = 32L)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    "q_dedup_chunks" -> ((s, dir) => {
+      // chunk-LEVEL dedup over the CDC chunks — what content-defined
+      // boundaries exist for: boilerplate that a fixed-stride chunker
+      // would split differently in every host page lands in IDENTICAL
+      // chunks here, so one fingerprint census finds it corpus-wide.
+      // Per document: chunk count, chunks shared with >= 1 other doc,
+      // shared fraction — the "how much of this page is template"
+      // signal next to q_dedup_paragraph. The census shuffle is keyed
+      // by the portable polynomial chunk fingerprint (compact AND
+      // DuckDB-replayable, so any collision would be identical on both
+      // engines), never by the chunk strings.
+      val ch = ops.TextAnalysis.chunkByContent(
+          T(s, dir, "documents"), "text", "doc_id", k = 3, divisor = 32L)
+        .select(col("doc_id"),
+          ops.TextAnalysis.fingerprint(col("chunk")).alias("__fp"))
+      val census = ch.groupBy(col("__fp"))
+        .agg(countDistinct(col("doc_id")).alias("__df"))
+      val shared = sum(when(col("__df") > 1, 1L).otherwise(0L))
+      ch.join(census, "__fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).alias("n_chunks"),
+          shared.alias("n_shared"),
+          Rounding.roundAway(shared.cast("double") / count(lit(1)), 6)
+            .alias("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_decontaminate" -> ((s, dir) => {
       // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
@@ -5997,37 +6064,27 @@ object SparkEntry {
       // the same portable rolling-hash replay as the winnow family
       // (char-by-char polynomial fold over the 3-gram strings), boundary
       // grams at h % 32 = 0, chunks assembled from the start list
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, list_transform(range(len(tk) - 2),
-        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS gs
-        |  FROM toks WHERE len(tk) >= 3),
-        |hr AS (
-        |  SELECT doc_id, ph.p AS p, ph.h AS h FROM (
-        |    SELECT doc_id, unnest(list_transform(range(len(gs)), i -> {
-        |      'p': i,
-        |      'h': list_reduce([0]::BIGINT[] ||
-        |             list_transform(list_filter(str_split(gs[i+1], ''), c -> len(c) > 0),
-        |               c -> CAST(ord(c) AS BIGINT)),
-        |             (a, c) -> (a * 257 + c) % 1000000007)})) AS ph
-        |    FROM grams)),
-        |bnd AS (SELECT doc_id, list_sort(list(p + 3)) AS bs
-        |  FROM hr WHERE h % 32 = 0 GROUP BY doc_id),
-        |st AS (SELECT t.doc_id, t.tk,
-        |    [0] || coalesce(list_filter(b.bs, s -> s < len(t.tk)), []) AS ss
-        |  FROM toks t LEFT JOIN bnd b USING (doc_id)
-        |  WHERE len(t.tk) > 0),
-        |ex AS (SELECT doc_id, tk, ss, unnest(range(len(ss))) AS j FROM st)
-        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
-        |  CAST(ss[j+1] AS INTEGER) AS start_tok,
-        |  CAST((CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END) - ss[j+1]
-        |    AS INTEGER) AS n_toks,
-        |  array_to_string(list_slice(tk, ss[j+1] + 1,
-        |    CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END), ' ') AS chunk
-        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""$cdcChunkCte
+        |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_dedup_chunks" ->
+      // chunk-fingerprint census over the SAME cdc chunks: a chunk is
+      // shared when >= 2 documents carry its exact text
+      s"""$cdcChunkCte,
+        |fps AS (SELECT doc_id,
+        |    list_reduce([0]::BIGINT[] ||
+        |      list_transform(list_filter(str_split(chunk, ''), c -> len(c) > 0),
+        |        c -> CAST(ord(c) AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS fp
+        |  FROM ch),
+        |cen AS (SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS shared_frac
+        |FROM fps JOIN cen USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       // shingle intersection on the strings themselves; the engine counts
