@@ -24,6 +24,10 @@ object Bench {
     // steady-state) instead of absorbing a host-load-sensitive triple
     // k-means build (r6: the build swung that one row 4.6 -> 24.1 s).
     val tIdx = System.nanoTime()
+    // Stale-timing guard: the per-artifact map is JVM-global; clear it so
+    // cache-served builds from an earlier run (or another sf dir) can't
+    // masquerade as this pass's numbers.
+    SparkEntry.resetBuildTimings()
     val indexBuildSec =
       try {
         SparkEntry.prebuildPersistedIndexes(spark, sfDir)

@@ -189,6 +189,13 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     buildTimings.asScala.toMap
   }
+  /** Drop all recorded build timings. Bench calls this before its build
+    * pass: the map is JVM-global, so a second run in the same JVM whose
+    * builds are served from the session caches would otherwise report the
+    * FIRST run's seconds as if those builds had run again — an empty
+    * item map honestly says "no builds ran this pass".
+    */
+  def resetBuildTimings(): Unit = buildTimings.clear()
   private def timedBuild[T](label: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
@@ -2428,24 +2435,27 @@ object SparkEntry {
       // + repetition filters, then the fastText-shaped logistic model
       // scores the survivors and keeps rounded score >= 0.5 — the
       // supervised sibling of the DSIR gate. The training set is
-      // CLASS-BALANCED (as many in-domain exemplars, by lowest doc_id,
-      // as out-of-domain ones) and features are L1-NORMALIZED — without
-      // both, the majority-class shift parks every score on one side of
-      // 0.5 and the gate degenerates; with them the gate keeps ~40% of
-      // survivors at ~90% in-domain precision. In-domain flag = docs
-      // mentioning 'vector' (feature-learnable from the BoW). Bucket
-      // rows derive from the SAME session-cached frame q_lr_classify
-      // reads.
+      // CLASS-BALANCED (positives kept at a deterministic hash rate of
+      // neg/pos, the q_epoch_shuffle convention — rank-free, so no row
+      // funnels through a single sort task) and features are
+      // L1-NORMALIZED — without both, the majority-class shift parks
+      // every score on one side of 0.5 and the gate degenerates; with
+      // them the gate keeps ~40% of survivors at ~90% in-domain
+      // precision. In-domain flag = docs mentioning 'vector'
+      // (feature-learnable from the BoW). Bucket rows derive from the
+      // SAME session-cached frame q_lr_classify reads.
       val docs = T(s, dir, "documents")
       val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
-      val neg = even.where(!col("text").contains("vector")).select(col("doc_id"))
-      val negN = neg.agg(count(lit(1)).alias("__nc"))
-      val labels = even.where(col("text").contains("vector"))
+      val isPos = col("text").contains("vector")
+      val cnts = even.agg(
+        count(when(!isPos, lit(1))).alias("__nc"),
+        count(when(isPos, lit(1))).alias("__pc"))
+      val labels = even.crossJoin(broadcast(cnts))
+        .where(!isPos ||
+          ops.Sampling.unitScore(concat(lit("lrbal:"), col("doc_id"))) <
+            least(lit(1.0d), col("__nc").cast("double") / col("__pc")))
         .select(col("doc_id"),
-          row_number().over(Window.orderBy(col("doc_id"))).alias("__rn"))
-        .crossJoin(broadcast(negN)).where(col("__rn") <= col("__nc"))
-        .select(col("doc_id"), lit(1.0d).alias("__y"))
-        .unionByName(neg.select(col("doc_id"), lit(0.0d).alias("__y")))
+          when(isPos, lit(1.0d)).otherwise(lit(0.0d)).alias("__y"))
       ops.CorpusPipeline.prepare(docs,
           ops.CorpusPipeline.Config(
             minQuality = 0.3, maxRepetition = 0.95, dedupJaccard = 0,
@@ -5763,11 +5773,14 @@ object SparkEntry {
          |  FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id),
          |negl AS (SELECT doc_id FROM documents
          |  WHERE doc_id % 2 = 0 AND text NOT LIKE '%vector%'),
-         |nc AS (SELECT count(*) AS c FROM negl),
-         |posr AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-         |  FROM documents WHERE doc_id % 2 = 0 AND text LIKE '%vector%'),
+         |nc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM negl),
+         |pc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents
+         |  WHERE doc_id % 2 = 0 AND text LIKE '%vector%'),
          |lab AS (SELECT doc_id, CAST(1.0 AS DOUBLE) AS y
-         |    FROM posr CROSS JOIN nc WHERE rn <= nc.c
+         |    FROM documents CROSS JOIN nc CROSS JOIN pc
+         |    WHERE doc_id % 2 = 0 AND text LIKE '%vector%'
+         |      AND CAST(('0x' || substring(md5('lrbal:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+         |        / 4503599627370496.0 < least(CAST(1.0 AS DOUBLE), nc.c / pc.c)
          |  UNION ALL SELECT doc_id, CAST(0.0 AS DOUBLE) AS y FROM negl),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
          |tf AS (SELECT f.* FROM feats f WHERE f.doc_id IN (SELECT doc_id FROM lab)),
@@ -7132,12 +7145,14 @@ object SparkEntry {
 
     "q_calibration" ->
       // reliability bins over the same scored frame: equal-width bins on
-      // the round-6 score (1.0 folds into the top bin)
+      // the round-6 score (1.0 folds into the top bin; sub-zero scores —
+      // a non-probability caller — clamp into bin 0, mirroring
+      // Eval.calibrationBins' greatest(0, …) exactly)
       s"""$lrScoreCte,
         |lab2 AS (SELECT s.doc_id, round(s.score, 6) AS s6,
         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
         |  FROM sc s JOIN documents d USING (doc_id))
-        |SELECT CAST(least(floor(s6 * 10), 9) AS INT) AS bin, count(*) AS n,
+        |SELECT CAST(greatest(0, least(floor(s6 * 10), 9)) AS INT) AS bin, count(*) AS n,
         |  round(avg(s6), 6) AS mean_score,
         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
         |FROM lab2 GROUP BY 1 ORDER BY bin""".stripMargin,

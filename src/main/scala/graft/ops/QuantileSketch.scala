@@ -167,8 +167,14 @@ object QuantileSketch {
     // level finer), NOT a direct count(*) over the input
     val tot = census.agg(sum(col("__cnt")).alias("n"))
     // x < c_i  ⟺  i > |cuts ≤ x|;  x ≤ c_i  ⟺  i > |cuts < x|
-    val idx = cuts.select(posexplode(col("__cuts")))
-      .select((col("pos") + 1).cast("int").alias("cut_idx"))
+    // cut_idx rows come from range(), NOT posexplode of the cut array:
+    // on empty/all-null input percentile_approx returns a NULL array and
+    // posexplode would emit ZERO rows — an opaque row-count mismatch
+    // against any oracle expecting b−1 certification rows. This way the
+    // degenerate case still emits b−1 rows, with n=0 and ok=false — an
+    // explicit gate failure, not a shape surprise.
+    val idx = df.sparkSession.range(1, buckets.toLong)
+      .select(col("id").cast("int").alias("cut_idx"))
     idx.join(broadcast(census),
         // tiny × tiny: (b−1) cut rows × ≤ b² census cells; __jlt ≤ __jle
         // always, so this one condition admits every cell either sum needs
@@ -180,10 +186,12 @@ object QuantileSketch {
         sum(when(col("cut_idx") > col("__jlt"), col("__cnt")).otherwise(0L))
           .alias("__le"))
       .crossJoin(broadcast(tot))
-      .select(col("cut_idx"), col("n"),
-        (col("__lt").cast("double") / col("n")
+      .select(col("cut_idx"), coalesce(col("n"), lit(0L)).alias("n"),
+        coalesce(
+          col("__lt").cast("double") / col("n")
             <= col("cut_idx").cast("double") / buckets + eps
           && col("__le").cast("double") / col("n")
-            >= col("cut_idx").cast("double") / buckets - eps).alias("ok"))
+            >= col("cut_idx").cast("double") / buckets - eps,
+          lit(false)).alias("ok"))
   }
 }

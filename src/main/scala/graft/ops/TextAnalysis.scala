@@ -783,10 +783,16 @@ object TextAnalysis {
             while (j < k) {
               if (j > 0) acc = (acc * base + ' '.toInt) % mod
               val s = toks(i + j)
+              // fold per CODE POINT, not UTF-16 unit: the DuckDB twin
+              // folds ord() per code point, and supplementary-plane
+              // chars (emoji, rare CJK) are two UTF-16 units — charAt
+              // would diverge from the oracle there. BMP values are
+              // identical either way.
               var c = 0
               while (c < s.length) {
-                acc = (acc * base + s.charAt(c).toInt) % mod
-                c += 1
+                val cp = s.codePointAt(c)
+                acc = (acc * base + cp) % mod
+                c += Character.charCount(cp)
               }
               j += 1
             }
@@ -934,10 +940,13 @@ object TextAnalysis {
             while (j < k) {
               if (j > 0) acc = (acc * base + ' '.toInt) % mod
               val s = toks(i + j)
+              // per CODE POINT, as [[posGramHashes]] — keeps the twin
+              // definitions aligned on supplementary-plane text
               var c = 0
               while (c < s.length) {
-                acc = (acc * base + s.charAt(c).toInt) % mod
-                c += 1
+                val cp = s.codePointAt(c)
+                acc = (acc * base + cp) % mod
+                c += Character.charCount(cp)
               }
               j += 1
             }

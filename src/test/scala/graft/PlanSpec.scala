@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpecBase {
       }
   }
 
+  test("q_corpus_prepare_lr carries NO unpartitioned window (hash-rate class balance)") {
+    // the class-balance label builder once capped positives with
+    // row_number() over an unpartitioned ORDER BY — every in-domain doc
+    // through ONE sort task. The hash-rate sample is rank-free; an
+    // empty-partition-spec Window reappearing anywhere in the capstone's
+    // plan (label subtree included — it is inlined here) is the funnel
+    // coming back. Per-doc windows (the L1 feature normalization) keep
+    // their doc_id partitioning and are fine.
+    val lp = SparkEntry.queries("q_corpus_prepare_lr")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bad = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window(s) in plan:\n${bad.mkString("\n")}")
+  }
+
   test("q_stats_broadcast_join: registered ingest stats flip the join to broadcast") {
     // Spark's own file-size heuristic OFF: the rule's registered profile
     // is the only thing that can justify a broadcast. Without the
