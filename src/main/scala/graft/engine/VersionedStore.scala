@@ -57,13 +57,16 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
   def currentVersion(table: String): Long =
     versions(table).lastOption.getOrElse(0L)
 
-  private def readManifest(table: String, v: Long): Seq[String] = {
+  private def manifestLines(table: String, v: Long): Seq[String] = {
     val p = manifestPath(table, v)
     val in = fs(p).open(p)
-    val dirs =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def readManifest(table: String, v: Long): Seq[String] = {
+    val dirs = manifestLines(table, v).filterNot(_.startsWith("#"))
     // every commit lists >= 1 directory (the '#commit <token>' header
     // does not count) — an empty list can only be corruption; rename
     // committed the file atomically, so fail loudly rather than serve
@@ -73,7 +76,26 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     dirs
   }
 
-  private def writeManifest(table: String, v: Long, dirs: Seq[String]): Unit = {
+  /** Per-data-directory profiled byte estimates persisted IN the
+    * manifest (`#stats <dir> <bytes>` lines — comments to the dir-list
+    * reader, so pre-stats manifests read unchanged). Stats live WITH the
+    * table, the reference's own metadata discipline (it re-reads live
+    * table metadata per load rather than trusting session state): a
+    * FRESH session that reads the table gets the ingest-time estimates
+    * back without re-profiling anything. Keyed per immutable directory,
+    * so an append never staleness-poisons prior dirs' numbers.
+    */
+  private def readStats(table: String, v: Long): Map[String, Long] =
+    manifestLines(table, v).collect {
+      case l if l.startsWith("#stats ") =>
+        l.stripPrefix("#stats ").split("\\s+") match {
+          case Array(d, b) if b.forall(_.isDigit) => Some(d -> b.toLong)
+          case _ => None
+        }
+    }.flatten.toMap
+
+  private def writeManifest(table: String, v: Long, dirs: Seq[String],
+      stats: Map[String, Long] = Map.empty): Unit = {
     val md = manifestDir(table)
     val f = fs(md)
     f.mkdirs(md)
@@ -94,8 +116,11 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(md, s".v$v.$token.tmp")
     val out = f.create(tmp, true)
+    val statLines = stats.toSeq.sorted
+      .map { case (d, b) => s"#stats $d $b" }
     try out.write(
-      (s"#commit $token\n" + dirs.mkString("\n") + "\n").getBytes("UTF-8"))
+      (s"#commit $token\n" +
+        (statLines ++ dirs).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
@@ -119,33 +144,84 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     name
   }
 
+  /** Profiled in-memory byte estimate of a freshly written data dir:
+    * exact row count summed from the PARQUET FOOTERS (metadata-only — no
+    * data is read, so profiling a 100 TB delta costs one footer read per
+    * file) × the schema's Catalyst per-row width, the same estimator
+    * [[Analyze.registerBroadcastStats]] uses. Runs once at commit, next
+    * to the write that produced the files.
+    */
+  private def dirEstimate(table: String, dirName: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val d = new Path(tableDir(table), dirName)
+    val f = fs(d)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = f.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    val width = schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    rows * width
+  }
+
   /** Append commit: new immutable directory, manifest = previous + it.
+    * `profile=true` (default) also persists the new directory's profiled
+    * size in the manifest — prior dirs' stats carry forward untouched
+    * (immutable dirs never go stale) — feeding
+    * [[graft.plans.StatsBroadcastRule]] across sessions.
     * Returns the committed version number.
     */
-  def commitAppend(table: String, df: DataFrame): Long = {
+  def commitAppend(table: String, df: DataFrame, profile: Boolean = true): Long = {
     val cur = currentVersion(table)
     val prev = if (cur == 0) Nil else readManifest(table, cur)
+    val prevStats = if (cur == 0) Map.empty[String, Long] else readStats(table, cur)
     val v = cur + 1
-    writeManifest(table, v, prev :+ newDataDir(table, v, df))
+    val d = newDataDir(table, v, df)
+    val stats =
+      if (profile) prevStats + (d -> dirEstimate(table, d, df.schema))
+      else prevStats
+    writeManifest(table, v, prev :+ d, stats)
     v
   }
 
   /** Replace commit: manifest = only the new directory; older versions
-    * keep reading the retained directories. Returns the version number.
+    * keep reading the retained directories. Profiles like
+    * [[commitAppend]]. Returns the version number.
     */
-  def commitReplace(table: String, df: DataFrame): Long = {
+  def commitReplace(table: String, df: DataFrame, profile: Boolean = true): Long = {
     val v = currentVersion(table) + 1
-    writeManifest(table, v, Seq(newDataDir(table, v, df)))
+    val d = newDataDir(table, v, df)
+    val stats =
+      if (profile) Map(d -> dirEstimate(table, d, df.schema))
+      else Map.empty[String, Long]
+    writeManifest(table, v, Seq(d), stats)
     v
   }
 
-  /** Read the table at a specific committed version (time travel). */
+  /** Read the table at a specific committed version (time travel).
+    * Manifest-persisted profile stats (if present) are registered with
+    * [[graft.plans.StatsBroadcastRule]] per data directory as a side
+    * effect — the ingest-stats → plan loop surviving a fresh session: no
+    * count(), no data scan, the estimates come straight off the
+    * manifest. Dirs without a persisted stat are simply not registered
+    * (the rule then treats any side containing them as unknown).
+    */
   def readAt(table: String, version: Long): DataFrame = {
     require(versions(table).contains(version),
       s"version $version of '$table' does not exist (or was vacuumed)")
     val base = tableDir(table)
-    val dirs = readManifest(table, version)
-      .map(d => new Path(base, d).toString)
+    val names = readManifest(table, version)
+    val stats = readStats(table, version)
+    names.foreach { d =>
+      stats.get(d).foreach { est =>
+        graft.plans.StatsBroadcastRule.register(new Path(base, d).toString, est)
+      }
+    }
+    val dirs = names.map(d => new Path(base, d).toString)
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 

@@ -84,6 +84,41 @@ class PlanSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"unpartitioned window(s) in plan:\n${bad.mkString("\n")}")
   }
 
+  test("manifest-persisted stats flip a FRESH session's join to broadcast, no re-profiling") {
+    // the ingest-stats → plan loop must survive the session: commit-time
+    // profiling persists per-dir estimates IN the versioned manifest;
+    // a fresh session (fresh SessionState, fresh optimizer list, and the
+    // in-memory registry wiped to simulate a JVM restart) reads the
+    // table and the join flips to broadcast purely from manifest-loaded
+    // stats — readAt runs no count() and scans no data for this.
+    val wh = tmpDir("vstats_wh")
+    val vsA = new graft.engine.VersionedStore(spark, wh)
+    vsA.commitReplace("nation_v", spark.read.parquet(s"$sf/nation.parquet"))
+    graft.plans.StatsBroadcastRule.clear() // "JVM restart"
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ graft.plans.StatsBroadcastRule
+    s2.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, (1L << 20).toString)
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val vsB = new graft.engine.VersionedStore(s2, wh)
+    val nation = vsB.read("nation_v")
+    val c = org.apache.spark.sql.functions.col _
+    val joined = s2.read.parquet(s"$sf/customer.parquet")
+      .join(nation, c("c_nationkey") === c("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and without the manifest-loaded registration the same session
+    // would have nothing to go on (its own heuristic is disabled)
+    graft.plans.StatsBroadcastRule.clear()
+    val bare = s2.read.parquet(s"$sf/customer.parquet")
+      .join(vsB.read("nation_v"), c("c_nationkey") === c("n_nationkey"))
+    // note: vsB.read re-registers from the manifest — clear AFTER it to
+    // isolate the rule's contribution
+    graft.plans.StatsBroadcastRule.clear()
+    assert(bare.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      bare.queryExecution.executedPlan.toString)
+  }
+
   test("q_stats_broadcast_join: registered ingest stats flip the join to broadcast") {
     // Spark's own file-size heuristic OFF: the rule's registered profile
     // is the only thing that can justify a broadcast. Without the

@@ -42,6 +42,55 @@ class VersionedStoreSpec extends SparkSpecBase {
     assert(st.readAt("t", 1).columns.toSeq == Seq("x"))
   }
 
+  test("commits persist per-dir profile stats; appends carry prior dirs forward") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1, 2).toDF("x"))
+    st.commitAppend("t", Seq(3, 4, 5).toDF("x"))
+    graft.plans.StatsBroadcastRule.clear()
+    st.read("t") // registration side effect, straight off the manifest
+    val whT = new org.apache.hadoop.fs.Path(st.warehouseDir, "t")
+    val fs = whT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(whT).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("d"))
+    assert(dirs.size == 2)
+    // every immutable dir carries its own estimate: 4-byte int rows,
+    // 2 and 3 of them
+    val ests = dirs.map(d =>
+      graft.plans.StatsBroadcastRule.isRegistered(d.toString))
+    assert(ests.forall(identity), s"unregistered dirs among $dirs")
+    // a profile=false commit adds a dir with NO stat line, while the
+    // prior dirs' stats still carry forward
+    st.commitAppend("t", Seq(6).toDF("x"), profile = false)
+    graft.plans.StatsBroadcastRule.clear()
+    st.read("t")
+    val dirs3 = fs.listStatus(whT).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("d"))
+    assert(dirs3.size == 3)
+    assert(dirs3.count(d =>
+      graft.plans.StatsBroadcastRule.isRegistered(d.toString)) == 2)
+  }
+
+  test("vacuum drops manifest-loaded stat registrations (rewrite invalidation)") {
+    val st = newStore()
+    st.commitAppend("t", Seq(1, 2).toDF("x"))
+    st.commitReplace("t", Seq(10, 20, 30).toDF("x"))
+    graft.plans.StatsBroadcastRule.clear()
+    st.read("t")
+    val whT = new org.apache.hadoop.fs.Path(st.warehouseDir, "t")
+    val fs = whT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def registeredDirs() = fs.listStatus(whT).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("d"))
+      .count(d => graft.plans.StatsBroadcastRule.isRegistered(d.toString))
+    assert(registeredDirs() == 1) // only v2's dir is in the read manifest
+    // vacuum fires the rewrite bus on the table root: every registration
+    // under it drops (deleted dirs MUST go; survivors re-register on the
+    // next read)
+    st.vacuum("t", retainLast = 1)
+    assert(registeredDirs() == 0)
+    st.read("t")
+    assert(registeredDirs() == 1)
+  }
+
   test("vacuum keeps the retained tail, expires old versions, reclaims orphans") {
     val st = newStore()
     st.commitAppend("t", Seq(1).toDF("x"))
