@@ -255,6 +255,16 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id"), col("text"))
             .where(col("doc_id") < 400),
           "text", "doc_id", shingleSize = 3, k = 64, bands = 32, buckets = 16))),
+        // the CDC chunk-fingerprint census over the same base slice — the
+        // chunk-level sibling of docs_mh_base: re-crawl batches probe the
+        // census (q_dedup_chunks_ingest) instead of recomputing the
+        // corpus chunk census inline. IMMUTABLE here (appendNew=false in
+        // the declared query) for idempotent re-runs.
+        Future(timedBuild("docs_chunk_base")(ops.ChunkIndex.persist(store,
+          "docs_chunk_base",
+          T(s, dir, "documents").select(col("doc_id"), col("text"))
+            .where(col("doc_id") < 400),
+          "text", "doc_id", k = 3, divisor = 32L, buckets = 16))),
         // the inverted text index — the BM25 build-once-probe-many twin
         Future(timedBuild("docs_text_idx")(ops.TextSearch.persistPostings(store,
           "docs_text_idx", T(s, dir, "documents"), "text", "doc_id", buckets = 16))),
@@ -466,11 +476,11 @@ object SparkEntry {
     * (doc_id, chunk_idx, start_tok, n_toks, chunk) — shared by
     * q_chunk_cdc and the chunk-census q_dedup_chunks.
     */
-  private val cdcChunkCte =
-    """WITH toks AS (
+  private def cdcChunkChain(src: String): String =
+    """toks AS (
       |  SELECT doc_id,
       |    list_filter(str_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-      |  FROM documents),
+      |  FROM SRC_TABLE),
       |grams AS (
       |  SELECT doc_id, list_transform(range(len(tk) - 2),
       |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS gs
@@ -497,7 +507,9 @@ object SparkEntry {
       |    AS INTEGER) AS n_toks,
       |  array_to_string(list_slice(tk, ss[j+1] + 1,
       |    CASE WHEN j+1 < len(ss) THEN ss[j+2] ELSE len(tk) END), ' ') AS chunk
-      |  FROM ex)""".stripMargin
+      |  FROM ex)""".stripMargin.replace("SRC_TABLE", src)
+
+  private val cdcChunkCte = "WITH " + cdcChunkChain("documents")
 
   private val winnowSelCte =
     """WITH toks AS (
@@ -2647,6 +2659,38 @@ object SparkEntry {
           shared.alias("n_shared"),
           Rounding.roundAway(shared.cast("double") / count(lit(1)), 6)
             .alias("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_chunks_ingest" -> ((s, dir) => {
+      // the INCREMENTAL chunk-dedup flagship (ops.ChunkIndex) under
+      // oracle — the q_dedup_index_ingest regime with chunks instead of
+      // MinHash bands: the persisted chunk-fingerprint census over docs
+      // < 400 is a build-once artifact (Bench warm-up, docs_chunk_base);
+      // the measured op is the DELTA ingest. The delta carries organic
+      // docs (400-479) and planted RE-CRAWLS: base pages re-fetched with
+      // a new prefix (+10000 ids) — content-defined boundaries re-align
+      // after the first surviving boundary, so nearly all of a re-crawl's
+      // chunks hit the census and the page drops WITHOUT any document-
+      // pair comparison (the cache-hit story CDC chunking exists for; the
+      // fixed-stride chunker would re-chunk everything after the
+      // insertion and miss every hit). Per-doc report: chunk count,
+      // cached count, cached fraction, keep decision (cached_frac < 0.5
+      // on the exact unrounded integer ratio). appendNew=false keeps the
+      // index immutable so repeated runs stay idempotent — the mutating
+      // append path is spec-covered (ChunkIndexSpec).
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
+      val recrawl = docs
+        .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
+        .select((col("doc_id") + 10000).alias("doc_id"),
+          concat(lit("breaking update today "), col("text")).alias("text"))
+      val delta = organic.unionByName(recrawl)
+      ops.ChunkIndex.ingest(persistedIvfStore(s, dir), "docs_chunk_base",
+          delta, "text", "doc_id", maxCachedFrac = 0.5, appendNew = false)
+        .select(col("doc_id"), col("n_chunks"), col("n_cached"),
+          Rounding.roundAway(col("cached_frac"), 6).alias("cached_frac"),
+          col("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6098,6 +6142,52 @@ object SparkEntry {
         |    / count(*), 6) AS shared_frac
         |FROM fps JOIN cen USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_chunks_ingest" -> {
+      // full replay of the incremental chunk-ingest decision: identical
+      // base ∪ delta construction (organic 400-479 + prefixed re-crawls
+      // of base docs under +10000 ids), the SAME cdc chunking over the
+      // combined corpus, base census = distinct fps of docs < 400, then
+      // the per-delta-doc cache-hit report with kept thresholded on the
+      // exact unrounded integer ratio
+      "WITH src AS (\n" +
+        "  SELECT doc_id, text FROM documents WHERE doc_id < 480\n" +
+        "  UNION ALL\n" +
+        "  SELECT doc_id + 10000 AS doc_id,\n" +
+        "    'breaking update today ' || text AS text\n" +
+        "  FROM documents WHERE doc_id < 400 AND doc_id % 80 = 0),\n" +
+        cdcChunkChain("src") + ",\n" +
+      """fps AS (SELECT doc_id, chunk_idx,
+        |    list_reduce([0]::BIGINT[] ||
+        |      list_transform(list_filter(str_split(chunk, ''), c -> len(c) > 0),
+        |        c -> CAST(ord(c) AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS fp
+        |  FROM ch),
+        |base_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+        |dch AS (SELECT * FROM fps WHERE doc_id >= 400),
+        |delta_ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id >= 400 AND doc_id < 480
+        |  UNION ALL
+        |  SELECT doc_id + 10000 FROM documents
+        |  WHERE doc_id < 400 AND doc_id % 80 = 0),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM dch GROUP BY doc_id),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cached
+        |  FROM dch WHERE fp IN (SELECT fp FROM base_fps) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(t.n_chunks, 0) AS n_chunks,
+        |  coalesce(h.n_cached, 0) AS n_cached,
+        |  round(CASE WHEN coalesce(t.n_chunks, 0) = 0 THEN 0.0::DOUBLE
+        |    ELSE CAST(coalesce(h.n_cached, 0) AS DOUBLE) / t.n_chunks END, 6)
+        |    AS cached_frac,
+        |  (CASE WHEN coalesce(t.n_chunks, 0) = 0 THEN 0.0::DOUBLE
+        |    ELSE CAST(coalesce(h.n_cached, 0) AS DOUBLE) / t.n_chunks END)
+        |    < 0.5 AS kept
+        |FROM delta_ids d
+        |LEFT JOIN tot t USING (doc_id)
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_decontaminate" ->
       // shingle intersection on the strings themselves; the engine counts

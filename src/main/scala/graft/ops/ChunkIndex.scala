@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.TableStore
+
+/** PERSISTED chunk-fingerprint census — the incremental twin of the
+  * inline chunk-share census (`q_dedup_chunks`), keyed by the
+  * CONTENT-DEFINED chunks of [[TextAnalysis.chunkByContent]]. This is
+  * the cache-hit story CDC boundaries exist for: a re-crawled page whose
+  * prefix changed re-aligns to the same chunks after the first surviving
+  * boundary, so probing the census finds most of its content ALREADY
+  * indexed and the page can be dropped (or only its novel chunks
+  * processed) without comparing any document pair.
+  *
+  * Plays the same role for chunk-level dedup that [[DedupIndex]] plays
+  * for document-level MinHash: pay the corpus chunk+fingerprint pass
+  * ONCE at build; per-batch cost then tracks |delta|, never |corpus|.
+  *
+  * Index layout in a [[TableStore]] (the persisted-ANN side-table
+  * convention):
+  *
+  *  - `<table>` — distinct chunk fingerprints `(fp)`, Hive-partitioned
+  *    by `__bk = fp mod buckets`. A probe computes the delta's own
+  *    bucket set (≤ `buckets` values, driver-bounded) and reads only the
+  *    matching directories — partition pruning, pinned in ChunkIndexSpec.
+  *  - `<table>__meta` — one row of build parameters (k, divisor,
+  *    buckets), read back by probes/appends so callers cannot chunk a
+  *    delta under mismatched boundaries (a different divisor chunks the
+  *    same text differently, and every probe would silently miss).
+  *
+  * The probe never shuffles the census: the batch's chunk rows broadcast
+  * into the pruned fingerprint scan, and every per-document aggregate is
+  * keyed by the batch's own ids. Probes are tolerant of physically
+  * duplicated census rows (a crash-retried append): hit counting
+  * dedups per chunk INSTANCE, not per matched row.
+  */
+object ChunkIndex {
+
+  /** Read-back of the one-row `__meta` side table. */
+  final case class Meta(k: Int, divisor: Long, buckets: Int)
+
+  private def bucketOf(fp: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(fp, lit(buckets.toLong)).cast("int")
+
+  /** `(id, chunk_idx, fp)` — one row per chunk INSTANCE of `df`, under
+    * the index's chunking parameters; `fp` is the portable polynomial
+    * fingerprint ([[TextAnalysis.fingerprint]]) a DuckDB oracle rebuilds.
+    */
+  private def chunkFps(df: DataFrame, textCol: String, idCol: String,
+      meta: Meta): DataFrame =
+    TextAnalysis.chunkByContent(df, textCol, idCol, meta.k, meta.divisor)
+      .select(col(idCol), col("chunk_idx"),
+        TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+
+  /** Build and persist the census over a corpus: one chunk+fingerprint
+    * pass, one distinct shuffle keyed by the (compact, long) fingerprint
+    * — chunk strings never shuffle — then the bucket-clustered write
+    * (`repartition(__bk)` collapses each bucket to few files, the
+    * [[DedupIndex.persistFromShingles]] small-files discipline). Two-phase
+    * meta commit as [[DedupIndex]]: a crash mid-rebuild leaves a loudly
+    * uncommitted meta, never fresh data under stale parameters.
+    */
+  def persist(store: TableStore, table: String, df: DataFrame,
+      textCol: String, idCol: String, k: Int = 3, divisor: Long = 32L,
+      buckets: Int = 16): Unit = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val meta = Meta(k, divisor, buckets)
+    val sp = df.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((k, divisor, buckets, committed))
+        .toDF("k", "divisor", "buckets", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    val fps = chunkFps(df, textCol, idCol, meta)
+      .select(col("fp")).distinct()
+      .withColumn("__bk", bucketOf(col("fp"), buckets))
+    store.replacePartitioned(table, fps.repartition(col("__bk")), Seq("__bk"))
+    store.replace(table + "__meta", metaRow(committed = true))
+  }
+
+  /** Load the build parameters (one-row driver state); fails loudly on an
+    * index whose last rebuild crashed before committing.
+    */
+  def readMeta(store: TableStore, table: String): Meta = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for chunk index '$table'")
+    val metaDf = store.read(table + "__meta")
+    require(metaDf.select(col("committed")).head().getBoolean(0),
+      s"chunk index '$table' has an UNCOMMITTED meta: a rebuild crashed " +
+        "between the parameter and data writes. Re-run ChunkIndex.persist " +
+        "before probing.")
+    val r = metaDf.select(col("k"), col("divisor"), col("buckets")).head()
+    Meta(r.getInt(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** Chunk-row count above which the probe stops forcing broadcasts and
+    * leaves join strategy to AQE — same rationale as
+    * [[DedupIndex]]'s band-row cap.
+    */
+  private val broadcastChunkRowCap = 4L * 1000 * 1000
+
+  /** Per-document cache-hit report for a delta batch:
+    * `(id, n_chunks, n_cached, cached_frac)` where `n_cached` counts the
+    * batch document's chunk instances whose fingerprint is already in
+    * the census. Documents with no chunks (empty text) report
+    * `(0, 0, 0.0)`. `cached_frac` is the exact integer ratio — engine-
+    * portable unrounded, so gates can threshold on it without flap.
+    *
+    * |delta|-bound: one chunk pass over the batch (checkpointed — three
+    * consumers, one UDF run), a ≤ `buckets` bucket-set collect, the
+    * pruned census scan streamed through a broadcast join against the
+    * batch's chunk rows, and batch-keyed aggregates.
+    */
+  def probe(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val meta = readMeta(store, table)
+    val ch = chunkFps(delta, textCol, idCol, meta)
+      .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
+      .localCheckpoint(true)
+    probeFromChunks(store, table, delta.select(col(idCol)).distinct(), ch, idCol)
+  }
+
+  private def probeFromChunks(store: TableStore, table: String,
+      deltaIds: DataFrame, ch: DataFrame, idCol: String): DataFrame = {
+    val bkRow = ch
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+    val bks = bkRow.getSeq[Int](0)
+    val smallDelta = bkRow.getLong(1) <= broadcastChunkRowCap
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallDelta) df.hint("broadcast") else df
+    val idx = store.read(table).where(col("__bk").isInCollection(bks))
+    // hit = this chunk INSTANCE's fp exists in the census. Inner join +
+    // per-instance dropDuplicates (not a count of matched rows) keeps the
+    // count exact even when a retried append physically duplicated fps.
+    val hits = idx
+      .join(maybeBroadcast(ch.select(col(idCol), col("chunk_idx"), col("fp"))),
+        Seq("fp"))
+      .dropDuplicates(idCol, "chunk_idx")
+      .groupBy(col(idCol)).agg(count(lit(1)).alias("n_cached"))
+    val totals = ch.groupBy(col(idCol)).agg(count(lit(1)).alias("n_chunks"))
+    deltaIds
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).alias("n_chunks"),
+        coalesce(col("n_cached"), lit(0L)).alias("n_cached"))
+      .withColumn("cached_frac",
+        when(col("n_chunks") === 0L, lit(0.0d))
+          .otherwise(col("n_cached").cast("double") / col("n_chunks")))
+  }
+
+  /** The incremental ingest step: probe the batch, keep documents whose
+    * cached fraction is BELOW `maxCachedFrac` (a mostly-cached page is a
+    * re-crawl / template page the corpus already has), and — when
+    * `appendNew` — register the kept documents' NOVEL fingerprints in
+    * the census so the next batch dedups against them too. Returns the
+    * per-document report with the `kept` decision column.
+    *
+    * The append stays |delta|-bound: candidate fps are the batch's own
+    * distinct fingerprints; which of them are already present is derived
+    * from the SAME pruned-scan-vs-broadcast join shape as the probe (the
+    * hit set is batch-bounded), so the anti-join never shuffles the
+    * census.
+    */
+  def ingest(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String, maxCachedFrac: Double = 0.5,
+      appendNew: Boolean = true): DataFrame = {
+    val meta = readMeta(store, table)
+    val ch = chunkFps(delta, textCol, idCol, meta)
+      .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
+      .localCheckpoint(true) // probe + append: one chunk-UDF pass
+    val report = probeFromChunks(store, table,
+        delta.select(col(idCol)).distinct(), ch, idCol)
+      .withColumn("kept", col("cached_frac") < maxCachedFrac)
+    if (appendNew) {
+      val keptIds = report.where(col("kept")).select(col(idCol))
+      val batchFps = ch.join(keptIds, Seq(idCol), "left_semi")
+        .select(col("fp"), col("__bk")).distinct()
+      val bks = batchFps.agg(collect_set(col("__bk"))).head().getSeq[Int](0)
+      val idx = store.read(table).where(col("__bk").isInCollection(bks))
+      val hitFps = idx.join(batchFps.hint("broadcast"), Seq("fp"))
+        .select(col("fp")).distinct()
+      val newFps = batchFps.join(hitFps, Seq("fp"), "left_anti")
+      store.writePartitioned(table, newFps.repartition(col("__bk")),
+        Seq("__bk"), append = true)
+    }
+    report
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Persisted CDC chunk-fingerprint census: incremental chunk-level dedup
+  * against an indexed corpus without recomputing the corpus census
+  * (ops.ChunkIndex).
+  */
+class ChunkIndexSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // long repeated-template docs so divisor=4 produces several chunks per
+  // doc; doc 2 is unrelated filler
+  private val template =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo " +
+      "lima mike november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu one two three four five six seven"
+  private def baseDocs = Seq(
+    (0L, template),
+    (1L, template + " extra trailing tokens here"),
+    (2L, "entirely different filler text about mountains rivers valleys and weather patterns today")
+  ).toDF("doc_id", "text")
+
+  private def freshIndex(name: String): (graft.engine.TableStore, String) = {
+    val store = new graft.engine.TableStore(spark, tmpDir(s"wh-$name"))
+    ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
+      k = 3, divisor = 4L, buckets = 8)
+    (store, "chunks")
+  }
+
+  test("probe equals the inline census decision: re-crawl hits, novel text misses") {
+    val (store, table) = freshIndex("probe")
+    val delta = Seq(
+      (100L, "new intro " + template), // prefixed re-crawl of doc 0
+      (101L, "totally novel content nothing shares any chunk with the base corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val rep = ChunkIndex.probe(store, table, delta, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // reference: the same decision computed inline from chunk strings
+    val baseChunks = TextAnalysis.chunkByContent(baseDocs, "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(col("chunk")).distinct().as[String].collect().toSet
+    val want = TextAnalysis.chunkByContent(delta, "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(col("doc_id"), col("chunk")).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues { cs =>
+        val n = cs.length.toLong
+        val c = cs.count(x => baseChunks.contains(x._2)).toLong
+        (n, c, c.toDouble / n)
+      }.toMap
+    assert(rep.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == want)
+    // and the CDC property actually bites: the re-crawl is mostly cached,
+    // the novel doc entirely novel
+    val byId = rep.map(r => r._1 -> r._4).toMap
+    assert(byId(100L) > 0.5, s"re-crawl cached_frac ${byId(100L)}")
+    assert(byId(101L) == 0.0)
+  }
+
+  test("probe scan is pruned to the delta's fingerprint buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (store, table) = freshIndex("prune")
+    val delta = Seq((100L, "new intro " + template)).toDF("doc_id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = ChunkIndex.probe(store, table, delta, "text", "doc_id")
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("chunks")) => f
+      }
+      assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+      scans.foreach { scan =>
+        assert(scan.metadata("PartitionFilters").contains("__bk"),
+          scan.metadata("PartitionFilters"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("ingest drops mostly-cached docs, appends kept docs' novel fps, converges") {
+    val (store, table) = freshIndex("ingest")
+    val delta = Seq(
+      (100L, "new intro " + template), // re-crawl: drops
+      (101L, "fresh original reporting with many unique tokens covering completely new subject matter entirely")
+    ).toDF("doc_id", "text")
+    val rep1 = ChunkIndex.ingest(store, table, delta, "text", "doc_id",
+        maxCachedFrac = 0.5, appendNew = true)
+      .select(col("doc_id"), col("kept")).as[(Long, Boolean)].collect().toMap
+    assert(rep1 == Map(100L -> false, 101L -> true), rep1.toString)
+    // the appended doc's chunks are now visible: re-ingesting the SAME
+    // batch finds 101 fully cached — convergence, no resurrections
+    val rep2 = ChunkIndex.ingest(store, table, delta, "text", "doc_id",
+        maxCachedFrac = 0.5, appendNew = true)
+      .select(col("doc_id"), col("cached_frac"), col("kept"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep2(101L)._1 == 1.0 && !rep2(101L)._2, rep2.toString)
+    assert(!rep2(100L)._2)
+    // census stays a SET: the double ingest added no duplicate fps
+    val fps = store.read(table).select("fp").as[Long].collect()
+    assert(fps.length == fps.distinct.length, "duplicate fps in census")
+  }
+
+  test("a crashed rebuild (uncommitted meta) fails probes loudly; re-run heals") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-crash"))
+    ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
+      k = 3, divisor = 4L, buckets = 8)
+    // simulate the crash window: meta marked uncommitted
+    store.replace("chunks__meta",
+      Seq((3, 4L, 8, false)).toDF("k", "divisor", "buckets", "committed"))
+    val e = intercept[IllegalArgumentException] {
+      ChunkIndex.probe(store, "chunks",
+        Seq((1L, template)).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("UNCOMMITTED"))
+    ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
+      k = 3, divisor = 4L, buckets = 8)
+    val rep = ChunkIndex.probe(store, "chunks",
+      Seq((1L, template)).toDF("doc_id", "text"), "text", "doc_id")
+    assert(rep.count() == 1)
+  }
+
+  test("probes tolerate physically duplicated census rows (retried append)") {
+    val (store, table) = freshIndex("retry")
+    // simulate a crash-retried append: the same fp rows land twice
+    val dup = store.read(table).limit(3)
+    store.writePartitioned(table, dup, Seq("__bk"), append = true)
+    val delta = Seq((100L, "new intro " + template)).toDF("doc_id", "text")
+    val rep = ChunkIndex.probe(store, table, delta, "text", "doc_id")
+      .select(col("n_chunks"), col("n_cached")).as[(Long, Long)].head()
+    // n_cached counts chunk INSTANCES, never matched index rows — it can
+    // never exceed n_chunks no matter how duplicated the census is
+    assert(rep._2 <= rep._1, rep.toString)
+  }
+}

@@ -460,6 +460,44 @@ class ScaleSmokeSpec extends SparkSpecBase {
     } finally out.unpersist()
   }
 
+  test("cdc chunking on 2k docs x 1k tokens (2M tokens): linear pass, census closed form") {
+    // the r10 mid-round regression was chunkByContent as array-HOF
+    // algebra: interpreted lambdas get no CSE, so the hash UDF re-ran
+    // PER ELEMENT — O(tokens²) per document (76 s at sf0.1). This smoke
+    // pins the complexity class with documents long enough to separate
+    // the classes unambiguously: 1k-token docs make a quadratic form do
+    // ~1000× the hash work (hours); the single-pass UDF finishes in
+    // seconds. The generous wall bound only trips on a class change,
+    // never on host noise.
+    val docs = spark.range(2000).select(col("id").alias("doc_id"),
+      array_join(transform(sequence(lit(0), lit(999)),
+        i => concat(lit("w"),
+          pmod(pmod(col("id"), lit(1000)) * 1009 + i * 17, lit(50000)))),
+        " ").alias("text"))
+    val t0 = System.nanoTime()
+    val ch = TextAnalysis.chunkByContent(docs, "text", "doc_id",
+        k = 3, divisor = 32L)
+      .persist()
+    try {
+      // conservation: every token lands in exactly one chunk
+      assert(ch.groupBy(col("doc_id")).agg(sum(col("n_toks")).alias("t"))
+        .where(col("t") =!= 1000L).count() == 0L)
+      // census closed form (the q_dedup_chunks shape at scale): each text
+      // appears exactly twice (id % 1000 keys it), and identical texts
+      // chunk identically, so EVERY chunk fingerprint has df >= 2 — one
+      // unshared chunk means boundaries stopped being content-defined
+      val fps = ch.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+      val lone = fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).alias("df"))
+        .where(col("df") < 2)
+      assert(lone.count() == 0L, "unshared chunk under duplicated texts")
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 120.0,
+        f"cdc chunk+census pass took $sec%.1f s — quadratic regression?")
+    } finally { ch.unpersist(); () }
+  }
+
   test("two-level prefix sum on 2M rows: exact closed form, no global window") {
     // order key = id, value = 1: the exclusive prefix sum of ones IS the
     // rank, so every row has a closed-form expected value — checked in
