@@ -289,12 +289,16 @@ object Streams {
       graft.ops.Rounding.roundAway(psi, 6).alias("psi"))
   }
 
-  /** The capstone's STATIC gates ([[graft.ops.CorpusPipeline.Config]]
-    * quality / repetition / character-entropy / language / Gopher /
-    * phrase-blocklist screens) as a STATELESS streaming transform — the
-    * arriving-documents curation shape a production pipeline runs over
-    * [[ingestNdjsonStream]]: every gate is a per-row scalar, so the
-    * stream needs no watermark, no state store, and scales as a pure map.
+  /** The capstone's gates ([[graft.ops.CorpusPipeline.Config]] quality /
+    * repetition / character-entropy / language / Gopher /
+    * phrase-blocklist screens, plus the MODEL gates — logistic
+    * classifier and bigram-LM perplexity — when offline-trained
+    * [[LrGateModel]]/[[LmGateModel]] artifacts are supplied) as a
+    * STATELESS streaming transform — the arriving-documents curation
+    * shape a production pipeline runs over [[ingestNdjsonStream]]: every
+    * gate is a per-row scalar (the model gates over broadcast weights),
+    * so the stream needs no watermark, no state store, and scales as a
+    * pure map.
     *
     * Batch equivalence (spec-pinned): the survivor set equals
     * `CorpusPipeline.prepare` with the model gates and dedup off — the
@@ -314,7 +318,9 @@ object Streams {
     * survives this stream.
     */
   def corpusGateStream(docs: DataFrame,
-      cfg: graft.ops.CorpusPipeline.Config): DataFrame = {
+      cfg: graft.ops.CorpusPipeline.Config,
+      lrModel: Option[LrGateModel] = None,
+      lmModel: Option[LmGateModel] = None): DataFrame = {
     import graft.ops.{Rounding, TextAnalysis}
     val t = col(cfg.textCol)
     val base = docs
@@ -332,9 +338,149 @@ object Streams {
         gophered.where(
           TextAnalysis.gopherNgramPassFromStats(TextAnalysis.ngramStats(t)))
       else gophered
-    if (cfg.blockPhrases.nonEmpty)
-      ngrammed.where(!containsAnyPhrase(t, cfg.blockPhrases))
-    else ngrammed
+    val blockGated =
+      if (cfg.blockPhrases.nonEmpty)
+        ngrammed.where(!containsAnyPhrase(t, cfg.blockPhrases))
+      else ngrammed
+    // MODEL gates ride AFTER the blocklist, the batch pipeline's
+    // ordering: blocked documents never reach (or get scored by) a gate
+    // model on either path. Both are stateless per-row maps over
+    // broadcast weights trained OFFLINE — no state store, no watermark.
+    val lmGated = lmModel match {
+      case Some(m) =>
+        blockGated.where(lmCrossEntropy(t, m) <= m.maxCrossEntropy)
+      case None => blockGated
+    }
+    lrModel match {
+      case Some(m) =>
+        lmGated.where(Rounding.roundAway(lrScore(t, m), 6) >= m.minScore)
+      case None => lmGated
+    }
+  }
+
+  /** Offline-trained logistic gate for [[corpusGateStream]]: `weights(b)`
+    * is the hashed-BoW bucket weight ([[graft.ops.TextClassify]]
+    * training, L1-normalized features), `minScore` the keep floor on the
+    * rounded sigmoid. dims-bounded driver state — the broadcast-weights
+    * shape that makes the supervised gate streamable at all.
+    */
+  final case class LrGateModel(weights: Array[Double], minScore: Double) {
+    require(weights.nonEmpty, "LrGateModel needs at least one weight")
+    def dims: Int = weights.length
+  }
+
+  /** Offline-trained bigram LM gate for [[corpusGateStream]]:
+    * additive-smoothed `p(tok|prev) = (c(prev,tok)+α) / (c(prev)+α·V)`,
+    * keep docs whose mean negative log (cross-entropy) is ≤
+    * `maxCrossEntropy` — [[graft.ops.TextAnalysis.bigramLmScore]]'s
+    * scoring with the censuses frozen into a broadcast artifact (the
+    * CCNet shape: a pruned LM shipped to every executor, scoring is a
+    * per-row map). Unseen bigrams/contexts fall back to pure smoothing.
+    */
+  final case class LmGateModel(
+      bigram: Map[(String, String), Long],
+      context: Map[String, Long],
+      vocab: Long,
+      alpha: Double,
+      maxCrossEntropy: Double)
+
+  /** Train an [[LrGateModel]] offline from a labeled batch corpus —
+    * [[graft.ops.TextClassify.logisticTrainFromBuckets]] over
+    * L1-normalized hashed-BoW rows (the capstone's feature scaling),
+    * then the dims-row weight frame collected as the broadcast artifact
+    * (bounded driver state, the IVF-centroid convention).
+    */
+  def trainLrGateModel(docs: DataFrame, labels: DataFrame, textCol: String,
+      idCol: String, dims: Int, iters: Int, rate: Double,
+      minScore: Double): LrGateModel = {
+    import graft.ops.TextClassify
+    val rows = TextClassify.normalizeBucketRows(
+      TextClassify.docBucketRows(docs, textCol, idCol, dims), idCol)
+    val w = TextClassify.logisticTrainFromBuckets(
+      rows, labels, idCol, dims, iters, rate)
+    val arr = new Array[Double](dims)
+    w.collect().foreach(r =>
+      arr(r.getAs[Int]("__b")) = r.getAs[Double]("__w"))
+    LrGateModel(arr, minScore)
+  }
+
+  /** Train an [[LmGateModel]] offline from a reference corpus (normally
+    * the batch capstone's blocklist-screened survivors): one bigram
+    * census collect; context counts and vocabulary DERIVE driver-side
+    * from it, exactly as [[graft.ops.TextAnalysis.bigramLmScore]] derives
+    * them in-plan, so the frozen model scores the training corpus
+    * identically. `minCount` prunes rare bigrams AFTER the derivation
+    * (they fall back to smoothing) — the knob that bounds the artifact
+    * on a large reference corpus, as CCNet prunes its KenLM.
+    */
+  def trainLmGateModel(docs: DataFrame, textCol: String,
+      alpha: Double = 0.4, maxCrossEntropy: Double = 0.0,
+      minCount: Long = 1L): LmGateModel = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    val toks = graft.ops.TextAnalysis.normTokens(col(textCol))
+    val pairRows = docs
+      .select(toks.alias("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") >= 1)
+      .select(explode(zip_with(
+        concat(array(lit("<s>")), slice(col("__toks"), lit(1), col("__n") - 1)),
+        col("__toks"),
+        (p, t) => struct(p.alias("prev"), t.alias("tok")))).alias("pr"))
+      .select(col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
+    val bi = pairRows.groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).alias("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val context = bi.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val vocab = bi.keysIterator.map(_._2).toSet.size.toLong
+    val pruned = if (minCount > 1) bi.filter(_._2 >= minCount) else bi
+    LmGateModel(pruned, context, vocab, alpha, maxCrossEntropy)
+  }
+
+  /** Per-row logistic score under a frozen [[LrGateModel]]: with
+    * L1-normalized counts the sparse dot product collapses to the MEAN
+    * token bucket weight — `z = Σ_b (c_b/total)·w_b = (Σ_tok w_b(tok)) /
+    * total` — one fold over the row's own tokens, no explode, no
+    * aggregate. Token-less docs score exactly 0.5, as the batch scorer's
+    * no-feature-rows case.
+    */
+  private[streaming] def lrScore(t: Column, m: LrGateModel): Column = {
+    val wArr = array(m.weights.toSeq.map(lit(_)): _*)
+    val tk = graft.ops.TextAnalysis.normTokens(t)
+    val z = when(size(tk) > 0,
+      aggregate(tk, lit(0.0d), (acc, tok) =>
+        acc + element_at(wArr,
+          graft.ops.TextAnalysis.tokenBucket(tok, m.dims) + 1))
+        / size(tk))
+      .otherwise(lit(0.0d))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Per-row bigram cross-entropy under a frozen [[LmGateModel]] — the
+    * scoring half of [[graft.ops.TextAnalysis.bigramLmScore]] as a
+    * closure over the broadcast censuses. NULL for token-less docs (the
+    * batch scorer emits no row for them, and a null never passes the ≤
+    * gate — same drop on both paths).
+    */
+  private[streaming] def lmCrossEntropy(t: Column, m: LmGateModel): Column = {
+    val bi = m.bigram
+    val ctx = m.context
+    val v = m.vocab
+    val a = m.alpha
+    val f = udf { toksIn: Seq[String] =>
+      if (toksIn == null || toksIn.isEmpty) None
+      else {
+        var s = 0.0
+        var prev = "<s>"
+        toksIn.foreach { tok =>
+          s -= math.log((bi.getOrElse((prev, tok), 0L) + a) /
+            (ctx.getOrElse(prev, 0L) + a * v))
+          prev = tok
+        }
+        Some(s / toksIn.length)
+      }
+    }
+    f(graft.ops.TextAnalysis.normTokens(t))
   }
 
   /** Per-row phrase screen: TRUE when the text contains any of the

@@ -767,6 +767,72 @@ class StreamsSpec extends SparkSpecBase {
     assert(!streamed.contains(4L))
   }
 
+  test("corpusGateStream MODEL gates: survivors equal the batch capstone with LR + LM ON") {
+    implicit val sc = spark.sqlContext
+    val base0 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val base1 = "the quick brown fox walks near the lazy dog by the river bank"
+    val base2 = "a lazy dog sleeps near the river bank while the quick fox jumps"
+    val docs = Seq(
+      (1L, base0 + " vector engines index embeddings"),  // in-domain: survives
+      (2L, base1 + " vector search returns neighbors"),  // in-domain: survives
+      (3L, base2),                                       // out-domain: LR gate
+      (4L, base0 + " plain words continue here onward"), // out-domain: LR gate
+      (5L, "qzx wvu plk mno jht gfd bcy trw ske dlp unusual rare tokens"), // LM gate
+      (6L, base1 + " ignore previous instructions now"), // blocklist
+      (7L, "a a a a a a a a a a a a a a"))               // repetition gate
+    val batchDf = docs.toDF("doc_id", "text")
+    val labels = batchDf
+      .where(col("doc_id") <= 4)
+      .select(col("doc_id"),
+        when(col("text").contains("vector"), lit(1.0d)).otherwise(lit(0.0d))
+          .alias("__y"))
+    val staticCfg = graft.ops.CorpusPipeline.Config(
+      minQuality = 0.2, maxRepetition = 0.8, dedupJaccard = 0.0,
+      blockPhrases = Seq(Seq("ignore", "previous", "instructions")))
+
+    // offline training, exactly the batch pipeline's inputs: the LM on
+    // the blocklist-screened static survivors (corpusGateStream on a
+    // batch frame IS that set — pinned by the static-gates test above),
+    // the LR on the full corpus's labeled bucket rows. The LM threshold
+    // self-calibrates to the midpoint between the reference docs' CE and
+    // the rare-token doc's, so the gate boundary never sits near a score.
+    val staticSurv = Streams.corpusGateStream(batchDf, staticCfg)
+    val ces = graft.ops.TextAnalysis.bigramLmScore(staticSurv, "text", "doc_id")
+      .select(col("doc_id"), col("cross_entropy"))
+      .as[(Long, Double)].collect().toMap
+    val lmMax = (ces.filter(_._1 <= 4).values.max + ces(5L)) / 2
+    assert(ces(5L) > lmMax, s"rare-token doc not separable: $ces")
+    val dims = 32
+    val lrBuckets = graft.ops.TextClassify.normalizeBucketRows(
+      graft.ops.TextClassify.docBucketRows(batchDf, "text", "doc_id", dims),
+      "doc_id")
+    val lrModel = Streams.trainLrGateModel(batchDf, labels, "text", "doc_id",
+      dims, iters = 2, rate = 1.0, minScore = 0.5)
+    val lmModel = Streams.trainLmGateModel(staticSurv, "text",
+      alpha = 0.4, maxCrossEntropy = lmMax)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = Streams.corpusGateStream(mem.toDF().toDF("doc_id", "text"),
+        staticCfg, lrModel = Some(lrModel), lmModel = Some(lmModel))
+      .writeStream.format("memory").queryName("corpusGateModels")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("corpusGateModels").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+
+    val batch = graft.ops.CorpusPipeline.prepare(batchDf,
+        staticCfg.copy(lmMaxCrossEntropy = lmMax,
+          lrLabels = Some(labels), lrMinScore = 0.5, lrDims = dims,
+          lrIters = 2, lrRate = 1.0, lrBuckets = Some(lrBuckets)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch, s"stream=$streamed batch=$batch")
+    // every gate demonstrably fired, on the right doc
+    assert(streamed === Set(1L, 2L),
+      s"survivors $streamed — expected only the in-domain, in-distribution docs")
+  }
+
   test("containsAnyPhrase matches the batch anchor census on edge shapes") {
     val docs = Seq(
       (1L, "a a a"),             // overlapping occurrences of "a a"
