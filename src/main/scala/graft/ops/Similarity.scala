@@ -562,6 +562,77 @@ object Similarity {
         vecCol, idCol, k, nProbe, excludeSelf = true),
       append = false)
 
+  /** INCREMENTAL maintenance of a persisted kNN edge artifact on an
+    * append batch — the [[graft.ops.DedupIndex]] delta discipline applied
+    * to the graph: never re-train k-means, never re-run the corpus×corpus
+    * join. Per batch:
+    *
+    *  1. delta → corpus: the batch probes the persisted index
+    *     ([[ivfTopKJoinPersisted]], |delta|-bound);
+    *  2. delta → delta: one broadcast self-join of the batch (|delta|²
+    *     scored pairs — batch-sized, a rebuild-sized delta should rebuild);
+    *  3. corpus → delta: ONE linear scan of the indexed corpus against
+    *     the broadcast batch — the reverse-neighbor candidates that keep
+    *     existing nodes' lists exact (a new vector may enter an old
+    *     node's top-k);
+    *  4. merge: per node, top-k of (stored edges ∪ new candidates) —
+    *     exact, because a global top-k over old ∪ delta is always
+    *     contained in the union of the two partial top-ks;
+    *  5. the edge table swaps atomically, then the batch appends into
+    *     the index's `__cell` directories ([[appendToIvfIndex]]) so the
+    *     NEXT batch probes against it too.
+    *
+    * With full probes (`nProbe` = cells) the result is provably IDENTICAL
+    * to a from-scratch [[persistKnnEdges]] over old ∪ delta (spec-pinned)
+    * at per-batch cost |corpus|·|delta| dot products + the probe — linear
+    * in the corpus, vs the rebuild's corpus×corpus cell join and k-means
+    * retrain. Assumes batch ids are fresh (an id re-ingest would
+    * duplicate nodes, same contract as [[graft.ops.DedupIndex.append]]).
+    */
+  def appendKnnEdges(store: graft.engine.TableStore, indexTable: String,
+      edgeTable: String, delta: DataFrame, queryVecCol: String,
+      queryIdCol: String, vecCol: String, idCol: String, k: Int,
+      nProbe: Int, updateIndex: Boolean = true): Unit = {
+    require(queryIdCol != idCol,
+      s"query and corpus id columns must differ (both '$idCol')")
+    val cos = graft.expressions.VectorExpressions.cosineNative _
+    val dn = delta.select(col(queryIdCol).alias("__new_id"),
+      col(queryVecCol).cast("array<double>").alias("__new_v"))
+    // 1. the batch against the indexed corpus (pruned probe)
+    val d2o = ivfTopKJoinPersisted(store, indexTable, delta, queryVecCol,
+      queryIdCol, vecCol, idCol, k, nProbe, excludeSelf = true)
+    // 2. within the batch
+    val d2d = TopK.perGroup(
+      dn.select(col("__new_id").alias(queryIdCol), col("__new_v").alias("__qv"))
+        .crossJoin(broadcast(dn))
+        .where(col(queryIdCol) =!= col("__new_id"))
+        .select(col(queryIdCol), col("__new_id").alias(idCol),
+          Rounding.roundAway(cos(col("__qv"), col("__new_v")), 6).alias("cosine")),
+      Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
+    // 3. reverse candidates: one linear corpus scan × broadcast batch
+    val o2d = TopK.perGroup(
+      store.read(indexTable)
+        .select(col(idCol).alias(queryIdCol),
+          col(vecCol).cast("array<double>").alias("__ov"))
+        .crossJoin(broadcast(dn))
+        .select(col(queryIdCol), col("__new_id").alias(idCol),
+          Rounding.roundAway(cos(col("__ov"), col("__new_v")), 6).alias("cosine")),
+      Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
+    // 4. merge both partial top-ks per node — same (cosine desc, id) tie
+    // rule as the build, so merged lists match a rebuild's bit-for-bit
+    val merged = TopK.perGroup(
+      store.read(edgeTable).unionByName(o2d)
+        .unionByName(d2o).unionByName(d2d),
+      Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
+    store.replace(edgeTable, merged)
+    // 5. only after the edges are durable: future probes see the batch
+    if (updateIndex)
+      appendToIvfIndex(store, indexTable,
+        delta.select(col(queryIdCol).alias(idCol),
+          col(queryVecCol).alias(vecCol)),
+        vecCol, idCol)
+  }
+
   /** All signatures within Hamming distance `maxBits` of `sig` — the
     * multi-probe ball, enumerated driver-side: Σ_{i≤maxBits} C(planes,i)
     * values (137 at planes=16, maxBits=2), independent of corpus size.

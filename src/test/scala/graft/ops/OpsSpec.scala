@@ -564,6 +564,54 @@ class OpsSpec extends SparkSpecBase {
     assert(full == brute)
   }
 
+  test("kNN edge artifact: append maintenance equals a from-scratch rebuild") {
+    // the delta discipline for the graph artifact: probe the batch
+    // against the index, one linear corpus scan for reverse candidates,
+    // per-node top-k merge — NO k-means retrain, NO corpus x corpus join.
+    // With full probes the result must be IDENTICAL to rebuilding edges
+    // from scratch over base ∪ delta (exact-top-k merge property).
+    val rnd = new scala.util.Random(11)
+    def mk(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian())))
+        .toDF("vec_id", "embedding")
+    val base = mk(0 until 60)
+    val delta1 = mk(1000 until 1008)
+    val delta2 = mk(2000 until 2005)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").alias("qid"), col("embedding"))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSet
+
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-knn-app"))
+    Similarity.persistIvfIndex(store, "idx", base, "embedding", "vec_id",
+      nCells = 3, iterations = 3)
+    Similarity.persistKnnEdges(store, "idx", "edges", q(base),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3)
+    Similarity.appendKnnEdges(store, "idx", "edges", q(delta1),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3)
+
+    def rebuilt(all: org.apache.spark.sql.DataFrame, name: String) = {
+      val st = new graft.engine.TableStore(spark, tmpDir(name))
+      Similarity.persistIvfIndex(st, "idx", all, "embedding", "vec_id",
+        nCells = 3, iterations = 3)
+      Similarity.persistKnnEdges(st, "idx", "edges", q(all),
+        "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3)
+      edgeSet(st.read("edges"))
+    }
+    val all1 = base.unionByName(delta1)
+    assert(edgeSet(store.read("edges")) == rebuilt(all1, "wh-knn-r1"),
+      "append diverged from the from-scratch rebuild")
+    // convergence across batches: the second append probes an index that
+    // already contains the first delta (appendToIvfIndex ran), so its
+    // edges account for ALL prior rows
+    Similarity.appendKnnEdges(store, "idx", "edges", q(delta2),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3)
+    assert(edgeSet(store.read("edges")) ==
+      rebuilt(all1.unionByName(delta2), "wh-knn-r2"),
+      "second append diverged after index mutation")
+  }
+
   test("persisted LSH index: Hamming-ball probe prunes partitions at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val store = new graft.engine.TableStore(spark, tmpDir("wh-lsh"))

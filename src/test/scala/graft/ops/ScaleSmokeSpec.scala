@@ -460,6 +460,52 @@ class ScaleSmokeSpec extends SparkSpecBase {
     } finally out.unpersist()
   }
 
+  test("kNN edge append on 20k vectors x 500-delta: delta-bound maintenance, exact lists") {
+    // the edge artifact's incremental path must stay |corpus|·|delta| —
+    // one probe + one linear corpus scan — never a k-means retrain or a
+    // corpus×corpus rejoin. 16 axis-bundle clusters make per-node exact
+    // top-k spot-checkable against brute force over base ∪ delta.
+    val dims = 16
+    def mk(ids: org.apache.spark.sql.DataFrame, off: Int) =
+      ids.select(col("id").cast("long").alias("vec_id"),
+        array((0 until dims).map { d =>
+          when(pmod(col("id") + off, lit(dims)) === d,
+            lit(10.0) + pmod(col("id"), lit(97)).cast("double") / 100.0)
+            .otherwise(pmod(col("id") * (d + 3), lit(7)).cast("double") / 100.0)
+        }: _*).alias("embedding"))
+    val base = mk(spark.range(20000).toDF(), 0)
+    val delta = mk(spark.range(100000, 100500).toDF(), 0)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-knn-smoke"))
+    Similarity.persistIvfIndex(store, "idx", base, "embedding", "vec_id",
+      nCells = 16, iterations = 3)
+    Similarity.persistKnnEdges(store, "idx", "edges",
+      base.select(col("vec_id").alias("qid"), col("embedding")),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 16)
+    val t0 = System.nanoTime()
+    Similarity.appendKnnEdges(store, "idx", "edges",
+      delta.select(col("vec_id").alias("qid"), col("embedding")),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 16)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val edges = store.read("edges")
+    assert(edges.select("qid").distinct().count() == 20500L)
+    assert(edges.groupBy("qid").count().where(col("count") =!= 3L).count() == 0L)
+    // exactness spot-check: a delta node's merged list equals brute force
+    // over the grown corpus
+    val all = base.unionByName(delta)
+    val probeQ = delta.where(col("vec_id") === 100007L)
+      .select(col("embedding")).head().getSeq[Double](0).toSeq
+    val brute = Similarity.bruteForceTopK(
+        all.where(col("vec_id") =!= 100007L), "embedding", "vec_id",
+        probeQ, k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = edges.where(col("qid") === 100007L)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute, s"got $got want $brute")
+    assert(sec < 180.0,
+      f"append took $sec%.1f s — retrain or corpus-rejoin regression?")
+  }
+
   test("cdc chunking on 2k docs x 1k tokens (2M tokens): linear pass, census closed form") {
     // the r10 mid-round regression was chunkByContent as array-HOF
     // algebra: interpreted lambdas get no CSE, so the hash UDF re-ran
