@@ -162,14 +162,25 @@ object TextClassify {
     * once per corpus and feed row-subsets (semi-joins) per invocation.
     */
   def dsirWeightsFromBuckets(rawRows: DataFrame, tgtRows: DataFrame,
-      idCol: String, dims: Int): DataFrame = {
+      idCol: String, dims: Int): DataFrame =
+    rawRows.join(dsirModelFromBuckets(rawRows, tgtRows, dims), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(Rounding.roundAway(sum(col("__n") * col("__lr")), 6).alias("weight"))
+
+  /** The dense dims-row DSIR model `(__b, __lr)` — per-bucket smoothed
+    * log ratio of target vs raw unigram mass; absent buckets carry pure
+    * smoothing mass. Factored out of [[dsirWeightsFromBuckets]] so an
+    * offline trainer can freeze it as a broadcast artifact (the
+    * streaming gate) while the batch path keeps joining it in-plan.
+    */
+  def dsirModelFromBuckets(rawRows: DataFrame, tgtRows: DataFrame,
+      dims: Int): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
     val rawCensus = rawRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__cr"))
     val tgtCensus = tgtRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__ct"))
     val rawTotal = rawCensus.agg(sum(col("__cr")).alias("__nr"))
     val tgtTotal = tgtCensus.agg(sum(col("__ct")).alias("__nt"))
-    // dense dims-row model: absent buckets carry pure smoothing mass
-    val model = rawRows.sparkSession.range(0, dims)
+    rawRows.sparkSession.range(0, dims)
       .select(col("id").cast("int").alias("__b"))
       .join(rawCensus, Seq("__b"), "left")
       .join(tgtCensus, Seq("__b"), "left")
@@ -178,9 +189,6 @@ object TextClassify {
         (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) / (col("__nt") + lit(dims)))
           - log((coalesce(col("__cr"), lit(0L)) + lit(1.0)) / (col("__nr") + lit(dims))))
           .alias("__lr"))
-    rawRows.join(model, Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(Rounding.roundAway(sum(col("__n") * col("__lr")), 6).alias("weight"))
   }
 
   /** Binary logistic regression trained INSIDE the engine by `iters`

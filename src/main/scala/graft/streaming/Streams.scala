@@ -292,8 +292,9 @@ object Streams {
   /** The capstone's gates ([[graft.ops.CorpusPipeline.Config]] quality /
     * repetition / character-entropy / language / Gopher /
     * phrase-blocklist screens, plus the MODEL gates — logistic
-    * classifier and bigram-LM perplexity — when offline-trained
-    * [[LrGateModel]]/[[LmGateModel]] artifacts are supplied) as a
+    * classifier, bigram-LM perplexity, and DSIR importance — when
+    * offline-trained [[LrGateModel]]/[[LmGateModel]]/[[DsirGateModel]]
+    * artifacts are supplied) as a
     * STATELESS streaming transform — the arriving-documents curation
     * shape a production pipeline runs over [[ingestNdjsonStream]]: every
     * gate is a per-row scalar (the model gates over broadcast weights),
@@ -320,7 +321,8 @@ object Streams {
   def corpusGateStream(docs: DataFrame,
       cfg: graft.ops.CorpusPipeline.Config,
       lrModel: Option[LrGateModel] = None,
-      lmModel: Option[LmGateModel] = None): DataFrame = {
+      lmModel: Option[LmGateModel] = None,
+      dsirModel: Option[DsirGateModel] = None): DataFrame = {
     import graft.ops.{Rounding, TextAnalysis}
     val t = col(cfg.textCol)
     val base = docs
@@ -351,10 +353,15 @@ object Streams {
         blockGated.where(lmCrossEntropy(t, m) <= m.maxCrossEntropy)
       case None => blockGated
     }
+    val dsirGated = dsirModel match {
+      case Some(m) =>
+        lmGated.where(dsirWeight(t, m) >= m.minWeight)
+      case None => lmGated
+    }
     lrModel match {
       case Some(m) =>
-        lmGated.where(Rounding.roundAway(lrScore(t, m), 6) >= m.minScore)
-      case None => lmGated
+        dsirGated.where(Rounding.roundAway(lrScore(t, m), 6) >= m.minScore)
+      case None => dsirGated
     }
   }
 
@@ -383,6 +390,52 @@ object Streams {
       vocab: Long,
       alpha: Double,
       maxCrossEntropy: Double)
+
+  /** Offline-trained DSIR gate for [[corpusGateStream]]: `logRatios(b)`
+    * is the per-bucket smoothed target-vs-raw log ratio
+    * ([[graft.ops.TextClassify.dsirModelFromBuckets]]), `minWeight` the
+    * keep floor on the rounded per-doc importance weight. dims-bounded
+    * driver state, the same broadcast-weights shape as [[LrGateModel]].
+    */
+  final case class DsirGateModel(logRatios: Array[Double], minWeight: Double) {
+    require(logRatios.nonEmpty, "DsirGateModel needs at least one log ratio")
+    def dims: Int = logRatios.length
+  }
+
+  /** Train a [[DsirGateModel]] offline: the raw model over a reference
+    * corpus (the batch capstone feeds it the survivors reaching the DSIR
+    * gate), the target model over the in-domain exemplars, frozen as the
+    * dims-row log-ratio array.
+    */
+  def trainDsirGateModel(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, dims: Int, minWeight: Double): DsirGateModel = {
+    import graft.ops.TextClassify
+    val m = TextClassify.dsirModelFromBuckets(
+      TextClassify.docBucketRows(raw, textCol, idCol, dims),
+      TextClassify.docBucketRows(target, textCol, idCol, dims), dims)
+    val arr = new Array[Double](dims)
+    m.collect().foreach(r =>
+      arr(r.getAs[Int]("__b")) = r.getAs[Double]("__lr"))
+    DsirGateModel(arr, minWeight)
+  }
+
+  /** Per-row DSIR importance weight under a frozen [[DsirGateModel]]:
+    * with RAW bucket counts the sparse dot product is the SUM of token
+    * bucket log ratios — one fold over the row's own tokens, rounded as
+    * the batch scorer rounds. NULL for token-less docs (the batch weight
+    * frame has no row for them, so the semi-join drops them — a null
+    * here never passes the ≥ gate, same drop on both paths).
+    */
+  private[streaming] def dsirWeight(t: Column, m: DsirGateModel): Column = {
+    val wArr = array(m.logRatios.toSeq.map(lit(_)): _*)
+    val tk = graft.ops.TextAnalysis.normTokens(t)
+    graft.ops.Rounding.roundAway(
+      when(size(tk) > 0,
+        aggregate(tk, lit(0.0d), (acc, tok) =>
+          acc + element_at(wArr,
+            graft.ops.TextAnalysis.tokenBucket(tok, m.dims) + 1)))
+        .otherwise(lit(null).cast("double")), 6)
+  }
 
   /** Train an [[LrGateModel]] offline from a labeled batch corpus —
     * [[graft.ops.TextClassify.logisticTrainFromBuckets]] over

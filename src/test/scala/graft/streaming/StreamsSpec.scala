@@ -810,11 +810,30 @@ class StreamsSpec extends SparkSpecBase {
       dims, iters = 2, rate = 1.0, minScore = 0.5)
     val lmModel = Streams.trainLmGateModel(staticSurv, "text",
       alpha = 0.4, maxCrossEntropy = lmMax)
+    // DSIR: raw model over the docs that reach the gate batch-side (the
+    // LM survivors), target = the in-domain exemplars; threshold
+    // self-calibrates mid-gap between classes so the rounded boundary
+    // can't flap
+    val dsirTarget = batchDf.where(col("text").contains("vector"))
+    val lmSurv = staticSurv
+      .join(graft.ops.TextAnalysis.bigramLmScore(staticSurv, "text", "doc_id")
+          .where(col("cross_entropy") <= lmMax).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val dw = graft.ops.TextClassify.dsirWeights(lmSurv, dsirTarget,
+        "text", "doc_id", dims)
+      .as[(Long, Double)].collect().toMap
+    val inW = dw.filter(kv => Set(1L, 2L).contains(kv._1)).values.min
+    val outW = dw.filter(kv => Set(3L, 4L).contains(kv._1)).values.max
+    assert(inW > outW, s"dsir weights not separable: $dw")
+    val dsirMin = (inW + outW) / 2
+    val dsirModel = Streams.trainDsirGateModel(lmSurv, dsirTarget,
+      "text", "doc_id", dims, minWeight = dsirMin)
 
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs: _*)
     val q = Streams.corpusGateStream(mem.toDF().toDF("doc_id", "text"),
-        staticCfg, lrModel = Some(lrModel), lmModel = Some(lmModel))
+        staticCfg, lrModel = Some(lrModel), lmModel = Some(lmModel),
+        dsirModel = Some(dsirModel))
       .writeStream.format("memory").queryName("corpusGateModels")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -824,6 +843,8 @@ class StreamsSpec extends SparkSpecBase {
 
     val batch = graft.ops.CorpusPipeline.prepare(batchDf,
         staticCfg.copy(lmMaxCrossEntropy = lmMax,
+          dsirTarget = Some(dsirTarget), dsirMinWeight = dsirMin,
+          dsirDims = dims,
           lrLabels = Some(labels), lrMinScore = 0.5, lrDims = dims,
           lrIters = 2, lrRate = 1.0, lrBuckets = Some(lrBuckets)))
       .select("doc_id").as[Long].collect().toSet
