@@ -2462,10 +2462,14 @@ object SparkEntry {
       val cnts = even.agg(
         count(when(!isPos, lit(1))).alias("__nc"),
         count(when(isPos, lit(1))).alias("__pc"))
+      // null-safe class split: a NULL text makes contains() NULL, and a
+      // bare `!isPos || …` would admit such a doc as a sampled negative
+      // (NULL OR true = true) — `=== false` keeps nulls out of BOTH
+      // classes, as the oracle's NOT LIKE / LIKE predicates do
       val labels = even.crossJoin(broadcast(cnts))
-        .where(!isPos ||
+        .where((isPos === false) || (isPos &&
           ops.Sampling.unitScore(concat(lit("lrbal:"), col("doc_id"))) <
-            least(lit(1.0d), col("__nc").cast("double") / col("__pc")))
+            least(lit(1.0d), col("__nc").cast("double") / col("__pc"))))
         .select(col("doc_id"),
           when(isPos, lit(1.0d)).otherwise(lit(0.0d)).alias("__y"))
       ops.CorpusPipeline.prepare(docs,

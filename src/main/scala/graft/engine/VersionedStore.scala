@@ -156,14 +156,22 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     val d = new Path(tableDir(table), dirName)
     val f = fs(d)
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = f.listStatus(d).toSeq
+    val files = f.listStatus(d).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+    // footer reads run CONCURRENTLY: sequential driver-side opens add
+    // O(#files) round trips to every commit on an object store — minutes
+    // for a many-thousand-file delta — for what is per-file a few-ms
+    // metadata read
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(
+      Future.traverse(files) { st => Future {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      }.sum
+      } }, Duration.Inf).sum
     val width = schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
     rows * width
   }

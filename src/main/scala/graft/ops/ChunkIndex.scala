@@ -107,6 +107,10 @@ object ChunkIndex {
     * the census. Documents with no chunks (empty text) report
     * `(0, 0, 0.0)`. `cached_frac` is the exact integer ratio — engine-
     * portable unrounded, so gates can threshold on it without flap.
+    * Batch ids must be UNIQUE (one row per document — the
+    * [[graft.ops.DedupIndex.append]] fresh-id contract): hit counting
+    * keys on (id, chunk_idx), so two rows sharing an id would have their
+    * chunk instances conflated and the report would be meaningless.
     *
     * |delta|-bound: one chunk pass over the batch (checkpointed — three
     * consumers, one UDF run), a ≤ `buckets` bucket-set collect, the
@@ -178,9 +182,16 @@ object ChunkIndex {
       val keptIds = report.where(col("kept")).select(col(idCol))
       val batchFps = ch.join(keptIds, Seq(idCol), "left_semi")
         .select(col("fp"), col("__bk")).distinct()
-      val bks = batchFps.agg(collect_set(col("__bk"))).head().getSeq[Int](0)
+      // same broadcast discipline as the probe: a rebuild-sized batch
+      // must degrade to a shuffle join, not a hard-failing 8GB broadcast
+      val st = batchFps
+        .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
+        .head()
+      val bks = st.getSeq[Int](0)
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
       val idx = store.read(table).where(col("__bk").isInCollection(bks))
-      val hitFps = idx.join(batchFps.hint("broadcast"), Seq("fp"))
+      val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
         .select(col("fp")).distinct()
       val newFps = batchFps.join(hitFps, Seq("fp"), "left_anti")
       store.writePartitioned(table, newFps.repartition(col("__bk")),

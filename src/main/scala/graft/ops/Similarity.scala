@@ -619,10 +619,16 @@ object Similarity {
           Rounding.roundAway(cos(col("__ov"), col("__new_v")), 6).alias("cosine")),
       Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
     // 4. merge both partial top-ks per node — same (cosine desc, id) tie
-    // rule as the build, so merged lists match a rebuild's bit-for-bit
+    // rule as the build, so merged lists match a rebuild's bit-for-bit.
+    // The (qid, id) dedup makes a REPLAY idempotent: a crash between the
+    // edge swap and the index append re-runs the batch, whose
+    // deterministic rounded scores regenerate rows the stored table
+    // already holds — without the dedup an exact duplicate would occupy
+    // two of k heap slots and silently evict a true neighbor.
     val merged = TopK.perGroup(
       store.read(edgeTable).unionByName(o2d)
-        .unionByName(d2o).unionByName(d2d),
+        .unionByName(d2o).unionByName(d2d)
+        .dropDuplicates(queryIdCol, idCol),
       Seq(queryIdCol), Seq(col("cosine").desc, col(idCol)), k)
     store.replace(edgeTable, merged)
     // 5. only after the edges are durable: future probes see the batch

@@ -302,9 +302,14 @@ object Streams {
     * pure map.
     *
     * Batch equivalence (spec-pinned): the survivor set equals
-    * `CorpusPipeline.prepare` with the model gates and dedup off — the
-    * gate expressions ARE the batch pipeline's canonical forms, including
-    * the rounded-entropy boundary. The blocklist rides per-row here
+    * `CorpusPipeline.prepare` with dedup off — the static-gate
+    * expressions ARE the batch pipeline's canonical forms, including the
+    * rounded-entropy boundary. For the MODEL gates, equivalence holds up
+    * to double summation order: the per-row folds sum token terms
+    * sequentially while the batch aggregates sum partials in partition
+    * order, so a score can differ from its batch twin in final ulps —
+    * pick thresholds away from observed scores (the spec's mid-gap
+    * convention), never AT a batch-measured score. The blocklist rides per-row here
     * (an anchor-exists expression over [[graft.ops.TextAnalysis
     * .normTokens]], pinned equivalent to the batch anchor census) rather
     * than the batch's shared-scan census — per arriving row there is no
@@ -480,14 +485,24 @@ object Streams {
         col("__toks"),
         (p, t) => struct(p.alias("prev"), t.alias("tok")))).alias("pr"))
       .select(col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
-    val bi = pairRows.groupBy(col("prev"), col("tok"))
+    val census = pairRows.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).alias("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val context = bi.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
-    val vocab = bi.keysIterator.map(_._2).toSet.size.toLong
-    val pruned = if (minCount > 1) bi.filter(_._2 >= minCount) else bi
-    LmGateModel(pruned, context, vocab, alpha, maxCrossEntropy)
+      .persist() // three consumers below: one pair-explode pass, not three
+    // context counts and vocabulary derive IN-ENGINE from the unpruned
+    // census (exactly bigramLmScore's derivation), and the minCount
+    // filter runs before the collect — the pruning knob bounds the
+    // driver memory of the training pass itself, not just the frozen
+    // artifact. Context stays unigram-vocabulary-sized.
+    val context = census.groupBy(col("prev"))
+      .agg(sum(col("c")).alias("cp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = census.agg(countDistinct(col("tok"))).head().getLong(0)
+    val bi =
+      try census.where(col("c") >= minCount)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      finally { census.unpersist(); () }
+    LmGateModel(bi, context, vocab, alpha, maxCrossEntropy)
   }
 
   /** Per-row logistic score under a frozen [[LrGateModel]]: with

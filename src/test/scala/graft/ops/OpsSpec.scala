@@ -602,14 +602,19 @@ class OpsSpec extends SparkSpecBase {
     val all1 = base.unionByName(delta1)
     assert(edgeSet(store.read("edges")) == rebuilt(all1, "wh-knn-r1"),
       "append diverged from the from-scratch rebuild")
-    // convergence across batches: the second append probes an index that
-    // already contains the first delta (appendToIvfIndex ran), so its
-    // edges account for ALL prior rows
+    // convergence across batches + REPLAY safety: the second batch first
+    // "crashes" after the edge swap (updateIndex=false leaves the index
+    // without it), then the natural recovery re-runs the same batch in
+    // full — the (qid, id) dedup in the merge keeps the regenerated rows
+    // from occupying two top-k slots, so the replay is idempotent
+    Similarity.appendKnnEdges(store, "idx", "edges", q(delta2),
+      "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3,
+      updateIndex = false)
     Similarity.appendKnnEdges(store, "idx", "edges", q(delta2),
       "embedding", "qid", "embedding", "vec_id", k = 3, nProbe = 3)
     assert(edgeSet(store.read("edges")) ==
       rebuilt(all1.unionByName(delta2), "wh-knn-r2"),
-      "second append diverged after index mutation")
+      "replayed second append diverged after index mutation")
   }
 
   test("persisted LSH index: Hamming-ball probe prunes partitions at the scan") {
