@@ -2698,6 +2698,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_novel" -> ((s, dir) => {
+      // the CACHE PAYOFF query: the novel chunk instances of the
+      // q_dedup_chunks_ingest delta — the rows an embedding/feature
+      // pipeline actually computes for this batch, everything else a
+      // census hit. A prefixed re-crawl contributes ONLY its edited
+      // first chunk (boundaries re-align after the first surviving
+      // boundary); organic docs contribute their genuinely-new content.
+      // Probe shape as ChunkIndex.probe: one chunk pass over the batch,
+      // bucket-pruned census scan, batch-bounded hit set, broadcast
+      // anti-join — the census never shuffles.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
+      val recrawl = docs
+        .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
+        .select((col("doc_id") + 10000).alias("doc_id"),
+          concat(lit("breaking update today "), col("text")).alias("text"))
+      val delta = organic.unionByName(recrawl)
+      ops.ChunkIndex.novelChunks(persistedIvfStore(s, dir), "docs_chunk_base",
+          delta, "text", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
       // shingles with any doc of the held-out source 'src0'
@@ -6191,6 +6213,31 @@ object SparkEntry {
         |LEFT JOIN tot t USING (doc_id)
         |LEFT JOIN hits h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_chunk_novel" -> {
+      // the same corpus construction and chunk replay as
+      // q_dedup_chunks_ingest; novel = the delta chunk instances whose
+      // fingerprint is absent from the base census, with their offsets
+      // and text carried through
+      "WITH src AS (\n" +
+        "  SELECT doc_id, text FROM documents WHERE doc_id < 480\n" +
+        "  UNION ALL\n" +
+        "  SELECT doc_id + 10000 AS doc_id,\n" +
+        "    'breaking update today ' || text AS text\n" +
+        "  FROM documents WHERE doc_id < 400 AND doc_id % 80 = 0),\n" +
+        cdcChunkChain("src") + ",\n" +
+      """fch AS (SELECT doc_id, chunk_idx, start_tok, n_toks, chunk,
+        |    list_reduce([0]::BIGINT[] ||
+        |      list_transform(list_filter(str_split(chunk, ''), c -> len(c) > 0),
+        |        c -> CAST(ord(c) AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS fp
+        |  FROM ch),
+        |base_fps AS (SELECT DISTINCT fp FROM fch WHERE doc_id < 400)
+        |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk
+        |FROM fch
+        |WHERE doc_id >= 400 AND fp NOT IN (SELECT fp FROM base_fps)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     "q_decontaminate" ->

@@ -155,6 +155,43 @@ object ChunkIndex {
           .otherwise(col("n_cached").cast("double") / col("n_chunks")))
   }
 
+  /** The NOVEL chunk instances of a delta batch — every chunk row whose
+    * fingerprint is not yet in the census, with its text and offsets:
+    * exactly the rows a downstream embedding / feature pipeline has to
+    * compute for this batch, everything else being a cache hit. This is
+    * the payoff of content-defined boundaries: a re-crawled page
+    * contributes only its genuinely-new chunks (usually just the one
+    * spanning the edit), not a re-embedding of the whole page.
+    *
+    * |delta|-bound like [[probe]]: one chunk pass, the batch's distinct
+    * fingerprints identify their census hits through the bucket-pruned
+    * broadcast join, and the anti-join runs against that BATCH-BOUNDED
+    * hit set — the census itself never shuffles.
+    * Output: (`idCol`, chunk_idx, start_tok, n_toks, chunk).
+    */
+  def novelChunks(store: TableStore, table: String, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val meta = readMeta(store, table)
+    val ch = TextAnalysis.chunkByContent(delta, textCol, idCol,
+        meta.k, meta.divisor)
+      .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
+      .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
+      .localCheckpoint(true) // two consumers: hit-set build + anti-join
+    val batchFps = ch.select(col("fp"), col("__bk")).distinct()
+    val st = batchFps
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
+      .head()
+    val bks = st.getSeq[Int](0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+    val idx = store.read(table).where(col("__bk").isInCollection(bks))
+    val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
+      .select(col("fp")).distinct()
+    ch.join(hitFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        col("n_toks"), col("chunk"))
+  }
+
   /** The incremental ingest step: probe the batch, keep documents whose
     * cached fraction is BELOW `maxCachedFrac` (a mostly-cached page is a
     * re-crawl / template page the corpus already has), and — when

@@ -103,6 +103,37 @@ class ChunkIndexSpec extends SparkSpecBase {
     assert(fps.length == fps.distinct.length, "duplicate fps in census")
   }
 
+  test("novelChunks returns exactly the non-cached instances, text and offsets intact") {
+    val (store, table) = freshIndex("novel")
+    val delta = Seq(
+      (100L, "new intro " + template), // re-crawl: only the edited head chunk is novel
+      (101L, "totally novel content nothing shares any chunk with the base corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val novel = ChunkIndex.novelChunks(store, table, delta, "text", "doc_id")
+    // reference: the inline set difference on chunk strings
+    val baseChunks = TextAnalysis.chunkByContent(baseDocs, "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(col("chunk")).distinct().as[String].collect().toSet
+    val want = TextAnalysis.chunkByContent(delta, "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"), col("chunk"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .filterNot(r => baseChunks.contains(r._5)).toSet
+    val got = novel.select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_toks"), col("chunk"))
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(got == want)
+    // the cache payoff is real: the re-crawl re-embeds ONLY its edited
+    // head, never the re-aligned tail; the novel doc contributes all
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val total100 = TextAnalysis.chunkByContent(
+        delta.where(col("doc_id") === 100L), "text", "doc_id", k = 3, divisor = 4L)
+      .count()
+    assert(perDoc(100L) < total100, s"re-crawl re-embeds everything: $perDoc of $total100")
+    assert(perDoc(100L) >= 1)
+  }
+
   test("a crashed rebuild (uncommitted meta) fails probes loudly; re-run heals") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-crash"))
     ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
