@@ -161,17 +161,21 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     // footer reads run CONCURRENTLY: sequential driver-side opens add
     // O(#files) round trips to every commit on an object store — minutes
     // for a many-thousand-file delta — for what is per-file a few-ms
-    // metadata read
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    // metadata read. Each read is wrapped in blocking{} so the shared
+    // global pool grows past its CPU-sized core instead of starving
+    // commits issued from other futures on the same pool, and the await
+    // is BOUNDED — a hung footer read (dead object-store connection)
+    // fails the commit loudly instead of wedging it forever.
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.DurationInt
     import scala.concurrent.ExecutionContext.Implicits.global
     val rows = Await.result(
-      Future.traverse(files) { st => Future {
+      Future.traverse(files) { st => Future { blocking {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      } }, Duration.Inf).sum
+      } } }, 10.minutes).sum
     val width = schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
     rows * width
   }

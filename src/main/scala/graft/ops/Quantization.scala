@@ -225,6 +225,52 @@ object Quantization {
       }.toDF("j", "c", "codeword"), append = false)
   }
 
+  /** Append rows to a PERSISTED IVF-PQ index without retraining — the
+    * FAISS add() lifecycle for the compressed tier, completing the
+    * engine's append-maintenance family (dedup index, chunk census, IVF,
+    * kNN edges): the delta assigns to the EXISTING centroids (broadcast
+    * argmin) and encodes under the EXISTING codebooks (broadcast
+    * codeword argmin), then its (id, codes) rows land in the matching
+    * `__cell` directories — per-batch cost tracks |delta|, never
+    * |corpus|, and neither k-means ever retrains. Probes see the rows
+    * immediately; full probes + exact rerank remain EXACT over
+    * base ∪ delta regardless of codebook staleness (the rerank reads
+    * true vectors — spec-pinned), while ADC shortlist quality drifts
+    * with the distribution, the same bounded staleness as
+    * [[graft.ops.Similarity.appendToIvfIndex]] (retrain on a cadence).
+    *
+    * `batchId` makes the ingest idempotent: an id already recorded in
+    * the `<table>__batches` side table is skipped (returns false). The
+    * marker lands AFTER the data append, so a crash between the two
+    * replays the batch — duplicated code rows cost bytes, not rerank
+    * correctness gone wrong, but avoid blind re-appends
+    * ([[graft.ops.DedupIndex.append]]'s retry contract). Delta ids must
+    * be fresh. Appended part-files accrete per cell; compact on a
+    * cadence via [[graft.engine.TableStore.compact]].
+    */
+  def appendToIvfPqIndex(store: graft.engine.TableStore, table: String,
+      delta: DataFrame, vecCol: String, idCol: String,
+      batchId: Option[String] = None): Boolean = {
+    val bt = table + "__batches"
+    val applied = batchId.exists(id => store.exists(bt) &&
+      store.read(bt).where(col("batch_id") === id).limit(1).count() > 0)
+    if (applied) return false
+    val cents = Similarity.loadIvfCentroids(store, table)
+    require(cents.nonEmpty, s"no centroid table for IVF-PQ index '$table'")
+    val books = loadPqCodebooks(store, table)
+    val encoded = delta.select(col(idCol),
+      Similarity.cellOf(col(vecCol).cast("array<double>"), cents).alias("__cell"),
+      pqEncode(books)(col(vecCol)).alias("codes"))
+    store.writePartitioned(table, encoded.repartition(col("__cell")),
+      Seq("__cell"), append = true)
+    batchId.foreach { id =>
+      val sp = delta.sparkSession
+      import sp.implicits._
+      store.write(bt, Seq(id).toDF("batch_id"), append = true)
+    }
+    true
+  }
+
   /** Load the codebook side table of a persisted IVF-PQ index
     * (m·k·(dim/m) doubles of driver state — same envelope as centroids).
     */

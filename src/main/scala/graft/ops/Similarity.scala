@@ -211,7 +211,7 @@ object Similarity {
     * the expression form it replaced: left-to-right d2 accumulation,
     * ties to the LOWER cell id (strict less-than keeps the first min).
     */
-  private def cellOf(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[graft] def cellOf(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val cents = centroids.map(_.toArray).toArray
     val f = udf { (v: Seq[Double]) =>
       if (v == null) null

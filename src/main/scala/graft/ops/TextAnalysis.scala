@@ -709,16 +709,31 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial (Rabin-Karp-style) fingerprint of the whole
-    * document: hash = Σ c_i·B^(n-i) mod M, computed with `aggregate` so it
-    * stays a scalar expression. Deterministic and portable (no JVM
-    * hashCode).
+    * document: hash = Σ c_i·B^(n-i) mod M. Deterministic and portable
+    * (no JVM hashCode): the fold runs per CODE POINT, not per UTF-16
+    * unit or UTF-8 byte, mirroring [[posGramHashes]] — a DuckDB oracle
+    * folding `ord()` over `str_split(s, '')` rebuilds identical values
+    * on any text, not just ASCII (Spark's `ascii()` expression would
+    * fold only the first UTF-8 byte of a multi-byte character). A JIT'd
+    * UDF loop for the same measured reason as [[posGramHashes]]: the
+    * interpreted HOF fold re-allocates per element on the hot path.
+    * Null in → null out; empty string → 0.
     */
   def fingerprint(text: Column, base: Long = 257L, mod: Long = 1000000007L): Column = {
-    val chars = split(text, "")
-    aggregate(
-      filter(chars, c => length(c) > 0),
-      lit(0L),
-      (acc, c) => pmod(acc * base + ascii(c), lit(mod)))
+    val f = udf { t: String =>
+      if (t == null) null
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          acc = (acc * base + cp) % mod
+          i += Character.charCount(cp)
+        }
+        java.lang.Long.valueOf(acc)
+      }
+    }
+    f(text)
   }
 
   /** Character-level Shannon entropy in bits — the gibberish/boilerplate

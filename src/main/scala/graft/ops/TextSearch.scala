@@ -76,10 +76,67 @@ object TextSearch {
       .agg(sum(col("term_score")).alias("score"))
   }
 
+  /** Read-back of the inverted index's one-row `__meta` side table.
+    * `sumDl` is the EXACT integer token count of the indexed corpus, the
+    * merge-key that makes appends equal rebuilds: avgdl derives as
+    * `sumDl / nDocs` (one deterministic double division), so merging a
+    * delta's exact sums reproduces the rebuilt value bit-for-bit —
+    * a floating avgdl could never be merged exactly. `batches` records
+    * the applied [[appendPostings]] batch ids (idempotent re-ingest).
+    */
+  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int,
+      batches: Seq[String]) {
+    def avgdl: Double = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+  }
+
+  /** `(idCol, dl, term, tf, __tb)` posting rows for a document frame —
+    * the ONE derivation both [[persistPostings]] and [[appendPostings]]
+    * fold through, so an appended batch's rows are byte-identical to
+    * what a rebuild over base ∪ delta would produce for those documents
+    * (the groupBy keys on the document id, so fresh-id delta rows never
+    * merge with base rows).
+    */
+  private def postingRows(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame = {
+    val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    docs.select(col(idCol), dl.alias("dl"), col(textCol))
+      .where(col("dl") > 0)
+      .select(col(idCol), col("dl"),
+        explode(split(lower(col(textCol)), "\\s+")).alias("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+      .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
+  }
+
+  private def writeTextMeta(store: graft.engine.TableStore, table: String,
+      sp: org.apache.spark.sql.SparkSession, nDocs: Long, sumDl: Long,
+      buckets: Int, batches: Seq[String], committed: Boolean): Unit = {
+    import sp.implicits._
+    store.replace(table + "__meta",
+      Seq((nDocs, sumDl, buckets, batches, committed))
+        .toDF("n_docs", "sum_dl", "buckets", "batches", "committed"))
+  }
+
+  /** Load the inverted index's corpus constants; fails loudly on an
+    * index whose last rebuild or append crashed before committing.
+    */
+  def readTextMeta(store: graft.engine.TableStore, table: String): TextIndexMeta = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for text index '$table'")
+    val meta = store.read(table + "__meta").head()
+    require(meta.getAs[Boolean]("committed"),
+      s"text index '$table' has an UNCOMMITTED meta: a rebuild or append " +
+        "crashed between the parameter and data writes. Re-run " +
+        "persistPostings before probing.")
+    TextIndexMeta(meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"),
+      meta.getAs[Int]("buckets"), meta.getSeq[String](meta.fieldIndex("batches")))
+  }
+
   /** Build and persist the inverted index for [[bm25FromIndex]]: one
     * postings table `(idCol, dl, term, tf)` Hive-partitioned by
     * `__tb = hash(term) % buckets`, plus a 1-row `__meta` table carrying
-    * the corpus constants (n_docs, avgdl, buckets) and a committed flag.
+    * the corpus constants (n_docs, sum_dl, buckets) and a committed flag.
     * This is the text twin of the persisted IVF index: the corpus-wide
     * tokenize + posting shuffle is paid ONCE here, and every query then
     * reads only its terms' bucket directories — PartitionFilters pruning
@@ -96,26 +153,67 @@ object TextSearch {
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val sp = docs.sparkSession
-    import sp.implicits._
     val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
-    val withDl = docs.select(col(idCol), dl.alias("dl"), col(textCol))
-      .where(col("dl") > 0)
-    // 1-row driver state, like every persisted index's meta
-    val st = withDl.agg(count(lit(1)).alias("n_docs"), avg(col("dl")).alias("avgdl"))
+    // 1-row driver state, like every persisted index's meta; sum_dl is
+    // the exact long sum, so avgdl = sum/count is the same deterministic
+    // division an append-merged meta performs
+    val st = docs.select(dl.alias("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).alias("n_docs"), sum(col("dl")).alias("sum_dl"))
       .head()
-    def metaRow(committed: Boolean) =
-      Seq((st.getLong(0), st.getDouble(1), buckets, committed))
-        .toDF("n_docs", "avgdl", "buckets", "committed")
-    store.replace(table + "__meta", metaRow(committed = false))
-    val postings = withDl
-      .select(col(idCol), col("dl"),
-        explode(split(lower(col(textCol)), "\\s+")).alias("term"))
-      .where(length(col("term")) > 0)
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).alias("tf"))
-      .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
-    store.replacePartitioned(table, postings.repartition(col("__tb")), Seq("__tb"))
-    store.replace(table + "__meta", metaRow(committed = true))
+    val (nDocs, sumDl) =
+      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, Nil, committed = false)
+    store.replacePartitioned(table,
+      postingRows(docs, textCol, idCol, buckets).repartition(col("__tb")),
+      Seq("__tb"))
+    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, Nil, committed = true)
+  }
+
+  /** INCREMENTAL maintenance of the persisted inverted index — the
+    * reference's high-water-mark ingest discipline (find_last_entry +
+    * chunk_date_range, popelines/main.py:208-234) applied to the BM25
+    * artifact: a delta batch pays ONE tokenize + posting pass over
+    * ITSELF, appends its rows into the matching `__tb` directories (a
+    * Hive append touches only the partitions present in the batch), and
+    * folds its exact (doc count, token count) into the meta — the corpus
+    * is never re-tokenized, never re-shuffled. Because posting rows are
+    * keyed by document id and the corpus constants merge exactly
+    * ([[TextIndexMeta.sumDl]]), the post-append index is IDENTICAL —
+    * rows and meta both — to a [[persistPostings]] rebuild over
+    * base ∪ delta (spec-pinned in TextSearchSpec).
+    *
+    * Contracts: delta ids must be FRESH (re-ingesting an id would
+    * double-count its df and dl — the [[DedupIndex.append]] convention);
+    * `batchId` (when given) makes the ingest IDEMPOTENT — a batch id
+    * already recorded in the meta is skipped (returns false), so an
+    * at-least-once source can blindly re-deliver. Crash recovery: the
+    * meta is marked uncommitted before the data append and committed
+    * (stats merged, batch recorded) after, so a crash mid-append fails
+    * later probes loudly; recover by rebuilding ([[persistPostings]]) —
+    * a blind re-append would double the batch's rows AND stats.
+    * Appended part-files accrete per bucket; compact on a cadence via
+    * [[graft.engine.TableStore.compact]].
+    */
+  def appendPostings(store: graft.engine.TableStore, table: String,
+      delta: DataFrame, textCol: String, idCol: String,
+      batchId: Option[String] = None): Boolean = {
+    val meta = readTextMeta(store, table)
+    if (batchId.exists(meta.batches.contains)) return false
+    val sp = delta.sparkSession
+    val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
+    val st = delta.select(dl.alias("dl")).where(col("dl") > 0)
+      .agg(count(lit(1)).alias("n_docs"), sum(col("dl")).alias("sum_dl"))
+      .head()
+    val (dn, dsum) =
+      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    writeTextMeta(store, table, sp, meta.nDocs, meta.sumDl, meta.buckets,
+      meta.batches, committed = false)
+    store.writePartitioned(table,
+      postingRows(delta, textCol, idCol, meta.buckets).repartition(col("__tb")),
+      Seq("__tb"), append = true)
+    writeTextMeta(store, table, sp, meta.nDocs + dn, meta.sumDl + dsum,
+      meta.buckets, meta.batches ++ batchId, committed = true)
+    true
   }
 
   /** BM25 against the PERSISTED index — numerically identical to [[bm25]]
@@ -131,12 +229,10 @@ object TextSearch {
       idCol: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty)
-    val meta = store.read(table + "__meta").head()
-    require(meta.getAs[Boolean]("committed"),
-      s"text index '$table' has an uncommitted rebuild — re-run persistPostings")
-    val nDocs = meta.getAs[Long]("n_docs")
-    val avgdl = meta.getAs[Double]("avgdl")
-    val buckets = meta.getAs[Int]("buckets")
+    val meta = readTextMeta(store, table)
+    val nDocs = meta.nDocs
+    val avgdl = meta.avgdl
+    val buckets = meta.buckets
     val posts = store.read(table)
     val sp = posts.sparkSession
     import sp.implicits._
@@ -246,17 +342,68 @@ object TextSearch {
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val sp = docs.sparkSession
-    import sp.implicits._
-    def metaRow(committed: Boolean) =
-      Seq((buckets, committed)).toDF("buckets", "committed")
-    store.replace(table + "__meta", metaRow(committed = false))
-    val postings = docs
+    writePosMeta(store, table, sp, buckets, Nil, committed = false)
+    store.replacePartitioned(table,
+      positionalRows(docs, textCol, idCol, buckets).repartition(col("__tb")),
+      Seq("__tb"))
+    writePosMeta(store, table, sp, buckets, Nil, committed = true)
+  }
+
+  /** `(idCol, pos, term, __tb)` positional posting rows — the shared
+    * derivation of [[persistPositionalPostings]] and
+    * [[appendPositionalPostings]], all rows keyed by the document id.
+    */
+  private def positionalRows(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    docs
       .select(col(idCol),
         posexplode(TextAnalysis.normTokens(col(textCol)))
           .as(Seq("pos", "term")))
       .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
-    store.replacePartitioned(table, postings.repartition(col("__tb")), Seq("__tb"))
-    store.replace(table + "__meta", metaRow(committed = true))
+
+  private def writePosMeta(store: graft.engine.TableStore, table: String,
+      sp: org.apache.spark.sql.SparkSession, buckets: Int,
+      batches: Seq[String], committed: Boolean): Unit = {
+    import sp.implicits._
+    store.replace(table + "__meta",
+      Seq((buckets, batches, committed)).toDF("buckets", "batches", "committed"))
+  }
+
+  private def readPosMeta(store: graft.engine.TableStore,
+      table: String): (Int, Seq[String]) = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for positional index '$table'")
+    val meta = store.read(table + "__meta").head()
+    require(meta.getAs[Boolean]("committed"),
+      s"positional index '$table' has an uncommitted rebuild or append — " +
+        "re-run persistPositionalPostings")
+    (meta.getAs[Int]("buckets"), meta.getSeq[String](meta.fieldIndex("batches")))
+  }
+
+  /** INCREMENTAL maintenance of the positional index — [[appendPostings]]
+    * for the phrase-screen artifact: the delta tokenizes ONCE and its
+    * rows land in their `__tb` directories; the post-append index holds
+    * exactly a rebuild's rows over base ∪ delta (rows are keyed by the
+    * document id; there are no corpus constants to merge here). Same
+    * contracts as [[appendPostings]]: fresh delta ids, `batchId`
+    * idempotency, uncommitted-meta crash discipline (recover by
+    * rebuilding). The anchor census itself is additionally tolerant of
+    * physically duplicated rows (slot votes are counted DISTINCT), so
+    * even a force-recovered duplicate append cannot corrupt phrase
+    * counts — only waste bytes until the next rebuild.
+    */
+  def appendPositionalPostings(store: graft.engine.TableStore, table: String,
+      delta: DataFrame, textCol: String, idCol: String,
+      batchId: Option[String] = None): Boolean = {
+    val (buckets, batches) = readPosMeta(store, table)
+    if (batchId.exists(batches.contains)) return false
+    val sp = delta.sparkSession
+    writePosMeta(store, table, sp, buckets, batches, committed = false)
+    store.writePartitioned(table,
+      positionalRows(delta, textCol, idCol, buckets).repartition(col("__tb")),
+      Seq("__tb"), append = true)
+    writePosMeta(store, table, sp, buckets, batches ++ batchId, committed = true)
+    true
   }
 
   /** [[phraseMatchesMany]] against the PERSISTED positional index —
@@ -269,11 +416,7 @@ object TextSearch {
   def phraseMatchesFromIndex(store: graft.engine.TableStore, table: String,
       idCol: String, phrases: Seq[Seq[String]]): DataFrame = {
     val norm = normalizePhrases(phrases)
-    val meta = store.read(table + "__meta").head()
-    require(meta.getAs[Boolean]("committed"),
-      s"positional index '$table' has an uncommitted rebuild — re-run " +
-        "persistPositionalPostings")
-    val buckets = meta.getAs[Int]("buckets")
+    val (buckets, _) = readPosMeta(store, table)
     val posts = store.read(table)
     val sp = posts.sparkSession
     import sp.implicits._

@@ -353,10 +353,14 @@ object Streams {
     // ordering: blocked documents never reach (or get scored by) a gate
     // model on either path. Both are stateless per-row maps over
     // broadcast weights trained OFFLINE — no state store, no watermark.
+    // maxCrossEntropy <= 0 means GATE OFF, matching the batch pipeline's
+    // Config.lmMaxCrossEntropy semantics — cross-entropy is strictly
+    // positive, so a <= 0 threshold could only ever drop every document
+    // (the footgun of freezing a model without picking a threshold yet)
     val lmGated = lmModel match {
-      case Some(m) =>
+      case Some(m) if m.maxCrossEntropy > 0 =>
         blockGated.where(lmCrossEntropy(t, m) <= m.maxCrossEntropy)
-      case None => blockGated
+      case _ => blockGated
     }
     val dsirGated = dsirModel match {
       case Some(m) =>
@@ -468,13 +472,20 @@ object Streams {
     * from it, exactly as [[graft.ops.TextAnalysis.bigramLmScore]] derives
     * them in-plan, so the frozen model scores the training corpus
     * identically. `minCount` prunes rare bigrams AFTER the derivation
-    * (they fall back to smoothing) — the knob that bounds the artifact
-    * on a large reference corpus, as CCNet prunes its KenLM.
+    * (they fall back to smoothing), and `maxEntries` caps the frozen
+    * bigram table at the top-K by count (ties broken by (prev, tok) so
+    * the artifact is deterministic) — the cap bounds the broadcast at a
+    * CONSTANT size by design, independent of the reference corpus, the
+    * way CCNet prunes its KenLM: on a web-scale corpus the raw census is
+    * billions of entries, and a knob that merely filters by count still
+    * scales with the corpus. Dropped bigrams fall back to smoothing;
+    * context counts stay exact (unigram-vocabulary-sized).
     */
   def trainLmGateModel(docs: DataFrame, textCol: String,
       alpha: Double = 0.4, maxCrossEntropy: Double = 0.0,
-      minCount: Long = 1L): LmGateModel = {
+      minCount: Long = 1L, maxEntries: Int = 1000000): LmGateModel = {
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
     val toks = graft.ops.TextAnalysis.normTokens(col(textCol))
     val pairRows = docs
       .select(toks.alias("__toks"))
@@ -497,8 +508,13 @@ object Streams {
       .agg(sum(col("c")).alias("cp"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val vocab = census.agg(countDistinct(col("tok"))).head().getLong(0)
+    // the top-K cut plans as TakeOrderedAndProject — per-partition heaps
+    // merged on the driver, never a full sort — so the collect is
+    // min(maxEntries, census) rows regardless of corpus size
     val bi =
       try census.where(col("c") >= minCount)
+        .orderBy(col("c").desc, col("prev"), col("tok"))
+        .limit(maxEntries)
         .collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       finally { census.unpersist(); () }
@@ -531,13 +547,18 @@ object Streams {
     * gate — same drop on both paths).
     */
   private[streaming] def lmCrossEntropy(t: Column, m: LmGateModel): Column = {
-    val bi = m.bigram
-    val ctx = m.context
+    // the censuses ship as a SparkContext BROADCAST, not a closure
+    // capture: a closure serializes the full maps into every task; the
+    // broadcast ships them once per executor — the difference between a
+    // per-task and a per-host copy of a CCNet-scale pruned LM
+    val tables = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast((m.bigram, m.context))
     val v = m.vocab
     val a = m.alpha
     val f = udf { toksIn: Seq[String] =>
       if (toksIn == null || toksIn.isEmpty) None
       else {
+        val (bi, ctx) = tables.value
         var s = 0.0
         var prev = "<s>"
         toksIn.foreach { tok =>

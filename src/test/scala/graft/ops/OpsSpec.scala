@@ -217,6 +217,70 @@ class OpsSpec extends SparkSpecBase {
     assert(fromIdx.nonEmpty)
   }
 
+  test("text index append: post-append index equals a from-scratch rebuild") {
+    // the delta discipline for the BM25 artifact: appendPostings must
+    // leave the index — posting rows, meta constants, and therefore every
+    // future probe — IDENTICAL to persistPostings over base ∪ delta
+    val base = docs.where(col("doc_id") <= 2)
+    val delta = docs.where(col("doc_id") > 2)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-textapp"))
+    TextSearch.persistPostings(store, "idx", base, "text", "doc_id", buckets = 8)
+    assert(TextSearch.appendPostings(store, "idx", delta, "text", "doc_id",
+      batchId = Some("b1")))
+    // batch idempotency: a re-delivered batch id is a no-op
+    assert(!TextSearch.appendPostings(store, "idx", delta, "text", "doc_id",
+      batchId = Some("b1")))
+    val rb = new graft.engine.TableStore(spark, tmpDir("wh-textrb"))
+    TextSearch.persistPostings(rb, "idx", docs, "text", "doc_id", buckets = 8)
+    def rows(st: graft.engine.TableStore) =
+      st.read("idx").select("doc_id", "dl", "term", "tf", "__tb")
+        .as[(Long, Long, String, Long, Int)].collect().toSet
+    assert(rows(store) == rows(rb), "posting rows diverged from the rebuild")
+    val (am, rm) = (TextSearch.readTextMeta(store, "idx"),
+      TextSearch.readTextMeta(rb, "idx"))
+    assert((am.nDocs, am.sumDl, am.avgdl) == (rm.nDocs, rm.sumDl, rm.avgdl),
+      s"meta diverged: $am vs $rm")
+    // and the probe agrees bit-for-bit with the in-memory scorer over
+    // the union — exact long sums make the merged avgdl the rebuilt one
+    val terms = Seq("fox", "spark", "minhash")
+    val fromIdx = TextSearch.bm25FromIndex(store, "idx", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val direct = TextSearch.bm25(docs, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fromIdx == direct && fromIdx.nonEmpty)
+  }
+
+  test("positional index append equals a rebuild; uncommitted append fails probes loudly") {
+    val base = docs.where(col("doc_id") <= 2)
+    val delta = docs.where(col("doc_id") > 2)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-posapp"))
+    TextSearch.persistPositionalPostings(store, "pidx", base, "text", "doc_id",
+      buckets = 8)
+    assert(TextSearch.appendPositionalPostings(store, "pidx", delta,
+      "text", "doc_id", batchId = Some("b1")))
+    assert(!TextSearch.appendPositionalPostings(store, "pidx", delta,
+      "text", "doc_id", batchId = Some("b1")))
+    val rb = new graft.engine.TableStore(spark, tmpDir("wh-posrb"))
+    TextSearch.persistPositionalPostings(rb, "pidx", docs, "text", "doc_id",
+      buckets = 8)
+    def rows(st: graft.engine.TableStore) =
+      st.read("pidx").select("doc_id", "pos", "term", "__tb")
+        .as[(Long, Int, String, Int)].collect().toSet
+    assert(rows(store) == rows(rb), "positional rows diverged from the rebuild")
+    val got = TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id",
+        Seq(Seq("quick", "brown", "fox")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+    // crash discipline: an interrupted append leaves uncommitted meta —
+    // probes must fail loudly, not score under stale corpus constants
+    store.replace("pidx__meta",
+      Seq((8, Seq("b1"), false)).toDF("buckets", "batches", "committed"))
+    val ex = intercept[IllegalArgumentException] {
+      TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id", Seq(Seq("fox")))
+    }
+    assert(ex.getMessage.contains("uncommitted"))
+  }
+
   test("phraseMatches: anchor census equals brute-force sliding window") {
     // overlap + repeated-term cases the anchor census must get right
     val corpus = Seq(
@@ -670,6 +734,23 @@ class OpsSpec extends SparkSpecBase {
     val got = Seq(Tuple1(s)).toDF("t")
       .select(TextAnalysis.fingerprint(col("t"))).head().getLong(0)
     assert(got == expected)
+  }
+
+  test("fingerprint folds full code points — the DuckDB ord() contract on non-ASCII") {
+    // "é" (U+00E9, 2 UTF-8 bytes) and "🙂" (U+1F642, supplementary plane,
+    // 2 UTF-16 units): the fold must consume the code-point VALUES, the
+    // same numbers DuckDB's ord() yields per str_split character
+    val s = "aé🙂"
+    val cps = Seq(0x61L, 0xE9L, 0x1F642L)
+    val expected = cps.foldLeft(0L)((acc, c) => (acc * 257 + c) % 1000000007L)
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).head().getLong(0)
+    assert(got == expected, s"got $got, want $expected")
+    // null in -> null out, empty -> 0 (the pre-UDF expression's semantics)
+    val edge = Seq(Tuple1(null: String), Tuple1(""))
+      .toDF("t").select(TextAnalysis.fingerprint(col("t")).alias("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(edge == Seq(None, Some(0L)))
   }
 
   test("multimodal: stub decode is deterministic, batch-shaped, payload-sized") {

@@ -153,6 +153,53 @@ class QuantizationSpec extends SparkSpecBase {
     assert(Quantization.loadPqCodebooks(store, "pq_idx").map(_.size).sum <= 16)
   }
 
+  test("IVF-PQ append: delta encodes under frozen books; full probe stays exact; batch id idempotent") {
+    import spark.implicits._
+    // lossless grid corpus, a thin delta held out (i ≡ 5 mod 16): the
+    // base slice still covers every per-subspace pattern, so Lloyd still
+    // fixes each codebook on the 4 exact patterns and the appended rows
+    // encode losslessly under the FROZEN books too
+    def grid(ids: Seq[Int]) = ids.map { i =>
+      (i.toLong, (0 until 16).map(d => (i / math.pow(2, d / 4).toInt % 4) * 10.0))
+    }.toDF("vec_id", "vec")
+    val baseIds = (0 until 64).filterNot(_ % 16 == 5)
+    val deltaIds = (0 until 64).filter(_ % 16 == 5)
+    val (base, delta) = (grid(baseIds), grid(deltaIds))
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pqapp"))
+    Quantization.persistIvfPqIndex(store, "pq_app", base, "vec", "vec_id",
+      nCells = 3, m = 4, codebookSize = 4, iters = 4)
+    assert(Quantization.appendToIvfPqIndex(store, "pq_app", delta,
+      "vec", "vec_id", batchId = Some("b1")))
+    // re-delivered batch: no-op, row count unchanged
+    assert(!Quantization.appendToIvfPqIndex(store, "pq_app", delta,
+      "vec", "vec_id", batchId = Some("b1")))
+    assert(store.read("pq_app").count() == 64)
+    // appended codes are exactly pqEncode under the PERSISTED codebooks —
+    // the probe-side decode contract
+    val books = Quantization.loadPqCodebooks(store, "pq_app")
+    val expect = delta.select(col("vec_id"),
+        Quantization.pqEncode(books)(col("vec")).alias("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val stored = store.read("pq_app")
+      .where(col("vec_id").isin(deltaIds.map(_.toLong): _*))
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(stored == expect, "appended codes diverge from the frozen encoder")
+    // a delta-pattern query (vec 21's own grid point — vec 53 shares it,
+    // both appended): exact nearest neighbors via full probe + rerank
+    val all = base.unionByName(delta)
+    val query = (0 until 16).map(d => ((21 / math.pow(2, d / 4).toInt) % 4) * 10.0)
+    val got = Quantization.ivfPqTopKPersisted(store, "pq_app", all, "vec", "vec_id",
+        query, k = 8, nProbe = 3).select("vec_id").as[Long].collect().toSeq
+    val exact = all.select(col("vec_id"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("d"))
+      .orderBy(col("d"), col("vec_id")).limit(8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == exact, s"got $got vs exact $exact")
+    assert(got.take(2) == Seq(21L, 53L),
+      s"appended rows not probe-visible at the top: $got")
+  }
+
   test("IVF-PQ composite: pruned probe recalls the query's own cluster") {
     import spark.implicits._
     // three well-separated clusters; probing ONE cell must still return

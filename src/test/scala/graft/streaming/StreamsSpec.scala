@@ -854,6 +854,30 @@ class StreamsSpec extends SparkSpecBase {
       s"survivors $streamed — expected only the in-domain, in-distribution docs")
   }
 
+  test("trainLmGateModel: maxEntries caps the artifact; <=0 threshold is gate-off") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"))
+      .toDF("doc_id", "text")
+    // uncapped census: 6 distinct bigrams incl. <s>-starts; cap at 3 —
+    // the frozen table holds EXACTLY the top-3 by (count desc, prev, tok)
+    val capped = Streams.trainLmGateModel(docs, "text", maxEntries = 3)
+    assert(capped.bigram.size == 3, s"cap ignored: ${capped.bigram}")
+    assert(capped.bigram.keySet == Set(("<s>", "the"), ("the", "cat"), ("cat", "ran")),
+      s"wrong top-K cut: ${capped.bigram.keySet}")
+    // context counts and vocabulary stay EXACT (derived pre-cap)
+    val full = Streams.trainLmGateModel(docs, "text")
+    assert(capped.context == full.context && capped.vocab == full.vocab)
+    // default maxCrossEntropy = 0 is GATE OFF in the stream, matching the
+    // batch Config.lmMaxCrossEntropy <= 0 semantics — every doc survives
+    // the pass-everything static config instead of all being dropped
+    val cfg = graft.ops.CorpusPipeline.Config(
+      minQuality = 0.0, maxRepetition = 1.0, dedupJaccard = 0.0)
+    val survivors = Streams.corpusGateStream(docs, cfg, lmModel = Some(capped))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L),
+      s"<=0 threshold dropped docs: $survivors")
+  }
+
   test("containsAnyPhrase matches the batch anchor census on edge shapes") {
     val docs = Seq(
       (1L, "a a a"),             // overlapping occurrences of "a a"
