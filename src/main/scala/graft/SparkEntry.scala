@@ -273,6 +273,40 @@ object SparkEntry {
         // the tokenize is paid at build and each screen is a pruned read
         Future(timedBuild("docs_pos_idx")(ops.TextSearch.persistPositionalPostings(
           store, "docs_pos_idx", T(s, dir, "documents"), "text", "doc_id", buckets = 16))),
+        // the BM25 index over the ingest BASE slice — the text twin of
+        // docs_mh_base. MUTATED exactly once by q_text_index_ingest's
+        // batch-marked append (idempotent re-runs: the recorded batch id
+        // makes later appends no-ops), the incremental path the full
+        // docs_text_idx above never needs
+        Future(timedBuild("docs_text_base")(ops.TextSearch.persistPostings(store,
+          "docs_text_base",
+          T(s, dir, "documents").select(col("doc_id"), col("text"))
+            .where(col("doc_id") < 400),
+          "text", "doc_id", buckets = 16))),
+        // the IVF-PQ index over the grid MINUS the held-out delta slice
+        // (vec_id ≡ 5 mod 16): the base still covers all 4 patterns per
+        // subspace, so its codebooks stay lossless and the declared
+        // append query keeps an exact oracle. Mutated once, batch-marked.
+        Future(timedBuild("grid_pq_base")(Quantization.persistIvfPqIndex(store,
+          "grid_pq_base",
+          gridCorpus(s, dir).where(pmod(col("vec_id"), lit(16)) =!= 5),
+          "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2))),
+        // the EMBEDDING-CACHE pair for the novel-chunk loop: a chunk
+        // census over the base slice plus the content-addressed IVF index
+        // holding one stub vector PER DISTINCT FINGERPRINT — built from
+        // the census's own rows, so census and cache start 1:1 by
+        // construction. Mutated only by q_chunk_embed_ingest, which is
+        // idempotent by construction (re-runs find nothing novel).
+        Future(timedBuild("docs_chunk_emb") {
+          ops.ChunkIndex.persist(store, "docs_chunk_emb",
+            T(s, dir, "documents").select(col("doc_id"), col("text"))
+              .where(col("doc_id") < 400),
+            "text", "doc_id", k = 3, divisor = 32L, buckets = 16)
+          Similarity.persistIvfIndex(store, "docs_chunk_emb_ivf",
+            store.read("docs_chunk_emb").select(col("fp"),
+              ops.ChunkIndex.embeddingFromFp(col("fp"), 8).alias("emb")),
+            "emb", "fp", nCells = 4, iterations = 2)
+        }),
         // bucketed FACT tables — the pay-at-ingest layout for repeated
         // big-big joins: both sides hash-bucketed + sorted on the join
         // key at write, so every later orderkey join runs with ZERO
@@ -300,9 +334,10 @@ object SparkEntry {
   private[graft] def bucketedName(dir: String, base: String): String =
     s"${base}_bkt_" + java.lang.Integer.toHexString(dir.hashCode)
 
-  /** Force the one-time build of the five persisted indexes
-    * (emb_ivf, emb_ivf_aug, grid_pq, docs_mh_base, docs_text_idx,
-    * docs_pos_idx) plus
+  /** Force the one-time build of the persisted indexes
+    * (emb_ivf, emb_ivf_aug, grid_pq, grid_pq_base, docs_mh_base,
+    * docs_chunk_base, docs_chunk_emb + its IVF cache, docs_text_idx,
+    * docs_text_base, docs_pos_idx) plus
     * the two bucketed fact tables for a session+dir.
     * Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
@@ -2148,6 +2183,34 @@ object SparkEntry {
         .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("score"))
         .orderBy(col("doc_id"))),
 
+    "q_text_index_ingest" -> ((s, dir) => {
+      // the INCREMENTAL text-index flagship under oracle — the
+      // q_dedup_index_ingest regime for the BM25 artifact: the persisted
+      // base index over docs < 400 (Bench warm-up, docs_text_base) grows
+      // by ONE delta batch (organic 400-479 + prefixed re-crawls under
+      // +10000 ids, the chunk family's delta), then the same 3-term probe
+      // as q_bm25. Because posting rows key on the doc id and the corpus
+      // constants merge as exact long sums, the post-append index is
+      // bit-identical to a rebuild over base ∪ delta — so the oracle is
+      // q_bm25's closed form over that union, replayed from the raw
+      // documents. The batch id recorded in the meta makes re-runs
+      // no-ops (idempotent ingest over an at-least-once source).
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
+      val recrawl = docs
+        .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
+        .select((col("doc_id") + 10000).alias("doc_id"),
+          concat(lit("breaking update today "), col("text")).alias("text"))
+      val store = persistedIvfStore(s, dir)
+      ops.TextSearch.appendPostings(store, "docs_text_base",
+        organic.unionByName(recrawl), "text", "doc_id",
+        batchId = Some("delta-400-479"))
+      ops.TextSearch.bm25FromIndex(store, "docs_text_base", "doc_id",
+          Seq("spark", "shuffle", "partition"))
+        .select(col("doc_id"), Rounding.roundAway(col("score"), 4).alias("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_phrase_search" -> ((s, dir) => {
       // Positional phrase search, two phrases including a repeated-term
       // one: the ANCHOR CENSUS formulation — each posting matching a
@@ -2720,6 +2783,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "q_chunk_embed_ingest" -> ((s, dir) => {
+      // the novel-chunk CACHE LOOP closed end to end, under oracle: the
+      // batch's never-seen fingerprints — and ONLY those — are embedded
+      // (deterministic stub, ChunkIndex.embeddingFromFp) and appended to
+      // the content-addressed IVF cache (docs_chunk_emb_ivf), then
+      // registered in the census so the next batch skips them. The
+      // declared result is the POST-INGEST CACHE STATE (fp + two vector
+      // dims), which must equal a from-scratch build over base ∪ delta:
+      // distinct fingerprints of the combined corpus, each with its stub
+      // vector — exactly what DuckDB rebuilds from the chunk chain and
+      // the integer embedding formula. Idempotent by construction: a
+      // re-run finds nothing novel and appends nothing, so the state —
+      // and this result — is stable across runs.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val organic = docs.where(col("doc_id") >= 400 && col("doc_id") < 480)
+      val recrawl = docs
+        .where(col("doc_id") < 400 && pmod(col("doc_id"), lit(80)) === 0)
+        .select((col("doc_id") + 10000).alias("doc_id"),
+          concat(lit("breaking update today "), col("text")).alias("text"))
+      val store = persistedIvfStore(s, dir)
+      ops.ChunkIndex.ingestEmbed(store, "docs_chunk_emb", "docs_chunk_emb_ivf",
+        organic.unionByName(recrawl), "text", "doc_id", dims = 8)
+      store.read("docs_chunk_emb_ivf")
+        .select(col("fp"),
+          Rounding.roundAway(element_at(col("emb"), 1), 6).alias("v0"),
+          Rounding.roundAway(element_at(col("emb"), 2), 6).alias("v1"))
+        .orderBy(col("fp"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // training-vs-eval leakage check: corpus docs sharing >= 3 word-3-gram
       // shingles with any doc of the held-out source 'src0'
@@ -3252,6 +3344,28 @@ object SparkEntry {
       val q17 = (0 until 64).map(d => ((17L >> (2 * (d / 8))) % 4).toDouble * 10.0)
       Quantization.ivfPqTopKPersisted(persistedIvfStore(s, dir), "grid_pq",
         gridCorpus(s, dir), "vec", "vec_id", q17, k = 10, nProbe = 4, rerank = 20)
+    }),
+
+    "q_similarity_pq_ingest" -> ((s, dir) => {
+      // the INCREMENTAL IVF-PQ flagship under oracle: the persisted base
+      // index (grid minus the vec_id ≡ 5 mod 16 slice — Bench warm-up,
+      // grid_pq_base) ingests the held-out slice by APPEND — assign to
+      // existing centroids, encode under frozen codebooks, land in the
+      // matching __cell directories; no k-means ever retrains. The base
+      // covers all 4 patterns per subspace, so the frozen codebooks stay
+      // lossless over the delta too, and a full probe + exact rerank of
+      // a DELTA-pattern query (vec 21's own grid point) equals the
+      // brute-force L2 top-10 over the whole grid, which DuckDB replays
+      // from the formula — the appended vec 21 lands at the very top
+      // (its pattern is unique below id 65536). Batch-marked: re-runs
+      // skip the append.
+      val q21 = (0 until 64).map(d => ((21L >> (2 * (d / 8))) % 4).toDouble * 10.0)
+      val store = persistedIvfStore(s, dir)
+      Quantization.appendToIvfPqIndex(store, "grid_pq_base",
+        gridCorpus(s, dir).where(pmod(col("vec_id"), lit(16)) === 5),
+        "vec", "vec_id", batchId = Some("delta-mod16-5"))
+      Quantization.ivfPqTopKPersisted(store, "grid_pq_base",
+        gridCorpus(s, dir), "vec", "vec_id", q21, k = 10, nProbe = 4, rerank = 20)
     }),
 
     "q_similarity_pq_recall" -> ((s, dir) => {
@@ -5443,6 +5557,37 @@ object SparkEntry {
         |GROUP BY m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
 
+    "q_text_index_ingest" ->
+      // the q_bm25 closed form over base ∪ delta: the engine's append
+      // path is bit-identical to a rebuild over the union (doc-keyed
+      // posting rows + exact-long-sum meta merge), so the oracle replays
+      // the whole corpus-from-scratch definition on the same src
+      // construction (docs < 480 plus the prefixed re-crawls)
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 480
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    'breaking update today ' || text AS text
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 80 = 0),
+        |toks AS (
+        |  SELECT doc_id, u.term FROM (
+        |    SELECT doc_id, list_filter(str_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS ts FROM src),
+        |    unnest(ts) AS u(term)),
+        |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |         FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |m AS (SELECT * FROM post WHERE term IN ('spark', 'shuffle', 'partition')),
+        |tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1)
+        |SELECT m.doc_id, round(sum(
+        |    ln(1.0 + (stats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)) *
+        |    (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS score
+        |FROM m JOIN tdf USING (term) JOIN dl USING (doc_id), stats
+        |GROUP BY m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
     "q_phrase_search" ->
       // independent formulation on purpose: the engine counts phrase hits
       // via the anchor census; this replay uses the positional adjacency
@@ -6240,6 +6385,31 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    "q_chunk_embed_ingest" -> {
+      // the post-ingest embedding-cache state equals a from-scratch
+      // build over base ∪ delta: one row per DISTINCT chunk fingerprint
+      // of the combined corpus, each with its deterministic stub vector
+      // (dim j = (fp·(j+2) + 97·j) mod M / M — pure int64, replayed
+      // exactly)
+      "WITH src AS (\n" +
+        "  SELECT doc_id, text FROM documents WHERE doc_id < 480\n" +
+        "  UNION ALL\n" +
+        "  SELECT doc_id + 10000 AS doc_id,\n" +
+        "    'breaking update today ' || text AS text\n" +
+        "  FROM documents WHERE doc_id < 400 AND doc_id % 80 = 0),\n" +
+        cdcChunkChain("src") + ",\n" +
+      """fps AS (SELECT DISTINCT
+        |    list_reduce([0]::BIGINT[] ||
+        |      list_transform(list_filter(str_split(chunk, ''), c -> len(c) > 0),
+        |        c -> CAST(ord(c) AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1000000007) AS fp
+        |  FROM ch)
+        |SELECT fp,
+        |  round(CAST((fp * 2) % 1000000007 AS DOUBLE) / 1000000007, 6) AS v0,
+        |  round(CAST((fp * 3 + 97) % 1000000007 AS DOUBLE) / 1000000007, 6) AS v1
+        |FROM fps ORDER BY fp""".stripMargin
+    },
+
     "q_decontaminate" ->
       // shingle intersection on the strings themselves; the engine counts
       // shared 64-bit shingle hashes — identical counts absent collisions,
@@ -6863,6 +7033,21 @@ object SparkEntry {
         |    d -> CAST(((vec_id >> (2 * (d // 8))) % 4) * 10 AS DOUBLE)) AS vec
         |  FROM embeddings),
         |q AS (SELECT vec AS qv FROM grid WHERE vec_id = 17)
+        |SELECT g.vec_id,
+        |  round(list_aggregate(list_transform(list_zip(g.vec, q.qv),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist
+        |FROM grid g, q
+        |ORDER BY dist, g.vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_pq_ingest" ->
+      // post-append full probe + exact rerank over the grown index ==
+      // brute force over the WHOLE grid (base ∪ appended slice), for the
+      // appended vec 21's own pattern as the query
+      """WITH grid AS (
+        |  SELECT vec_id, list_transform(range(64),
+        |    d -> CAST(((vec_id >> (2 * (d // 8))) % 4) * 10 AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec AS qv FROM grid WHERE vec_id = 21)
         |SELECT g.vec_id,
         |  round(list_aggregate(list_transform(list_zip(g.vec, q.qv),
         |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist

@@ -192,6 +192,75 @@ object ChunkIndex {
         col("n_toks"), col("chunk"))
   }
 
+  /** Deterministic stub embedding of a chunk FINGERPRINT: dim j is
+    * `((fp·(j+2) + 97·j) mod M) / M` — pure int64 arithmetic over the
+    * portable fingerprint, so a DuckDB oracle rebuilds identical doubles
+    * and the vectors spread over [0,1)^dims well enough for IVF cells to
+    * form. This is the [[Multimodal]] stub-decoder convention applied to
+    * text: the real system calls an embedding model here; everything
+    * AROUND the model — what gets embedded, where vectors land, how the
+    * index grows — is the Spark-side contract under test.
+    */
+  def embeddingFromFp(fp: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val M = 1000000007L
+    array((0 until dims).map { j =>
+      pmod(fp * lit((j + 2).toLong) + lit(97L * j), lit(M)).cast("double") / lit(M.toDouble)
+    }: _*)
+  }
+
+  /** The NOVEL-CHUNK → EMBED → ANN-APPEND loop, closed end to end — the
+    * cache payoff CDC boundaries exist for: per batch, only fingerprints
+    * the census has never seen are embedded ([[embeddingFromFp]] stands
+    * in for the model) and appended to the companion IVF index
+    * ([[Similarity.appendToIvfIndex]], keyed BY fingerprint — the
+    * embedding cache is content-addressed, so two documents sharing a
+    * chunk cost one vector), then registered in the census so the next
+    * batch skips them too. A re-crawled page whose prefix changed
+    * re-embeds exactly ONE chunk, not the page (spec-pinned).
+    *
+    * |delta|-bound like every probe here: one chunk pass over the batch,
+    * bucket-pruned census scan, batch-bounded hit set. Write order is
+    * IVF-then-census: a crash between the two re-embeds the batch's
+    * novel chunks on replay (duplicate vectors — bytes, recoverable by
+    * compaction/rebuild), never the reverse, where a census entry
+    * without its vector would poison the cache and silently skip an
+    * embedding forever. Re-running a completed batch is a no-op (the
+    * census anti-join finds nothing novel), so the composed op is
+    * idempotent at the batch level by construction.
+    *
+    * Returns the batch's novel `(fp)` rows — the exact set this batch
+    * paid embedding cost for.
+    */
+  def ingestEmbed(store: TableStore, censusTable: String, ivfTable: String,
+      delta: DataFrame, textCol: String, idCol: String,
+      dims: Int = 8): DataFrame = {
+    val meta = readMeta(store, censusTable)
+    val ch = chunkFps(delta, textCol, idCol, meta)
+      .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
+    val batchFps = ch.select(col("fp"), col("__bk")).distinct()
+      .localCheckpoint(true) // three consumers: bucket set, hit join, anti-join
+    val st = batchFps
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
+      .head()
+    val bks = st.getSeq[Int](0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+    val idx = store.read(censusTable).where(col("__bk").isInCollection(bks))
+    val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
+      .select(col("fp")).distinct()
+    // both writes must see the SAME novel set even though the first
+    // mutates the store — materialize it once
+    val novel = batchFps.join(hitFps, Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    Similarity.appendToIvfIndex(store, ivfTable,
+      novel.select(col("fp"), embeddingFromFp(col("fp"), dims).alias("emb")),
+      "emb", "fp")
+    store.writePartitioned(censusTable, novel.repartition(col("__bk")),
+      Seq("__bk"), append = true)
+    novel.select(col("fp"))
+  }
+
   /** The incremental ingest step: probe the batch, keep documents whose
     * cached fraction is BELOW `maxCachedFrac` (a mostly-cached page is a
     * re-crawl / template page the corpus already has), and — when
@@ -212,9 +281,14 @@ object ChunkIndex {
     val ch = chunkFps(delta, textCol, idCol, meta)
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
       .localCheckpoint(true) // probe + append: one chunk-UDF pass
-    val report = probeFromChunks(store, table,
+    val report0 = probeFromChunks(store, table,
         delta.select(col(idCol)).distinct(), ch, idCol)
       .withColumn("kept", col("cached_frac") < maxCachedFrac)
+    // when the census is about to MUTATE, pin the report first: a caller
+    // evaluating the returned frame after the append (the streaming sink
+    // shape) must see the pre-append probe, never a re-probe racing the
+    // batch's own fingerprints through a re-listed census
+    val report = if (appendNew) report0.localCheckpoint(true) else report0
     if (appendNew) {
       val keptIds = report.where(col("kept")).select(col(idCol))
       val batchFps = ch.join(keptIds, Seq(idCol), "left_semi")

@@ -712,6 +712,114 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS text-index ingest — the streaming face of
+    * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of
+    * documents tokenizes ONCE, its posting rows land in their `__tb`
+    * bucket directories, and its exact (doc count, token count) sums
+    * fold into the index meta, so BM25 probes between batches score
+    * against corpus constants that are bit-identical to a full rebuild's.
+    *
+    * This sink is EXACTLY-ONCE where the sibling ingest streams are
+    * at-least-once: Spark's epoch id is passed as the append's batch id,
+    * which [[graft.ops.TextSearch.appendPostings]] records in the meta —
+    * a crash-replayed epoch is recognized and skipped, so no document
+    * can double-count its df/dl no matter how often the source
+    * re-delivers. (A crash INSIDE an append still leaves the loud
+    * uncommitted-meta state; recover by rebuilding — the documented
+    * appendPostings contract.) Doc ids must be fresh across batches.
+    *
+    * The marker is NAMESPACED by the checkpoint location (epoch ids
+    * restart at 0 per checkpoint): a replay shares the checkpoint and is
+    * skipped; a genuinely new stream pointed at the same index gets its
+    * own namespace instead of silently colliding with recorded epochs.
+    */
+  def ingestTextIndexStream(
+      docs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      textCol: String,
+      idCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = java.lang.Integer.toHexString(checkpoint.hashCode)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.ops.TextSearch.appendPostings(store, indexTable, batch,
+          textCol, idCol, batchId = Some(s"$ns-$epoch"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** CONTINUOUS chunk-census ingest — the streaming face of
+    * [[graft.ops.ChunkIndex.ingest]], completing the incremental-index
+    * streaming family next to [[ingestDedupStream]] (doc-level MinHash)
+    * and [[ingestIvfStream]] (vectors): each micro-batch of documents
+    * probes the persisted chunk-fingerprint census, documents below the
+    * cached-fraction ceiling are KEPT, and the kept documents' novel
+    * fingerprints register in the census so later batches dedup against
+    * them too. The per-document report (n_chunks, n_cached, cached_frac,
+    * kept) appends to `outTable`. Per-batch cost tracks the batch — the
+    * census is only ever bucket-pruned-probed — and the census is the
+    * only state, no engine state store.
+    *
+    * Delivery semantics: same retry contract as [[ingestDedupStream]] —
+    * a crash-replayed batch re-probes a census that may already hold its
+    * novel fingerprints, so its documents report as cached and the
+    * replayed report rows differ from the originals (duplicate report
+    * rows either way); dedup the report by id downstream if exactly-once
+    * matters. The census itself converges regardless: appends are
+    * anti-joined against existing fingerprints.
+    */
+  def chunkIngestStream(
+      docs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      outTable: String,
+      textCol: String,
+      idCol: String,
+      maxCachedFrac: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val report = graft.ops.ChunkIndex.ingest(
+          store, indexTable, batch, textCol, idCol, maxCachedFrac)
+        store.write(outTable, report, append = true)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** CONTINUOUS novel-chunk embedding — the streaming face of
+    * [[graft.ops.ChunkIndex.ingestEmbed]], the re-crawl pipeline's full
+    * cache loop running per micro-batch: chunk the batch, embed ONLY the
+    * fingerprints the census has never seen (a re-crawled page costs one
+    * vector, not a page re-embed), append them to the content-addressed
+    * IVF cache, register them in the census. Batch-level idempotent by
+    * construction (a replayed batch finds nothing novel), and the
+    * IVF-before-census write order inside ingestEmbed keeps a mid-batch
+    * crash on the re-embed side, never the cache-poisoning side.
+    */
+  def chunkEmbedStream(
+      docs: DataFrame,
+      store: graft.engine.TableStore,
+      censusTable: String,
+      ivfTable: String,
+      textCol: String,
+      idCol: String,
+      dims: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.ChunkIndex.ingestEmbed(store, censusTable, ivfTable,
+          batch, textCol, idCol, dims)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** CONTINUOUS materialized-JOIN maintenance — the streaming face of
     * [[graft.ops.Incremental.joinDelta]]. One stream carries BOTH sides'
     * appends (`sideCol` tags "a"/"b"; the inactive side's payload columns

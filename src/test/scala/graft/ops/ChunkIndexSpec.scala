@@ -134,6 +134,65 @@ class ChunkIndexSpec extends SparkSpecBase {
     assert(perDoc(100L) >= 1)
   }
 
+  test("ingestEmbed: cache equals a from-scratch build; re-crawl embeds ONE chunk; re-run no-op") {
+    val (store, table) = freshIndex("embed")
+    // the companion content-addressed IVF cache, built from the census's
+    // own fps — the prebuild shape: census and cache start 1:1
+    Similarity.persistIvfIndex(store, "cache",
+      store.read(table).select(col("fp"),
+        ChunkIndex.embeddingFromFp(col("fp"), 4).alias("emb")),
+      "emb", "fp", nCells = 2, iterations = 2)
+    // "updated" is chosen so its ONE new gram ("updated alpha bravo") is
+    // not itself a boundary (fp % 4 = 2): boundaries then re-align at the
+    // first original boundary and the edit costs exactly one chunk
+    val delta = Seq(
+      (100L, "updated " + template), // prefixed re-crawl of doc 0
+      (101L, "totally novel content nothing shares any chunk with the base corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val novel = ChunkIndex.ingestEmbed(store, table, "cache", delta,
+        "text", "doc_id", dims = 4)
+      .as[Long].collect().toSet
+    // 1. post-ingest cache ids == distinct fps over base ∪ delta — the
+    // from-scratch reference, derived from chunk STRINGS
+    val allFps = TextAnalysis.chunkByContent(baseDocs.unionByName(delta),
+        "text", "doc_id", k = 3, divisor = 4L)
+      .select(TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+      .distinct().as[Long].collect().toSet
+    val cacheIds = store.read("cache").select("fp").as[Long].collect().toSeq
+    assert(cacheIds.toSet == allFps, "cache diverged from the rebuild")
+    assert(cacheIds.length == cacheIds.distinct.length, "duplicate cache rows")
+    // census stays 1:1 with the cache — the no-poisoning invariant
+    assert(store.read(table).select("fp").as[Long].collect().toSet == allFps)
+    // 2. the headline property: the prefixed re-crawl paid for exactly
+    // ONE embedding (its edited head chunk); the novel doc paid for all
+    val baseFps = TextAnalysis.chunkByContent(baseDocs, "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+      .distinct().as[Long].collect().toSet
+    def docFps(id: Long) = TextAnalysis.chunkByContent(
+        delta.where(col("doc_id") === id), "text", "doc_id", k = 3, divisor = 4L)
+      .select(TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+      .distinct().as[Long].collect().toSet
+    val novel100 = docFps(100L) -- baseFps
+    assert(novel100.size == 1,
+      s"re-crawl should embed exactly one chunk, embedded ${novel100.size}")
+    assert(novel == (docFps(100L) ++ docFps(101L)) -- baseFps,
+      "returned novel set is not the batch's never-seen fingerprints")
+    // 3. stored vectors honor the frozen stub encoder exactly
+    val M = 1000000007L
+    val vecs = store.read("cache").select("fp", "emb")
+      .as[(Long, Seq[Double])].collect()
+    vecs.foreach { case (fp, v) =>
+      val want = (0 until 4).map(j => ((fp * (j + 2) + 97L * j) % M).toDouble / M)
+      assert(v == want, s"fp $fp vector drifted: $v vs $want")
+    }
+    // 4. replaying the batch is a no-op: nothing novel, state unchanged
+    val again = ChunkIndex.ingestEmbed(store, table, "cache", delta,
+      "text", "doc_id", dims = 4)
+    assert(again.count() == 0)
+    assert(store.read("cache").count() == cacheIds.length.toLong)
+  }
+
   test("a crashed rebuild (uncommitted meta) fails probes loudly; re-run heals") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-crash"))
     ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
@@ -151,6 +210,57 @@ class ChunkIndexSpec extends SparkSpecBase {
     val rep = ChunkIndex.probe(store, "chunks",
       Seq((1L, template)).toDF("doc_id", "text"), "text", "doc_id")
     assert(rep.count() == 1)
+  }
+
+  test("append lifecycle: accreted per-bucket files compact away; probe cost and results unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val wh = tmpDir("wh-compact")
+    val store = new graft.engine.TableStore(spark, wh)
+    ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
+      k = 3, divisor = 4L, buckets = 8)
+    // four small ingest batches, each appending novel fps — the
+    // accretion pattern every incremental index pays per micro-batch
+    def batchText(b: Int) =
+      s"wholly new batch $b subject covering unique vocabulary " +
+        s"alpha$b beta$b gamma$b delta$b epsilon$b zeta$b eta$b theta$b"
+    (0 until 4).foreach { b =>
+      ChunkIndex.ingest(store, "chunks",
+        Seq((1000L + b, batchText(b))).toDF("doc_id", "text"),
+        "text", "doc_id", maxCachedFrac = 0.99, appendNew = true)
+    }
+    // the probe covers base buckets AND appended buckets (re-crawls of
+    // doc 0 and of batch 0), so the files-read count sees the accretion
+    val delta = Seq((2000L, "new intro " + template),
+      (2001L, "prefix " + batchText(0))).toDF("doc_id", "text")
+    def probeReport() = ChunkIndex.probe(store, "chunks", delta, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // files the PROBE actually reads (its pruned scan's selected
+    // partitions), AQE off so the executed plan is inspectable
+    def probeFilesRead(): Int = {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val res = ChunkIndex.probe(store, "chunks", delta, "text", "doc_id")
+        val scans = res.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("chunks")) => f
+        }
+        assert(scans.nonEmpty)
+        scans.map(_.selectedPartitions.totalNumberOfFiles).sum.toInt
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val (reportBefore, filesBefore) = (probeReport(), probeFilesRead())
+    val fpsBefore = store.read("chunks").select("fp").as[Long].collect().sorted.toSeq
+    store.compact("chunks")
+    // compaction is part of the lifecycle contract: fewer files under the
+    // same pruned probe, identical fingerprints, identical report, and
+    // the __bk directory pruning survives the rewrite
+    val filesAfter = probeFilesRead()
+    assert(filesAfter < filesBefore,
+      s"probe reads $filesAfter files after compact, $filesBefore before")
+    assert(store.read("chunks").select("fp").as[Long].collect().sorted.toSeq
+      == fpsBefore)
+    assert(probeReport() == reportBefore)
   }
 
   test("probes tolerate physically duplicated census rows (retried append)") {

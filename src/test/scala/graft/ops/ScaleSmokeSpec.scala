@@ -506,6 +506,36 @@ class ScaleSmokeSpec extends SparkSpecBase {
       f"append took $sec%.1f s — retrain or corpus-rejoin regression?")
   }
 
+  test("text-index append on a 10k-doc base: exact meta merge, probe-visible, wall-bounded") {
+    // the |delta| discipline for the BM25 artifact at smoke scale: the
+    // append must pay one pass over 500 docs, never re-tokenize the 10k
+    // (a corpus recompute would also break the exact-sum meta assert if
+    // it double-counted). The wall bound is generous — it trips on a
+    // complexity-class change, not host noise.
+    def mkDocs(n: Int, off: Long) = spark.range(n).select(
+      (col("id") + off).alias("doc_id"),
+      array_join(transform(sequence(lit(0), lit(199)),
+        i => concat(lit("tok"), pmod((col("id") + off) * 131 + i * 17, lit(20000)))),
+        " ").alias("text"))
+    val base = mkDocs(10000, 0)
+    val delta = mkDocs(500, 100000)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-text-smoke"))
+    TextSearch.persistPostings(store, "tidx", base, "text", "doc_id", buckets = 32)
+    val t0 = System.nanoTime()
+    TextSearch.appendPostings(store, "tidx", delta, "text", "doc_id",
+      batchId = Some("s1"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val meta = TextSearch.readTextMeta(store, "tidx")
+    assert(meta.nDocs == 10500L && meta.sumDl == 10500L * 200,
+      s"meta merge drifted: $meta")
+    // delta doc 100000 contains 'tok0' (100000·131 ≡ 0 mod 20000): the
+    // pruned probe must see it without any rebuild
+    val hitIds = TextSearch.bm25FromIndex(store, "tidx", "doc_id", Seq("tok0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.contains(100000L), "appended doc not probe-visible")
+    assert(sec < 120.0, f"append took $sec%.1f s — corpus recompute regression?")
+  }
+
   test("cdc chunking on 2k docs x 1k tokens (2M tokens): linear pass, census closed form") {
     // the r10 mid-round regression was chunkByContent as array-HOF
     // algebra: interpreted lambdas get no CSE, so the hash UDF re-ran

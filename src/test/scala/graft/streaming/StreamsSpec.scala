@@ -348,6 +348,150 @@ class StreamsSpec extends SparkSpecBase {
     }
   }
 
+  test("continuous chunk embedding: streamed cache equals a from-scratch build over all batches") {
+    import graft.engine.TableStore
+    import graft.ops.{ChunkIndex, Similarity, TextAnalysis}
+    val template =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo " +
+        "lima mike november oscar papa quebec romeo sierra tango uniform " +
+        "victor whiskey xray yankee zulu one two three four five six seven"
+    val baseDocs = Seq((0L, template))
+    val b1 = Seq(100L -> ("updated " + template), // re-crawl: ONE novel chunk
+      101L -> "totally novel content nothing shares any chunk with the base corpus at all whatsoever")
+    val b2 = Seq(200L -> ("updated " + template)) // re-crawl of b1's re-crawl: ZERO novel
+    val store = new TableStore(spark, tmpDir("ces-wh"))
+    ChunkIndex.persist(store, "ces_idx", baseDocs.toDF("doc_id", "text"),
+      "text", "doc_id", k = 3, divisor = 4L, buckets = 8)
+    Similarity.persistIvfIndex(store, "ces_cache",
+      store.read("ces_idx").select(col("fp"),
+        ChunkIndex.embeddingFromFp(col("fp"), 4).alias("emb")),
+      "emb", "fp", nCells = 2, iterations = 2)
+    val src = java.nio.file.Files.createTempDirectory("ces-src")
+    val ckpt = tmpDir("ces-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+        chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("", "\n", "\n"))
+      Streams.chunkEmbedStream(
+        spark.readStream.schema(schema).json(src.toString),
+        store, "ces_idx", "ces_cache", "text", "doc_id", dims = 4, ckpt)
+        .awaitTermination()
+    }
+    // cache == distinct fps over base ∪ every batch, one vector each —
+    // batch 2's duplicate re-crawl added nothing (its fps were cached by
+    // batch 1), so the stream paid |novel| embeddings, not |docs|
+    val allFps = TextAnalysis.chunkByContent(
+        (baseDocs ++ b1 ++ b2).toDF("doc_id", "text"), "text", "doc_id",
+        k = 3, divisor = 4L)
+      .select(TextAnalysis.fingerprint(col("chunk")).alias("fp"))
+      .distinct().as[Long].collect().toSet
+    val cacheIds = store.read("ces_cache").select("fp").as[Long].collect().toSeq
+    assert(cacheIds.toSet == allFps && cacheIds.length == cacheIds.distinct.length)
+    assert(store.read("ces_idx").select("fp").as[Long].collect().toSet == allFps)
+  }
+
+  test("continuous text-index ingest: streamed index equals a rebuild; replayed epoch skipped") {
+    import graft.engine.TableStore
+    import graft.ops.TextSearch
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "an unrelated base document about mountains and weather"))
+    val b1 = Seq(100L -> "spark shuffles partition data across the cluster nodes",
+      101L -> "novel streaming content in the first micro batch")
+    val b2 = Seq(200L -> "spark partition pruning skips whole directories")
+    val store = new TableStore(spark, tmpDir("tis-wh"))
+    TextSearch.persistPostings(store, "tis_idx", base.toDF("doc_id", "text"),
+      "text", "doc_id", buckets = 8)
+    val src = java.nio.file.Files.createTempDirectory("tis-src")
+    val ckpt = tmpDir("tis-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+        chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("", "\n", "\n"))
+      Streams.ingestTextIndexStream(
+        spark.readStream.schema(schema).json(src.toString),
+        store, "tis_idx", "text", "doc_id", ckpt).awaitTermination()
+    }
+    // the streamed index is the rebuild, meta and probe both
+    val all = (base ++ b1 ++ b2).toDF("doc_id", "text")
+    val rb = new TableStore(spark, tmpDir("tis-rb"))
+    TextSearch.persistPostings(rb, "tis_idx", all, "text", "doc_id", buckets = 8)
+    val (sm, rm) = (TextSearch.readTextMeta(store, "tis_idx"),
+      TextSearch.readTextMeta(rb, "tis_idx"))
+    assert((sm.nDocs, sm.sumDl) == (rm.nDocs, rm.sumDl), s"$sm vs $rm")
+    assert(sm.batches.size == 2, s"expected 2 recorded epochs: ${sm.batches}")
+    def scores(st: TableStore) =
+      TextSearch.bm25FromIndex(st, "tis_idx", "doc_id", Seq("spark", "partition"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(store) == scores(rb))
+    // exactly-once: a replayed epoch (same checkpoint namespace + epoch
+    // id) is recognized and skipped — df/dl can never double-count
+    val ns = java.lang.Integer.toHexString(ckpt.hashCode)
+    assert(!TextSearch.appendPostings(store, "tis_idx",
+      b2.toDF("doc_id", "text"), "text", "doc_id", batchId = Some(s"$ns-1")))
+    assert(TextSearch.readTextMeta(store, "tis_idx").nDocs == sm.nDocs)
+  }
+
+  test("continuous chunk ingest: stream equals sequential batch ingests; census chains forward") {
+    import graft.engine.TableStore
+    import graft.ops.ChunkIndex
+    val template =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo " +
+        "lima mike november oscar papa quebec romeo sierra tango uniform " +
+        "victor whiskey xray yankee zulu one two three four five six seven"
+    val baseDocs = Seq((0L, template),
+      (1L, "entirely different filler text about mountains rivers valleys and weather patterns today"))
+    val novelA = "fresh original reporting with many unique tokens covering completely new subject matter entirely"
+    // batch 1: a prefixed re-crawl (drops: mostly cached) + a novel doc
+    // (kept, fps appended); batch 2: a re-crawl OF THE BATCH-1 SURVIVOR —
+    // caught via the census rows batch 1 appended, never via any document
+    // pair — plus one genuinely new doc
+    val b1 = Seq(100L -> ("new intro " + template), 101L -> novelA)
+    val b2 = Seq(200L -> ("updated lede " + novelA),
+      201L -> "second wave content with its very own vocabulary and nothing shared anywhere")
+    def mkStore(tag: String): TableStore = {
+      val store = new TableStore(spark, tmpDir(s"cis-wh-$tag"))
+      ChunkIndex.persist(store, "cis_idx", baseDocs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 3, divisor = 4L, buckets = 8)
+      store
+    }
+    // reference: the batch API applied sequentially, same split
+    val bStore = mkStore("batch")
+    def batchIngest(rows: Seq[(Long, String)]) =
+      ChunkIndex.ingest(bStore, "cis_idx", rows.toDF("doc_id", "text"),
+          "text", "doc_id", maxCachedFrac = 0.5)
+        .select("doc_id", "n_chunks", "n_cached", "kept")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val wantReports = (batchIngest(b1) ++ batchIngest(b2)).sortBy(_._1)
+    assert(wantReports.map(r => r._1 -> r._4).toMap ==
+      Map(100L -> false, 101L -> true, 200L -> false, 201L -> true),
+      s"fixture lost its shape: $wantReports")
+    // the stream: one AvailableNow run per arriving file
+    val sStore = mkStore("stream")
+    val src = java.nio.file.Files.createTempDirectory("cis-src")
+    val ckpt = tmpDir("cis-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+        chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("", "\n", "\n"))
+      Streams.chunkIngestStream(
+        spark.readStream.schema(schema).json(src.toString),
+        sStore, "cis_idx", "cis_out", "text", "doc_id",
+        maxCachedFrac = 0.5, ckpt).awaitTermination()
+    }
+    val got = sStore.read("cis_out")
+      .select("doc_id", "n_chunks", "n_cached", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == wantReports, s"stream=$got batch=$wantReports")
+    // both censuses converged to the same fingerprint set
+    val bFps = bStore.read("cis_idx").select("fp").as[Long].collect().toSet
+    val sFps = sStore.read("cis_idx").select("fp").as[Long].collect().toSet
+    assert(sFps == bFps)
+  }
+
   test("continuous IVF ingest: in-distribution batches append; drift batch retrains") {
     import graft.engine.TableStore
     import graft.ops.Similarity

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Interleaved A/B bench canary: adjudicate quiet-record movers against the
+previous round's code on THIS host, mechanically.
+
+Quiet-vs-quiet per-query drift between rounds can be family-correlated pure
+host variance (the r11 capstone +30% scare); the only reliable adjudication
+is an interleaved same-host A/B of the biggest risers. This script automates
+the procedure the r11 judge ran by hand:
+
+  1. pick the top-N movers between two per-query bench snapshots
+     (tools/bench_quiet_r{prev}.json vs the new bench_out.json);
+  2. build the previous round's commit in a git worktree;
+  3. for each mover, alternate `graft.tools.BenchOne <q> <sf> time <reps>`
+     runs between the two trees (interleaved, so host drift hits both);
+  4. compare WARM reps only (run1 pays the per-JVM index/feature builds)
+     and emit the markdown canary table for bench_r{N}_report.md.
+
+Usage:
+  python3 tools/ab_canary.py --old-ref <commit> --old-json tools/bench_quiet_r11.json \
+      --new-json /tmp/bench_out.json [--sf /root/testdata/sf0.1] [--top 3] \
+      [--reps 3] [--rounds 2] [--queries q_a,q_b]
+
+A mover only counts as a regression when the new warm median exceeds the old
+warm median by BOTH >1.3x and >0.5s — the same gate the round workflow uses
+for record deltas.
+"""
+import argparse
+import json
+import re
+import statistics
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def per_query(path):
+    with open(path) as f:
+        d = json.load(f)
+    q = d.get("queries", d)
+    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def pick_movers(old, new, top):
+    movers = []
+    for name, nsec in new.items():
+        osec = old.get(name)
+        if osec is None or nsec < 0.5:
+            continue  # sub-0.5s rows are noise by the workflow's own rule
+        movers.append((nsec / max(osec, 1e-9), name, osec, nsec))
+    movers.sort(reverse=True)
+    return movers[:top]
+
+
+def bench_one(tree, query, sf, reps, cpus):
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.BenchOne {query} {sf} time {reps}"],
+        cwd=tree, capture_output=True, text=True,
+        env={"SPARK_GRAFT_CPUS": str(cpus), "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": str(Path.home()), "COURSIER_MODE": "offline"})
+    secs = [float(m.group(1)) for m in
+            re.finditer(r"run\d+ rows=\d+ ([0-9.]+)s", out.stdout)]
+    if len(secs) != reps:
+        sys.exit(f"[canary] {query} in {tree}: expected {reps} reps, got "
+                 f"{secs}\n--- tail ---\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return secs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old-ref", required=True)
+    ap.add_argument("--old-json", required=True)
+    ap.add_argument("--new-json", required=True)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--top", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="interleave rounds (old,new pairs) per query")
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--queries", default="",
+                    help="comma-separated override of the mover list")
+    args = ap.parse_args()
+
+    old_q, new_q = per_query(args.old_json), per_query(args.new_json)
+    if args.queries:
+        movers = [(new_q.get(q, 0) / max(old_q.get(q, 1e-9), 1e-9), q,
+                   old_q.get(q, float("nan")), new_q.get(q, float("nan")))
+                  for q in args.queries.split(",")]
+    else:
+        movers = pick_movers(old_q, new_q, args.top)
+    if not movers:
+        print("[canary] no movers above the noise floor — nothing to adjudicate")
+        return
+
+    tree = Path(tempfile.mkdtemp(prefix="ab_old_"))
+    subprocess.run(["git", "worktree", "add", "--detach", str(tree),
+                    args.old_ref], cwd=REPO, check=True)
+    try:
+        print(f"[canary] old tree {tree} @ {args.old_ref}; compiling once")
+        subprocess.run(["sbt", "-batch", "compile"], cwd=tree, check=True,
+                       capture_output=True, text=True,
+                       env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+                            "HOME": str(Path.home()), "COURSIER_MODE": "offline"})
+        rows = []
+        for ratio, name, osec, nsec in movers:
+            olds, news = [], []
+            for _ in range(args.rounds):
+                olds += bench_one(tree, name, args.sf, args.reps, args.cpus)[1:]
+                news += bench_one(REPO, name, args.sf, args.reps, args.cpus)[1:]
+            om, nm = statistics.median(olds), statistics.median(news)
+            verdict = ("REGRESSION" if nm > om * 1.3 and nm - om > 0.5
+                       else "host variance" if ratio > 1.3 else "ok")
+            rows.append((name, osec, nsec, ratio, om, nm, verdict))
+            print(f"[canary] {name}: record {osec:.2f}->{nsec:.2f} "
+                  f"({ratio:.2f}x); warm medians old={om:.2f}s new={nm:.2f}s "
+                  f"-> {verdict}")
+        print("\n| query | record prev | record now | ratio | A/B old warm "
+              "| A/B new warm | verdict |")
+        print("|---|---|---|---|---|---|---|")
+        for name, osec, nsec, ratio, om, nm, verdict in rows:
+            print(f"| {name} | {osec:.2f}s | {nsec:.2f}s | {ratio:.2f}x "
+                  f"| {om:.2f}s | {nm:.2f}s | {verdict} |")
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", str(tree)],
+                       cwd=REPO, check=False)
+
+
+if __name__ == "__main__":
+    main()
