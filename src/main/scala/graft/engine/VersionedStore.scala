@@ -165,7 +165,10 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
     // global pool grows past its CPU-sized core instead of starving
     // commits issued from other futures on the same pool, and the await
     // is BOUNDED — a hung footer read (dead object-store connection)
-    // fails the commit loudly instead of wedging it forever.
+    // fails the commit loudly instead of wedging it forever. The bound
+    // SCALES with the listing (1s of budget per file atop a 10-minute
+    // floor): a fixed bound would fail exactly the many-thousand-file
+    // deltas this concurrency exists for.
     import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.DurationInt
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -175,7 +178,7 @@ final class VersionedStore(spark: SparkSession, val warehouseDir: String) {
           .fromPath(st.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      } } }, 10.minutes).sum
+      } } }, (600 + files.size).seconds).sum
     val width = schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
     rows * width
   }

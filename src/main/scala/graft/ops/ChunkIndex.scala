@@ -101,6 +101,28 @@ object ChunkIndex {
     */
   private val broadcastChunkRowCap = 4L * 1000 * 1000
 
+  /** The census fingerprints already present among `batchFps` — the ONE
+    * pruned-scan-vs-broadcast probe core every census consumer folds
+    * through: collect the batch's bucket set (≤ `buckets` ints) and row
+    * count in a single action, prune the census scan to those
+    * directories, and stream it through a broadcast join against the
+    * batch (degrading to a shuffle join past [[broadcastChunkRowCap]] —
+    * a rebuild-sized batch must never be forced into the driver).
+    * `batchFps` must carry (fp, __bk); output is distinct `(fp)` rows.
+    */
+  private def cachedFps(store: TableStore, table: String,
+      batchFps: DataFrame): DataFrame = {
+    val st = batchFps
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
+      .head()
+    val bks = st.getSeq[Int](0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+    store.read(table).where(col("__bk").isInCollection(bks))
+      .join(maybeBroadcast(batchFps.select(col("fp"))), Seq("fp"))
+      .select(col("fp")).distinct()
+  }
+
   /** Per-document cache-hit report for a delta batch:
     * `(id, n_chunks, n_cached, cached_frac)` where `n_cached` counts the
     * batch document's chunk instances whose fingerprint is already in
@@ -177,16 +199,7 @@ object ChunkIndex {
       .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
       .localCheckpoint(true) // two consumers: hit-set build + anti-join
-    val batchFps = ch.select(col("fp"), col("__bk")).distinct()
-    val st = batchFps
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
-      .head()
-    val bks = st.getSeq[Int](0)
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
-    val idx = store.read(table).where(col("__bk").isInCollection(bks))
-    val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
-      .select(col("fp")).distinct()
+    val hitFps = cachedFps(store, table, ch.select(col("fp"), col("__bk")).distinct())
     ch.join(hitFps, Seq("fp"), "left_anti")
       .select(col(idCol), col("chunk_idx"), col("start_tok"),
         col("n_toks"), col("chunk"))
@@ -236,22 +249,24 @@ object ChunkIndex {
       delta: DataFrame, textCol: String, idCol: String,
       dims: Int = 8): DataFrame = {
     val meta = readMeta(store, censusTable)
+    // the dims guard is the embedding twin of the census's k/divisor
+    // meta check: a mismatched caller would append truncated vectors
+    // that cellOf silently clamps — wrong neighbors forever after
+    val cacheDims = Similarity.loadIvfCentroids(store, ivfTable)
+      .headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no centroid table for embedding cache '$ivfTable'"))
+    require(cacheDims == dims,
+      s"embedding cache '$ivfTable' holds $cacheDims-dim vectors; " +
+        s"ingestEmbed called with dims=$dims")
     val ch = chunkFps(delta, textCol, idCol, meta)
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
     val batchFps = ch.select(col("fp"), col("__bk")).distinct()
-      .localCheckpoint(true) // three consumers: bucket set, hit join, anti-join
-    val st = batchFps
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
-      .head()
-    val bks = st.getSeq[Int](0)
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
-    val idx = store.read(censusTable).where(col("__bk").isInCollection(bks))
-    val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
-      .select(col("fp")).distinct()
+      .localCheckpoint(true) // two consumers: hit probe + anti-join
     // both writes must see the SAME novel set even though the first
     // mutates the store — materialize it once
-    val novel = batchFps.join(hitFps, Seq("fp"), "left_anti")
+    val novel = batchFps
+      .join(cachedFps(store, censusTable, batchFps), Seq("fp"), "left_anti")
       .localCheckpoint(true)
     Similarity.appendToIvfIndex(store, ivfTable,
       novel.select(col("fp"), embeddingFromFp(col("fp"), dims).alias("emb")),
@@ -293,18 +308,8 @@ object ChunkIndex {
       val keptIds = report.where(col("kept")).select(col(idCol))
       val batchFps = ch.join(keptIds, Seq(idCol), "left_semi")
         .select(col("fp"), col("__bk")).distinct()
-      // same broadcast discipline as the probe: a rebuild-sized batch
-      // must degrade to a shuffle join, not a hard-failing 8GB broadcast
-      val st = batchFps
-        .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
-        .head()
-      val bks = st.getSeq[Int](0)
-      def maybeBroadcast(df: DataFrame): DataFrame =
-        if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
-      val idx = store.read(table).where(col("__bk").isInCollection(bks))
-      val hitFps = idx.join(maybeBroadcast(batchFps), Seq("fp"))
-        .select(col("fp")).distinct()
-      val newFps = batchFps.join(hitFps, Seq("fp"), "left_anti")
+      val newFps = batchFps
+        .join(cachedFps(store, table, batchFps), Seq("fp"), "left_anti")
       store.writePartitioned(table, newFps.repartition(col("__bk")),
         Seq("__bk"), append = true)
     }

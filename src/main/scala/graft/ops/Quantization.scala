@@ -242,8 +242,12 @@ object Quantization {
     * `batchId` makes the ingest idempotent: an id already recorded in
     * the `<table>__batches` side table is skipped (returns false). The
     * marker lands AFTER the data append, so a crash between the two
-    * replays the batch — duplicated code rows cost bytes, not rerank
-    * correctness gone wrong, but avoid blind re-appends
+    * replays the batch — duplicated code rows cost bytes and shortlist
+    * HEADROOM, never wrong results: [[ivfPqTopKPersisted]] dedups its
+    * bounded shortlist by id (duplicate rows carry identical codes, so
+    * they sort adjacent and keeping one is exact — the
+    * [[graft.ops.ChunkIndex]] probe convention). Still avoid blind
+    * re-appends
     * ([[graft.ops.DedupIndex.append]]'s retry contract). Delta ids must
     * be fresh. Appended part-files accrete per cell; compact on a
     * cadence via [[graft.engine.TableStore.compact]].
@@ -300,6 +304,16 @@ object Quantization {
       .select(col(idCol), adcDistance(books, query)(col("codes")).alias("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol))
       .limit(shortlist)
+      // dedup BY ID on the bounded shortlist, not the scan: a
+      // crash-retried append physically duplicates code rows, and a
+      // duplicated id would occupy two result slots and evict the true
+      // k-th neighbor. Dup rows carry identical codes (frozen encoder),
+      // hence identical (approx_dist, id) — they sort adjacent, so
+      // deduping AFTER the cut keeps one copy exactly; only shortlist
+      // HEADROOM is lost to duplicates (pad `rerank` between a crash
+      // and its compaction). A scan-side dedup would cost a full
+      // exchange of every pruned code row on every probe.
+      .dropDuplicates(idCol)
     rerankExact(candidates, base, vecCol, idCol, query, k)
   }
 

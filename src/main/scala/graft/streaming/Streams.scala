@@ -732,6 +732,13 @@ object Streams {
     * restart at 0 per checkpoint): a replay shares the checkpoint and is
     * skipped; a genuinely new stream pointed at the same index gets its
     * own namespace instead of silently colliding with recorded epochs.
+    * The namespace is the FULL normalized checkpoint path, not a hash —
+    * a 32-bit hash collision between two streams would silently drop
+    * one stream's colliding epochs from the index. (Keep the checkpoint
+    * string itself stable across restarts: Path normalization folds
+    * slash variants, but `./ckpt` vs an absolute spelling would mint a
+    * fresh namespace and a replayed in-flight epoch would then
+    * double-count.)
     */
   def ingestTextIndexStream(
       docs: DataFrame,
@@ -740,7 +747,7 @@ object Streams {
       textCol: String,
       idCol: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ns = java.lang.Integer.toHexString(checkpoint.hashCode)
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.TextSearch.appendPostings(store, indexTable, batch,

@@ -198,6 +198,16 @@ class QuantizationSpec extends SparkSpecBase {
     assert(got == exact, s"got $got vs exact $exact")
     assert(got.take(2) == Seq(21L, 53L),
       s"appended rows not probe-visible at the top: $got")
+    // crash-replay tolerance: a blind re-append (no batch marker)
+    // physically duplicates the delta's code rows; the probe's
+    // shortlist dedup must keep the result exact, not let a duplicated
+    // id occupy two slots and evict the true k-th neighbor
+    assert(Quantization.appendToIvfPqIndex(store, "pq_app", delta, "vec", "vec_id"))
+    assert(store.read("pq_app").count() == 68)
+    val afterDup = Quantization.ivfPqTopKPersisted(store, "pq_app", all,
+        "vec", "vec_id", query, k = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(afterDup == exact, s"duplicated rows corrupted the probe: $afterDup")
   }
 
   test("IVF-PQ composite: pruned probe recalls the query's own cluster") {

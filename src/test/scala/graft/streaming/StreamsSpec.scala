@@ -428,7 +428,7 @@ class StreamsSpec extends SparkSpecBase {
     assert(scores(store) == scores(rb))
     // exactly-once: a replayed epoch (same checkpoint namespace + epoch
     // id) is recognized and skipped — df/dl can never double-count
-    val ns = java.lang.Integer.toHexString(ckpt.hashCode)
+    val ns = new org.apache.hadoop.fs.Path(ckpt).toString
     assert(!TextSearch.appendPostings(store, "tis_idx",
       b2.toDF("doc_id", "text"), "text", "doc_id", batchId = Some(s"$ns-1")))
     assert(TextSearch.readTextMeta(store, "tis_idx").nDocs == sm.nDocs)

@@ -26,6 +26,7 @@ for record deltas.
 """
 import argparse
 import json
+import os
 import re
 import statistics
 import subprocess
@@ -34,6 +35,15 @@ import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+
+def sbt_env(extra=None):
+    # EXTEND the environment, never replace it: sbt may need JAVA_HOME /
+    # SBT_OPTS from the host to resolve a JVM or size its heap
+    env = dict(os.environ)
+    env["COURSIER_MODE"] = "offline"
+    env.update(extra or {})
+    return env
 
 
 def per_query(path):
@@ -47,9 +57,12 @@ def pick_movers(old, new, top):
     movers = []
     for name, nsec in new.items():
         osec = old.get(name)
-        if osec is None or nsec < 0.5:
+        # BOTH sides need the noise floor: a 0.05s->0.7s threshold-crosser
+        # would otherwise post a 14x ratio and crowd a real 8s->12s
+        # regression out of the adjudicated top-N
+        if osec is None or nsec < 0.5 or osec < 0.5:
             continue  # sub-0.5s rows are noise by the workflow's own rule
-        movers.append((nsec / max(osec, 1e-9), name, osec, nsec))
+        movers.append((nsec / osec, name, osec, nsec))
     movers.sort(reverse=True)
     return movers[:top]
 
@@ -58,8 +71,7 @@ def bench_one(tree, query, sf, reps, cpus):
     out = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.BenchOne {query} {sf} time {reps}"],
         cwd=tree, capture_output=True, text=True,
-        env={"SPARK_GRAFT_CPUS": str(cpus), "PATH": "/usr/bin:/bin:/usr/local/bin",
-             "HOME": str(Path.home()), "COURSIER_MODE": "offline"})
+        env=sbt_env({"SPARK_GRAFT_CPUS": str(cpus)}))
     secs = [float(m.group(1)) for m in
             re.finditer(r"run\d+ rows=\d+ ([0-9.]+)s", out.stdout)]
     if len(secs) != reps:
@@ -100,9 +112,7 @@ def main():
     try:
         print(f"[canary] old tree {tree} @ {args.old_ref}; compiling once")
         subprocess.run(["sbt", "-batch", "compile"], cwd=tree, check=True,
-                       capture_output=True, text=True,
-                       env={"PATH": "/usr/bin:/bin:/usr/local/bin",
-                            "HOME": str(Path.home()), "COURSIER_MODE": "offline"})
+                       capture_output=True, text=True, env=sbt_env())
         rows = []
         for ratio, name, osec, nsec in movers:
             olds, news = [], []
