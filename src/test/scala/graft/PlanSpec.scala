@@ -322,6 +322,18 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
   }
 
+  test("q_text_index_ingest: the post-append probe is still a bucket-pruned read") {
+    // the append must not cost the probe its shape: the grown index is
+    // probed through the same partition IN-filter as the immutable one
+    // (and the plan never scans the delta's source documents — the probe
+    // reads the index, full stop)
+    val plan = formattedPlan("q_text_index_ingest")
+    assert(plan.contains("PartitionFilters") && plan.contains("__tb"), plan)
+    assert(plan.contains("docs_text_base"), plan)
+    assert(!plan.contains("documents.parquet"),
+      "probe plan re-reads the corpus:\n" + plan)
+  }
+
   test("q_scd2_lookup plans the temporal probe as a keyed hash join, not a nested loop") {
     val plan = planOf("q_scd2_lookup")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -279,6 +279,18 @@ class OpsSpec extends SparkSpecBase {
       TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id", Seq(Seq("fox")))
     }
     assert(ex.getMessage.contains("uncommitted"))
+    // restore a committed meta, then force-replay the batch WITHOUT a
+    // marker (the crash-recovery-gone-wrong case): physically duplicated
+    // positional rows must not change phrase counts — slot votes are
+    // counted DISTINCT per anchor, the documented dup tolerance
+    store.replace("pidx__meta",
+      Seq((8, Seq("b1"), true)).toDF("buckets", "batches", "committed"))
+    assert(TextSearch.appendPositionalPostings(store, "pidx", delta,
+      "text", "doc_id"))
+    val afterDup = TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id",
+        Seq(Seq("quick", "brown", "fox")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(afterDup == got, s"duplicated rows changed phrase counts: $afterDup")
   }
 
   test("phraseMatches: anchor census equals brute-force sliding window") {
