@@ -32,6 +32,10 @@ object TableStore {
 
   def addRewriteListener(f: String => Unit): Unit = rewriteListeners.add(f)
 
+  def removeRewriteListener(f: String => Unit): Unit = {
+    rewriteListeners.remove(f); ()
+  }
+
   private[engine] def fireRewrite(path: String): Unit =
     rewriteListeners.forEach(f => f(path))
 }
@@ -251,6 +255,28 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
       df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
       swapInto(fs, staging, path, table)
     }
+  }
+
+  /** Has `batchId` been applied against the given `__batches` marker
+    * table? The idempotent-ingest convention every append-maintained
+    * index shares (IVF-PQ, BM25 postings, positional postings): each
+    * applied batch appends ONE marker row, and this existence probe is a
+    * pruned read of the tiny marker table — never a scan of the index,
+    * and never a driver-side array that grows with history (the failure
+    * mode of keeping batch ids inside a rewritten 1-row meta: O(applied)
+    * rewrite cost per append and an O(applied) contains() per check).
+    */
+  def batchApplied(markerTable: String, batchId: String): Boolean =
+    exists(markerTable) &&
+      read(markerTable).where(col("batch_id") === batchId).limit(1).count() > 0
+
+  /** Record `batchId` in the `__batches` marker table: appends exactly
+    * one row (a 1-partition local relation — one part-file per batch),
+    * cost independent of how many batches came before.
+    */
+  def recordBatch(markerTable: String, batchId: String): Unit = {
+    import spark.implicits._
+    write(markerTable, Seq(batchId).toDF("batch_id"), append = true)
   }
 
   /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`

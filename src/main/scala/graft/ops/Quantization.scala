@@ -213,6 +213,7 @@ object Quantization {
     val books = trainPqCodebooks(df, vecCol, m, codebookSize, iters)
     val encoded = indexed.select(col(idCol), col("__cell"),
       pqEncode(books)(col(vecCol)).alias("codes"))
+    store.dropTable(table + "__batches") // fresh index, markers now in-base
     store.writePartitioned(table, encoded.repartition(col("__cell")), Seq("__cell"))
     val sp = df.sparkSession
     import sp.implicits._
@@ -256,9 +257,7 @@ object Quantization {
       delta: DataFrame, vecCol: String, idCol: String,
       batchId: Option[String] = None): Boolean = {
     val bt = table + "__batches"
-    val applied = batchId.exists(id => store.exists(bt) &&
-      store.read(bt).where(col("batch_id") === id).limit(1).count() > 0)
-    if (applied) return false
+    if (batchId.exists(store.batchApplied(bt, _))) return false
     val cents = Similarity.loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF-PQ index '$table'")
     val books = loadPqCodebooks(store, table)
@@ -267,11 +266,7 @@ object Quantization {
       pqEncode(books)(col(vecCol)).alias("codes"))
     store.writePartitioned(table, encoded.repartition(col("__cell")),
       Seq("__cell"), append = true)
-    batchId.foreach { id =>
-      val sp = delta.sparkSession
-      import sp.implicits._
-      store.write(bt, Seq(id).toDF("batch_id"), append = true)
-    }
+    batchId.foreach(store.recordBatch(bt, _))
     true
   }
 

@@ -81,11 +81,15 @@ object TextSearch {
     * merge-key that makes appends equal rebuilds: avgdl derives as
     * `sumDl / nDocs` (one deterministic double division), so merging a
     * delta's exact sums reproduces the rebuilt value bit-for-bit —
-    * a floating avgdl could never be merged exactly. `batches` records
-    * the applied [[appendPostings]] batch ids (idempotent re-ingest).
+    * a floating avgdl could never be merged exactly. Applied
+    * [[appendPostings]] batch ids live in the `<table>__batches` side
+    * table ([[graft.engine.TableStore.batchApplied]]), NOT here: the
+    * meta stays a constant-size row no matter how many batches have
+    * landed — a batches array in a rewritten 1-row meta would cost
+    * O(applied) per append and grow one entry per micro-batch forever
+    * under [[graft.streaming.Streams.ingestTextIndexStream]].
     */
-  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int,
-      batches: Seq[String]) {
+  final case class TextIndexMeta(nDocs: Long, sumDl: Long, buckets: Int) {
     def avgdl: Double = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
   }
 
@@ -109,13 +113,19 @@ object TextSearch {
       .withColumn("__tb", pmod(hash(col("term")), lit(buckets)))
   }
 
+  /** The `writer` nonce enforces SINGLE-WRITER appends: an append stamps
+    * its own nonce into the uncommitted meta and re-reads it before
+    * committing — a concurrent writer that interleaved its own meta
+    * write is detected loudly instead of silently dropping the other
+    * batch's stats merge ([[appendPostings]]).
+    */
   private def writeTextMeta(store: graft.engine.TableStore, table: String,
       sp: org.apache.spark.sql.SparkSession, nDocs: Long, sumDl: Long,
-      buckets: Int, batches: Seq[String], committed: Boolean): Unit = {
+      buckets: Int, writer: String, committed: Boolean): Unit = {
     import sp.implicits._
     store.replace(table + "__meta",
-      Seq((nDocs, sumDl, buckets, batches, committed))
-        .toDF("n_docs", "sum_dl", "buckets", "batches", "committed"))
+      Seq((nDocs, sumDl, buckets, writer, committed))
+        .toDF("n_docs", "sum_dl", "buckets", "writer", "committed"))
   }
 
   /** Load the inverted index's corpus constants; fails loudly on an
@@ -130,7 +140,7 @@ object TextSearch {
         "crashed between the parameter and data writes. Re-run " +
         "persistPostings before probing.")
     TextIndexMeta(meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"),
-      meta.getAs[Int]("buckets"), meta.getSeq[String](meta.fieldIndex("batches")))
+      meta.getAs[Int]("buckets"))
   }
 
   /** Build and persist the inverted index for [[bm25FromIndex]]: one
@@ -162,11 +172,16 @@ object TextSearch {
       .head()
     val (nDocs, sumDl) =
       (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, Nil, committed = false)
+    val writer = java.util.UUID.randomUUID().toString
+    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, writer, committed = false)
+    // a rebuild defines a fresh index: clear the applied-batch markers
+    // (their content is now IN the base — same reset the old in-meta
+    // batches array got from being rewritten to Nil)
+    store.dropTable(table + "__batches")
     store.replacePartitioned(table,
       postingRows(docs, textCol, idCol, buckets).repartition(col("__tb")),
       Seq("__tb"))
-    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, Nil, committed = true)
+    writeTextMeta(store, table, sp, nDocs, sumDl, buckets, writer, committed = true)
   }
 
   /** INCREMENTAL maintenance of the persisted inverted index — the
@@ -185,20 +200,33 @@ object TextSearch {
     * Contracts: delta ids must be FRESH (re-ingesting an id would
     * double-count its df and dl — the [[DedupIndex.append]] convention);
     * `batchId` (when given) makes the ingest IDEMPOTENT — a batch id
-    * already recorded in the meta is skipped (returns false), so an
-    * at-least-once source can blindly re-deliver. Crash recovery: the
-    * meta is marked uncommitted before the data append and committed
-    * (stats merged, batch recorded) after, so a crash mid-append fails
-    * later probes loudly; recover by rebuilding ([[persistPostings]]) —
-    * a blind re-append would double the batch's rows AND stats.
-    * Appended part-files accrete per bucket; compact on a cadence via
+    * already recorded in the `<table>__batches` side table is skipped
+    * (returns false), so an at-least-once source can blindly re-deliver.
+    * The marker is ONE appended row and its existence probe a pruned
+    * read ([[graft.engine.TableStore.batchApplied]]), so per-append cost
+    * is independent of how many batches came before — a meta-resident
+    * batches array would be rewritten in full per append and scanned
+    * O(applied) per check, growing forever under
+    * [[graft.streaming.Streams.ingestTextIndexStream]]. Crash recovery:
+    * the meta is marked uncommitted before the data append and committed
+    * (stats merged, after the marker lands) at the end, so a crash
+    * ANYWHERE mid-append — including between marker and commit — fails
+    * later probes loudly; recover by rebuilding ([[persistPostings]],
+    * which clears the markers) — a blind re-append would double the
+    * batch's rows AND stats. Appends are SINGLE-WRITER, enforced: the
+    * commit re-reads the meta and aborts if another writer's nonce
+    * replaced this append's (two racing appends would both fold stats
+    * off the same base and the second commit would silently drop the
+    * first's — the streaming sink serializes epochs, so this only trips
+    * on a misconfigured second writer). Appended part-files accrete per
+    * bucket; compact on a cadence via
     * [[graft.engine.TableStore.compact]].
     */
   def appendPostings(store: graft.engine.TableStore, table: String,
       delta: DataFrame, textCol: String, idCol: String,
       batchId: Option[String] = None): Boolean = {
     val meta = readTextMeta(store, table)
-    if (batchId.exists(meta.batches.contains)) return false
+    if (batchId.exists(store.batchApplied(table + "__batches", _))) return false
     val sp = delta.sparkSession
     val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
     val st = delta.select(dl.alias("dl")).where(col("dl") > 0)
@@ -206,14 +234,31 @@ object TextSearch {
       .head()
     val (dn, dsum) =
       (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    val writer = java.util.UUID.randomUUID().toString
     writeTextMeta(store, table, sp, meta.nDocs, meta.sumDl, meta.buckets,
-      meta.batches, committed = false)
+      writer, committed = false)
     store.writePartitioned(table,
       postingRows(delta, textCol, idCol, meta.buckets).repartition(col("__tb")),
       Seq("__tb"), append = true)
+    requireSoleWriter(store, table, writer)
+    batchId.foreach(store.recordBatch(table + "__batches", _))
     writeTextMeta(store, table, sp, meta.nDocs + dn, meta.sumDl + dsum,
-      meta.buckets, meta.batches ++ batchId, committed = true)
+      meta.buckets, writer, committed = true)
     true
+  }
+
+  /** Abort an append whose uncommitted meta was replaced by a concurrent
+    * writer: committing over it would silently drop the other append's
+    * stats merge / batch marker. Loud beats wrong — the index is left
+    * uncommitted for BOTH writers, the documented rebuild-recovery state.
+    */
+  private def requireSoleWriter(store: graft.engine.TableStore,
+      table: String, writer: String): Unit = {
+    val cur = store.read(table + "__meta").select(col("writer")).head().getString(0)
+    require(cur == writer,
+      s"concurrent append detected on index '$table': this writer's meta " +
+        s"was replaced (expected nonce $writer, found $cur). Appends are " +
+        "single-writer; recover by rebuilding.")
   }
 
   /** BM25 against the PERSISTED index — numerically identical to [[bm25]]
@@ -342,11 +387,13 @@ object TextSearch {
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val sp = docs.sparkSession
-    writePosMeta(store, table, sp, buckets, Nil, committed = false)
+    val writer = java.util.UUID.randomUUID().toString
+    writePosMeta(store, table, sp, buckets, writer, committed = false)
+    store.dropTable(table + "__batches") // fresh index, markers now in-base
     store.replacePartitioned(table,
       positionalRows(docs, textCol, idCol, buckets).repartition(col("__tb")),
       Seq("__tb"))
-    writePosMeta(store, table, sp, buckets, Nil, committed = true)
+    writePosMeta(store, table, sp, buckets, writer, committed = true)
   }
 
   /** `(idCol, pos, term, __tb)` positional posting rows — the shared
@@ -363,21 +410,21 @@ object TextSearch {
 
   private def writePosMeta(store: graft.engine.TableStore, table: String,
       sp: org.apache.spark.sql.SparkSession, buckets: Int,
-      batches: Seq[String], committed: Boolean): Unit = {
+      writer: String, committed: Boolean): Unit = {
     import sp.implicits._
     store.replace(table + "__meta",
-      Seq((buckets, batches, committed)).toDF("buckets", "batches", "committed"))
+      Seq((buckets, writer, committed)).toDF("buckets", "writer", "committed"))
   }
 
   private def readPosMeta(store: graft.engine.TableStore,
-      table: String): (Int, Seq[String]) = {
+      table: String): Int = {
     require(store.exists(table + "__meta"),
       s"no meta table for positional index '$table'")
     val meta = store.read(table + "__meta").head()
     require(meta.getAs[Boolean]("committed"),
       s"positional index '$table' has an uncommitted rebuild or append — " +
         "re-run persistPositionalPostings")
-    (meta.getAs[Int]("buckets"), meta.getSeq[String](meta.fieldIndex("batches")))
+    meta.getAs[Int]("buckets")
   }
 
   /** INCREMENTAL maintenance of the positional index — [[appendPostings]]
@@ -386,23 +433,29 @@ object TextSearch {
     * exactly a rebuild's rows over base ∪ delta (rows are keyed by the
     * document id; there are no corpus constants to merge here). Same
     * contracts as [[appendPostings]]: fresh delta ids, `batchId`
-    * idempotency, uncommitted-meta crash discipline (recover by
-    * rebuilding). The anchor census itself is additionally tolerant of
-    * physically duplicated rows (slot votes are counted DISTINCT), so
-    * even a force-recovered duplicate append cannot corrupt phrase
-    * counts — only waste bytes until the next rebuild.
+    * idempotency via the `<table>__batches` side table (one marker row
+    * per batch, pruned existence probe — per-append cost independent of
+    * history), uncommitted-meta crash discipline (recover by rebuilding,
+    * which clears the markers), single-writer enforced at commit. The
+    * anchor census itself is additionally tolerant of physically
+    * duplicated rows (slot votes are counted DISTINCT), so even a
+    * force-recovered duplicate append cannot corrupt phrase counts —
+    * only waste bytes until the next rebuild.
     */
   def appendPositionalPostings(store: graft.engine.TableStore, table: String,
       delta: DataFrame, textCol: String, idCol: String,
       batchId: Option[String] = None): Boolean = {
-    val (buckets, batches) = readPosMeta(store, table)
-    if (batchId.exists(batches.contains)) return false
+    val buckets = readPosMeta(store, table)
+    if (batchId.exists(store.batchApplied(table + "__batches", _))) return false
     val sp = delta.sparkSession
-    writePosMeta(store, table, sp, buckets, batches, committed = false)
+    val writer = java.util.UUID.randomUUID().toString
+    writePosMeta(store, table, sp, buckets, writer, committed = false)
     store.writePartitioned(table,
       positionalRows(delta, textCol, idCol, buckets).repartition(col("__tb")),
       Seq("__tb"), append = true)
-    writePosMeta(store, table, sp, buckets, batches ++ batchId, committed = true)
+    requireSoleWriter(store, table, writer)
+    batchId.foreach(store.recordBatch(table + "__batches", _))
+    writePosMeta(store, table, sp, buckets, writer, committed = true)
     true
   }
 
@@ -416,7 +469,7 @@ object TextSearch {
   def phraseMatchesFromIndex(store: graft.engine.TableStore, table: String,
       idCol: String, phrases: Seq[Seq[String]]): DataFrame = {
     val norm = normalizePhrases(phrases)
-    val (buckets, _) = readPosMeta(store, table)
+    val buckets = readPosMeta(store, table)
     val posts = store.read(table)
     val sp = posts.sparkSession
     import sp.implicits._

@@ -240,6 +240,14 @@ class OpsSpec extends SparkSpecBase {
       TextSearch.readTextMeta(rb, "idx"))
     assert((am.nDocs, am.sumDl, am.avgdl) == (rm.nDocs, rm.sumDl, rm.avgdl),
       s"meta diverged: $am vs $rm")
+    // the batch marker lives in the __batches SIDE TABLE (one row per
+    // applied batch, pruned existence probe), never inside the 1-row
+    // meta — a meta-resident array would be rewritten in full per append
+    // and grow one entry per micro-batch forever under the stream sink
+    assert(store.read("idx__batches").collect().map(_.getString(0)).toSeq
+      == Seq("b1"))
+    assert(!store.read("idx__meta").columns.contains("batches"),
+      "meta must stay constant-size: batch ids belong in idx__batches")
     // and the probe agrees bit-for-bit with the in-memory scorer over
     // the union — exact long sums make the merged avgdl the rebuilt one
     val terms = Seq("fox", "spark", "minhash")
@@ -248,6 +256,49 @@ class OpsSpec extends SparkSpecBase {
     val direct = TextSearch.bm25(docs, "text", "doc_id", terms)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(fromIdx == direct && fromIdx.nonEmpty)
+    // a rebuild clears the markers (their content is now in-base), so a
+    // fresh index can't skip batches an OLD index applied
+    TextSearch.persistPostings(store, "idx", docs, "text", "doc_id", buckets = 8)
+    assert(!store.exists("idx__batches"))
+    assert(TextSearch.appendPostings(store, "idx",
+      delta.select((col("doc_id") + 100).alias("doc_id"), col("text")),
+      "text", "doc_id", batchId = Some("b1")),
+      "post-rebuild append with a pre-rebuild batch id must apply")
+  }
+
+  test("text index append aborts loudly when a concurrent writer interleaves") {
+    // single-writer enforcement: the commit re-reads the meta and must
+    // find its own nonce — a second writer whose meta replace landed
+    // between this append's data write and its commit would otherwise
+    // have its stats merge silently dropped. Simulated via a rewrite
+    // listener that swaps the meta right after the posting data append.
+    val wh = tmpDir("wh-textsw")
+    val store = new graft.engine.TableStore(spark, wh)
+    TextSearch.persistPostings(store, "idx", docs.where(col("doc_id") <= 2),
+      "text", "doc_id", buckets = 8)
+    @volatile var fired = false
+    val interloper: String => Unit = { p =>
+      if (!fired && p.contains(wh) && p.endsWith("/idx")) {
+        fired = true
+        store.replace("idx__meta",
+          Seq((99L, 99L, 8, "intruder", false))
+            .toDF("n_docs", "sum_dl", "buckets", "writer", "committed"))
+      }
+    }
+    graft.engine.TableStore.addRewriteListener(interloper)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        TextSearch.appendPostings(store, "idx",
+          docs.where(col("doc_id") > 2), "text", "doc_id",
+          batchId = Some("b1"))
+      }
+      assert(fired && ex.getMessage.contains("concurrent"))
+    } finally graft.engine.TableStore.removeRewriteListener(interloper)
+    // the index is left loudly uncommitted — the documented rebuild state
+    val ex2 = intercept[IllegalArgumentException] {
+      TextSearch.readTextMeta(store, "idx")
+    }
+    assert(ex2.getMessage.contains("UNCOMMITTED"))
   }
 
   test("positional index append equals a rebuild; uncommitted append fails probes loudly") {
@@ -260,6 +311,11 @@ class OpsSpec extends SparkSpecBase {
       "text", "doc_id", batchId = Some("b1")))
     assert(!TextSearch.appendPositionalPostings(store, "pidx", delta,
       "text", "doc_id", batchId = Some("b1")))
+    // marker in the __batches side table, constant-size meta — the
+    // appendPostings convention (asserted in full there)
+    assert(store.read("pidx__batches").collect().map(_.getString(0)).toSeq
+      == Seq("b1"))
+    assert(!store.read("pidx__meta").columns.contains("batches"))
     val rb = new graft.engine.TableStore(spark, tmpDir("wh-posrb"))
     TextSearch.persistPositionalPostings(rb, "pidx", docs, "text", "doc_id",
       buckets = 8)
@@ -274,7 +330,7 @@ class OpsSpec extends SparkSpecBase {
     // crash discipline: an interrupted append leaves uncommitted meta —
     // probes must fail loudly, not score under stale corpus constants
     store.replace("pidx__meta",
-      Seq((8, Seq("b1"), false)).toDF("buckets", "batches", "committed"))
+      Seq((8, "w0", false)).toDF("buckets", "writer", "committed"))
     val ex = intercept[IllegalArgumentException] {
       TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id", Seq(Seq("fox")))
     }
@@ -284,7 +340,7 @@ class OpsSpec extends SparkSpecBase {
     // positional rows must not change phrase counts — slot votes are
     // counted DISTINCT per anchor, the documented dup tolerance
     store.replace("pidx__meta",
-      Seq((8, Seq("b1"), true)).toDF("buckets", "batches", "committed"))
+      Seq((8, "w0", true)).toDF("buckets", "writer", "committed"))
     assert(TextSearch.appendPositionalPostings(store, "pidx", delta,
       "text", "doc_id"))
     val afterDup = TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id",

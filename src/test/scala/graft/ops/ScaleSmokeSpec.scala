@@ -521,10 +521,22 @@ class ScaleSmokeSpec extends SparkSpecBase {
     val delta = mkDocs(500, 100000)
     val store = new graft.engine.TableStore(spark, tmpDir("wh-text-smoke"))
     TextSearch.persistPostings(store, "tidx", base, "text", "doc_id", buckets = 32)
+    // pre-seed 5000 applied-batch markers: the append's idempotency
+    // check and meta writes must cost the same whether 0 or 5000 batches
+    // came before — the marker is a side-table row, never a meta-resident
+    // array rewritten in full per append (the wall bound below would trip
+    // on an O(applied-batches) regression in either the probe or the
+    // meta rewrite)
+    store.write("tidx__batches",
+      spark.range(5000).select(concat(lit("pre"), col("id").cast("string"))
+        .alias("batch_id")), append = true)
     val t0 = System.nanoTime()
     TextSearch.appendPostings(store, "tidx", delta, "text", "doc_id",
       batchId = Some("s1"))
     val sec = (System.nanoTime() - t0) / 1e9
+    // exactly one marker row added, meta row constant-size
+    assert(store.read("tidx__batches").count() == 5001L)
+    assert(!store.read("tidx__meta").columns.contains("batches"))
     val meta = TextSearch.readTextMeta(store, "tidx")
     assert(meta.nDocs == 10500L && meta.sumDl == 10500L * 200,
       s"meta merge drifted: $meta")

@@ -421,7 +421,8 @@ class StreamsSpec extends SparkSpecBase {
     val (sm, rm) = (TextSearch.readTextMeta(store, "tis_idx"),
       TextSearch.readTextMeta(rb, "tis_idx"))
     assert((sm.nDocs, sm.sumDl) == (rm.nDocs, rm.sumDl), s"$sm vs $rm")
-    assert(sm.batches.size == 2, s"expected 2 recorded epochs: ${sm.batches}")
+    val epochs = store.read("tis_idx__batches").collect().map(_.getString(0))
+    assert(epochs.length == 2, s"expected 2 recorded epochs: ${epochs.toSeq}")
     def scores(st: TableStore) =
       TextSearch.bm25FromIndex(st, "tis_idx", "doc_id", Seq("spark", "partition"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap

@@ -5,7 +5,7 @@ numbers, per-query deltas annotated, regressions called out inline.
 
 usage: bench_report.py <quiet_bench_out.json> <prev_BENCH_rN.json> <out.md> [prev_CORRECTNESS.json]
 """
-import json, re, sys
+import json, os, re, sys
 
 quiet = json.load(open(sys.argv[1]))
 prev_raw = json.load(open(sys.argv[2]))
@@ -64,7 +64,13 @@ lines.append("|---|---|")
 for k, v in sorted(qs_now.items(), key=lambda x: -x[1])[:15]:
     lines.append(f"| {k} | {v:.2f} |")
 
-lines.append("\nFull-precision per-query map: `tools/bench_quiet_r09.json` "
+# GENERATE the snapshot pointer from the report's own round number —
+# hardcoding it was copy-pasted stale twice (r11, r12 both shipped
+# pointing at r09); structurally impossible now.
+rn = re.search(r"_r(\d+)_", os.path.basename(sys.argv[3]))
+snapshot = (f"tools/bench_quiet_r{rn.group(1)}.json" if rn
+            else os.path.basename(sys.argv[1]))
+lines.append(f"\nFull-precision per-query map: `{snapshot}` "
              "(the bench_out.json snapshot this report derives from).")
 
 open(sys.argv[3], "w").write("\n".join(lines) + "\n")
