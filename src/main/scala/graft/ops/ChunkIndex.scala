@@ -199,7 +199,12 @@ object ChunkIndex {
       .withColumn("fp", TextAnalysis.fingerprint(col("chunk")))
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
       .localCheckpoint(true) // two consumers: hit-set build + anti-join
-    val hitFps = cachedFps(store, table, ch.select(col("fp"), col("__bk")).distinct())
+    // the distinct fp frame ALSO has two consumers inside cachedFps (the
+    // bucket-set/count action and the probe join) — checkpoint it too, or
+    // the distinct shuffle reruns per consumer (the ingestEmbed shape)
+    val batchFps = ch.select(col("fp"), col("__bk")).distinct()
+      .localCheckpoint(true)
+    val hitFps = cachedFps(store, table, batchFps)
     ch.join(hitFps, Seq("fp"), "left_anti")
       .select(col(idCol), col("chunk_idx"), col("start_tok"),
         col("n_toks"), col("chunk"))
@@ -234,13 +239,19 @@ object ChunkIndex {
     *
     * |delta|-bound like every probe here: one chunk pass over the batch,
     * bucket-pruned census scan, batch-bounded hit set. Write order is
-    * IVF-then-census: a crash between the two re-embeds the batch's
-    * novel chunks on replay (duplicate vectors — bytes, recoverable by
-    * compaction/rebuild), never the reverse, where a census entry
-    * without its vector would poison the cache and silently skip an
-    * embedding forever. Re-running a completed batch is a no-op (the
-    * census anti-join finds nothing novel), so the composed op is
-    * idempotent at the batch level by construction.
+    * IVF-then-census: a crash between the two re-computes the batch's
+    * novel embeddings on replay, but the cache append is guarded by its
+    * own dup probe — the novel vectors' `__cell` set prunes the cache
+    * scan and the batch's fps broadcast into it (the [[cachedFps]]
+    * shape), so already-present fingerprints are skipped and the cache
+    * NEVER accumulates duplicate vectors (spec-pinned; `TableStore
+    * .compact` merges files, it cannot dedup rows, so a write-side
+    * guard is the only bound). The reverse order would be worse in
+    * kind, not degree: a census entry without its vector would poison
+    * the cache and silently skip an embedding forever. Re-running a
+    * completed batch is a no-op (the census anti-join finds nothing
+    * novel), so the composed op is idempotent at the batch level by
+    * construction.
     *
     * Returns the batch's novel `(fp)` rows — the exact set this batch
     * paid embedding cost for.
@@ -252,13 +263,12 @@ object ChunkIndex {
     // the dims guard is the embedding twin of the census's k/divisor
     // meta check: a mismatched caller would append truncated vectors
     // that cellOf silently clamps — wrong neighbors forever after
-    val cacheDims = Similarity.loadIvfCentroids(store, ivfTable)
-      .headOption.map(_.length)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no centroid table for embedding cache '$ivfTable'"))
-    require(cacheDims == dims,
-      s"embedding cache '$ivfTable' holds $cacheDims-dim vectors; " +
-        s"ingestEmbed called with dims=$dims")
+    val cents = Similarity.loadIvfCentroids(store, ivfTable)
+    require(cents.nonEmpty,
+      s"no centroid table for embedding cache '$ivfTable'")
+    require(cents.head.length == dims,
+      s"embedding cache '$ivfTable' holds ${cents.head.length}-dim " +
+        s"vectors; ingestEmbed called with dims=$dims")
     val ch = chunkFps(delta, textCol, idCol, meta)
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
     val batchFps = ch.select(col("fp"), col("__bk")).distinct()
@@ -268,9 +278,35 @@ object ChunkIndex {
     val novel = batchFps
       .join(cachedFps(store, censusTable, batchFps), Seq("fp"), "left_anti")
       .localCheckpoint(true)
-    Similarity.appendToIvfIndex(store, ivfTable,
-      novel.select(col("fp"), embeddingFromFp(col("fp"), dims).alias("emb")),
-      "emb", "fp")
+    // the cache append carries its OWN dup guard against the crash
+    // window above (IVF landed, census didn't, replay re-derives the
+    // same novel set): assign cells under the frozen centroids, prune
+    // the cache scan to the batch's cells, broadcast the batch's fps
+    // into it, and append only fingerprints the cache lacks — the same
+    // pruned-scan-vs-broadcast core as cachedFps, so the guard stays
+    // |delta|-bound and the cache never duplicates a vector
+    val novelVecs = novel
+      .select(col("fp"), embeddingFromFp(col("fp"), dims).alias("emb"))
+      .withColumn("__cell",
+        Similarity.cellOf(col("emb").cast("array<double>"), cents))
+      .localCheckpoint(true) // three consumers: cell-set action, dup
+                             // probe, append
+    val st = novelVecs
+      .agg(collect_set(col("__cell")).alias("cs"), count(lit(1)).alias("n"))
+      .head()
+    val cells = st.getSeq[Int](0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+    val dupFps =
+      if (cells.isEmpty) novelVecs.select(col("fp")).limit(0)
+      else store.read(ivfTable).where(col("__cell").isInCollection(cells))
+        .join(maybeBroadcast(novelVecs.select(col("fp"))), Seq("fp"))
+        .select(col("fp")).distinct()
+    store.writePartitioned(ivfTable,
+      novelVecs.join(dupFps, Seq("fp"), "left_anti")
+        .select(col("fp"), col("emb"), col("__cell"))
+        .repartition(col("__cell")),
+      Seq("__cell"), append = true)
     store.writePartitioned(censusTable, novel.repartition(col("__bk")),
       Seq("__bk"), append = true)
     novel.select(col("fp"))
@@ -308,6 +344,8 @@ object ChunkIndex {
       val keptIds = report.where(col("kept")).select(col(idCol))
       val batchFps = ch.join(keptIds, Seq(idCol), "left_semi")
         .select(col("fp"), col("__bk")).distinct()
+        .localCheckpoint(true) // three consumers: cachedFps stats action,
+                               // its probe join, and the anti-join below
       val newFps = batchFps
         .join(cachedFps(store, table, batchFps), Seq("fp"), "left_anti")
       store.writePartitioned(table, newFps.repartition(col("__bk")),

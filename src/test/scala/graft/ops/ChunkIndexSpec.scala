@@ -193,6 +193,40 @@ class ChunkIndexSpec extends SparkSpecBase {
     assert(store.read("cache").count() == cacheIds.length.toLong)
   }
 
+  test("ingestEmbed replay after an IVF-landed/census-missed crash never duplicates cache vectors") {
+    val (store, table) = freshIndex("embedcrash")
+    Similarity.persistIvfIndex(store, "cache",
+      store.read(table).select(col("fp"),
+        ChunkIndex.embeddingFromFp(col("fp"), 4).alias("emb")),
+      "emb", "fp", nCells = 2, iterations = 2)
+    val delta = Seq(
+      (100L, "updated " + template),
+      (101L, "totally novel content nothing shares any chunk with the base corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    // simulate the crash window: the batch's novel vectors LANDED in the
+    // cache, but the census write never ran
+    val novelFps = ChunkIndex.novelChunks(store, table, delta, "text", "doc_id")
+      .select(TextAnalysis.fingerprint(col("chunk")).alias("fp")).distinct()
+    val crashed = novelFps.as[Long].collect().toSet
+    assert(crashed.nonEmpty)
+    Similarity.appendToIvfIndex(store, "cache",
+      novelFps.select(col("fp"),
+        ChunkIndex.embeddingFromFp(col("fp"), 4).alias("emb")),
+      "emb", "fp")
+    // replay: the census anti-join re-derives the same novel set; the
+    // cache append's dup guard must skip every already-present vector
+    val replayNovel = ChunkIndex.ingestEmbed(store, table, "cache", delta,
+      "text", "doc_id", dims = 4)
+    assert(replayNovel.as[Long].collect().toSet == crashed,
+      "replay did not re-derive the crashed batch's novel set")
+    val cacheFps = store.read("cache").select("fp").as[Long].collect().toSeq
+    assert(cacheFps.length == cacheFps.distinct.length,
+      "crash replay duplicated cache vectors")
+    // census and cache converge 1:1 — replay healed the missing half
+    assert(store.read(table).select("fp").as[Long].collect().toSet ==
+      cacheFps.toSet)
+  }
+
   test("a crashed rebuild (uncommitted meta) fails probes loudly; re-run heals") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-crash"))
     ChunkIndex.persist(store, "chunks", baseDocs, "text", "doc_id",
