@@ -65,6 +65,29 @@ object Quantization {
     * formulation re-evaluates interpreted argmins per subspace.
     */
   def pqEncode(codebooks: Seq[Seq[Seq[Double]]]): Column => Column = {
+    val f = encodeWithErrorUdf(codebooks)
+    (c: Column) => f(c).getField("_1")
+  }
+
+  /** Per-vector TOTAL squared quantization error under FROZEN codebooks —
+    * `‖v − decode(encode(v))‖²`, the sum over subspaces of the squared
+    * L2 distance to the chosen codeword. This is the drift statistic of
+    * the IVF-PQ maintenance cadence ([[ivfPqDriftRatio]]): vectors drawn
+    * from the training distribution reconstruct near the build-time mean
+    * error; a distribution that has moved off the frozen codebooks
+    * reconstructs worse, exactly when ADC shortlist quality decays.
+    */
+  def pqQuantError(codebooks: Seq[Seq[Seq[Double]]]): Column => Column = {
+    val f = encodeWithErrorUdf(codebooks)
+    (c: Column) => f(c).getField("_2")
+  }
+
+  /** One argmin pass yielding `(codes, total squared error)` — the shared
+    * core of [[pqEncode]], [[pqQuantError]], and the append path's
+    * single-pass encode+drift measurement.
+    */
+  private def encodeWithErrorUdf(
+      codebooks: Seq[Seq[Seq[Double]]]): Column => Column = {
     val books = codebooks.map(_.map(_.toArray).toArray).toArray
     val f = udf { v: Seq[Double] =>
       // Spark hands reference-typed UDFs the raw null — guard, don't NPE
@@ -73,6 +96,7 @@ object Quantization {
         val m = books.length
         val sub = books(0)(0).length
         val codes = new Array[Int](m)
+        var err = 0.0
         var j = 0
         while (j < m) {
           val book = books(j)
@@ -88,9 +112,10 @@ object Quantization {
             c += 1
           }
           codes(j) = best
+          err += bestD
           j += 1
         }
-        codes
+        (codes, err)
       }
     }
     (c: Column) => f(c)
@@ -215,7 +240,14 @@ object Quantization {
       pqEncode(books)(col(vecCol)).alias("codes"))
     store.dropTable(table + "__batches") // fresh index, markers now in-base
     store.writePartitioned(table, encoded.repartition(col("__cell")), Seq("__cell"))
-    val sp = df.sparkSession
+    writePqSideTables(store, table, cents, books)
+    writePqStats(store, table, buildMeanErr = meanQuantError(df, vecCol, books),
+      appendedN = 0L, appendedErrSum = 0.0)
+  }
+
+  private def writePqSideTables(store: graft.engine.TableStore, table: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): Unit = {
+    val sp = store.read(table).sparkSession
     import sp.implicits._
     store.write(table + "__centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
@@ -224,6 +256,27 @@ object Quantization {
       books.zipWithIndex.flatMap { case (book, j) =>
         book.zipWithIndex.map { case (cw, c) => (j, c, cw) }
       }.toDF("j", "c", "codeword"), append = false)
+  }
+
+  /** Mean per-vector quantization error of `df` under frozen `books` —
+    * one linear aggregate, no shuffle (the [[Similarity
+    * .ivfMeanAssignDist]] envelope). 0.0 on an empty frame.
+    */
+  private def meanQuantError(df: DataFrame, vecCol: String,
+      books: Seq[Seq[Seq[Double]]]): Double = {
+    val row = df.agg(avg(
+      pqQuantError(books)(col(vecCol).cast("array<double>"))).alias("m")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  private def writePqStats(store: graft.engine.TableStore, table: String,
+      buildMeanErr: Double, appendedN: Long, appendedErrSum: Double): Unit = {
+    val sp = store.read(table).sparkSession
+    import sp.implicits._
+    store.write(table + "__stats",
+      Seq((buildMeanErr, appendedN, appendedErrSum))
+        .toDF("build_mean_err", "appended_n", "appended_err_sum"),
+      append = false)
   }
 
   /** Append rows to a PERSISTED IVF-PQ index without retraining — the
@@ -238,7 +291,11 @@ object Quantization {
     * base ∪ delta regardless of codebook staleness (the rerank reads
     * true vectors — spec-pinned), while ADC shortlist quality drifts
     * with the distribution, the same bounded staleness as
-    * [[graft.ops.Similarity.appendToIvfIndex]] (retrain on a cadence).
+    * [[graft.ops.Similarity.appendToIvfIndex]]. Each append measures its
+    * own quantization error under the frozen books (one pass, fused with
+    * the encode) and folds it into `<table>__stats`, so
+    * [[ivfPqDriftRatio]] watches the drift and [[maybeRetrainIvfPq]]
+    * retrains on a measured cadence, not wall clock.
     *
     * `batchId` makes the ingest idempotent: an id already recorded in
     * the `<table>__batches` side table is skipped (returns false). The
@@ -261,13 +318,99 @@ object Quantization {
     val cents = Similarity.loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF-PQ index '$table'")
     val books = loadPqCodebooks(store, table)
+    // ONE encode pass yields codes AND the batch's quantization error —
+    // the drift statistic folds into `<table>__stats` at |delta| cost,
+    // so the retrain cadence ([[maybeRetrainIvfPq]]) never re-reads the
+    // index (it stores codes, not vectors — drift is only measurable at
+    // append time, while the true vectors are in hand)
     val encoded = delta.select(col(idCol),
       Similarity.cellOf(col(vecCol).cast("array<double>"), cents).alias("__cell"),
-      pqEncode(books)(col(vecCol)).alias("codes"))
-    store.writePartitioned(table, encoded.repartition(col("__cell")),
+      encodeWithErrorUdf(books)(col(vecCol).cast("array<double>")).alias("__ce"))
+      .select(col(idCol), col("__cell"),
+        col("__ce").getField("_1").alias("codes"),
+        col("__ce").getField("_2").alias("__err"))
+      .localCheckpoint(true) // two consumers: drift aggregate + data write
+    val st = encoded
+      .agg(count(col("__err")).alias("n"), sum(col("__err")).alias("s")).head()
+    store.writePartitioned(table,
+      encoded.drop("__err").repartition(col("__cell")),
       Seq("__cell"), append = true)
     batchId.foreach(store.recordBatch(bt, _))
+    // stats fold is a read-modify-write: single-writer, like every index
+    // append here (the streaming sink serializes epochs). Tolerate a
+    // pre-stats index (built before the drift cadence existed) — drift
+    // is then simply unmeasured until the next rebuild.
+    if (store.exists(table + "__stats")) {
+      val prev = store.read(table + "__stats").head()
+      writePqStats(store, table, prev.getDouble(0),
+        prev.getLong(1) + st.getLong(0),
+        prev.getDouble(2) + (if (st.isNullAt(1)) 0.0 else st.getDouble(1)))
+    }
     true
+  }
+
+  /** Mean appended-vector quantization error over the build-time baseline
+    * — ~1.0 while appends stay in-distribution, rising as the corpus
+    * moves off the frozen codebooks (appends measure their own error
+    * under the frozen books at encode time; the code table itself holds
+    * no vectors to re-measure). The ADC-shortlist twin of
+    * [[Similarity.ivfDriftRatio]]: rerank keeps RESULTS exact
+    * regardless, this ratio is what quietly decays shortlist recall.
+    * 1.0 when nothing has been appended or the index predates the stats
+    * side table.
+    */
+  def ivfPqDriftRatio(store: graft.engine.TableStore, table: String): Double = {
+    if (!store.exists(table + "__stats")) return 1.0
+    val r = store.read(table + "__stats").head()
+    val (build, n, s) = (r.getDouble(0), r.getLong(1), r.getDouble(2))
+    if (n == 0L) 1.0
+    else if (build <= 0.0) { if (s / n > 0.0) Double.PositiveInfinity else 1.0 }
+    else (s / n) / build
+  }
+
+  /** Full retrain of a persisted IVF-PQ index from the full-precision
+    * vectors in `base` — which must hold EVERY indexed vector, original
+    * and appended (the same contract [[ivfPqTopKPersisted]]'s rerank
+    * already imposes: a vector missing from `base` can never be
+    * returned). Coarse centroids re-cluster, codebooks retrain, and the
+    * re-encoded code table stage-swaps ([[graft.engine.TableStore
+    * .replacePartitioned]] — the previous copy stays readable until the
+    * new one commits); side tables write AFTER the swap, the bounded-
+    * staleness crash contract of [[Similarity.rebuildIvfIndex]]. The
+    * `__batches` markers are KEPT: their batches' vectors live in `base`
+    * and are in the rebuilt index, so a replayed old batch must still be
+    * recognized and skipped.
+    */
+  def rebuildIvfPqIndex(store: graft.engine.TableStore, table: String,
+      base: DataFrame, vecCol: String, idCol: String, nCells: Int,
+      m: Int = 8, codebookSize: Int = 16, iters: Int = 5): Unit = {
+    val (indexed, cents) =
+      Similarity.buildIvfIndexDistributed(base, vecCol, idCol, nCells, iters)
+    val books = trainPqCodebooks(base, vecCol, m, codebookSize, iters)
+    val encoded = indexed.select(col(idCol), col("__cell"),
+      pqEncode(books)(col(vecCol)).alias("codes"))
+    store.replacePartitioned(table, encoded.repartition(col("__cell")),
+      Seq("__cell"))
+    writePqSideTables(store, table, cents, books)
+    writePqStats(store, table,
+      buildMeanErr = meanQuantError(base, vecCol, books),
+      appendedN = 0L, appendedErrSum = 0.0)
+  }
+
+  /** The retrain cadence entry point, matching [[Similarity
+    * .maybeRetrainIvf]]: rebuild from `base` iff the appended-batch
+    * quantization error has drifted past `driftThreshold` × the
+    * build-time mean. Returns whether a rebuild ran.
+    */
+  def maybeRetrainIvfPq(store: graft.engine.TableStore, table: String,
+      base: DataFrame, vecCol: String, idCol: String, nCells: Int,
+      m: Int = 8, codebookSize: Int = 16, iters: Int = 5,
+      driftThreshold: Double = 1.5): Boolean = {
+    val drifted = ivfPqDriftRatio(store, table) >= driftThreshold
+    if (drifted)
+      rebuildIvfPqIndex(store, table, base, vecCol, idCol, nCells, m,
+        codebookSize, iters)
+    drifted
   }
 
   /** Load the codebook side table of a persisted IVF-PQ index

@@ -210,6 +210,78 @@ class QuantizationSpec extends SparkSpecBase {
     assert(afterDup == exact, s"duplicated rows corrupted the probe: $afterDup")
   }
 
+  test("IVF-PQ drift cadence: in-distribution appends stay put; shifted appends trigger retrain; recall restored") {
+    import spark.implicits._
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pq-drift"))
+    Quantization.persistIvfPqIndex(store, "pq", df, "vec", "vec_id",
+      nCells = 2, m = 4, codebookSize = 8, iters = 4)
+    assert(Quantization.ivfPqDriftRatio(store, "pq") == 1.0,
+      "fresh index must start at baseline")
+    // in-distribution delta: the fixture's own generator, fresh ids —
+    // quantizes near the build-time mean error, no retrain
+    val inDist = (1000 until 1060).map { i =>
+      (i.toLong, (0 until 16).map { d =>
+        val pattern = ((i - 1000) / math.pow(2, d / 4).toInt) % 4
+        pattern * 10.0 + ((i - 1000) * 31 + d * 7) % 5 * 0.1
+      })
+    }.toDF("vec_id", "vec")
+    assert(Quantization.appendToIvfPqIndex(store, "pq", inDist, "vec",
+      "vec_id", Some("in-dist")))
+    val r1 = Quantization.ivfPqDriftRatio(store, "pq")
+    assert(r1 < 1.5, s"in-distribution append drifted: $r1")
+    val booksBefore = Quantization.loadPqCodebooks(store, "pq")
+    assert(!Quantization.maybeRetrainIvfPq(store, "pq",
+      df.unionByName(inDist), "vec", "vec_id", nCells = 2, m = 4,
+      codebookSize = 8, iters = 4))
+    assert(Quantization.loadPqCodebooks(store, "pq") == booksBefore,
+      "an in-distribution append must not retrain the codebooks")
+    // shifted delta: a NEW clustered region (two well-separated sub-modes
+    // per subspace around 100/140) the frozen codewords can't represent —
+    // the frozen-encoder quantization error explodes and the ratio
+    // crosses. The sub-mode structure matters: after retrain each
+    // sub-mode earns its own codeword, so ADC can rank WITHIN the new
+    // region again (the recall the drift quietly decayed).
+    val shifted = (2000 until 2060).map { i =>
+      val j = i - 2000
+      (i.toLong, (0 until 16).map { d =>
+        val sub = (j / math.pow(2, d / 4).toInt) % 2
+        100.0 + sub * 40.0 + (j * 7 + d * 3) % 5 * 0.1
+      })
+    }.toDF("vec_id", "vec")
+    assert(Quantization.appendToIvfPqIndex(store, "pq", shifted, "vec",
+      "vec_id", Some("shifted")))
+    val r2 = Quantization.ivfPqDriftRatio(store, "pq")
+    assert(r2 >= 1.5, s"shifted append did not register as drift: $r2")
+    // cadence: retrain runs, drift baseline resets, and the ADC
+    // shortlist recalls the shifted region again (the q_similarity_
+    // pq_recall bound, on the post-shift distribution)
+    val allVecs = df.unionByName(inDist).unionByName(shifted)
+    assert(Quantization.maybeRetrainIvfPq(store, "pq", allVecs, "vec",
+      "vec_id", nCells = 2, m = 4, codebookSize = 8, iters = 4))
+    assert(Quantization.ivfPqDriftRatio(store, "pq") == 1.0,
+      "retrain must reset the drift baseline")
+    val query = (0 until 16).map { d =>
+      val sub = (17 / math.pow(2, d / 4).toInt) % 2
+      100.0 + sub * 40.0 + (17 * 7 + d * 3) % 5 * 0.1
+    }
+    val got = Quantization.ivfPqTopKPersisted(store, "pq", allVecs, "vec",
+        "vec_id", query, k = 10, nProbe = 2, rerank = 40)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = allVecs.select(col("vec_id"),
+        aggregate(zip_with(col("vec"), typedLit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).alias("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = got.intersect(exact).size / 10.0
+    assert(recall >= 0.8, s"post-retrain recall $recall (got $got vs $exact)")
+    // the __batches markers survive the rebuild: the batches' vectors
+    // are IN the rebuilt index (via base), so a replayed old batch must
+    // still be recognized and skipped
+    assert(!Quantization.appendToIvfPqIndex(store, "pq", shifted, "vec",
+      "vec_id", Some("shifted")))
+    assert(store.read("pq").count() == allVecs.count())
+  }
+
   test("IVF-PQ composite: pruned probe recalls the query's own cluster") {
     import spark.implicits._
     // three well-separated clusters; probing ONE cell must still return
