@@ -398,7 +398,21 @@ object Streams {
       context: Map[String, Long],
       vocab: Long,
       alpha: Double,
-      maxCrossEntropy: Double)
+      maxCrossEntropy: Double) {
+    /** The censuses as a SparkContext broadcast, created lazily on the
+      * FIRST gate construction and reused by every later one — a
+      * per-construction broadcast would accumulate driver/executor
+      * broadcast blocks for the session's lifetime under repeated
+      * re-planning (per-batch gate rebuilds, test suites, restarts).
+      * `@transient`: the handle is driver-state; tasks receive it through
+      * the UDF closure, never through serializing the model itself.
+      */
+    @transient private[streaming] lazy val broadcastTables
+        : org.apache.spark.broadcast.Broadcast[
+            (Map[(String, String), Long], Map[String, Long])] =
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast((bigram, context))
+  }
 
   /** Offline-trained DSIR gate for [[corpusGateStream]]: `logRatios(b)`
     * is the per-bucket smoothed target-vs-raw log ratio
@@ -550,9 +564,11 @@ object Streams {
     // the censuses ship as a SparkContext BROADCAST, not a closure
     // capture: a closure serializes the full maps into every task; the
     // broadcast ships them once per executor — the difference between a
-    // per-task and a per-host copy of a CCNet-scale pruned LM
-    val tables = org.apache.spark.sql.SparkSession.active.sparkContext
-      .broadcast((m.bigram, m.context))
+    // per-task and a per-host copy of a CCNet-scale pruned LM. The
+    // handle is MEMOIZED on the model (one broadcast per LmGateModel,
+    // spec-pinned), so constructing the gate repeatedly cannot leak
+    // broadcast blocks.
+    val tables = m.broadcastTables
     val v = m.vocab
     val a = m.alpha
     val f = udf { toksIn: Seq[String] =>
@@ -701,16 +717,34 @@ object Streams {
       textCol: String,
       idCol: String,
       minJaccard: Double,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val survivors = graft.ops.DedupIndex.ingestDedup(
           store, indexTable, batch, textCol, idCol, minJaccard)
         store.write(outTable, survivors, append = true)
+        maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The automatic small-file policy of the streaming index sinks: every
+    * `compactEvery` epochs the index's accreted per-partition part-files
+    * merge back toward target size ([[graft.engine.TableStore.compact]]
+    * preserves the partition layout, so pruned probes are unaffected —
+    * spec-pinned). `0` (the default) disables it. Without a policy a
+    * long-running stream appends a few files per partition per
+    * micro-batch FOREVER, and probe cost grows with file count even
+    * though row count is unchanged; with it, files-read between probes
+    * stays bounded across arbitrarily many batches. Compaction is
+    * idempotent, so a crash-replayed epoch re-compacting is harmless.
+    */
+  private def maybeCompact(store: graft.engine.TableStore, table: String,
+      epoch: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+      store.compact(table)
 
   /** CONTINUOUS text-index ingest — the streaming face of
     * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of
@@ -746,13 +780,92 @@ object Streams {
       indexTable: String,
       textCol: String,
       idCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.TextSearch.appendPostings(store, indexTable, batch,
           textCol, idCol, batchId = Some(s"$ns-$epoch"))
-        ()
+        maybeCompact(store, indexTable, epoch, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** CONTINUOUS positional-index ingest — [[ingestTextIndexStream]] for
+    * the phrase-screen artifact ([[graft.ops.TextSearch
+    * .appendPositionalPostings]]): each micro-batch tokenizes ONCE, its
+    * positional rows land in their `__tb` bucket directories, and the
+    * post-batch index holds exactly a rebuild's rows over everything
+    * ingested (spec-pinned). EXACTLY-ONCE via the same checkpoint-
+    * namespaced epoch id as the BM25 sink — a crash-replayed epoch is
+    * recognized in the `__batches` side table and skipped, so no
+    * document's positions can land twice. Doc ids must be fresh across
+    * batches; a crash INSIDE an append leaves the loud uncommitted-meta
+    * state (recover by rebuilding).
+    */
+  def ingestPositionalIndexStream(
+      docs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      textCol: String,
+      idCol: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.ops.TextSearch.appendPositionalPostings(store, indexTable,
+          batch, textCol, idCol, batchId = Some(s"$ns-$epoch"))
+        maybeCompact(store, indexTable, epoch, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** CONTINUOUS IVF-PQ maintenance — [[ingestIvfStream]] for the
+    * compressed tier: each micro-batch of vectors encodes under the
+    * FROZEN codebooks and appends into its `__cell` directories
+    * ([[graft.ops.Quantization.appendToIvfPqIndex]]), EXACTLY-ONCE via
+    * the checkpoint-namespaced epoch id in the `__batches` side table —
+    * a replayed epoch is skipped, so no vector's code rows land twice.
+    * When `retrainFrom` names the full-precision base-vectors table
+    * (the same table probes rerank against — it must hold every indexed
+    * vector), the measured-drift cadence runs after each append: once
+    * the appended batches' quantization error drifts past
+    * `driftThreshold` × the build-time mean, centroids and codebooks
+    * retrain from `base` and the re-encoded index stage-swaps
+    * ([[graft.ops.Quantization.maybeRetrainIvfPq]]). Per-batch cost
+    * tracks the batch except on the rare retrain batches.
+    */
+  def ingestIvfPqStream(
+      vecs: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      vecCol: String,
+      idCol: String,
+      checkpoint: String,
+      retrainFrom: Option[String] = None,
+      nCells: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      retrainIterations: Int = 5,
+      driftThreshold: Double = 1.5,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        graft.ops.Quantization.appendToIvfPqIndex(store, indexTable, batch,
+          vecCol, idCol, batchId = Some(s"$ns-$epoch"))
+        retrainFrom.foreach { baseTable =>
+          graft.ops.Quantization.maybeRetrainIvfPq(store, indexTable,
+            store.read(baseTable), vecCol, idCol, nCells, m, codebookSize,
+            retrainIterations, driftThreshold)
+        }
+        maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -787,12 +900,14 @@ object Streams {
       textCol: String,
       idCol: String,
       maxCachedFrac: Double,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val report = graft.ops.ChunkIndex.ingest(
           store, indexTable, batch, textCol, idCol, maxCachedFrac)
         store.write(outTable, report, append = true)
+        maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

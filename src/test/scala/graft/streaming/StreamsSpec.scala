@@ -435,6 +435,174 @@ class StreamsSpec extends SparkSpecBase {
     assert(TextSearch.readTextMeta(store, "tis_idx").nDocs == sm.nDocs)
   }
 
+  test("continuous positional-index ingest: streamed index equals a rebuild; replayed epoch skipped") {
+    import graft.engine.TableStore
+    import graft.ops.TextSearch
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "an unrelated base document about mountains and weather"))
+    val b1 = Seq(100L -> "spark shuffles partition data across the cluster nodes",
+      101L -> "novel streaming content in the first micro batch")
+    val b2 = Seq(200L -> "the quick brown cat naps near the quick brown fox")
+    val store = new TableStore(spark, tmpDir("pis-wh"))
+    TextSearch.persistPositionalPostings(store, "pis_idx",
+      base.toDF("doc_id", "text"), "text", "doc_id", buckets = 8)
+    val src = java.nio.file.Files.createTempDirectory("pis-src")
+    val ckpt = tmpDir("pis-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    Seq(b1, b2).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+        chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("", "\n", "\n"))
+      Streams.ingestPositionalIndexStream(
+        spark.readStream.schema(schema).json(src.toString),
+        store, "pis_idx", "text", "doc_id", ckpt).awaitTermination()
+    }
+    // the streamed index is the rebuild — positional rows AND the
+    // phrase screen both
+    val all = (base ++ b1 ++ b2).toDF("doc_id", "text")
+    val rb = new TableStore(spark, tmpDir("pis-rb"))
+    TextSearch.persistPositionalPostings(rb, "pis_idx", all, "text",
+      "doc_id", buckets = 8)
+    def rows(st: TableStore) = st.read("pis_idx")
+      .select("doc_id", "pos", "term")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows(store) == rows(rb))
+    def hits(st: TableStore) =
+      TextSearch.phraseMatchesFromIndex(st, "pis_idx", "doc_id",
+          Seq(Seq("quick", "brown")))
+        .select("doc_id", "n_hits")
+        .as[(Long, Long)].collect().toMap
+    assert(hits(store) == hits(rb) && hits(store)(200L) == 2L)
+    val epochs = store.read("pis_idx__batches").collect().map(_.getString(0))
+    assert(epochs.length == 2, s"expected 2 recorded epochs: ${epochs.toSeq}")
+    // exactly-once: a replayed epoch is recognized and skipped — no
+    // document's positions can land twice
+    val ns = new org.apache.hadoop.fs.Path(ckpt).toString
+    assert(!TextSearch.appendPositionalPostings(store, "pis_idx",
+      b2.toDF("doc_id", "text"), "text", "doc_id", batchId = Some(s"$ns-1")))
+    assert(rows(store) == rows(rb))
+  }
+
+  test("continuous IVF-PQ ingest: exactly-once appends; drift batch retrains from the base table") {
+    import graft.engine.TableStore
+    import graft.ops.Quantization
+    val store = new TableStore(spark, tmpDir("pqs-wh"))
+    val src = java.nio.file.Files.createTempDirectory("pqs-src")
+    val ckpt = tmpDir("pqs-ckpt")
+    def vecJson(id: Long, v: Seq[Double]): String =
+      s"""{"id": $id, "v": [${v.mkString(", ")}]}"""
+    def blob(axis: Int, idBase: Long, n: Int = 40): Seq[(Long, Seq[Double])] =
+      (0 until n).map { i =>
+        (idBase + i, Seq.tabulate(4) { d =>
+          (if (d == axis) 100.0 else 0.0) + (i % 7) * 0.5
+        })
+      }
+    val initial = blob(0, 0L) ++ blob(1, 100L)
+    // in-distribution: the training mix replicated exactly (an all-A or
+    // jitter-skewed batch would legitimately read as mild drift — the
+    // codeword budget is not guaranteed to split symmetrically)
+    val b1 = blob(0, 300L) ++ blob(1, 400L)
+    val b2 = blob(2, 500L) // the shifted direction: drift trigger
+    Quantization.persistIvfPqIndex(store, "pqs", initial.toDF("id", "v"),
+      "v", "id", nCells = 3, m = 2, codebookSize = 4, iters = 5)
+    // the full-precision base the probes rerank against — the caller
+    // maintains it alongside the code table (the ivfPqTopKPersisted
+    // contract); the retrain cadence rebuilds from it
+    store.write("pqs_base", (initial ++ b1 ++ b2).toDF("id", "v"),
+      append = false)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, v ARRAY<DOUBLE>")
+    def run() = Streams.ingestIvfPqStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "pqs", "v", "id", ckpt, retrainFrom = Some("pqs_base"),
+      nCells = 3, m = 2, codebookSize = 4, retrainIterations = 5)
+      .awaitTermination()
+    // batch 1: in-distribution — appended under the FROZEN books, no
+    // retrain (codebooks byte-identical), drift stays at baseline
+    val booksBefore = Quantization.loadPqCodebooks(store, "pqs")
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      b1.map((vecJson _).tupled).mkString("", "\n", "\n"))
+    run()
+    assert(Quantization.loadPqCodebooks(store, "pqs") == booksBefore,
+      "an in-distribution batch must not retrain")
+    assert(store.read("pqs").count() == 160)
+    assert(Quantization.ivfPqDriftRatio(store, "pqs") < 1.5)
+    // batch 2: the shifted cluster — its encode-time quantization error
+    // crosses the threshold and the SAME batch triggers the rebuild:
+    // codebooks retrain, the code table stage-swaps to exactly the base
+    // (appended rows subsumed, never duplicated), baseline resets
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      b2.map((vecJson _).tupled).mkString("", "\n", "\n"))
+    run()
+    assert(Quantization.loadPqCodebooks(store, "pqs") != booksBefore,
+      "the drifted batch should have retrained")
+    assert(store.read("pqs").count() == 200)
+    assert(Quantization.ivfPqDriftRatio(store, "pqs") == 1.0)
+    // post-retrain the shifted cluster is routable AND rankable: a
+    // pruned probe (nProbe=1) recalls it
+    val got = Quantization.ivfPqTopKPersisted(store, "pqs",
+        store.read("pqs_base"), "v", "id",
+        Seq(0.0, 0.0, 100.0, 1.5), k = 10, nProbe = 1, rerank = 20)
+      .select("id").as[Long].collect()
+    assert(got.count(id => id >= 500L && id < 540L) >= 9,
+      s"retrained probe should find the shifted cluster: ${got.toSeq}")
+    // exactly-once: a replayed epoch is recognized and skipped
+    val ns = new org.apache.hadoop.fs.Path(ckpt).toString
+    assert(!Quantization.appendToIvfPqIndex(store, "pqs",
+      b2.toDF("id", "v"), "v", "id", batchId = Some(s"$ns-1")))
+    assert(store.read("pqs").count() == 200)
+  }
+
+  test("streaming compaction policy bounds index files across batches; results unchanged") {
+    import graft.engine.TableStore
+    import graft.ops.TextSearch
+    val base = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+    val batches = (0 until 6).map { b =>
+      Seq((100L + b) -> s"batch $b brings spark partition words alpha$b beta$b")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def partFiles(wh: String): Int = {
+      val dir = java.nio.file.Paths.get(wh, "cps_idx")
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    def run(tag: String, every: Int): (TableStore, String) = {
+      val wh = tmpDir(s"cps-wh-$tag")
+      val store = new TableStore(spark, wh)
+      TextSearch.persistPostings(store, "cps_idx",
+        base.toDF("doc_id", "text"), "text", "doc_id", buckets = 4)
+      val src = java.nio.file.Files.createTempDirectory(s"cps-src-$tag")
+      val ckpt = tmpDir(s"cps-ckpt-$tag")
+      batches.zipWithIndex.foreach { case (chunk, i) =>
+        java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+          chunk.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+            .mkString("", "\n", "\n"))
+        Streams.ingestTextIndexStream(
+          spark.readStream.schema(schema).json(src.toString),
+          store, "cps_idx", "text", "doc_id", ckpt, compactEvery = every)
+          .awaitTermination()
+      }
+      (store, wh)
+    }
+    val (sOff, whOff) = run("off", 0)
+    val (sOn, whOn) = run("on", 2)
+    // the policy keeps the file count bounded where accretion grows it
+    assert(partFiles(whOn) < partFiles(whOff),
+      s"policy-on ${partFiles(whOn)} files vs policy-off ${partFiles(whOff)}")
+    // and changes NOTHING about the index contents: meta and probe equal
+    val (mOn, mOff) = (TextSearch.readTextMeta(sOn, "cps_idx"),
+      TextSearch.readTextMeta(sOff, "cps_idx"))
+    assert((mOn.nDocs, mOn.sumDl, mOn.buckets) ==
+      (mOff.nDocs, mOff.sumDl, mOff.buckets))
+    def scores(st: TableStore) =
+      TextSearch.bm25FromIndex(st, "cps_idx", "doc_id",
+          Seq("spark", "partition"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(sOn) == scores(sOff))
+  }
+
   test("continuous chunk ingest: stream equals sequential batch ingests; census chains forward") {
     import graft.engine.TableStore
     import graft.ops.ChunkIndex
@@ -1021,6 +1189,24 @@ class StreamsSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 2L, 3L),
       s"<=0 threshold dropped docs: $survivors")
+  }
+
+  test("LmGateModel memoizes ONE broadcast across repeated gate constructions") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val m = Streams.trainLmGateModel(docs, "text", maxCrossEntropy = 100.0)
+    val id0 = m.broadcastTables.id
+    // two independent gate constructions over the same model — the
+    // per-batch re-planning shape the memoization exists for
+    val c1 = Streams.lmCrossEntropy(col("text"), m)
+    val c2 = Streams.lmCrossEntropy(col("text"), m)
+    assert(m.broadcastTables.id == id0,
+      "gate construction minted a new broadcast")
+    assert(m.broadcastTables eq m.broadcastTables)
+    // both constructions score identically through the shared broadcast
+    docs.select(c1.alias("a"), c2.alias("b")).collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+    }
   }
 
   test("containsAnyPhrase matches the batch anchor census on edge shapes") {
