@@ -169,6 +169,18 @@ object SparkEntry {
           .cast("double") * lit(10.0)
       }: _*).alias("vec"))
 
+  /** The grid slab shifted +100 in every dimension, with disjoint ids —
+    * a deterministic OUT-of-distribution region for the IVF-PQ drift
+    * query: no base codeword is anywhere near it, so appending it blows
+    * the measured quantization error, and after retrain the 8 patterns
+    * per subspace (4 original + 4 shifted) are again exactly
+    * representable by codebookSize=8 codewords.
+    */
+  private def shiftedGridCorpus(s: SparkSession, dir: String): DataFrame =
+    gridCorpus(s, dir).select(
+      (col("vec_id") + lit(3000000L)).alias("vec_id"),
+      transform(col("vec"), x => x + lit(100.0)).alias("vec"))
+
   /** Stable identity key for a session that does NOT hold the session:
     * minted once per session into a weak-keyed side map whose String
     * values carry no back-reference, so (unlike a TableStore value) they
@@ -291,6 +303,14 @@ object SparkEntry {
           "grid_pq_base",
           gridCorpus(s, dir).where(pmod(col("vec_id"), lit(16)) =!= 5),
           "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2))),
+        // the drift-cadence fixture index: lossless over the ORIGINAL
+        // grid (build mean quantization error exactly 0), so the shifted
+        // slab q_similarity_pq_drift appends registers as unbounded
+        // drift. Mutated once (batch-marked append + the triggered
+        // retrain); re-runs skip both and probe the retrained index.
+        Future(timedBuild("grid_pq_drift")(Quantization.persistIvfPqIndex(store,
+          "grid_pq_drift", gridCorpus(s, dir),
+          "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2))),
         // the EMBEDDING-CACHE pair for the novel-chunk loop: a chunk
         // census over the base slice plus the content-addressed IVF index
         // holding one stub vector PER DISTINCT FINGERPRINT — built from
@@ -335,9 +355,9 @@ object SparkEntry {
     s"${base}_bkt_" + java.lang.Integer.toHexString(dir.hashCode)
 
   /** Force the one-time build of the persisted indexes
-    * (emb_ivf, emb_ivf_aug, grid_pq, grid_pq_base, docs_mh_base,
-    * docs_chunk_base, docs_chunk_emb + its IVF cache, docs_text_idx,
-    * docs_text_base, docs_pos_idx) plus
+    * (emb_ivf, emb_ivf_aug, grid_pq, grid_pq_base, grid_pq_drift,
+    * docs_mh_base, docs_chunk_base, docs_chunk_emb + its IVF cache,
+    * docs_text_idx, docs_text_base, docs_pos_idx) plus
     * the two bucketed fact tables for a session+dir.
     * Bench calls this
     * in its warm-up with its own labeled timing so the gated per-query
@@ -3366,6 +3386,32 @@ object SparkEntry {
         "vec", "vec_id", batchId = Some("delta-mod16-5"))
       Quantization.ivfPqTopKPersisted(store, "grid_pq_base",
         gridCorpus(s, dir), "vec", "vec_id", q21, k = 10, nProbe = 4, rerank = 20)
+    }),
+
+    "q_similarity_pq_drift" -> ((s, dir) => {
+      // the MEASURED-DRIFT retrain cadence end to end under an exact
+      // oracle: the base index is lossless over the original grid (build
+      // mean quantization error exactly 0), so the shifted slab's
+      // batch-marked append registers as unbounded drift and
+      // maybeRetrainIvfPq rebuilds from the full-precision union —
+      // codebookSize 8 covers all 8 patterns per subspace (distinct-init
+      // k-means provably seeds every mode), the retrained books are
+      // lossless again, and the full probe + exact rerank of a
+      // shifted-pattern query equals brute force over base ∪ shifted,
+      // which DuckDB replays from the two grid formulas. Idempotent:
+      // re-runs skip the recorded batch, read drift ratio 1.0, skip the
+      // retrain, and probe the identical retrained index.
+      val store = persistedIvfStore(s, dir)
+      val union = gridCorpus(s, dir).unionByName(shiftedGridCorpus(s, dir))
+      Quantization.appendToIvfPqIndex(store, "grid_pq_drift",
+        shiftedGridCorpus(s, dir), "vec", "vec_id",
+        batchId = Some("drift-shift"))
+      Quantization.maybeRetrainIvfPq(store, "grid_pq_drift", union,
+        "vec", "vec_id", nCells = 4, m = 8, codebookSize = 8, iters = 2)
+      val q21s = (0 until 64).map(d =>
+        ((21L >> (2 * (d / 8))) % 4).toDouble * 10.0 + 100.0)
+      Quantization.ivfPqTopKPersisted(store, "grid_pq_drift", union,
+        "vec", "vec_id", q21s, k = 10, nProbe = 4, rerank = 20)
     }),
 
     "q_similarity_pq_recall" -> ((s, dir) => {
@@ -7053,6 +7099,26 @@ object SparkEntry {
         |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist
         |FROM grid g, q
         |ORDER BY dist, g.vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_pq_drift" ->
+      // post-drift-retrain full probe + exact rerank == brute force over
+      // base grid ∪ shifted slab, for a shifted-pattern query (vec 21's
+      // grid point +100 in every dimension)
+      """WITH grid AS (
+        |  SELECT vec_id, list_transform(range(64),
+        |    d -> CAST(((vec_id >> (2 * (d // 8))) % 4) * 10 AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |shifted AS (
+        |  SELECT vec_id + 3000000 AS vec_id,
+        |    list_transform(vec, x -> x + 100.0) AS vec
+        |  FROM grid),
+        |allv AS (SELECT * FROM grid UNION ALL SELECT * FROM shifted),
+        |q AS (SELECT vec AS qv FROM shifted WHERE vec_id = 3000021)
+        |SELECT a.vec_id,
+        |  round(list_aggregate(list_transform(list_zip(a.vec, q.qv),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS dist
+        |FROM allv a, q
+        |ORDER BY dist, a.vec_id LIMIT 10""".stripMargin,
 
     "q_similarity_pq_recall" ->
       // recall-bound boolean oracle: lossy-regime ADC must keep
