@@ -3451,6 +3451,35 @@ object SparkEntry {
     }),
 
     // ---- text analysis ----
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub under an EXACT cross-engine oracle: deterministic PII
+      // is planted from doc_id (both engines build the identical
+      // string), the RE2-safe patterns count on the raw text, and
+      // redaction applies typed placeholders in the contract order
+      // (email → phone → IPv4 — ops.Pii documents why the order is
+      // load-bearing). Pure codegen'd regexp built-ins: one linear pass
+      // per pattern, no UDF, no shuffle — the Dolma/ROOTS scrubbing
+      // stage at any scale.
+      val planted = T(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact agent"), col("doc_id").cast("string"),
+              lit("@mail.example.com for details"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" or call 555-01"),
+              pmod(col("doc_id"), lit(10)).cast("string"),
+              lit("-4567 today"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".42 logged"))).otherwise(lit(""))).alias("text"))
+      ops.Pii.scrub(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).alias("tok"))
@@ -7129,6 +7158,25 @@ object SparkEntry {
       // recall-bound boolean oracle, as pq_recall: int8 reconstruction
       // must keep recall@10 >= 0.8 on the planted-neighbor corpus
       "SELECT 10 AS k, TRUE AS recall_ok",
+
+    "q_pii_redact" ->
+      // identical planted strings, identical RE2-safe patterns, same
+      // email → phone → IPv4 replacement order
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact agent' || doc_id || '@mail.example.com for details' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' or call 555-01' || (doc_id % 10) || '-4567 today' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 2 THEN ' from 10.0.' || (doc_id % 256) || '.42 logged' ELSE '' END AS t
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n FROM (

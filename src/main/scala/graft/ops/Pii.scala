@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-corpus preparation — the
+  * scrubbing pass every public-web LLM pipeline runs before anything
+  * downstream sees the text (the Dolma / BigScience-ROOTS convention):
+  * detect with conservative patterns, replace with TYPED placeholders so
+  * the model sees a token rather than a hole, and report per-document
+  * counts for the corpus datasheet.
+  *
+  * The patterns are deliberately RE2-SAFE — no lookaround, no
+  * backreferences, ASCII word boundaries only — so the identical pattern
+  * strings run the same under Java regex (Spark's codegen'd
+  * `regexp_replace`/`regexp_count`) and RE2-class engines (DuckDB,
+  * ripgrep-style scanners). That is what makes the declared query's
+  * oracle exact and the redaction portable to whatever scanner audits
+  * the corpus later.
+  *
+  * Scale shape: pure per-row codegen'd built-ins — one linear pass per
+  * pattern over the text column, no UDF, no shuffle, trivially
+  * partition-parallel at 100 TB. Redaction ORDER is part of the
+  * contract: emails first (a digits-and-dots local part can contain a
+  * phone- or IP-shaped substring), then phones, then IPv4 — each later
+  * pattern runs over text whose earlier matches are already collapsed
+  * to digit-free placeholders, so the three passes can never double-
+  * redact one span.
+  */
+object Pii {
+
+  /** Conservative email shape (local@domain.tld, 2+ letter TLD). */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone: 3-3-4 groups joined by `-`, `.`, or a space. */
+  val phonePattern: String =
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (no octet-range check — scrubbing favors recall). */
+  val ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  val emailPlaceholder = "[EMAIL]"
+  val phonePlaceholder = "[PHONE]"
+  val ipv4Placeholder = "[IP]"
+
+  /** Typed-placeholder redaction in the contract order email → phone →
+    * IPv4 (see the object doc for why the order is load-bearing).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, emailPlaceholder),
+        phonePattern, phonePlaceholder),
+      ipv4Pattern, ipv4Placeholder)
+
+  /** Per-document match counts on the RAW text (pre-redaction — counts
+    * and redaction must agree, so both read the same input). Columns:
+    * n_emails, n_phones, n_ips.
+    */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+
+  /** The datasheet row: per-document counts + redacted text in one
+    * projection. Counts are raw-text pattern FREQUENCIES: a span that is
+    * both email- and phone-shaped (a digits-and-dots local part) counts
+    * under both types, while redaction resolves the overlap by order —
+    * the datasheet convention (counts answer "how much PII-shaped text
+    * is here", the scrub answers "what did we do about it").
+    */
+  def scrub(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", emailCount(t).cast("long"))
+      .withColumn("n_phones", phoneCount(t).cast("long"))
+      .withColumn("n_ips", ipv4Count(t).cast("long"))
+      .withColumn(textCol, redact(t))
+  }
+}

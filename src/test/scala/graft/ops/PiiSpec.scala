@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing (ops.Pii): typed-placeholder redaction, RE2-safe
+  * patterns, load-bearing replacement order.
+  */
+class PiiSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def redactOne(t: String): String =
+    Seq(t).toDF("text").select(Pii.redact(col("text"))).head().getString(0)
+
+  test("redacts emails, phones, and IPv4 with typed placeholders") {
+    assert(redactOne("write to Jo.Smith+x@sub.example.org today") ==
+      "write to [EMAIL] today")
+    assert(redactOne("call 555-123-4567 or 555.123.4567 or 555 123 4567") ==
+      "call [PHONE] or [PHONE] or [PHONE]")
+    assert(redactOne("host 192.168.0.1 and 10.0.255.42 respond") ==
+      "host [IP] and [IP] respond")
+    assert(redactOne("no pii here at all") == "no pii here at all")
+  }
+
+  test("replacement order is load-bearing: a digits-and-dots email local part never double-redacts") {
+    // the local part 555.123.4567 is phone-shaped AND its dotted quads
+    // are IP-shaped; email must win the whole span, the standalone phone
+    // and IP still redact as themselves
+    assert(redactOne("555.123.4567@ex.com call 555-123-4567 from 1.2.3.4") ==
+      "[EMAIL] call [PHONE] from [IP]")
+  }
+
+  test("word boundaries keep partial numbers unredacted") {
+    // 5 digits in the trailing group: the \b...\b phone shape must NOT
+    // fire, and version-ish dotted strings with 4+ octets redact only
+    // the first dotted quad (recall-over-precision, documented)
+    assert(redactOne("order 555-123-45678 shipped") == "order 555-123-45678 shipped")
+    // "v1" has no boundary before the 1, so the leftmost possible match
+    // starts at the 2 — recall-over-precision on version-ish strings
+    assert(redactOne("v1.2.3.4.5 tag") == "v1.[IP] tag")
+  }
+
+  test("scrub counts on the raw text and redacts in one projection") {
+    val df = Seq(
+      (1L, "a@b.co and c@d.io meet at 10.0.0.1"),
+      (2L, "call 555-123-4567"),
+      (3L, "clean")).toDF("doc_id", "text")
+    val got = Pii.scrub(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 1L, "[EMAIL] and [EMAIL] meet at [IP]"),
+      (2L, 0L, 1L, 0L, "call [PHONE]"),
+      (3L, 0L, 0L, 0L, "clean")))
+  }
+
+  test("redaction is idempotent: placeholders contain nothing any pattern matches") {
+    val once = redactOne("a@b.co 555-123-4567 1.2.3.4")
+    assert(redactOne(once) == once)
+  }
+}
