@@ -3406,8 +3406,11 @@ object SparkEntry {
       Quantization.appendToIvfPqIndex(store, "grid_pq_drift",
         shiftedGridCorpus(s, dir), "vec", "vec_id",
         batchId = Some("drift-shift"))
+      // iters=1: the distinct-init seeds ARE all ≤8 modes per subspace,
+      // so Lloyd means equal the patterns from the start — extra rounds
+      // only add driver-side job latency to the measured retrain
       Quantization.maybeRetrainIvfPq(store, "grid_pq_drift", union,
-        "vec", "vec_id", nCells = 4, m = 8, codebookSize = 8, iters = 2)
+        "vec", "vec_id", nCells = 4, m = 8, codebookSize = 8, iters = 1)
       val q21s = (0 until 64).map(d =>
         ((21L >> (2 * (d / 8))) % 4).toDouble * 10.0 + 100.0)
       Quantization.ivfPqTopKPersisted(store, "grid_pq_drift", union,
