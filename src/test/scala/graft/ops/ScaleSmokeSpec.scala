@@ -548,6 +548,52 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(sec < 120.0, f"append took $sec%.1f s — corpus recompute regression?")
   }
 
+  test("IVF-PQ append on a 50k-vector base: |delta|-bound encode, history-independent markers, wall-bounded") {
+    // the compressed-tier twin of the text-index smoke above: the append
+    // pays one assign+encode pass over the 2k delta under FROZEN
+    // centroids/codebooks (never a retrain, never a corpus re-encode),
+    // its idempotency probe and drift-stats fold cost the same whether 0
+    // or 5000 batches came before, and the probe sees the delta rows
+    // immediately. The wall bound trips on a complexity-class change.
+    def mkVecs(n: Int, off: Long) = spark.range(n).select(
+      (col("id") + off).alias("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => pmod((col("id") + off) * 31 + d * 7, lit(40)).cast("double"))
+        .alias("vec"))
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pq-smoke"))
+    Quantization.persistIvfPqIndex(store, "pqidx", mkVecs(50000, 0),
+      "vec", "vec_id", nCells = 8, m = 4, codebookSize = 8, iters = 2)
+    store.write("pqidx__batches",
+      spark.range(5000).select(concat(lit("pre"), col("id").cast("string"))
+        .alias("batch_id")), append = true)
+    val delta = mkVecs(2000, 1000000L)
+    val t0 = System.nanoTime()
+    assert(Quantization.appendToIvfPqIndex(store, "pqidx", delta,
+      "vec", "vec_id", batchId = Some("s1")))
+    val sec = (System.nanoTime() - t0) / 1e9
+    // exactly one marker row added; the drift stats folded the delta
+    assert(store.read("pqidx__batches").count() == 5001L)
+    val stats = store.read("pqidx__stats").head()
+    assert(stats.getLong(1) == 2000L,
+      s"append should fold exactly the delta's error rows: $stats")
+    // in-distribution delta (same generator): drift stays near baseline
+    val drift = Quantization.ivfPqDriftRatio(store, "pqidx")
+    assert(drift < 1.5, s"in-distribution smoke delta drifted: $drift")
+    // the appended row landed and is scan-visible, and the FROZEN
+    // encoder is deterministic: 1000017 shares its pattern (id mod 40)
+    // with base id 17, so their code rows must be identical
+    val dCodes = store.read("pqidx").where(col("vec_id") === 1000017L)
+      .select("codes").head().getSeq[Int](0)
+    val bCodes = store.read("pqidx").where(col("vec_id") === 17L)
+      .select("codes").head().getSeq[Int](0)
+    assert(dCodes == bCodes, "frozen-encoder determinism broke")
+    // replay of the same batch id is a no-op regardless of marker count
+    assert(!Quantization.appendToIvfPqIndex(store, "pqidx", delta,
+      "vec", "vec_id", batchId = Some("s1")))
+    assert(store.read("pqidx").count() == 52000L)
+    assert(sec < 120.0, f"append took $sec%.1f s — corpus re-encode regression?")
+  }
+
   test("cdc chunking on 2k docs x 1k tokens (2M tokens): linear pass, census closed form") {
     // the r10 mid-round regression was chunkByContent as array-HOF
     // algebra: interpreted lambdas get no CSE, so the hash UDF re-ran
