@@ -931,12 +931,17 @@ object Streams {
       textCol: String,
       idCol: String,
       dims: Int,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.ChunkIndex.ingestEmbed(store, censusTable, ivfTable,
           batch, textCol, idCol, dims)
-        ()
+        // both persisted artifacts accrete per batch — compact the pair
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
+          store.compact(censusTable)
+          store.compact(ivfTable)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1012,13 +1017,14 @@ object Streams {
       nCells: Int,
       checkpoint: String,
       driftThreshold: Double = 1.5,
-      retrainIterations: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+      retrainIterations: Int = 5,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.Similarity.appendToIvfIndex(store, indexTable, batch, vecCol, idCol)
         graft.ops.Similarity.maybeRetrainIvf(store, indexTable, vecCol, idCol,
           nCells, retrainIterations, driftThreshold)
-        ()
+        maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
