@@ -3483,6 +3483,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pii_scrub_full" -> ((s, dir) => {
+      // the FULL Dolma scrub set under the same exact cross-engine
+      // oracle discipline as q_pii_redact: deterministic PII of all six
+      // types planted from doc_id, RE2-safe patterns, and the one
+      // genuinely new mechanism — the card pass redacts ONLY Luhn-valid
+      // candidates via a pure-expression checksum fold (no UDF), so the
+      // planted Luhn-FAILING card-shaped ref number must survive
+      // untouched while the planted valid test numbers redact. DuckDB
+      // replays the entire chain including the Luhn fold (list_filter +
+      // list_aggregate) and the per-match replace fold (list_reduce).
+      val planted = T(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact agent"), col("doc_id").cast("string"),
+              lit("@mail.example.com for details"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 1,
+            concat(lit(" key sk_live_Ab"), col("doc_id").cast("string"),
+              lit("XyZ0123456 set"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" card "),
+              when(pmod(col("doc_id"), lit(8)) === 1,
+                lit("4111 1111 1111 1111")).otherwise(lit("5500005555555559")),
+              lit(" on file"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" ref 4111111111111112 noted")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" ssn 987-65-"),
+              lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+              lit(" seen"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 3,
+            concat(lit(" or call 555-01"),
+              pmod(col("doc_id"), lit(10)).cast("string"),
+              lit("-4567 today"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 4,
+            concat(lit(" from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".42 logged"))).otherwise(lit(""))).alias("text"))
+      ops.Pii.scrubFull(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_keys"),
+          col("n_cards"), col("n_ssns"), col("n_phones"), col("n_ips"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_tokens" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).alias("tok"))
@@ -7180,6 +7225,65 @@ object SparkEntry {
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub_full" ->
+      // identical planted strings, identical RE2-safe patterns, same
+      // email → key → card → ssn → phone → IPv4 order; the Luhn gate is
+      // the same right-to-left double-every-second-digit fold (DuckDB
+      // negative string index = Spark's element_at(ds, n-i+1)), and the
+      // per-valid-match replace fold replays via list_reduce over a
+      // text-prepended match list
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact agent' || doc_id || '@mail.example.com for details' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 1 THEN ' key sk_live_Ab' || doc_id || 'XyZ0123456 set' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' card ' || (CASE WHEN doc_id % 8 = 1 THEN '4111 1111 1111 1111' ELSE '5500005555555559' END) || ' on file' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN ' ref 4111111111111112 noted' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 2 THEN ' ssn 987-65-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') || ' seen' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN ' or call 555-01' || (doc_id % 10) || '-4567 today' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 4 THEN ' from 10.0.' || (doc_id % 256) || '.42 logged' ELSE '' END AS t
+        |  FROM documents WHERE doc_id < 300),
+        |p1 AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(sk_live_|sk_test_|pk_live_|pk_test_|ghp_|github_pat_|xoxb-|xoxp-|AKIA)[A-Za-z0-9]{10,}\b', '[KEY]', 'g') AS t1
+        |  FROM planted),
+        |p2 AS (
+        |  SELECT doc_id, t,
+        |    list_reduce(
+        |      list_prepend(t1, list_filter(
+        |        regexp_extract_all(t1, '\b(\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}|\d{13,19})\b'),
+        |        m -> list_aggregate(list_transform(
+        |               range(1, len(regexp_replace(m, '[^0-9]', '', 'g')) + 1),
+        |               i -> CASE WHEN i % 2 = 0
+        |                    THEN CASE WHEN 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) > 9
+        |                         THEN 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) - 9
+        |                         ELSE 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END
+        |                    ELSE CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END)
+        |             , 'sum') % 10 = 0)),
+        |      (acc, m) -> replace(acc, m, '[CARD]')) AS t2
+        |  FROM p1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b(sk_live_|sk_test_|pk_live_|pk_test_|ghp_|github_pat_|xoxb-|xoxp-|AKIA)[A-Za-z0-9]{10,}\b')) AS BIGINT) AS n_keys,
+        |  CAST(len(list_filter(regexp_extract_all(t, '\b(\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}|\d{13,19})\b'),
+        |    m -> list_aggregate(list_transform(
+        |           range(1, len(regexp_replace(m, '[^0-9]', '', 'g')) + 1),
+        |           i -> CASE WHEN i % 2 = 0
+        |                THEN CASE WHEN 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) > 9
+        |                     THEN 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) - 9
+        |                     ELSE 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END
+        |                ELSE CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END)
+        |         , 'sum') % 10 = 0)) AS BIGINT) AS n_cards,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        |FROM p2 ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT tok, count(*) AS n FROM (

@@ -45,6 +45,66 @@ object Pii {
   val phonePlaceholder = "[PHONE]"
   val ipv4Placeholder = "[IP]"
 
+  // ---------- the full Dolma scrub set ----------
+
+  /** SSN-shaped id: 3-2-4 digit groups, dash-separated ONLY (the 3-3-4
+    * phone shape and 4-4-4-4 card shape are disjoint by construction, so
+    * no two digit patterns can ever contest one span).
+    */
+  val ssnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Card-SHAPED span: 4×4 digit groups (dash or space separated) or a
+    * bare 13–19 digit run. Shape alone is not enough — redaction gates
+    * every candidate through the Luhn check ([[luhnValid]]), so an
+    * invoice/tracking number that merely looks card-shaped is left
+    * untouched (precision matters here: card redaction destroys more
+    * context than the other types).
+    */
+  val cardPattern: String =
+    "\\b(\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}|\\d{13,19})\\b"
+
+  /** Secret-shaped token: a known key prefix (Stripe, GitHub, Slack, AWS
+    * access-key id) followed by a 10+ char alphanumeric body. Prefix
+    * alternation only — no lookaround — so the pattern stays RE2-safe.
+    */
+  val apiKeyPattern: String =
+    "\\b(sk_live_|sk_test_|pk_live_|pk_test_|ghp_|github_pat_|xoxb-|xoxp-|AKIA)[A-Za-z0-9]{10,}\\b"
+
+  val ssnPlaceholder = "[SSN]"
+  val cardPlaceholder = "[CARD]"
+  val apiKeyPlaceholder = "[KEY]"
+
+  /** Luhn checksum validity of a card-shaped candidate — PURE column
+    * arithmetic (split → per-digit fold), no UDF, so the identical
+    * computation replays in any SQL engine: strip separators, walk digits
+    * right-to-left, double every second digit (−9 past 9), sum % 10 == 0.
+    */
+  def luhnValid(candidate: Column): Column = {
+    val ds = filter(split(regexp_replace(candidate, "[^0-9]", ""), ""),
+      c => c =!= "")
+    val n = size(ds)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = element_at(ds, n - i + lit(1)).cast("int")
+      acc + when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Redact exactly the Luhn-VALID card-shaped spans: extract candidates,
+    * filter through [[luhnValid]], fold a literal `replace` per surviving
+    * match over the text. A plain `regexp_replace` cannot express the
+    * per-match validity gate; the fold is bounded by the match count and
+    * stays pure-expression (codegen-friendly, oracle-replayable via
+    * list_reduce). A Luhn-failing candidate is untouched — planted
+    * false positives must survive the scrub (spec-pinned).
+    */
+  def redactCards(text: Column): Column = {
+    val valid = filter(regexp_extract_all(text, lit(cardPattern), lit(0)),
+      m => luhnValid(m))
+    aggregate(valid, text, (acc, m) => replace(acc, m, lit(cardPlaceholder)))
+  }
+
   /** Typed-placeholder redaction in the contract order email → phone →
     * IPv4 (see the object doc for why the order is load-bearing).
     */
@@ -55,6 +115,28 @@ object Pii {
         phonePattern, phonePlaceholder),
       ipv4Pattern, ipv4Placeholder)
 
+  /** The FULL Dolma-set redaction: email → API key → card (Luhn-gated) →
+    * SSN → phone → IPv4. Ordering rationale extends the three-type
+    * contract: emails first (a local part can contain key-, phone- or
+    * IP-shaped substrings and must win the whole span), keys second
+    * (their alphanumeric bodies embed digit runs that must never be
+    * seen by the digit patterns), then the digit shapes — mutually
+    * disjoint by group structure (4-4-4-4 / 13-19 bare vs 3-2-4 vs
+    * 3-3-4 vs dotted quads), each later pass running over text whose
+    * earlier matches are already digit-free placeholders.
+    */
+  def redactFull(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          redactCards(
+            regexp_replace(
+              regexp_replace(text, emailPattern, emailPlaceholder),
+              apiKeyPattern, apiKeyPlaceholder)),
+          ssnPattern, ssnPlaceholder),
+        phonePattern, phonePlaceholder),
+      ipv4Pattern, ipv4Placeholder)
+
   /** Per-document match counts on the RAW text (pre-redaction — counts
     * and redaction must agree, so both read the same input). Columns:
     * n_emails, n_phones, n_ips.
@@ -62,6 +144,18 @@ object Pii {
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
   def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+  def ssnCount(text: Column): Column = regexp_count(text, lit(ssnPattern))
+  def apiKeyCount(text: Column): Column = regexp_count(text, lit(apiKeyPattern))
+
+  /** Luhn-VALID card matches only — card-shaped-but-invalid spans count
+    * zero, matching what [[redactCards]] actually redacts (unlike the
+    * other types, whose counts are raw pattern frequencies, the card
+    * datasheet number answers "how many real card numbers", because the
+    * shape alone is mostly false positives).
+    */
+  def cardCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(cardPattern), lit(0)),
+      m => luhnValid(m)))
 
   /** The datasheet row: per-document counts + redacted text in one
     * projection. Counts are raw-text pattern FREQUENCIES: a span that is
@@ -77,5 +171,22 @@ object Pii {
       .withColumn("n_phones", phoneCount(t).cast("long"))
       .withColumn("n_ips", ipv4Count(t).cast("long"))
       .withColumn(textCol, redact(t))
+  }
+
+  /** The full-set datasheet row: all six type counts (raw-text
+    * frequencies; cards count Luhn-valid only — see [[cardCount]]) plus
+    * the [[redactFull]] scrub in one projection. Same scale shape as
+    * [[scrub]]: linear per-row passes, no UDF, no shuffle.
+    */
+  def scrubFull(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", emailCount(t).cast("long"))
+      .withColumn("n_keys", apiKeyCount(t).cast("long"))
+      .withColumn("n_cards", cardCount(t).cast("long"))
+      .withColumn("n_ssns", ssnCount(t).cast("long"))
+      .withColumn("n_phones", phoneCount(t).cast("long"))
+      .withColumn("n_ips", ipv4Count(t).cast("long"))
+      .withColumn(textCol, redactFull(t))
   }
 }
