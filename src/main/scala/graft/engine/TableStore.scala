@@ -38,6 +38,14 @@ object TableStore {
 
   private[engine] def fireRewrite(path: String): Unit =
     rewriteListeners.forEach(f => f(path))
+
+  /** TEST-ONLY injection point for the single-writer guard specs: every
+    * nonce-guarded append invokes this with its table name after its
+    * data writes and before its [[TableStore.requireSoleWriter]] verify,
+    * so a spec can interleave a competing full append exactly inside
+    * the window the guard exists to catch. A no-op in production.
+    */
+  private[graft] var interleaveForTest: String => Unit = _ => ()
 }
 
 final class TableStore(spark: SparkSession, val warehouseDir: String) {
@@ -272,11 +280,48 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
 
   /** Record `batchId` in the `__batches` marker table: appends exactly
     * one row (a 1-partition local relation — one part-file per batch),
-    * cost independent of how many batches came before.
+    * cost independent of how many batches came before. The accreted
+    * one-row files are bounded by the streaming sinks' compaction
+    * policy, which compacts the marker table alongside its index.
     */
   def recordBatch(markerTable: String, batchId: String): Unit = {
     import spark.implicits._
     write(markerTable, Seq(batchId).toDF("batch_id"), append = true)
+  }
+
+  /** Claim the single-writer nonce for an append against `table` — the
+    * loud-abort guard [[graft.ops.TextSearch]] pioneered for its meta
+    * commits, generalized so EVERY append-maintained artifact (IVF-PQ
+    * stats fold, dedup-index shingles, chunk census) shares it: the
+    * claimant overwrites the one-row `<table>__writer` guard with a
+    * fresh nonce, appends its data, then [[requireSoleWriter]] re-reads
+    * the guard — a concurrent append has overwritten the nonce, and the
+    * first writer to verify ABORTS loudly instead of silently dropping
+    * a merge / violating the artifact's dedup invariant. Appends are
+    * contractually single-writer (the streaming sinks serialize
+    * epochs); this turns a contract violation from silent corruption
+    * into an exception naming the recovery (retry the batch / rebuild).
+    * Best-effort by design: the verify-then-commit window is not
+    * transactional — the guard catches the overlap, not a same-
+    * millisecond photo finish.
+    */
+  def claimWriter(table: String): String = {
+    import spark.implicits._
+    val nonce = java.util.UUID.randomUUID().toString
+    write(table + "__writer", Seq(nonce).toDF("writer"), append = false)
+    nonce
+  }
+
+  /** Abort unless this writer's claimed nonce is still the live one —
+    * see [[claimWriter]].
+    */
+  def requireSoleWriter(table: String, nonce: String): Unit = {
+    val cur = read(table + "__writer").head().getString(0)
+    require(cur == nonce,
+      s"concurrent append detected on '$table': this writer's nonce was " +
+        s"replaced (expected $nonce, found $cur). Appends are " +
+        "single-writer; re-run this batch (appends tolerate physical " +
+        "duplicates) or rebuild the artifact.")
   }
 
   /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`

@@ -302,6 +302,13 @@ object ChunkIndex {
       else store.read(ivfTable).where(col("__cell").isInCollection(cells))
         .join(maybeBroadcast(novelVecs.select(col("fp"))), Seq("fp"))
         .select(col("fp")).distinct()
+    // single-writer nonce around the cache+census pair: interleaved
+    // ingests would each compute "novel" against a census missing the
+    // other's fingerprints and double-pay embeddings (the cache's own
+    // dup probe keeps the CACHE unique, but the loud abort tells the
+    // operator the batch raced — recovery is a plain retry, idempotent
+    // by construction)
+    val nonce = store.claimWriter(censusTable)
     store.writePartitioned(ivfTable,
       novelVecs.join(dupFps, Seq("fp"), "left_anti")
         .select(col("fp"), col("emb"), col("__cell"))
@@ -309,6 +316,8 @@ object ChunkIndex {
       Seq("__cell"), append = true)
     store.writePartitioned(censusTable, novel.repartition(col("__bk")),
       Seq("__bk"), append = true)
+    TableStore.interleaveForTest(censusTable)
+    store.requireSoleWriter(censusTable, nonce)
     novel.select(col("fp"))
   }
 
@@ -348,8 +357,14 @@ object ChunkIndex {
                                // its probe join, and the anti-join below
       val newFps = batchFps
         .join(cachedFps(store, table, batchFps), Seq("fp"), "left_anti")
+      // single-writer nonce: an interleaved ingest probes a census
+      // missing this batch's fps and keeps documents it should have
+      // dropped — abort loudly instead (probe-only calls never claim)
+      val nonce = store.claimWriter(table)
       store.writePartitioned(table, newFps.repartition(col("__bk")),
         Seq("__bk"), append = true)
+      TableStore.interleaveForTest(table)
+      store.requireSoleWriter(table, nonce)
     }
     report
   }

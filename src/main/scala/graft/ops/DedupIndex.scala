@@ -202,13 +202,27 @@ object DedupIndex {
         Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh")))
   }
 
+  /** The shared append core, guarded by the single-writer nonce
+    * ([[TableStore.claimWriter]]): appends are contractually
+    * single-writer (the streaming sink serializes epochs), and two
+    * interleaved appends would silently violate the dedup invariant —
+    * each probes an index missing the other's rows, so two mutually
+    * near-duplicate batches BOTH survive. The guard turns that into a
+    * loud abort on the first writer to verify; its recovery is a plain
+    * retry (the re-probe then sees the other writer's rows, and the
+    * physical re-append of its own rows is the documented duplicate-
+    * tolerated state).
+    */
   private def appendShingles(store: TableStore, table: String, idCol: String,
       meta: Meta, deltaShingles: DataFrame): Unit = {
+    val nonce = store.claimWriter(table)
     val nonEmpty = deltaShingles.where(size(col("sh")) > 0)
     store.write(table + "__shingles", nonEmpty, append = true)
     store.writePartitioned(table,
       bandRows(nonEmpty, idCol, meta).repartition(col("__bk")),
       Seq("__bk"), append = true)
+    TableStore.interleaveForTest(table)
+    store.requireSoleWriter(table, nonce)
   }
 
   /** Near-duplicate pairs between a new batch and the INDEXED corpus:

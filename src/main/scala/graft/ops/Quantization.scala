@@ -269,13 +269,26 @@ object Quantization {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
+  /** Decay factor of the RECENT-window drift statistic: per append, the
+    * windowed (n, err_sum) pair halves before the batch folds in, so the
+    * window's effective mass converges to ~2 batches — a late
+    * distribution shift moves the recent mean within a batch or two,
+    * where the lifetime mean would need drifted mass to dominate the
+    * whole append history (the dilution failure: after N in-distribution
+    * batches a shifted batch must carry ~N× the threshold error to trip
+    * the lifetime ratio).
+    */
+  private val recentDecay = 0.5
+
   private def writePqStats(store: graft.engine.TableStore, table: String,
-      buildMeanErr: Double, appendedN: Long, appendedErrSum: Double): Unit = {
+      buildMeanErr: Double, appendedN: Long, appendedErrSum: Double,
+      recentN: Double = 0.0, recentErrSum: Double = 0.0): Unit = {
     val sp = store.read(table).sparkSession
     import sp.implicits._
     store.write(table + "__stats",
-      Seq((buildMeanErr, appendedN, appendedErrSum))
-        .toDF("build_mean_err", "appended_n", "appended_err_sum"),
+      Seq((buildMeanErr, appendedN, appendedErrSum, recentN, recentErrSum))
+        .toDF("build_mean_err", "appended_n", "appended_err_sum",
+          "recent_n", "recent_err_sum"),
       append = false)
   }
 
@@ -299,13 +312,20 @@ object Quantization {
     *
     * `batchId` makes the ingest idempotent: an id already recorded in
     * the `<table>__batches` side table is skipped (returns false). The
-    * marker lands AFTER the data append, so a crash between the two
-    * replays the batch — duplicated code rows cost bytes and shortlist
-    * HEADROOM, never wrong results: [[ivfPqTopKPersisted]] dedups its
-    * bounded shortlist by id (duplicate rows carry identical codes, so
-    * they sort adjacent and keeping one is exact — the
-    * [[graft.ops.ChunkIndex]] probe convention). Still avoid blind
-    * re-appends
+    * commit order is data → stats → marker, chosen so every crash
+    * window errs CONSERVATIVE: a crash before the marker replays the
+    * batch, which re-appends code rows (duplicates cost bytes and
+    * shortlist HEADROOM, never wrong results — [[ivfPqTopKPersisted]]
+    * dedups its bounded shortlist by id; duplicate rows carry identical
+    * codes, sort adjacent, keeping one is exact) and re-folds its
+    * quantization error (the drift ratio over-counts and the cadence
+    * retrains EARLY — a marker-before-stats order would instead skip
+    * the fold on replay and understate drift forever, silently
+    * deferring retrains). Concurrent appends are guarded by the
+    * single-writer nonce ([[graft.engine.TableStore.claimWriter]]):
+    * an interleaved second writer makes the first-verifying one abort
+    * loudly before its stats read-modify-write can drop the other's
+    * fold. Still avoid blind re-appends
     * ([[graft.ops.DedupIndex.append]]'s retry contract). Delta ids must
     * be fresh. Appended part-files accrete per cell; compact on a
     * cadence via [[graft.engine.TableStore.compact]].
@@ -315,6 +335,7 @@ object Quantization {
       batchId: Option[String] = None): Boolean = {
     val bt = table + "__batches"
     if (batchId.exists(store.batchApplied(bt, _))) return false
+    val nonce = store.claimWriter(table)
     val cents = Similarity.loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF-PQ index '$table'")
     val books = loadPqCodebooks(store, table)
@@ -335,17 +356,25 @@ object Quantization {
     store.writePartitioned(table,
       encoded.drop("__err").repartition(col("__cell")),
       Seq("__cell"), append = true)
-    batchId.foreach(store.recordBatch(bt, _))
-    // stats fold is a read-modify-write: single-writer, like every index
-    // append here (the streaming sink serializes epochs). Tolerate a
-    // pre-stats index (built before the drift cadence existed) — drift
-    // is then simply unmeasured until the next rebuild.
+    graft.engine.TableStore.interleaveForTest(table)
+    // stats fold BEFORE the batch marker (see the commit-order contract
+    // above), behind the sole-writer verify. Tolerate a pre-stats index
+    // (built before the drift cadence existed) — drift is then simply
+    // unmeasured until the next rebuild.
     if (store.exists(table + "__stats")) {
       val prev = store.read(table + "__stats").head()
+      store.requireSoleWriter(table, nonce)
+      val dn = st.getLong(0)
+      val ds = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      // recent-window columns may be absent on a stats row written
+      // before the windowed cadence existed — start the window fresh
+      val hasRecent = prev.schema.fieldNames.contains("recent_n")
       writePqStats(store, table, prev.getDouble(0),
-        prev.getLong(1) + st.getLong(0),
-        prev.getDouble(2) + (if (st.isNullAt(1)) 0.0 else st.getDouble(1)))
-    }
+        prev.getLong(1) + dn, prev.getDouble(2) + ds,
+        (if (hasRecent) prev.getDouble(3) else 0.0) * recentDecay + dn,
+        (if (hasRecent) prev.getDouble(4) else 0.0) * recentDecay + ds)
+    } else store.requireSoleWriter(table, nonce)
+    batchId.foreach(store.recordBatch(bt, _))
     true
   }
 
@@ -356,16 +385,34 @@ object Quantization {
     * no vectors to re-measure). The ADC-shortlist twin of
     * [[Similarity.ivfDriftRatio]]: rerank keeps RESULTS exact
     * regardless, this ratio is what quietly decays shortlist recall.
+    *
+    * The ratio is the MAX of two means over the build baseline: the
+    * lifetime mean (all appended error since build) and the
+    * exponentially decayed RECENT mean (effective mass ~2 batches,
+    * [[recentDecay]]). The lifetime mean alone dilutes late shifts — a
+    * drifted batch of n vectors after N in-distribution ones needs
+    * ~(N+n)/n × the threshold to trip it — while the recent mean reacts
+    * within a batch or two; taking the max keeps both sensitivities
+    * without ever reporting LESS drift than before.
+    *
     * 1.0 when nothing has been appended or the index predates the stats
     * side table.
     */
   def ivfPqDriftRatio(store: graft.engine.TableStore, table: String): Double = {
     if (!store.exists(table + "__stats")) return 1.0
-    val r = store.read(table + "__stats").head()
+    val df = store.read(table + "__stats")
+    val r = df.head()
     val (build, n, s) = (r.getDouble(0), r.getLong(1), r.getDouble(2))
+    val hasRecent = df.columns.contains("recent_n")
+    val (rn, rs) =
+      if (hasRecent) (r.getDouble(3), r.getDouble(4)) else (0.0, 0.0)
     if (n == 0L) 1.0
-    else if (build <= 0.0) { if (s / n > 0.0) Double.PositiveInfinity else 1.0 }
-    else (s / n) / build
+    else {
+      val lifetime = s / n
+      val mean = if (rn > 0.0) math.max(lifetime, rs / rn) else lifetime
+      if (build <= 0.0) { if (mean > 0.0) Double.PositiveInfinity else 1.0 }
+      else mean / build
+    }
   }
 
   /** Full retrain of a persisted IVF-PQ index from the full-precision

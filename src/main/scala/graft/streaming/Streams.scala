@@ -399,19 +399,36 @@ object Streams {
       vocab: Long,
       alpha: Double,
       maxCrossEntropy: Double) {
-    /** The censuses as a SparkContext broadcast, created lazily on the
-      * FIRST gate construction and reused by every later one — a
+    /** The censuses as a SparkContext broadcast, created on the FIRST
+      * gate construction and reused by every later one — a
       * per-construction broadcast would accumulate driver/executor
       * broadcast blocks for the session's lifetime under repeated
       * re-planning (per-batch gate rebuilds, test suites, restarts).
       * `@transient`: the handle is driver-state; tasks receive it through
       * the UDF closure, never through serializing the model itself.
+      *
+      * The memo is VALIDITY-CHECKED, not a bare lazy val: a model
+      * instance can outlive the SparkContext it first broadcast under
+      * (session restart, per-suite sessions), and a gate built then
+      * would ship a broadcast whose blocks no executor can fetch. The
+      * memo re-broadcasts when the cached handle's context is stopped
+      * or is no longer the active one; synchronized because gate
+      * construction can race from concurrent streams.
       */
-    @transient private[streaming] lazy val broadcastTables
+    @transient private var cachedBroadcast
         : org.apache.spark.broadcast.Broadcast[
-            (Map[(String, String), Long], Map[String, Long])] =
-      org.apache.spark.sql.SparkSession.active.sparkContext
-        .broadcast((bigram, context))
+            (Map[(String, String), Long], Map[String, Long])] = _
+    @transient private var cachedSc: org.apache.spark.SparkContext = _
+    private[streaming] def broadcastTables
+        : org.apache.spark.broadcast.Broadcast[
+            (Map[(String, String), Long], Map[String, Long])] = synchronized {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      if (cachedBroadcast == null || (cachedSc ne sc) || cachedSc.isStopped) {
+        cachedBroadcast = sc.broadcast((bigram, context))
+        cachedSc = sc
+      }
+      cachedBroadcast
+    }
   }
 
   /** Offline-trained DSIR gate for [[corpusGateStream]]: `logRatios(b)`
@@ -740,11 +757,26 @@ object Streams {
     * though row count is unchanged; with it, files-read between probes
     * stays bounded across arbitrarily many batches. Compaction is
     * idempotent, so a crash-replayed epoch re-compacting is harmless.
+    *
+    * The index's `__batches` MARKER table is part of the policy: each
+    * applied batch appends ONE one-row part-file
+    * ([[graft.engine.TableStore.recordBatch]]) and every idempotency
+    * probe ([[graft.engine.TableStore.batchApplied]]) lists the whole
+    * marker directory, so without compaction a year of one-minute
+    * epochs is ~525k files listed PER EPOCH — the O(history) cost
+    * merely moved from driver memory to filesystem metadata. Compacted
+    * alongside the index, files-listed-per-probe is bounded by
+    * `compactEvery` regardless of stream lifetime (row count stays
+    * O(applied batches), but a marker row is ~40 bytes — millions of
+    * rows in a handful of files scan in milliseconds; it is the file
+    * COUNT that kills probes).
     */
   private def maybeCompact(store: graft.engine.TableStore, table: String,
       epoch: Long, compactEvery: Int): Unit =
-    if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+    if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
       store.compact(table)
+      if (store.exists(table + "__batches")) store.compact(table + "__batches")
+    }
 
   /** CONTINUOUS text-index ingest — the streaming face of
     * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of
@@ -833,11 +865,14 @@ object Streams {
     * the checkpoint-namespaced epoch id in the `__batches` side table —
     * a replayed epoch is skipped, so no vector's code rows land twice.
     * When `retrainFrom` names the full-precision base-vectors table
-    * (the same table probes rerank against — it must hold every indexed
-    * vector), the measured-drift cadence runs after each append: once
-    * the appended batches' quantization error drifts past
-    * `driftThreshold` × the build-time mean, centroids and codebooks
-    * retrain from `base` and the re-encoded index stage-swaps
+    * (the same table probes rerank against — it must hold every
+    * PREVIOUSLY indexed vector; the in-flight batch is unioned in by
+    * the sink itself, so a caller that folds the batch into base only
+    * AFTER the epoch cannot lose it to a same-epoch retrain), the
+    * measured-drift cadence runs after each append: once the appended
+    * batches' quantization error drifts past `driftThreshold` × the
+    * build-time mean, centroids and codebooks retrain from
+    * base ∪ batch and the re-encoded index stage-swaps
     * ([[graft.ops.Quantization.maybeRetrainIvfPq]]). Per-batch cost
     * tracks the batch except on the rare retrain batches.
     */
@@ -861,8 +896,23 @@ object Streams {
         graft.ops.Quantization.appendToIvfPqIndex(store, indexTable, batch,
           vecCol, idCol, batchId = Some(s"$ns-$epoch"))
         retrainFrom.foreach { baseTable =>
+          // retrain from base ∪ THIS batch, deduped by id: the caller
+          // maintains baseTable, and nothing guarantees it already holds
+          // the epoch that just appended — if this very batch trips the
+          // drift threshold, a rebuild from base alone would stage-swap
+          // the batch's rows OUT of the index while its recorded marker
+          // blocks any future re-append: silent permanent loss. The
+          // union is |base|+|batch| rows read once by the (rare) retrain
+          // pass; the dedup keeps vectors unique when base DOES already
+          // contain the batch (same id ⇒ same vector, so any survivor
+          // is exact).
+          val cols = Seq(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(vecCol))
           graft.ops.Quantization.maybeRetrainIvfPq(store, indexTable,
-            store.read(baseTable), vecCol, idCol, nCells, m, codebookSize,
+            store.read(baseTable).select(cols: _*)
+              .unionByName(batch.select(cols: _*))
+              .dropDuplicates(idCol),
+            vecCol, idCol, nCells, m, codebookSize,
             retrainIterations, driftThreshold)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)

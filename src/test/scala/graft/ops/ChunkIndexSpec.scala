@@ -103,6 +103,38 @@ class ChunkIndexSpec extends SparkSpecBase {
     assert(fps.length == fps.distinct.length, "duplicate fps in census")
   }
 
+  test("interleaved second census writer aborts loudly; the survivor's fps and a retry both land") {
+    val (store, table) = freshIndex("ilv")
+    val deltaA = Seq((200L, "writer a document with its very own fresh " +
+      "vocabulary sharing nothing anywhere at all")).toDF("doc_id", "text")
+    val deltaB = Seq((300L, "writer b material carrying different original " +
+      "content likewise unrelated to everything else")).toDF("doc_id", "text")
+    graft.engine.TableStore.interleaveForTest = { _ =>
+      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
+      ChunkIndex.ingest(store, table, deltaB, "text", "doc_id",
+        maxCachedFrac = 0.5, appendNew = true)
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ChunkIndex.ingest(store, table, deltaA, "text", "doc_id",
+          maxCachedFrac = 0.5, appendNew = true)
+      }
+      assert(e.getMessage.contains("concurrent append"))
+    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    // survivor B registered; A's retry converges (its fps may already be
+    // physically present from the aborted attempt — the census anti-join
+    // and the probe's dup tolerance make the retry a safe no-op-or-append)
+    val rep = ChunkIndex.ingest(store, table,
+        deltaA.unionByName(deltaB).withColumn("doc_id", col("doc_id") + 100),
+        "text", "doc_id", maxCachedFrac = 0.5, appendNew = false)
+      .select(col("doc_id"), col("cached_frac")).as[(Long, Double)]
+      .collect().toMap
+    assert(rep(300L) == 1.0 && rep(400L) == 1.0,
+      s"both writers' fps should be probe-visible: $rep")
+    val fps = store.read(table).select("fp").as[Long].collect()
+    assert(fps.length == fps.distinct.length, "duplicate fps in census")
+  }
+
   test("novelChunks returns exactly the non-cached instances, text and offsets intact") {
     val (store, table) = freshIndex("novel")
     val delta = Seq(

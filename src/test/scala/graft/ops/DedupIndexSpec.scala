@@ -257,6 +257,40 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(again == Seq(100L), again.toString)
   }
 
+  test("interleaved second writer aborts loudly; the survivor's rows and a retry both land") {
+    val (store, table) = freshIndex("ilv")
+    val deltaA = Seq(
+      (200L, "writer a brings its very own fresh vocabulary nothing shared at all"))
+      .toDF("doc_id", "text")
+    val deltaB = Seq(
+      (300L, "writer b carries different original content also unrelated to everything"))
+      .toDF("doc_id", "text")
+    // interleave B's FULL append inside A's claim→verify window — the
+    // two-writer scenario whose silent outcome would be both batches
+    // probing an index missing the other's rows
+    graft.engine.TableStore.interleaveForTest = { _ =>
+      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
+      DedupIndex.append(store, table, deltaB, "text", "doc_id")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.append(store, table, deltaA, "text", "doc_id")
+      }
+      assert(e.getMessage.contains("concurrent append"))
+    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    // B (the survivor) is probe-visible; A's retry is the documented
+    // recovery — re-appends (duplicates tolerated) and becomes visible
+    DedupIndex.append(store, table, deltaA, "text", "doc_id")
+    val probe = Seq(
+      (400L, "writer a brings its very own fresh vocabulary nothing shared at all"),
+      (401L, "writer b carries different original content also unrelated to everything"))
+      .toDF("doc_id", "text")
+    val got = DedupIndex.deltaPairs(store, table, probe, "text", "doc_id",
+        minJaccard = 0.9)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((400L, 200L), (401L, 300L)), got.toString)
+  }
+
   test("df-capped build equals the uncapped build when no shingle is hot") {
     val storeA = new graft.engine.TableStore(spark, tmpDir("wh-capA"))
     DedupIndex.persist(storeA, "docs_mh", baseDocs, "text", "doc_id", buckets = 16)

@@ -282,6 +282,136 @@ class QuantizationSpec extends SparkSpecBase {
     assert(store.read("pq").count() == allVecs.count())
   }
 
+  test("IVF-PQ crash replay between stats fold and marker: drift re-folds, never under-counts") {
+    import spark.implicits._
+    // commit order is data → stats → marker; the reachable crash state
+    // is therefore "stats folded, marker missing". Simulate it exactly:
+    // a completed append whose marker table is then dropped. The replay
+    // must re-apply the batch — re-folding its error (over-count, the
+    // conservative direction: retrains EARLY) — rather than skip it.
+    // The pre-fix order (marker before stats) made the opposite state
+    // reachable: marker present, fold lost, drift underestimated
+    // forever.
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pq-crash"))
+    Quantization.persistIvfPqIndex(store, "pqc", df, "vec", "vec_id",
+      nCells = 2, m = 4, codebookSize = 8, iters = 4)
+    val delta = (1000 until 1040).map { i =>
+      (i.toLong, (0 until 16).map { d =>
+        val pattern = ((i - 1000) / math.pow(2, d / 4).toInt) % 4
+        pattern * 10.0 + ((i - 1000) * 31 + d * 7) % 5 * 0.1
+      })
+    }.toDF("vec_id", "vec")
+    assert(Quantization.appendToIvfPqIndex(store, "pqc", delta, "vec",
+      "vec_id", Some("b1")))
+    val r1 = Quantization.ivfPqDriftRatio(store, "pqc")
+    val n1 = store.read("pqc__stats").head().getLong(1)
+    assert(n1 == 40L)
+    // crash: the marker never landed
+    store.dropTable("pqc__batches")
+    // replay re-applies: data duplicated (probe-tolerated, pinned in the
+    // append spec), stats re-folded, marker restored
+    assert(Quantization.appendToIvfPqIndex(store, "pqc", delta, "vec",
+      "vec_id", Some("b1")))
+    val r2 = Quantization.ivfPqDriftRatio(store, "pqc")
+    assert(store.read("pqc__stats").head().getLong(1) == 80L,
+      "replay must re-fold the batch's stats")
+    assert(r2 >= r1 - 1e-9,
+      s"replay drove the drift ratio DOWN ($r1 -> $r2): unsafe direction")
+    assert(store.batchApplied("pqc__batches", "b1"))
+    // and a third delivery is now a recognized no-op
+    assert(!Quantization.appendToIvfPqIndex(store, "pqc", delta, "vec",
+      "vec_id", Some("b1")))
+  }
+
+  test("IVF-PQ interleaved second writer aborts loudly; the survivor's stats fold is intact") {
+    import spark.implicits._
+    def mk(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 16).map { d =>
+        val pattern = (i / math.pow(2, d / 4).toInt) % 4
+        pattern * 10.0 + (i * 31 + d * 7) % 5 * 0.1
+      })
+    }.toDF("vec_id", "vec")
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pq-ilv"))
+    Quantization.persistIvfPqIndex(store, "pqi", df, "vec", "vec_id",
+      nCells = 2, m = 4, codebookSize = 8, iters = 4)
+    val deltaA = mk(3000 until 3020)
+    val deltaB = mk(4000 until 4030)
+    // interleave writer B's FULL append inside A's claim→verify window
+    // (the injection point sits after A's data write, before its stats
+    // read-modify-write) — exactly the two-writer scenario that would
+    // silently drop B's fold if A committed over it
+    graft.engine.TableStore.interleaveForTest = { t =>
+      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
+      assert(Quantization.appendToIvfPqIndex(store, "pqi", deltaB,
+        "vec", "vec_id", Some("writer-b")))
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantization.appendToIvfPqIndex(store, "pqi", deltaA, "vec",
+          "vec_id", Some("writer-a"))
+      }
+      assert(e.getMessage.contains("concurrent append"))
+    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    // B's fold survived; A folded nothing and its marker never landed,
+    // so A's retry re-applies the batch in full
+    assert(store.read("pqi__stats").head().getLong(1) == 30L,
+      "the surviving writer's stats fold was dropped")
+    assert(store.batchApplied("pqi__batches", "writer-b"))
+    assert(!store.batchApplied("pqi__batches", "writer-a"))
+    assert(Quantization.appendToIvfPqIndex(store, "pqi", deltaA, "vec",
+      "vec_id", Some("writer-a")))
+    assert(store.read("pqi__stats").head().getLong(1) == 50L)
+  }
+
+  test("IVF-PQ windowed drift: a late shift trips the recent window where the lifetime mean dilutes it") {
+    import spark.implicits._
+    // jitter-free 4-dim fixture with codebookSize=1: the single codeword
+    // per subspace is the global mean [1,1], so EVERY in-distribution
+    // vector (all-0s or all-2s, equal counts) reconstructs with error
+    // exactly 4.0 — build_mean_err = 4.0 and the per-batch arithmetic
+    // below is exact, making the lifetime-vs-recent split assertable to
+    // the decimal rather than by fuzzy margin.
+    def flat(ids: Range, value: Long => Double) = ids.map { i =>
+      (i.toLong, (0 until 4).map(_ => value(i.toLong)))
+    }.toDF("vec_id", "vec")
+    val base = flat(0 until 10, i => if (i % 2 == 0) 0.0 else 2.0)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-pq-win"))
+    Quantization.persistIvfPqIndex(store, "pqw", base, "vec", "vec_id",
+      nCells = 1, m = 2, codebookSize = 1, iters = 2)
+    assert(store.read("pqw__stats").head().getDouble(0) == 4.0,
+      "fixture broke: build mean error must be exactly 4.0")
+    // four in-distribution batches (10 vectors, error 4.0 each): both
+    // the lifetime and recent means sit at baseline
+    (0 until 4).foreach { b =>
+      assert(Quantization.appendToIvfPqIndex(store, "pqw",
+        flat((1000 + b * 10) until (1010 + b * 10),
+          i => if (i % 2 == 0) 0.0 else 2.0),
+        "vec", "vec_id", Some(s"id-$b")))
+    }
+    assert(math.abs(Quantization.ivfPqDriftRatio(store, "pqw") - 1.0) < 1e-9)
+    // the late shift: 2 vectors at 4.0 → error (4-1)²·4 = 36 each.
+    // Lifetime mean = (40·4 + 2·36)/42 = 5.524 → ratio 1.38: UNDER the
+    // 1.5 threshold (the dilution failure — 40 in-distribution vectors
+    // swamp 2 drifted ones). Recent mean (decay ½) = 109.5/11.375 =
+    // 9.63 → ratio 2.41: trips.
+    assert(Quantization.appendToIvfPqIndex(store, "pqw",
+      flat(2000 until 2002, _ => 4.0), "vec", "vec_id", Some("shift")))
+    val st = store.read("pqw__stats").head()
+    val lifetimeRatio = (st.getDouble(2) / st.getLong(1)) / st.getDouble(0)
+    assert(lifetimeRatio < 1.5,
+      s"fixture broke: lifetime ratio $lifetimeRatio should stay under threshold")
+    val r = Quantization.ivfPqDriftRatio(store, "pqw")
+    assert(r >= 1.5, s"recent window failed to catch the late shift: $r")
+    // and the cadence acts on it (base ∪ every appended batch — never a
+    // frame derived from the index being stage-swapped)
+    val allVecs = base
+      .unionByName(flat(1000 until 1040, i => if (i % 2 == 0) 0.0 else 2.0))
+      .unionByName(flat(2000 until 2002, _ => 4.0))
+    assert(Quantization.maybeRetrainIvfPq(store, "pqw", allVecs, "vec",
+      "vec_id", nCells = 1, m = 2, codebookSize = 1, iters = 2))
+    assert(Quantization.ivfPqDriftRatio(store, "pqw") == 1.0)
+  }
+
   test("IVF-PQ composite: pruned probe recalls the query's own cluster") {
     import spark.implicits._
     // three well-separated clusters; probing ONE cell must still return

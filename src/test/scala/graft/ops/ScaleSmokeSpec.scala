@@ -594,6 +594,54 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(sec < 120.0, f"append took $sec%.1f s — corpus re-encode regression?")
   }
 
+  test("marker-table lifecycle: accreted one-row marker FILES compact away, probe stays bounded and correct") {
+    // the pre-seeded-marker smokes above land 5000 rows in ONE part-file,
+    // so they never exercise the cost that actually grows in production:
+    // recordBatch appends one FILE per applied batch, and batchApplied
+    // lists the whole marker directory per idempotency probe — a year of
+    // one-minute epochs is ~525k files listed per epoch. This test
+    // accretes real files (2000 one-row part-files in one append via
+    // repartition, physically identical layout to 2000 recordBatch
+    // calls, plus 25 genuine recordBatch calls for the API path),
+    // asserts the accretion happened AT THE FILE LEVEL, compacts the
+    // marker table through the same TableStore.compact the streaming
+    // sinks' policy now applies, and asserts (a) the file count
+    // collapses, (b) probe semantics survive bit-for-bit, (c) the
+    // post-compaction probe is not paying O(history) file listings.
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-marker-smoke"))
+    val bt = "midx__batches"
+    store.write(bt,
+      spark.range(2000).select(concat(lit("pre"), col("id").cast("string"))
+        .alias("batch_id")).repartition(2000), append = true)
+    (0 until 25).foreach(i => store.recordBatch(bt, s"loop$i"))
+    def partFiles(): Int = {
+      val d = new java.io.File(store.warehouseDir, bt)
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    // round-robin repartition leaves some of the 2000 partitions empty
+    // (no file written) — anything over 1000 real files exercises the
+    // listing path the one-file pre-seed never did
+    val before = partFiles()
+    assert(before >= 1000, s"accretion fixture broke: only $before part-files")
+    store.compact(bt)
+    val after = partFiles()
+    assert(after <= 4, s"marker compaction left $after part-files")
+    // semantics survive: every recorded id still probes true, fresh ids false
+    assert(store.batchApplied(bt, "pre0"))
+    assert(store.batchApplied(bt, "pre1999"))
+    assert(store.batchApplied(bt, "loop0"))
+    assert(store.batchApplied(bt, "loop24"))
+    assert(!store.batchApplied(bt, "never-recorded"))
+    assert(store.read(bt).count() == 2025L)
+    // probe cost is now file-bounded: 50 probes against the compacted
+    // table must be fast in aggregate (a generous wall that trips on an
+    // O(files) or O(history) regression, not host noise)
+    val t0 = System.nanoTime()
+    (0 until 50).foreach(i => store.batchApplied(bt, s"loop${i % 25}"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60.0, f"50 probes took $sec%.1f s on a compacted marker table")
+  }
+
   test("cdc chunking on 2k docs x 1k tokens (2M tokens): linear pass, census closed form") {
     // the r10 mid-round regression was chunkByContent as array-HOF
     // algebra: interpreted lambdas get no CSE, so the hash UDF re-ran

@@ -553,6 +553,57 @@ class StreamsSpec extends SparkSpecBase {
     assert(store.read("pqs").count() == 200)
   }
 
+  test("continuous IVF-PQ ingest: a same-epoch retrain keeps the in-flight batch (base lags the stream)") {
+    import graft.engine.TableStore
+    import graft.ops.Quantization
+    // the lost-epoch hazard: the caller maintains the base table and
+    // nothing guarantees it already holds the epoch that just appended.
+    // If that very epoch trips the drift threshold, a rebuild from base
+    // alone would stage-swap the batch's rows OUT of the index while its
+    // recorded marker blocks any re-append — silent permanent loss. The
+    // sink must retrain from base ∪ batch. This fixture makes the
+    // hazard live: base deliberately LACKS the drifting batch.
+    val store = new TableStore(spark, tmpDir("pql-wh"))
+    val src = java.nio.file.Files.createTempDirectory("pql-src")
+    val ckpt = tmpDir("pql-ckpt")
+    def blob(axis: Int, idBase: Long, n: Int = 40): Seq[(Long, Seq[Double])] =
+      (0 until n).map { i =>
+        (idBase + i, Seq.tabulate(4) { d =>
+          (if (d == axis) 100.0 else 0.0) + (i % 7) * 0.5
+        })
+      }
+    val initial = blob(0, 0L) ++ blob(1, 100L)
+    val shifted = blob(2, 500L)
+    Quantization.persistIvfPqIndex(store, "pql", initial.toDF("id", "v"),
+      "v", "id", nCells = 3, m = 2, codebookSize = 4, iters = 5)
+    // base = initial ONLY — the stream is ahead of the base maintainer
+    store.write("pql_base", initial.toDF("id", "v"), append = false)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, v ARRAY<DOUBLE>")
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      shifted.map { case (id, v) => s"""{"id": $id, "v": [${v.mkString(", ")}]}""" }
+        .mkString("", "\n", "\n"))
+    Streams.ingestIvfPqStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "pql", "v", "id", ckpt, retrainFrom = Some("pql_base"),
+      nCells = 3, m = 2, codebookSize = 4, retrainIterations = 5)
+      .awaitTermination()
+    // the drifted epoch retrained (baseline reset) AND survived the swap
+    assert(Quantization.ivfPqDriftRatio(store, "pql") == 1.0,
+      "the shifted epoch should have tripped a same-epoch retrain")
+    val ids = store.read("pql").select("id").as[Long].collect().toSet
+    assert(shifted.map(_._1).forall(ids.contains),
+      "retrain from base alone dropped the in-flight epoch's rows")
+    assert(store.read("pql").count() == 120,
+      "union-dedup should index each vector exactly once")
+    // and they are probe-able against base ∪ batch full-precision vectors
+    val got = Quantization.ivfPqTopKPersisted(store, "pql",
+        (initial ++ shifted).toDF("id", "v"), "v", "id",
+        Seq(0.0, 0.0, 100.0, 1.5), k = 10, nProbe = 1, rerank = 20)
+      .select("id").as[Long].collect()
+    assert(got.count(id => id >= 500L && id < 540L) >= 9,
+      s"in-flight epoch not probe-able post-retrain: ${got.toSeq}")
+  }
+
   test("streaming compaction policy bounds index files across batches; results unchanged") {
     import graft.engine.TableStore
     import graft.ops.TextSearch
@@ -561,13 +612,14 @@ class StreamsSpec extends SparkSpecBase {
       Seq((100L + b) -> s"batch $b brings spark partition words alpha$b beta$b")
     }
     val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
-    def partFiles(wh: String): Int = {
-      val dir = java.nio.file.Paths.get(wh, "cps_idx")
+    def filesUnder(wh: String, table: String): Int = {
+      val dir = java.nio.file.Paths.get(wh, table)
       val s = java.nio.file.Files.walk(dir)
       try s.filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet")).count().toInt
       finally s.close()
     }
+    def partFiles(wh: String): Int = filesUnder(wh, "cps_idx")
     def run(tag: String, every: Int): (TableStore, String) = {
       val wh = tmpDir(s"cps-wh-$tag")
       val store = new TableStore(spark, wh)
@@ -591,6 +643,17 @@ class StreamsSpec extends SparkSpecBase {
     // the policy keeps the file count bounded where accretion grows it
     assert(partFiles(whOn) < partFiles(whOff),
       s"policy-on ${partFiles(whOn)} files vs policy-off ${partFiles(whOff)}")
+    // ... and the __batches MARKER table is inside the policy too: one
+    // one-row part-file lands per epoch (the batchApplied probe lists
+    // them ALL every epoch), so the policy must bound the marker files
+    // alongside the index's — while keeping every marker ROW (replay
+    // idempotency must survive compaction)
+    assert(filesUnder(whOn, "cps_idx__batches") <
+      filesUnder(whOff, "cps_idx__batches"),
+      s"marker files not compacted: on=${filesUnder(whOn, "cps_idx__batches")} " +
+        s"off=${filesUnder(whOff, "cps_idx__batches")}")
+    assert(sOn.read("cps_idx__batches").count() ==
+      sOff.read("cps_idx__batches").count())
     // and changes NOTHING about the index contents: meta and probe equal
     val (mOn, mOff) = (TextSearch.readTextMeta(sOn, "cps_idx"),
       TextSearch.readTextMeta(sOff, "cps_idx"))
