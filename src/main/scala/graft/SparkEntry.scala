@@ -305,12 +305,27 @@ object SparkEntry {
           "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2))),
         // the drift-cadence fixture index: lossless over the ORIGINAL
         // grid (build mean quantization error exactly 0), so the shifted
-        // slab q_similarity_pq_drift appends registers as unbounded
-        // drift. Mutated once (batch-marked append + the triggered
-        // retrain); re-runs skip both and probe the retrained index.
-        Future(timedBuild("grid_pq_drift")(Quantization.persistIvfPqIndex(store,
-          "grid_pq_drift", gridCorpus(s, dir),
-          "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2))),
+        // slab's append registers as unbounded drift. The ONE-TIME
+        // mutate — batch-marked append + the triggered retrain — runs
+        // HERE in the build pass (every other persisted artifact's
+        // build-time convention), so the gated q_similarity_pq_drift
+        // row measures the steady-state drift-check + probe while the
+        // retrain cost stays visible under this index_build label. The
+        // declared query repeats the same calls idempotently: the
+        // recorded batch skips, the reset baseline reads 1.0, no
+        // retrain, identical probe.
+        Future(timedBuild("grid_pq_drift") {
+          Quantization.persistIvfPqIndex(store,
+            "grid_pq_drift", gridCorpus(s, dir),
+            "vec", "vec_id", nCells = 4, m = 8, codebookSize = 4, iters = 2)
+          Quantization.appendToIvfPqIndex(store, "grid_pq_drift",
+            shiftedGridCorpus(s, dir), "vec", "vec_id",
+            batchId = Some("drift-shift"))
+          Quantization.maybeRetrainIvfPq(store, "grid_pq_drift",
+            gridCorpus(s, dir).unionByName(shiftedGridCorpus(s, dir)),
+            "vec", "vec_id", nCells = 4, m = 8, codebookSize = 8, iters = 1)
+          ()
+        }),
         // the EMBEDDING-CACHE pair for the novel-chunk loop: a chunk
         // census over the base slice plus the content-addressed IVF index
         // holding one stub vector PER DISTINCT FINGERPRINT — built from
@@ -4320,6 +4335,32 @@ object SparkEntry {
         .select(col("asset_id"), col("media_type"), col("n_bytes"),
           col("pos").alias("j"), col("col").cast("double").alias("feature"))
         .orderBy(col("asset_id"), col("j")))
+        ,
+
+    "q_media_dedup" -> ((s, dir) => {
+      // perceptual-hash media near-dup under an EXACT cross-engine
+      // oracle: 300 deterministic sha-hex payloads plus 30 planted
+      // near-copies (first two bytes overwritten), block-mean aHash in
+      // pure integer arithmetic (60 bits — every set bit below the
+      // sign position, so DuckDB's overflow-checked shift replays the
+      // signature bit-for-bit from the same byte values), then the
+      // banded Hamming join (4×15-bit bands — pigeonhole-complete for
+      // hamming ≤ 3, never all-pairs). The oracle recomputes every
+      // signature from the payload formula and replays the pair
+      // predicate over all pairs, so BOTH the planted near-copies and
+      // any organic hash-close pair must match exactly.
+      val base = s.range(300).select(col("id").alias("asset_id"),
+        repeat(sha2(col("id").cast("string"), 256), 4).alias("hex"))
+      val dups = s.range(300).where(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 100000).alias("asset_id"),
+          concat(lit("zz"), expr("substring(repeat(sha2(cast(id AS string), 256), 4), 3)"))
+            .alias("hex"))
+      val assets = base.unionByName(dups)
+        .select(col("asset_id"), col("hex").cast("binary").alias("payload"))
+      Multimodal.nearDupPairs(assets, "payload", "asset_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").alias("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -8264,6 +8305,38 @@ object SparkEntry {
         |  CAST(j AS INTEGER) AS j,
         |  CAST(len(list_filter(cs, c -> ord(c) % 16 = j)) AS DOUBLE) / n_bytes AS feature
         |FROM ch CROSS JOIN range(16) r(j)
-        |ORDER BY asset_id, j""".stripMargin
+        |ORDER BY asset_id, j""".stripMargin,
+
+    "q_media_dedup" ->
+      // full replay of the block-mean aHash from the identical payload
+      // formula (256 ASCII bytes → 60 blocks of 4, remainder ignored;
+      // bit j set iff blockSum·60 > total, exact integer math) packed
+      // into a BIGINT, then the hamming-≤3 pair predicate over all
+      // pairs — equal by pigeonhole to the engine's 4-band join
+      """WITH p AS (
+        |  SELECT id AS asset_id, repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
+        |  FROM range(300) t(id)
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    'zz' || substring(repeat(sha256(CAST(id AS VARCHAR)), 4), 3)
+        |  FROM range(300) t(id) WHERE id % 10 = 0),
+        |b AS (
+        |  SELECT asset_id,
+        |    list_transform(range(60), j ->
+        |      list_aggregate(list_transform(range(1, 5), i -> ord(s[j*4 + i])), 'sum')) AS bsums
+        |  FROM p),
+        |t AS (
+        |  SELECT asset_id, bsums, list_aggregate(bsums, 'sum') AS total FROM b),
+        |sig AS (
+        |  SELECT asset_id,
+        |    list_aggregate(list_transform(range(60), j ->
+        |      CASE WHEN bsums[j+1] * 60 > total THEN 1::BIGINT << j ELSE 0::BIGINT END),
+        |      'sum') AS sig
+        |  FROM t)
+        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

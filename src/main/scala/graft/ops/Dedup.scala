@@ -169,24 +169,29 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: split the 64-bit sketch into `blocks`
-    * pieces; two docs within Hamming distance `blocks-1` share at least one
-    * block (pigeonhole) → join on (blockIdx, blockValue), verify Hamming.
+  /** Hamming-banded near-dup pairs over a PRECOMPUTED signature column —
+    * the shared candidate machinery under [[simhashCandidates]] (64-bit
+    * text sketches) and [[Multimodal.nearDupPairs]] (perceptual media
+    * hashes): split the `bits`-bit signature into `maxHamming+1` blocks;
+    * two signatures within Hamming distance `maxHamming` share at least
+    * one block (pigeonhole) → equi-join on (blockIdx, blockValue), then
+    * verify the exact Hamming distance. Never all-pairs: shuffle volume
+    * is the block-bucket collision volume (Manku et al. WWW'07).
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
     */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bits: Int = 64,
-      hasher: Column => Column = tokenHashes): DataFrame = {
+  def hammingPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int = 64): DataFrame = {
     val blocks = maxHamming + 1
-    require(bits % blocks == 0,
+    require(bits >= blocks && bits % blocks == 0,
       s"maxHamming+1 = $blocks must divide bits=$bits, or the top bits % " +
         "blocks bits would be covered by no block and the pigeonhole " +
         "guarantee breaks")
     val bitsPerBlock = bits / blocks
-    val withSig = df.select(col(idCol), hasher(col(textCol)).alias("th"))
-      .select(col(idCol), simhashFromHashes(col("th"), bits).alias("sig"))
+    val withSig = sigs.select(col(idCol), col(sigCol).alias("sig"))
     if (maxHamming == 0) {
-      // one 64-bit block: (1L << 64) wraps to 1 in Java, so the generic mask
-      // below would be wrong — and hamming 0 just means equal signatures
+      // one block: at bits=64 the (1L << 64) mask wraps to 1 in Java, so
+      // the generic mask below would be wrong — and hamming 0 just means
+      // equal signatures
       val l = withSig.alias("l")
       val r = withSig.alias("r")
       return l.join(r,
@@ -212,6 +217,17 @@ object Dedup {
         hammingDistance(col("l.sig"), col("r.sig")).alias("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-dup candidates: sketch the token multiset, then the
+    * banded Hamming join ([[hammingPairsFromSigs]]).
+    */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bits: Int = 64,
+      hasher: Column => Column = tokenHashes): DataFrame = {
+    val withSig = df.select(col(idCol), hasher(col(textCol)).alias("th"))
+      .select(col(idCol), simhashFromHashes(col("th"), bits).alias("sig"))
+    hammingPairsFromSigs(withSig, idCol, "sig", maxHamming, bits)
   }
 
   /** SimHash near-dup pairs with exact-Jaccard verification — the Manku et

@@ -131,6 +131,71 @@ object Multimodal {
         posexplode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "offset_ms"))
 
+  /** Block-mean perceptual hash (aHash) of a raw payload: split the
+    * payload's bytes into `blocks` equal runs (floor division; the
+    * trailing remainder is ignored), and bit j is set iff block j's
+    * byte-sum × blocks exceeds the total byte-sum — i.e. block mean >
+    * global mean, in EXACT integer arithmetic, so any engine replays the
+    * hash bit-for-bit from the byte values. This is the classic image
+    * aHash with bytes standing in for pixels — with a real decoder the
+    * same reduction runs over the decoded pixel/sample grid; over the
+    * stub's opaque payloads it is the content hash the near-dup join
+    * needs (a near-copy perturbs few blocks, flipping few bits).
+    *
+    * `blocks` ≤ 60 keeps every set bit below the sign bit, so the
+    * signature stays a non-negative BIGINT in engines whose left-shift
+    * refuses the 64-bit sign position. Null payload → null; payloads
+    * shorter than `blocks` bytes hash to 0. JIT'd UDF loop
+    * ([[graft.ops.Quantization.pqEncode]]'s rationale: a per-block HOF
+    * formulation evaluates interpreted, re-walking the payload per
+    * block).
+    */
+  def perceptualHash(blocks: Int = 60): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(blocks > 0 && blocks <= 60, s"blocks=$blocks must be in [1, 60]")
+    val f = udf { payload: Array[Byte] =>
+      if (payload == null) null
+      else {
+        val bs = payload.length / blocks
+        if (bs == 0) java.lang.Long.valueOf(0L)
+        else {
+          val sums = new Array[Long](blocks)
+          var total = 0L
+          var j = 0
+          while (j < blocks) {
+            var i = 0; var s = 0L
+            while (i < bs) { s += payload(j * bs + i) & 0xff; i += 1 }
+            sums(j) = s; total += s; j += 1
+          }
+          var h = 0L
+          j = 0
+          while (j < blocks) {
+            if (sums(j) * blocks > total) h |= (1L << j)
+            j += 1
+          }
+          java.lang.Long.valueOf(h)
+        }
+      }
+    }
+    c => f(c)
+  }
+
+  /** Media near-duplicate pairs: perceptual-hash every asset's payload
+    * ([[perceptualHash]]) and find pairs within `maxHamming` signature
+    * bits via the banded Hamming join ([[Dedup.hammingPairsFromSigs]] —
+    * never all-pairs; shuffle volume is the band-bucket collision
+    * volume). The standard image-dedup stage of a multimodal corpus:
+    * re-encoded / lightly-edited copies perturb few blocks of the hash,
+    * exact copies collide outright. Null-payload assets are skipped.
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def nearDupPairs(assets: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int = 3, blocks: Int = 60): DataFrame = {
+    val sigs = assets
+      .select(col(idCol), perceptualHash(blocks)(col(payloadCol)).alias("sig"))
+      .where(col("sig").isNotNull)
+    Dedup.hammingPairsFromSigs(sigs, idCol, "sig", maxHamming, bits = blocks)
+  }
+
   /** Deterministic synthetic asset frame for tests/benchmarks. */
   def syntheticAssets(spark: SparkSession, n: Int, payloadBytes: Int = 256): DataFrame = {
     val rows = spark.range(n.toLong).select(

@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpecBase {
     assert(shShuffles <= 2, s"shingle arrays crossing >2 exchanges:\n$plan")
   }
 
+  test("q_media_dedup bands the hamming join: signature-block equi-join, never all-pairs") {
+    val plan = planOf("q_media_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"perceptual-hash near-dup degenerated to an all-pairs join:\n$plan")
+    // the candidate join is keyed on (block_idx, block_val)
+    assert(plan.contains("block_val"), plan)
+  }
+
   test("q_mkt_topk pushes filters, broadcasts customer, heaps the top-10") {
     val plan = formattedPlan("q_mkt_topk")
     assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))

@@ -832,6 +832,41 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: perceptual hash is exact integer aHash; near-dup pairs via banded join, never all-pairs") {
+    import spark.implicits._
+    // hand-checkable fixture: 120 bytes over 60 blocks of 2. Payload A:
+    // block j holds bytes (j, j) -> blockSum 2j, total 2·(0+..+59)=3540,
+    // mean 59; bit j set iff 2j·60 > 3540 ⇔ j > 29.5 ⇔ j ∈ [30, 59]
+    val a = Array.tabulate(120)(i => (i / 2).toByte)
+    val wantA = (30 until 60).foldLeft(0L)((h, j) => h | (1L << j))
+    val gotA = Seq(Tuple1(a)).toDF("p")
+      .select(Multimodal.perceptualHash(60)(col("p"))).head().getLong(0)
+    assert(gotA == wantA, s"got $gotA want $wantA")
+    // near-copy: a TOTAL-PRESERVING perturbation that flips exactly one
+    // bit — move 45 from block 31 (sum 62 -> 17, crosses below the mean:
+    // bit 31 flips) to block 59 (sum 118 -> 163, stays above: no flip);
+    // every other block and the global mean are untouched
+    val b = a.clone()
+    b(62) = 8; b(63) = 9 // block 31: (31,31) -> (8,9)
+    b(118) = 81; b(119) = 82 // block 59: (59,59) -> (81,82)
+    // unrelated payload: reversed blocks (bit pattern complements-ish)
+    val c = a.reverse
+    val assets = Seq((1L, a), (2L, b), (3L, c)).toDF("asset_id", "payload")
+    val pairs = Multimodal.nearDupPairs(assets, "payload", "asset_id",
+        maxHamming = 3, blocks = 60)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1)), pairs.toString)
+    // null payloads are skipped, not crashed on
+    val withNull = assets.unionByName(
+      Seq((4L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload"))
+    assert(Multimodal.nearDupPairs(withNull, "payload", "asset_id").count() == 1L)
+    // short payloads (< blocks bytes) hash to 0 deterministically
+    val short = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("p")
+      .select(Multimodal.perceptualHash(60)(col("p"))).head().getLong(0)
+    assert(short == 0L)
+  }
+
   test("multimodal: repartitionBySize balances skewed payloads by bytes") {
     import spark.implicits._
     // ingest-ordered skew: 2000 x 1 KB small assets, then 8 x 100 KB big
