@@ -342,6 +342,15 @@ object SparkEntry {
               ops.ChunkIndex.embeddingFromFp(col("fp"), 8).alias("emb")),
             "emb", "fp", nCells = 4, iterations = 2)
         }),
+        // the perceptual-hash signature index over the media base slice —
+        // the image-dedup twin of docs_mh_base: crawl batches probe the
+        // band-bucketed signatures (q_media_index_ingest) instead of
+        // re-hashing the asset corpus inline. IMMUTABLE here: the
+        // consuming query probes with appendSurvivors=false, so repeated
+        // runs stay idempotent.
+        Future(timedBuild("media_sig_base")(ops.MediaSigIndex.persist(store,
+          "media_sig_base", mediaBaseAssets(s),
+          "payload", "asset_id", blocks = 60, bands = 4, buckets = 16))),
         // bucketed FACT tables — the pay-at-ingest layout for repeated
         // big-big joins: both sides hash-bucketed + sorted on the join
         // key at write, so every later orderkey join runs with ZERO
@@ -4349,19 +4358,73 @@ object SparkEntry {
       // signature from the payload formula and replays the pair
       // predicate over all pairs, so BOTH the planted near-copies and
       // any organic hash-close pair must match exactly.
-      val base = s.range(300).select(col("id").alias("asset_id"),
-        repeat(sha2(col("id").cast("string"), 256), 4).alias("hex"))
-      val dups = s.range(300).where(pmod(col("id"), lit(10)) === 0)
-        .select((col("id") + 100000).alias("asset_id"),
-          concat(lit("zz"), expr("substring(repeat(sha2(cast(id AS string), 256), 4), 3)"))
-            .alias("hex"))
-      val assets = base.unionByName(dups)
-        .select(col("asset_id"), col("hex").cast("binary").alias("payload"))
-      Multimodal.nearDupPairs(assets, "payload", "asset_id", maxHamming = 3)
+      Multimodal.nearDupPairs(
+          mediaBaseAssets(s).unionByName(mediaDupAssets(s)),
+          "payload", "asset_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").alias("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_media_dedup_keep" -> ((s, dir) => {
+      // the DECISION stage over the pair query: first-id-survivor (an
+      // asset drops iff it has a hamming-close neighbor with a smaller
+      // id — the engine-wide dedup convention), which the oracle
+      // replays as one NOT EXISTS over the same recomputed signatures.
+      // Same fixture as q_media_dedup, so the planted near-copies
+      // (id+100000) all drop and their originals all survive.
+      Multimodal.dropNearDuplicates(
+          mediaBaseAssets(s).unionByName(mediaDupAssets(s)),
+          "payload", "asset_id", maxHamming = 3)
+        .select(col("asset_id"))
+        .orderBy(col("asset_id"))
+    }),
+
+    "q_media_index_ingest" -> ((s, dir) => {
+      // |delta|-bound media ingest dedup against the PERSISTED signature
+      // index (media_sig_base, built once in the warm-up over the 300
+      // base payloads): the crawl batch hashes once, its band buckets
+      // prune the index scan, near-copies of indexed assets drop, and
+      // the intra-batch first-id pass drops smaller-id hash-neighbors
+      // among the survivors. Even delta ids are planted near-copies of
+      // base asset 5·d (first two bytes overwritten — drop); odd ids
+      // carry fresh payloads from a disjoint seed (survive). The oracle
+      // replays the exact two-stage rule — no base asset within
+      // hamming 3, then no smaller surviving delta within hamming 3 —
+      // over fully recomputed signatures. appendSurvivors=false keeps
+      // re-runs idempotent (the append path is spec-pinned).
+      val store = persistedIvfStore(s, dir)
+      val delta = s.range(60).select((col("id") + 200000).alias("asset_id"),
+        when(pmod(col("id"), lit(2)) === 0,
+          concat(lit("zz"),
+            expr("substring(repeat(sha2(cast(id * 5 AS string), 256), 4), 3)")))
+          .otherwise(
+            repeat(sha2(concat(lit("nv-"), col("id").cast("string")), 256), 4))
+          .cast("binary").alias("payload"))
+      ops.MediaSigIndex.ingestDedup(store, "media_sig_base", delta,
+          "payload", "asset_id", maxHamming = 3, appendSurvivors = false)
+        .select(col("asset_id"))
+        .orderBy(col("asset_id"))
     })
   )
+
+  /** The media-dedup fixture's base corpus: 300 deterministic 256-byte
+    * sha-hex payloads (the q_media_decode payload convention), as
+    * opaque binary next to the asset id.
+    */
+  private def mediaBaseAssets(s: SparkSession): DataFrame =
+    s.range(300).select(col("id").alias("asset_id"),
+      repeat(sha2(col("id").cast("string"), 256), 4)
+        .cast("binary").alias("payload"))
+
+  /** The planted near-copies: every 10th base payload with its first two
+    * bytes overwritten — a ≤2-block perturbation of the 60-block aHash.
+    */
+  private def mediaDupAssets(s: SparkSession): DataFrame =
+    s.range(300).where(pmod(col("id"), lit(10)) === 0)
+      .select((col("id") + 100000).alias("asset_id"),
+        concat(lit("zz"),
+          expr("substring(repeat(sha2(cast(id AS string), 256), 4), 3)"))
+          .cast("binary").alias("payload"))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -8313,30 +8376,84 @@ object SparkEntry {
       // bit j set iff blockSum·60 > total, exact integer math) packed
       // into a BIGINT, then the hamming-≤3 pair predicate over all
       // pairs — equal by pigeonhole to the engine's 4-band join
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT id AS asset_id, repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
         |  FROM range(300) t(id)
         |  UNION ALL
         |  SELECT id + 100000,
         |    'zz' || substring(repeat(sha256(CAST(id AS VARCHAR)), 4), 3)
         |  FROM range(300) t(id) WHERE id % 10 = 0),
-        |b AS (
-        |  SELECT asset_id,
-        |    list_transform(range(60), j ->
-        |      list_aggregate(list_transform(range(1, 5), i -> ord(s[j*4 + i])), 'sum')) AS bsums
-        |  FROM p),
-        |t AS (
-        |  SELECT asset_id, bsums, list_aggregate(bsums, 'sum') AS total FROM b),
-        |sig AS (
-        |  SELECT asset_id,
-        |    list_aggregate(list_transform(range(60), j ->
-        |      CASE WHEN bsums[j+1] * 60 > total THEN 1::BIGINT << j ELSE 0::BIGINT END),
-        |      'sum') AS sig
-        |  FROM t)
+        |${mediaSigSql("sig", "p")}
         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_media_dedup_keep" ->
+      // same signature replay; survivor = no hamming-close neighbor
+      // with a smaller id (the first-id-survivor convention, one
+      // NOT EXISTS)
+      s"""WITH p AS (
+        |  SELECT id AS asset_id, repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
+        |  FROM range(300) t(id)
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    'zz' || substring(repeat(sha256(CAST(id AS VARCHAR)), 4), 3)
+        |  FROM range(300) t(id) WHERE id % 10 = 0),
+        |${mediaSigSql("sig", "p")}
+        |SELECT a.asset_id FROM sig a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sig o
+        |  WHERE o.asset_id < a.asset_id AND bit_count(xor(a.sig, o.sig)) <= 3)
+        |ORDER BY asset_id""".stripMargin,
+
+    "q_media_index_ingest" ->
+      // the two-stage ingest rule replayed exactly: a delta asset is
+      // fresh iff NO base asset sits within hamming 3 of its recomputed
+      // signature, and survives iff additionally no SMALLER fresh delta
+      // id does (the intra-batch first-id pass)
+      s"""WITH base AS (
+        |  SELECT id AS asset_id, repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
+        |  FROM range(300) t(id)),
+        |d AS (
+        |  SELECT id + 200000 AS asset_id,
+        |    CASE WHEN id % 2 = 0
+        |      THEN 'zz' || substring(repeat(sha256(CAST(id * 5 AS VARCHAR)), 4), 3)
+        |      ELSE repeat(sha256('nv-' || id), 4) END AS s
+        |  FROM range(60) t(id)),
+        |${mediaSigSql("bsig", "base")},
+        |${mediaSigSql("dsig", "d")},
+        |fresh AS (
+        |  SELECT f.asset_id, f.sig FROM dsig f
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM bsig b WHERE bit_count(xor(f.sig, b.sig)) <= 3))
+        |SELECT f.asset_id FROM fresh f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fresh o
+        |  WHERE o.asset_id < f.asset_id AND bit_count(xor(f.sig, o.sig)) <= 3)
+        |ORDER BY asset_id""".stripMargin
   )
+
+  /** DuckDB CTE chain computing the 60-block integer aHash BIGINT
+    * signature `sig` for every `(asset_id, s)` row of payload CTE
+    * `src` — the exact replay of [[graft.ops.Multimodal.perceptualHash]]
+    * over 256-byte payloads (blocks of 4, bit j iff blockSum·60 >
+    * total). Interpolated into each media oracle so the three queries
+    * can never drift apart.
+    */
+  private def mediaSigSql(name: String, src: String): String =
+    s"""${name}_b AS (
+       |  SELECT asset_id,
+       |    list_transform(range(60), j ->
+       |      list_aggregate(list_transform(range(1, 5), i -> ord(s[j*4 + i])), 'sum')) AS bsums
+       |  FROM $src),
+       |${name}_t AS (
+       |  SELECT asset_id, bsums, list_aggregate(bsums, 'sum') AS total FROM ${name}_b),
+       |$name AS (
+       |  SELECT asset_id,
+       |    list_aggregate(list_transform(range(60), j ->
+       |      CASE WHEN bsums[j+1] * 60 > total THEN 1::BIGINT << j ELSE 0::BIGINT END),
+       |      'sum') AS sig
+       |  FROM ${name}_t)""".stripMargin
 }

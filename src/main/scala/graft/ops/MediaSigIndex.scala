@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.TableStore
+
+/** PERSISTED perceptual-hash signature index — the MEDIA twin of
+  * [[DedupIndex]] (north-star extensions, BASELINE.json:6): pay the
+  * decode + perceptual-hash pass over the asset corpus ONCE at build,
+  * then dedup every new ingest batch against the index by probing band
+  * buckets. The corpus payloads are never re-hashed, and a small batch
+  * never reads most of the band table — probes prune its Hive
+  * partitions. This is the image-dedup stage of a multimodal corpus
+  * made incremental: at 100 TB of media, re-running
+  * [[Multimodal.nearDupPairs]] over base ∪ delta per crawl batch
+  * re-pays the whole corpus's decode and band shuffle; with the index,
+  * per-batch cost tracks |delta|.
+  *
+  * Index layout in a [[TableStore]]:
+  *
+  *  - `<table>` — band posting rows `(id, sig, band_idx, band_val)`
+  *    Hive-partitioned by `__bk = hash(band_idx, band_val) mod buckets`.
+  *    Unlike the text index there is NO separate verify side table: the
+  *    64-bit signature rides in every band row (8 bytes), so candidate
+  *    verification is pure bit math on the joined rows — no second join,
+  *    no array shuffle.
+  *  - `<table>__meta` — one row of build parameters (phash blocks =
+  *    signature bits, bands, buckets), read back by probes/appends so a
+  *    caller cannot probe with mismatched hashing; two-phase committed
+  *    exactly like [[DedupIndex.persistFromShingles]] (a crash between
+  *    data and meta writes fails probes loudly instead of silently
+  *    missing duplicates).
+  *
+  * The banding is [[Dedup.hammingPairsFromSigs]]'s pigeonhole layout
+  * frozen into storage: `bands` blocks of `bits/bands` signature bits
+  * each, so any probe radius ≤ `bands - 1` is candidate-complete.
+  */
+object MediaSigIndex {
+
+  /** Read-back of the one-row `__meta` side table. `bits` is the
+    * signature width (= the perceptual hash's block count).
+    */
+  final case class Meta(bits: Int, bands: Int, buckets: Int)
+
+  private def bucketOf(bandIdx: org.apache.spark.sql.Column,
+      bandVal: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(hash(bandIdx, bandVal), lit(buckets)).cast("int")
+
+  /** `(id, sig, band_idx, band_val, __bk)` band rows for a signature
+    * frame under the index's parameters.
+    */
+  private def bandRows(sigs: DataFrame, idCol: String, meta: Meta): DataFrame = {
+    val bitsPerBand = meta.bits / meta.bands
+    sigs.select(col(idCol), col("sig"),
+        explode(array((0 until meta.bands).map { i =>
+          struct(lit(i).alias("band_idx"),
+            shiftright(col("sig"), i * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1).alias("band_val"))
+        }: _*)).alias("b"))
+      .select(col(idCol), col("sig"), col("b.band_idx"), col("b.band_val"))
+      .withColumn("__bk", bucketOf(col("band_idx"), col("band_val"), meta.buckets))
+  }
+
+  private def sigsOf(assets: DataFrame, payloadCol: String, idCol: String,
+      meta: Meta): DataFrame =
+    assets.select(col(idCol),
+        Multimodal.perceptualHash(meta.bits)(col(payloadCol)).alias("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Build and persist the index over an asset corpus: one perceptual-
+    * hash pass, one band-clustering shuffle (the pre-write
+    * `repartition(__bk)` collapses each bucket to few files), two-phase
+    * meta commit.
+    */
+  def persist(store: TableStore, table: String, assets: DataFrame,
+      payloadCol: String, idCol: String, blocks: Int = 60,
+      bands: Int = 4, buckets: Int = 16): Unit = {
+    require(bands > 0 && blocks % bands == 0,
+      s"bands=$bands must divide the signature width $blocks")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val meta = Meta(blocks, bands, buckets)
+    val sp = assets.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((blocks, bands, buckets, committed))
+        .toDF("bits", "bands", "buckets", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    store.replacePartitioned(table,
+      bandRows(sigsOf(assets, payloadCol, idCol, meta), idCol, meta)
+        .repartition(col("__bk")),
+      Seq("__bk"))
+    store.replace(table + "__meta", metaRow(committed = true))
+  }
+
+  /** Load the build parameters; fails loudly on an uncommitted meta
+    * (crashed rebuild — re-run [[persist]]).
+    */
+  def readMeta(store: TableStore, table: String): Meta = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for media signature index '$table'")
+    val metaDf = store.read(table + "__meta")
+    require(metaDf.select(col("committed")).head().getBoolean(0),
+      s"media signature index '$table' has an UNCOMMITTED meta: a rebuild " +
+        "crashed between the parameter and data writes. Re-run persist " +
+        "before probing.")
+    val r = metaDf.select(col("bits"), col("bands"), col("buckets")).head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Append a batch's signatures WITHOUT touching existing rows: band
+    * rows land in their `__bk` directories only, under the single-writer
+    * nonce guard ([[TableStore.claimWriter]] — an interleaved second
+    * writer aborts loudly). Retry semantics: a crash-rerun physically
+    * duplicates band rows; probes stay exact ([[deltaPairs]] dedups
+    * candidate pairs), the bytes persist until a rebuild/compaction.
+    */
+  def append(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String): Unit = {
+    val meta = readMeta(store, table)
+    appendSigs(store, table, idCol, meta,
+      sigsOf(delta, payloadCol, idCol, meta))
+  }
+
+  private def appendSigs(store: TableStore, table: String, idCol: String,
+      meta: Meta, sigs: DataFrame): Unit = {
+    val nonce = store.claimWriter(table)
+    store.writePartitioned(table,
+      bandRows(sigs, idCol, meta).repartition(col("__bk")),
+      Seq("__bk"), append = true)
+    TableStore.interleaveForTest(table)
+    store.requireSoleWriter(table, nonce)
+  }
+
+  /** Near-duplicate pairs between a new batch and the INDEXED corpus:
+    * `(new_id, old_id, hamming)` within `maxHamming` signature bits.
+    * |delta|-bound, the [[DedupIndex.deltaPairs]] discipline:
+    *
+    *  1. the batch hashes once; its band rows' distinct `__bk` set
+    *     (≤ `buckets` values, driver-bounded) becomes a partition
+    *     IN-filter — the index scan reads only those directories;
+    *  2. pruned index bands equi-join the (broadcast) delta bands on
+    *     `(band_idx, band_val)` → candidate id pairs;
+    *  3. the hamming verify is bit math on the joined rows' signatures
+    *     — no second join (the signature rides in the band row).
+    *
+    * Self-matches (a batch already appended, then re-probed) are
+    * excluded by id inequality; physically duplicated index rows (a
+    * retried append) collapse in the pair-level dedup. Probe radius
+    * must stay under the layout's pigeonhole guarantee:
+    * `maxHamming ≤ bands - 1`.
+    */
+  def deltaPairs(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val meta = readMeta(store, table)
+    deltaPairsFromSigs(store, table,
+      sigsOf(delta, payloadCol, idCol, meta), idCol, maxHamming, meta)
+  }
+
+  private def deltaPairsFromSigs(store: TableStore, table: String,
+      deltaSigs: DataFrame, idCol: String, maxHamming: Int,
+      meta: Meta): DataFrame = {
+    require(maxHamming < meta.bands,
+      s"probe radius $maxHamming exceeds the index's pigeonhole " +
+        s"guarantee (bands=${meta.bands} covers radius ${meta.bands - 1})")
+    val deltaBands = bandRows(deltaSigs, idCol, meta)
+      .withColumnsRenamed(Map(idCol -> "new_id", "sig" -> "new_sig"))
+    // bounded driver state: at most `buckets` distinct bucket ids plus a
+    // row count, one action over the delta's band rows
+    val bkRow = deltaBands
+      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+    val bks = bkRow.getSeq[Int](0)
+    if (bks.isEmpty)
+      return deltaSigs.select(col(idCol).alias("new_id"),
+        col(idCol).alias("old_id"), lit(0).cast("int").alias("hamming")).limit(0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (bkRow.getLong(1) <= 4L * 1000 * 1000) df.hint("broadcast") else df
+    val idxBands = store.read(table)
+      .where(col("__bk").isInCollection(bks))
+      .withColumnsRenamed(Map(idCol -> "old_id", "sig" -> "old_sig"))
+    idxBands
+      .join(maybeBroadcast(deltaBands), Seq("band_idx", "band_val"))
+      .where(col("old_id") =!= col("new_id"))
+      .withColumn("hamming",
+        Dedup.hammingDistance(col("old_sig"), col("new_sig")).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("old_id"), col("hamming"))
+      .dropDuplicates("new_id", "old_id")
+  }
+
+  /** The full incremental-ingest step, mirroring
+    * [[DedupIndex.ingestDedup]]: drop batch assets near-duplicating the
+    * INDEXED corpus, then near-dups WITHIN the remaining batch
+    * (first-id survivor, [[Multimodal.dropNearDuplicates]]'s rule), and
+    * — when `appendSurvivors` — register the survivors' signatures so
+    * the next batch dedups against them too. Returns the surviving rows
+    * of `delta` (all original columns). Per-batch cost tracks |delta|;
+    * the index is only partition-pruned-probed.
+    */
+  def ingestDedup(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int = 3,
+      appendSurvivors: Boolean = true): DataFrame = {
+    val meta = readMeta(store, table)
+    val deltaSigs = sigsOf(delta, payloadCol, idCol, meta)
+      .localCheckpoint(true) // three consumers: cross probe, intra pass,
+                             // survivor append — one hash pass
+    val dupVsIndex = deltaPairsFromSigs(store, table, deltaSigs, idCol,
+        maxHamming, meta)
+      .select(col("new_id").alias(idCol)).distinct()
+    val freshSigs = deltaSigs.join(dupVsIndex, Seq(idCol), "left_anti")
+    // intra-batch pass under the SAME banding parameters as the index
+    val intraLosers = Dedup.hammingPairsFromSigs(freshSigs, idCol, "sig",
+        maxHamming, bits = meta.bits)
+      .select(col("id_b").alias(idCol)).distinct()
+    val survivorIds = freshSigs.select(col(idCol))
+      .join(intraLosers, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // two consumers: result semi-join + append
+    if (appendSurvivors)
+      appendSigs(store, table, idCol, meta,
+        deltaSigs.join(survivorIds, Seq(idCol), "left_semi"))
+    delta.join(survivorIds, Seq(idCol), "left_semi")
+  }
+}

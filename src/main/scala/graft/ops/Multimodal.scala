@@ -196,6 +196,24 @@ object Multimodal {
     Dedup.hammingPairsFromSigs(sigs, idCol, "sig", maxHamming, bits = blocks)
   }
 
+  /** Media near-dup SURVIVORS — the decision stage over
+    * [[nearDupPairs]], under the engine's first-id-survivor convention
+    * ([[Dedup.dropNearDuplicates]]): an asset is dropped iff it has a
+    * hamming-≤`maxHamming` neighbor with a SMALLER id (pairs emit
+    * id_a < id_b, so the drop set is exactly the distinct id_b side).
+    * Non-transitive by design, like the text twin: in a chain a<b<c
+    * with pairs (a,b),(b,c), both b and c drop even though c never
+    * paired with the kept a — the rule is "no smaller neighbor", which
+    * any SQL engine replays with one NOT EXISTS. Returns surviving
+    * rows of `assets` with all original columns.
+    */
+  def dropNearDuplicates(assets: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int = 3, blocks: Int = 60): DataFrame = {
+    val losers = nearDupPairs(assets, payloadCol, idCol, maxHamming, blocks)
+      .select(col("id_b").alias(idCol)).distinct()
+    assets.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic synthetic asset frame for tests/benchmarks. */
   def syntheticAssets(spark: SparkSession, n: Int, payloadBytes: Int = 256): DataFrame = {
     val rows = spark.range(n.toLong).select(

@@ -747,6 +747,42 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CONTINUOUS media ingest dedup — [[ingestDedupStream]] for the
+    * multimodal tier: each micro-batch of assets perceptual-hashes once,
+    * probes the persisted signature index ([[graft.ops.MediaSigIndex]]),
+    * drops near-duplicates of the indexed corpus and of smaller-id batch
+    * members, appends the survivors' signatures so later batches dedup
+    * against them too, and lands the surviving asset rows in `outTable`.
+    * Per-batch cost tracks the batch — the index is only ever
+    * partition-pruned-probed — and the index is the only state.
+    *
+    * Delivery semantics: same retry contract as [[ingestDedupStream]] —
+    * a crash-replayed batch re-probes an index that already holds its
+    * survivors (self-pairs excluded by id, so the replay re-appends and
+    * re-emits them: duplicate rows, exact probes); dedup `outTable` by
+    * id downstream if exactly-once output matters.
+    */
+  def ingestMediaDedupStream(
+      assets: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      outTable: String,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    assets.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val survivors = graft.ops.MediaSigIndex.ingestDedup(
+          store, indexTable, batch, payloadCol, idCol, maxHamming)
+        store.write(outTable, survivors, append = true)
+        maybeCompact(store, indexTable, epoch, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The automatic small-file policy of the streaming index sinks: every
     * `compactEvery` epochs the index's accreted per-partition part-files
     * merge back toward target size ([[graft.engine.TableStore.compact]]

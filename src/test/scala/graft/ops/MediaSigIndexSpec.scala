@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Persisted perceptual-hash signature index: incremental media near-dup
+  * against an indexed asset corpus without re-hashing it (ops.MediaSigIndex).
+  */
+class MediaSigIndexSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // deterministic pseudo-random 240-byte payloads (xorshift-mixed per
+  // (asset, position) — a LINEAR formula would make every asset a
+  // phase-shifted copy of one cycle, with near-equal block sums and
+  // hash-close signatures corpus-wide): distinct assets get hash-distant
+  // signatures, while a few-byte perturbation stays hamming-close
+  private def payload(i: Long): Array[Byte] =
+    Array.tabulate(240) { k =>
+      var x = i * 1000003L + k * 2654435761L + 12345L
+      x ^= x >>> 13; x *= 0x5DEB61DED8129425L; x ^= x >>> 7
+      (x & 0xff).toByte
+    }
+
+  private def assets(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i, payload(i))).toDF("asset_id", "payload")
+
+  private def nearCopy(of: Long, id: Long): (Long, Array[Byte]) = {
+    val p = payload(of)
+    // swap two bytes BETWEEN blocks 0 and 1 (indices 0/1 vs 4/5): the
+    // global byte total is exactly preserved, so only those two blocks'
+    // bits can flip — hamming ≤ 2 by construction, with no borderline
+    // block anywhere else nudged by a shifted mean
+    val t0 = p(0); p(0) = p(4); p(4) = t0
+    val t1 = p(1); p(1) = p(5); p(5) = t1
+    (id, p)
+  }
+
+  private def freshIndex(name: String): (graft.engine.TableStore, String) = {
+    val store = new graft.engine.TableStore(spark, tmpDir(s"wh-$name"))
+    MediaSigIndex.persist(store, "msig", assets(0L until 40L),
+      "payload", "asset_id", blocks = 60, bands = 4, buckets = 16)
+    (store, "msig")
+  }
+
+  test("deltaPairs equals the in-memory banded join restricted to cross pairs") {
+    val (store, table) = freshIndex("eq")
+    val delta = Seq(
+      nearCopy(7L, 100L), // near-dup of indexed asset 7
+      (101L, payload(3)), // exact dup of indexed asset 3
+      (102L, payload(900))) // unrelated
+      .toDF("asset_id", "payload")
+    val got = MediaSigIndex.deltaPairs(store, table, delta,
+        "payload", "asset_id", maxHamming = 3)
+      .select("new_id", "old_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Multimodal.nearDupPairs(
+        assets(0L until 40L).unionByName(delta), "payload", "asset_id",
+        maxHamming = 3)
+      .where(col("id_a") < 100 && col("id_b") >= 100)
+      .select(col("id_b"), col("id_a"), col("hamming").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty && got == want, s"got $got want $want")
+    assert(got.map(_._1).contains(100L) && got.map(_._1).contains(101L))
+    assert(!got.map(_._1).contains(102L))
+  }
+
+  test("probe scan is pruned to the delta's band buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (store, table) = freshIndex("prune")
+    val delta = Seq(nearCopy(7L, 100L)).toDF("asset_id", "payload")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = MediaSigIndex.deltaPairs(store, table, delta,
+        "payload", "asset_id", maxHamming = 3)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("msig")) => f
+      }
+      assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+      scans.foreach { scan =>
+        assert(scan.metadata("PartitionFilters").contains("__bk"),
+          scan.metadata("PartitionFilters"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("append makes a batch probe-visible; a retried append never corrupts pairs") {
+    val (store, table) = freshIndex("app")
+    val batch = assets(Seq(200L))
+    MediaSigIndex.append(store, table, batch, "payload", "asset_id")
+    val probe = Seq(nearCopy(200L, 300L)).toDF("asset_id", "payload")
+    def pairs() = MediaSigIndex.deltaPairs(store, table, probe,
+        "payload", "asset_id", maxHamming = 3)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(pairs() == Set((300L, 200L)))
+    // blind retry: physical duplicate band rows, identical pair set
+    MediaSigIndex.append(store, table, batch, "payload", "asset_id")
+    assert(pairs() == Set((300L, 200L)))
+  }
+
+  test("ingestDedup drops cross + intra dups, appends survivors, converges") {
+    val (store, table) = freshIndex("ing")
+    val delta = Seq(
+      nearCopy(5L, 100L), // vs index: drops
+      (101L, payload(700)), // novel: survives
+      nearCopy(700L, 102L)) // intra near-dup of 101: drops (first-id rule)
+      .toDF("asset_id", "payload")
+    val s1 = MediaSigIndex.ingestDedup(store, table, delta,
+        "payload", "asset_id", maxHamming = 3)
+      .select("asset_id").as[Long].collect().toSet
+    assert(s1 == Set(101L), s1.toString)
+    // survivors registered: a re-crawl of 101's payload now drops
+    val s2 = MediaSigIndex.ingestDedup(store, table,
+        Seq((500L, payload(700))).toDF("asset_id", "payload"),
+        "payload", "asset_id", maxHamming = 3)
+      .select("asset_id").as[Long].collect().toSet
+    assert(s2.isEmpty, s2.toString)
+  }
+
+  test("uncommitted meta fails probes loudly; interleaved second writer aborts") {
+    val (store, table) = freshIndex("guard")
+    // crash simulation: a rebuild that died before committing
+    store.replace(table + "__meta",
+      Seq((60, 4, 16, false)).toDF("bits", "bands", "buckets", "committed"))
+    val e1 = intercept[IllegalArgumentException] {
+      MediaSigIndex.deltaPairs(store, table,
+        assets(Seq(100L)), "payload", "asset_id")
+    }
+    assert(e1.getMessage.contains("UNCOMMITTED"))
+    store.replace(table + "__meta",
+      Seq((60, 4, 16, true)).toDF("bits", "bands", "buckets", "committed"))
+    // two-writer interleave: B's full append inside A's claim→verify
+    graft.engine.TableStore.interleaveForTest = { _ =>
+      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
+      MediaSigIndex.append(store, table, assets(Seq(301L)),
+        "payload", "asset_id")
+    }
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        MediaSigIndex.append(store, table, assets(Seq(300L)),
+          "payload", "asset_id")
+      }
+      assert(e2.getMessage.contains("concurrent append"))
+    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    // survivor B is probe-visible
+    val got = MediaSigIndex.deltaPairs(store, table,
+        Seq(nearCopy(301L, 400L)).toDF("asset_id", "payload"),
+        "payload", "asset_id", maxHamming = 3)
+      .select("old_id").as[Long].collect().toSet
+    assert(got.contains(301L))
+  }
+
+  test("probe radius past the pigeonhole guarantee is refused") {
+    val (store, table) = freshIndex("radius")
+    val e = intercept[IllegalArgumentException] {
+      MediaSigIndex.deltaPairs(store, table, assets(Seq(100L)),
+        "payload", "asset_id", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+}

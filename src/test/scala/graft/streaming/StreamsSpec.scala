@@ -553,6 +553,51 @@ class StreamsSpec extends SparkSpecBase {
     assert(store.read("pqs").count() == 200)
   }
 
+  test("continuous media dedup: batches probe the signature index, survivors chain forward") {
+    import graft.engine.TableStore
+    import graft.ops.MediaSigIndex
+    def payload(i: Long): Array[Byte] =
+      Array.tabulate(240) { k =>
+        var x = i * 1000003L + k * 2654435761L + 12345L
+        x ^= x >>> 13; x *= 0x5DEB61DED8129425L; x ^= x >>> 7
+        (x & 0xff).toByte
+      }
+    def nearCopy(of: Long): Array[Byte] = {
+      val p = payload(of)
+      val t0 = p(0); p(0) = p(4); p(4) = t0
+      p
+    }
+    val store = new TableStore(spark, tmpDir("msd-wh"))
+    MediaSigIndex.persist(store,
+      "msd_idx", (0L until 40L).map(i => (i, payload(i))).toDF("asset_id", "payload"),
+      "payload", "asset_id", blocks = 60, bands = 4, buckets = 16)
+    val src = java.nio.file.Files.createTempDirectory("msd-src").toString
+    val ckpt = tmpDir("msd-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id LONG, payload BINARY")
+    def run(batch: Seq[(Long, Array[Byte])], tag: String): Unit = {
+      batch.toDF("asset_id", "payload").coalesce(1)
+        .write.mode("append").parquet(src)
+      Streams.ingestMediaDedupStream(
+        spark.readStream.schema(schema).parquet(src),
+        store, "msd_idx", "msd_out", "payload", "asset_id",
+        maxHamming = 3, checkpoint = ckpt)
+        .awaitTermination()
+    }
+    // batch 1: a near-copy of indexed asset 5 (drops) + a novel asset
+    run(Seq(100L -> nearCopy(5L), 101L -> payload(700L)), "b1")
+    // batch 2: a re-crawl of batch 1's SURVIVOR (caught only via the
+    // signatures batch 1 appended) + another novel asset
+    run(Seq(200L -> payload(700L), 201L -> payload(800L)), "b2")
+    val out = store.read("msd_out").select("asset_id")
+      .as[Long].collect().toSet
+    assert(out == Set(101L, 201L), out.toString)
+    // the survivors' signatures are in the index: a third batch
+    // re-crawling either drops without any output row
+    run(Seq(300L -> payload(800L)), "b3")
+    assert(store.read("msd_out").count() == 2)
+  }
+
   test("continuous IVF-PQ ingest: a same-epoch retrain keeps the in-flight batch (base lags the stream)") {
     import graft.engine.TableStore
     import graft.ops.Quantization
