@@ -399,28 +399,66 @@ object Similarity {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
+  /** Decay factor of the recent-window drift counters — see
+    * [[graft.ops.Quantization]]'s `recentDecay` for the dilution
+    * rationale (effective window mass ~2 batches).
+    */
+  private val recentDecay = 0.5
+
   private def writeIvfStats(store: graft.engine.TableStore, table: String,
-      vecCol: String, cents: Seq[Seq[Double]]): Unit = {
+      vecCol: String, cents: Seq[Seq[Double]]): Unit =
+    writeIvfStatsRow(store, table,
+      meanAssignDist(store.read(table), vecCol, cents), 0L, 0.0, 0.0, 0.0)
+
+  private def writeIvfStatsRow(store: graft.engine.TableStore, table: String,
+      buildMean: Double, appendedN: Long, appendedDistSum: Double,
+      recentN: Double, recentDistSum: Double): Unit = {
     val sp = store.read(table).sparkSession
     import sp.implicits._
     store.write(table + "__stats",
-      Seq(meanAssignDist(store.read(table), vecCol, cents))
-        .toDF("mean_assign_dist"),
+      Seq((buildMean, appendedN, appendedDistSum, recentN, recentDistSum))
+        .toDF("mean_assign_dist", "appended_n", "appended_dist_sum",
+          "recent_n", "recent_dist_sum"),
       append = false)
   }
 
-  /** Current mean assign-distance over the build-time baseline: ~1.0 for
-    * a healthy index, rising as appended vectors land far from their
-    * (stale) assigned centroids. The retrain trigger for a cadence job:
-    * compare against a threshold (1.5 is a reasonable default) instead
-    * of retraining blindly every N appends.
+  /** Mean APPENDED-vector assign-distance over the build-time baseline:
+    * ~1.0 for a healthy index, rising as appended vectors land far from
+    * their (stale) assigned centroids. The retrain trigger for a
+    * cadence job: compare against a threshold (1.5 is a reasonable
+    * default) instead of retraining blindly every N appends.
+    *
+    * O(1): reads the counters [[appendToIvfIndex]] folds at append
+    * time — never a scan of the index (the pre-fused form re-measured
+    * the whole index per check, an O(index) pass per streaming
+    * micro-batch whose base rows also diluted the appended signal —
+    * base rows sit exactly at the build mean, so at 100 TB the ratio
+    * barely moved no matter how drifted the appends). Like
+    * [[Quantization.ivfPqDriftRatio]], the ratio is the MAX of the
+    * lifetime and exponentially decayed recent means, so a late shift
+    * trips within a batch or two. A pre-fused stats row (no appended
+    * columns) falls back to the legacy whole-index measurement once;
+    * the next append or rebuild upgrades it. 1.0 when nothing has been
+    * appended.
     */
   def ivfDriftRatio(store: graft.engine.TableStore, table: String,
       vecCol: String): Double = {
-    val base = store.read(table + "__stats").head().getDouble(0)
-    val cur = ivfMeanAssignDist(store, table, vecCol)
-    if (base <= 0.0) { if (cur > 0.0) Double.PositiveInfinity else 1.0 }
-    else cur / base
+    val df = store.read(table + "__stats")
+    val r = df.head()
+    val base = r.getDouble(0)
+    if (!df.columns.contains("appended_n")) {
+      val cur = ivfMeanAssignDist(store, table, vecCol)
+      return if (base <= 0.0) { if (cur > 0.0) Double.PositiveInfinity else 1.0 }
+      else cur / base
+    }
+    val (n, s) = (r.getLong(1), r.getDouble(2))
+    val (rn, rs) = (r.getDouble(3), r.getDouble(4))
+    if (n == 0L) 1.0
+    else {
+      val mean = math.max(s / n, if (rn > 0.0) rs / rn else 0.0)
+      if (base <= 0.0) { if (mean > 0.0) Double.PositiveInfinity else 1.0 }
+      else mean / base
+    }
   }
 
   /** Full retrain of a persisted IVF index from its own rows: re-runs the
@@ -472,15 +510,68 @@ object Similarity {
     * full probes stay exact regardless), and appended part-files
     * accumulate per cell (compact via [[graft.engine.TableStore
     * .compact]], which preserves the partition layout).
+    *
+    * The assign pass is FUSED with the drift measurement (the
+    * [[graft.ops.Quantization.appendToIvfPqIndex]] pattern): the same
+    * argmin that picks the cell yields the assign distance, and the
+    * batch's (count, distance sum) folds into `<table>__stats` at
+    * |delta| cost — so [[ivfDriftRatio]] never re-scans the index (the
+    * pre-fused cadence re-measured the WHOLE index per check: an
+    * O(index) scan per micro-batch at 100 TB, and base rows diluting
+    * the signal besides). The stats fold is a read-modify-write behind
+    * the single-writer nonce ([[graft.engine.TableStore.claimWriter]]);
+    * a pre-fused stats row (no appended columns) starts its counters
+    * fresh.
     */
   def appendToIvfIndex(store: graft.engine.TableStore, table: String,
       df: DataFrame, vecCol: String, idCol: String): Unit = {
     val cents = loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF index '$table'")
-    val assigned = df.withColumn("__cell",
-      cellOf(col(vecCol).cast("array<double>"), cents))
-    store.writePartitioned(table, assigned.repartition(col("__cell")),
+    val nonce = store.claimWriter(table)
+    val centArr = cents.map(_.toArray).toArray
+    // one argmin pass yields (cell, assign distance) — same closure-UDF
+    // rationale as cellOf
+    val assign = udf { v: Seq[Double] =>
+      if (v == null) null
+      else {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centArr.length) {
+          val cent = centArr(c)
+          var s = 0.0d; var j = 0
+          val n = math.min(cent.length, v.length)
+          while (j < n) { val d = v(j) - cent(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        (best, math.sqrt(bestD))
+      }
+    }
+    val assigned = df
+      .withColumn("__cd", assign(col(vecCol).cast("array<double>")))
+      .withColumn("__cell", col("__cd").getField("_1"))
+      .withColumn("__ad", col("__cd").getField("_2"))
+      .drop("__cd")
+      .localCheckpoint(true) // two consumers: drift aggregate + data write
+    val st = assigned
+      .agg(count(col("__ad")).alias("n"), sum(col("__ad")).alias("s")).head()
+    store.writePartitioned(table,
+      assigned.drop("__ad").repartition(col("__cell")),
       Seq("__cell"), append = true)
+    graft.engine.TableStore.interleaveForTest(table)
+    if (store.exists(table + "__stats")) {
+      val prevDf = store.read(table + "__stats")
+      val prev = prevDf.head()
+      store.requireSoleWriter(table, nonce)
+      val dn = st.getLong(0)
+      val ds = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      val fused = prevDf.columns.contains("appended_n")
+      writeIvfStatsRow(store, table, prev.getDouble(0),
+        (if (fused) prev.getLong(1) else 0L) + dn,
+        (if (fused) prev.getDouble(2) else 0.0) + ds,
+        (if (fused) prev.getDouble(3) else 0.0) * recentDecay + dn,
+        (if (fused) prev.getDouble(4) else 0.0) * recentDecay + ds)
+    } else store.requireSoleWriter(table, nonce)
   }
 
   /** Probe a persisted IVF index: centroids load driver-side, the nProbe

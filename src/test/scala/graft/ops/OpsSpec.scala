@@ -1401,6 +1401,60 @@ class OpsSpec extends SparkSpecBase {
     assert(got == Set(1L, 3L, 5L, 7L, 9L), got.toString)
   }
 
+  test("IVF drift is O(delta): appends fold fused stats; the recent window catches a late shift; interleave aborts") {
+    import spark.implicits._
+    // jitter-free dim-2 fixture, nCells=1: centroid is the global mean
+    // (1,0), every in-distribution vector ((0,0) or (2,0), equal counts)
+    // assigns at distance exactly 1.0 — build mean 1.0 and the
+    // lifetime-vs-recent arithmetic below is exact
+    def flat(ids: Range, x: Long => Double) =
+      ids.map(i => (i.toLong, Seq(x(i.toLong), 0.0))).toDF("id", "v")
+    val inDist: Long => Double = i => if (i % 2 == 0) 0.0 else 2.0
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-drift-win"))
+    Similarity.persistIvfIndex(store, "dw", flat(0 until 10, inDist),
+      "v", "id", nCells = 1, iterations = 2)
+    assert(store.read("dw__stats").head().getDouble(0) == 1.0,
+      "fixture broke: build mean assign distance must be exactly 1.0")
+    // four in-distribution batches: counters fold at |delta| cost (the
+    // per-append stats row carries the running sums — no index scan)
+    (0 until 4).foreach { b =>
+      Similarity.appendToIvfIndex(store, "dw",
+        flat((1000 + b * 10) until (1010 + b * 10), inDist), "v", "id")
+    }
+    val st = store.read("dw__stats").head()
+    assert(st.getLong(1) == 40L && math.abs(st.getDouble(2) - 40.0) < 1e-9,
+      s"fused fold drifted: $st")
+    assert(math.abs(Similarity.ivfDriftRatio(store, "dw", "v") - 1.0) < 1e-9)
+    // late shift: 2 vectors at (7,0) -> distance 6. Lifetime mean
+    // (40 + 12)/42 = 1.238 stays under 1.5 (dilution); recent mean
+    // 21.375/11.375 = 1.879 trips.
+    Similarity.appendToIvfIndex(store, "dw", flat(2000 until 2002, _ => 7.0),
+      "v", "id")
+    val st2 = store.read("dw__stats").head()
+    val lifetime = st2.getDouble(2) / st2.getLong(1) / st2.getDouble(0)
+    assert(lifetime < 1.5, s"fixture broke: lifetime $lifetime should dilute")
+    val r = Similarity.ivfDriftRatio(store, "dw", "v")
+    assert(r >= 1.5, s"recent window failed to catch the late shift: $r")
+    assert(Similarity.maybeRetrainIvf(store, "dw", "v", "id", nCells = 1))
+    assert(Similarity.ivfDriftRatio(store, "dw", "v") == 1.0)
+    // two-writer interleave: B's full append inside A's claim→verify —
+    // the stats read-modify-write must abort loudly, never drop B's fold
+    graft.engine.TableStore.interleaveForTest = { _ =>
+      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
+      Similarity.appendToIvfIndex(store, "dw",
+        flat(4000 until 4030, inDist), "v", "id")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(store, "dw",
+          flat(3000 until 3020, inDist), "v", "id")
+      }
+      assert(e.getMessage.contains("concurrent append"))
+    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    assert(store.read("dw__stats").head().getLong(1) == 30L,
+      "the surviving writer's stats fold was dropped")
+  }
+
   test("IVF drift: shifted appends raise the ratio; threshold retrain restores probe recall") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-drift"))
     def blob(axis: Int, tiltAxis: Int, tilt: Double, idBase: Long): Seq[(Long, Seq[Double])] =
