@@ -4404,6 +4404,23 @@ object SparkEntry {
           "payload", "asset_id", maxHamming = 3, appendSurvivors = false)
         .select(col("asset_id"))
         .orderBy(col("asset_id"))
+    }),
+
+    "q_media_dedup_clusters" -> ((s, dir) => {
+      // SemDeDup-style cluster closure over the near-dup pair graph:
+      // hamming-close pairs become edges, min-label connected
+      // components assign every asset its cluster representative (the
+      // smallest member id — singletons represent themselves). The
+      // oracle replays the component semantics exactly via a recursive
+      // transitive closure + MIN over reachable ids, so the engine's
+      // iterative label propagation is checked against an
+      // independently-computed fixpoint, not a reimplementation.
+      val assets = mediaBaseAssets(s).unionByName(mediaDupAssets(s))
+      val pairs = Multimodal.nearDupPairs(assets, "payload", "asset_id",
+        maxHamming = 3)
+      ops.Graph.connectedComponents(assets.select(col("asset_id")), pairs)
+        .select(col("id").alias("asset_id"), col("rep"))
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -8432,6 +8449,34 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM fresh o
         |  WHERE o.asset_id < f.asset_id AND bit_count(xor(f.sig, o.sig)) <= 3)
+        |ORDER BY asset_id""".stripMargin,
+
+    "q_media_dedup_clusters" ->
+      // component semantics from first principles: recursive transitive
+      // closure over the (undirected) pair edges, rep = min reachable
+      // id; singletons fall back to their own id via the left join
+      s"""WITH RECURSIVE p AS (
+        |  SELECT id AS asset_id, repeat(sha256(CAST(id AS VARCHAR)), 4) AS s
+        |  FROM range(300) t(id)
+        |  UNION ALL
+        |  SELECT id + 100000,
+        |    'zz' || substring(repeat(sha256(CAST(id AS VARCHAR)), 4), 3)
+        |  FROM range(300) t(id) WHERE id % 10 = 0),
+        |${mediaSigSql("sig", "p")},
+        |pairs AS (
+        |  SELECT a.asset_id AS id_a, b.asset_id AS id_b
+        |  FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |rep AS (
+        |  SELECT u AS asset_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+        |SELECT s.asset_id, COALESCE(r.rep, s.asset_id) AS rep
+        |FROM sig s LEFT JOIN rep r USING (asset_id)
         |ORDER BY asset_id""".stripMargin
   )
 
