@@ -7383,7 +7383,7 @@ object SparkEntry {
         |                         ELSE 2 * CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END
         |                    ELSE CAST(regexp_replace(m, '[^0-9]', '', 'g')[-i] AS INTEGER) END)
         |             , 'sum') % 10 = 0)),
-        |      (acc, m) -> replace(acc, m, '[CARD]')) AS t2
+        |      (acc, m) -> regexp_replace(acc, '\b' || m || '\b', '[CARD]', 'g')) AS t2
         |  FROM p1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -269,6 +269,11 @@ object ChunkIndex {
     require(cents.head.length == dims,
       s"embedding cache '$ivfTable' holds ${cents.head.length}-dim " +
         s"vectors; ingestEmbed called with dims=$dims")
+    // claim the single-writer nonce BEFORE the novel-set probe: the
+    // "never seen" decision reads census and cache, so a competing
+    // ingest landing between the probe and an append-time claim would
+    // go undetected — the claim opens the whole read-modify-write window
+    val nonce = store.claimWriter(censusTable)
     val ch = chunkFps(delta, textCol, idCol, meta)
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
     val batchFps = ch.select(col("fp"), col("__bk")).distinct()
@@ -302,13 +307,12 @@ object ChunkIndex {
       else store.read(ivfTable).where(col("__cell").isInCollection(cells))
         .join(maybeBroadcast(novelVecs.select(col("fp"))), Seq("fp"))
         .select(col("fp")).distinct()
-    // single-writer nonce around the cache+census pair: interleaved
-    // ingests would each compute "novel" against a census missing the
-    // other's fingerprints and double-pay embeddings (the cache's own
-    // dup probe keeps the CACHE unique, but the loud abort tells the
-    // operator the batch raced — recovery is a plain retry, idempotent
-    // by construction)
-    val nonce = store.claimWriter(censusTable)
+    // verify the nonce claimed before the probe, after the cache+census
+    // pair lands: interleaved ingests would each compute "novel" against
+    // a census missing the other's fingerprints and double-pay
+    // embeddings (the cache's own dup probe keeps the CACHE unique, but
+    // the loud abort tells the operator the batch raced — recovery is a
+    // plain retry, idempotent by construction)
     store.writePartitioned(ivfTable,
       novelVecs.join(dupFps, Seq("fp"), "left_anti")
         .select(col("fp"), col("emb"), col("__cell"))
@@ -338,6 +342,10 @@ object ChunkIndex {
       textCol: String, idCol: String, maxCachedFrac: Double = 0.5,
       appendNew: Boolean = true): DataFrame = {
     val meta = readMeta(store, table)
+    // claim BEFORE the probe when this call will mutate: the kept
+    // decision reads the census, so the claim must open the whole
+    // read-modify-write window (probe-only calls never claim)
+    val nonce = if (appendNew) Some(store.claimWriter(table)) else None
     val ch = chunkFps(delta, textCol, idCol, meta)
       .withColumn("__bk", bucketOf(col("fp"), meta.buckets))
       .localCheckpoint(true) // probe + append: one chunk-UDF pass
@@ -357,14 +365,12 @@ object ChunkIndex {
                                // its probe join, and the anti-join below
       val newFps = batchFps
         .join(cachedFps(store, table, batchFps), Seq("fp"), "left_anti")
-      // single-writer nonce: an interleaved ingest probes a census
-      // missing this batch's fps and keeps documents it should have
-      // dropped — abort loudly instead (probe-only calls never claim)
-      val nonce = store.claimWriter(table)
       store.writePartitioned(table, newFps.repartition(col("__bk")),
         Seq("__bk"), append = true)
       TableStore.interleaveForTest(table)
-      store.requireSoleWriter(table, nonce)
+      // an interleaved ingest probes a census missing this batch's fps
+      // and keeps documents it should have dropped — abort loudly
+      nonce.foreach(store.requireSoleWriter(table, _))
     }
     report
   }

@@ -199,7 +199,8 @@ object DedupIndex {
     val meta = readMeta(store, table)
     appendShingles(store, table, idCol, meta,
       delta.select(col(idCol),
-        Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh")))
+        Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh")),
+      store.claimWriter(table))
   }
 
   /** The shared append core, guarded by the single-writer nonce
@@ -211,11 +212,12 @@ object DedupIndex {
     * loud abort on the first writer to verify; its recovery is a plain
     * retry (the re-probe then sees the other writer's rows, and the
     * physical re-append of its own rows is the documented duplicate-
-    * tolerated state).
+    * tolerated state). `nonce` is claimed by the CALLER at the start of
+    * its whole read-modify-write window — for [[ingestDedup]] that is
+    * BEFORE the cross-index probe, which dominates the window.
     */
   private def appendShingles(store: TableStore, table: String, idCol: String,
-      meta: Meta, deltaShingles: DataFrame): Unit = {
-    val nonce = store.claimWriter(table)
+      meta: Meta, deltaShingles: DataFrame, nonce: String): Unit = {
     val nonEmpty = deltaShingles.where(size(col("sh")) > 0)
     store.write(table + "__shingles", nonEmpty, append = true)
     store.writePartitioned(table,
@@ -317,6 +319,12 @@ object DedupIndex {
       textCol: String, idCol: String, minJaccard: Double = 0.8,
       appendSurvivors: Boolean = true): DataFrame = {
     val meta = readMeta(store, table)
+    // claim the single-writer nonce BEFORE the cross-index probe: the
+    // kept/dropped decision reads the index, so a competing append
+    // landing between the probe and a claim taken only at append time
+    // would go undetected — the claim must open the whole
+    // read-modify-write window. Probe-only calls never claim.
+    val nonce = if (appendSurvivors) Some(store.claimWriter(table)) else None
     val deltaSh = delta
       .select(col(idCol), Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh"))
       .localCheckpoint(true) // two consumers (cross probe + intra dedup): one shingle pass
@@ -329,10 +337,10 @@ object DedupIndex {
     // candidate recall as the cross-index probe
     val survivors = Dedup.dropNearDuplicatesFromShingles(
       freshRows, freshSh, idCol, minJaccard, k = meta.k, bands = meta.bands)
-    if (appendSurvivors) {
+    nonce.foreach { n =>
       val survivorIds = survivors.select(col(idCol))
       appendShingles(store, table, idCol, meta,
-        freshSh.join(survivorIds, Seq(idCol), "left_semi"))
+        freshSh.join(survivorIds, Seq(idCol), "left_semi"), n)
     }
     survivors
   }

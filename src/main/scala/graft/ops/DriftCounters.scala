@@ -1,0 +1,41 @@
+package graft.ops
+
+/** The shared drift-counter arithmetic of the append-maintained ANN
+  * tiers ([[Similarity.appendToIvfIndex]]'s assign-distance fold and
+  * [[Quantization.appendToIvfPqIndex]]'s quantization-error fold): each
+  * append folds its batch's (count, error sum) into lifetime counters
+  * plus an exponentially decayed RECENT window, and the drift ratio is
+  * the max of the two means over the build-time baseline. One home for
+  * the decay and the fold, so the two tiers' cadences cannot silently
+  * diverge (they differ only in what the per-vector error measures and
+  * which schema columns carry the counters).
+  */
+private[ops] object DriftCounters {
+
+  /** Per-append decay of the recent window: the (n, sum) pair halves
+    * before the batch folds in, so the window's effective mass
+    * converges to ~2 batches — a late distribution shift moves the
+    * recent mean within a batch or two, where the lifetime mean would
+    * need drifted mass to dominate the whole append history.
+    */
+  val RecentDecay = 0.5
+
+  /** Fold a batch of (dn, ds) into (lifetime n, lifetime sum,
+    * recent n, recent sum).
+    */
+  def fold(prevN: Long, prevSum: Double, prevRecentN: Double,
+      prevRecentSum: Double, dn: Long, ds: Double): (Long, Double, Double, Double) =
+    (prevN + dn, prevSum + ds,
+      prevRecentN * RecentDecay + dn, prevRecentSum * RecentDecay + ds)
+
+  /** max(lifetime, recent) mean over the build baseline: 1.0 with no
+    * appends; +∞ when a zero baseline meets nonzero appended error.
+    */
+  def ratio(build: Double, n: Long, s: Double, rn: Double, rs: Double): Double =
+    if (n == 0L) 1.0
+    else {
+      val mean = math.max(s / n, if (rn > 0.0) rs / rn else 0.0)
+      if (build <= 0.0) { if (mean > 0.0) Double.PositiveInfinity else 1.0 }
+      else mean / build
+    }
+}

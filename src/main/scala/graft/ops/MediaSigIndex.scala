@@ -119,12 +119,17 @@ object MediaSigIndex {
       payloadCol: String, idCol: String): Unit = {
     val meta = readMeta(store, table)
     appendSigs(store, table, idCol, meta,
-      sigsOf(delta, payloadCol, idCol, meta))
+      sigsOf(delta, payloadCol, idCol, meta), store.claimWriter(table))
   }
 
+  /** `nonce` is the claim taken by the CALLER at the start of its whole
+    * read-modify-write window — for [[ingestDedup]] that window opens
+    * BEFORE the cross/intra probes (a competing append landing between
+    * a probe and the claim would otherwise go undetected, and the probe
+    * window dominates the ingest's wall time).
+    */
   private def appendSigs(store: TableStore, table: String, idCol: String,
-      meta: Meta, sigs: DataFrame): Unit = {
-    val nonce = store.claimWriter(table)
+      meta: Meta, sigs: DataFrame, nonce: String): Unit = {
     store.writePartitioned(table,
       bandRows(sigs, idCol, meta).repartition(col("__bk")),
       Seq("__bk"), append = true)
@@ -201,6 +206,13 @@ object MediaSigIndex {
       payloadCol: String, idCol: String, maxHamming: Int = 3,
       appendSurvivors: Boolean = true): DataFrame = {
     val meta = readMeta(store, table)
+    // claim the single-writer nonce BEFORE the probes: the kept/dropped
+    // decision reads the index, so a competing append landing anywhere
+    // between the first probe and the survivor write would silently
+    // violate the dedup invariant — the claim must open the whole
+    // read-modify-write window, not just the final append. Probe-only
+    // calls (appendSurvivors=false) never claim.
+    val nonce = if (appendSurvivors) Some(store.claimWriter(table)) else None
     val deltaSigs = sigsOf(delta, payloadCol, idCol, meta)
       .localCheckpoint(true) // three consumers: cross probe, intra pass,
                              // survivor append — one hash pass
@@ -215,9 +227,9 @@ object MediaSigIndex {
     val survivorIds = freshSigs.select(col(idCol))
       .join(intraLosers, Seq(idCol), "left_anti")
       .localCheckpoint(true) // two consumers: result semi-join + append
-    if (appendSurvivors)
+    nonce.foreach(n =>
       appendSigs(store, table, idCol, meta,
-        deltaSigs.join(survivorIds, Seq(idCol), "left_semi"))
+        deltaSigs.join(survivorIds, Seq(idCol), "left_semi"), n))
     delta.join(survivorIds, Seq(idCol), "left_semi")
   }
 }

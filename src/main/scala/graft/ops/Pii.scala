@@ -92,17 +92,26 @@ object Pii {
   }
 
   /** Redact exactly the Luhn-VALID card-shaped spans: extract candidates,
-    * filter through [[luhnValid]], fold a literal `replace` per surviving
-    * match over the text. A plain `regexp_replace` cannot express the
-    * per-match validity gate; the fold is bounded by the match count and
-    * stays pure-expression (codegen-friendly, oracle-replayable via
-    * list_reduce). A Luhn-failing candidate is untouched — planted
-    * false positives must survive the scrub (spec-pinned).
+    * filter through [[luhnValid]], fold a BOUNDARY-ANCHORED
+    * `regexp_replace` per surviving match over the text. A plain
+    * `regexp_replace` cannot express the per-match validity gate; the
+    * fold is bounded by the match count and stays pure-expression
+    * (codegen-friendly, oracle-replayable via list_reduce). The
+    * per-match pattern is `\b<match>\b` — the match itself is
+    * regex-literal by construction ([[cardPattern]] admits only digits,
+    * dashes and spaces) — so a valid card occurring as a SUBSTRING of a
+    * longer digit run (e.g. inside a 20-digit non-candidate reference
+    * number) can never be rewritten mid-run: only standalone
+    * occurrences of the matched span redact. A Luhn-failing candidate
+    * is untouched — planted false positives must survive the scrub
+    * (spec-pinned).
     */
   def redactCards(text: Column): Column = {
     val valid = filter(regexp_extract_all(text, lit(cardPattern), lit(0)),
       m => luhnValid(m))
-    aggregate(valid, text, (acc, m) => replace(acc, m, lit(cardPlaceholder)))
+    aggregate(valid, text, (acc, m) =>
+      regexp_replace(acc, concat(lit("\\b"), m, lit("\\b")),
+        lit(cardPlaceholder)))
   }
 
   /** Typed-placeholder redaction in the contract order email → phone →

@@ -269,17 +269,6 @@ object Quantization {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
-  /** Decay factor of the RECENT-window drift statistic: per append, the
-    * windowed (n, err_sum) pair halves before the batch folds in, so the
-    * window's effective mass converges to ~2 batches — a late
-    * distribution shift moves the recent mean within a batch or two,
-    * where the lifetime mean would need drifted mass to dominate the
-    * whole append history (the dilution failure: after N in-distribution
-    * batches a shifted batch must carry ~N× the threshold error to trip
-    * the lifetime ratio).
-    */
-  private val recentDecay = 0.5
-
   private def writePqStats(store: graft.engine.TableStore, table: String,
       buildMeanErr: Double, appendedN: Long, appendedErrSum: Double,
       recentN: Double = 0.0, recentErrSum: Double = 0.0): Unit = {
@@ -369,10 +358,11 @@ object Quantization {
       // recent-window columns may be absent on a stats row written
       // before the windowed cadence existed — start the window fresh
       val hasRecent = prev.schema.fieldNames.contains("recent_n")
-      writePqStats(store, table, prev.getDouble(0),
-        prev.getLong(1) + dn, prev.getDouble(2) + ds,
-        (if (hasRecent) prev.getDouble(3) else 0.0) * recentDecay + dn,
-        (if (hasRecent) prev.getDouble(4) else 0.0) * recentDecay + ds)
+      val (n2, s2, rn2, rs2) = DriftCounters.fold(
+        prev.getLong(1), prev.getDouble(2),
+        if (hasRecent) prev.getDouble(3) else 0.0,
+        if (hasRecent) prev.getDouble(4) else 0.0, dn, ds)
+      writePqStats(store, table, prev.getDouble(0), n2, s2, rn2, rs2)
     } else store.requireSoleWriter(table, nonce)
     batchId.foreach(store.recordBatch(bt, _))
     true
@@ -406,13 +396,7 @@ object Quantization {
     val hasRecent = df.columns.contains("recent_n")
     val (rn, rs) =
       if (hasRecent) (r.getDouble(3), r.getDouble(4)) else (0.0, 0.0)
-    if (n == 0L) 1.0
-    else {
-      val lifetime = s / n
-      val mean = if (rn > 0.0) math.max(lifetime, rs / rn) else lifetime
-      if (build <= 0.0) { if (mean > 0.0) Double.PositiveInfinity else 1.0 }
-      else mean / build
-    }
+    DriftCounters.ratio(build, n, s, rn, rs)
   }
 
   /** Full retrain of a persisted IVF-PQ index from the full-precision
@@ -448,15 +432,38 @@ object Quantization {
     * .maybeRetrainIvf]]: rebuild from `base` iff the appended-batch
     * quantization error has drifted past `driftThreshold` × the
     * build-time mean. Returns whether a rebuild ran.
+    *
+    * `requireBaseCovers = true` enforces the contract the rebuild's
+    * correctness rests on — `base` must hold EVERY indexed vector —
+    * before the stage-swap: any indexed id missing from `base` aborts
+    * loudly instead of silently swapping those rows out of the index
+    * while their recorded batch markers block any future re-append
+    * (permanent loss). The check is one anti-join of the index's id
+    * column against `base`, paid only on the (rare) drifted batches —
+    * the retrain itself already reads both sides in full. The
+    * streaming sink turns it on; batch callers who KNOW their base is
+    * complete can skip it.
     */
   def maybeRetrainIvfPq(store: graft.engine.TableStore, table: String,
       base: DataFrame, vecCol: String, idCol: String, nCells: Int,
       m: Int = 8, codebookSize: Int = 16, iters: Int = 5,
-      driftThreshold: Double = 1.5): Boolean = {
+      driftThreshold: Double = 1.5,
+      requireBaseCovers: Boolean = false): Boolean = {
     val drifted = ivfPqDriftRatio(store, table) >= driftThreshold
-    if (drifted)
+    if (drifted) {
+      if (requireBaseCovers) {
+        val missing = store.read(table).select(col(idCol))
+          .join(base.select(col(idCol)), Seq(idCol), "left_anti")
+          .limit(1).count()
+        require(missing == 0L,
+          s"IVF-PQ retrain refused for '$table': the retrain input does " +
+            "not cover every indexed id — rebuilding would permanently " +
+            "drop the missing rows (their batch markers block re-append). " +
+            "Fold the missing epochs into the base table, then retry.")
+      }
       rebuildIvfPqIndex(store, table, base, vecCol, idCol, nCells, m,
         codebookSize, iters)
+    }
     drifted
   }
 

@@ -399,12 +399,6 @@ object Similarity {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
-  /** Decay factor of the recent-window drift counters — see
-    * [[graft.ops.Quantization]]'s `recentDecay` for the dilution
-    * rationale (effective window mass ~2 batches).
-    */
-  private val recentDecay = 0.5
-
   private def writeIvfStats(store: graft.engine.TableStore, table: String,
       vecCol: String, cents: Seq[Seq[Double]]): Unit =
     writeIvfStatsRow(store, table,
@@ -453,12 +447,7 @@ object Similarity {
     }
     val (n, s) = (r.getLong(1), r.getDouble(2))
     val (rn, rs) = (r.getDouble(3), r.getDouble(4))
-    if (n == 0L) 1.0
-    else {
-      val mean = math.max(s / n, if (rn > 0.0) rs / rn else 0.0)
-      if (base <= 0.0) { if (mean > 0.0) Double.PositiveInfinity else 1.0 }
-      else mean / base
-    }
+    DriftCounters.ratio(base, n, s, rn, rs)
   }
 
   /** Full retrain of a persisted IVF index from its own rows: re-runs the
@@ -566,11 +555,12 @@ object Similarity {
       val dn = st.getLong(0)
       val ds = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
       val fused = prevDf.columns.contains("appended_n")
-      writeIvfStatsRow(store, table, prev.getDouble(0),
-        (if (fused) prev.getLong(1) else 0L) + dn,
-        (if (fused) prev.getDouble(2) else 0.0) + ds,
-        (if (fused) prev.getDouble(3) else 0.0) * recentDecay + dn,
-        (if (fused) prev.getDouble(4) else 0.0) * recentDecay + ds)
+      val (n2, s2, rn2, rs2) = DriftCounters.fold(
+        if (fused) prev.getLong(1) else 0L,
+        if (fused) prev.getDouble(2) else 0.0,
+        if (fused) prev.getDouble(3) else 0.0,
+        if (fused) prev.getDouble(4) else 0.0, dn, ds)
+      writeIvfStatsRow(store, table, prev.getDouble(0), n2, s2, rn2, rs2)
     } else store.requireSoleWriter(table, nonce)
   }
 

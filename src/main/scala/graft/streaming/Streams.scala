@@ -941,7 +941,11 @@ object Streams {
           // union is |base|+|batch| rows read once by the (rare) retrain
           // pass; the dedup keeps vectors unique when base DOES already
           // contain the batch (same id ⇒ same vector, so any survivor
-          // is exact).
+          // is exact). requireBaseCovers guards the GENERAL lag hazard
+          // the union alone cannot: a base more than one epoch behind
+          // still misses earlier unreconciled epochs, and the retrain
+          // then aborts loudly (naming the recovery) instead of
+          // silently dropping their rows.
           val cols = Seq(org.apache.spark.sql.functions.col(idCol),
             org.apache.spark.sql.functions.col(vecCol))
           graft.ops.Quantization.maybeRetrainIvfPq(store, indexTable,
@@ -949,7 +953,7 @@ object Streams {
               .unionByName(batch.select(cols: _*))
               .dropDuplicates(idCol),
             vecCol, idCol, nCells, m, codebookSize,
-            retrainIterations, driftThreshold)
+            retrainIterations, driftThreshold, requireBaseCovers = true)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)
       }

@@ -1,0 +1,35 @@
+package graft
+
+/** Shared deterministic media payload fixture for the perceptual-hash
+  * suites (MediaSigIndexSpec, StreamsSpec): one definition so the two
+  * suites' hamming-bound rationale can never drift apart.
+  */
+object MediaFixtures {
+
+  /** Pseudo-random 240-byte payloads (xorshift-mixed per (asset,
+    * position) — a LINEAR formula would make every asset a
+    * phase-shifted copy of one cycle, with near-equal block sums and
+    * hash-close signatures corpus-wide): distinct assets get
+    * hash-distant signatures, while a few-byte perturbation stays
+    * hamming-close.
+    */
+  def payload(i: Long): Array[Byte] =
+    Array.tabulate(240) { k =>
+      var x = i * 1000003L + k * 2654435761L + 12345L
+      x ^= x >>> 13; x *= 0x5DEB61DED8129425L; x ^= x >>> 7
+      (x & 0xff).toByte
+    }
+
+  /** Near-copy of `payload(of)`: swap two bytes BETWEEN blocks 0 and 1
+    * (indices 0/1 vs 4/5 under the 60-block aHash layout) — the global
+    * byte total is exactly preserved, so only those two blocks' bits
+    * can flip: hamming ≤ 2 by construction, with no borderline block
+    * anywhere else nudged by a shifted mean.
+    */
+  def nearCopy(of: Long): Array[Byte] = {
+    val p = payload(of)
+    val t0 = p(0); p(0) = p(4); p(4) = t0
+    val t1 = p(1); p(1) = p(5); p(5) = t1
+    p
+  }
+}

@@ -10,31 +10,15 @@ class MediaSigIndexSpec extends SparkSpecBase {
 
   import spark.implicits._
 
-  // deterministic pseudo-random 240-byte payloads (xorshift-mixed per
-  // (asset, position) — a LINEAR formula would make every asset a
-  // phase-shifted copy of one cycle, with near-equal block sums and
-  // hash-close signatures corpus-wide): distinct assets get hash-distant
-  // signatures, while a few-byte perturbation stays hamming-close
-  private def payload(i: Long): Array[Byte] =
-    Array.tabulate(240) { k =>
-      var x = i * 1000003L + k * 2654435761L + 12345L
-      x ^= x >>> 13; x *= 0x5DEB61DED8129425L; x ^= x >>> 7
-      (x & 0xff).toByte
-    }
+  // deterministic payload/near-copy generators shared with StreamsSpec
+  // (graft.MediaFixtures — one definition of the hamming-bound rationale)
+  private def payload(i: Long): Array[Byte] = graft.MediaFixtures.payload(i)
 
   private def assets(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
     ids.map(i => (i, payload(i))).toDF("asset_id", "payload")
 
-  private def nearCopy(of: Long, id: Long): (Long, Array[Byte]) = {
-    val p = payload(of)
-    // swap two bytes BETWEEN blocks 0 and 1 (indices 0/1 vs 4/5): the
-    // global byte total is exactly preserved, so only those two blocks'
-    // bits can flip — hamming ≤ 2 by construction, with no borderline
-    // block anywhere else nudged by a shifted mean
-    val t0 = p(0); p(0) = p(4); p(4) = t0
-    val t1 = p(1); p(1) = p(5); p(5) = t1
-    (id, p)
-  }
+  private def nearCopy(of: Long, id: Long): (Long, Array[Byte]) =
+    (id, graft.MediaFixtures.nearCopy(of))
 
   private def freshIndex(name: String): (graft.engine.TableStore, String) = {
     val store = new graft.engine.TableStore(spark, tmpDir(s"wh-$name"))

@@ -77,6 +77,11 @@ class PiiSpec extends SparkSpecBase {
     // too short / too long for the card shape: untouched even if Luhn-ish
     assert(redactFullOne("id 411111111111 x") == "id 411111111111 x")
     assert(redactFullOne("id 41111111111111111111 x") == "id 41111111111111111111 x")
+    // boundary-anchored replacement: a valid card occurring elsewhere as
+    // a SUBSTRING of a longer (non-candidate) digit run must not rewrite
+    // that run mid-digits — only the standalone occurrence redacts
+    assert(redactFullOne("pay 4111111111111111 ref 994111111111111111 noted") ==
+      "pay [CARD] ref 994111111111111111 noted")
   }
 
   test("SSN and API-key shapes redact; near-misses survive") {

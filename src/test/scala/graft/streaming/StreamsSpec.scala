@@ -556,17 +556,7 @@ class StreamsSpec extends SparkSpecBase {
   test("continuous media dedup: batches probe the signature index, survivors chain forward") {
     import graft.engine.TableStore
     import graft.ops.MediaSigIndex
-    def payload(i: Long): Array[Byte] =
-      Array.tabulate(240) { k =>
-        var x = i * 1000003L + k * 2654435761L + 12345L
-        x ^= x >>> 13; x *= 0x5DEB61DED8129425L; x ^= x >>> 7
-        (x & 0xff).toByte
-      }
-    def nearCopy(of: Long): Array[Byte] = {
-      val p = payload(of)
-      val t0 = p(0); p(0) = p(4); p(4) = t0
-      p
-    }
+    import graft.MediaFixtures.{nearCopy, payload}
     val store = new TableStore(spark, tmpDir("msd-wh"))
     MediaSigIndex.persist(store,
       "msd_idx", (0L until 40L).map(i => (i, payload(i))).toDF("asset_id", "payload"),
@@ -575,7 +565,7 @@ class StreamsSpec extends SparkSpecBase {
     val ckpt = tmpDir("msd-ckpt")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "asset_id LONG, payload BINARY")
-    def run(batch: Seq[(Long, Array[Byte])], tag: String): Unit = {
+    def run(batch: Seq[(Long, Array[Byte])]): Unit = {
       batch.toDF("asset_id", "payload").coalesce(1)
         .write.mode("append").parquet(src)
       Streams.ingestMediaDedupStream(
@@ -585,16 +575,16 @@ class StreamsSpec extends SparkSpecBase {
         .awaitTermination()
     }
     // batch 1: a near-copy of indexed asset 5 (drops) + a novel asset
-    run(Seq(100L -> nearCopy(5L), 101L -> payload(700L)), "b1")
+    run(Seq(100L -> nearCopy(5L), 101L -> payload(700L)))
     // batch 2: a re-crawl of batch 1's SURVIVOR (caught only via the
     // signatures batch 1 appended) + another novel asset
-    run(Seq(200L -> payload(700L), 201L -> payload(800L)), "b2")
+    run(Seq(200L -> payload(700L), 201L -> payload(800L)))
     val out = store.read("msd_out").select("asset_id")
       .as[Long].collect().toSet
     assert(out == Set(101L, 201L), out.toString)
     // the survivors' signatures are in the index: a third batch
     // re-crawling either drops without any output row
-    run(Seq(300L -> payload(800L)), "b3")
+    run(Seq(300L -> payload(800L)))
     assert(store.read("msd_out").count() == 2)
   }
 
@@ -647,6 +637,61 @@ class StreamsSpec extends SparkSpecBase {
       .select("id").as[Long].collect()
     assert(got.count(id => id >= 500L && id < 540L) >= 9,
       s"in-flight epoch not probe-able post-retrain: ${got.toSeq}")
+  }
+
+  test("continuous IVF-PQ ingest: a retrain against a base lagging >1 epoch aborts loudly, rows intact") {
+    import graft.engine.TableStore
+    import graft.ops.Quantization
+    // the GENERAL lag hazard the base ∪ batch union alone cannot close:
+    // epoch 1 appends and is never folded into base; epoch 2 trips the
+    // drift threshold. The retrain input (base ∪ epoch-2 batch) misses
+    // epoch 1's vectors — rebuilding would stage-swap them out while
+    // their marker blocks re-append. requireBaseCovers must abort the
+    // epoch loudly and leave the index untouched.
+    val store = new TableStore(spark, tmpDir("pqlag-wh"))
+    val src = java.nio.file.Files.createTempDirectory("pqlag-src")
+    val ckpt = tmpDir("pqlag-ckpt")
+    def blob(axis: Int, idBase: Long, n: Int = 40): Seq[(Long, Seq[Double])] =
+      (0 until n).map { i =>
+        (idBase + i, Seq.tabulate(4) { d =>
+          (if (d == axis) 100.0 else 0.0) + (i % 7) * 0.5
+        })
+      }
+    val initial = blob(0, 0L) ++ blob(1, 100L)
+    Quantization.persistIvfPqIndex(store, "pqlag", initial.toDF("id", "v"),
+      "v", "id", nCells = 3, m = 2, codebookSize = 4, iters = 5)
+    store.write("pqlag_base", initial.toDF("id", "v"), append = false)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id LONG, v ARRAY<DOUBLE>")
+    def run(batch: Seq[(Long, Seq[Double])], tag: String) = {
+      java.nio.file.Files.writeString(src.resolve(s"$tag.ndjson"),
+        batch.map { case (id, v) => s"""{"id": $id, "v": [${v.mkString(", ")}]}""" }
+          .mkString("", "\n", "\n"))
+      Streams.ingestIvfPqStream(
+        spark.readStream.schema(schema).json(src.toString),
+        store, "pqlag", "v", "id", ckpt, retrainFrom = Some("pqlag_base"),
+        nCells = 3, m = 2, codebookSize = 4, retrainIterations = 5)
+    }
+    // epoch 1: in-distribution — appends without retraining, and the
+    // caller (deliberately) never folds it into pqlag_base
+    run(blob(0, 300L) ++ blob(1, 400L), "a").awaitTermination()
+    assert(store.read("pqlag").count() == 160)
+    // epoch 2: the shifted cluster trips drift; the coverage guard sees
+    // epoch 1's ids missing from base ∪ batch and aborts the epoch
+    val q = run(blob(2, 500L), "b")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("does not cover")),
+      s"expected the coverage abort, got: ${messages(e)}")
+    // nothing was swapped out: epoch 1's rows (and epoch 2's append,
+    // which landed before the guard) are all still indexed
+    val ids = store.read("pqlag").select("id").as[Long].collect().toSet
+    assert((300L until 340L).forall(ids.contains) &&
+      (400L until 440L).forall(ids.contains) &&
+      (500L until 540L).forall(ids.contains))
   }
 
   test("streaming compaction policy bounds index files across batches; results unchanged") {
