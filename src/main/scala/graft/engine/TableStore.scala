@@ -44,8 +44,26 @@ object TableStore {
     * data writes and before its [[TableStore.requireSoleWriter]] verify,
     * so a spec can interleave a competing full append exactly inside
     * the window the guard exists to catch. A no-op in production.
+    *
+    * The hook is reachable ONLY through the [[withInterleave]] loan —
+    * there is no assignable seam, so a spec cannot leak an injection
+    * into unrelated tests by forgetting a reset.
     */
-  private[graft] var interleaveForTest: String => Unit = _ => ()
+  private val interleaveHook =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](_ => ())
+
+  private[graft] def interleaveForTest(table: String): Unit =
+    interleaveHook.get()(table)
+
+  /** Loan-pattern installer for [[interleaveForTest]]: installs `hook`
+    * for the duration of `body` and restores the previous hook in a
+    * `finally`, so the injection is structurally scoped to the spec
+    * that asked for it.
+    */
+  private[graft] def withInterleave[T](hook: String => Unit)(body: => T): T = {
+    val prev = interleaveHook.getAndSet(hook)
+    try body finally interleaveHook.set(prev)
+  }
 }
 
 final class TableStore(spark: SparkSession, val warehouseDir: String) {
@@ -313,15 +331,58 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
   }
 
   /** Abort unless this writer's claimed nonce is still the live one —
-    * see [[claimWriter]].
+    * see [[claimWriter]]. A missing or momentarily-empty guard table (a
+    * competing [[claimWriter]]'s truncate caught mid-swap) raises the
+    * same documented concurrent-append message, never an opaque
+    * empty-read failure.
     */
   def requireSoleWriter(table: String, nonce: String): Unit = {
-    val cur = read(table + "__writer").head().getString(0)
-    require(cur == nonce,
+    val cur = scala.util.Try(read(table + "__writer").head().getString(0))
+      .toOption
+    require(cur.contains(nonce),
       s"concurrent append detected on '$table': this writer's nonce was " +
-        s"replaced (expected $nonce, found $cur). Appends are " +
-        "single-writer; re-run this batch (appends tolerate physical " +
-        "duplicates) or rebuild the artifact.")
+        s"replaced (expected $nonce, found ${cur.getOrElse("<no readable nonce>")}). " +
+        "Appends are single-writer; re-run this batch (appends tolerate " +
+        "physical duplicates) or rebuild the artifact.")
+  }
+
+  /** Remove ORPHANED appended rows — rows stamped with a `__batch_id`
+    * that the marker table never recorded. Every nonce-guarded append
+    * stamps its data rows with its batch id and records the marker only
+    * AFTER [[requireSoleWriter]] passes, so rows from (a) an append that
+    * aborted on the nonce and was then ABANDONED instead of retried, and
+    * (b) the failed first attempt of a crash-retried batch that re-ran
+    * under a fresh id, are exactly the rows with no marker. Without this
+    * op those phantom rows permanently influence future ingest decisions
+    * (a future near-dup of a never-kept document silently drops); with
+    * it, abort → vacuum → probe is indistinguishable from never having
+    * appended (spec-pinned). Rows with a NULL `__batch_id` (the initial
+    * build / a pre-attribution append) are always kept, as are rows of
+    * every recorded batch.
+    *
+    * `markerTable` defaults to the `<table>__batches` convention; pass
+    * it explicitly for side tables that share their parent's markers
+    * (e.g. a dedup index's `__shingles` table). Returns rows removed;
+    * a table with no `__batch_id` column is a no-op. The orphan batch-id
+    * set is collected driver-side — bounded by the number of appended
+    * batches since the last rebuild, not by row count — and the rewrite
+    * itself is [[deleteWhere]]'s staged swap.
+    */
+  def vacuumUnmarked(table: String, markerTable: Option[String] = None): Long = {
+    recoverCrashedSwap(table)
+    val df = read(table)
+    if (!df.columns.contains("__batch_id")) return 0L
+    val mt = markerTable.getOrElse(table + "__batches")
+    val stamped = df.where(col("__batch_id").isNotNull)
+      .select(col("__batch_id")).distinct()
+    val orphanIds =
+      (if (exists(mt))
+         stamped.join(read(mt).select(col("batch_id")),
+           col("__batch_id") === col("batch_id"), "left_anti")
+       else stamped)
+        .collect().map(_.getString(0)).toSeq
+    if (orphanIds.isEmpty) 0L
+    else deleteWhere(table, col("__batch_id").isInCollection(orphanIds))
   }
 
   /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-budgeted broadcast gating for the persisted-index probe paths
+  * ([[DedupIndex]], [[ChunkIndex]], [[MediaSigIndex]]).
+  *
+  * The probes force a broadcast of the DELTA side into the partition-
+  * pruned index scan — right for the common batch-sized delta, wrong
+  * for a corpus-sized one. The original gate was a ROW-COUNT cap, which
+  * is blind to row width: 4M band rows is ~130 MB of longs but a
+  * wide-id delta at the same count is many times that, past what a
+  * forced broadcast should ever ship to every executor. The gate here
+  * is a BYTE estimate instead: each probe folds
+  * `sum(rowBytes(schema))` into the single driver action it already
+  * pays (the bucket-set collect), and forces the broadcast only while
+  * the estimate stays under the budget — past it, join strategy is left
+  * to the optimizer/AQE, whose size-aware planning is the scale-safe
+  * default for genuinely large deltas.
+  */
+object Broadcasting {
+
+  /** Session conf key for the forced-broadcast byte budget. */
+  val confKey = "spark.graft.broadcast.maxBytes"
+
+  /** Default budget: 64 MB — an order of magnitude under the old
+    * row-cap's worst case, comfortably inside a multi-GB executor, and
+    * still far above any batch-sized ingest delta.
+    */
+  val defaultMaxBytes: Long = 64L * 1024 * 1024
+
+  /** The effective budget: `spark.graft.broadcast.maxBytes` when set
+    * (how an operator tunes the gate per cluster without code changes),
+    * else [[defaultMaxBytes]].
+    */
+  def maxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(confKey).map(_.toLong).getOrElse(defaultMaxBytes)
+
+  /** Conservative per-row byte estimate for `schema`, as a column
+    * expression evaluated row-side (so variable-width columns are
+    * measured, not guessed): fixed widths for atomic types,
+    * `length() + overhead` for strings/binary, `size() × element
+    * width + overhead` for arrays of fixed-width elements, and a flat
+    * conservative constant for anything nested beyond that. The 16-byte
+    * per-field overhead approximates row/offset bookkeeping in the
+    * broadcast relation.
+    */
+  def rowBytes(schema: StructType): Column = {
+    def fixedWidth(dt: DataType): Option[Int] = dt match {
+      case BooleanType | ByteType => Some(1)
+      case ShortType => Some(2)
+      case IntegerType | FloatType | DateType => Some(4)
+      case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+      case _: DecimalType => Some(16)
+      case _ => None
+    }
+    val perField: Seq[Column] = schema.fields.toIndexedSeq.map { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case dt if fixedWidth(dt).isDefined =>
+          lit(fixedWidth(dt).get.toLong)
+        case StringType | BinaryType =>
+          coalesce(length(c).cast("long"), lit(0L)) + lit(16L)
+        case ArrayType(et, _) if fixedWidth(et).isDefined =>
+          coalesce(size(c).cast("long"), lit(0L)) * fixedWidth(et).get + lit(16L)
+        case _ => lit(64L) // nested/unknown: flat conservative guess
+      }
+    }
+    perField.reduceOption(_ + _).getOrElse(lit(0L)) + lit(16L)
+  }
+
+  /** Apply the broadcast hint iff the measured estimate fits the
+    * session's budget. `estimatedBytes` comes from the caller's own
+    * aggregate action (null-safe: an empty frame estimates 0).
+    */
+  def hintIfSmall(df: DataFrame, estimatedBytes: Long): DataFrame =
+    if (estimatedBytes <= maxBytes(df.sparkSession)) df.hint("broadcast") else df
+}

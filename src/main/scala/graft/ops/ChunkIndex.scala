@@ -95,29 +95,25 @@ object ChunkIndex {
     Meta(r.getInt(0), r.getLong(1), r.getInt(2))
   }
 
-  /** Chunk-row count above which the probe stops forcing broadcasts and
-    * leaves join strategy to AQE — same rationale as
-    * [[DedupIndex]]'s band-row cap.
-    */
-  private val broadcastChunkRowCap = 4L * 1000 * 1000
-
   /** The census fingerprints already present among `batchFps` — the ONE
     * pruned-scan-vs-broadcast probe core every census consumer folds
-    * through: collect the batch's bucket set (≤ `buckets` ints) and row
-    * count in a single action, prune the census scan to those
+    * through: collect the batch's bucket set (≤ `buckets` ints) and a
+    * byte estimate in a single action, prune the census scan to those
     * directories, and stream it through a broadcast join against the
-    * batch (degrading to a shuffle join past [[broadcastChunkRowCap]] —
-    * a rebuild-sized batch must never be forced into the driver).
-    * `batchFps` must carry (fp, __bk); output is distinct `(fp)` rows.
+    * batch (degrading to a shuffle join past [[Broadcasting]]'s byte
+    * budget — a rebuild-sized batch must never be forced into the
+    * driver). `batchFps` must carry (fp, __bk); output is distinct
+    * `(fp)` rows.
     */
   private def cachedFps(store: TableStore, table: String,
       batchFps: DataFrame): DataFrame = {
     val st = batchFps
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n"))
+      .agg(collect_set(col("__bk")).alias("bks"),
+        sum(Broadcasting.rowBytes(batchFps.schema)).alias("bytes"))
       .head()
     val bks = st.getSeq[Int](0)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+      Broadcasting.hintIfSmall(df, if (st.isNullAt(1)) 0L else st.getLong(1))
     store.read(table).where(col("__bk").isInCollection(bks))
       .join(maybeBroadcast(batchFps.select(col("fp"))), Seq("fp"))
       .select(col("fp")).distinct()
@@ -151,11 +147,11 @@ object ChunkIndex {
   private def probeFromChunks(store: TableStore, table: String,
       deltaIds: DataFrame, ch: DataFrame, idCol: String): DataFrame = {
     val bkRow = ch
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+      .agg(collect_set(col("__bk")).alias("bks"),
+        sum(Broadcasting.rowBytes(ch.schema)).alias("bytes")).head()
     val bks = bkRow.getSeq[Int](0)
-    val smallDelta = bkRow.getLong(1) <= broadcastChunkRowCap
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (smallDelta) df.hint("broadcast") else df
+      Broadcasting.hintIfSmall(df, if (bkRow.isNullAt(1)) 0L else bkRow.getLong(1))
     val idx = store.read(table).where(col("__bk").isInCollection(bks))
     // hit = this chunk INSTANCE's fp exists in the census. Inner join +
     // per-instance dropDuplicates (not a count of matched rows) keeps the
@@ -297,11 +293,12 @@ object ChunkIndex {
       .localCheckpoint(true) // three consumers: cell-set action, dup
                              // probe, append
     val st = novelVecs
-      .agg(collect_set(col("__cell")).alias("cs"), count(lit(1)).alias("n"))
+      .agg(collect_set(col("__cell")).alias("cs"),
+        sum(Broadcasting.rowBytes(novelVecs.schema)).alias("bytes"))
       .head()
     val cells = st.getSeq[Int](0)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (st.getLong(1) <= broadcastChunkRowCap) df.hint("broadcast") else df
+      Broadcasting.hintIfSmall(df, if (st.isNullAt(1)) 0L else st.getLong(1))
     val dupFps =
       if (cells.isEmpty) novelVecs.select(col("fp")).limit(0)
       else store.read(ivfTable).where(col("__cell").isInCollection(cells))
@@ -312,18 +309,40 @@ object ChunkIndex {
     // a census missing the other's fingerprints and double-pay
     // embeddings (the cache's own dup probe keeps the CACHE unique, but
     // the loud abort tells the operator the batch raced — recovery is a
-    // plain retry, idempotent by construction)
+    // plain retry, idempotent by construction). Both tables' appended
+    // rows are stamped with one `__batch_id`, recorded in the CENSUS's
+    // marker table only after the verify — an aborted/abandoned attempt
+    // leaves orphans that [[vacuum]] removes from the pair.
+    val batchId = java.util.UUID.randomUUID().toString
     store.writePartitioned(ivfTable,
       novelVecs.join(dupFps, Seq("fp"), "left_anti")
         .select(col("fp"), col("emb"), col("__cell"))
+        .withColumn("__batch_id", lit(batchId))
         .repartition(col("__cell")),
       Seq("__cell"), append = true)
-    store.writePartitioned(censusTable, novel.repartition(col("__bk")),
+    store.writePartitioned(censusTable,
+      novel.withColumn("__batch_id", lit(batchId)).repartition(col("__bk")),
       Seq("__bk"), append = true)
     TableStore.interleaveForTest(censusTable)
     store.requireSoleWriter(censusTable, nonce)
+    store.recordBatch(censusTable + "__batches", batchId)
     novel.select(col("fp"))
   }
+
+  /** Remove the orphaned rows of aborted/abandoned ingests from the
+    * census — [[TableStore.vacuumUnmarked]] under the
+    * `<table>__batches` convention. Pass `ivfTable` when the census was
+    * maintained through [[ingestEmbed]]: the embedding cache's appended
+    * rows share the census's batch markers, so the pair vacuums
+    * consistently (a census orphan's cached vector must go with it, or
+    * the cache holds vectors the census will re-embed). Returns rows
+    * removed across the vacuumed tables.
+    */
+  def vacuum(store: TableStore, censusTable: String,
+      ivfTable: Option[String] = None): Long =
+    store.vacuumUnmarked(censusTable) +
+      ivfTable.map(t => store.vacuumUnmarked(t,
+        markerTable = Some(censusTable + "__batches"))).getOrElse(0L)
 
   /** The incremental ingest step: probe the batch, keep documents whose
     * cached fraction is BELOW `maxCachedFrac` (a mostly-cached page is a
@@ -365,12 +384,18 @@ object ChunkIndex {
                                // its probe join, and the anti-join below
       val newFps = batchFps
         .join(cachedFps(store, table, batchFps), Seq("fp"), "left_anti")
-      store.writePartitioned(table, newFps.repartition(col("__bk")),
+      val batchId = java.util.UUID.randomUUID().toString
+      store.writePartitioned(table,
+        newFps.withColumn("__batch_id", lit(batchId))
+          .repartition(col("__bk")),
         Seq("__bk"), append = true)
       TableStore.interleaveForTest(table)
       // an interleaved ingest probes a census missing this batch's fps
-      // and keeps documents it should have dropped — abort loudly
+      // and keeps documents it should have dropped — abort loudly; the
+      // marker lands only after the verify, so an aborted attempt's
+      // rows are vacuumable orphans ([[vacuum]])
       nonce.foreach(store.requireSoleWriter(table, _))
+      store.recordBatch(table + "__batches", batchId)
     }
     report
   }

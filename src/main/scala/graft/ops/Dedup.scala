@@ -169,6 +169,35 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Explode a signature frame into its pigeonhole blocks: one row per
+    * (input row × block), carrying every input column plus
+    * `(block_idx, block_val)`. The shared layout under every banded
+    * Hamming join ([[hammingPairsFromSigs]], the frame-level media
+    * variant [[Multimodal.frameNearDupPairs]]): `maxHamming + 1` equal
+    * blocks of `sigCol`'s `bits`, so two signatures within the radius
+    * share at least one block (pigeonhole) and the equi-join on
+    * (block_idx, block_val) is candidate-complete — never all-pairs.
+    */
+  private[graft] def sigBlocks(sigs: DataFrame, sigCol: String,
+      maxHamming: Int, bits: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits >= blocks && bits % blocks == 0,
+      s"maxHamming+1 = $blocks must divide bits=$bits, or the top bits % " +
+        "blocks bits would be covered by no block and the pigeonhole " +
+        "guarantee breaks")
+    val bitsPerBlock = bits / blocks
+    require(bitsPerBlock < 64,
+      "a single 64-bit block needs no banding — join on signature equality")
+    val carried = sigs.columns.map(c => col(s"`$c`")).toIndexedSeq
+    sigs.select(carried :+
+        explode(array((0 until blocks).map { i =>
+          struct(lit(i).alias("block_idx"),
+            shiftright(col(sigCol), i * bitsPerBlock)
+              .bitwiseAND((1L << bitsPerBlock) - 1).alias("block_val"))
+        }: _*)).alias("__blk"): _*)
+      .select(carried :+ col("__blk.block_idx") :+ col("__blk.block_val"): _*)
+  }
+
   /** Hamming-banded near-dup pairs over a PRECOMPUTED signature column —
     * the shared candidate machinery under [[simhashCandidates]] (64-bit
     * text sketches) and [[Multimodal.nearDupPairs]] (perceptual media
@@ -186,7 +215,6 @@ object Dedup {
       s"maxHamming+1 = $blocks must divide bits=$bits, or the top bits % " +
         "blocks bits would be covered by no block and the pigeonhole " +
         "guarantee breaks")
-    val bitsPerBlock = bits / blocks
     val withSig = sigs.select(col(idCol), col(sigCol).alias("sig"))
     if (maxHamming == 0) {
       // one block: at bits=64 the (1L << 64) mask wraps to 1 in Java, so
@@ -199,14 +227,7 @@ object Dedup {
         .select(col(s"l.$idCol").alias("id_a"), col(s"r.$idCol").alias("id_b"),
           lit(0).cast("int").alias("hamming"))
     }
-    val exploded = withSig.select(
-      col(idCol), col("sig"),
-      explode(array((0 until blocks).map { i =>
-        struct(lit(i).alias("block_idx"),
-          shiftright(col("sig"), i * bitsPerBlock)
-            .bitwiseAND((1L << bitsPerBlock) - 1).alias("block_val"))
-      }: _*)).alias("blk"))
-      .select(col(idCol), col("sig"), col("blk.block_idx"), col("blk.block_val"))
+    val exploded = sigBlocks(withSig, "sig", maxHamming, bits)
     val l = exploded.alias("l")
     val r = exploded.alias("r")
     l.join(r,

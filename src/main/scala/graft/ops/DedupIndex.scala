@@ -166,7 +166,11 @@ object DedupIndex {
       k: Option[Int] = None, bands: Option[Int] = None,
       buckets: Option[Int] = None, maxDf: Option[Int] = None): Unit = {
     val m = metaOf(metaFrame(store, table))
-    val sh = store.read(table + "__shingles")
+    // drop the append-attribution column before inferring the id: a
+    // rebuild folds every appended row into the base (its batch's
+    // history is no longer individually removable — vacuum before
+    // rebuilding if orphans may exist)
+    val sh = store.read(table + "__shingles").drop("__batch_id")
     val idCol = sh.columns.filterNot(_ == "sh") match {
       case Array(one) => one
       case other => throw new IllegalStateException(
@@ -215,17 +219,42 @@ object DedupIndex {
     * tolerated state). `nonce` is claimed by the CALLER at the start of
     * its whole read-modify-write window — for [[ingestDedup]] that is
     * BEFORE the cross-index probe, which dominates the window.
+    *
+    * Every appended shingle/band row is stamped with a fresh
+    * `__batch_id`, recorded in `<table>__batches` only AFTER the nonce
+    * verify passes — so the rows of an append that aborted (or crashed
+    * before its marker) are identifiable orphans that [[vacuum]]
+    * removes, while a retried batch's surviving attempt keeps its rows.
     */
   private def appendShingles(store: TableStore, table: String, idCol: String,
       meta: Meta, deltaShingles: DataFrame, nonce: String): Unit = {
+    val batchId = java.util.UUID.randomUUID().toString
     val nonEmpty = deltaShingles.where(size(col("sh")) > 0)
-    store.write(table + "__shingles", nonEmpty, append = true)
+    store.write(table + "__shingles",
+      nonEmpty.withColumn("__batch_id", lit(batchId)), append = true)
     store.writePartitioned(table,
-      bandRows(nonEmpty, idCol, meta).repartition(col("__bk")),
+      bandRows(nonEmpty, idCol, meta).withColumn("__batch_id", lit(batchId))
+        .repartition(col("__bk")),
       Seq("__bk"), append = true)
     TableStore.interleaveForTest(table)
     store.requireSoleWriter(table, nonce)
+    store.recordBatch(table + "__batches", batchId)
   }
+
+  /** Remove the orphaned rows of aborted/abandoned appends from BOTH
+    * index tables — [[TableStore.vacuumUnmarked]] over the band table
+    * and the shingle side table, which share `<table>__batches` (one
+    * marker per logical batch). After a nonce-abort whose batch was
+    * abandoned instead of retried, this restores the index to exactly
+    * its never-appended state (spec-pinned); it also reclaims the
+    * failed first attempt of a crash-retried batch (the retry ran under
+    * a fresh id and only IT recorded a marker). Returns rows removed
+    * across both tables.
+    */
+  def vacuum(store: TableStore, table: String): Long =
+    store.vacuumUnmarked(table) +
+      store.vacuumUnmarked(table + "__shingles",
+        markerTable = Some(table + "__batches"))
 
   /** Near-duplicate pairs between a new batch and the INDEXED corpus:
     * `(new_id, old_id, jaccard)` with exact (shingle-set) Jaccard ≥
@@ -254,13 +283,6 @@ object DedupIndex {
       idCol, minJaccard)
   }
 
-  /** Band-row count above which the probe stops forcing broadcasts and
-    * leaves join strategy to the optimizer/AQE: at ~24 bytes per band row,
-    * 4M rows is comfortably inside a driver but past the point where a
-    * forced broadcast is self-evidently right.
-    */
-  private val broadcastBandRowCap = 4L * 1000 * 1000
-
   /** Same, over a precomputed `(idCol, sh)` delta shingle frame. */
   def deltaPairsFromShingles(store: TableStore, table: String,
       deltaShingles: DataFrame, idCol: String,
@@ -270,18 +292,21 @@ object DedupIndex {
     val deltaBands = bandRows(deltaSh, idCol, meta)
       .withColumnRenamed(idCol, "new_id")
     // bounded driver state: at most `buckets` distinct bucket ids (the
-    // same centroid-sized collect the ANN probe path pays) plus one count,
-    // fused into a single action over the delta's band rows
+    // same centroid-sized collect the ANN probe path pays) plus one
+    // byte-estimate sum, fused into a single action over the delta's
+    // band rows
     val bkRow = deltaBands
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+      .agg(collect_set(col("__bk")).alias("bks"),
+        sum(Broadcasting.rowBytes(deltaBands.schema)).alias("bytes")).head()
     val bks = bkRow.getSeq[Int](0)
     // a batch-sized delta broadcasts into the pruned index scan; a
-    // corpus-sized delta must NOT be forced into the driver — past the
-    // cap, AQE picks the strategy (and the probe degrades to the full
-    // shuffle join that a corpus-vs-corpus comparison genuinely is)
-    val smallDelta = bkRow.getLong(1) <= broadcastBandRowCap
+    // corpus-sized (or wide-row) delta must NOT be forced into the
+    // driver — past the BYTE budget ([[Broadcasting]]), AQE picks the
+    // strategy (and the probe degrades to the full shuffle join that a
+    // corpus-vs-corpus comparison genuinely is)
+    val deltaBytes = if (bkRow.isNullAt(1)) 0L else bkRow.getLong(1)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (smallDelta) df.hint("broadcast") else df
+      Broadcasting.hintIfSmall(df, deltaBytes)
     val idxBands = store.read(table)
       .where(col("__bk").isInCollection(bks))
       .withColumnRenamed(idCol, "old_id")

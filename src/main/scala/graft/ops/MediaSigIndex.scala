@@ -127,15 +127,31 @@ object MediaSigIndex {
     * BEFORE the cross/intra probes (a competing append landing between
     * a probe and the claim would otherwise go undetected, and the probe
     * window dominates the ingest's wall time).
+    *
+    * Appended band rows carry a fresh `__batch_id`, recorded in
+    * `<table>__batches` only AFTER the nonce verify — an aborted or
+    * abandoned attempt leaves identifiable orphans for [[vacuum]].
     */
   private def appendSigs(store: TableStore, table: String, idCol: String,
       meta: Meta, sigs: DataFrame, nonce: String): Unit = {
+    val batchId = java.util.UUID.randomUUID().toString
     store.writePartitioned(table,
-      bandRows(sigs, idCol, meta).repartition(col("__bk")),
+      bandRows(sigs, idCol, meta).withColumn("__batch_id", lit(batchId))
+        .repartition(col("__bk")),
       Seq("__bk"), append = true)
     TableStore.interleaveForTest(table)
     store.requireSoleWriter(table, nonce)
+    store.recordBatch(table + "__batches", batchId)
   }
+
+  /** Remove the orphaned band rows of aborted/abandoned appends —
+    * [[TableStore.vacuumUnmarked]] under the `<table>__batches`
+    * convention. Abort → vacuum → probe is indistinguishable from never
+    * having appended; a retried batch's surviving attempt keeps its
+    * rows (spec-pinned in MediaSigIndexSpec). Returns rows removed.
+    */
+  def vacuum(store: TableStore, table: String): Long =
+    store.vacuumUnmarked(table)
 
   /** Near-duplicate pairs between a new batch and the INDEXED corpus:
     * `(new_id, old_id, hamming)` within `maxHamming` signature bits.
@@ -171,15 +187,16 @@ object MediaSigIndex {
     val deltaBands = bandRows(deltaSigs, idCol, meta)
       .withColumnsRenamed(Map(idCol -> "new_id", "sig" -> "new_sig"))
     // bounded driver state: at most `buckets` distinct bucket ids plus a
-    // row count, one action over the delta's band rows
+    // byte-estimate sum, one action over the delta's band rows
     val bkRow = deltaBands
-      .agg(collect_set(col("__bk")).alias("bks"), count(lit(1)).alias("n")).head()
+      .agg(collect_set(col("__bk")).alias("bks"),
+        sum(Broadcasting.rowBytes(deltaBands.schema)).alias("bytes")).head()
     val bks = bkRow.getSeq[Int](0)
     if (bks.isEmpty)
       return deltaSigs.select(col(idCol).alias("new_id"),
         col(idCol).alias("old_id"), lit(0).cast("int").alias("hamming")).limit(0)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (bkRow.getLong(1) <= 4L * 1000 * 1000) df.hint("broadcast") else df
+      Broadcasting.hintIfSmall(df, if (bkRow.isNullAt(1)) 0L else bkRow.getLong(1))
     val idxBands = store.read(table)
       .where(col("__bk").isInCollection(bks))
       .withColumnsRenamed(Map(idCol -> "old_id", "sig" -> "old_sig"))

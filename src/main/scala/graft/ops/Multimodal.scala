@@ -144,8 +144,14 @@ object Multimodal {
     *
     * `blocks` ≤ 60 keeps every set bit below the sign bit, so the
     * signature stays a non-negative BIGINT in engines whose left-shift
-    * refuses the 64-bit sign position. Null payload → null; payloads
-    * shorter than `blocks` bytes hash to 0. JIT'd UDF loop
+    * refuses the 64-bit sign position. Null payload → null; a payload
+    * SHORTER than `blocks` bytes also hashes to null — such a payload
+    * has no block structure, and the former all-zero signature made
+    * every two distinct tiny assets "exact duplicates" (hamming 0), so
+    * the near-dup joins silently dropped legitimately distinct small
+    * assets. Null signatures are skipped by every consumer, the same
+    * treatment as null payloads; dedup tiny assets exactly (by payload
+    * hash) instead. JIT'd UDF loop
     * ([[graft.ops.Quantization.pqEncode]]'s rationale: a per-block HOF
     * formulation evaluates interpreted, re-walking the payload per
     * block).
@@ -156,7 +162,7 @@ object Multimodal {
       if (payload == null) null
       else {
         val bs = payload.length / blocks
-        if (bs == 0) java.lang.Long.valueOf(0L)
+        if (bs == 0) null
         else {
           val sums = new Array[Long](blocks)
           var total = 0L
@@ -177,6 +183,95 @@ object Multimodal {
       }
     }
     c => f(c)
+  }
+
+  /** Per-FRAME perceptual signatures of an asset's payload — the
+    * frame-level stage video near-dup needs: two videos sharing most
+    * frames but differing in length/container hash far apart under the
+    * whole-payload [[perceptualHash]], while their shared frames hash
+    * identically here. Frame f covers bytes
+    * `[f·frameBytes, (f+1)·frameBytes)` (a trailing partial frame is
+    * ignored), and each frame gets the SAME exact-integer block-mean
+    * aHash as [[perceptualHash]], over its own bytes — with a real
+    * decoder the frames come from [[sampleFrames]]'s offsets and the
+    * reduction runs over decoded pixel grids; over the stub's opaque
+    * payloads the fixed-stride byte window is the deterministic stand-in
+    * (same convention as [[StubDecoder]]). One JIT'd UDF pass hashes all
+    * of an asset's frames (never one UDF call per frame), then
+    * `posexplode` yields `(idCol, frame_idx, sig)` rows. Null payloads
+    * and payloads shorter than one frame emit no rows.
+    */
+  def frameSignatures(assets: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int = 64, blocks: Int = 60): DataFrame = {
+    require(blocks > 0 && blocks <= 60, s"blocks=$blocks must be in [1, 60]")
+    require(frameBytes >= blocks,
+      s"frameBytes=$frameBytes must be >= blocks=$blocks, or every frame " +
+        "signature would be null")
+    val bs = frameBytes / blocks
+    val f = udf { payload: Array[Byte] =>
+      if (payload == null) null
+      else {
+        val nFrames = payload.length / frameBytes
+        val out = new Array[Long](nFrames)
+        var fr = 0
+        while (fr < nFrames) {
+          val off = fr * frameBytes
+          val sums = new Array[Long](blocks)
+          var total = 0L
+          var j = 0
+          while (j < blocks) {
+            var i = 0; var s = 0L
+            while (i < bs) { s += payload(off + j * bs + i) & 0xff; i += 1 }
+            sums(j) = s; total += s; j += 1
+          }
+          var h = 0L
+          j = 0
+          while (j < blocks) {
+            if (sums(j) * blocks > total) h |= (1L << j)
+            j += 1
+          }
+          out(fr) = h
+          fr += 1
+        }
+        out
+      }
+    }
+    assets.select(col(idCol), posexplode(f(col(payloadCol))))
+      .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "sig"))
+  }
+
+  /** FRAME-LEVEL video near-dup pairs: per-frame signatures
+    * ([[frameSignatures]]) band through the shared pigeonhole block join
+    * ([[Dedup.sigBlocks]] — never all-pairs; shuffle volume is the
+    * block-bucket collision volume over FRAME rows), and the decision
+    * is taken at ASSET level: `(id_a, id_b, matched_frames)` where
+    * `matched_frames` counts the distinct frames of the smaller-id
+    * asset with at least one partner frame of the other within
+    * `maxHamming` signature bits, and the pair is emitted iff
+    * `matched_frames >= minFrames` — the k-of-n rule that catches two
+    * videos sharing most frames regardless of container length or frame
+    * order, which the whole-payload hash structurally cannot.
+    */
+  def frameNearDupPairs(assets: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int = 64, maxHamming: Int = 3, minFrames: Int = 2,
+      blocks: Int = 60): DataFrame = {
+    require(minFrames >= 1, s"minFrames=$minFrames must be >= 1")
+    val frames = frameSignatures(assets, payloadCol, idCol, frameBytes, blocks)
+    val exploded = Dedup.sigBlocks(frames, "sig", maxHamming, blocks)
+    val l = exploded.select(col(idCol).alias("id_a"),
+      col("frame_idx").alias("frame_a"), col("sig").alias("sig_a"),
+      col("block_idx"), col("block_val"))
+    val r = exploded.select(col(idCol).alias("id_b"),
+      col("sig").alias("sig_b"), col("block_idx"), col("block_val"))
+    l.join(r, Seq("block_idx", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .where(Dedup.hammingDistance(col("sig_a"), col("sig_b")) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      // distinct: a frame pairing with many partner frames (or reaching
+      // the join through several shared blocks) still counts as ONE
+      // matched frame of the smaller-id side
+      .agg(countDistinct(col("frame_a")).alias("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
   }
 
   /** Media near-duplicate pairs: perceptual-hash every asset's payload

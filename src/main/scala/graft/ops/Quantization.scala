@@ -342,14 +342,26 @@ object Quantization {
       .localCheckpoint(true) // two consumers: drift aggregate + data write
     val st = encoded
       .agg(count(col("__err")).alias("n"), sum(col("__err")).alias("s")).head()
+    // appended code rows carry the batch id (caller-supplied, or a fresh
+    // UUID for ad-hoc appends) so aborted/abandoned attempts leave
+    // vacuumable orphans ([[graft.engine.TableStore.vacuumUnmarked]]) —
+    // the marker lands only after the nonce verify and the stats fold
+    val effectiveBatchId =
+      batchId.getOrElse(java.util.UUID.randomUUID().toString)
     store.writePartitioned(table,
-      encoded.drop("__err").repartition(col("__cell")),
+      encoded.drop("__err")
+        .withColumn("__batch_id", lit(effectiveBatchId))
+        .repartition(col("__cell")),
       Seq("__cell"), append = true)
     graft.engine.TableStore.interleaveForTest(table)
     // stats fold BEFORE the batch marker (see the commit-order contract
-    // above), behind the sole-writer verify. Tolerate a pre-stats index
-    // (built before the drift cadence existed) — drift is then simply
-    // unmeasured until the next rebuild.
+    // above), behind the sole-writer verify — re-checked immediately
+    // AFTER the fold too, so a competing writer that claims and folds
+    // between the first verify and this writer's stats overwrite (the
+    // exact silent under-count the guard exists to catch) still aborts
+    // loudly; the unguarded tail shrinks to the write itself. Tolerate
+    // a pre-stats index (built before the drift cadence existed) —
+    // drift is then simply unmeasured until the next rebuild.
     if (store.exists(table + "__stats")) {
       val prev = store.read(table + "__stats").head()
       store.requireSoleWriter(table, nonce)
@@ -363,8 +375,9 @@ object Quantization {
         if (hasRecent) prev.getDouble(3) else 0.0,
         if (hasRecent) prev.getDouble(4) else 0.0, dn, ds)
       writePqStats(store, table, prev.getDouble(0), n2, s2, rn2, rs2)
+      store.requireSoleWriter(table, nonce)
     } else store.requireSoleWriter(table, nonce)
-    batchId.foreach(store.recordBatch(bt, _))
+    store.recordBatch(bt, effectiveBatchId)
     true
   }
 

@@ -462,7 +462,9 @@ object Similarity {
     */
   def rebuildIvfIndex(store: graft.engine.TableStore, table: String,
       vecCol: String, idCol: String, nCells: Int, iterations: Int = 5): Unit = {
-    val rows = store.read(table).drop("__cell")
+    // __batch_id drops with __cell: a rebuild folds every appended row
+    // into the base (vacuum orphans BEFORE rebuilding if any may exist)
+    val rows = store.read(table).drop("__cell", "__batch_id")
     val (indexed, cents) = buildIvfIndexDistributed(rows, vecCol, idCol, nCells, iterations)
     store.replacePartitioned(table, indexed.repartition(col("__cell")), Seq("__cell"))
     val sp = rows.sparkSession
@@ -544,8 +546,14 @@ object Similarity {
       .localCheckpoint(true) // two consumers: drift aggregate + data write
     val st = assigned
       .agg(count(col("__ad")).alias("n"), sum(col("__ad")).alias("s")).head()
+    // appended rows carry a fresh `__batch_id`, recorded in
+    // `<table>__batches` only after the nonce verifies — aborted or
+    // abandoned attempts leave vacuumable orphans
+    // ([[graft.engine.TableStore.vacuumUnmarked]])
+    val batchId = java.util.UUID.randomUUID().toString
     store.writePartitioned(table,
-      assigned.drop("__ad").repartition(col("__cell")),
+      assigned.drop("__ad").withColumn("__batch_id", lit(batchId))
+        .repartition(col("__cell")),
       Seq("__cell"), append = true)
     graft.engine.TableStore.interleaveForTest(table)
     if (store.exists(table + "__stats")) {
@@ -561,7 +569,12 @@ object Similarity {
         if (fused) prev.getDouble(3) else 0.0,
         if (fused) prev.getDouble(4) else 0.0, dn, ds)
       writeIvfStatsRow(store, table, prev.getDouble(0), n2, s2, rn2, rs2)
+      // re-verify AFTER the stats fold: a competitor claiming between
+      // the first verify and the write would otherwise have its fold
+      // silently overwritten — the unguarded tail shrinks to the write
+      store.requireSoleWriter(table, nonce)
     } else store.requireSoleWriter(table, nonce)
+    store.recordBatch(table + "__batches", batchId)
   }
 
   /** Probe a persisted IVF index: centroids load driver-side, the nProbe

@@ -719,12 +719,20 @@ object Streams {
     *
     * Delivery semantics: the checkpoint makes each source batch process
     * once under normal operation; a crash-restart mid-batch can replay
-    * one batch. A replayed batch re-probes an index that already holds
-    * its survivors — self-pairs are excluded by id, so the replay
-    * re-appends and re-emits those survivors (duplicate rows, exact
-    * probes — [[graft.ops.DedupIndex.append]]'s documented retry
-    * contract). Compact or rebuild the index on a cadence; dedup the
-    * output table by id downstream if exactly-once output matters.
+    * one batch. The INDEX side tolerates that by contract (a replayed
+    * batch re-probes an index that already holds its survivors —
+    * self-pairs are excluded by id, so the replay re-appends them:
+    * duplicate band rows, exact probes, reclaimable via
+    * [[graft.ops.DedupIndex.vacuum]]). The OUTPUT side is EXACTLY-ONCE:
+    * each epoch's survivor rows land via dynamic partition overwrite of
+    * the epoch's own `__batch_id=<checkpoint-namespaced epoch>`
+    * directory, so a replayed epoch REPLACES its previous (possibly
+    * partial) output instead of appending next to it, and a
+    * fully-landed epoch is recognized in `<outTable>__batches` and
+    * skipped outright — zero duplicate output rows across any
+    * crash-replay (spec-pinned; survivors are deterministic on replay).
+    * Output rows carry the `__batch_id` provenance column. Compact or
+    * rebuild the index on a cadence.
     */
   def ingestDedupStream(
       docs: DataFrame,
@@ -735,17 +743,28 @@ object Streams {
       idCol: String,
       minJaccard: Double,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-        val survivors = graft.ops.DedupIndex.ingestDedup(
-          store, indexTable, batch, textCol, idCol, minJaccard)
-        store.write(outTable, survivors, append = true)
+        val bid = s"$ns-$epoch"
+        val marker = outTable + "__batches"
+        if (!store.batchApplied(marker, bid)) {
+          val survivors = graft.ops.DedupIndex.ingestDedup(
+            store, indexTable, batch, textCol, idCol, minJaccard)
+          store.overwritePartitions(outTable,
+            survivors.withColumn("__batch_id",
+              org.apache.spark.sql.functions.lit(bid)),
+            Seq("__batch_id"))
+          store.recordBatch(marker, bid)
+        }
         maybeCompact(store, indexTable, epoch, compactEvery)
+        maybeCompactMarkers(store, marker, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** CONTINUOUS media ingest dedup — [[ingestDedupStream]] for the
     * multimodal tier: each micro-batch of assets perceptual-hashes once,
@@ -756,11 +775,14 @@ object Streams {
     * Per-batch cost tracks the batch — the index is only ever
     * partition-pruned-probed — and the index is the only state.
     *
-    * Delivery semantics: same retry contract as [[ingestDedupStream]] —
-    * a crash-replayed batch re-probes an index that already holds its
-    * survivors (self-pairs excluded by id, so the replay re-appends and
-    * re-emits them: duplicate rows, exact probes); dedup `outTable` by
-    * id downstream if exactly-once output matters.
+    * Delivery semantics: same contract as [[ingestDedupStream]] — the
+    * index side tolerates a replayed batch's re-append (duplicate band
+    * rows, exact probes, reclaimable via
+    * [[graft.ops.MediaSigIndex.vacuum]]); the OUTPUT side is
+    * EXACTLY-ONCE via the checkpoint-namespaced epoch id: a landed
+    * epoch is recognized in `<outTable>__batches` and skipped, and a
+    * replayed in-flight epoch REPLACES its own `__batch_id` partition
+    * (dynamic partition overwrite) instead of appending duplicates.
     */
   def ingestMediaDedupStream(
       assets: DataFrame,
@@ -771,17 +793,28 @@ object Streams {
       idCol: String,
       maxHamming: Int,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     assets.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-        val survivors = graft.ops.MediaSigIndex.ingestDedup(
-          store, indexTable, batch, payloadCol, idCol, maxHamming)
-        store.write(outTable, survivors, append = true)
+        val bid = s"$ns-$epoch"
+        val marker = outTable + "__batches"
+        if (!store.batchApplied(marker, bid)) {
+          val survivors = graft.ops.MediaSigIndex.ingestDedup(
+            store, indexTable, batch, payloadCol, idCol, maxHamming)
+          store.overwritePartitions(outTable,
+            survivors.withColumn("__batch_id",
+              org.apache.spark.sql.functions.lit(bid)),
+            Seq("__batch_id"))
+          store.recordBatch(marker, bid)
+        }
         maybeCompact(store, indexTable, epoch, compactEvery)
+        maybeCompactMarkers(store, marker, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** The automatic small-file policy of the streaming index sinks: every
     * `compactEvery` epochs the index's accreted per-partition part-files
@@ -813,6 +846,20 @@ object Streams {
       store.compact(table)
       if (store.exists(table + "__batches")) store.compact(table + "__batches")
     }
+
+  /** Same policy for a sink's OUTPUT-side epoch-marker table alone: the
+    * output table itself must never be compacted from a sink (it grows
+    * with the corpus — a periodic full rewrite of the stream's entire
+    * output is exactly the unbounded-lifetime cost the marker probe
+    * exists to avoid), but its one-row-per-epoch marker files follow
+    * the same accretion curve as the index's and compact on the same
+    * cadence.
+    */
+  private def maybeCompactMarkers(store: graft.engine.TableStore,
+      markerTable: String, epoch: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && (epoch + 1) % compactEvery == 0 &&
+        store.exists(markerTable))
+      store.compact(markerTable)
 
   /** CONTINUOUS text-index ingest — the streaming face of
     * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of
@@ -974,13 +1021,17 @@ object Streams {
     * census is only ever bucket-pruned-probed — and the census is the
     * only state, no engine state store.
     *
-    * Delivery semantics: same retry contract as [[ingestDedupStream]] —
-    * a crash-replayed batch re-probes a census that may already hold its
-    * novel fingerprints, so its documents report as cached and the
-    * replayed report rows differ from the originals (duplicate report
-    * rows either way); dedup the report by id downstream if exactly-once
-    * matters. The census itself converges regardless: appends are
-    * anti-joined against existing fingerprints.
+    * Delivery semantics: the census converges regardless of replays
+    * (appends are anti-joined against existing fingerprints), and the
+    * REPORT output is exactly-once in COUNT via the same epoch-marker +
+    * partition-overwrite discipline as [[ingestDedupStream]]: one report
+    * row set per epoch, a replayed in-flight epoch replacing its own
+    * `__batch_id` partition. One caveat survives by nature of the probe:
+    * a replayed epoch re-probes a census that may already hold the
+    * batch's novel fingerprints, so the REPLACED report can show those
+    * documents as cached (kept=false) where the lost original said
+    * kept=true — the report is exactly-once, its values reflect the
+    * census state at (re)processing time.
     */
   def chunkIngestStream(
       docs: DataFrame,
@@ -991,17 +1042,28 @@ object Streams {
       idCol: String,
       maxCachedFrac: Double,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
-        val report = graft.ops.ChunkIndex.ingest(
-          store, indexTable, batch, textCol, idCol, maxCachedFrac)
-        store.write(outTable, report, append = true)
+        val bid = s"$ns-$epoch"
+        val marker = outTable + "__batches"
+        if (!store.batchApplied(marker, bid)) {
+          val report = graft.ops.ChunkIndex.ingest(
+            store, indexTable, batch, textCol, idCol, maxCachedFrac)
+          store.overwritePartitions(outTable,
+            report.withColumn("__batch_id",
+              org.apache.spark.sql.functions.lit(bid)),
+            Seq("__batch_id"))
+          store.recordBatch(marker, bid)
+        }
         maybeCompact(store, indexTable, epoch, compactEvery)
+        maybeCompactMarkers(store, marker, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** CONTINUOUS novel-chunk embedding — the streaming face of
     * [[graft.ops.ChunkIndex.ingestEmbed]], the re-crawl pipeline's full

@@ -470,6 +470,40 @@ class IngestSpec extends SparkSpecBase {
       "delete rewrote partitions with no matches")
   }
 
+  test("vacuumUnmarked removes only unmarked stamped rows; base rows and recorded batches stay") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-vac"))
+    store.write("t", Seq((1, "base")).toDF("id", "v"), append = false)
+    // no __batch_id column at all: structurally a no-op
+    assert(store.vacuumUnmarked("t") === 0L)
+    store.write("t", Seq((2, "committed")).toDF("id", "v")
+      .withColumn("__batch_id", lit("b-ok")), append = true)
+    store.recordBatch("t__batches", "b-ok")
+    store.write("t", Seq((3, "lost"), (4, "lost")).toDF("id", "v")
+      .withColumn("__batch_id", lit("b-lost")), append = true)
+    // the orphaned batch goes; the base row (null stamp, via mergeSchema)
+    // and the recorded batch stay
+    assert(store.vacuumUnmarked("t") === 2L)
+    assert(store.read("t").select("id").as[Int].collect().toSet === Set(1, 2))
+    assert(store.vacuumUnmarked("t") === 0L) // idempotent
+    // a stamped table with NO marker table: every stamped row is orphan
+    store.write("t2", Seq((9, "x")).toDF("id", "v")
+      .withColumn("__batch_id", lit("never-recorded")), append = false)
+    assert(store.vacuumUnmarked("t2") === 1L)
+    assert(store.read("t2").count() === 0L)
+    // Hive-partitioned table: the rewrite keeps the partition layout
+    store.writePartitioned("tp",
+      Seq((1, "d1", null.asInstanceOf[String]), (2, "d2", "gone"))
+        .toDF("id", "day", "__batch_id"), Seq("day"))
+    assert(store.vacuumUnmarked("tp") === 1L)
+    assert(store.read("tp").select("id").as[Int].collect().toSeq === Seq(1))
+    val root = new org.apache.hadoop.fs.Path(
+      store.read("tp").inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "day=d1")),
+      "vacuum flattened the Hive layout")
+  }
+
   test("deleteWhere: emptying a whole partition removes its directory") {
     import spark.implicits._
     val store = new TableStore(spark, tmpDir("wh-delete-empty"))

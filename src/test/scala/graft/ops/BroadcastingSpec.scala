@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Byte-budgeted broadcast gating for the persisted-index probes
+  * (ops.Broadcasting): the forced-broadcast decision is a measured byte
+  * estimate against a session budget, not a width-blind row count.
+  */
+class BroadcastingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("rowBytes measures variable-width columns, not just row count") {
+    val df = Seq((1L, "abcd", Seq(1L, 2L, 3L))).toDF("id", "s", "a")
+    val est = df.select(Broadcasting.rowBytes(df.schema).alias("b"))
+      .head().getLong(0)
+    // long 8 + string (4 + 16) + array (3·8 + 16) + 16 row overhead
+    assert(est === 8L + 20L + 40L + 16L, est.toString)
+    // width moves the estimate at constant row count
+    val wide = Seq((1L, "x" * 1000, Seq.empty[Long])).toDF("id", "s", "a")
+    val wideEst = wide.select(Broadcasting.rowBytes(wide.schema).alias("b"))
+      .head().getLong(0)
+    assert(wideEst > est + 900L, s"wide row estimated $wideEst vs $est")
+    // nulls are measured as empty, not crashed on
+    val n = Seq((1L, null.asInstanceOf[String], null.asInstanceOf[Seq[Long]]))
+      .toDF("id", "s", "a")
+    assert(n.select(Broadcasting.rowBytes(n.schema)).head().getLong(0) ===
+      8L + 16L + 16L + 16L)
+  }
+
+  test("probe gate: a small delta is force-broadcast; past the byte budget AQE decides") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-bgate"))
+    DedupIndex.persist(store, "bg_idx", Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "another base document with entirely different words all of its own"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    def plan(): String = DedupIndex.deltaPairs(store, "bg_idx", delta,
+      "text", "doc_id", minJaccard = 0.5)
+      .queryExecution.executedPlan.toString
+    // kill Spark's own size-based broadcast so the assertion isolates
+    // the probe's explicit gate
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the tiny delta fits the default 64 MB budget: hint forced
+      assert(plan().contains("BroadcastHashJoin"), plan())
+      // a 1-byte budget models a delta whose MEASURED bytes exceed the
+      // budget (a wide-row or corpus-sized delta): no forced broadcast —
+      // strategy falls to the optimizer/AQE
+      spark.conf.set(Broadcasting.confKey, "1")
+      assert(!plan().contains("BroadcastHashJoin"), plan())
+    } finally {
+      spark.conf.unset(Broadcasting.confKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+}

@@ -109,18 +109,18 @@ class ChunkIndexSpec extends SparkSpecBase {
       "vocabulary sharing nothing anywhere at all")).toDF("doc_id", "text")
     val deltaB = Seq((300L, "writer b material carrying different original " +
       "content likewise unrelated to everything else")).toDF("doc_id", "text")
-    graft.engine.TableStore.interleaveForTest = { _ =>
-      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
-      ChunkIndex.ingest(store, table, deltaB, "text", "doc_id",
-        maxCachedFrac = 0.5, appendNew = true)
-    }
-    try {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        ChunkIndex.ingest(store, table, deltaB, "text", "doc_id",
+          maxCachedFrac = 0.5, appendNew = true)
+    }) {
       val e = intercept[IllegalArgumentException] {
         ChunkIndex.ingest(store, table, deltaA, "text", "doc_id",
           maxCachedFrac = 0.5, appendNew = true)
       }
       assert(e.getMessage.contains("concurrent append"))
-    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    }
     // survivor B registered; A's retry converges (its fps may already be
     // physically present from the aborted attempt — the census anti-join
     // and the probe's dup tolerance make the retry a safe no-op-or-append)

@@ -267,17 +267,19 @@ class DedupIndexSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     // interleave B's FULL append inside A's claim→verify window — the
     // two-writer scenario whose silent outcome would be both batches
-    // probing an index missing the other's rows
-    graft.engine.TableStore.interleaveForTest = { _ =>
-      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
-      DedupIndex.append(store, table, deltaB, "text", "doc_id")
-    }
-    try {
+    // probing an index missing the other's rows; installed through the
+    // structural loan (restores on exit), with a re-entry flag since
+    // B's own append fires the hook again
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        DedupIndex.append(store, table, deltaB, "text", "doc_id")
+    }) {
       val e = intercept[IllegalArgumentException] {
         DedupIndex.append(store, table, deltaA, "text", "doc_id")
       }
       assert(e.getMessage.contains("concurrent append"))
-    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    }
     // B (the survivor) is probe-visible; A's retry is the documented
     // recovery — re-appends (duplicates tolerated) and becomes visible
     DedupIndex.append(store, table, deltaA, "text", "doc_id")
@@ -289,6 +291,66 @@ class DedupIndexSpec extends SparkSpecBase {
         minJaccard = 0.9)
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet
     assert(got == Set((400L, 200L), (401L, 300L)), got.toString)
+  }
+
+  test("vacuum cleans an abort's rows from BOTH tables and reclaims a retry's failed first attempt") {
+    val (store, table) = freshIndex("vac")
+    val docA = Seq(
+      (200L, "writer a brings its very own fresh vocabulary nothing shared at all"))
+      .toDF("doc_id", "text")
+    val docB = Seq(
+      (300L, "writer b carries different original content also unrelated to everything"))
+      .toDF("doc_id", "text")
+    def hits(text: String): Set[Long] =
+      DedupIndex.deltaPairs(store, table,
+          Seq((900L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          minJaccard = 0.9)
+        .select("old_id").as[Long].collect().toSet
+    // A aborts on the nonce (B lands inside its window and commits)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        DedupIndex.append(store, table, docB, "text", "doc_id")
+    }) {
+      intercept[IllegalArgumentException] {
+        DedupIndex.append(store, table, docA, "text", "doc_id")
+      }
+    }
+    val aText = "writer a brings its very own fresh vocabulary nothing shared at all"
+    val bText = "writer b carries different original content also unrelated to everything"
+    assert(hits(aText) == Set(200L), "fixture broke: no phantom")
+    // vacuum the abandoned abort: band AND shingle sides restore to
+    // never-appended; the committed writer and the base stay
+    assert(DedupIndex.vacuum(store, table) > 0L)
+    assert(hits(aText).isEmpty, "phantom band/shingle rows survived vacuum")
+    assert(hits(bText) == Set(300L), "committed batch vacuumed away")
+    assert(store.read(table + "__shingles")
+      .where(col("doc_id") === 200L).count() === 0L)
+    // retry WITHOUT an intervening vacuum: abort A again (C commits
+    // inside the window), then the documented retry lands — the index
+    // now holds A's rows TWICE (one orphan, one committed); vacuum
+    // reclaims exactly the failed attempt
+    val docC = Seq(
+      (400L, "writer c text standing apart from every other document entirely"))
+      .toDF("doc_id", "text")
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired2.compareAndSet(false, true))
+        DedupIndex.append(store, table, docC, "text", "doc_id")
+    }) {
+      intercept[IllegalArgumentException] {
+        DedupIndex.append(store, table, docA, "text", "doc_id")
+      }
+    }
+    DedupIndex.append(store, table, docA, "text", "doc_id") // the retry
+    assert(store.read(table + "__shingles")
+      .where(col("doc_id") === 200L).count() === 2L)
+    assert(DedupIndex.vacuum(store, table) > 0L)
+    assert(store.read(table + "__shingles")
+      .where(col("doc_id") === 200L).count() === 1L,
+      "vacuum should reclaim exactly the failed first attempt")
+    assert(hits(aText) == Set(200L), "the retried batch must survive vacuum")
+    assert(DedupIndex.vacuum(store, table) === 0L) // idempotent
   }
 
   test("df-capped build equals the uncapped build when no shingle is hot") {

@@ -115,19 +115,21 @@ class MediaSigIndexSpec extends SparkSpecBase {
     assert(e1.getMessage.contains("UNCOMMITTED"))
     store.replace(table + "__meta",
       Seq((60, 4, 16, true)).toDF("bits", "bands", "buckets", "committed"))
-    // two-writer interleave: B's full append inside A's claim→verify
-    graft.engine.TableStore.interleaveForTest = { _ =>
-      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
-      MediaSigIndex.append(store, table, assets(Seq(301L)),
-        "payload", "asset_id")
-    }
-    try {
+    // two-writer interleave: B's full append inside A's claim→verify —
+    // installed through the structural loan (restores on exit), with a
+    // re-entry flag since B's own append fires the hook again
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        MediaSigIndex.append(store, table, assets(Seq(301L)),
+          "payload", "asset_id")
+    }) {
       val e2 = intercept[IllegalArgumentException] {
         MediaSigIndex.append(store, table, assets(Seq(300L)),
           "payload", "asset_id")
       }
       assert(e2.getMessage.contains("concurrent append"))
-    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    }
     // survivor B is probe-visible
     val got = MediaSigIndex.deltaPairs(store, table,
         Seq(nearCopy(301L, 400L)).toDF("asset_id", "payload"),
@@ -143,5 +145,44 @@ class MediaSigIndexSpec extends SparkSpecBase {
         "payload", "asset_id", maxHamming = 4)
     }
     assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("vacuum: abort → vacuum → probe equals never-appended; committed and base rows survive") {
+    val (store, table) = freshIndex("vac")
+    def probeHits(of: Long): Set[Long] =
+      MediaSigIndex.deltaPairs(store, table,
+          Seq(nearCopy(of, 900L)).toDF("asset_id", "payload"),
+          "payload", "asset_id", maxHamming = 3)
+        .select("old_id").as[Long].collect().toSet
+    // writer A (asset 200) ABORTS on the nonce — competing writer B
+    // (asset 300) lands inside its window and records ITS marker; A is
+    // then ABANDONED instead of retried
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        MediaSigIndex.append(store, table, assets(Seq(300L)),
+          "payload", "asset_id")
+    }) {
+      intercept[IllegalArgumentException] {
+        MediaSigIndex.append(store, table, assets(Seq(200L)),
+          "payload", "asset_id")
+      }
+    }
+    // before vacuum the abandoned batch's PHANTOM rows influence probes:
+    // a future near-dup of the never-kept asset would silently drop
+    assert(probeHits(200L).contains(200L), "fixture broke: no phantom")
+    val removed = MediaSigIndex.vacuum(store, table)
+    assert(removed > 0L, "vacuum found no orphans")
+    // after vacuum: indistinguishable from never-appended — the phantom
+    // is gone, the committed batch and the base corpus still hit
+    assert(probeHits(200L).isEmpty, "phantom survived vacuum")
+    assert(probeHits(300L).contains(300L), "committed batch vacuumed away")
+    assert(probeHits(7L).contains(7L), "base rows vacuumed away")
+    // the documented recovery (retry the batch) still works afterwards,
+    // and a vacuum after a COMMITTED retry removes nothing
+    MediaSigIndex.append(store, table, assets(Seq(200L)),
+      "payload", "asset_id")
+    assert(MediaSigIndex.vacuum(store, table) === 0L)
+    assert(probeHits(200L).contains(200L))
   }
 }

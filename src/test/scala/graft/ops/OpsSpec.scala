@@ -861,10 +861,56 @@ class OpsSpec extends SparkSpecBase {
     val withNull = assets.unionByName(
       Seq((4L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "payload"))
     assert(Multimodal.nearDupPairs(withNull, "payload", "asset_id").count() == 1L)
-    // short payloads (< blocks bytes) hash to 0 deterministically
+    // short payloads (< blocks bytes) hash to NULL — they carry no block
+    // structure, and the former all-zero signature made every two
+    // distinct tiny assets hamming-0 "exact duplicates"
     val short = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("p")
-      .select(Multimodal.perceptualHash(60)(col("p"))).head().getLong(0)
-    assert(short == 0L)
+      .select(Multimodal.perceptualHash(60)(col("p"))).head()
+    assert(short.isNullAt(0), short.toString)
+    // ...so two DISTINCT tiny assets are skipped by the near-dup join,
+    // not silently merged
+    val tiny = Seq((10L, Array[Byte](1, 2, 3)), (11L, Array[Byte](9, 8, 7)))
+      .toDF("asset_id", "payload")
+    assert(Multimodal.nearDupPairs(tiny, "payload", "asset_id").count() == 0L)
+    assert(Multimodal.dropNearDuplicates(tiny, "payload", "asset_id")
+      .count() == 2L)
+  }
+
+  test("multimodal: frame-level near-dup catches shared-frame videos the whole-payload hash misses") {
+    import spark.implicits._
+    // 64-byte frames with effectively-random content (sha-hex prefixes);
+    // videos are frame concatenations. B shares 3 of A's 4 frames but
+    // has a different length and an extra tail — the whole-payload hash
+    // sees two unrelated byte streams, the frame tier sees the overlap.
+    def frame(k: Long): Array[Byte] = graft.MediaFixtures.payload(k).take(64)
+    def video(frames: Long*): Array[Byte] = frames.flatMap(frame).toArray
+    val a = video(1, 2, 3, 4)
+    val b = video(2, 3, 4, 9, 10)
+    val c = video(20, 21, 22, 23)
+    val assets = Seq((1L, a), (2L, b), (3L, c)).toDF("asset_id", "payload")
+    assert(Multimodal.nearDupPairs(assets, "payload", "asset_id",
+      maxHamming = 3).count() === 0L, "whole-payload hash should miss these")
+    // frame signatures: one row per full 64-byte window, hand-checkable
+    // counts (4, 5, 4), and A's shared frames hash identically to B's
+    val sigs = Multimodal.frameSignatures(assets, "payload", "asset_id",
+        frameBytes = 64)
+      .as[(Long, Int, Long)].collect()
+    assert(sigs.count(_._1 == 1L) === 4 && sigs.count(_._1 == 2L) === 5 &&
+      sigs.count(_._1 == 3L) === 4)
+    val sigOf = sigs.map { case (id, fi, s) => (id, fi) -> s }.toMap
+    assert(sigOf((1L, 1)) === sigOf((2L, 0))) // frame(2) both places
+    val pairs = Multimodal.frameNearDupPairs(assets, "payload", "asset_id",
+        frameBytes = 64, maxHamming = 3, minFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 3L)), pairs.toString)
+    // the k-of-n threshold is real: requiring one more shared frame
+    // than exists drops the pair
+    assert(Multimodal.frameNearDupPairs(assets, "payload", "asset_id",
+      frameBytes = 64, maxHamming = 3, minFrames = 4).count() === 0L)
+    // a trailing partial frame is ignored, not hashed: +1 byte, same rows
+    val ragged = Seq((9L, a ++ Array[Byte](42))).toDF("asset_id", "payload")
+    assert(Multimodal.frameSignatures(ragged, "payload", "asset_id",
+      frameBytes = 64).count() === 4L)
   }
 
   test("multimodal: repartitionBySize balances skewed payloads by bytes") {
@@ -1439,18 +1485,18 @@ class OpsSpec extends SparkSpecBase {
     assert(Similarity.ivfDriftRatio(store, "dw", "v") == 1.0)
     // two-writer interleave: B's full append inside A's claim→verify —
     // the stats read-modify-write must abort loudly, never drop B's fold
-    graft.engine.TableStore.interleaveForTest = { _ =>
-      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
-      Similarity.appendToIvfIndex(store, "dw",
-        flat(4000 until 4030, inDist), "v", "id")
-    }
-    try {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        Similarity.appendToIvfIndex(store, "dw",
+          flat(4000 until 4030, inDist), "v", "id")
+    }) {
       val e = intercept[IllegalArgumentException] {
         Similarity.appendToIvfIndex(store, "dw",
           flat(3000 until 3020, inDist), "v", "id")
       }
       assert(e.getMessage.contains("concurrent append"))
-    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    }
     assert(store.read("dw__stats").head().getLong(1) == 30L,
       "the surviving writer's stats fold was dropped")
   }

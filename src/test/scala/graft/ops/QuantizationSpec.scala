@@ -340,24 +340,30 @@ class QuantizationSpec extends SparkSpecBase {
     // (the injection point sits after A's data write, before its stats
     // read-modify-write) — exactly the two-writer scenario that would
     // silently drop B's fold if A committed over it
-    graft.engine.TableStore.interleaveForTest = { t =>
-      graft.engine.TableStore.interleaveForTest = _ => () // no re-entry
-      assert(Quantization.appendToIvfPqIndex(store, "pqi", deltaB,
-        "vec", "vec_id", Some("writer-b")))
-    }
-    try {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        assert(Quantization.appendToIvfPqIndex(store, "pqi", deltaB,
+          "vec", "vec_id", Some("writer-b")))
+    }) {
       val e = intercept[IllegalArgumentException] {
         Quantization.appendToIvfPqIndex(store, "pqi", deltaA, "vec",
           "vec_id", Some("writer-a"))
       }
       assert(e.getMessage.contains("concurrent append"))
-    } finally graft.engine.TableStore.interleaveForTest = _ => ()
+    }
     // B's fold survived; A folded nothing and its marker never landed,
     // so A's retry re-applies the batch in full
     assert(store.read("pqi__stats").head().getLong(1) == 30L,
       "the surviving writer's stats fold was dropped")
     assert(store.batchApplied("pqi__batches", "writer-b"))
     assert(!store.batchApplied("pqi__batches", "writer-a"))
+    // A's aborted attempt left its 20 code rows physically in the index,
+    // stamped with its unrecorded batch id — vacuum reclaims exactly
+    // them (B's marked rows and the unstamped base rows stay)
+    val beforeVac = store.read("pqi").count()
+    assert(store.vacuumUnmarked("pqi") === 20L)
+    assert(store.read("pqi").count() === beforeVac - 20L)
     assert(Quantization.appendToIvfPqIndex(store, "pqi", deltaA, "vec",
       "vec_id", Some("writer-a")))
     assert(store.read("pqi__stats").head().getLong(1) == 50L)

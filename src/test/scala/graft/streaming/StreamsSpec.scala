@@ -553,6 +553,91 @@ class StreamsSpec extends SparkSpecBase {
     assert(store.read("pqs").count() == 200)
   }
 
+  test("ingest dedup sink output is exactly-once across crash replays") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    val src = java.nio.file.Files.createTempDirectory("eo-src")
+    val store = new TableStore(spark, tmpDir("eo-wh"))
+    val ckpt = tmpDir("eo-ckpt")
+    DedupIndex.persist(store, "eo_idx", Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def run() = Streams.ingestDedupStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "eo_idx", "eo_out", "text", "doc_id", minJaccard = 0.7, ckpt)
+      .awaitTermination()
+    // ONE source file for the whole test, so a re-delivered epoch 0
+    // carries exactly the original epoch's rows — the crash-replay model
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"doc_id": 100, "text": "completely novel streaming content arriving in the first micro batch here"}
+        |{"doc_id": 101, "text": "the quick brown fox jumps over the lazy dog near the river bank tonight"}
+        |""".stripMargin)
+    run()
+    def outRows() = store.read("eo_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(outRows() == Seq(100L))
+    val bandRows = store.read("eo_idx").count()
+    def wipeCkpt(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // crash sim 1 — the epoch FULLY landed (output + marker) and only
+    // the engine checkpoint was lost: the re-delivered epoch is
+    // recognized in <outTable>__batches and skipped OUTRIGHT — zero
+    // duplicate output rows and the index untouched (no re-appended
+    // band rows at all)
+    wipeCkpt()
+    run()
+    assert(outRows() == Seq(100L), "skipped epoch duplicated output rows")
+    assert(store.read("eo_idx").count() == bandRows,
+      "skipped epoch still appended to the index")
+    // crash sim 2 — the epoch landed its OUTPUT but died before its
+    // marker: the replay re-runs the epoch, and the dynamic partition
+    // overwrite REPLACES the epoch's own output directory with the
+    // identical recomputed survivors — still zero duplicates (the index
+    // re-append is the documented tolerated duplicate)
+    store.dropTable("eo_out__batches")
+    wipeCkpt()
+    run()
+    assert(outRows() == Seq(100L), "replayed epoch duplicated output rows")
+    assert(store.batchApplied("eo_out__batches",
+      new org.apache.hadoop.fs.Path(ckpt).toString + "-0"))
+  }
+
+  test("media ingest sink output is exactly-once across crash replays") {
+    import graft.engine.TableStore
+    import graft.ops.MediaSigIndex
+    import graft.MediaFixtures.{nearCopy, payload}
+    val store = new TableStore(spark, tmpDir("meo-wh"))
+    MediaSigIndex.persist(store, "meo_idx",
+      (0L until 20L).map(i => (i, payload(i))).toDF("asset_id", "payload"),
+      "payload", "asset_id", blocks = 60, bands = 4, buckets = 16)
+    val src = java.nio.file.Files.createTempDirectory("meo-src").toString
+    val ckpt = tmpDir("meo-ckpt")
+    Seq(100L -> nearCopy(5L), 101L -> payload(700L)).toDF("asset_id", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id LONG, payload BINARY")
+    def run() = Streams.ingestMediaDedupStream(
+      spark.readStream.schema(schema).parquet(src),
+      store, "meo_idx", "meo_out", "payload", "asset_id",
+      maxHamming = 3, checkpoint = ckpt).awaitTermination()
+    run()
+    def out() = store.read("meo_out").select("asset_id").as[Long].collect().toSeq
+    assert(out() == Seq(101L))
+    val bandRows = store.read("meo_idx").count()
+    // fully-landed epoch, engine checkpoint lost: the re-delivered epoch
+    // is recognized in <outTable>__batches and skipped outright — no
+    // duplicate output, no index re-append (the media twin of the text
+    // sink's crash-sim spec; the guard is the same epoch-marker probe)
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    run()
+    assert(out() == Seq(101L), "skipped epoch duplicated output rows")
+    assert(store.read("meo_idx").count() == bandRows,
+      "skipped epoch still appended to the index")
+  }
+
   test("continuous media dedup: batches probe the signature index, survivors chain forward") {
     import graft.engine.TableStore
     import graft.ops.MediaSigIndex
