@@ -4406,6 +4406,26 @@ object SparkEntry {
         .orderBy(col("asset_id"))
     }),
 
+    "q_media_dedup_frames" -> ((s, dir) => {
+      // FRAME-level video near-dup under an exact cross-engine oracle:
+      // payloads are concatenations of 64-byte sha-hex frames, each
+      // frame aHash-hashed independently (60 blocks of 1 byte — the
+      // same exact integer formula as q_media_dedup, over the frame
+      // window), frame signatures band through the pigeonhole block
+      // join (never all-pairs), and the DECISION is per asset pair:
+      // matched_frames = distinct frames of the smaller-id asset with a
+      // hamming-≤3 partner, emitted iff ≥ 2. The planted variants share
+      // 3 of 5 frames with their base video but differ in length and
+      // tail — the whole-payload hash (q_media_dedup's tier) cannot
+      // pair them; the frame tier must. The oracle recomputes every
+      // frame signature from the payload formula and replays the
+      // count-distinct k-of-n rule over all frame pairs.
+      Multimodal.frameNearDupPairs(mediaFrameAssets(s), "payload",
+          "asset_id", frameBytes = 64, maxHamming = 3, minFrames = 2)
+        .select(col("id_a"), col("id_b"), col("matched_frames"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_media_dedup_clusters" -> ((s, dir) => {
       // SemDeDup-style cluster closure over the near-dup pair graph:
       // hamming-close pairs become edges, min-label connected
@@ -4432,6 +4452,26 @@ object SparkEntry {
     s.range(300).select(col("id").alias("asset_id"),
       repeat(sha2(col("id").cast("string"), 256), 4)
         .cast("binary").alias("payload"))
+
+  /** The frame-dedup fixture: 12 base "videos" of four 64-byte sha-hex
+    * frames each (disjoint frame pools across videos), plus planted
+    * variants for every 3rd video sharing 3 of its frames but carrying
+    * a different length and two fresh tail frames — near-dup at frame
+    * level, unrelated at whole-payload level.
+    */
+  private def mediaFrameAssets(s: SparkSession): DataFrame = {
+    def f(e: org.apache.spark.sql.Column) =
+      sha2(concat(lit("fr-"), e.cast("string")), 256)
+    val base = s.range(12).select(col("id").alias("asset_id"),
+      concat(f(col("id") * 4), f(col("id") * 4 + 1), f(col("id") * 4 + 2),
+        f(col("id") * 4 + 3)).cast("binary").alias("payload"))
+    val variants = s.range(12).where(pmod(col("id"), lit(3)) === 0)
+      .select((col("id") + 100).alias("asset_id"),
+        concat(f(col("id") * 4 + 1), f(col("id") * 4 + 2),
+          f(col("id") * 4 + 3), f(col("id") + 999), f(col("id") + 1011))
+          .cast("binary").alias("payload"))
+    base.unionByName(variants)
+  }
 
   /** The planted near-copies: every 10th base payload with its first two
     * bytes overwritten — a ≤2-block perturbation of the 60-block aHash.
@@ -8450,6 +8490,51 @@ object SparkEntry {
         |  SELECT 1 FROM fresh o
         |  WHERE o.asset_id < f.asset_id AND bit_count(xor(f.sig, o.sig)) <= 3)
         |ORDER BY asset_id""".stripMargin,
+
+    "q_media_dedup_frames" ->
+      // per-frame replay from first principles: slice each payload into
+      // full 64-byte windows, recompute the 60-block (1 byte each,
+      // remainder 4 ignored) integer aHash per window, then the k-of-n
+      // asset rule — matched_frames = COUNT(DISTINCT smaller-id frame)
+      // with a hamming-≤3 partner, HAVING ≥ 2 — over ALL frame pairs
+      // (pigeonhole-equal to the engine's banded block join)
+      s"""WITH p AS (
+        |  SELECT id AS asset_id,
+        |    sha256('fr-' || (id*4)) || sha256('fr-' || (id*4+1)) ||
+        |    sha256('fr-' || (id*4+2)) || sha256('fr-' || (id*4+3)) AS s
+        |  FROM range(12) t(id)
+        |  UNION ALL
+        |  SELECT id + 100,
+        |    sha256('fr-' || (id*4+1)) || sha256('fr-' || (id*4+2)) ||
+        |    sha256('fr-' || (id*4+3)) || sha256('fr-' || (id+999)) ||
+        |    sha256('fr-' || (id+1011))
+        |  FROM range(12) t(id) WHERE id % 3 = 0),
+        |fr AS (
+        |  SELECT asset_id, j AS frame_idx,
+        |    substring(s, CAST(j*64 + 1 AS INTEGER), 64) AS fs
+        |  FROM p CROSS JOIN range(5) r(j)
+        |  WHERE (j + 1) * 64 <= len(s)),
+        |fsig_b AS (
+        |  SELECT asset_id, frame_idx,
+        |    list_transform(range(60), j -> ord(fs[CAST(j+1 AS INTEGER)])) AS bsums
+        |  FROM fr),
+        |fsig_t AS (
+        |  SELECT asset_id, frame_idx, bsums,
+        |    list_aggregate(bsums, 'sum') AS total FROM fsig_b),
+        |fsig AS (
+        |  SELECT asset_id, frame_idx,
+        |    list_aggregate(list_transform(range(60), j ->
+        |      CASE WHEN bsums[CAST(j+1 AS INTEGER)] * 60 > total
+        |        THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0::BIGINT END),
+        |      'sum') AS sig
+        |  FROM fsig_t)
+        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |  COUNT(DISTINCT a.frame_idx) AS matched_frames
+        |FROM fsig a JOIN fsig b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT a.frame_idx) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_media_dedup_clusters" ->
       // component semantics from first principles: recursive transitive
