@@ -351,6 +351,15 @@ object SparkEntry {
         Future(timedBuild("media_sig_base")(ops.MediaSigIndex.persist(store,
           "media_sig_base", mediaBaseAssets(s),
           "payload", "asset_id", blocks = 60, bands = 4, buckets = 16))),
+        // the FRAME-level twin over the frame-composed video slice —
+        // crawl batches probe per-frame band buckets and decide per
+        // asset pair (q_media_frames_ingest); IMMUTABLE here like
+        // media_sig_base (the consuming query probes with
+        // appendSurvivors=false)
+        Future(timedBuild("media_frame_base")(ops.MediaFrameIndex.persist(
+          store, "media_frame_base", mediaFrameAssets(s),
+          "payload", "asset_id", frameBytes = 64, blocks = 60,
+          bands = 4, buckets = 16))),
         // bucketed FACT tables — the pay-at-ingest layout for repeated
         // big-big joins: both sides hash-bucketed + sorted on the join
         // key at write, so every later orderkey join runs with ZERO
@@ -4426,6 +4435,40 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_media_frames_ingest" -> ((s, dir) => {
+      // |delta|-bound FRAME-level ingest dedup against the PERSISTED
+      // frame-signature index (media_frame_base, built once in the
+      // warm-up over the frame-composed video corpus): the crawl batch
+      // frame-hashes once, its band buckets prune the index scan, and
+      // the two-stage rule runs at asset level — drop a delta video iff
+      // ≥2 of its frames match an indexed video's frames within
+      // hamming 3, then drop intra-batch videos with a smaller
+      // fresh neighbor under the same k-of-n rule. Even delta ids are
+      // planted variants sharing 3 frames with base video id (drop);
+      // odd ids are fresh, except id 5 which shares 3 frames with fresh
+      // id 3 (intra drop). The oracle replays both stages over fully
+      // recomputed per-frame signatures. appendSurvivors=false keeps
+      // re-runs idempotent (the append path is spec-pinned).
+      val store = persistedIvfStore(s, dir)
+      def f(e: org.apache.spark.sql.Column) =
+        sha2(concat(lit("fr-"), e.cast("string")), 256)
+      val delta = s.range(8).select((col("id") + 300000).alias("asset_id"),
+        when(pmod(col("id"), lit(2)) === 0,
+          concat(f(col("id") * 4 + 1), f(col("id") * 4 + 2),
+            f(col("id") * 4 + 3), f(col("id") + 777)))
+          .when(col("id") === 5,
+            concat(f(lit(5013)), f(lit(5014)), f(lit(5015)), f(lit(6001))))
+          .otherwise(
+            concat(f(col("id") * 4 + 5000), f(col("id") * 4 + 5001),
+              f(col("id") * 4 + 5002), f(col("id") * 4 + 5003)))
+          .cast("binary").alias("payload"))
+      ops.MediaFrameIndex.ingestDedup(store, "media_frame_base", delta,
+          "payload", "asset_id", maxHamming = 3, minFrames = 2,
+          appendSurvivors = false)
+        .select(col("asset_id"))
+        .orderBy(col("asset_id"))
+    }),
+
     "q_media_dedup_clusters" -> ((s, dir) => {
       // SemDeDup-style cluster closure over the near-dup pair graph:
       // hamming-close pairs become edges, min-label connected
@@ -8498,36 +8541,8 @@ object SparkEntry {
       // asset rule — matched_frames = COUNT(DISTINCT smaller-id frame)
       // with a hamming-≤3 partner, HAVING ≥ 2 — over ALL frame pairs
       // (pigeonhole-equal to the engine's banded block join)
-      s"""WITH p AS (
-        |  SELECT id AS asset_id,
-        |    sha256('fr-' || (id*4)) || sha256('fr-' || (id*4+1)) ||
-        |    sha256('fr-' || (id*4+2)) || sha256('fr-' || (id*4+3)) AS s
-        |  FROM range(12) t(id)
-        |  UNION ALL
-        |  SELECT id + 100,
-        |    sha256('fr-' || (id*4+1)) || sha256('fr-' || (id*4+2)) ||
-        |    sha256('fr-' || (id*4+3)) || sha256('fr-' || (id+999)) ||
-        |    sha256('fr-' || (id+1011))
-        |  FROM range(12) t(id) WHERE id % 3 = 0),
-        |fr AS (
-        |  SELECT asset_id, j AS frame_idx,
-        |    substring(s, CAST(j*64 + 1 AS INTEGER), 64) AS fs
-        |  FROM p CROSS JOIN range(5) r(j)
-        |  WHERE (j + 1) * 64 <= len(s)),
-        |fsig_b AS (
-        |  SELECT asset_id, frame_idx,
-        |    list_transform(range(60), j -> ord(fs[CAST(j+1 AS INTEGER)])) AS bsums
-        |  FROM fr),
-        |fsig_t AS (
-        |  SELECT asset_id, frame_idx, bsums,
-        |    list_aggregate(bsums, 'sum') AS total FROM fsig_b),
-        |fsig AS (
-        |  SELECT asset_id, frame_idx,
-        |    list_aggregate(list_transform(range(60), j ->
-        |      CASE WHEN bsums[CAST(j+1 AS INTEGER)] * 60 > total
-        |        THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0::BIGINT END),
-        |      'sum') AS sig
-        |  FROM fsig_t)
+      s"""WITH $mediaFrameCorpusSql,
+        |${frameSigSql("fsig", "p")}
         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
         |  COUNT(DISTINCT a.frame_idx) AS matched_frames
         |FROM fsig a JOIN fsig b ON a.asset_id < b.asset_id
@@ -8535,6 +8550,49 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING COUNT(DISTINCT a.frame_idx) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_media_frames_ingest" ->
+      // the two-stage frame-level ingest rule replayed exactly over
+      // recomputed per-frame signatures: a delta video is FRESH iff no
+      // indexed video has ≥2 of the delta's frames within hamming 3,
+      // and SURVIVES iff additionally no smaller fresh delta matches
+      // ≥2 of ITS OWN frames against it (the intra-batch k-of-n pass
+      // counts the smaller id's frames)
+      s"""WITH $mediaFrameCorpusSql,
+        |d AS (
+        |  SELECT id + 300000 AS asset_id,
+        |    CASE WHEN id % 2 = 0 THEN
+        |      sha256('fr-' || (id*4+1)) || sha256('fr-' || (id*4+2)) ||
+        |      sha256('fr-' || (id*4+3)) || sha256('fr-' || (id+777))
+        |    WHEN id = 5 THEN
+        |      sha256('fr-' || 5013) || sha256('fr-' || 5014) ||
+        |      sha256('fr-' || 5015) || sha256('fr-' || 6001)
+        |    ELSE
+        |      sha256('fr-' || (id*4+5000)) || sha256('fr-' || (id*4+5001)) ||
+        |      sha256('fr-' || (id*4+5002)) || sha256('fr-' || (id*4+5003))
+        |    END AS s
+        |  FROM range(8) t(id)),
+        |${frameSigSql("bsig", "p")},
+        |${frameSigSql("dsig", "d")},
+        |crossm AS (
+        |  SELECT f.asset_id, COUNT(DISTINCT f.frame_idx) AS mf
+        |  FROM dsig f JOIN bsig b ON bit_count(xor(f.sig, b.sig)) <= 3
+        |  GROUP BY f.asset_id, b.asset_id),
+        |fresh AS (
+        |  SELECT t.asset_id FROM (SELECT DISTINCT asset_id FROM dsig) t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM crossm c WHERE c.asset_id = t.asset_id AND c.mf >= 2)),
+        |ffsig AS (SELECT s.* FROM dsig s JOIN fresh USING (asset_id)),
+        |intram AS (
+        |  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |    COUNT(DISTINCT a.frame_idx) AS mf
+        |  FROM ffsig a JOIN ffsig b ON a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |  GROUP BY 1, 2)
+        |SELECT f.asset_id FROM fresh f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM intram i WHERE i.id_b = f.asset_id AND i.mf >= 2)
+        |ORDER BY asset_id""".stripMargin,
 
     "q_media_dedup_clusters" ->
       // component semantics from first principles: recursive transitive
@@ -8572,6 +8630,52 @@ object SparkEntry {
     * total). Interpolated into each media oracle so the three queries
     * can never drift apart.
     */
+  /** DuckDB CTE `p` holding the frame-composed video corpus — the exact
+    * payload replay of [[mediaFrameAssets]], shared by both frame-tier
+    * oracles so fixture and queries can never drift apart.
+    */
+  private val mediaFrameCorpusSql: String =
+    """p AS (
+      |  SELECT id AS asset_id,
+      |    sha256('fr-' || (id*4)) || sha256('fr-' || (id*4+1)) ||
+      |    sha256('fr-' || (id*4+2)) || sha256('fr-' || (id*4+3)) AS s
+      |  FROM range(12) t(id)
+      |  UNION ALL
+      |  SELECT id + 100,
+      |    sha256('fr-' || (id*4+1)) || sha256('fr-' || (id*4+2)) ||
+      |    sha256('fr-' || (id*4+3)) || sha256('fr-' || (id+999)) ||
+      |    sha256('fr-' || (id+1011))
+      |  FROM range(12) t(id) WHERE id % 3 = 0)""".stripMargin
+
+  /** DuckDB CTE chain computing PER-FRAME aHash signatures
+    * `(asset_id, frame_idx, sig)` for every `(asset_id, s)` payload row
+    * of CTE `src` — the exact replay of
+    * [[graft.ops.Multimodal.frameSignatures]] with frameBytes=64,
+    * blocks=60: full 64-byte windows (a trailing partial frame ignored,
+    * ≤ 5 frames per asset in these fixtures), 60 one-byte blocks per
+    * frame (remainder 4 bytes ignored), bit j iff byte·60 > frame total.
+    */
+  private def frameSigSql(name: String, src: String): String =
+    s"""${name}_fr AS (
+       |  SELECT asset_id, j AS frame_idx,
+       |    substring(s, CAST(j*64 + 1 AS INTEGER), 64) AS fs
+       |  FROM $src CROSS JOIN range(5) r(j)
+       |  WHERE (j + 1) * 64 <= len(s)),
+       |${name}_b AS (
+       |  SELECT asset_id, frame_idx,
+       |    list_transform(range(60), j -> ord(fs[CAST(j+1 AS INTEGER)])) AS bsums
+       |  FROM ${name}_fr),
+       |${name}_t AS (
+       |  SELECT asset_id, frame_idx, bsums,
+       |    list_aggregate(bsums, 'sum') AS total FROM ${name}_b),
+       |$name AS (
+       |  SELECT asset_id, frame_idx,
+       |    list_aggregate(list_transform(range(60), j ->
+       |      CASE WHEN bsums[CAST(j+1 AS INTEGER)] * 60 > total
+       |        THEN 1::BIGINT << CAST(j AS INTEGER) ELSE 0::BIGINT END),
+       |      'sum') AS sig
+       |  FROM ${name}_t)""".stripMargin
+
   private def mediaSigSql(name: String, src: String): String =
     s"""${name}_b AS (
        |  SELECT asset_id,

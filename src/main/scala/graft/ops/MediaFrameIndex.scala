@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.TableStore
+
+/** PERSISTED frame-signature index — [[MediaSigIndex]] for the FRAME
+  * tier (north-star extensions, BASELINE.json:6): pay the per-frame
+  * perceptual-hash pass over the video corpus ONCE at build, then dedup
+  * every crawl batch at frame level by probing band buckets. Two videos
+  * sharing most frames but differing in length/container never pair
+  * under the whole-payload hash ([[MediaSigIndex]]'s tier); this index
+  * makes the frame-level decision ([[Multimodal.frameNearDupPairs]]'s
+  * k-of-n rule) INCREMENTAL — the corpus is never re-decoded or
+  * re-hashed, probes prune the band table's Hive partitions, and
+  * per-batch cost tracks |delta| frames.
+  *
+  * Index layout in a [[TableStore]] (the [[MediaSigIndex]] convention,
+  * one row per frame instead of per asset):
+  *
+  *  - `<table>` — band rows `(id, frame_idx, sig, band_idx, band_val)`
+  *    Hive-partitioned by `__bk = hash(band_idx, band_val) mod buckets`;
+  *    the 64-bit frame signature rides IN the band row, so candidate
+  *    verification is pure bit math — no second join.
+  *  - `<table>__meta` — one committed row of build parameters
+  *    (frame_bytes, bits, bands, buckets), two-phase committed so a
+  *    crashed rebuild fails probes loudly.
+  *
+  * The ASSET-level decision happens after the frame-pair join: an asset
+  * pair qualifies iff ≥ `minFrames` distinct delta-side frames have an
+  * indexed partner within the hamming radius — so the join shuffles
+  * only band-bucket collisions (never all frame pairs), and the
+  * aggregate is keyed by the batch's own asset ids.
+  */
+object MediaFrameIndex {
+
+  /** Read-back of the one-row `__meta` side table. `bits` is the frame
+    * signature width (= the per-frame aHash block count).
+    */
+  final case class Meta(frameBytes: Int, bits: Int, bands: Int, buckets: Int)
+
+  private def bucketOf(bandIdx: org.apache.spark.sql.Column,
+      bandVal: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(hash(bandIdx, bandVal), lit(buckets)).cast("int")
+
+  /** `(id, frame_idx, sig, band_idx, band_val, __bk)` band rows for a
+    * frame-signature frame under the index's parameters.
+    */
+  private def bandRows(frames: DataFrame, idCol: String, meta: Meta): DataFrame = {
+    val bitsPerBand = meta.bits / meta.bands
+    frames.select(col(idCol), col("frame_idx"), col("sig"),
+        explode(array((0 until meta.bands).map { i =>
+          struct(lit(i).alias("band_idx"),
+            shiftright(col("sig"), i * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1).alias("band_val"))
+        }: _*)).alias("b"))
+      .select(col(idCol), col("frame_idx"), col("sig"),
+        col("b.band_idx"), col("b.band_val"))
+      .withColumn("__bk", bucketOf(col("band_idx"), col("band_val"), meta.buckets))
+  }
+
+  private def framesOf(assets: DataFrame, payloadCol: String, idCol: String,
+      meta: Meta): DataFrame =
+    Multimodal.frameSignatures(assets, payloadCol, idCol,
+      meta.frameBytes, meta.bits)
+
+  /** Build and persist the index over a video corpus: one frame-hash
+    * pass, one band-clustering shuffle, two-phase meta commit.
+    */
+  def persist(store: TableStore, table: String, assets: DataFrame,
+      payloadCol: String, idCol: String, frameBytes: Int = 64,
+      blocks: Int = 60, bands: Int = 4, buckets: Int = 16): Unit = {
+    require(bands > 0 && blocks % bands == 0,
+      s"bands=$bands must divide the signature width $blocks")
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val meta = Meta(frameBytes, blocks, bands, buckets)
+    val sp = assets.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((frameBytes, blocks, bands, buckets, committed))
+        .toDF("frame_bytes", "bits", "bands", "buckets", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    store.replacePartitioned(table,
+      bandRows(framesOf(assets, payloadCol, idCol, meta), idCol, meta)
+        .repartition(col("__bk")),
+      Seq("__bk"))
+    store.replace(table + "__meta", metaRow(committed = true))
+  }
+
+  /** Load the build parameters; fails loudly on an uncommitted meta
+    * (crashed rebuild — re-run [[persist]]).
+    */
+  def readMeta(store: TableStore, table: String): Meta = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for media frame index '$table'")
+    val metaDf = store.read(table + "__meta")
+    require(metaDf.select(col("committed")).head().getBoolean(0),
+      s"media frame index '$table' has an UNCOMMITTED meta: a rebuild " +
+        "crashed between the parameter and data writes. Re-run persist " +
+        "before probing.")
+    val r = metaDf
+      .select(col("frame_bytes"), col("bits"), col("bands"), col("buckets"))
+      .head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Append a batch's frame signatures WITHOUT touching existing rows,
+    * under the single-writer nonce; appended rows carry a fresh
+    * `__batch_id` recorded only after the verify ([[vacuum]] reclaims
+    * aborted attempts). Retry semantics as [[MediaSigIndex.append]]:
+    * physical duplicates cost bytes, probes stay exact (the asset-level
+    * aggregate counts DISTINCT frames).
+    */
+  def append(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String): Unit = {
+    val meta = readMeta(store, table)
+    appendFrames(store, table, idCol, meta,
+      framesOf(delta, payloadCol, idCol, meta), store.claimWriter(table))
+  }
+
+  private def appendFrames(store: TableStore, table: String, idCol: String,
+      meta: Meta, frames: DataFrame, nonce: String): Unit = {
+    val batchId = java.util.UUID.randomUUID().toString
+    store.writePartitioned(table,
+      bandRows(frames, idCol, meta).withColumn("__batch_id", lit(batchId))
+        .repartition(col("__bk")),
+      Seq("__bk"), append = true)
+    TableStore.interleaveForTest(table)
+    store.requireSoleWriter(table, nonce)
+    store.recordBatch(table + "__batches", batchId)
+  }
+
+  /** Remove the orphaned band rows of aborted/abandoned appends —
+    * [[TableStore.vacuumUnmarked]] under the `<table>__batches`
+    * convention.
+    */
+  def vacuum(store: TableStore, table: String): Long =
+    store.vacuumUnmarked(table)
+
+  /** Frame-level near-dup ASSET pairs between a new batch and the
+    * INDEXED corpus: `(new_id, old_id, matched_frames)` where
+    * `matched_frames` counts the batch asset's distinct frames with an
+    * indexed partner frame of `old_id` within `maxHamming` signature
+    * bits, emitted iff ≥ `minFrames`. |delta|-bound, the
+    * [[MediaSigIndex.deltaPairs]] discipline: the batch hashes once,
+    * its band buckets become a partition IN-filter on the index scan,
+    * pruned index bands equi-join the (byte-gated broadcast) delta
+    * bands, the hamming verify is bit math on the joined rows, and the
+    * k-of-n aggregate is keyed by batch asset ids. Self-matches are
+    * excluded by id inequality; physically duplicated index rows (a
+    * retried append) collapse in the per-frame-pair dedup. Probe radius
+    * must stay under the layout's pigeonhole guarantee
+    * (`maxHamming ≤ bands - 1`).
+    */
+  def deltaPairs(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int = 3,
+      minFrames: Int = 2): DataFrame = {
+    val meta = readMeta(store, table)
+    deltaPairsFromFrames(store, table,
+      framesOf(delta, payloadCol, idCol, meta), idCol, maxHamming,
+      minFrames, meta)
+  }
+
+  private def deltaPairsFromFrames(store: TableStore, table: String,
+      deltaFrames: DataFrame, idCol: String, maxHamming: Int,
+      minFrames: Int, meta: Meta): DataFrame = {
+    require(maxHamming < meta.bands,
+      s"probe radius $maxHamming exceeds the index's pigeonhole " +
+        s"guarantee (bands=${meta.bands} covers radius ${meta.bands - 1})")
+    require(minFrames >= 1, s"minFrames=$minFrames must be >= 1")
+    val deltaBands = bandRows(deltaFrames, idCol, meta)
+      .withColumnsRenamed(Map(idCol -> "new_id", "frame_idx" -> "new_frame",
+        "sig" -> "new_sig"))
+    val bkRow = deltaBands
+      .agg(collect_set(col("__bk")).alias("bks"),
+        sum(Broadcasting.rowBytes(deltaBands.schema)).alias("bytes")).head()
+    val bks = bkRow.getSeq[Int](0)
+    if (bks.isEmpty)
+      return deltaFrames.select(col(idCol).alias("new_id"),
+        col(idCol).alias("old_id"),
+        lit(0L).alias("matched_frames")).limit(0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      Broadcasting.hintIfSmall(df, if (bkRow.isNullAt(1)) 0L else bkRow.getLong(1))
+    val idxBands = store.read(table)
+      .where(col("__bk").isInCollection(bks))
+      .withColumnsRenamed(Map(idCol -> "old_id", "frame_idx" -> "old_frame",
+        "sig" -> "old_sig"))
+    idxBands
+      .join(maybeBroadcast(deltaBands), Seq("band_idx", "band_val"))
+      .where(col("old_id") =!= col("new_id"))
+      .where(Dedup.hammingDistance(col("old_sig"), col("new_sig"))
+        <= maxHamming)
+      // one matched NEW frame per (asset pair, new frame), no matter how
+      // many index frames or shared bands reached it — countDistinct
+      // also absorbs a retried append's physical duplicates
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(countDistinct(col("new_frame")).alias("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+
+  /** The full incremental-ingest step, mirroring
+    * [[MediaSigIndex.ingestDedup]] at frame level: drop batch assets
+    * whose frames near-dup an INDEXED asset (≥ `minFrames` matched
+    * frames within `maxHamming`), then the intra-batch pass under the
+    * smaller-id-survivor convention ([[Multimodal.frameNearDupPairs]]'s
+    * k-of-n rule with the same radius), and — when `appendSurvivors` —
+    * register the survivors' frame signatures so the next batch dedups
+    * against them too. Returns the surviving rows of `delta` (all
+    * original columns). Per-batch cost tracks |delta| frames; the index
+    * is only partition-pruned-probed.
+    */
+  def ingestDedup(store: TableStore, table: String, delta: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int = 3,
+      minFrames: Int = 2, appendSurvivors: Boolean = true): DataFrame = {
+    val meta = readMeta(store, table)
+    // claim BEFORE the probes — the kept/dropped decision reads the
+    // index, so the claim must open the whole read-modify-write window
+    // ([[MediaSigIndex.ingestDedup]]'s contract). Probe-only calls
+    // never claim.
+    val nonce = if (appendSurvivors) Some(store.claimWriter(table)) else None
+    val deltaFrames = framesOf(delta, payloadCol, idCol, meta)
+      .localCheckpoint(true) // three consumers: cross probe, intra pass,
+                             // survivor append — one hash pass
+    val dupVsIndex = deltaPairsFromFrames(store, table, deltaFrames, idCol,
+        maxHamming, minFrames, meta)
+      .select(col("new_id").alias(idCol)).distinct()
+    val freshFrames = deltaFrames.join(dupVsIndex, Seq(idCol), "left_anti")
+    // intra-batch k-of-n under the same radius: pairs emit
+    // (id_a < id_b, matched a-side frames), larger id drops
+    val intraLosers = framePairsFromSigs(freshFrames, idCol, maxHamming,
+        minFrames, meta.bits)
+      .select(col("id_b").alias(idCol)).distinct()
+    val survivorIds = freshFrames.select(col(idCol)).distinct()
+      .join(intraLosers, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // two consumers: result semi-join + append
+    nonce.foreach(n =>
+      appendFrames(store, table, idCol, meta,
+        deltaFrames.join(survivorIds, Seq(idCol), "left_semi"), n))
+    delta.join(survivorIds, Seq(idCol), "left_semi")
+  }
+
+  /** [[Multimodal.frameNearDupPairs]]'s decision core over PRECOMPUTED
+    * frame signatures — shared here so the intra-batch pass and the
+    * in-memory operator can never drift apart in banding or rule.
+    */
+  private[graft] def framePairsFromSigs(frames: DataFrame, idCol: String,
+      maxHamming: Int, minFrames: Int, bits: Int): DataFrame = {
+    val exploded = Dedup.sigBlocks(frames, "sig", maxHamming, bits)
+    val l = exploded.select(col(idCol).alias("id_a"),
+      col("frame_idx").alias("frame_a"), col("sig").alias("sig_a"),
+      col("block_idx"), col("block_val"))
+    val r = exploded.select(col(idCol).alias("id_b"),
+      col("sig").alias("sig_b"), col("block_idx"), col("block_val"))
+    l.join(r, Seq("block_idx", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .where(Dedup.hammingDistance(col("sig_a"), col("sig_b")) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("frame_a")).alias("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+}

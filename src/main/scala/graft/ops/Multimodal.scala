@@ -256,22 +256,12 @@ object Multimodal {
       frameBytes: Int = 64, maxHamming: Int = 3, minFrames: Int = 2,
       blocks: Int = 60): DataFrame = {
     require(minFrames >= 1, s"minFrames=$minFrames must be >= 1")
-    val frames = frameSignatures(assets, payloadCol, idCol, frameBytes, blocks)
-    val exploded = Dedup.sigBlocks(frames, "sig", maxHamming, blocks)
-    val l = exploded.select(col(idCol).alias("id_a"),
-      col("frame_idx").alias("frame_a"), col("sig").alias("sig_a"),
-      col("block_idx"), col("block_val"))
-    val r = exploded.select(col(idCol).alias("id_b"),
-      col("sig").alias("sig_b"), col("block_idx"), col("block_val"))
-    l.join(r, Seq("block_idx", "block_val"))
-      .where(col("id_a") < col("id_b"))
-      .where(Dedup.hammingDistance(col("sig_a"), col("sig_b")) <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      // distinct: a frame pairing with many partner frames (or reaching
-      // the join through several shared blocks) still counts as ONE
-      // matched frame of the smaller-id side
-      .agg(countDistinct(col("frame_a")).alias("matched_frames"))
-      .where(col("matched_frames") >= minFrames)
+    // the block join + k-of-n decision core is shared with the persisted
+    // frame index's intra-batch pass ([[MediaFrameIndex]]) so the two
+    // can never drift apart in banding or rule
+    MediaFrameIndex.framePairsFromSigs(
+      frameSignatures(assets, payloadCol, idCol, frameBytes, blocks),
+      idCol, maxHamming, minFrames, blocks)
   }
 
   /** Media near-duplicate pairs: perceptual-hash every asset's payload
