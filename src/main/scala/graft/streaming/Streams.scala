@@ -1110,11 +1110,29 @@ object Streams {
     * tables are the ONLY state (no engine state store), and per-batch
     * shuffle volume tracks the batch.
     *
-    * Delivery: same retry contract as [[ingestDedupStream]] — a
-    * crash-replayed batch re-appends (duplicate view rows); dedup
-    * downstream or rebuild if exactly-once output matters. APPEND-ONLY
-    * inputs, per [[graft.ops.Incremental.joinDelta]]'s contract —
-    * updates/deletes route through [[graft.ops.Merge]] + a batch rebuild.
+    * Delivery: EXACTLY-ONCE for the view AND both snapshots, via an
+    * attempt/done marker pair (a two-row intent log per epoch). The
+    * naive replay hazard here is worse than duplicate view rows: a
+    * crash between the snapshot folds replays the epoch against
+    * HALF-FOLDED snapshots, double-appending one side — and every
+    * future delta then joins against duplicated base rows, silently
+    * multiplying match cardinalities forever. Instead each epoch:
+    *
+    *  1. skips outright if its DONE marker is recorded;
+    *  2. if its ATTEMPT marker exists without the done marker (a
+    *     genuine crashed attempt — the only time this costs anything),
+    *     deletes the partial epoch's rows from all three tables by
+    *     their `__batch_id` stamp before reprocessing;
+    *  3. records the attempt marker, computes the delta against
+    *     snapshots now guaranteed free of this epoch's rows, appends
+    *     all three writes stamped with the epoch id, and records the
+    *     done marker last.
+    *
+    * Steady-state overhead is two marker probes and one extra one-row
+    * write per epoch — never a data-table scan; the cleanup rewrite is
+    * paid only on an actual crash replay. APPEND-ONLY inputs, per
+    * [[graft.ops.Incremental.joinDelta]]'s contract — updates/deletes
+    * route through [[graft.ops.Merge]] + a batch rebuild.
     */
   def joinViewStream(
       tagged: DataFrame,
@@ -1126,25 +1144,44 @@ object Streams {
       keys: Seq[String],
       aCols: Seq[String],
       bCols: Seq[String],
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     tagged.writeStream
-      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
-        val batch = batch0.persist()
-        try {
-          val dA = batch.where(col(sideCol) === "a")
-            .select((keys ++ aCols).map(col): _*)
-          val dB = batch.where(col(sideCol) === "b")
-            .select((keys ++ bCols).map(col): _*)
-          val delta = graft.ops.Incremental.joinDelta(
-            store.read(aTable), dA, store.read(bTable), dB, keys)
-          store.write(viewTable, delta, append = true)
-          store.write(aTable, dA, append = true)
-          store.write(bTable, dB, append = true)
-        } finally batch.unpersist()
+      .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val bid = s"$ns-$epoch"
+        val done = viewTable + "__batches"
+        val attempts = viewTable + "__attempts"
+        if (!store.batchApplied(done, bid)) {
+          if (store.batchApplied(attempts, bid))
+            Seq(viewTable, aTable, bTable).foreach { t =>
+              if (store.exists(t) &&
+                  store.read(t).columns.contains("__batch_id"))
+                store.deleteWhere(t, col("__batch_id") === bid)
+            }
+          store.recordBatch(attempts, bid)
+          val batch = batch0.persist()
+          try {
+            val dA = batch.where(col(sideCol) === "a")
+              .select((keys ++ aCols).map(col): _*)
+            val dB = batch.where(col(sideCol) === "b")
+              .select((keys ++ bCols).map(col): _*)
+            val delta = graft.ops.Incremental.joinDelta(
+              store.read(aTable).drop("__batch_id"), dA,
+              store.read(bTable).drop("__batch_id"), dB, keys)
+            store.write(viewTable,
+              delta.withColumn("__batch_id", lit(bid)), append = true)
+            store.write(aTable,
+              dA.withColumn("__batch_id", lit(bid)), append = true)
+            store.write(bTable,
+              dB.withColumn("__batch_id", lit(bid)), append = true)
+            store.recordBatch(done, bid)
+          } finally batch.unpersist()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** CONTINUOUS ANN-index maintenance: each micro-batch of vectors is
     * appended to a persisted IVF index ([[graft.ops.Similarity

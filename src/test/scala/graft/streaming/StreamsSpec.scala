@@ -247,6 +247,70 @@ class StreamsSpec extends SparkSpecBase {
     assert(store.read("jv_view").where(col("pb") === "b3x").count() == 1)
   }
 
+  test("join-view maintenance is exactly-once: crashed attempts reclaim, landed epochs skip") {
+    import graft.engine.TableStore
+    val src = java.nio.file.Files.createTempDirectory("jv2-src")
+    val store = new TableStore(spark, tmpDir("jv2-wh"))
+    val ckpt = tmpDir("jv2-ckpt")
+    val a0 = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val b0 = Seq((1L, "b1"), (3L, "b3")).toDF("k", "pb")
+    store.write("jv2_a", a0)
+    store.write("jv2_b", b0)
+    store.write("jv2_view", a0.join(b0, Seq("k")))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("side STRING, k LONG, pa STRING, pb STRING")
+    def run() = Streams.joinViewStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "jv2_a", "jv2_b", "jv2_view", "side", Seq("k"),
+      aCols = Seq("pa"), bCols = Seq("pb"), ckpt).awaitTermination()
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"side": "a", "k": 3, "pa": "a3"}
+        |{"side": "b", "k": 2, "pb": "b2"}
+        |""".stripMargin)
+    run()
+    // SIMULATED CRASH of epoch 1: a previous attempt recorded its
+    // attempt marker and landed PARTIAL stamped rows — the view delta
+    // and ONE snapshot fold — before dying short of the done marker.
+    // Without cleanup the replay would join dB against an A that
+    // already contains dA (wrong delta) and double-fold dA (wrong
+    // multiplicities forever after).
+    val bid = new org.apache.hadoop.fs.Path(ckpt).toString + "-1"
+    store.recordBatch("jv2_view__attempts", bid)
+    store.write("jv2_view",
+      Seq((4L, "a4", "b4")).toDF("k", "pa", "pb")
+        .withColumn("__batch_id", lit(bid)), append = true)
+    store.write("jv2_a",
+      Seq((4L, "a4")).toDF("k", "pa")
+        .withColumn("__batch_id", lit(bid)), append = true)
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      """{"side": "a", "k": 4, "pa": "a4"}
+        |{"side": "b", "k": 4, "pb": "b4"}
+        |{"side": "b", "k": 3, "pb": "b3x"}
+        |""".stripMargin)
+    run()
+    // the replayed epoch reclaimed the partial rows and landed once:
+    // view equals the from-scratch recompute, snapshots hold each
+    // streamed row exactly once
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "pa", "pb").count().orderBy("k", "pa", "pb")
+        .collect().map(_.toSeq).toSeq
+    val recompute = store.read("jv2_a").select("k", "pa")
+      .join(store.read("jv2_b").select("k", "pb"), Seq("k"))
+    assert(census(store.read("jv2_view")) == census(recompute))
+    assert(store.read("jv2_a").count() == 4 && store.read("jv2_b").count() == 5)
+    assert(store.read("jv2_view").where(col("k") === 4).count() == 1)
+    // fully-landed epochs: lose the engine checkpoint, re-deliver —
+    // both epochs' done markers are recognized and skipped outright
+    val vBefore = store.read("jv2_view").count()
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    run()
+    assert(store.read("jv2_view").count() == vBefore,
+      "skipped epochs still wrote view rows")
+    assert(store.read("jv2_a").count() == 4 && store.read("jv2_b").count() == 5,
+      "skipped epochs still folded snapshots")
+  }
+
   test("continuous corpus dedup: batches probe the index, survivors chain forward") {
     import graft.engine.TableStore
     import graft.ops.DedupIndex
