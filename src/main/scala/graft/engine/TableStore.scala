@@ -248,7 +248,23 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     * layout lives in bucket-id file names that a plain rewrite would
     * silently destroy, breaking the zero-shuffle join contract.
     */
-  def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+  def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    compact(table, targetFileBytes, vacuumAgainst = None)
+
+  /** [[compact]] with ORPHAN RECLAMATION fused into the same rewrite:
+    * when `vacuumAgainst` names a marker table, rows whose `__batch_id`
+    * was never recorded there are dropped as part of the compaction
+    * pass — the rewrite already reads every row, so the vacuum costs no
+    * extra I/O, which makes the periodic compaction cadence the natural
+    * home for cleaning up crashed/aborted appends
+    * ([[vacuumUnmarked]]'s semantics: NULL-stamped base rows and every
+    * recorded batch are kept). Only fuse when no append is in flight —
+    * an in-flight batch's rows are unmarked until its verify passes
+    * (the streaming sinks satisfy this by construction: epochs
+    * serialize and compaction runs after the epoch's markers land).
+    */
+  def compact(table: String, targetFileBytes: Long,
+      vacuumAgainst: Option[String]): Unit = {
     require(targetFileBytes > 0)
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(
       Names.normalizeTableName(table))
@@ -266,7 +282,25 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     val partCols = partitionColumnsOf(fs, path)
     val bytes = fs.getContentSummary(path).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    if (partCols.isEmpty) replace(table, read(table).repartition(files))
+    // survivors-only view of the table when vacuuming: keep NULL-stamped
+    // rows and rows of recorded batches, drop unmarked orphans — the
+    // same rule as [[vacuumUnmarked]], folded into the rewrite's scan
+    def survivors(): DataFrame = {
+      val df = read(table)
+      vacuumAgainst match {
+        case Some(mt) if df.columns.contains("__batch_id") =>
+          val markers =
+            if (exists(mt)) read(mt).select(col("batch_id")).distinct()
+            else df.sparkSession.emptyDataFrame
+              .withColumn("batch_id", lit(null).cast("string"))
+          df.join(org.apache.spark.sql.functions.broadcast(markers),
+              df("__batch_id") === markers("batch_id"), "left_outer")
+            .where(col("__batch_id").isNull || col("batch_id").isNotNull)
+            .drop("batch_id")
+        case _ => df
+      }
+    }
+    if (partCols.isEmpty) replace(table, survivors().repartition(files))
     else {
       // repartition BY THE PARTITION COLUMNS: a column-less global
       // repartition would spread every partition value across all tasks,
@@ -276,7 +310,7 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
       // each directory collapses to ~one file (a value larger than the
       // target stays one file — acceptable for the small-files problem
       // this solves).
-      val df = read(table).repartition(files, partCols.map(col): _*)
+      val df = survivors().repartition(files, partCols.map(col): _*)
       val staging = new Path(tablePath(table) + ".__staging")
       df.write.mode("overwrite").partitionBy(partCols: _*).parquet(staging.toString)
       swapInto(fs, staging, path, table)

@@ -843,7 +843,15 @@ object Streams {
   private def maybeCompact(store: graft.engine.TableStore, table: String,
       epoch: Long, compactEvery: Int): Unit =
     if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-      store.compact(table)
+      // orphan reclamation rides the compaction rewrite for free: at
+      // this point in the epoch every landed batch's marker is recorded
+      // (the sinks serialize epochs and compact after their appends),
+      // so any unmarked stamped row is a crashed/aborted attempt —
+      // exactly [[graft.engine.TableStore.vacuumUnmarked]]'s rule, fused
+      // into the scan the rewrite already pays. Tables without the
+      // attribution column pass through unchanged.
+      store.compact(table, 128L * 1024 * 1024,
+        vacuumAgainst = Some(table + "__batches"))
       if (store.exists(table + "__batches")) store.compact(table + "__batches")
     }
 
@@ -1089,10 +1097,18 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.ChunkIndex.ingestEmbed(store, censusTable, ivfTable,
           batch, textCol, idCol, dims)
-        // both persisted artifacts accrete per batch — compact the pair
+        // both persisted artifacts accrete per batch — compact the pair,
+        // reclaiming crashed-ingest orphans in the same rewrite (both
+        // tables' appended rows share the CENSUS's batch markers —
+        // [[graft.ops.ChunkIndex.ingestEmbed]] stamps the pair with one
+        // batch id recorded there)
         if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
-          store.compact(censusTable)
-          store.compact(ivfTable)
+          store.compact(censusTable, 128L * 1024 * 1024,
+            vacuumAgainst = Some(censusTable + "__batches"))
+          store.compact(ivfTable, 128L * 1024 * 1024,
+            vacuumAgainst = Some(censusTable + "__batches"))
+          if (store.exists(censusTable + "__batches"))
+            store.compact(censusTable + "__batches")
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -504,6 +504,37 @@ class IngestSpec extends SparkSpecBase {
       "vacuum flattened the Hive layout")
   }
 
+  test("compact with vacuumAgainst reclaims orphans inside the same rewrite") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-cvac"))
+    store.writePartitioned("t",
+      Seq((1, "d1"), (2, "d2")).toDF("id", "bk"), Seq("bk"))
+    store.writePartitioned("t",
+      Seq((3, "d1")).toDF("id", "bk").withColumn("__batch_id", lit("ok")),
+      Seq("bk"), append = true)
+    store.recordBatch("t__batches", "ok")
+    store.writePartitioned("t",
+      Seq((4, "d2"), (5, "d1")).toDF("id", "bk")
+        .withColumn("__batch_id", lit("lost")),
+      Seq("bk"), append = true)
+    store.compact("t", 128L * 1024 * 1024, vacuumAgainst = Some("t__batches"))
+    // orphans dropped in the rewrite; base + committed rows survive and
+    // the Hive layout is preserved
+    assert(store.read("t").select("id").as[Int].collect().toSet === Set(1, 2, 3))
+    val root = new org.apache.hadoop.fs.Path(
+      store.read("t").inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "bk=d1")),
+      "compaction flattened the Hive layout")
+    // plain compact (no marker table named) keeps orphans — the fusion
+    // is opt-in, never a silent default
+    val s2 = new TableStore(spark, tmpDir("wh-cvac2"))
+    s2.write("t", Seq((1, "x")).toDF("id", "v")
+      .withColumn("__batch_id", lit("never-recorded")), append = false)
+    s2.compact("t")
+    assert(s2.read("t").count() === 1L)
+  }
+
   test("deleteWhere: emptying a whole partition removes its directory") {
     import spark.implicits._
     val store = new TableStore(spark, tmpDir("wh-delete-empty"))
