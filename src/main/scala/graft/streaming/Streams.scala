@@ -816,6 +816,56 @@ object Streams {
       .start()
   }
 
+  /** CONTINUOUS FRAME-level media ingest dedup —
+    * [[ingestMediaDedupStream]] for the frame tier
+    * ([[graft.ops.MediaFrameIndex]]): each micro-batch of videos
+    * frame-hashes once, probes the persisted frame-signature index,
+    * drops assets with ≥ `minFrames` frames matching an indexed asset
+    * (then the intra-batch smaller-id pass under the same k-of-n rule),
+    * appends the survivors' frame signatures so later batches dedup
+    * against them, and lands surviving asset rows in `outTable` —
+    * catching re-encoded/trimmed copies that share frames but never
+    * pair under the whole-payload signature tier. Same delivery
+    * contract as the sibling sinks: index appends are
+    * duplicate-tolerated and batch-attributed (vacuumed on the
+    * compaction cadence), output is EXACTLY-ONCE via the
+    * checkpoint-namespaced epoch marker + dynamic partition overwrite
+    * of the epoch's own `__batch_id` directory.
+    */
+  def ingestMediaFrameDedupStream(
+      assets: DataFrame,
+      store: graft.engine.TableStore,
+      indexTable: String,
+      outTable: String,
+      payloadCol: String,
+      idCol: String,
+      maxHamming: Int,
+      minFrames: Int,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
+    assets.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val bid = s"$ns-$epoch"
+        val marker = outTable + "__batches"
+        if (!store.batchApplied(marker, bid)) {
+          val survivors = graft.ops.MediaFrameIndex.ingestDedup(
+            store, indexTable, batch, payloadCol, idCol, maxHamming,
+            minFrames)
+          store.overwritePartitions(outTable,
+            survivors.withColumn("__batch_id",
+              org.apache.spark.sql.functions.lit(bid)),
+            Seq("__batch_id"))
+          store.recordBatch(marker, bid)
+        }
+        maybeCompact(store, indexTable, epoch, compactEvery)
+        maybeCompactMarkers(store, marker, epoch, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** The automatic small-file policy of the streaming index sinks: every
     * `compactEvery` epochs the index's accreted per-partition part-files
     * merge back toward target size ([[graft.engine.TableStore.compact]]

@@ -702,6 +702,58 @@ class StreamsSpec extends SparkSpecBase {
       "skipped epoch still appended to the index")
   }
 
+  test("continuous FRAME-level media dedup: survivors chain forward; replayed epochs skip") {
+    import graft.engine.TableStore
+    import graft.ops.MediaFrameIndex
+    def frame(k: Long): Array[Byte] = graft.MediaFixtures.payload(k).take(64)
+    def video(frames: Long*): Array[Byte] = frames.flatMap(frame).toArray
+    val store = new TableStore(spark, tmpDir("mfd-wh"))
+    MediaFrameIndex.persist(store, "mfd_idx",
+      (0L until 10L).map(v => (v, video(v * 10, v * 10 + 1, v * 10 + 2, v * 10 + 3)))
+        .toDF("asset_id", "payload"),
+      "payload", "asset_id", frameBytes = 64, blocks = 60, bands = 4,
+      buckets = 16)
+    val src = java.nio.file.Files.createTempDirectory("mfd-src").toString
+    val ckpt = tmpDir("mfd-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "asset_id LONG, payload BINARY")
+    def run(batch: Seq[(Long, Array[Byte])]): Unit = {
+      if (batch.nonEmpty)
+        batch.toDF("asset_id", "payload").coalesce(1)
+          .write.mode("append").parquet(src)
+      Streams.ingestMediaFrameDedupStream(
+        spark.readStream.schema(schema).parquet(src),
+        store, "mfd_idx", "mfd_out", "payload", "asset_id",
+        maxHamming = 3, minFrames = 2, checkpoint = ckpt)
+        .awaitTermination()
+    }
+    // batch 1: a 3-shared-frame variant of indexed video 5 (drops at
+    // frame level — its whole-payload hash shares nothing) + a novel
+    // video (survives)
+    run(Seq(
+      100L -> video(51, 52, 53, 7777),
+      101L -> video(7000, 7001, 7002, 7003)))
+    assert(store.read("mfd_out").select("asset_id").as[Long].collect().toSeq
+      == Seq(101L))
+    // batch 2: a trimmed re-encode of batch 1's SURVIVOR (caught via the
+    // frame signatures batch 1 appended) + another novel video
+    run(Seq(
+      200L -> video(7001, 7002, 7003, 8800),
+      201L -> video(7100, 7101, 7102, 7103)))
+    assert(store.read("mfd_out").select("asset_id").as[Long].collect().toSet
+      == Set(101L, 201L))
+    // exactly-once: lose the engine checkpoint — the re-delivered epochs
+    // are recognized in <outTable>__batches and skipped outright
+    val bandRows = store.read("mfd_idx").count()
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    run(Seq.empty)
+    assert(store.read("mfd_out").count() == 2,
+      "skipped epochs duplicated output rows")
+    assert(store.read("mfd_idx").count() == bandRows,
+      "skipped epochs still appended to the index")
+  }
+
   test("continuous media dedup: batches probe the signature index, survivors chain forward") {
     import graft.engine.TableStore
     import graft.ops.MediaSigIndex
