@@ -700,4 +700,92 @@ class ScaleSmokeSpec extends SparkSpecBase {
     assert(dataWindows.forall(_.contains("__psb")),
       s"unpartitioned data-sized window:\n${dataWindows.mkString("\n")}")
   }
+
+  test("persisted frame index on 20k videos x 8 frames: |delta|-bound probe, exact asset decisions") {
+    import spark.implicits._
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-frameidx-scale"))
+    // 20k videos of 8 sha-hex frames each (160k frames, all pairwise
+    // distinct): the only frame-sharing structure is what the delta plants
+    def fr(tag: org.apache.spark.sql.Column) = sha2(tag.cast("string"), 256)
+    val base = spark.range(20000).select(col("id").alias("asset_id"),
+      concat((0 until 8).map(j =>
+        fr(concat(lit("v"), col("id"), lit(s"f$j")))): _*)
+        .cast("binary").alias("payload"))
+    MediaFrameIndex.persist(store, "vids20k", base, "payload", "asset_id",
+      frameBytes = 64, blocks = 60, bands = 4, buckets = 256)
+    // delta: a trimmed re-encode of video 777 (4 of its frames + a fresh
+    // tail) and a fully fresh video
+    val variant = Seq((500000L,
+      Seq("v777f2", "v777f3", "v777f4", "v777f5", "nvA")))
+    val freshV = Seq((500001L, (0 until 8).map(j => s"nvB$j")))
+    val delta = (variant ++ freshV).toDF("asset_id", "tags")
+      .select(col("asset_id"),
+        expr("cast(array_join(transform(tags, t -> sha2(t, 256)), '') as binary)")
+          .alias("payload"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = MediaFrameIndex.deltaPairs(store, "vids20k", delta,
+        "payload", "asset_id", maxHamming = 3, minFrames = 2)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("vids20k")) => f
+      }
+      assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+      // THE 100 TB property: the band-table scan is pruned to the
+      // delta's own bucket set — (5+8) frames x 4 bands = at most 52 of
+      // the corpus's 256 bucket directories, regardless of corpus size
+      assert(scans.head.selectedPartitions.partitionCount <= 52,
+        s"probe read ${scans.head.selectedPartitions.partitionCount} bucket dirs")
+      assert(res.select("new_id", "old_id", "matched_frames")
+        .as[(Long, Long, Long)].collect().toSeq == Seq((500000L, 777L, 4L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the full ingest drops the re-encode, keeps + registers the fresh
+    // video, and a later trim of THAT video is caught via the appended
+    // frame signatures
+    val t0 = System.nanoTime()
+    val survivors = MediaFrameIndex.ingestDedup(store, "vids20k", delta,
+        "payload", "asset_id", maxHamming = 3, minFrames = 2)
+      .select("asset_id").as[Long].collect().toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(survivors == Seq(500001L), survivors.toString)
+    assert(sec < 120.0, f"ingest took $sec%.1f s — corpus re-hash regression?")
+    val later = Seq((600000L, Seq("nvB1", "nvB2", "nvB3", "tail")))
+      .toDF("asset_id", "tags")
+      .select(col("asset_id"),
+        expr("cast(array_join(transform(tags, t -> sha2(t, 256)), '') as binary)")
+          .alias("payload"))
+    val s2 = MediaFrameIndex.ingestDedup(store, "vids20k", later,
+        "payload", "asset_id", maxHamming = 3, minFrames = 2,
+        appendSurvivors = false)
+      .count()
+    assert(s2 == 0L, "trim of an appended survivor escaped the index")
+  }
+
+  test("vacuum on a 500-batch-attributed table: reclaim exact, driver state bounded by batch count") {
+    import spark.implicits._
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-vacuum-scale"))
+    // 200k rows across 500 stamped batches (400 rows each), Hive-
+    // partitioned like the real indexes; batch b13 never recorded its
+    // marker (an abandoned abort among 499 committed batches)
+    val rows = spark.range(200000).select(col("id"),
+      concat(lit("b"), pmod(col("id"), lit(500))).alias("__batch_id"),
+      pmod(col("id"), lit(16)).cast("int").alias("__bk"))
+    store.writePartitioned("big", rows.repartition(col("__bk")), Seq("__bk"))
+    store.write("big__batches",
+      spark.range(500).where(col("id") =!= 13)
+        .select(concat(lit("b"), col("id")).alias("batch_id")),
+      append = false)
+    val t0 = System.nanoTime()
+    val removed = store.vacuumUnmarked("big")
+    val sec = (System.nanoTime() - t0) / 1e9
+    // exact reclaim: only the unmarked batch's 400 rows go; the orphan
+    // id set collected driver-side is bounded by the BATCH count (500
+    // strings), never row count
+    assert(removed === 400L, removed.toString)
+    assert(store.read("big").count() === 199600L)
+    assert(store.read("big").where(col("__batch_id") === "b13").count() === 0L)
+    assert(store.vacuumUnmarked("big") === 0L) // idempotent, no-op rewrite
+    assert(sec < 120.0, f"vacuum took $sec%.1f s")
+  }
 }
