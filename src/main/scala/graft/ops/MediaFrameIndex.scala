@@ -231,7 +231,14 @@ object MediaFrameIndex {
     val intraLosers = framePairsFromSigs(freshFrames, idCol, maxHamming,
         minFrames, meta.bits)
       .select(col("id_b").alias(idCol)).distinct()
-    val survivorIds = freshFrames.select(col(idCol)).distinct()
+    // survivors derive from DELTA's ids, not the frame rows: an asset
+    // yielding zero frames (null payload, or shorter than frame_bytes)
+    // cannot near-dup anything, so it SURVIVES — the in-memory anchor
+    // ([[Multimodal.dropNearDuplicates]]'s left_anti on assets) keeps
+    // such rows, and the persisted path must agree. It contributes no
+    // band rows to the index (nothing can ever probe-match it).
+    val survivorIds = delta.select(col(idCol)).distinct()
+      .join(dupVsIndex, Seq(idCol), "left_anti")
       .join(intraLosers, Seq(idCol), "left_anti")
       .localCheckpoint(true) // two consumers: result semi-join + append
     nonce.foreach(n =>

@@ -241,7 +241,14 @@ object MediaSigIndex {
     val intraLosers = Dedup.hammingPairsFromSigs(freshSigs, idCol, "sig",
         maxHamming, bits = meta.bits)
       .select(col("id_b").alias(idCol)).distinct()
-    val survivorIds = freshSigs.select(col(idCol))
+    // survivors derive from DELTA's ids, not the sig rows: a null-sig
+    // asset (null payload, or shorter than one hash block) cannot
+    // near-dup anything, so it SURVIVES — the in-memory anchor
+    // ([[Multimodal.dropNearDuplicates]]'s left_anti on assets) keeps
+    // such rows, and the persisted path must agree. It contributes no
+    // band rows to the index (nothing can ever probe-match it).
+    val survivorIds = delta.select(col(idCol)).distinct()
+      .join(dupVsIndex, Seq(idCol), "left_anti")
       .join(intraLosers, Seq(idCol), "left_anti")
       .localCheckpoint(true) // two consumers: result semi-join + append
     nonce.foreach(n =>

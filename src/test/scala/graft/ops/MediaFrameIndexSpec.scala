@@ -106,6 +106,26 @@ class MediaFrameIndexSpec extends SparkSpecBase {
     assert(store.read(table).count() == before)
   }
 
+  test("ingestDedup keeps frameless assets (null / sub-frame payload) without indexing them") {
+    val (store, table) = freshIndex("nof")
+    val delta = Seq(
+      (100L, null.asInstanceOf[Array[Byte]]), // null payload -> zero frames
+      (101L, frame(7000L).take(16)),          // shorter than frameBytes -> zero frames
+      (102L, video(7000, 7001, 7002, 7003)),  // normal: survives
+      variantOf(5L, 103L))                    // vs index: 3 shared frames -> drops
+      .toDF("asset_id", "payload")
+    val s = MediaFrameIndex.ingestDedup(store, table, delta,
+        "payload", "asset_id", maxHamming = 3, minFrames = 2)
+      .select("asset_id").as[Long].collect().toSet
+    // frameless assets cannot near-dup anything -> they SURVIVE, matching
+    // the in-memory anchor (Multimodal.dropNearDuplicates keeps them)
+    assert(s == Set(100L, 101L, 102L), s.toString)
+    // ...but contribute no band rows: nothing can ever probe-match them
+    val indexed = store.read(table).where(col("asset_id").isin(100L, 101L))
+    assert(indexed.count() == 0L)
+    assert(store.read(table).where(col("asset_id") === 102L).count() > 0L)
+  }
+
   test("abort → vacuum → probe equals never-appended; radius guard refuses past pigeonhole") {
     val (store, table) = freshIndex("vac")
     def probePairs(of: Long): Set[Long] =

@@ -103,6 +103,25 @@ class MediaSigIndexSpec extends SparkSpecBase {
     assert(s2.isEmpty, s2.toString)
   }
 
+  test("ingestDedup keeps null-sig assets (null / sub-block payload) without indexing them") {
+    val (store, table) = freshIndex("nosig")
+    val delta = Seq(
+      (100L, null.asInstanceOf[Array[Byte]]), // null payload -> null sig
+      (101L, payload(7000L).take(30)),        // shorter than 60 blocks -> null sig
+      (102L, payload(700)),                   // novel: survives
+      nearCopy(5L, 103L))                     // vs index: drops
+      .toDF("asset_id", "payload")
+    val s = MediaSigIndex.ingestDedup(store, table, delta,
+        "payload", "asset_id", maxHamming = 3)
+      .select("asset_id").as[Long].collect().toSet
+    // null-sig assets cannot near-dup anything -> they SURVIVE, matching
+    // the in-memory anchor (Multimodal.dropNearDuplicates keeps them)
+    assert(s == Set(100L, 101L, 102L), s.toString)
+    // ...but contribute no band rows: nothing can ever probe-match them
+    assert(store.read(table).where(col("asset_id").isin(100L, 101L)).count() == 0L)
+    assert(store.read(table).where(col("asset_id") === 102L).count() > 0L)
+  }
+
   test("uncommitted meta fails probes loudly; interleaved second writer aborts") {
     val (store, table) = freshIndex("guard")
     // crash simulation: a rebuild that died before committing
