@@ -121,11 +121,13 @@ object TextSearch {
     */
   private def writeTextMeta(store: graft.engine.TableStore, table: String,
       sp: org.apache.spark.sql.SparkSession, nDocs: Long, sumDl: Long,
-      buckets: Int, writer: String, committed: Boolean): Unit = {
+      buckets: Int, writer: String, committed: Boolean,
+      pendingBatch: Option[String] = None): Unit = {
     import sp.implicits._
     store.replace(table + "__meta",
-      Seq((nDocs, sumDl, buckets, writer, committed))
-        .toDF("n_docs", "sum_dl", "buckets", "writer", "committed"))
+      Seq((nDocs, sumDl, buckets, writer, committed, pendingBatch))
+        .toDF("n_docs", "sum_dl", "buckets", "writer", "committed",
+          "pending_batch"))
   }
 
   /** Load the inverted index's corpus constants; fails loudly on an
@@ -137,8 +139,9 @@ object TextSearch {
     val meta = store.read(table + "__meta").head()
     require(meta.getAs[Boolean]("committed"),
       s"text index '$table' has an UNCOMMITTED meta: a rebuild or append " +
-        "crashed between the parameter and data writes. Re-run " +
-        "persistPostings before probing.")
+        "crashed mid-write. Run recoverAppend (reclaims a crashed " +
+        "append's rows by batch id and restores the committed stats) or, " +
+        "for a crashed REBUILD, re-run persistPostings.")
     TextIndexMeta(meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"),
       meta.getAs[Int]("buckets"))
   }
@@ -208,12 +211,16 @@ object TextSearch {
     * batches array would be rewritten in full per append and scanned
     * O(applied) per check, growing forever under
     * [[graft.streaming.Streams.ingestTextIndexStream]]. Crash recovery:
-    * the meta is marked uncommitted before the data append and committed
-    * (stats merged, after the marker lands) at the end, so a crash
-    * ANYWHERE mid-append — including between marker and commit — fails
-    * later probes loudly; recover by rebuilding ([[persistPostings]],
-    * which clears the markers) — a blind re-append would double the
-    * batch's rows AND stats. Appends are SINGLE-WRITER, enforced: the
+    * the meta is marked uncommitted (carrying the in-flight batch id as
+    * `pending_batch`) before the data append and committed (stats
+    * merged, after the marker lands) at the end, so a crash ANYWHERE
+    * mid-append — including between marker and commit — fails later
+    * probes loudly; recover with [[recoverAppend]], which reclaims the
+    * crashed attempt's rows by batch id (posting rows are stamped
+    * `__batch_id`) or finishes the stats fold when the marker already
+    * landed — no rebuild, and the recovered index is row- and
+    * meta-identical to a clean rebuild (spec-pinned). Appends are
+    * SINGLE-WRITER, enforced: the
     * commit re-reads the meta and aborts if another writer's nonce
     * replaced this append's (two racing appends would both fold stats
     * off the same base and the second commit would silently drop the
@@ -224,9 +231,17 @@ object TextSearch {
     */
   def appendPostings(store: graft.engine.TableStore, table: String,
       delta: DataFrame, textCol: String, idCol: String,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None,
+      fingerprint: Option[Long] = None): Boolean = {
     val meta = readTextMeta(store, table)
-    if (batchId.exists(store.batchApplied(table + "__batches", _))) return false
+    val applied = batchId.flatMap(store.appliedBatchFp(table + "__batches", _))
+    applied.foreach { recorded =>
+      // a recorded batch id may only silence a re-delivery of the SAME
+      // data — the checkpoint-reset guard (TableStore.requireSameReplay)
+      store.requireSameReplay(table + "__batches", batchId.get, recorded,
+        fingerprint)
+    }
+    if (applied.isDefined) return false
     val sp = delta.sparkSession
     val dl = regexp_count(col(textCol), lit("\\S+")).cast("long")
     val st = delta.select(dl.alias("dl")).where(col("dl") > 0)
@@ -235,15 +250,85 @@ object TextSearch {
     val (dn, dsum) =
       (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
     val writer = java.util.UUID.randomUUID().toString
+    // the row stamp doubles as the idempotency marker: caller-supplied
+    // batch ids keep their replay-skip semantics, anonymous appends get
+    // a fresh stamp — recorded either way, so a recorded batch's rows
+    // are never mistaken for orphans by recovery/vacuum
+    val stamp = batchId.getOrElse(java.util.UUID.randomUUID().toString)
     writeTextMeta(store, table, sp, meta.nDocs, meta.sumDl, meta.buckets,
-      writer, committed = false)
+      writer, committed = false, pendingBatch = Some(stamp))
     store.writePartitioned(table,
-      postingRows(delta, textCol, idCol, meta.buckets).repartition(col("__tb")),
+      postingRows(delta, textCol, idCol, meta.buckets)
+        .withColumn("__batch_id", lit(stamp)).repartition(col("__tb")),
       Seq("__tb"), append = true)
     requireSoleWriter(store, table, writer)
-    batchId.foreach(store.recordBatch(table + "__batches", _))
+    store.recordBatch(table + "__batches", stamp, fingerprint)
     writeTextMeta(store, table, sp, meta.nDocs + dn, meta.sumDl + dsum,
       meta.buckets, writer, committed = true)
+    true
+  }
+
+  /** Recover a text index whose last APPEND crashed mid-write — the
+    * in-place alternative to the full [[persistPostings]] rebuild every
+    * other persisted index already enjoys via its vacuum. The
+    * uncommitted meta carries the crashed attempt's batch id
+    * (`pending_batch`) and the LAST COMMITTED stats (the uncommitted
+    * write happens before any fold), so the three crash windows each
+    * recover exactly:
+    *
+    *  1. marker recorded (crash between marker and commit): the
+    *     attempt's rows fully landed — FINISH the fold by recomputing
+    *     the batch's exact (n_docs, sum_dl) from its own stamped rows
+    *     (dl rides every posting row; one distinct-doc aggregate over
+    *     the batch's rows, never the corpus) and committing;
+    *  2. marker absent (crash during/after the data append): reclaim
+    *     the attempt's rows by batch id ([[graft.engine.TableStore
+    *     .vacuumUnmarked]]'s rule) and re-commit the old stats — the
+    *     index is as if the batch never arrived; re-deliver it;
+    *  3. nothing landed: same as 2 with a zero-row vacuum.
+    *
+    * Either way the recovered index is row- and meta-identical to a
+    * clean state (spec-pinned vs a rebuild). Returns true if recovery
+    * ran, false if the meta was already committed. A crashed REBUILD
+    * (`pending_batch` null) cannot be batch-recovered — the data swap
+    * itself may be partial — and still requires [[persistPostings]];
+    * refused loudly.
+    */
+  def recoverAppend(store: graft.engine.TableStore, table: String): Boolean = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for text index '$table'")
+    val meta = store.read(table + "__meta").head()
+    if (meta.getAs[Boolean]("committed")) return false
+    val pending = Option(meta.getAs[String]("pending_batch"))
+    require(pending.isDefined,
+      s"text index '$table' has an uncommitted REBUILD (no pending batch " +
+        "id): the data swap itself may be partial — re-run persistPostings.")
+    val sp = store.read(table).sparkSession
+    val (nDocs, sumDl, buckets) = (meta.getAs[Long]("n_docs"),
+      meta.getAs[Long]("sum_dl"), meta.getAs[Int]("buckets"))
+    if (store.batchApplied(table + "__batches", pending.get)) {
+      // window 1: rows + marker landed, stats never folded — finish it.
+      // dl rides every posting row, so the batch's exact stats recompute
+      // from its own stamped rows: one distinct-doc aggregate over the
+      // batch's rows, never the corpus. The doc-id column is whichever
+      // posting column is not part of the fixed layout.
+      val posts = store.read(table)
+      val docIdCol = posts.columns
+        .filterNot(Set("dl", "term", "tf", "__tb", "__batch_id")).head
+      val docAgg = posts.where(col("__batch_id") === pending.get)
+        .select(col(docIdCol), col("dl")).distinct()
+        .agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
+      val (dn, dsum) = (docAgg.getLong(0),
+        if (docAgg.isNullAt(1)) 0L else docAgg.getLong(1))
+      writeTextMeta(store, table, sp, nDocs + dn, sumDl + dsum, buckets,
+        meta.getAs[String]("writer"), committed = true)
+    } else {
+      // windows 2/3: the attempt's rows (if any) are unmarked orphans —
+      // reclaim by batch id, restore the committed stats
+      store.vacuumUnmarked(table)
+      writeTextMeta(store, table, sp, nDocs, sumDl, buckets,
+        meta.getAs[String]("writer"), committed = true)
+    }
     true
   }
 
@@ -410,10 +495,12 @@ object TextSearch {
 
   private def writePosMeta(store: graft.engine.TableStore, table: String,
       sp: org.apache.spark.sql.SparkSession, buckets: Int,
-      writer: String, committed: Boolean): Unit = {
+      writer: String, committed: Boolean,
+      pendingBatch: Option[String] = None): Unit = {
     import sp.implicits._
     store.replace(table + "__meta",
-      Seq((buckets, writer, committed)).toDF("buckets", "writer", "committed"))
+      Seq((buckets, writer, committed, pendingBatch))
+        .toDF("buckets", "writer", "committed", "pending_batch"))
   }
 
   private def readPosMeta(store: graft.engine.TableStore,
@@ -423,8 +510,37 @@ object TextSearch {
     val meta = store.read(table + "__meta").head()
     require(meta.getAs[Boolean]("committed"),
       s"positional index '$table' has an uncommitted rebuild or append — " +
-        "re-run persistPositionalPostings")
+        "run recoverPositionalAppend (crashed append) or re-run " +
+        "persistPositionalPostings (crashed rebuild)")
     meta.getAs[Int]("buckets")
+  }
+
+  /** [[recoverAppend]] for the positional index. Simpler: there are no
+    * corpus constants to fold, so recovery is purely row-side — a
+    * crashed attempt whose marker never landed has its stamped rows
+    * reclaimed ([[graft.engine.TableStore.vacuumUnmarked]]); a crash
+    * after the marker just re-commits (the rows fully landed). Returns
+    * true if recovery ran, false if already committed; a crashed
+    * REBUILD (`pending_batch` null) is refused — re-run
+    * [[persistPositionalPostings]].
+    */
+  def recoverPositionalAppend(store: graft.engine.TableStore,
+      table: String): Boolean = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for positional index '$table'")
+    val meta = store.read(table + "__meta").head()
+    if (meta.getAs[Boolean]("committed")) return false
+    val pending = Option(meta.getAs[String]("pending_batch"))
+    require(pending.isDefined,
+      s"positional index '$table' has an uncommitted REBUILD (no pending " +
+        "batch id): the data swap itself may be partial — re-run " +
+        "persistPositionalPostings.")
+    if (!store.batchApplied(table + "__batches", pending.get))
+      store.vacuumUnmarked(table)
+    writePosMeta(store, table, store.read(table).sparkSession,
+      meta.getAs[Int]("buckets"), meta.getAs[String]("writer"),
+      committed = true)
+    true
   }
 
   /** INCREMENTAL maintenance of the positional index — [[appendPostings]]
@@ -435,8 +551,10 @@ object TextSearch {
     * contracts as [[appendPostings]]: fresh delta ids, `batchId`
     * idempotency via the `<table>__batches` side table (one marker row
     * per batch, pruned existence probe — per-append cost independent of
-    * history), uncommitted-meta crash discipline (recover by rebuilding,
-    * which clears the markers), single-writer enforced at commit. The
+    * history), uncommitted-meta crash discipline (recover in place via
+    * [[recoverPositionalAppend]] — rows are stamped `__batch_id`, so a
+    * crashed attempt reclaims by batch id), single-writer enforced at
+    * commit. The
     * anchor census itself is additionally tolerant of physically
     * duplicated rows (slot votes are counted DISTINCT), so even a
     * force-recovered duplicate append cannot corrupt phrase counts —
@@ -444,17 +562,26 @@ object TextSearch {
     */
   def appendPositionalPostings(store: graft.engine.TableStore, table: String,
       delta: DataFrame, textCol: String, idCol: String,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None,
+      fingerprint: Option[Long] = None): Boolean = {
     val buckets = readPosMeta(store, table)
-    if (batchId.exists(store.batchApplied(table + "__batches", _))) return false
+    val applied = batchId.flatMap(store.appliedBatchFp(table + "__batches", _))
+    applied.foreach { recorded =>
+      store.requireSameReplay(table + "__batches", batchId.get, recorded,
+        fingerprint)
+    }
+    if (applied.isDefined) return false
     val sp = delta.sparkSession
     val writer = java.util.UUID.randomUUID().toString
-    writePosMeta(store, table, sp, buckets, writer, committed = false)
+    val stamp = batchId.getOrElse(java.util.UUID.randomUUID().toString)
+    writePosMeta(store, table, sp, buckets, writer, committed = false,
+      pendingBatch = Some(stamp))
     store.writePartitioned(table,
-      positionalRows(delta, textCol, idCol, buckets).repartition(col("__tb")),
+      positionalRows(delta, textCol, idCol, buckets)
+        .withColumn("__batch_id", lit(stamp)).repartition(col("__tb")),
       Seq("__tb"), append = true)
     requireSoleWriter(store, table, writer)
-    batchId.foreach(store.recordBatch(table + "__batches", _))
+    store.recordBatch(table + "__batches", stamp, fingerprint)
     writePosMeta(store, table, sp, buckets, writer, committed = true)
     true
   }

@@ -301,6 +301,118 @@ class OpsSpec extends SparkSpecBase {
     assert(ex2.getMessage.contains("UNCOMMITTED"))
   }
 
+  test("text index crash recovery: reclaim by batch id or finish the fold — no rebuild") {
+    // the two crash windows of appendPostings, each recovered IN PLACE by
+    // recoverAppend and pinned identical to a clean rebuild — the text
+    // index's answer to every other persisted index's vacuum story
+    val base = docs.where(col("doc_id") <= 2)
+    val d1 = docs.where(col("doc_id") === 3)
+    val d2 = docs.where(col("doc_id") === 4)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-textrec"))
+    TextSearch.persistPostings(store, "idx", base, "text", "doc_id", buckets = 8)
+    val baseMeta = TextSearch.readTextMeta(store, "idx")
+    def rows(st: graft.engine.TableStore) =
+      st.read("idx").select("doc_id", "dl", "term", "tf", "__tb")
+        .as[(Long, Long, String, Long, Int)].collect().toSet
+    val baseRows = rows(store)
+    // recovery on a committed meta is a no-op
+    assert(!TextSearch.recoverAppend(store, "idx"))
+
+    // WINDOW 2: crash between the posting-data append and the marker —
+    // the attempt's stamped rows are orphans; recovery reclaims them and
+    // restores the committed stats, so the batch can be re-delivered
+    val boomData: String => Unit = p =>
+      if (p.endsWith("/idx")) throw new RuntimeException("boom-data")
+    graft.engine.TableStore.addRewriteListener(boomData)
+    try intercept[RuntimeException] {
+      TextSearch.appendPostings(store, "idx", d1, "text", "doc_id", Some("b1"))
+    } finally graft.engine.TableStore.removeRewriteListener(boomData)
+    intercept[IllegalArgumentException] { TextSearch.readTextMeta(store, "idx") }
+    assert(rows(store).size > baseRows.size, "fixture broke: no orphan rows landed")
+    assert(TextSearch.recoverAppend(store, "idx"))
+    val m2 = TextSearch.readTextMeta(store, "idx")
+    assert((m2.nDocs, m2.sumDl) == (baseMeta.nDocs, baseMeta.sumDl),
+      s"stats not restored: $m2 vs $baseMeta")
+    assert(rows(store) == baseRows, "orphan rows survived recovery")
+    assert(TextSearch.appendPostings(store, "idx", d1, "text", "doc_id",
+      Some("b1")), "re-delivery after a pre-marker crash must apply")
+
+    // WINDOW 1: crash between the marker and the committed-meta write —
+    // the rows fully landed; recovery FINISHES the stats fold from the
+    // batch's own stamped rows and the replay is skipped
+    val boomMarker: String => Unit = p =>
+      if (p.endsWith("/idx__batches")) throw new RuntimeException("boom-marker")
+    graft.engine.TableStore.addRewriteListener(boomMarker)
+    try intercept[RuntimeException] {
+      TextSearch.appendPostings(store, "idx", d2, "text", "doc_id", Some("b2"))
+    } finally graft.engine.TableStore.removeRewriteListener(boomMarker)
+    intercept[IllegalArgumentException] { TextSearch.readTextMeta(store, "idx") }
+    assert(TextSearch.recoverAppend(store, "idx"))
+    assert(!TextSearch.appendPostings(store, "idx", d2, "text", "doc_id",
+      Some("b2")), "replay after a post-marker crash must skip")
+
+    // recovered index ≡ a clean rebuild over everything: rows, meta, BM25
+    val rb = new graft.engine.TableStore(spark, tmpDir("wh-textrec-rb"))
+    TextSearch.persistPostings(rb, "idx", docs, "text", "doc_id", buckets = 8)
+    assert(rows(store) == rows(rb), "posting rows diverged from the rebuild")
+    val (am, rm) = (TextSearch.readTextMeta(store, "idx"),
+      TextSearch.readTextMeta(rb, "idx"))
+    assert((am.nDocs, am.sumDl, am.avgdl) == (rm.nDocs, rm.sumDl, rm.avgdl),
+      s"meta diverged: $am vs $rm")
+    val terms = Seq("fox", "spark", "minhash")
+    val fromIdx = TextSearch.bm25FromIndex(store, "idx", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val direct = TextSearch.bm25(docs, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fromIdx == direct && fromIdx.nonEmpty)
+    // a crashed REBUILD is still rebuild-only: no pending batch id
+    store.replace("idx__meta",
+      Seq((0L, 0L, 8, "w0", false, null.asInstanceOf[String]))
+        .toDF("n_docs", "sum_dl", "buckets", "writer", "committed",
+          "pending_batch"))
+    val ex = intercept[IllegalArgumentException] {
+      TextSearch.recoverAppend(store, "idx")
+    }
+    assert(ex.getMessage.contains("persistPostings"))
+  }
+
+  test("positional index crash recovery: reclaim by batch id — no rebuild") {
+    val base = docs.where(col("doc_id") <= 2)
+    val delta = docs.where(col("doc_id") > 2)
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-posrec"))
+    TextSearch.persistPositionalPostings(store, "pidx", base, "text",
+      "doc_id", buckets = 8)
+    def rows(st: graft.engine.TableStore) =
+      st.read("pidx").select("doc_id", "pos", "term", "__tb")
+        .as[(Long, Int, String, Int)].collect().toSet
+    val baseRows = rows(store)
+    assert(!TextSearch.recoverPositionalAppend(store, "pidx"))
+    // crash between the data append and the marker
+    val boom: String => Unit = p =>
+      if (p.endsWith("/pidx")) throw new RuntimeException("boom-pos")
+    graft.engine.TableStore.addRewriteListener(boom)
+    try intercept[RuntimeException] {
+      TextSearch.appendPositionalPostings(store, "pidx", delta, "text",
+        "doc_id", Some("b1"))
+    } finally graft.engine.TableStore.removeRewriteListener(boom)
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id", Seq(Seq("fox")))
+    }
+    assert(TextSearch.recoverPositionalAppend(store, "pidx"))
+    assert(rows(store) == baseRows, "orphan rows survived recovery")
+    // re-deliver, then pin against a clean rebuild
+    assert(TextSearch.appendPositionalPostings(store, "pidx", delta, "text",
+      "doc_id", Some("b1")))
+    val rb = new graft.engine.TableStore(spark, tmpDir("wh-posrec-rb"))
+    TextSearch.persistPositionalPostings(rb, "pidx", docs, "text", "doc_id",
+      buckets = 8)
+    assert(rows(store) == rows(rb), "positional rows diverged from the rebuild")
+    val got = TextSearch.phraseMatchesFromIndex(store, "pidx", "doc_id",
+        Seq(Seq("quick", "brown", "fox")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("positional index append equals a rebuild; uncommitted append fails probes loudly") {
     val base = docs.where(col("doc_id") <= 2)
     val delta = docs.where(col("doc_id") > 2)
