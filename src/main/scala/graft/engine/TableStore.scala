@@ -336,10 +336,60 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     * one-row files are bounded by the streaming sinks' compaction
     * policy, which compacts the marker table alongside its index.
     */
-  def recordBatch(markerTable: String, batchId: String): Unit = {
+  def recordBatch(markerTable: String, batchId: String): Unit =
+    recordBatch(markerTable, batchId, fingerprint = None)
+
+  /** [[recordBatch]] carrying the batch's content FINGERPRINT — the
+    * replay-identity guard of the exactly-once sinks
+    * ([[graft.streaming.Streams]]): a later delivery of the same batch
+    * id is skipped only if its recomputed fingerprint matches, so a
+    * checkpoint that was deleted and re-created (epoch numbering
+    * restarts at 0 while these markers survive) turns into a LOUD
+    * mismatch instead of silently dropping the fresh epochs' data. A
+    * null fingerprint (plain [[recordBatch]], or markers recorded
+    * before the guard existed) skips unverified — the index-side
+    * markers don't need the guard (their appends are duplicate-
+    * tolerated), and grandfathered output markers keep their old
+    * semantics.
+    */
+  def recordBatch(markerTable: String, batchId: String,
+      fingerprint: Option[Long]): Unit = {
     import spark.implicits._
-    write(markerTable, Seq(batchId).toDF("batch_id"), append = true)
+    write(markerTable, Seq((batchId, fingerprint)).toDF("batch_id", "fp"),
+      append = true)
   }
+
+  /** Has `batchId` been recorded, and with what fingerprint? `None` =
+    * never applied; `Some(None)` = applied without a fingerprint (plain
+    * marker / pre-guard row — the `fp` column may not even exist);
+    * `Some(Some(fp))` = applied with one. Same pruned 1-row probe as
+    * [[batchApplied]].
+    */
+  def appliedBatchFp(markerTable: String, batchId: String): Option[Option[Long]] = {
+    if (!exists(markerTable)) return None
+    val df = read(markerTable).where(col("batch_id") === batchId)
+    val withFp =
+      if (df.columns.contains("fp")) df.select(col("batch_id"), col("fp"))
+      else df.select(col("batch_id"), lit(null).cast("long").alias("fp"))
+    withFp.limit(1).collect().headOption
+      .map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+  }
+
+  /** The loud replay-identity check shared by every fingerprinted
+    * batch skip: a recorded marker may only silence a re-delivery of
+    * the SAME data. No-op when either side carries no fingerprint
+    * (plain markers, pre-guard rows, callers that don't fingerprint).
+    */
+  def requireSameReplay(markerTable: String, batchId: String,
+      recorded: Option[Long], delivered: Option[Long]): Unit =
+    for (r <- recorded; d <- delivered)
+      require(r == d,
+        s"batch '$batchId' in '$markerTable' was recorded for DIFFERENT " +
+          s"data (fingerprint $r, this delivery $d): the stream's " +
+          "checkpoint was likely deleted and re-created, restarting epoch " +
+          "numbering over markers that survived — skipping would silently " +
+          "drop the fresh data. Use a fresh checkpoint AND output/marker " +
+          "namespace together, or clear the marker table.")
 
   /** Claim the single-writer nonce for an append against `table` — the
     * loud-abort guard [[graft.ops.TextSearch]] pioneered for its meta
@@ -371,8 +421,24 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     * empty-read failure.
     */
   def requireSoleWriter(table: String, nonce: String): Unit = {
-    val cur = scala.util.Try(read(table + "__writer").head().getString(0))
-      .toOption
+    // only the EXPECTED missing/empty-guard shapes (a competing claim's
+    // truncate caught mid-swap) map to the concurrent-append abort —
+    // genuine I/O failures propagate untouched, because this message's
+    // remediation ("re-run the batch") misleads when the filesystem
+    // itself is failing
+    @annotation.tailrec
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || (t.getCause eq t)) t else rootCause(t.getCause)
+    val cur =
+      try Some(read(table + "__writer").head().getString(0))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: NoSuchElementException => None // empty guard: head() on no rows
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+        case e: org.apache.spark.SparkException
+            if rootCause(e).isInstanceOf[java.io.FileNotFoundException] => None
+      }
     require(cur.contains(nonce),
       s"concurrent append detected on '$table': this writer's nonce was " +
         s"replaced (expected $nonce, found ${cur.getOrElse("<no readable nonce>")}). " +
@@ -417,6 +483,64 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
         .collect().map(_.getString(0)).toSeq
     if (orphanIds.isEmpty) 0L
     else deleteWhere(table, col("__batch_id").isInCollection(orphanIds))
+  }
+
+  /** Re-bin the LANDED epoch partitions of an exactly-once stream
+    * output — the bounded answer to `__batch_id`-per-epoch directory
+    * accretion: an output partitioned by its epoch id grows one Hive
+    * directory per micro-batch FOREVER (a year of one-minute epochs is
+    * ~525k directories), and file-LISTING cost on every read grows with
+    * it unboundedly even though row count doesn't. This folds epoch
+    * directories whose batch id is recorded in `markerTable` into
+    * `bins` stable `__batch_id=__bin-<k>` directories by PURE FILE
+    * RENAME:
+    *
+    *  - atomic per file, so a crash mid-pass leaves every part-file in
+    *    exactly one directory — no duplicates, no loss, and the next
+    *    pass simply resumes (an emptied source directory deletes);
+    *  - the partition value is not stored inside parquet files, so the
+    *    moved bytes are untouched — rows are byte-identical, with the
+    *    original epoch id preserved in the `__src_batch_id` DATA column
+    *    the sinks write;
+    *  - only LANDED epochs move: replay-skip is decided by the marker
+    *    table (not directories), and a replayed IN-FLIGHT epoch still
+    *    overwrites its own real `__batch_id=<bid>` directory, which is
+    *    never eligible here (its marker is absent until it lands).
+    *
+    * Per-pass cost is bounded by the directories accreted since the
+    * last pass (one pruned marker probe + one rename per file), never
+    * by table size. File COUNT is unchanged (renames, not rewrites) —
+    * same as the never-compacted layout it replaces; bound it offline
+    * with [[compact]] if needed. Returns files moved.
+    */
+  def rebinBatchPartitions(table: String, markerTable: String,
+      bins: Int): Long = {
+    require(bins > 0, s"bins=$bins must be positive")
+    recoverCrashedSwap(table)
+    val path = new Path(tablePath(table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("__batch_id="))
+    var moved = 0L
+    dirs.foreach { d =>
+      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.getName.stripPrefix("__batch_id="))
+      if (!value.startsWith("__bin-") && batchApplied(markerTable, value)) {
+        val k = math.floorMod(value.hashCode, bins)
+        val target = new Path(path, s"__batch_id=__bin-$k")
+        fs.mkdirs(target)
+        fs.listStatus(d).filter(_.isFile).foreach { f =>
+          if (!fs.rename(f.getPath, new Path(target, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"failed to re-bin ${f.getPath} into $target")
+          moved += 1
+        }
+        fs.delete(d, true) // now empty (crash-resumed passes included)
+      }
+    }
+    if (moved > 0) TableStore.fireRewrite(path.toString)
+    moved
   }
 
   /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`

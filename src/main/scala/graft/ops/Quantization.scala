@@ -321,9 +321,16 @@ object Quantization {
     */
   def appendToIvfPqIndex(store: graft.engine.TableStore, table: String,
       delta: DataFrame, vecCol: String, idCol: String,
-      batchId: Option[String] = None): Boolean = {
+      batchId: Option[String] = None,
+      fingerprint: Option[Long] = None): Boolean = {
     val bt = table + "__batches"
-    if (batchId.exists(store.batchApplied(bt, _))) return false
+    val applied = batchId.flatMap(store.appliedBatchFp(bt, _))
+    applied.foreach { recorded =>
+      // a recorded batch id may only silence a re-delivery of the SAME
+      // data — the checkpoint-reset guard (TableStore.requireSameReplay)
+      store.requireSameReplay(bt, batchId.get, recorded, fingerprint)
+    }
+    if (applied.isDefined) return false
     val nonce = store.claimWriter(table)
     val cents = Similarity.loadIvfCentroids(store, table)
     require(cents.nonEmpty, s"no centroid table for IVF-PQ index '$table'")
@@ -377,7 +384,7 @@ object Quantization {
       writePqStats(store, table, prev.getDouble(0), n2, s2, rn2, rs2)
       store.requireSoleWriter(table, nonce)
     } else store.requireSoleWriter(table, nonce)
-    store.recordBatch(bt, effectiveBatchId)
+    store.recordBatch(bt, effectiveBatchId, fingerprint)
     true
   }
 

@@ -16,6 +16,55 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Order-independent content fingerprint of a micro-batch — the
+    * replay-identity side of the exactly-once sinks' epoch markers.
+    * Epoch ids restart at 0 per checkpoint, so a checkpoint that is
+    * DELETED and re-created at the same path re-numbers fresh data over
+    * markers that survived in the warehouse; a bare marker probe would
+    * then skip those epochs outright — silent data loss. Recording this
+    * fingerprint with the marker and re-verifying it on every skip
+    * turns that into a loud [[graft.engine.TableStore.requireSameReplay]]
+    * abort, while a genuine crash-replay (same data re-delivered, the
+    * semantics every sink spec pins) still matches and skips. xor-of-
+    * row-hashes is delivery-order-independent; the row count guards the
+    * empty-batch case. Map-typed columns are excluded (Spark's hash
+    * functions refuse them); one extra linear scan of the micro-batch
+    * per epoch, marginal next to the epoch's own ingest work.
+    */
+  private[streaming] def batchFingerprint(batch: DataFrame): Long = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = batch.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(s"`${f.name}`"))
+    val h = if (cols.isEmpty) lit(0L) else xxhash64(cols.toIndexedSeq: _*)
+    val r = batch.select(h.alias("__h"))
+      .agg(count(lit(1)).alias("n"), expr("bit_xor(__h)").alias("x")).head()
+    31L * r.getLong(0) + (if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Run an epoch's exactly-once body unless its marker already landed —
+    * and only trust a landed marker for the SAME data
+    * ([[batchFingerprint]]): the marker is recorded WITH the delivered
+    * batch's fingerprint after the body commits, and a later delivery
+    * of the same epoch id skips only if its recomputed fingerprint
+    * matches (markers recorded before the guard existed skip
+    * unverified — grandfathered).
+    */
+  private def runEpochOnce(store: graft.engine.TableStore, marker: String,
+      bid: String, fp: Long)(body: => Unit): Unit =
+    store.appliedBatchFp(marker, bid) match {
+      case Some(recorded) =>
+        store.requireSameReplay(marker, bid, recorded, Some(fp))
+      case None =>
+        body
+        store.recordBatch(marker, bid, Some(fp))
+    }
+
   /** Tumbling-window counts; equivalent batch query: groupBy(date_trunc). */
   def tumblingCounts(events: DataFrame, tsCol: String, every: String,
       watermark: String = "10 minutes"): DataFrame =
@@ -743,23 +792,28 @@ object Streams {
       idCol: String,
       minJaccard: Double,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      rebinOutputBins: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val bid = s"$ns-$epoch"
         val marker = outTable + "__batches"
-        if (!store.batchApplied(marker, bid)) {
+        runEpochOnce(store, marker, bid, batchFingerprint(batch)) {
           val survivors = graft.ops.DedupIndex.ingestDedup(
             store, indexTable, batch, textCol, idCol, minJaccard)
           store.overwritePartitions(outTable,
-            survivors.withColumn("__batch_id",
-              org.apache.spark.sql.functions.lit(bid)),
+            survivors
+              .withColumn("__src_batch_id",
+                org.apache.spark.sql.functions.lit(bid))
+              .withColumn("__batch_id",
+                org.apache.spark.sql.functions.lit(bid)),
             Seq("__batch_id"))
-          store.recordBatch(marker, bid)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)
         maybeCompactMarkers(store, marker, epoch, compactEvery)
+        maybeRebin(store, outTable, marker, epoch, compactEvery,
+          rebinOutputBins)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -793,23 +847,28 @@ object Streams {
       idCol: String,
       maxHamming: Int,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      rebinOutputBins: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     assets.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val bid = s"$ns-$epoch"
         val marker = outTable + "__batches"
-        if (!store.batchApplied(marker, bid)) {
+        runEpochOnce(store, marker, bid, batchFingerprint(batch)) {
           val survivors = graft.ops.MediaSigIndex.ingestDedup(
             store, indexTable, batch, payloadCol, idCol, maxHamming)
           store.overwritePartitions(outTable,
-            survivors.withColumn("__batch_id",
-              org.apache.spark.sql.functions.lit(bid)),
+            survivors
+              .withColumn("__src_batch_id",
+                org.apache.spark.sql.functions.lit(bid))
+              .withColumn("__batch_id",
+                org.apache.spark.sql.functions.lit(bid)),
             Seq("__batch_id"))
-          store.recordBatch(marker, bid)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)
         maybeCompactMarkers(store, marker, epoch, compactEvery)
+        maybeRebin(store, outTable, marker, epoch, compactEvery,
+          rebinOutputBins)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -842,24 +901,29 @@ object Streams {
       maxHamming: Int,
       minFrames: Int,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      rebinOutputBins: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     assets.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val bid = s"$ns-$epoch"
         val marker = outTable + "__batches"
-        if (!store.batchApplied(marker, bid)) {
+        runEpochOnce(store, marker, bid, batchFingerprint(batch)) {
           val survivors = graft.ops.MediaFrameIndex.ingestDedup(
             store, indexTable, batch, payloadCol, idCol, maxHamming,
             minFrames)
           store.overwritePartitions(outTable,
-            survivors.withColumn("__batch_id",
-              org.apache.spark.sql.functions.lit(bid)),
+            survivors
+              .withColumn("__src_batch_id",
+                org.apache.spark.sql.functions.lit(bid))
+              .withColumn("__batch_id",
+                org.apache.spark.sql.functions.lit(bid)),
             Seq("__batch_id"))
-          store.recordBatch(marker, bid)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)
         maybeCompactMarkers(store, marker, epoch, compactEvery)
+        maybeRebin(store, outTable, marker, epoch, compactEvery,
+          rebinOutputBins)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -902,6 +966,15 @@ object Streams {
       // attribution column pass through unchanged.
       store.compact(table, 128L * 1024 * 1024,
         vacuumAgainst = Some(table + "__batches"))
+      // a DedupIndex's exact-verify shingle side table shares the
+      // parent's batch markers ([[graft.ops.DedupIndex.vacuum]]'s rule):
+      // its abandoned-attempt orphans must reclaim on the same cadence,
+      // or a later rebuildFromIndex folds the phantom shingle rows back
+      // into the band table — resurrecting never-kept docs the
+      // band-side vacuum had removed
+      if (store.exists(table + "__shingles"))
+        store.compact(table + "__shingles", 128L * 1024 * 1024,
+          vacuumAgainst = Some(table + "__batches"))
       if (store.exists(table + "__batches")) store.compact(table + "__batches")
     }
 
@@ -919,6 +992,27 @@ object Streams {
         store.exists(markerTable))
       store.compact(markerTable)
 
+  /** Output-side DIRECTORY policy of the exactly-once sinks: the output
+    * is partitioned by the epoch id (that is what makes a replayed
+    * in-flight epoch REPLACE its own partial rows), so its directory
+    * count grows one per epoch forever — at one epoch a minute that is
+    * ~525k directories a year, and file-LISTING on every read of the
+    * output degrades with directory count unboundedly even though the
+    * data doesn't. On the compaction cadence, LANDED epochs' directories
+    * fold into `rebinOutputBins` stable `__bin-<k>` directories by pure
+    * file rename ([[graft.engine.TableStore.rebinBatchPartitions]] —
+    * atomic per file, crash-resumable, rows byte-identical, provenance
+    * preserved in the `__src_batch_id` data column). Replay semantics
+    * are untouched: skip is decided by the MARKER table, and an
+    * in-flight epoch's directory is never eligible (its marker hasn't
+    * landed). `0` (the default) disables it.
+    */
+  private def maybeRebin(store: graft.engine.TableStore, outTable: String,
+      markerTable: String, epoch: Long, compactEvery: Int,
+      bins: Int): Unit =
+    if (bins > 0 && compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+      store.rebinBatchPartitions(outTable, markerTable, bins)
+
   /** CONTINUOUS text-index ingest — the streaming face of
     * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of
     * documents tokenizes ONCE, its posting rows land in their `__tb`
@@ -931,9 +1025,13 @@ object Streams {
     * which [[graft.ops.TextSearch.appendPostings]] records in the meta —
     * a crash-replayed epoch is recognized and skipped, so no document
     * can double-count its df/dl no matter how often the source
-    * re-delivers. (A crash INSIDE an append still leaves the loud
-    * uncommitted-meta state; recover by rebuilding — the documented
-    * appendPostings contract.) Doc ids must be fresh across batches.
+    * re-delivers. A crash INSIDE an append leaves the loud
+    * uncommitted-meta state, which this sink SELF-HEALS on the replayed
+    * epoch ([[graft.ops.TextSearch.recoverAppend]] runs before every
+    * append): a crash before the marker reclaims the attempt's stamped
+    * rows and the replay re-applies the epoch; a crash after the marker
+    * finishes the stats fold and the replay is skipped — exactly-once
+    * either way, no rebuild. Doc ids must be fresh across batches.
     *
     * The marker is NAMESPACED by the checkpoint location (epoch ids
     * restart at 0 per checkpoint): a replay shares the checkpoint and is
@@ -958,8 +1056,13 @@ object Streams {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        // self-heal a crash inside the PREVIOUS epoch's append before
+        // touching the index: reclaims the crashed attempt by batch id
+        // or finishes its stats fold (no-op on a committed meta)
+        graft.ops.TextSearch.recoverAppend(store, indexTable)
         graft.ops.TextSearch.appendPostings(store, indexTable, batch,
-          textCol, idCol, batchId = Some(s"$ns-$epoch"))
+          textCol, idCol, batchId = Some(s"$ns-$epoch"),
+          fingerprint = Some(batchFingerprint(batch)))
         maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
@@ -976,8 +1079,10 @@ object Streams {
     * namespaced epoch id as the BM25 sink — a crash-replayed epoch is
     * recognized in the `__batches` side table and skipped, so no
     * document's positions can land twice. Doc ids must be fresh across
-    * batches; a crash INSIDE an append leaves the loud uncommitted-meta
-    * state (recover by rebuilding).
+    * batches; a crash INSIDE an append SELF-HEALS on the replayed epoch
+    * ([[graft.ops.TextSearch.recoverPositionalAppend]] runs before every
+    * append — reclaims a crashed attempt's stamped rows, or just
+    * re-commits when the marker already landed).
     */
   def ingestPositionalIndexStream(
       docs: DataFrame,
@@ -990,8 +1095,12 @@ object Streams {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        // self-heal a crash inside the previous epoch's append (no-op on
+        // a committed meta) — the BM25 sink's recovery discipline
+        graft.ops.TextSearch.recoverPositionalAppend(store, indexTable)
         graft.ops.TextSearch.appendPositionalPostings(store, indexTable,
-          batch, textCol, idCol, batchId = Some(s"$ns-$epoch"))
+          batch, textCol, idCol, batchId = Some(s"$ns-$epoch"),
+          fingerprint = Some(batchFingerprint(batch)))
         maybeCompact(store, indexTable, epoch, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
@@ -1035,7 +1144,8 @@ object Streams {
     vecs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         graft.ops.Quantization.appendToIvfPqIndex(store, indexTable, batch,
-          vecCol, idCol, batchId = Some(s"$ns-$epoch"))
+          vecCol, idCol, batchId = Some(s"$ns-$epoch"),
+          fingerprint = Some(batchFingerprint(batch)))
         retrainFrom.foreach { baseTable =>
           // retrain from base ∪ THIS batch, deduped by id: the caller
           // maintains baseTable, and nothing guarantees it already holds
@@ -1100,23 +1210,28 @@ object Streams {
       idCol: String,
       maxCachedFrac: Double,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      rebinOutputBins: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = new org.apache.hadoop.fs.Path(checkpoint).toString
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
         val bid = s"$ns-$epoch"
         val marker = outTable + "__batches"
-        if (!store.batchApplied(marker, bid)) {
+        runEpochOnce(store, marker, bid, batchFingerprint(batch)) {
           val report = graft.ops.ChunkIndex.ingest(
             store, indexTable, batch, textCol, idCol, maxCachedFrac)
           store.overwritePartitions(outTable,
-            report.withColumn("__batch_id",
-              org.apache.spark.sql.functions.lit(bid)),
+            report
+              .withColumn("__src_batch_id",
+                org.apache.spark.sql.functions.lit(bid))
+              .withColumn("__batch_id",
+                org.apache.spark.sql.functions.lit(bid)),
             Seq("__batch_id"))
-          store.recordBatch(marker, bid)
         }
         maybeCompact(store, indexTable, epoch, compactEvery)
         maybeCompactMarkers(store, marker, epoch, compactEvery)
+        maybeRebin(store, outTable, marker, epoch, compactEvery,
+          rebinOutputBins)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1217,31 +1332,37 @@ object Streams {
         val bid = s"$ns-$epoch"
         val done = viewTable + "__batches"
         val attempts = viewTable + "__attempts"
-        if (!store.batchApplied(done, bid)) {
-          if (store.batchApplied(attempts, bid))
-            Seq(viewTable, aTable, bTable).foreach { t =>
-              if (store.exists(t) &&
-                  store.read(t).columns.contains("__batch_id"))
-                store.deleteWhere(t, col("__batch_id") === bid)
-            }
-          store.recordBatch(attempts, bid)
-          val batch = batch0.persist()
-          try {
-            val dA = batch.where(col(sideCol) === "a")
-              .select((keys ++ aCols).map(col): _*)
-            val dB = batch.where(col(sideCol) === "b")
-              .select((keys ++ bCols).map(col): _*)
-            val delta = graft.ops.Incremental.joinDelta(
-              store.read(aTable).drop("__batch_id"), dA,
-              store.read(bTable).drop("__batch_id"), dB, keys)
-            store.write(viewTable,
-              delta.withColumn("__batch_id", lit(bid)), append = true)
-            store.write(aTable,
-              dA.withColumn("__batch_id", lit(bid)), append = true)
-            store.write(bTable,
-              dB.withColumn("__batch_id", lit(bid)), append = true)
-            store.recordBatch(done, bid)
-          } finally batch.unpersist()
+        val fp = batchFingerprint(batch0)
+        store.appliedBatchFp(done, bid) match {
+          case Some(recorded) =>
+            // a landed epoch may only silence a re-delivery of the SAME
+            // data ([[batchFingerprint]] — checkpoint-reset guard)
+            store.requireSameReplay(done, bid, recorded, Some(fp))
+          case None =>
+            if (store.batchApplied(attempts, bid))
+              Seq(viewTable, aTable, bTable).foreach { t =>
+                if (store.exists(t) &&
+                    store.read(t).columns.contains("__batch_id"))
+                  store.deleteWhere(t, col("__batch_id") === bid)
+              }
+            store.recordBatch(attempts, bid)
+            val batch = batch0.persist()
+            try {
+              val dA = batch.where(col(sideCol) === "a")
+                .select((keys ++ aCols).map(col): _*)
+              val dB = batch.where(col(sideCol) === "b")
+                .select((keys ++ bCols).map(col): _*)
+              val delta = graft.ops.Incremental.joinDelta(
+                store.read(aTable).drop("__batch_id"), dA,
+                store.read(bTable).drop("__batch_id"), dB, keys)
+              store.write(viewTable,
+                delta.withColumn("__batch_id", lit(bid)), append = true)
+              store.write(aTable,
+                dA.withColumn("__batch_id", lit(bid)), append = true)
+              store.write(bTable,
+                dB.withColumn("__batch_id", lit(bid)), append = true)
+              store.recordBatch(done, bid, Some(fp))
+            } finally batch.unpersist()
         }
       }
       .option("checkpointLocation", checkpoint)

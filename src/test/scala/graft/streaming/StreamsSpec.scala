@@ -348,6 +348,55 @@ class StreamsSpec extends SparkSpecBase {
       Seq(100L, 201L))
   }
 
+  test("compaction cadence vacuums the dedup index's shingle side table too") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    val src = java.nio.file.Files.createTempDirectory("shv-src")
+    val store = new TableStore(spark, tmpDir("shv-wh"))
+    val ckpt = tmpDir("shv-ckpt")
+    DedupIndex.persist(store, "shv_idx", Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+    // plant an ABANDONED abort: writer A (phantom doc 50) is interleaved
+    // by a committing writer B and aborts, never retried — orphan rows
+    // land in BOTH the band table and the __shingles side table
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        DedupIndex.append(store, "shv_idx",
+          Seq((60L, "a committed interleaving document with its own fresh wording entirely"))
+            .toDF("doc_id", "text"), "text", "doc_id")
+    }) {
+      intercept[IllegalArgumentException] {
+        DedupIndex.append(store, "shv_idx",
+          Seq((50L, "a phantom document that was never actually kept by anyone at all"))
+            .toDF("doc_id", "text"), "text", "doc_id")
+      }
+    }
+    assert(store.read("shv_idx__shingles").where(col("doc_id") === 50L).count() > 0,
+      "fixture broke: no orphan shingle rows")
+    // one stream epoch with compactEvery=1: the fused vacuum must
+    // reclaim the orphans from BOTH tables, not just the band side
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"doc_id": 100, "text": "novel streaming content arriving in this micro batch with new words"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    Streams.ingestDedupStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "shv_idx", "shv_out", "text", "doc_id", minJaccard = 0.7, ckpt,
+      compactEvery = 1).awaitTermination()
+    assert(store.read("shv_idx").where(col("doc_id") === 50L).count() == 0,
+      "band-side orphans survived the cadence")
+    assert(store.read("shv_idx__shingles").where(col("doc_id") === 50L).count() == 0,
+      "shingle-side orphans survived the cadence — rebuildFromIndex would resurrect them")
+    // committed writer + stream survivor intact on both sides
+    assert(store.read("shv_idx__shingles").select("doc_id").as[Long]
+      .collect().toSet == Set(0L, 60L, 100L))
+    // and the maintenance rebuild can no longer resurrect the phantom
+    DedupIndex.rebuildFromIndex(store, "shv_idx")
+    assert(store.read("shv_idx").where(col("doc_id") === 50L).count() == 0)
+  }
+
   test("continuous corpus dedup: 1-batch and 3-batch chunkings equal the batch ingest") {
     import graft.engine.TableStore
     import graft.ops.DedupIndex
@@ -497,6 +546,54 @@ class StreamsSpec extends SparkSpecBase {
     assert(!TextSearch.appendPostings(store, "tis_idx",
       b2.toDF("doc_id", "text"), "text", "doc_id", batchId = Some(s"$ns-1")))
     assert(TextSearch.readTextMeta(store, "tis_idx").nDocs == sm.nDocs)
+  }
+
+  test("text-index sink self-heals a crash inside an epoch's append on restart") {
+    import graft.engine.TableStore
+    import graft.ops.TextSearch
+    val base = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+    val b1 = Seq(100L -> "spark shuffles partition data across cluster nodes",
+      101L -> "novel streaming content in the crashed micro batch")
+    val store = new TableStore(spark, tmpDir("tish-wh"))
+    TextSearch.persistPostings(store, "tis_idx", base.toDF("doc_id", "text"),
+      "text", "doc_id", buckets = 8)
+    val src = java.nio.file.Files.createTempDirectory("tish-src")
+    val ckpt = tmpDir("tish-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    java.nio.file.Files.writeString(src.resolve("c0.ndjson"),
+      b1.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+        .mkString("", "\n", "\n"))
+    def run() = Streams.ingestTextIndexStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "tis_idx", "text", "doc_id", ckpt)
+    // crash INSIDE the epoch's append: the posting data lands, then the
+    // injected failure fires before the marker — the worst window
+    val boom: String => Unit = p =>
+      if (p.endsWith("/tis_idx")) throw new RuntimeException("boom-epoch")
+    graft.engine.TableStore.addRewriteListener(boom)
+    try intercept[Exception] { run().awaitTermination() }
+    finally graft.engine.TableStore.removeRewriteListener(boom)
+    // the index is loudly uncommitted with the attempt's orphan rows
+    intercept[IllegalArgumentException] { TextSearch.readTextMeta(store, "tis_idx") }
+    // restart from the same checkpoint: the replayed epoch SELF-HEALS
+    // (reclaims the crashed attempt by batch id) then re-applies
+    run().awaitTermination()
+    val rb = new TableStore(spark, tmpDir("tish-rb"))
+    TextSearch.persistPostings(rb, "tis_idx", (base ++ b1).toDF("doc_id", "text"),
+      "text", "doc_id", buckets = 8)
+    val (sm, rm) = (TextSearch.readTextMeta(store, "tis_idx"),
+      TextSearch.readTextMeta(rb, "tis_idx"))
+    assert((sm.nDocs, sm.sumDl) == (rm.nDocs, rm.sumDl), s"$sm vs $rm")
+    def scores(st: TableStore) =
+      TextSearch.bm25FromIndex(st, "tis_idx", "doc_id", Seq("spark", "partition"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(store) == scores(rb) && scores(store).nonEmpty)
+    // no double-counted rows: exactly one batch recorded, no orphans
+    assert(store.read("tis_idx__batches").count() == 1L)
+    assert(store.read("tis_idx").where(col("doc_id") === 100L)
+      .select("term").distinct().count() ==
+      rb.read("tis_idx").where(col("doc_id") === 100L)
+        .select("term").distinct().count())
   }
 
   test("continuous positional-index ingest: streamed index equals a rebuild; replayed epoch skipped") {
@@ -666,6 +763,111 @@ class StreamsSpec extends SparkSpecBase {
     assert(outRows() == Seq(100L), "replayed epoch duplicated output rows")
     assert(store.batchApplied("eo_out__batches",
       new org.apache.hadoop.fs.Path(ckpt).toString + "-0"))
+  }
+
+  test("a reset checkpoint replaying DIFFERENT data fails loudly instead of silently skipping") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    val src = java.nio.file.Files.createTempDirectory("rst-src")
+    val store = new TableStore(spark, tmpDir("rst-wh"))
+    val ckpt = tmpDir("rst-ckpt")
+    DedupIndex.persist(store, "rst_idx", Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    def run() = Streams.ingestDedupStream(
+      spark.readStream.schema(schema).json(src.toString),
+      store, "rst_idx", "rst_out", "text", "doc_id", minJaccard = 0.7, ckpt)
+      .awaitTermination()
+    java.nio.file.Files.writeString(src.resolve("a.ndjson"),
+      """{"doc_id": 100, "text": "novel first-wave content arriving in the original epoch zero batch"}
+        |""".stripMargin)
+    run()
+    assert(store.read("rst_out").select("doc_id").as[Long].collect().toSeq == Seq(100L))
+    // operator error: the checkpoint is DELETED (not lost-and-replayed)
+    // and FRESH data shows up — epoch numbering restarts at 0, colliding
+    // with the recorded marker. The old bare-marker probe skipped the
+    // epoch outright: doc 200 silently never reached rst_out. The
+    // fingerprinted marker turns that into a loud abort.
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    java.nio.file.Files.delete(src.resolve("a.ndjson"))
+    java.nio.file.Files.writeString(src.resolve("b.ndjson"),
+      """{"doc_id": 200, "text": "entirely different second-wave content after the checkpoint reset here"}
+        |""".stripMargin)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("DIFFERENT"), rootMsg(ex))
+    // nothing landed and nothing was silently skipped-as-done: the
+    // output still holds exactly the first wave
+    assert(store.read("rst_out").select("doc_id").as[Long].collect().toSeq == Seq(100L))
+  }
+
+  test("output re-binning bounds directory count; rows, provenance, replay-skip unchanged") {
+    import graft.engine.TableStore
+    import graft.ops.DedupIndex
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")
+    val docs = (0 until 6).map(i =>
+      (100L + i, s"novel document number $i with entirely distinct wording variant$i"))
+    def mkRun(tag: String, bins: Int): (TableStore, String, java.nio.file.Path, String) = {
+      val wh = tmpDir(s"rbn-wh-$tag")
+      val store = new TableStore(spark, wh)
+      DedupIndex.persist(store, "rbn_idx", Seq(
+        (0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      (store, wh, java.nio.file.Files.createTempDirectory(s"rbn-src-$tag"),
+        tmpDir(s"rbn-ckpt-$tag"))
+    }
+    def deliver(store: TableStore, src: java.nio.file.Path, ckpt: String,
+        bins: Int): Unit =
+      Streams.ingestDedupStream(
+        // one file per epoch, so the post-wipe replay below re-creates
+        // the SAME epoch boundaries the original runs had (the
+        // fingerprint guard correctly rejects a replay that re-batches
+        // the data differently — that is its job)
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .json(src.toString),
+        store, "rbn_idx", "rbn_out", "text", "doc_id", minJaccard = 0.7,
+        ckpt, compactEvery = 2, rebinOutputBins = bins).awaitTermination()
+    def epochDirs(wh: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(wh, "rbn_out")
+      val s = java.nio.file.Files.list(p)
+      try s.filter(d => d.getFileName.toString.startsWith("__batch_id="))
+        .map[String](_.getFileName.toString).toArray.toSeq.map(_.toString)
+      finally s.close()
+    }
+    val (sOn, whOn, srcOn, ckptOn) = mkRun("on", 2)
+    val (sOff, whOff, srcOff, ckptOff) = mkRun("off", 0)
+    docs.zipWithIndex.foreach { case ((id, t), i) =>
+      for (src <- Seq(srcOn, srcOff))
+        java.nio.file.Files.writeString(src.resolve(s"c$i.ndjson"),
+          s"""{"doc_id": $id, "text": "$t"}\n""")
+      deliver(sOn, srcOn, ckptOn, bins = 2)
+      deliver(sOff, srcOff, ckptOff, bins = 0)
+    }
+    // 6 epochs of directories folded into <= 2 stable bins (+ any not yet
+    // on the cadence); the policy-off run accretes one per epoch forever
+    assert(epochDirs(whOff).size == 6, epochDirs(whOff).toString)
+    assert(epochDirs(whOn).size <= 3, epochDirs(whOn).toString)
+    assert(epochDirs(whOn).count(_.startsWith("__batch_id=__bin-")) >= 1)
+    // rows identical to the policy-off run; provenance column carries the
+    // ORIGINAL epoch id of every row (6 distinct epochs)
+    def rows(st: TableStore) = st.read("rbn_out").select("doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(rows(sOn) == rows(sOff) && rows(sOn).size == 6)
+    assert(sOn.read("rbn_out").select("__src_batch_id").distinct().count() == 6)
+    // replay-skip is marker-decided, untouched by the moved directories:
+    // lose the engine checkpoint, re-deliver everything — zero duplicates
+    val p = new org.apache.hadoop.fs.Path(ckptOn)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    deliver(sOn, srcOn, ckptOn, bins = 2)
+    assert(rows(sOn).size == 6, "replayed epochs duplicated output rows")
+    // and a crash-interrupted pass resumes: re-running the re-bin over
+    // the final state is a no-op that changes nothing
+    val movedAgain = sOn.rebinBatchPartitions("rbn_out", "rbn_out__batches", 2)
+    assert(rows(sOn).size == 6 && epochDirs(whOn).size <= 3,
+      s"idempotent re-bin moved $movedAgain files and changed state")
   }
 
   test("media ingest sink output is exactly-once across crash replays") {
