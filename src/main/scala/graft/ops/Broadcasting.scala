@@ -38,43 +38,86 @@ object Broadcasting {
   def maxBytes(spark: SparkSession): Long =
     spark.conf.getOption(confKey).map(_.toLong).getOrElse(defaultMaxBytes)
 
-  /** Conservative per-row byte estimate for `schema`, as a column
-    * expression evaluated row-side (so variable-width columns are
-    * measured, not guessed): fixed widths for atomic types,
-    * `length() + overhead` for strings/binary, `size() × element
-    * width + overhead` for arrays of fixed-width elements, and a flat
-    * conservative constant for anything nested beyond that. The 16-byte
-    * per-field overhead approximates row/offset bookkeeping in the
-    * broadcast relation.
-    */
-  def rowBytes(schema: StructType): Column = {
-    def fixedWidth(dt: DataType): Option[Int] = dt match {
-      case BooleanType | ByteType => Some(1)
-      case ShortType => Some(2)
-      case IntegerType | FloatType | DateType => Some(4)
-      case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
-      case _: DecimalType => Some(16)
-      case _ => None
-    }
-    val perField: Seq[Column] = schema.fields.toIndexedSeq.map { f =>
-      val c = col(s"`${f.name}`")
-      f.dataType match {
-        case dt if fixedWidth(dt).isDefined =>
-          lit(fixedWidth(dt).get.toLong)
-        case StringType | BinaryType =>
-          coalesce(length(c).cast("long"), lit(0L)) + lit(16L)
-        case ArrayType(et, _) if fixedWidth(et).isDefined =>
-          coalesce(size(c).cast("long"), lit(0L)) * fixedWidth(et).get + lit(16L)
-        case _ => lit(64L) // nested/unknown: flat conservative guess
-      }
-    }
-    perField.reduceOption(_ + _).getOrElse(lit(0L)) + lit(16L)
+  private def fixedWidth(dt: DataType): Option[Int] = dt match {
+    case BooleanType | ByteType => Some(1)
+    case ShortType => Some(2)
+    case IntegerType | FloatType | DateType => Some(4)
+    case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8)
+    case _: DecimalType => Some(16)
+    case _ => None
   }
 
-  /** Apply the broadcast hint iff the measured estimate fits the
-    * session's budget. `estimatedBytes` comes from the caller's own
-    * aggregate action (null-safe: an empty frame estimates 0).
+  /** Can every value of `dt` be byte-measured row-side? Atomic types,
+    * strings/binary, and any nesting of arrays/structs/maps over them.
+    * A schema that is NOT fully measurable never passes the byte gate
+    * ([[hintIfSmall]] refuses the forced broadcast outright): a guessed
+    * width would be a floor, not a ceiling, and an under-priced wide
+    * delta force-broadcast past the budget is exactly the failure the
+    * gate exists to prevent.
+    */
+  def measurable(dt: DataType): Boolean = dt match {
+    case t if fixedWidth(t).isDefined => true
+    case StringType | BinaryType => true
+    case ArrayType(et, _) => measurable(et)
+    case st: StructType => st.fields.forall(f => measurable(f.dataType))
+    case MapType(kt, vt, _) => measurable(kt) && measurable(vt)
+    case _ => false
+  }
+
+  /** Per-VALUE byte estimate, recursive: fixed widths for atomic types,
+    * `length()` for strings/binary, and element-by-element sums for
+    * arrays/structs/maps (via `aggregate` / `getField` /
+    * `map_entries`). Each variable-width or nested value adds a 16-byte
+    * overhead approximating offset/null bookkeeping in the broadcast
+    * relation. The array/map paths are higher-order functions —
+    * interpreted, not codegen'd — but they evaluate ONCE per delta row
+    * inside an aggregate the caller already pays, never in a join hot
+    * path, and the common all-fixed-width band-row schema never takes
+    * them. Unmeasurable types contribute 0 here; [[hintIfSmall]] gates
+    * them out before the estimate can matter.
+    */
+  private def bytesOf(c: Column, dt: DataType): Column = dt match {
+    case t if fixedWidth(t).isDefined => lit(fixedWidth(t).get.toLong)
+    case StringType | BinaryType =>
+      coalesce(length(c).cast("long"), lit(0L)) + lit(16L)
+    case ArrayType(et, _) if measurable(et) =>
+      coalesce(aggregate(c, lit(0L), (acc, x) => acc + bytesOf(x, et)),
+        lit(0L)) + lit(16L)
+    case st: StructType if measurable(st) =>
+      st.fields.toIndexedSeq
+        .map(f => bytesOf(c.getField(f.name), f.dataType))
+        .reduceOption(_ + _).getOrElse(lit(0L)) + lit(16L)
+    case MapType(kt, vt, _) if measurable(kt) && measurable(vt) =>
+      coalesce(aggregate(map_entries(c), lit(0L), (acc, e) =>
+        acc + bytesOf(e.getField("key"), kt) + bytesOf(e.getField("value"), vt)),
+        lit(0L)) + lit(16L)
+    case _ => lit(0L) // unmeasurable: hintIfSmall disqualifies the schema
+  }
+
+  /** Conservative per-row byte estimate for `schema`, as a column
+    * expression evaluated row-side (so variable-width columns are
+    * MEASURED, not guessed — including arrays of strings, structs, and
+    * maps, recursively). The 16-byte per-row overhead approximates row
+    * bookkeeping in the broadcast relation. For a schema that is not
+    * fully [[measurable]] the estimate is meaningless (unmeasurable
+    * fields price at 0) — [[hintIfSmall]] refuses the forced broadcast
+    * for such frames regardless of the number.
+    */
+  def rowBytes(schema: StructType): Column =
+    schema.fields.toIndexedSeq
+      .map(f => bytesOf(col(s"`${f.name}`"), f.dataType))
+      .reduceOption(_ + _).getOrElse(lit(0L)) + lit(16L)
+
+  /** Apply the broadcast hint iff the frame's schema is fully
+    * byte-measurable AND the measured estimate fits the session's
+    * budget. `estimatedBytes` comes from the caller's own aggregate
+    * action (null-safe: an empty frame estimates 0). A schema with an
+    * unmeasurable column falls through to the optimizer/AQE — its
+    * size-aware planning is the safe default when the gate can't price
+    * the rows.
     */
   def hintIfSmall(df: DataFrame, estimatedBytes: Long): DataFrame =
-    if (estimatedBytes <= maxBytes(df.sparkSession)) df.hint("broadcast") else df
+    if (df.schema.fields.forall(f => measurable(f.dataType)) &&
+        estimatedBytes <= maxBytes(df.sparkSession)) df.hint("broadcast")
+    else df
 }

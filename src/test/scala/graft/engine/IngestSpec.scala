@@ -504,6 +504,43 @@ class IngestSpec extends SparkSpecBase {
       "vacuum flattened the Hive layout")
   }
 
+  test("requireSoleWriter: missing/empty guard aborts as concurrent; real I/O failures propagate") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-guard"))
+    // happy path: the claimed nonce verifies
+    val nonce = store.claimWriter("g")
+    store.requireSoleWriter("g", nonce)
+    // replaced nonce: the documented concurrent-append abort
+    store.claimWriter("g")
+    val e1 = intercept[IllegalArgumentException] {
+      store.requireSoleWriter("g", nonce)
+    }
+    assert(e1.getMessage.contains("concurrent append"))
+    // MISSING guard (a competing claim's truncate caught mid-swap): the
+    // same documented abort, never an opaque read failure
+    store.dropTable("g__writer")
+    val e2 = intercept[IllegalArgumentException] {
+      store.requireSoleWriter("g", nonce)
+    }
+    assert(e2.getMessage.contains("concurrent append"))
+    // a GENUINELY FAILING read (corrupt guard file) must propagate — the
+    // concurrent-append remediation ("re-run the batch") would mislead
+    // when the filesystem itself is broken
+    val n2 = store.claimWriter("g")
+    val dir = new org.apache.hadoop.fs.Path(
+      store.read("g__writer").inputFiles.head).getParent
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val out = fs.create(st.getPath, true)
+        out.write("not a parquet file".getBytes); out.close()
+      }
+    val thrown = intercept[Throwable] { store.requireSoleWriter("g", n2) }
+    assert(!thrown.isInstanceOf[IllegalArgumentException] ||
+      !thrown.getMessage.contains("concurrent append"),
+      s"I/O failure was masked as concurrent-append: $thrown")
+  }
+
   test("compact with vacuumAgainst reclaims orphans inside the same rewrite") {
     import spark.implicits._
     val store = new TableStore(spark, tmpDir("wh-cvac"))

@@ -29,6 +29,60 @@ class BroadcastingSpec extends SparkSpecBase {
       8L + 16L + 16L + 16L)
   }
 
+  test("rowBytes recurses: arrays of strings, structs, and maps are measured") {
+    val df = Seq((1L, Seq("ab", "c"), Map("k" -> "vv"), (4, "ab")))
+      .toDF("id", "a", "m", "st")
+    val est = df.select(Broadcasting.rowBytes(df.schema)).head().getLong(0)
+    // id 8; a: (2+16)+(1+16) + 16 = 51; m: (1+16)+(2+16) + 16 = 51;
+    // st: 4 + (2+16) + 16 = 38; row overhead 16
+    assert(est === 8L + 51L + 51L + 38L + 16L, est.toString)
+    // element width moves the estimate at constant element count
+    val wide = Seq((1L, Seq("x" * 500, "y" * 500), Map.empty[String, String],
+      (4, ""))).toDF("id", "a", "m", "st")
+    assert(wide.select(Broadcasting.rowBytes(wide.schema)).head().getLong(0)
+      > est + 900L)
+  }
+
+  test("a wide array-of-strings delta is measured past the budget and falls to AQE") {
+    // the old flat 64-byte guess for nested types priced this delta at
+    // ~880 bytes and force-broadcast it past any realistic budget; the
+    // recursive measure prices the real ~23 KB and lets AQE decide
+    val wide = spark.range(10).select(col("id"),
+      array((0 until 20).map(_ => lit("x" * 100)): _*).alias("toks"))
+    val est = wide.agg(sum(Broadcasting.rowBytes(wide.schema)))
+      .head().getLong(0)
+    assert(est > 20000L, s"measured only $est bytes")
+    val other = spark.range(100).toDF("id")
+    def plan(): String = Broadcasting.hintIfSmall(wide, est).join(other, "id")
+      .queryExecution.executedPlan.toString
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(plan().contains("BroadcastHashJoin"), plan()) // under 64 MB default
+      spark.conf.set(Broadcasting.confKey, "10000")
+      assert(!plan().contains("BroadcastHashJoin"), plan()) // measured past budget
+    } finally {
+      spark.conf.unset(Broadcasting.confKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
+  test("an unmeasurable schema disqualifies the forced broadcast outright") {
+    val df = spark.range(5).select(col("id"),
+      expr("make_interval(0, 0, 0, cast(id AS int), 0, 0, 0)").alias("iv"))
+    assert(!Broadcasting.measurable(df.schema("iv").dataType))
+    val other = spark.range(100).toDF("id")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // even a 0-byte claimed estimate cannot force the hint: a guessed
+      // width is a floor, and under-pricing is the failure mode
+      val p = Broadcasting.hintIfSmall(df, 0L).join(other, "id")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+  }
+
   test("probe gate: a small delta is force-broadcast; past the byte budget AQE decides") {
     val store = new graft.engine.TableStore(spark, tmpDir("wh-bgate"))
     DedupIndex.persist(store, "bg_idx", Seq(
