@@ -2369,6 +2369,47 @@ object SparkEntry {
         .select(col("user_id"), col("session_window.start").alias("session_start"), col("n"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    "q_window_session_stream" -> ((s, dir) => {
+      // the same sessionization replayed through the STREAMING path —
+      // readStream over the events parquet → Streams.sessionCounts
+      // (withWatermark + session_window aggregate) → memory sink under
+      // Trigger.AvailableNow, complete mode (every window emits, so one
+      // static delivery is deterministic — append mode would hold back
+      // windows above the watermark). Closes the last oracle-less §2.4
+      // streaming row: the oracle is q_window_session's gaps-and-islands
+      // SQL, replayed over the raw events — two independent
+      // formulations AND two execution paths (batch session_window
+      // already green under the same SQL) check each other.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a DIRECTORY; the glob filter picks
+      // the one events file out of the shared testdata dir
+      val src0 = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // watermarks demand TIMESTAMP (with zone): nanos-long and NTZ
+      // variants cast in; the output start casts back to the batch
+      // read's NTZ so the oracle compares like-for-like (identity under
+      // the session's UTC zone)
+      val src = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          src0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          src0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => src0
+      }
+      val qname = "wss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Streams.sessionCounts(src, "ts", "30 minutes", "user_id")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(qname)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").alias("session_start"),
+          col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ---- deterministic sampling / dataset assembly ----
     "q_sample_hash" -> ((s, dir) =>
       // reproducible 25% sample: membership is a pure function of doc_id
@@ -4938,6 +4979,22 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin,
+
+    // the STREAMING session path must reproduce the identical sessions —
+    // same gaps-and-islands oracle as the batch q_window_session
+    "q_window_session_stream" ->
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -410,9 +410,41 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
   def claimWriter(table: String): String = {
     import spark.implicits._
     val nonce = java.util.UUID.randomUUID().toString
-    write(table + "__writer", Seq(nonce).toDF("writer"), append = false)
+    write(table + "__writer", Seq((nonce, false)).toDF("writer", "released"),
+      append = false)
     nonce
   }
+
+  /** Mark a completed append's claim RELEASED — the liveness half of the
+    * nonce lifecycle that lets [[maintain]] distinguish an in-flight
+    * append (claimed, not yet released — maintenance must keep its
+    * hands off: the batch's rows are unmarked until its verify passes,
+    * and a vacuum would eat them) from the quiescent state. Appends
+    * call this right after their marker lands. Best-effort like the
+    * claim itself: the one-row overwrite doesn't re-read the guard (the
+    * append verified its nonce one step earlier), so a competitor that
+    * claimed inside that gap gets ITS claim clobbered and aborts loudly
+    * at its own verify — the documented concurrent-append outcome,
+    * never silence.
+    */
+  def releaseWriter(table: String, nonce: String): Unit = {
+    import spark.implicits._
+    write(table + "__writer", Seq((nonce, true)).toDF("writer", "released"),
+      append = false)
+  }
+
+  /** Is an append claim LIVE (claimed and not released) on `table`?
+    * Guards written before the release lifecycle existed (no `released`
+    * column) read as NOT live — they never release, and treating them
+    * as live would wedge [[maintain]] forever.
+    */
+  def writerLive(table: String): Boolean =
+    exists(table + "__writer") && {
+      val df = read(table + "__writer")
+      df.columns.contains("released") &&
+        scala.util.Try(df.select(col("released")).head()).toOption
+          .exists(r => !r.isNullAt(0) && !r.getBoolean(0))
+    }
 
   /** Abort unless this writer's claimed nonce is still the live one —
     * see [[claimWriter]]. A missing or momentarily-empty guard table (a
@@ -470,6 +502,13 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     */
   def vacuumUnmarked(table: String, markerTable: Option[String] = None): Long = {
     recoverCrashedSwap(table)
+    // vacuum IS the crash recovery for an append that died inside its
+    // claim window, so it also reconciles the writer guard: the caller
+    // is asserting quiescence by vacuuming, and a permanently-live
+    // guard would wedge [[maintain]] on a long-dead claim
+    if (writerLive(table))
+      scala.util.Try(read(table + "__writer").head().getString(0)).toOption
+        .foreach(releaseWriter(table, _))
     val df = read(table)
     if (!df.columns.contains("__batch_id")) return 0L
     val mt = markerTable.getOrElse(table + "__batches")
@@ -483,6 +522,61 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
         .collect().map(_.getString(0)).toSeq
     if (orphanIds.isEmpty) 0L
     else deleteWhere(table, col("__batch_id").isInCollection(orphanIds))
+  }
+
+  /** ONE-CALL maintenance across every append-maintained artifact in
+    * this store — the operational story that was previously five
+    * per-index conventions an operator had to know. An artifact is any
+    * base table with a `<t>__batches` marker table (dedup bands, chunk
+    * census, media signature/frame indexes, IVF-PQ codes, BM25/
+    * positional postings, LSH rows); for each, IN ORDER:
+    *
+    *  1. compact the base table with orphan reclamation fused in
+    *     ([[compact]] with `vacuumAgainst` — unmarked `__batch_id` rows
+    *     of crashed/abandoned appends drop inside the rewrite's scan);
+    *  2. the same for side tables sharing the parent's markers
+    *     (`<t>__shingles`);
+    *  3. compact the marker tables themselves (`<t>__batches`,
+    *     `<t>__attempts`) — one-row-per-batch files whose COUNT is what
+    *     kills the idempotency probes.
+    *
+    * SAFETY: refuses (loudly, naming the table) while any artifact has
+    * a LIVE writer claim ([[writerLive]] — an in-flight append's rows
+    * are unmarked until its verify, and vacuuming them would silently
+    * eat the batch) or an UNCOMMITTED meta (a crashed rebuild/append
+    * must be recovered by its index's own recovery first — e.g.
+    * [[graft.ops.TextSearch.recoverAppend]] — so maintenance can never
+    * paper over a half-applied stats fold). Idempotent: a second run
+    * over a quiescent store rewrites the same bytes and reclaims
+    * nothing. Returns the tables it maintained.
+    */
+  def maintain(targetFileBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val tables = listTables().toSet
+    val bases = tables.filter(t => tables.contains(t + "__batches")).toSeq.sorted
+    bases.foreach { t =>
+      require(!writerLive(t),
+        s"table '$t' has a LIVE writer claim: an append is in flight (or " +
+          "crashed without release). Let it finish — or, for a dead claim, " +
+          "vacuum the index through its own entry points (vacuum reconciles " +
+          "the guard) — before maintain().")
+      if (tables.contains(t + "__meta")) {
+        val m = read(t + "__meta")
+        if (m.columns.contains("committed"))
+          require(m.select(col("committed")).head().getBoolean(0),
+            s"index '$t' has an UNCOMMITTED meta: recover it through its " +
+              "index's own recovery (recoverAppend / re-run persist) " +
+              "before maintain().")
+      }
+    }
+    bases.flatMap { t =>
+      compact(t, targetFileBytes, vacuumAgainst = Some(t + "__batches"))
+      val sides = Seq(t + "__shingles").filter(tables.contains)
+      sides.foreach(s =>
+        compact(s, targetFileBytes, vacuumAgainst = Some(t + "__batches")))
+      val markers = Seq(t + "__batches", t + "__attempts").filter(tables.contains)
+      markers.foreach(m => compact(m, targetFileBytes))
+      (t +: sides) ++ markers
+    }
   }
 
   /** Re-bin the LANDED epoch partitions of an exactly-once stream

@@ -326,6 +326,7 @@ object ChunkIndex {
     TableStore.interleaveForTest(censusTable)
     store.requireSoleWriter(censusTable, nonce)
     store.recordBatch(censusTable + "__batches", batchId)
+    store.releaseWriter(censusTable, nonce)
     novel.select(col("fp"))
   }
 
@@ -396,6 +397,7 @@ object ChunkIndex {
       // rows are vacuumable orphans ([[vacuum]])
       nonce.foreach(store.requireSoleWriter(table, _))
       store.recordBatch(table + "__batches", batchId)
+      nonce.foreach(store.releaseWriter(table, _))
     }
     report
   }

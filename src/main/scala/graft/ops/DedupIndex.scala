@@ -239,6 +239,7 @@ object DedupIndex {
     TableStore.interleaveForTest(table)
     store.requireSoleWriter(table, nonce)
     store.recordBatch(table + "__batches", batchId)
+    store.releaseWriter(table, nonce)
   }
 
   /** Remove the orphaned rows of aborted/abandoned appends from BOTH

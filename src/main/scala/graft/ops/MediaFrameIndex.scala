@@ -129,6 +129,7 @@ object MediaFrameIndex {
     TableStore.interleaveForTest(table)
     store.requireSoleWriter(table, nonce)
     store.recordBatch(table + "__batches", batchId)
+    store.releaseWriter(table, nonce)
   }
 
   /** Remove the orphaned band rows of aborted/abandoned appends —

@@ -142,6 +142,7 @@ object MediaSigIndex {
     TableStore.interleaveForTest(table)
     store.requireSoleWriter(table, nonce)
     store.recordBatch(table + "__batches", batchId)
+    store.releaseWriter(table, nonce)
   }
 
   /** Remove the orphaned band rows of aborted/abandoned appends —

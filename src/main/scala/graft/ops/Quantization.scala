@@ -385,6 +385,7 @@ object Quantization {
       store.requireSoleWriter(table, nonce)
     } else store.requireSoleWriter(table, nonce)
     store.recordBatch(bt, effectiveBatchId, fingerprint)
+    store.releaseWriter(table, nonce)
     true
   }
 

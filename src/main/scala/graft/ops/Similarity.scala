@@ -575,6 +575,7 @@ object Similarity {
       store.requireSoleWriter(table, nonce)
     } else store.requireSoleWriter(table, nonce)
     store.recordBatch(table + "__batches", batchId)
+    store.releaseWriter(table, nonce)
   }
 
   /** Probe a persisted IVF index: centroids load driver-side, the nProbe
@@ -748,6 +749,13 @@ object Similarity {
     acc.toSeq.sorted
   }
 
+  /** Read-back of the LSH index's one-row `__meta` side table — the
+    * build parameters every probe and append must share: a probe run
+    * under different `planes`/`seed` than the build computes signatures
+    * in a different space and silently misses everything.
+    */
+  final case class LshMeta(dims: Int, planes: Int, seed: Long)
+
   /** Persist an LSH index: rows land Hive-partitioned by their hyperplane
     * sign signature (`__sig=<s>` directories, at most 2^planes of them —
     * keep `planes` sized so directories stay chunky at the target scale).
@@ -755,28 +763,102 @@ object Similarity {
     * every probe is directory-pruned ([[lshTopKPersisted]]) instead of
     * re-scanning the corpus to compute signatures per query, which is
     * what [[lshTopK]] has to do without storage.
+    *
+    * Maintenance contract = every other persisted index's: build
+    * parameters live in a two-phase-committed 1-row `__meta` (a crashed
+    * rebuild fails probes loudly), deltas append under the single-writer
+    * nonce with `__batch_id` attribution ([[appendToLshIndex]]), and
+    * aborted/abandoned attempts reclaim by batch id ([[vacuumLshIndex]]).
     */
   def persistLshIndex(store: graft.engine.TableStore, table: String, df: DataFrame,
       vecCol: String, idCol: String, dims: Int, planes: Int = 16,
       seed: Long = 42L): Unit = {
+    require(planes >= 1 && planes <= 62, s"planes=$planes out of [1, 62]")
+    val sp = df.sparkSession
+    import sp.implicits._
+    def metaRow(committed: Boolean) =
+      Seq((dims, planes, seed, committed))
+        .toDF("dims", "planes", "seed", "committed")
+    store.replace(table + "__meta", metaRow(committed = false))
+    store.dropTable(table + "__batches") // fresh index, markers now in-base
     val sig = hyperplaneSignature(col(vecCol), dims, planes, seed)
-    store.writePartitioned(table,
+    store.replacePartitioned(table,
       df.withColumn("__sig", sig).repartition(col("__sig")), Seq("__sig"))
+    store.replace(table + "__meta", metaRow(committed = true))
   }
+
+  /** Load the LSH build parameters; fails loudly on an uncommitted meta
+    * (crashed rebuild — re-run [[persistLshIndex]]).
+    */
+  def readLshMeta(store: graft.engine.TableStore, table: String): LshMeta = {
+    require(store.exists(table + "__meta"),
+      s"no meta table for LSH index '$table'")
+    val m = store.read(table + "__meta").head()
+    require(m.getAs[Boolean]("committed"),
+      s"LSH index '$table' has an UNCOMMITTED meta: a rebuild crashed " +
+        "between the parameter and data writes. Re-run persistLshIndex " +
+        "before probing.")
+    LshMeta(m.getAs[Int]("dims"), m.getAs[Int]("planes"), m.getAs[Long]("seed"))
+  }
+
+  /** Append a delta's rows into the persisted LSH index under the
+    * build's OWN parameters (read from the meta, so an append can never
+    * sign in a different hyperplane space than the corpus): rows stamp
+    * a fresh `__batch_id`, land in their `__sig` directories, and the
+    * marker records only after the single-writer nonce verifies —
+    * aborted/abandoned attempts leave identifiable orphans for
+    * [[vacuumLshIndex]]. Delta ids must be fresh; a retried batch's
+    * physical duplicates cost bytes, probes stay exact (top-k
+    * dedups by id).
+    */
+  def appendToLshIndex(store: graft.engine.TableStore, table: String,
+      delta: DataFrame, vecCol: String, idCol: String): Unit = {
+    val meta = readLshMeta(store, table)
+    val nonce = store.claimWriter(table)
+    val batchId = java.util.UUID.randomUUID().toString
+    val sig = hyperplaneSignature(col(vecCol), meta.dims, meta.planes, meta.seed)
+    store.writePartitioned(table,
+      delta.withColumn("__sig", sig).withColumn("__batch_id", lit(batchId))
+        .repartition(col("__sig")),
+      Seq("__sig"), append = true)
+    graft.engine.TableStore.interleaveForTest(table)
+    store.requireSoleWriter(table, nonce)
+    store.recordBatch(table + "__batches", batchId)
+    store.releaseWriter(table, nonce)
+  }
+
+  /** Remove the orphaned rows of aborted/abandoned appends —
+    * [[graft.engine.TableStore.vacuumUnmarked]] under the
+    * `<table>__batches` convention.
+    */
+  def vacuumLshIndex(store: graft.engine.TableStore, table: String): Long =
+    store.vacuumUnmarked(table)
 
   /** Probe a persisted LSH index: the query's Hamming-≤`maxBits` signature
     * ball becomes a partition-column IN filter, so the scan reads ONLY the
     * matching `__sig` directories (PartitionFilters, asserted in OpsSpec)
     * — the same storage-pruned probe shape as [[ivfTopKPersisted]], with
-    * the ball standing in for nProbe cells.
+    * the ball standing in for nProbe cells. Signatures compute under the
+    * INDEX's own build parameters (the meta), never caller-supplied ones
+    * — a probe in a different hyperplane space would silently miss
+    * everything. Probes tolerate a retried append's physical duplicates:
+    * the per-id dedup keeps one candidate row per vector.
     */
   def lshTopKPersisted(store: graft.engine.TableStore, table: String,
       vecCol: String, idCol: String, query: Seq[Double], k: Int,
-      planes: Int = 16, maxBits: Int = 2, seed: Long = 42L): DataFrame = {
-    val ball = hammingBall(signatureOf(query, planes, seed), planes, maxBits)
-    bruteForceTopK(
-      store.read(table).where(col("__sig").isInCollection(ball)).drop("__sig"),
-      vecCol, idCol, query, k)
+      maxBits: Int = 2): DataFrame = {
+    val meta = readLshMeta(store, table)
+    require(query.length == meta.dims,
+      s"query has ${query.length} dims, index was built with ${meta.dims}")
+    val ball = hammingBall(signatureOf(query, meta.planes, meta.seed),
+      meta.planes, maxBits)
+    val cands = store.read(table)
+      .where(col("__sig").isInCollection(ball)).drop("__sig")
+    val pruned =
+      if (cands.columns.contains("__batch_id"))
+        cands.dropDuplicates(idCol).drop("__batch_id")
+      else cands
+    bruteForceTopK(pruned, vecCol, idCol, query, k)
   }
 
   /** Pairwise top-k neighbors for every row of a small frame (tests). */

@@ -30,6 +30,14 @@ object Streams {
     * empty-batch case. Map-typed columns are excluded (Spark's hash
     * functions refuse them); one extra linear scan of the micro-batch
     * per epoch, marginal next to the epoch's own ingest work.
+    *
+    * Corollary: a checkpoint-loss replay must reproduce the original
+    * epoch BOUNDARIES, not just the data — a source that re-batches
+    * several landed epochs into one delivers genuinely different epoch
+    * content, and the guard refuses rather than guessing whether the
+    * skip would lose anything (it would, whenever a fresh file rode
+    * along). Keep source rate limits (e.g. `maxFilesPerTrigger`) stable
+    * across restarts.
     */
   private[streaming] def batchFingerprint(batch: DataFrame): Long = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {

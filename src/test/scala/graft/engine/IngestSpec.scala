@@ -541,6 +541,58 @@ class IngestSpec extends SparkSpecBase {
       s"I/O failure was masked as concurrent-append: $thrown")
   }
 
+  test("maintain: one call compacts+vacuums every index artifact; refuses in-flight work") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-maint"))
+    // an append-maintained artifact with an abandoned orphan batch, a
+    // shared-marker side table, accreted marker files, and an unrelated
+    // base table maintain must NOT touch
+    store.writePartitioned("idx",
+      Seq((1, 0, null.asInstanceOf[String]), (2, 1, "b-ok"), (3, 0, "b-lost"))
+        .toDF("id", "k", "__batch_id"), Seq("k"))
+    store.write("idx__shingles", Seq((2, "b-ok"), (3, "b-lost"))
+      .toDF("id", "__batch_id"), append = false)
+    store.recordBatch("idx__batches", "b-ok")
+    (0 until 5).foreach(i => store.recordBatch("idx__batches", s"noise-$i"))
+    store.write("facts", Seq((9, "keep")).toDF("id", "v"), append = false)
+    val maintained = store.maintain()
+    assert(maintained.toSet == Set("idx", "idx__shingles", "idx__batches"),
+      maintained.toString)
+    // orphans reclaimed on BOTH tables; base row + recorded batch stay
+    assert(store.read("idx").select("id").as[Int].collect().toSet == Set(1, 2))
+    assert(store.read("idx__shingles").select("id").as[Int].collect().toSet == Set(2))
+    assert(store.read("facts").count() == 1)
+    // Hive layout survives the fused rewrite
+    val root = new org.apache.hadoop.fs.Path(
+      store.read("idx").inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "k=0")))
+    // idempotent: a second run reclaims nothing and changes no rows
+    val before = store.read("idx").collect().map(_.toSeq).toSet
+    assert(store.maintain().toSet == maintained.toSet)
+    assert(store.read("idx").collect().map(_.toSeq).toSet == before)
+    // in-flight safety: a LIVE claim refuses loudly; release unblocks
+    val nonce = store.claimWriter("idx")
+    val e = intercept[IllegalArgumentException] { store.maintain() }
+    assert(e.getMessage.contains("LIVE writer claim"), e.getMessage)
+    store.releaseWriter("idx", nonce)
+    store.maintain()
+    // a dead claim unblocks through the documented vacuum recovery
+    store.claimWriter("idx")
+    assert(store.writerLive("idx"))
+    store.vacuumUnmarked("idx")
+    assert(!store.writerLive("idx"))
+    store.maintain()
+    // an uncommitted meta refuses: recovery must run first
+    store.write("idx__meta",
+      Seq((8, false)).toDF("buckets", "committed"), append = false)
+    val e2 = intercept[IllegalArgumentException] { store.maintain() }
+    assert(e2.getMessage.contains("UNCOMMITTED"), e2.getMessage)
+    store.write("idx__meta",
+      Seq((8, true)).toDF("buckets", "committed"), append = false)
+    assert(store.maintain().nonEmpty)
+  }
+
   test("compact with vacuumAgainst reclaims orphans inside the same rewrite") {
     import spark.implicits._
     val store = new TableStore(spark, tmpDir("wh-cvac"))

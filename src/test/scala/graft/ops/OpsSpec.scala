@@ -875,8 +875,10 @@ class OpsSpec extends SparkSpecBase {
     Similarity.persistLshIndex(store, "emb_lsh", pts, "embedding", "vec_id",
       dims = 8, planes = 6)
     val q = base.toSeq
+    // probe parameters come from the META, not the caller — a probe in a
+    // different hyperplane space would silently miss everything
     val res = Similarity.lshTopKPersisted(store, "emb_lsh", "embedding", "vec_id",
-      q, k = 5, planes = 6, maxBits = 1)
+      q, k = 5, maxBits = 1)
     // the probe must reach the scan as a PARTITION filter over __sig and
     // select only ball-member directories - never the whole table
     val scans = res.queryExecution.executedPlan.collect {
@@ -896,6 +898,55 @@ class OpsSpec extends SparkSpecBase {
     // ball membership is exact: signature 0-distance plus planes 1-flips
     val ball = Similarity.hammingBall(5L, planes = 6, maxBits = 1)
     assert(ball.size == 7 && ball.contains(5L) && ball.contains(4L) && ball.contains(7L))
+  }
+
+  test("persisted LSH index: append under the meta's parameters, abort -> vacuum -> never-appended") {
+    val store = new graft.engine.TableStore(spark, tmpDir("wh-lshapp"))
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextGaussian())
+    def bundle(ids: Range): org.apache.spark.sql.DataFrame = ids.map { i =>
+      (i.toLong, base.toSeq.map(x => x * (1.0 + (i % 5) * 0.02)))
+    }.toDF("vec_id", "embedding")
+    Similarity.persistLshIndex(store, "lsha", bundle(0 until 20),
+      "embedding", "vec_id", dims = 8, planes = 6)
+    val q = base.toSeq
+    def topIds(): Set[Long] =
+      // k exceeds any candidate count: the probe returns EVERY ball
+      // member (all fixtures are colinear, so cosine ties at 1.0 and a
+      // smaller k would truncate by id, hiding appended rows)
+      Similarity.lshTopKPersisted(store, "lsha", "embedding", "vec_id",
+        q, k = 1000, maxBits = 1).select("vec_id").as[Long].collect().toSet
+    val before = topIds()
+    // append makes the delta probe-visible, signed in the BUILD's space
+    Similarity.appendToLshIndex(store, "lsha", bundle(100 until 110),
+      "embedding", "vec_id")
+    val after = topIds()
+    assert((100L until 110L).toSet.subsetOf(after), after.toString)
+    assert(before.subsetOf(after))
+    // abandoned abort: writer A interleaved by committing writer B — A's
+    // rows are unmarked orphans; vacuum restores never-appended probes
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.engine.TableStore.withInterleave({ _ =>
+      if (fired.compareAndSet(false, true))
+        Similarity.appendToLshIndex(store, "lsha", bundle(300 until 305),
+          "embedding", "vec_id")
+    }) {
+      intercept[IllegalArgumentException] {
+        Similarity.appendToLshIndex(store, "lsha", bundle(200 until 205),
+          "embedding", "vec_id")
+      }
+    }
+    assert(topIds().exists(_ >= 200L), "fixture broke: no phantom rows")
+    assert(Similarity.vacuumLshIndex(store, "lsha") > 0L)
+    val healed = topIds()
+    assert(!healed.exists(id => id >= 200L && id < 300L), healed.toString)
+    assert((300L until 305L).toSet.subsetOf(healed), "committed writer lost")
+    // a crashed rebuild fails probes loudly
+    import spark.implicits._
+    store.replace("lsha__meta",
+      Seq((8, 6, 42L, false)).toDF("dims", "planes", "seed", "committed"))
+    val ex = intercept[IllegalArgumentException] { topIds() }
+    assert(ex.getMessage.contains("UNCOMMITTED"))
   }
 
   test("text analysis features are sane on a known sentence") {

@@ -260,7 +260,11 @@ class StreamsSpec extends SparkSpecBase {
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL("side STRING, k LONG, pa STRING, pb STRING")
     def run() = Streams.joinViewStream(
-      spark.readStream.schema(schema).json(src.toString),
+      // one file per epoch: the checkpoint-loss replay below must
+      // re-create the ORIGINAL epoch boundaries — the fingerprint guard
+      // correctly refuses a replay that re-batches epochs differently
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(src.toString),
       store, "jv2_a", "jv2_b", "jv2_view", "side", Seq("k"),
       aCols = Seq("pa"), bCols = Seq("pb"), ckpt).awaitTermination()
     java.nio.file.Files.writeString(src.resolve("a.ndjson"),
@@ -924,7 +928,12 @@ class StreamsSpec extends SparkSpecBase {
         batch.toDF("asset_id", "payload").coalesce(1)
           .write.mode("append").parquet(src)
       Streams.ingestMediaFrameDedupStream(
-        spark.readStream.schema(schema).parquet(src),
+        // one file per epoch (each run appends exactly one): the
+        // checkpoint-loss replay must re-create the ORIGINAL epoch
+        // boundaries — the fingerprint guard correctly refuses a replay
+        // that re-batches epochs differently
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(src),
         store, "mfd_idx", "mfd_out", "payload", "asset_id",
         maxHamming = 3, minFrames = 2, checkpoint = ckpt)
         .awaitTermination()
