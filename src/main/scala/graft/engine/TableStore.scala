@@ -603,9 +603,10 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     *
     * Per-pass cost is bounded by the directories accreted since the
     * last pass (one pruned marker probe + one rename per file), never
-    * by table size. File COUNT is unchanged (renames, not rewrites) —
-    * same as the never-compacted layout it replaces; bound it offline
-    * with [[compact]] if needed. Returns files moved.
+    * by table size. File COUNT is unchanged by the renames themselves;
+    * [[compactPartition]] consolidates one bin at a time (the streaming
+    * sinks round-robin it on the same cadence), keeping total file
+    * count bounded too. Returns files moved.
     */
   def rebinBatchPartitions(table: String, markerTable: String,
       bins: Int): Long = {
@@ -635,6 +636,51 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     }
     if (moved > 0) TableStore.fireRewrite(path.toString)
     moved
+  }
+
+  /** Compact ONE Hive partition directory to ~`targetFileBytes` files
+    * via a staged per-directory swap — [[compact]] scoped to a single
+    * partition, so cost is bounded by THAT partition's size, never the
+    * table's. The file-count complement to [[rebinBatchPartitions]]:
+    * re-binning bounds the stream outputs' DIRECTORY count, but the
+    * moved files themselves still accrete one-plus per epoch, and scan
+    * planning (footer reads, split enumeration) follows total file
+    * count; consolidating one bin per compaction cadence keeps the
+    * whole output's file count bounded at amortized
+    * O(|output| / bins / cadence) per epoch. Crash-safe like every
+    * rewrite here: the new copy lands in a HIDDEN staging directory
+    * (dot-prefixed, invisible to readers), then [[swapInto]]'s
+    * rename-aside discipline applies per directory. A partition already
+    * at or under the target file count is a no-op (idempotent, and
+    * no-op cadences cost one directory listing). Returns true if a
+    * rewrite happened.
+    */
+  def compactPartition(table: String, partCol: String, value: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    require(targetFileBytes > 0)
+    recoverCrashedSwap(table)
+    val root = new Path(tablePath(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirName = partCol + "=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(value)
+    val partDir = new Path(root, dirName)
+    if (!fs.exists(partDir)) return false
+    val files = fs.listStatus(partDir).filter(_.isFile)
+      .filterNot(f => f.getPath.getName.startsWith("_") ||
+        f.getPath.getName.startsWith("."))
+    val bytes = files.map(_.getLen).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (files.length <= want) return false
+    // read prunes to this one directory; the partition column is not
+    // stored in the files, so dropping it reproduces the dir's content
+    val rows = read(table).where(col(partCol) === value).drop(partCol)
+      .repartition(want)
+    val staging = new Path(root, "." + dirName + ".__staging")
+    fs.delete(staging, true)
+    rows.write.mode("overwrite").parquet(staging.toString)
+    swapInto(fs, staging, partDir, table)
+    true
   }
 
   /** Catalog-managed BUCKETED table: rows hash-partitioned into `buckets`

@@ -1018,8 +1018,15 @@ object Streams {
   private def maybeRebin(store: graft.engine.TableStore, outTable: String,
       markerTable: String, epoch: Long, compactEvery: Int,
       bins: Int): Unit =
-    if (bins > 0 && compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+    if (bins > 0 && compactEvery > 0 && (epoch + 1) % compactEvery == 0) {
       store.rebinBatchPartitions(outTable, markerTable, bins)
+      // file-count half of the policy: renames preserve file count, so
+      // one bin consolidates per cadence (round-robin) — amortized
+      // O(|output| / bins / cadence) per epoch, and a bin already at
+      // its target file count is a listing-only no-op
+      val k = math.floorMod((epoch + 1) / compactEvery, bins)
+      store.compactPartition(outTable, "__batch_id", s"__bin-$k")
+    }
 
   /** CONTINUOUS text-index ingest — the streaming face of
     * [[graft.ops.TextSearch.appendPostings]]: each micro-batch of

@@ -541,6 +541,36 @@ class IngestSpec extends SparkSpecBase {
       s"I/O failure was masked as concurrent-append: $thrown")
   }
 
+  test("compactPartition consolidates ONE directory; other partitions' files untouched") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-cpart"))
+    // 5 small appends into partition a, 2 into b
+    (0 until 5).foreach(i => store.writePartitioned("t",
+      Seq((i, "a")).toDF("id", "p"), Seq("p"), append = true))
+    (0 until 2).foreach(i => store.writePartitioned("t",
+      Seq((100 + i, "b")).toDF("id", "p"), Seq("p"), append = true))
+    def files(part: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(store.warehouseDir, "t", s"p=$part")
+      val s = java.nio.file.Files.list(dir)
+      try s.map[String](_.getFileName.toString).toArray.toSeq.map(_.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      finally s.close()
+    }
+    assert(files("a").size == 5 && files("b").size == 2)
+    val bFilesBefore = files("b")
+    val before = store.read("t").select("id", "p").as[(Int, String)].collect().toSet
+    assert(store.compactPartition("t", "p", "a"))
+    assert(files("a").size == 1, files("a").toString)
+    // partition b's physical files are byte-for-byte untouched
+    assert(files("b") == bFilesBefore)
+    // rows identical
+    assert(store.read("t").select("id", "p").as[(Int, String)].collect().toSet
+      == before)
+    // idempotent no-op once at target; missing partition is a no-op
+    assert(!store.compactPartition("t", "p", "a"))
+    assert(!store.compactPartition("t", "p", "nope"))
+  }
+
   test("maintain: one call compacts+vacuums every index artifact; refuses in-flight work") {
     import spark.implicits._
     val store = new TableStore(spark, tmpDir("wh-maint"))

@@ -872,6 +872,21 @@ class StreamsSpec extends SparkSpecBase {
     val movedAgain = sOn.rebinBatchPartitions("rbn_out", "rbn_out__batches", 2)
     assert(rows(sOn).size == 6 && epochDirs(whOn).size <= 3,
       s"idempotent re-bin moved $movedAgain files and changed state")
+    // the file-count half: the round-robin bin consolidation keeps total
+    // files bounded too — force both bins to target and compare against
+    // the policy-off accretion (one-plus file per epoch forever)
+    sOn.compactPartition("rbn_out", "__batch_id", "__bin-0")
+    sOn.compactPartition("rbn_out", "__batch_id", "__bin-1")
+    def partFiles(wh: String): Int = {
+      val p = java.nio.file.Paths.get(wh, "rbn_out")
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet") &&
+        !f.getFileName.toString.startsWith(".")).count().toInt
+      finally s.close()
+    }
+    assert(partFiles(whOn) < partFiles(whOff),
+      s"on=${partFiles(whOn)} files vs off=${partFiles(whOff)}")
+    assert(rows(sOn).size == 6, "bin consolidation changed rows")
   }
 
   test("media ingest sink output is exactly-once across crash replays") {
