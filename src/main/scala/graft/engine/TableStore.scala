@@ -87,6 +87,38 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
         s"failed to recover table '$table' from its crashed-swap copy")
   }
 
+  /** Heal a crashed [[compactPartition]] swap: its rename-aside copy is
+    * a HIDDEN directory `.<col>=<value>.__old` INSIDE the table path
+    * (dot-prefixed so readers never see a doubled partition; a visible
+    * `<col>=<value>.__old` sibling would read back as partition value
+    * `<value>.__old` — double-counted until the delete, then vacuumed
+    * as an unmarked orphan). If the visible partition is absent the
+    * crash hit between the two renames — rename the copy back; if
+    * present the crash hit after the swap completed — the copy is
+    * debris, delete it. Invoked from every REWRITE entry point (rewrites
+    * are single-writer by the store's contract, so the heal cannot race
+    * an in-flight swap the way a read-path heal could); until the next
+    * rewrite cadence a reader simply misses the one crashed partition —
+    * the same transient-absence caveat [[swapInto]] documents.
+    */
+  private def recoverCrashedPartitionSwaps(table: String): Unit = {
+    val path = new Path(tablePath(table))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    fs.listStatus(path).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".") && n.endsWith(".__old")) {
+        val visible =
+          new Path(path, n.stripPrefix(".").stripSuffix(".__old"))
+        if (fs.exists(visible)) fs.delete(st.getPath, true)
+        else if (!fs.rename(st.getPath, visible))
+          throw new java.io.IOException(
+            s"failed to recover partition '${visible.getName}' of table " +
+              s"'$table' from its crashed-swap copy")
+      }
+    }
+  }
+
   def exists(table: String): Boolean = {
     recoverCrashedSwap(table)
     val p = new Path(tablePath(table))
@@ -266,6 +298,10 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
   def compact(table: String, targetFileBytes: Long,
       vacuumAgainst: Option[String]): Unit = {
     require(targetFileBytes > 0)
+    // a crashed compactPartition's hidden copy must fold back BEFORE the
+    // full rewrite reads the table, or the rewrite persists its absence
+    // and swapInto discards the copy with the old directory
+    recoverCrashedPartitionSwaps(table)
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(
       Names.normalizeTableName(table))
     val bucketed = spark.sessionState.catalog.tableExists(ident) &&
@@ -284,7 +320,11 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // survivors-only view of the table when vacuuming: keep NULL-stamped
     // rows and rows of recorded batches, drop unmarked orphans — the
-    // same rule as [[vacuumUnmarked]], folded into the rewrite's scan
+    // same rule as [[vacuumUnmarked]], folded into the rewrite's scan.
+    // `__bin-*` values are re-binned stream-output partitions
+    // ([[rebinBatchPartitions]]): only marker-RECORDED epochs are ever
+    // folded into a bin, so binned rows are landed by construction and
+    // always survive even though no `__bin-*` marker row exists.
     def survivors(): DataFrame = {
       val df = read(table)
       vacuumAgainst match {
@@ -295,7 +335,9 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
               .withColumn("batch_id", lit(null).cast("string"))
           df.join(org.apache.spark.sql.functions.broadcast(markers),
               df("__batch_id") === markers("batch_id"), "left_outer")
-            .where(col("__batch_id").isNull || col("batch_id").isNotNull)
+            .where(col("__batch_id").isNull ||
+              col("__batch_id").startsWith("__bin-") ||
+              col("batch_id").isNotNull)
             .drop("batch_id")
         case _ => df
       }
@@ -468,6 +510,10 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
         case _: NoSuchElementException => None // empty guard: head() on no rows
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => None
+        // competing overwrite caught between its delete and first file
+        // commit: the guard dir exists but holds no data files yet
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
         case e: org.apache.spark.SparkException
             if rootCause(e).isInstanceOf[java.io.FileNotFoundException] => None
       }
@@ -502,6 +548,7 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     */
   def vacuumUnmarked(table: String, markerTable: Option[String] = None): Long = {
     recoverCrashedSwap(table)
+    recoverCrashedPartitionSwaps(table)
     // vacuum IS the crash recovery for an append that died inside its
     // claim window, so it also reconciles the writer guard: the caller
     // is asserting quiescence by vacuuming, and a permanently-live
@@ -512,7 +559,11 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     val df = read(table)
     if (!df.columns.contains("__batch_id")) return 0L
     val mt = markerTable.getOrElse(table + "__batches")
-    val stamped = df.where(col("__batch_id").isNotNull)
+    // `__bin-*` values are re-binned LANDED epochs
+    // ([[rebinBatchPartitions]] only folds marker-recorded directories),
+    // never orphan candidates — no `__bin-*` marker row exists to match
+    val stamped = df.where(col("__batch_id").isNotNull &&
+        !col("__batch_id").startsWith("__bin-"))
       .select(col("__batch_id")).distinct()
     val orphanIds =
       (if (exists(mt))
@@ -612,16 +663,26 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
       bins: Int): Long = {
     require(bins > 0, s"bins=$bins must be positive")
     recoverCrashedSwap(table)
+    recoverCrashedPartitionSwaps(table)
     val path = new Path(tablePath(table))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0L
     val dirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("__batch_id="))
+    // ONE scan of the small marker table for the whole pass, not one
+    // pruned probe job per directory — after a long outage the backlog
+    // can be thousands of dirs, and the driver-side id set is bounded by
+    // applied-batch count (the same bound vacuumUnmarked accepts)
+    val applied: Set[String] =
+      if (dirs.nonEmpty && exists(markerTable))
+        read(markerTable).select(col("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
     var moved = 0L
     dirs.foreach { d =>
       val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(d.getName.stripPrefix("__batch_id="))
-      if (!value.startsWith("__bin-") && batchApplied(markerTable, value)) {
+      if (!value.startsWith("__bin-") && applied.contains(value)) {
         val k = math.floorMod(value.hashCode, bins)
         val target = new Path(path, s"__batch_id=__bin-$k")
         fs.mkdirs(target)
@@ -659,6 +720,7 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
       targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
     require(targetFileBytes > 0)
     recoverCrashedSwap(table)
+    recoverCrashedPartitionSwaps(table)
     val root = new Path(tablePath(table))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirName = partCol + "=" +
@@ -679,7 +741,25 @@ final class TableStore(spark: SparkSession, val warehouseDir: String) {
     val staging = new Path(root, "." + dirName + ".__staging")
     fs.delete(staging, true)
     rows.write.mode("overwrite").parquet(staging.toString)
-    swapInto(fs, staging, partDir, table)
+    // partition-scoped [[swapInto]] with a HIDDEN rename-aside copy
+    // (`.<dir>.__old` INSIDE the table path): a visible sibling aside
+    // would read back as partition value `<value>.__old` — doubling the
+    // partition's rows for readers in the post-swap window and getting
+    // vacuumed as an unmarked orphan if the crash hit before the delete.
+    // Both crash windows heal via [[recoverCrashedPartitionSwaps]] at
+    // the next rewrite entry.
+    val old = new Path(root, "." + dirName + ".__old")
+    fs.delete(old, true)
+    if (!fs.rename(partDir, old))
+      throw new java.io.IOException(
+        s"failed to move partition '$dirName' aside for table '$table'")
+    if (!fs.rename(staging, partDir)) {
+      fs.rename(old, partDir) // restore the previous copy
+      throw new java.io.IOException(
+        s"failed to swap staging into partition '$dirName' of table '$table'")
+    }
+    fs.delete(old, true)
+    TableStore.fireRewrite(root.toString)
     true
   }
 

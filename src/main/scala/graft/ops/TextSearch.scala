@@ -299,7 +299,13 @@ object TextSearch {
       s"no meta table for text index '$table'")
     val meta = store.read(table + "__meta").head()
     if (meta.getAs[Boolean]("committed")) return false
-    val pending = Option(meta.getAs[String]("pending_batch"))
+    // grandfathered pre-attribution meta (no pending_batch column) is a
+    // crashed REBUILD shape — refuse with the rebuild guidance, not a
+    // raw fieldIndex lookup failure
+    val pending =
+      if (meta.schema.fieldNames.contains("pending_batch"))
+        Option(meta.getAs[String]("pending_batch"))
+      else None
     require(pending.isDefined,
       s"text index '$table' has an uncommitted REBUILD (no pending batch " +
         "id): the data swap itself may be partial — re-run persistPostings.")
@@ -530,7 +536,11 @@ object TextSearch {
       s"no meta table for positional index '$table'")
     val meta = store.read(table + "__meta").head()
     if (meta.getAs[Boolean]("committed")) return false
-    val pending = Option(meta.getAs[String]("pending_batch"))
+    // grandfathered pre-attribution meta: see [[recoverAppend]]
+    val pending =
+      if (meta.schema.fieldNames.contains("pending_batch"))
+        Option(meta.getAs[String]("pending_batch"))
+      else None
     require(pending.isDefined,
       s"positional index '$table' has an uncommitted REBUILD (no pending " +
         "batch id): the data swap itself may be partial — re-run " +

@@ -25,11 +25,16 @@ object Streams {
     * fingerprint with the marker and re-verifying it on every skip
     * turns that into a loud [[graft.engine.TableStore.requireSameReplay]]
     * abort, while a genuine crash-replay (same data re-delivered, the
-    * semantics every sink spec pins) still matches and skips. xor-of-
-    * row-hashes is delivery-order-independent; the row count guards the
-    * empty-batch case. Map-typed columns are excluded (Spark's hash
-    * functions refuse them); one extra linear scan of the micro-batch
-    * per epoch, marginal next to the epoch's own ingest work.
+    * semantics every sink spec pins) still matches and skips. The
+    * combine is (count, xor, modular sum) of row hashes — each component
+    * delivery-order-independent. xor alone CANCELS duplicate rows (any
+    * multiset whose every row appears an even number of times xors to
+    * zero — and duplicated input rows are exactly what the dedup sinks
+    * ingest), so the duplicate-sensitive modular sum rides along; the
+    * row count guards the empty-batch case. Map-typed columns are
+    * excluded (Spark's hash functions refuse them); one extra linear
+    * scan of the micro-batch per epoch, marginal next to the epoch's
+    * own ingest work.
     *
     * Corollary: a checkpoint-loss replay must reproduce the original
     * epoch BOUNDARIES, not just the data — a source that re-batches
@@ -50,9 +55,20 @@ object Streams {
     val cols = batch.schema.fields.filter(f => hashable(f.dataType))
       .map(f => col(s"`${f.name}`"))
     val h = if (cols.isEmpty) lit(0L) else xxhash64(cols.toIndexedSeq: _*)
+    // the sum runs over per-row residues (< 2^30) widened to decimal, so
+    // it can neither cancel duplicates (unlike xor) nor overflow under
+    // ANSI at any plausible batch size; driver-side wrap-around of the
+    // final mix is Scala long arithmetic, outside ANSI's reach
     val r = batch.select(h.alias("__h"))
-      .agg(count(lit(1)).alias("n"), expr("bit_xor(__h)").alias("x")).head()
-    31L * r.getLong(0) + (if (r.isNullAt(1)) 0L else r.getLong(1))
+      .agg(count(lit(1)).alias("n"), expr("bit_xor(__h)").alias("x"),
+        sum(pmod(col("__h"), lit(1000000007L)).cast("decimal(38,0)"))
+          .alias("s"))
+      .head()
+    val s =
+      if (r.isNullAt(2)) 0L
+      else (BigDecimal(r.getDecimal(2)) % BigDecimal(Long.MaxValue)).toLong
+    31L * r.getLong(0) + (if (r.isNullAt(1)) 0L else r.getLong(1)) +
+      -0x61C8864680B583EBL * s
   }
 
   /** Run an epoch's exactly-once body unless its marker already landed —

@@ -539,6 +539,76 @@ class IngestSpec extends SparkSpecBase {
     assert(!thrown.isInstanceOf[IllegalArgumentException] ||
       !thrown.getMessage.contains("concurrent append"),
       s"I/O failure was masked as concurrent-append: $thrown")
+    // empty guard DIRECTORY (a competing overwrite caught between its
+    // delete and first file commit — parquet read raises
+    // UNABLE_TO_INFER_SCHEMA): also the documented abort
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val e4 = intercept[IllegalArgumentException] {
+      store.requireSoleWriter("g", n2)
+    }
+    assert(e4.getMessage.contains("concurrent append"), e4.getMessage)
+  }
+
+  test("re-binned stream-output rows survive maintain's fused vacuum") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-rebinvac"))
+    // an exactly-once output: rows Hive-partitioned by epoch __batch_id,
+    // landed epochs marker-recorded; e3 is a crashed attempt (no marker)
+    store.writePartitioned("out",
+      Seq((1, "e1"), (2, "e1"), (3, "e2"), (9, "e3")).toDF("id", "__batch_id"),
+      Seq("__batch_id"))
+    store.recordBatch("out__batches", "e1")
+    store.recordBatch("out__batches", "e2")
+    assert(store.rebinBatchPartitions("out", "out__batches", 2) > 0)
+    assert(store.read("out").where(col("__batch_id").startsWith("__bin-"))
+      .select("id").as[Int].collect().toSet == Set(1, 2, 3))
+    // the fused vacuum must KEEP every binned row (landed by
+    // construction — no `__bin-*` marker row exists to match) and
+    // reclaim exactly the unmarked crashed attempt
+    store.maintain()
+    assert(store.read("out").select("id").as[Int].collect().toSet
+      == Set(1, 2, 3))
+    // the explicit vacuum path agrees: nothing left to reclaim
+    assert(store.vacuumUnmarked("out") == 0L)
+    assert(store.read("out").count() == 3)
+  }
+
+  test("compactPartition crash windows: hidden aside never doubles reads; both heal") {
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("wh-cpartcrash"))
+    (0 until 4).foreach(i => store.writePartitioned("t",
+      Seq((i, "a")).toDF("id", "p"), Seq("p"), append = true))
+    store.writePartitioned("t", Seq((100, "b")).toDF("id", "p"), Seq("p"),
+      append = true)
+    val before = store.read("t").select("id").as[Int].collect().toSet
+    val root = new org.apache.hadoop.fs.Path(store.warehouseDir, "t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partA = new org.apache.hadoop.fs.Path(root, "p=a")
+    val hiddenA = new org.apache.hadoop.fs.Path(root, ".p=a.__old")
+    // WINDOW 2 (crash after the swap, before the debris delete): the
+    // aside copy is HIDDEN, so readers between crash and heal see no
+    // doubled partition and no phantom 'a.__old' partition value
+    org.apache.hadoop.fs.FileUtil.copy(fs, partA, fs, hiddenA, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(store.read("t").select("id").as[Int].collect().toSet == before)
+    store.vacuumUnmarked("t") // any rewrite entry heals; debris deleted
+    assert(!fs.exists(hiddenA))
+    assert(store.read("t").select("id").as[Int].collect().toSet == before)
+    // WINDOW 1 (crash between rename-aside and rename-in): the
+    // partition's only copy sits hidden; the next rewrite entry renames
+    // it back before proceeding — no loss, and the compaction completes
+    assert(fs.rename(partA, hiddenA))
+    assert(store.compactPartition("t", "p", "a"))
+    assert(!fs.exists(hiddenA))
+    assert(store.read("t").select("id").as[Int].collect().toSet == before)
+    // a FULL-table compact must fold the copy back too (its swap would
+    // otherwise discard the hidden dir with the old table directory)
+    val partB = new org.apache.hadoop.fs.Path(root, "p=b")
+    val hiddenB = new org.apache.hadoop.fs.Path(root, ".p=b.__old")
+    assert(fs.rename(partB, hiddenB))
+    store.compact("t", 128L * 1024 * 1024)
+    assert(store.read("t").select("id").as[Int].collect().toSet == before)
   }
 
   test("compactPartition consolidates ONE directory; other partitions' files untouched") {

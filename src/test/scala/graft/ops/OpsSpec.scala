@@ -374,6 +374,16 @@ class OpsSpec extends SparkSpecBase {
       TextSearch.recoverAppend(store, "idx")
     }
     assert(ex.getMessage.contains("persistPostings"))
+    // a GRANDFATHERED uncommitted meta (pre-attribution 5-column shape,
+    // no pending_batch at all) gets the same loud rebuild refusal — not
+    // a raw fieldIndex lookup failure
+    store.replace("idx__meta",
+      Seq((0L, 0L, 8, "w0", false))
+        .toDF("n_docs", "sum_dl", "buckets", "writer", "committed"))
+    val exOld = intercept[IllegalArgumentException] {
+      TextSearch.recoverAppend(store, "idx")
+    }
+    assert(exOld.getMessage.contains("persistPostings"), exOld.getMessage)
   }
 
   test("positional index crash recovery: reclaim by batch id — no rebuild") {
@@ -411,6 +421,15 @@ class OpsSpec extends SparkSpecBase {
         Seq(Seq("quick", "brown", "fox")))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+    // grandfathered pre-attribution meta (no pending_batch column):
+    // loud rebuild refusal, not a fieldIndex failure
+    store.replace("pidx__meta",
+      Seq((8, "w0", false)).toDF("buckets", "writer", "committed"))
+    val exOld = intercept[IllegalArgumentException] {
+      TextSearch.recoverPositionalAppend(store, "pidx")
+    }
+    assert(exOld.getMessage.contains("persistPositionalPostings"),
+      exOld.getMessage)
   }
 
   test("positional index append equals a rebuild; uncommitted append fails probes loudly") {

@@ -808,6 +808,24 @@ class StreamsSpec extends SparkSpecBase {
     assert(store.read("rst_out").select("doc_id").as[Long].collect().toSeq == Seq(100L))
   }
 
+  test("batchFingerprint distinguishes duplicate-row batches; order-independent") {
+    // xor-of-hashes alone cancels duplicates: {A,A} and {B,B} both xor
+    // to 0, so a checkpoint-reset replay carrying fresh duplicated rows
+    // (exactly what the dedup sinks ingest) would silently skip — the
+    // modular-sum component must break the tie
+    val aa = Seq(("A", 1), ("A", 1)).toDF("k", "v")
+    val bb = Seq(("B", 2), ("B", 2)).toDF("k", "v")
+    assert(Streams.batchFingerprint(aa) != Streams.batchFingerprint(bb))
+    // replay identity and delivery-order independence still hold
+    assert(Streams.batchFingerprint(aa)
+      == Streams.batchFingerprint(Seq(("A", 1), ("A", 1)).toDF("k", "v")))
+    assert(Streams.batchFingerprint(Seq(("A", 1), ("B", 2)).toDF("k", "v"))
+      == Streams.batchFingerprint(Seq(("B", 2), ("A", 1)).toDF("k", "v")))
+    // multiplicity matters beyond the count: {A,A,B} vs {A,B,B}
+    assert(Streams.batchFingerprint(Seq(("A", 1), ("A", 1), ("B", 2)).toDF("k", "v"))
+      != Streams.batchFingerprint(Seq(("A", 1), ("B", 2), ("B", 2)).toDF("k", "v")))
+  }
+
   test("output re-binning bounds directory count; rows, provenance, replay-skip unchanged") {
     import graft.engine.TableStore
     import graft.ops.DedupIndex
