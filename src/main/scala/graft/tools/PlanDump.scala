@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: write the formatted physical plan of several declared queries
+  * to files in one session — the plans/<round>/ before/after evidence
+  * without one JVM per query.
+  * usage: runMain graft.tools.PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").toSeq
+    val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    // shared caches exist in the bench session too — build them so the
+    // captured plan is the one the bench actually executes (InMemoryScan
+    // over the session cache, not a spurious re-derivation)
+    try {
+      graft.SparkEntry.prebuildPersistedIndexes(spark, sfDir)
+      graft.SparkEntry.prebuildSharedFeatures(spark, sfDir)
+    } catch { case e: Throwable => println(s"[plandump] prebuild failed: $e") }
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(FormattedMode)
+        Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"[plandump] wrote $name")
+      } catch {
+        case e: Throwable => println(s"[plandump] $name FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Dev tool: run declared queries in one warmed session and report, per
+  * query, wall seconds plus the scheduler-side cost drivers — job count,
+  * stage count, task count, shuffle bytes — so optimization targets the
+  * structural cost (exchanges, passes) instead of guessing from wall time.
+  * usage: runMain graft.tools.ProfileQueries <sfDir> [q1,q2,... | all] [reps]
+  */
+object ProfileQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1) else "all"
+    val reps = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val shuffleRead = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    // warm-up, mirroring Bench
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      graft.SparkEntry.resetBuildTimings()
+      graft.SparkEntry.prebuildPersistedIndexes(spark, sfDir)
+      graft.SparkEntry.prebuildSharedFeatures(spark, sfDir)
+    } catch { case e: Throwable => println(s"[profile] warmup failed: $e") }
+    val names =
+      if (which == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else which.split(",").toSeq
+    println("name\trep\tsec\tjobs\tstages\ttasks\tshufMB")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to reps).foreach { r =>
+        jobs.set(0); stages.set(0); tasks.set(0)
+        shuffleRead.set(0L); shuffleWrite.set(0L)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // give the listener bus a beat to drain so counts attribute right
+        Thread.sleep(120)
+        println(f"$name\t$r\t$sec%.3f\t${jobs.get}\t${stages.get}\t${tasks.get}\t${shuffleWrite.get / 1e6}%.1f${if (ok) "" else "\tFAILED"}")
+      }
+    }
+    spark.stop()
+  }
+}

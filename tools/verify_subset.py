@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Single/multi-query oracle check for the optimization loop: compare only
+the named queries' result parquet (written by graft.Verify or
+graft.tools.VerifyOne into out_dir) against their DuckDB oracles, with the
+same compare rules as verify_local.py.
+usage: verify_subset.py <sf_dir> <out_dir> <q1,q2,...>"""
+import json, sys, glob, os
+import duckdb
+
+sf_dir, out_dir, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+rc = 0
+for name in names:
+    sql = oracle[name]
+    res_path = f"{out_dir}/{name}"
+    if not glob.glob(f"{res_path}/*.parquet"):
+        print(f"FAIL {name}: NO RESULT PARQUET")
+        rc = 1
+        continue
+    got = con.execute(f"SELECT * FROM '{res_path}/*.parquet'").fetch_arrow_table()
+    exp = con.execute(sql).fetch_arrow_table()
+    g_cols, e_cols = sorted(got.column_names), sorted(exp.column_names)
+    if g_cols != e_cols:
+        print(f"FAIL {name}: COLUMNS {g_cols} vs {e_cols}")
+        rc = 1
+        continue
+    got, exp = got.select(g_cols), exp.select(e_cols)
+    if got.num_rows != exp.num_rows:
+        print(f"FAIL {name}: ROWS {got.num_rows} vs {exp.num_rows}")
+        rc = 1
+        continue
+    gs = {f.name: str(f.type) for f in got.schema}
+    es = {f.name: str(f.type) for f in exp.schema}
+    type_diff = {c: (gs[c], es[c]) for c in g_cols if gs[c] != es[c]}
+    gp, ep = got.to_pylist(), exp.to_pylist()
+    bad = [(i, gp[i], ep[i]) for i in range(len(gp)) if gp[i] != ep[i]]
+    if bad:
+        print(f"FAIL {name}: VALUES differ at {len(bad)}/{len(gp)}; first {bad[0]}")
+        rc = 1
+    elif type_diff:
+        print(f"FAIL {name}: TYPES differ {type_diff}")
+        rc = 1
+    else:
+        print(f"PASS {name}")
+sys.exit(rc)
