@@ -4069,7 +4069,13 @@ object SparkEntry {
         .select(col("__off"), posexplode(col("__tk")).as(Seq("__p", "__tok")))
         .select((col("__off") + col("__p") + 1).alias("__gpos"), col("__tok"))
       val firsts = g.groupBy(col("__tok")).agg(min(col("__gpos")).alias("__fp"))
-      val tot = g.agg(count(lit(1)).alias("__n"))
+      // total tokens = Σ per-doc token counts, straight off the base
+      // table: one cheap column scan + aggregate instead of a second
+      // prefix-sum + posexplode pass over every token (g's row count IS
+      // that sum by construction)
+      val tot = T(s, dir, "documents")
+        .select(toks.alias("__tk"))
+        .agg(coalesce(sum(size(col("__tk")).cast("long")), lit(0L)).alias("__n"))
       val samples = s.range(4, 40)
         .select(pow(lit(2.0), col("id")).cast("long").alias("np"))
         .crossJoin(broadcast(tot)).where(col("np") <= col("__n"))
@@ -4131,7 +4137,11 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").alias("__b"),
           lag(col("event_type"), 1).over(w).alias("__a"))
         .where(col("__a").isNotNull)
+      // transition census MATERIALIZED (states²-bounded): the context
+      // totals, vocabulary, and model join are three plan references —
+      // unchecked, each re-runs the window+census pass over events
       val cAb = trans.groupBy(col("__a"), col("__b")).agg(count(lit(1)).alias("__cab"))
+        .localCheckpoint(true)
       val cA = cAb.groupBy(col("__a")).agg(sum(col("__cab")).alias("__ca"))
       val v = cAb.select(col("__b")).distinct().agg(count(lit(1)).alias("__v"))
       val model = cAb.join(cA, Seq("__a")).crossJoin(broadcast(v))
@@ -4332,9 +4342,14 @@ object SparkEntry {
       // hash (bucketed by fp, never all-pairs), with ubiquitous
       // fingerprints (df > 20 docs — boilerplate) dropped BEFORE the
       // join, the same hot-key screen as the shingle-df dedup family.
+      // the distinct (doc, fp) sketch is MATERIALIZED (sketch-sized,
+      // ~|tokens|/w rows): the df census and both self-join sides are
+      // three plan references to it — unchecked, each re-runs the
+      // tokenize + windowed-argmin fingerprint pass over the corpus
       val fps = TextAnalysis.winnowFingerprints(T(s, dir, "documents"),
           "doc_id", "text", k = 3, w = 4)
         .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint(true)
       val rare = fps.groupBy(col("fp"))
         .agg(count(lit(1)).alias("__df")).where(col("__df") <= 20)
       val f = fps.join(rare.select(col("fp")), "fp")

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism repair for degenerate scans (guide: input skew — "one huge
+  * unsplittable file... repartition immediately after the read").
+  *
+  * A corpus that arrives as a single small file (or a handful of row
+  * groups) scans as one-few NON-EMPTY partitions, so every
+  * expression-heavy linear pass over it — tokenize, regex annotate,
+  * explode — runs on one core while the rest of the machine idles.
+  * [[spread]] round-robins such an input out to the session's default
+  * parallelism. The trigger is the optimizer's size estimate for the
+  * input (file bytes for a scan), not a partition count: Spark plans at
+  * least `leafNodeDefaultParallelism` SPLITS for any file, so a
+  * single-row-group file reports full parallelism while every row still
+  * lands in one task. An input estimated above
+  * `spark.graft.spread.maxBytes` (default 64 MB — one healthy
+  * partition's worth) is returned unchanged, so on any real dataset at
+  * scale this is the identity and no shuffle is inserted; below it, the
+  * inserted shuffle moves only the rows one task would otherwise
+  * process alone, bounded by that same budget.
+  */
+object Par {
+
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxBytes = spark.conf
+      .getOption("spark.graft.spread.maxBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (target > 1 && size <= maxBytes) df.repartition(target) else df
+  }
+}

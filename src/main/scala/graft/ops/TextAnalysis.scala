@@ -568,12 +568,20 @@ object TextAnalysis {
     * keyed by the pair/context — the count sides are distinct keys, so
     * no fan-out; hot contexts ("the") skew the probe side only, which
     * AQE's skew split handles. Zero-token documents drop out (no rows).
+    * The bigram census is MATERIALIZED (eager localCheckpoint of a
+    * vocabulary²-bounded frame): the context counts and vocabulary size
+    * derive from it as three separate plan references, and without the
+    * checkpoint each reference re-runs the tokenize+census corpus pass
+    * (their pruned schemas differ, so exchange reuse never fires) — four
+    * corpus scans where the algorithm needs two.
     */
   def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
     val toks = normTokens(col(textCol))
-    val pairRows = docs
+    // spread: the tokenize+explode pass is the dominant linear cost and
+    // runs at the SCAN's parallelism — repair a degenerate one-file input
+    val pairRows = Par.spread(docs)
       .select(col(idCol), toks.alias("__toks"))
       .withColumn("__n", size(col("__toks")))
       .where(col("__n") >= 1)
@@ -584,9 +592,10 @@ object TextAnalysis {
       .select(col(idCol), col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
     val bi = pairRows.groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).alias("c_bi"))
-    // context counts and vocabulary DERIVE from the bigram census —
-    // c(prev) = Σ_tok c(prev,tok) and V = |distinct tok| — so the corpus
-    // is scanned twice total (census + probe), not four times
+      .localCheckpoint(true)
+    // context counts and vocabulary DERIVE from the materialized bigram
+    // census — c(prev) = Σ_tok c(prev,tok) and V = |distinct tok| — so the
+    // corpus is scanned twice total (census + probe), not four times
     val uni = bi.groupBy(col("prev"))
       .agg(sum(col("c_bi")).alias("c_prev"))
     val vocab = bi.agg(countDistinct(col("tok")).alias("v"))
@@ -614,15 +623,24 @@ object TextAnalysis {
     * adjacent-pair census), both map-side-combining group-bys; the joins
     * attach unigram counts to the DISTINCT pair table (post-aggregate,
     * so no row fan-out), and the two corpus constants broadcast as 1-row
-    * aggregates. Returns (a, b, c_ab, pmi).
+    * aggregates. Returns (a, b, c_ab, pmi). Both censuses are
+    * MATERIALIZED (eager localCheckpoint, vocabulary-bounded frames):
+    * the unigram table is referenced three times (a-side join, b-side
+    * join, N_toks) and the pair table twice (filter+joins, N_pairs) —
+    * without the checkpoints each reference re-runs its tokenize+census
+    * corpus pass, five corpus scans where the algorithm needs two.
     */
   def pmiCollocations(docs: DataFrame, textCol: String,
       minCount: Long = 5): DataFrame = {
     val toks = normTokens(col(textCol))
-    val tokRows = docs.select(explode(toks).alias("w"))
+    // spread: both linear tokenize passes run at the scan's parallelism —
+    // repair a degenerate one-file input (no-op on a parallel scan)
+    val src = Par.spread(docs)
+    val tokRows = src.select(explode(toks).alias("w"))
     val uni = tokRows.groupBy(col("w")).agg(count(lit(1)).alias("c"))
+      .localCheckpoint(true)
     val nt = uni.agg(sum(col("c")).alias("nt"))
-    val pairRows = docs
+    val pairRows = src
       .select(toks.alias("__toks"))
       .withColumn("__n", size(col("__toks")))
       .where(col("__n") >= 2)
@@ -632,6 +650,7 @@ object TextAnalysis {
         (a, b) => struct(a.alias("a"), b.alias("b")))).alias("pr"))
       .select(col("pr.a").alias("a"), col("pr.b").alias("b"))
     val pc = pairRows.groupBy(col("a"), col("b")).agg(count(lit(1)).alias("c_ab"))
+      .localCheckpoint(true)
     val np = pc.agg(sum(col("c_ab")).alias("np"))
     // single fraction, left-to-right products — the exact expression the
     // oracle evaluates, so the rounded PMI replays bit-for-bit (counts

@@ -57,11 +57,15 @@ object TextClassify {
     val testToks = test.select(col(idCol), col(labelCol),
       normToks(col(textCol)).alias("__toks"))
 
-    // token-class census; class token totals and the vocabulary both
-    // derive from it, so the train corpus is exploded exactly once
+    // token-class census, MATERIALIZED (eager localCheckpoint of the
+    // |V|·|classes|-bounded frame): class totals, vocabulary, and the
+    // model grid are three separate plan references to it, and without
+    // the checkpoint each one re-runs the explode+census train-corpus
+    // pass (their pruned schemas differ, so exchange reuse never fires)
     val tc = trainToks.select(col("__cls"), explode(col("__toks")).alias("__tok"))
       .groupBy(col("__cls"), col("__tok"))
       .agg(count(lit(1)).alias("__c"))
+      .localCheckpoint(true)
     val classTotals = tc.groupBy(col("__cls")).agg(sum(col("__c")).alias("__n_c"))
     val vocabRows = tc.select(col("__tok")).distinct()
     val vocabSize = vocabRows.agg(count(lit(1)).alias("__v"))

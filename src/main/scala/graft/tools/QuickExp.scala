@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch harness for optimization experiments — time ad-hoc plan
+  * variants side by side in one warmed session. Contents change per
+  * experiment; not referenced by any query or test.
+  */
+object QuickExp {
+  def time(label: String)(body: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = body
+    println(f"[exp] $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.3fs")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${ms}ms  ${si.name.takeWhile(_ != '\n').take(80)}")
+      }
+    })
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+    import graft.ops.{Par, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    def lmVariant(src0: DataFrame, cp: Boolean): DataFrame = {
+      val toks = TextAnalysis.normTokens(col("text"))
+      val pairRows = src0
+        .select(col("doc_id"), toks.alias("__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .where(col("__n") >= 1)
+        .select(col("doc_id"), explode(zip_with(
+          concat(array(lit("<s>")), slice(col("__toks"), lit(1), col("__n") - 1)),
+          col("__toks"),
+          (p, t) => struct(p.alias("prev"), t.alias("tok")))).alias("pr"))
+        .select(col("doc_id"), col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
+      val bi0 = pairRows.groupBy(col("prev"), col("tok"))
+        .agg(count(lit(1)).alias("c_bi"))
+      val bi = if (cp) bi0.localCheckpoint(true) else bi0
+      val uni = bi.groupBy(col("prev")).agg(sum(col("c_bi")).alias("c_prev"))
+      val vocab = bi.agg(countDistinct(col("tok")).alias("v"))
+      pairRows.join(bi, Seq("prev", "tok")).join(uni, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("__lp", log((col("c_bi") + 0.4) / (col("c_prev") + lit(0.4) * col("v"))))
+        .groupBy(col("doc_id")).agg((-avg(col("__lp"))).alias("cross_entropy"))
+    }
+    // JIT warm everything once
+    time("jitwarm") { lmVariant(docs.repartition(32), cp = true).count() }
+    (1 to 3).foreach { i =>
+      time(s"A_orig_$i") { lmVariant(docs, cp = false).count() }
+      time(s"B_cpOnly_$i") { lmVariant(docs, cp = true).count() }
+      time(s"C_cpSpread_$i") { lmVariant(docs.repartition(32), cp = true).count() }
+      time(s"D_spreadOnly_$i") { lmVariant(docs.repartition(32), cp = false).count() }
+    }
+    Thread.sleep(300)
+    spark.stop()
+  }
+}
