@@ -200,8 +200,14 @@ object CorpusPipeline {
     finally caches.foreach(_.unpersist(blocking = true))
   }
 
-  private def prepareWithHandles(docs: DataFrame,
+  private def prepareWithHandles(docsIn: DataFrame,
       cfg: Config): (DataFrame, Seq[DataFrame]) = {
+    // parallelism repair first ([[Par.spread]], identity on any real-scale
+    // input): the regex-heavy annotate and shingle passes below run at the
+    // INPUT's partitioning, and when the corpus arrives as one small file
+    // the whole pipeline — including the persisted annotate/shingle caches
+    // every later stage reads — would otherwise serialize on a single core
+    val docs = Par.spread(docsIn)
     val t = col(cfg.textCol)
     val needShingles = cfg.dedupJaccard > 0 || cfg.evalSet.nonEmpty
     // precomputed-annotations path: attach by id join — the cached frame

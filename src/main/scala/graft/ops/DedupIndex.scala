@@ -287,8 +287,17 @@ object DedupIndex {
   /** Same, over a precomputed `(idCol, sh)` delta shingle frame. */
   def deltaPairsFromShingles(store: TableStore, table: String,
       deltaShingles: DataFrame, idCol: String,
-      minJaccard: Double = 0.8): DataFrame = {
-    val meta = readMeta(store, table)
+      minJaccard: Double = 0.8): DataFrame =
+    deltaPairsWithMeta(store, table, readMeta(store, table), deltaShingles,
+      idCol, minJaccard)
+
+  /** [[deltaPairsFromShingles]] with the meta row already in hand —
+    * callers that read it for their own parameters (ingestDedup) pass it
+    * through instead of paying the one-row meta actions twice.
+    */
+  private def deltaPairsWithMeta(store: TableStore, table: String,
+      meta: Meta, deltaShingles: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame = {
     val deltaSh = deltaShingles.where(size(col("sh")) > 0)
     val deltaBands = bandRows(deltaSh, idCol, meta)
       .withColumnRenamed(idCol, "new_id")
@@ -354,8 +363,13 @@ object DedupIndex {
     val deltaSh = delta
       .select(col(idCol), Dedup.shingleHashes(col(textCol), meta.shingleSize).alias("sh"))
       .localCheckpoint(true) // two consumers (cross probe + intra dedup): one shingle pass
-    val dupVsIndex = deltaPairsFromShingles(store, table, deltaSh, idCol, minJaccard)
+    // delta-bounded id set, MATERIALIZED: the kept-rows and kept-shingles
+    // anti-joins are two plan references — unchecked, each re-runs the
+    // whole cross-index band probe (pruned index scan + two joins + the
+    // bucket-set driver action)
+    val dupVsIndex = deltaPairsWithMeta(store, table, meta, deltaSh, idCol, minJaccard)
       .select(col("new_id").alias(idCol)).distinct()
+      .localCheckpoint(true)
     val freshRows = delta.join(dupVsIndex, Seq(idCol), "left_anti")
     val freshSh = deltaSh.join(dupVsIndex, Seq(idCol), "left_anti")
     // intra-batch LSH runs under the INDEX's hashing parameters: an index

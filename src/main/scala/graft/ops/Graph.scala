@@ -267,31 +267,41 @@ object Graph {
       require(bad == 0,
         s"pageRank weight column '$c' must be positive and non-null on every edge")
     }
+    // ranks CARRY the node's out-degree for the whole loop (one left join
+    // before round 0, re-checkpointed with the rank each round): the
+    // dangling test becomes a per-row null check and the contribution
+    // divisor a column read — removing the per-round anti-join AND the
+    // per-round degree join, two full shuffles of the rank frontier per
+    // iteration at any scale
     val outDeg = edges.groupBy(col(srcCol)).agg(sum(w).alias("__deg"))
-      .localCheckpoint(true)
     var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
+      .join(outDeg.withColumnRenamed(srcCol, "id"), Seq("id"), "left")
+      .localCheckpoint(true)
     for (_ <- 0 until iterations) {
       // aggregate over the CURRENT (checkpointed, flat-lineage) ranks: an
-      // ungrouped agg always yields exactly one row (sum -> null when no
-      // dangling nodes), so the crossJoin below never changes cardinality
-      val dangling = ranks
-        .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
+      // ungrouped agg always yields exactly one row (coalesced to 0 when
+      // no dangling nodes), so the crossJoin below never changes
+      // cardinality
+      val dangling = ranks.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
-      val contribs = ranks
-        .join(edges, ranks("id") === edges(srcCol))
-        .join(outDeg, srcCol)
+      val live = ranks.where(col("__deg").isNotNull)
+      val contribs = live
+        .join(edges, live("id") === edges(srcCol))
         .select(col(dstCol).alias("id"),
           (col("rank") * w / col("__deg")).alias("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
-      ranks = nodes.select(col(idCol).alias("id"))
+      // ranks is id-complete and stays so: join the update onto it rather
+      // than rebuilding from the node table
+      ranks = ranks
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0d)) + col("__dm") / lit(n))).alias("rank"))
+            (coalesce(col("__c"), lit(0.0d)) + col("__dm") / lit(n))).alias("rank"),
+          col("__deg"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Personalized PageRank (Page et al. 1999 §6; the random surfer
@@ -314,33 +324,37 @@ object Graph {
     require(sN > 0, "personalizedPageRank needs a non-empty seed set")
     // per-node teleport probability: 1/|S| on seeds, 0 elsewhere — the
     // one frame every round's rank update re-reads
-    val pv = nodes.select(col(idCol).alias("id"))
+    // the rank frame CARRIES both the teleport probability and the
+    // out-degree for the whole loop (same trick as [[pageRank]]): the
+    // dangling test and contribution divisor are per-row column reads,
+    // and the teleport vector needs no per-round join — the anti-join,
+    // the degree join, and the pv join all leave the iteration
+    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
+    var ranks = nodes.select(col(idCol).alias("id"))
       .join(seeds.select(col(seedCol).alias("id"), lit(1.0 / sN).alias("__pv"))
         .distinct(), Seq("id"), "left")
       .select(col("id"), coalesce(col("__pv"), lit(0.0d)).alias("__pv"))
+      .join(outDeg.withColumnRenamed(srcCol, "id"), Seq("id"), "left")
+      .withColumn("rank", col("__pv"))
       .localCheckpoint(true)
-    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
-      .localCheckpoint(true)
-    var ranks = pv.select(col("id"), col("__pv").alias("rank"))
     for (_ <- 0 until iterations) {
-      val dangling = ranks
-        .join(outDeg, ranks("id") === outDeg(srcCol), "left_anti")
+      val dangling = ranks.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
-      val contribs = ranks
-        .join(edges, ranks("id") === edges(srcCol))
-        .join(outDeg, srcCol)
+      val live = ranks.where(col("__deg").isNotNull)
+      val contribs = live
+        .join(edges, live("id") === edges(srcCol))
         .select(col(dstCol).alias("id"), (col("rank") / col("__deg")).alias("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
-      ranks = pv
+      ranks = ranks
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("__pv"), col("__deg"),
           (lit(1 - damping) * col("__pv") + lit(damping) *
             (coalesce(col("__c"), lit(0.0d)) + col("__dm") * col("__pv")))
             .alias("rank"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Synchronous label propagation (Raghavan, Albert & Kumara 2007, "Near
@@ -695,20 +709,27 @@ object Graph {
     var scores = ids.select(col("id"), lit(1.0d).alias("hub"),
       lit(1.0d).alias("auth"))
     for (_ <- 0 until iterations) {
-      // auth update reads the current hubs over in-edges; the L1 total is
-      // an ungrouped agg (always exactly one row, coalesced to 0 on an
-      // edgeless graph) broadcast into the normalize — no driver action
+      // auth update reads the current hubs over in-edges; the raw sums
+      // are MATERIALIZED (nodes-bounded) because the L1 total and the
+      // normalize join are two separate plan references — unchecked,
+      // each re-runs the edge join + aggregate, tripling the round's
+      // shuffle work. The total is an ungrouped agg over the checkpoint
+      // (always exactly one row, coalesced to 0 on an edgeless graph)
+      // broadcast into the normalize.
       val aRaw = scores.join(edges, scores("id") === edges(srcCol))
         .groupBy(col(dstCol).alias("id")).agg(sum(col("hub")).alias("__a"))
+        .localCheckpoint(true)
       val aTot = aRaw.agg(coalesce(sum(col("__a")), lit(0.0d)).alias("__at"))
       val auth1 = ids.join(aRaw, Seq("id"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("id"),
           when(col("__at") > 0, coalesce(col("__a"), lit(0.0d)) / col("__at"))
             .otherwise(lit(0.0d)).alias("auth"))
-      // hub update reads the NEW authorities back over the same edges
+      // hub update reads the NEW authorities back over the same edges;
+      // same two-reference shape, same nodes-bounded materialization
       val hRaw = auth1.join(edges, auth1("id") === edges(dstCol))
         .groupBy(col(srcCol).alias("id")).agg(sum(col("auth")).alias("__h"))
+        .localCheckpoint(true)
       val hTot = hRaw.agg(coalesce(sum(col("__h")), lit(0.0d)).alias("__ht"))
       scores = auth1.join(hRaw, Seq("id"), "left")
         .crossJoin(broadcast(hTot))

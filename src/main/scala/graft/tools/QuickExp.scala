@@ -32,38 +32,24 @@ object QuickExp {
         println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${ms}ms  ${si.name.takeWhile(_ != '\n').take(80)}")
       }
     })
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.count()
-    import graft.ops.{Par, TextAnalysis}
-    import org.apache.spark.sql.DataFrame
-    def lmVariant(src0: DataFrame, cp: Boolean): DataFrame = {
-      val toks = TextAnalysis.normTokens(col("text"))
-      val pairRows = src0
-        .select(col("doc_id"), toks.alias("__toks"))
-        .withColumn("__n", size(col("__toks")))
-        .where(col("__n") >= 1)
-        .select(col("doc_id"), explode(zip_with(
-          concat(array(lit("<s>")), slice(col("__toks"), lit(1), col("__n") - 1)),
-          col("__toks"),
-          (p, t) => struct(p.alias("prev"), t.alias("tok")))).alias("pr"))
-        .select(col("doc_id"), col("pr.prev").alias("prev"), col("pr.tok").alias("tok"))
-      val bi0 = pairRows.groupBy(col("prev"), col("tok"))
-        .agg(count(lit(1)).alias("c_bi"))
-      val bi = if (cp) bi0.localCheckpoint(true) else bi0
-      val uni = bi.groupBy(col("prev")).agg(sum(col("c_bi")).alias("c_prev"))
-      val vocab = bi.agg(countDistinct(col("tok")).alias("v"))
-      pairRows.join(bi, Seq("prev", "tok")).join(uni, Seq("prev"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("__lp", log((col("c_bi") + 0.4) / (col("c_prev") + lit(0.4) * col("v"))))
-        .groupBy(col("doc_id")).agg((-avg(col("__lp"))).alias("cross_entropy"))
+    graft.SparkEntry.prebuildPersistedIndexes(spark, sfDir)
+    graft.SparkEntry.prebuildSharedFeatures(spark, sfDir)
+    def run(q: String, label: String, spreadOn: Boolean): Unit = {
+      spark.conf.set("spark.graft.spread.maxBytes",
+        if (spreadOn) (64L << 20).toString else "0")
+      spark.catalog.clearCache()
+      time(label) { graft.SparkEntry.queries(q)(spark, sfDir).count() }
     }
-    // JIT warm everything once
-    time("jitwarm") { lmVariant(docs.repartition(32), cp = true).count() }
+    // JIT-warm both variants once
+    run("q_corpus_prepare_gopher", "jitwarm_on", true)
+    run("q_corpus_prepare_gopher", "jitwarm_off", false)
     (1 to 3).foreach { i =>
-      time(s"A_orig_$i") { lmVariant(docs, cp = false).count() }
-      time(s"B_cpOnly_$i") { lmVariant(docs, cp = true).count() }
-      time(s"C_cpSpread_$i") { lmVariant(docs.repartition(32), cp = true).count() }
-      time(s"D_spreadOnly_$i") { lmVariant(docs.repartition(32), cp = false).count() }
+      run("q_corpus_prepare_gopher", s"gopher_OFF_$i", false)
+      run("q_corpus_prepare_gopher", s"gopher_ON_$i", true)
+      run("q_corpus_prepare", s"prep_OFF_$i", false)
+      run("q_corpus_prepare", s"prep_ON_$i", true)
+      run("q_corpus_prepare_lr", s"lr_OFF_$i", false)
+      run("q_corpus_prepare_lr", s"lr_ON_$i", true)
     }
     Thread.sleep(300)
     spark.stop()

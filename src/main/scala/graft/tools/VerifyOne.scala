@@ -2,15 +2,16 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump ONE declared query's result parquet at a given sf dir so
-  * its DuckDB oracle can be replayed against an arbitrary scale factor
-  * (tools/verify_local.py checks the full set at one sf; this spot-checks a
-  * single query at another).
-  * usage: runMain graft.tools.VerifyOne <queryName> <sfDir> <outDir>
+/** Dev tool: dump one or more declared queries' result parquet at a given
+  * sf dir so their DuckDB oracles can be replayed against an arbitrary
+  * scale factor (tools/verify_local.py checks the full set at one sf;
+  * this spot-checks a comma-separated subset in one session —
+  * tools/verify_subset.py compares).
+  * usage: runMain graft.tools.VerifyOne <q1,q2,...> <sfDir> <outDir>
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = args(1)
     val outDir = args(2)
     val spark = SparkSession.builder()
@@ -20,9 +21,11 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/$name")
-    println(s"[verifyone] wrote $outDir/$name")
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verifyone] wrote $outDir/$name")
+    }
     spark.stop()
   }
 }
