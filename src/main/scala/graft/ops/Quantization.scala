@@ -31,32 +31,130 @@ object Quantization {
     */
   def trainPqCodebooks(df: DataFrame, vecCol: String,
       m: Int, k: Int = 16, iters: Int = 5): Seq[Seq[Seq[Double]]] = {
-    // training re-reads the input m x (iters+1) times (init + every Lloyd
-    // round per subspace): persist the projected vectors for the
-    // training's lifetime so upstream plans (scans, unions, transforms)
-    // run once, not once per pass
-    val vecs = df.select(col(vecCol))
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // ALL m subspaces train in ONE job chain over ONE persisted vector
+    // cache. The previous per-subspace formulation ran m independent
+    // kmeansCentroids chains over the shared cache: m init shuffles
+    // (dropDuplicates + md5 sort each) plus m slice-scans of the cache per
+    // Lloyd round — m x (iters+1) passes over the corpus bytes and
+    // ~m x (iters+2) driver round-trips. Here init is one explode +
+    // distinct + bounded-heap top-k job, and each Lloyd round is one scan
+    // (a single UDF call per row computes all m argmins) + one aggregation
+    // whose shuffle carries m·k·sub partial sums per partition — never
+    // vectors. Arithmetic is pinned to the per-subspace form: same
+    // distinct-init set in the same md5 order, same argmin tie-breaks
+    // (lower codeword id), same per-(cell,pos) sum/count means accumulated
+    // in the same within-partition row order.
+    // The input keeps its natural partitioning: training cost per row is
+    // a few hundred flops (not the regex regime Par.spread exists for),
+    // and on the small frames where a spread could add parallelism its
+    // extra shuffle + per-task overhead measures NET SLOWER (QuickExp
+    // A/B: +0.3-0.4s on the 2k-row bench fixture); at real scale the
+    // input arrives multi-partition anyway.
+    val vecs = df.select(col(vecCol).cast("array<double>").alias("v"))
+      .where(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = vecs.select(size(col(vecCol))).head().getInt(0)
-      require(dim % m == 0, s"m=$m must divide dim=$dim")
-      val sub = dim / m
-      // initialization inside kmeansCentroids is md5-ordered, so each
-      // subspace trains deterministically on its own slice distribution.
-      // The m trainings are independent — submit them as CONCURRENT Spark
-      // jobs (each is a short chain of driver-side collects; serially they
-      // leave the cluster idle between rounds). Future.sequence keeps the
-      // result indexed by subspace, so the output is deterministic.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence((0 until m).map { j =>
-          Future {
-            val sliced = vecs.select(slice(col(vecCol), j * sub + 1, sub).alias(vecCol))
-            Similarity.kmeansCentroids(sliced, vecCol, k, iters)
+      // DISTINCT init slices per subspace in md5 order (the kmeansCentroids
+      // convention: duplicate seeds collapse into inseparable centroids).
+      // One explode pass over the cache; bounded-heap grouped top-k, not a
+      // row_number window: the distinct slice set is corpus-sized on real
+      // embeddings, and the window idiom would fully sort it per subspace.
+      val initRows = TopK.perGroup(
+          vecs.select(explode(array((0 until m).map { j =>
+              struct(lit(j).alias("j"),
+                slice(col("v"), j * sub + 1, sub).alias("s"))
+            }: _*)).alias("e"))
+            .select(col("e.j").alias("j"), col("e.s").alias("s"))
+            .dropDuplicates("j", "s")
+            .select(col("j"), col("s"), md5(to_json(col("s"))).alias("h")),
+          Seq("j"), Seq(col("h")), k)
+        .select(col("j"), col("s"), col("h"))
+        .collect()
+        .sortBy(r => (r.getInt(0), r.getString(2)))
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+        (0 until m).map { j =>
+          val own = initRows.filter(_.getInt(0) == j)
+          require(own.nonEmpty, "cannot train centroids on an empty frame")
+          own.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+        }
+      for (_ <- 0 until iters) {
+        val cur = books.map(_.map(_.toArray).toArray).toArray
+        // ALL m argmins in one UDF call per row — same left-to-right d2
+        // accumulation and lower-id tie-break per subspace as
+        // Similarity.cellOf, with the codeword matrices in the closure
+        val assignAll = udf { v: Seq[Double] =>
+          if (v == null) null
+          else {
+            val cells = new Array[Int](m)
+            var j = 0
+            while (j < m) {
+              val book = cur(j)
+              val off = j * sub
+              var best = 0; var bestD = Double.MaxValue; var c = 0
+              while (c < book.length) {
+                val cw = book(c)
+                var d = 0.0; var i = 0
+                val n = math.min(cw.length, math.max(0, v.length - off))
+                while (i < n) { val diff = v(off + i) - cw(i); d += diff * diff; i += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              cells(j) = best
+              j += 1
+            }
+            cells
           }
-        }), Duration.Inf)
+        }
+        // m rows per vector (subspace id, assigned cell, slice), then a
+        // codegen'd aggregate with one sum + one presence-count PER SLICE
+        // POSITION — no per-element explode: the aggregate input is m·n
+        // narrow rows and the shuffle carries m·k groups × 2·sub partial
+        // aggregates per partition, never vectors. get() (not ANSI
+        // subscript) so ragged slices contribute null past their length;
+        // the presence count replicates posexplode's per-pos row count
+        // (a null ELEMENT still counts as present, as posexplode emitted
+        // it), so means match the kmeansCentroids convention bit-for-bit.
+        val stats = vecs
+          .select(assignAll(col("v")).alias("cells"), col("v"))
+          .select(explode(array((0 until m).map { j =>
+              struct(lit(j).alias("j"), expr(s"cells[$j]").alias("cell"),
+                slice(col("v"), j * sub + 1, sub).alias("s"))
+            }: _*)).alias("e"))
+          .groupBy(col("e.j").alias("j"), col("e.cell").alias("cell"))
+          .agg(count(lit(1)).alias("nrows"),
+            (0 until sub).flatMap { i =>
+              Seq(sum(get(col("e.s"), lit(i))).alias(s"sx$i"),
+                count(when(size(col("e.s")) > i, lit(1))).alias(s"n$i"))
+            }: _*)
+          .collect()
+        val byJc = stats.map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+        books = books.indices.map { j =>
+          books(j).indices.map { c =>
+            byJc.get((j, c)) match {
+              case Some(r) =>
+                // per-dimension mean from each position's OWN presence
+                // count (ragged slices differ across pos; a pos beyond
+                // the codeword's length is ignored) — the
+                // kmeansCentroids convention
+                val acc = books(j)(c).toArray
+                var i = 0
+                while (i < math.min(acc.length, sub)) {
+                  val n = r.getLong(3 + 2 * i + 1)
+                  // getDouble(null sum) reads 0.0 — the posexplode form's
+                  // behavior for an all-null position
+                  if (n > 0) acc(i) = r.getDouble(3 + 2 * i) / n
+                  i += 1
+                }
+                acc.toIndexedSeq
+              case None => books(j)(c) // empty cell keeps its codeword
+            }
+          }
+        }
+      }
+      books.map(_.map(_.toSeq).toSeq)
     } finally vecs.unpersist(false)
   }
 

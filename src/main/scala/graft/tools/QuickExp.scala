@@ -9,12 +9,6 @@ import org.apache.spark.sql.functions._
   * experiment; not referenced by any query or test.
   */
 object QuickExp {
-  def time(label: String)(body: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val n = body
-    println(f"[exp] $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.3fs")
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,33 +19,20 @@ object QuickExp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${ms}ms  ${si.name.takeWhile(_ != '\n').take(80)}")
-      }
-    })
+    // experiment: index_build wall time (the Bench warm-up pass)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case _: Throwable => () }
+    graft.SparkEntry.resetBuildTimings()
+    val t0 = System.nanoTime()
     graft.SparkEntry.prebuildPersistedIndexes(spark, sfDir)
     graft.SparkEntry.prebuildSharedFeatures(spark, sfDir)
-    def run(q: String, label: String, spreadOn: Boolean): Unit = {
-      spark.conf.set("spark.graft.spread.maxBytes",
-        if (spreadOn) (64L << 20).toString else "0")
-      spark.catalog.clearCache()
-      time(label) { graft.SparkEntry.queries(q)(spark, sfDir).count() }
+    println(f"[exp] index_build ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    graft.SparkEntry.indexBuildTimings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(f"[exp]   $k $v%.2fs")
     }
-    // JIT-warm both variants once
-    run("q_corpus_prepare_gopher", "jitwarm_on", true)
-    run("q_corpus_prepare_gopher", "jitwarm_off", false)
-    (1 to 3).foreach { i =>
-      run("q_corpus_prepare_gopher", s"gopher_OFF_$i", false)
-      run("q_corpus_prepare_gopher", s"gopher_ON_$i", true)
-      run("q_corpus_prepare", s"prep_OFF_$i", false)
-      run("q_corpus_prepare", s"prep_ON_$i", true)
-      run("q_corpus_prepare_lr", s"lr_OFF_$i", false)
-      run("q_corpus_prepare_lr", s"lr_ON_$i", true)
-    }
-    Thread.sleep(300)
     spark.stop()
   }
 }
