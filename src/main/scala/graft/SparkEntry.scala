@@ -4301,7 +4301,12 @@ object SparkEntry {
       // per-query brute force, so the DuckDB oracle replays the hash →
       // normalize → windowed exact cosine top-k chain.
       val tf = TextAnalysis.hashedTfVector(dims = 64, normalize = true)
-      val vecs = T(s, dir, "documents")
+      // Par.spread BELOW the tf projection: the tokenize+hash pass is the
+      // regex-heavy regime that serializes on a single-file corpus, and
+      // the frame is referenced three times (query side, corpus side,
+      // IVF sample) — each reference re-runs tf at the input's
+      // parallelism. Identity above the size budget.
+      val vecs = ops.Par.spread(T(s, dir, "documents"))
         .select(col("doc_id"), tf(col("text")).alias("vec"))
       val queries = vecs.where(col("doc_id") < 5)
         .select(col("doc_id").alias("qid"), col("vec"))

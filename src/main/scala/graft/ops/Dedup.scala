@@ -1235,11 +1235,18 @@ object Dedup {
     *
     * Shingles are plain strings via codegen'd array expressions (not the
     * murmur path — the census key IS the gram). Plan: explode the
-    * per-doc distinct gram sets, one gram-keyed census (min id — the
-    * same first-occurrence algebra as the exact family), join back, one
-    * id-keyed aggregate. Both shuffles carry (gram, id) postings —
-    * corpus-linear, never pairwise. Documents with fewer than `n` tokens
-    * have no shingles and emit no row.
+    * per-doc distinct gram sets ONCE, shuffle the (gram, id) postings by
+    * gram, read each gram group's first occurrence (min id) off a
+    * gram-partitioned window, then one id-keyed aggregate. The window
+    * replaces the previous census + join-back shape, which re-ran the
+    * regex tokenize + gram Generate for the join's probe side (two full
+    * corpus passes) and shuffled the postings by gram twice; the window's
+    * within-partition sort is on postings the shuffle already carries.
+    * Both remaining shuffles are corpus-linear, never pairwise.
+    * Documents with fewer than `n` tokens have no shingles and emit no
+    * row. [[Par.spread]] on the projected input: the tokenize + gram
+    * explode is the regex-heavy linear-pass regime that serializes on a
+    * single-file corpus (identity above the size budget).
     *
     * Output: (id, n_shingles, seen_frac round-6).
     */
@@ -1249,13 +1256,13 @@ object Dedup {
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
     val grams = array_distinct(transform(sequence(lit(0), size(col("__t")) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + j + 1)): _*)))
-    val exploded = docs
-      .select(col(idCol).alias("__id"), toks.alias("__t"))
-      .where(size(col("__t")) >= n)
+    val exploded = Par.spread(docs
+        .select(col(idCol).alias("__id"), toks.alias("__t"))
+        .where(size(col("__t")) >= n))
       .select(col("__id"), explode(grams).alias("__g"))
-    val first = exploded.groupBy(col("__g"))
-      .agg(min(col("__id")).alias("__first"))
-    exploded.join(first, Seq("__g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    exploded
+      .withColumn("__first", min(col("__id")).over(wg))
       .groupBy(col("__id").alias(idCol))
       .agg(count(lit(1)).alias("n_shingles"),
         Rounding.roundAway(
