@@ -218,15 +218,27 @@ object TextClassify {
       idCol: String, dims: Int, iters: Int, lr: Double): DataFrame = {
     require(dims > 0 && iters >= 0 && lr > 0.0)
     val spark = trainRows.sparkSession
-    val n1 = broadcast(labels.agg(count(lit(1)).cast("double").alias("__N")))
-    val feats = trainRows.join(labels.select(col(idCol)), Seq(idCol), "left_semi")
+    // Materialize the loop's two multiply-referenced inputs ONCE, and the
+    // dims-row weight frame after EVERY step. Unrolled, each reference to
+    // the previous step's weights re-executed that step's whole subtree
+    // (w_k appears twice in step k+1: the margin join and the update), so
+    // the label scan and the feature semi-join re-ran ~2^iters times —
+    // the exact multi-reference replan disease the census checkpoints
+    // fixed in the text operators. labels is train-set-bounded (id, y),
+    // the weight frame is dims rows; feats is the training matrix every
+    // step reads twice — at scale the artifact you'd land at ingest
+    // rather than re-shuffle per step.
+    val labs = labels.localCheckpoint(true)
+    val n1 = broadcast(labs.agg(count(lit(1)).cast("double").alias("__N")))
+    val feats = trainRows.join(labs.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
     var w = spark.range(dims)
       .select(col("id").cast("int").alias("__b"), lit(0.0d).alias("__w"))
     for (_ <- 1 to iters) {
       val z = feats.join(broadcast(w), Seq("__b"))
         .groupBy(col(idCol)).agg(sum(col("__n") * col("__w")).alias("__z"))
       // a train doc with zero feature rows still votes, at p = 0.5
-      val p = labels.join(z, Seq(idCol), "left")
+      val p = labs.join(z, Seq(idCol), "left")
         .select(col(idCol), col("__y"),
           (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__z"), lit(0.0d)))))
             .alias("__p"))
@@ -238,6 +250,7 @@ object TextClassify {
       w = w.join(g, Seq("__b"), "left")
         .select(col("__b"),
           (col("__w") - lit(lr) * coalesce(col("__g"), lit(0.0d))).alias("__w"))
+        .localCheckpoint(true)
     }
     w
   }
