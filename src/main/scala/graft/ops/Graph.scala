@@ -128,6 +128,12 @@ object Graph {
       // deduped here: the next half-round's min-aggregate absorbs them and
       // its own output dedup restores the canonical set — dropping the
       // exchange halves the per-round shuffle count.
+      // (r16 probe: an explicit repartition(u) to share one Exchange
+      // between the aggregate and the join probe does NOT fire — filter
+      // pushdown specializes the two subtrees, and when m broadcasts the
+      // probe side needs no exchange at all, so the repartition ADDS a
+      // sym-sized shuffle. Measured flat locally, worse at broadcast
+      // scale; reverted.)
       sym.join(m, "u").where(col("v") > col("u"))
         .select(col("v").alias("u"), col("m").alias("v"))
     }

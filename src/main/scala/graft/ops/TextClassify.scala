@@ -180,8 +180,14 @@ object TextClassify {
   def dsirModelFromBuckets(rawRows: DataFrame, tgtRows: DataFrame,
       dims: Int): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
+    // each census is referenced twice (its total and the model join), and
+    // unchecked each reference re-runs the corpus-sized bucket-row
+    // aggregate; the censuses are dims-bounded (≤ dims rows), so the
+    // eager checkpoint is one tiny job that halves the corpus passes
     val rawCensus = rawRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__cr"))
+      .localCheckpoint(true)
     val tgtCensus = tgtRows.groupBy(col("__b")).agg(sum(col("__n")).alias("__ct"))
+      .localCheckpoint(true)
     val rawTotal = rawCensus.agg(sum(col("__cr")).alias("__nr"))
     val tgtTotal = tgtCensus.agg(sum(col("__ct")).alias("__nt"))
     rawRows.sparkSession.range(0, dims)
