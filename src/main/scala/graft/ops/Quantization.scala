@@ -317,6 +317,25 @@ object Quantization {
       .limit(k)
   }
 
+  /** The coarse IVF k-means and the PQ codebook training are independent
+    * full-precision passes over the same input — run them as CONCURRENT
+    * Spark jobs (each is a short chain of driver-side collects; serially
+    * the cluster idles between one chain's rounds while the other waits).
+    * Shared by [[persistIvfPqIndex]] and [[rebuildIvfPqIndex]]; results
+    * are identical to the sequential form — the trainings share nothing.
+    */
+  private def trainBoth(df: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, m: Int, codebookSize: Int,
+      iters: Int): ((DataFrame, Seq[Seq[Double]]), Seq[Seq[Seq[Double]]]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fIvf = Future(
+      Similarity.buildIvfIndexDistributed(df, vecCol, idCol, nCells, iters))
+    val fPq = Future(trainPqCodebooks(df, vecCol, m, codebookSize, iters))
+    (Await.result(fIvf, Duration.Inf), Await.result(fPq, Duration.Inf))
+  }
+
   // ---------- index persistence (the 100 TB IVF-PQ layout) ----------
 
   /** Persist an IVF-PQ index: the corpus lands Hive-partitioned by
@@ -331,9 +350,8 @@ object Quantization {
   def persistIvfPqIndex(store: graft.engine.TableStore, table: String,
       df: DataFrame, vecCol: String, idCol: String, nCells: Int,
       m: Int = 8, codebookSize: Int = 16, iters: Int = 5): Unit = {
-    val (indexed, cents) =
-      Similarity.buildIvfIndexDistributed(df, vecCol, idCol, nCells, iters)
-    val books = trainPqCodebooks(df, vecCol, m, codebookSize, iters)
+    val ((indexed, cents), books) = trainBoth(df, vecCol, idCol, nCells,
+      m, codebookSize, iters)
     val encoded = indexed.select(col(idCol), col("__cell"),
       pqEncode(books)(col(vecCol)).alias("codes"))
     store.dropTable(table + "__batches") // fresh index, markers now in-base
@@ -534,9 +552,8 @@ object Quantization {
   def rebuildIvfPqIndex(store: graft.engine.TableStore, table: String,
       base: DataFrame, vecCol: String, idCol: String, nCells: Int,
       m: Int = 8, codebookSize: Int = 16, iters: Int = 5): Unit = {
-    val (indexed, cents) =
-      Similarity.buildIvfIndexDistributed(base, vecCol, idCol, nCells, iters)
-    val books = trainPqCodebooks(base, vecCol, m, codebookSize, iters)
+    val ((indexed, cents), books) = trainBoth(base, vecCol, idCol, nCells,
+      m, codebookSize, iters)
     val encoded = indexed.select(col(idCol), col("__cell"),
       pqEncode(books)(col(vecCol)).alias("codes"))
     store.replacePartitioned(table, encoded.repartition(col("__cell")),
