@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is ONE JSON line on stdout that the driver parses from
+// a 2000-char tail. sbt's default LoggedOutput strategy prefixes every
+// forked-process line with "[info] " and appends a "[success] Total time"
+// line after it — 16 rounds of BENCH_r*.json came back "parsed": null with
+// the JSON line present but neither bare nor last. Pass the forked run's
+// stdout through verbatim and drop the success banner so the JSON line is
+// the bare last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,12 +67,14 @@ object Bench {
       (fileLine + "\n").getBytes("UTF-8"))
     spark.stop()
     // The harness also parses a 2000-char stdout TAIL (rounds 1-3 all came
-    // back "parsed": null because the verbose line overflowed it). Budget:
-    // 2000 − ~64 for sbt's trailing "[success] Total time" line → the JSON
-    // line must stay under ~1930 chars. Compact form: deci-second values
-    // (full precision lives in bench_out.json), query names without the
-    // uniform "q_" prefix, numeric sf — ~1815 chars at 96 queries, with
-    // headroom for more.
+    // back "parsed": null because the verbose line overflowed it; rounds
+    // 4-16 because sbt's logger prefixed the line with "[info] " and
+    // appended a "[success]" banner after it — fixed in build.sbt via
+    // StdoutOutput + showSuccess=false, so the JSON line is now the bare
+    // LAST line of stdout). Budget: keep the line under ~1950 chars so the
+    // whole object sits inside the tail with margin. Compact form:
+    // deci-second values (full precision lives in bench_out.json), query
+    // names without the uniform "q_" prefix, numeric sf.
     def fmt1(v: Double) = f"$v%.1f"
     val sfNum = raw".*?sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(_.toDoubleOption.isDefined).getOrElse("\"" + sfDir + "\"")
@@ -89,7 +91,7 @@ object Bench {
     // always has the full map.
     var kept = results.map { case (k, v) => (k.stripPrefix("q_"), v) }
     var omitted = 0
-    while (line(kept, omitted).length > 1870 && kept.nonEmpty) {
+    while (line(kept, omitted).length > 1950 && kept.nonEmpty) {
       val minIdx = kept.zipWithIndex.minBy(_._1._2)._2
       kept = kept.patch(minIdx, Nil, 1)
       omitted += 1
