@@ -21,6 +21,46 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pin the loop-invariant side of an iterative equi-join to its join
+    * key's hash partitioning ONCE, so every round's join reuses the
+    * layout exchange-free instead of re-shuffling the same bytes each
+    * round (guide §2.4 — the GraphX/Pregel edge-cache design, and the
+    * same contract an ingest-time `bucketBy(src)` table gives for free).
+    *
+    * Size-gated and scale-adaptive: the plan-estimate size must clear
+    * `spark.graft.loop.copartition.minBytes` (default 64 MB) before the
+    * repartition+persist happens. Below the gate the frame is returned
+    * unchanged (or plain-cached when `alwaysCache`): at bench/fixture
+    * scale the per-round join broadcasts the small side anyway, so an
+    * up-front exchange+cache would be pure overhead — while at corpus
+    * scale the sort-merge regime pays one edge shuffle per round, and
+    * pinning collapses rounds× edge exchanges to one. MEASURED (QuickExp,
+    * broadcast disabled): a `repartition(k).cache()` side enters the
+    * per-round SortMergeJoin with NO Exchange (InMemoryRelation preserves
+    * HashPartitioning), while `localCheckpoint` does NOT preserve
+    * partitioning — which is why the pin uses cache, and why checkpointed
+    * per-round frames can't get the same treatment.
+    *
+    * Returns (frame, release) — run release() once the loop's output is
+    * checkpointed, so the pinned blocks don't outlive the call.
+    */
+  private[graft] def pinForLoop(df: DataFrame, keys: Seq[String],
+      alwaysCache: Boolean = false): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val minBytes = spark.conf
+      .getOption("spark.graft.loop.copartition.minBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val big = df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+    if (big) {
+      val pinned = df.repartition(keys.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (pinned, () => { pinned.unpersist(false); () })
+    } else if (alwaysCache) {
+      val cached = df.cache()
+      (cached, () => { cached.unpersist(false); () })
+    } else (df, () => ())
+  }
+
   /** Connected components by min-label propagation over an UNDIRECTED
     * edge list (`srcCol`, `dstCol` — each pair needs only one direction;
     * the loop mirrors it). Every node converges to its component's
@@ -35,8 +75,12 @@ object Graph {
       maxRounds: Int = 10, failOnNonConvergence: Boolean = true): DataFrame = {
     val idCol = nodes.columns.head
     val directed = edges.select(col(srcCol).alias("id_a"), col(dstCol).alias("id_b"))
-    val undirected = directed.unionByName(
-      directed.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))).cache()
+    // pinned on the per-round join key (id_b): above the size gate the
+    // edge set shuffles ONCE here instead of once per round
+    val (undirected, releaseUnd) = pinForLoop(
+      directed.unionByName(
+        directed.select(col("id_b").alias("id_a"), col("id_a").alias("id_b"))),
+      Seq("id_b"), alwaysCache = true)
     var labels = nodes.select(col(idCol).alias("id"), col(idCol).alias("rep"))
     var converged = false
     var round = 0
@@ -66,7 +110,7 @@ object Graph {
       converged = changed == 0
       round += 1
     }
-    undirected.unpersist(false)
+    releaseUnd()
     // min-label moves ONE hop per round: a component with diameter >
     // maxRounds would come back silently split — fail loudly instead
     // (opt out for intentionally-approximate clustering)
@@ -199,6 +243,8 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 0)
     val seedCol = seeds.columns.head
+    // edges are re-joined every hop on srcCol — pin once above the gate
+    val (edgesPinned, releaseEdges) = pinForLoop(edges, Seq(srcCol))
     var frontier = seeds
       .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
         lit(0).alias("depth"))
@@ -211,7 +257,7 @@ object Graph {
       // cyclic graph re-expands known nodes every round and the frontier
       // grows with the walk count instead of the reachable set
       val expanded = frontier.alias("f")
-        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .join(edgesPinned.alias("e"), col("f.node") === col(s"e.$srcCol"))
         .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
           lit(d).alias("depth"))
         .dropDuplicates("seed", "node")
@@ -228,6 +274,9 @@ object Graph {
       if (!exhausted) acc = acc.unionByName(next)
       d += 1
     }
+    // acc is a union of already-materialized checkpoints — the pinned
+    // edge blocks are no longer referenced
+    releaseEdges()
     // first-discovery pruning makes (seed, node) unique with minimal depth
     acc
   }
@@ -279,7 +328,12 @@ object Graph {
     // divisor a column read — removing the per-round anti-join AND the
     // per-round degree join, two full shuffles of the rank frontier per
     // iteration at any scale
-    val outDeg = edges.groupBy(col(srcCol)).agg(sum(w).alias("__deg"))
+    // edges are re-joined EVERY iteration on srcCol (and re-scanned for
+    // outDeg): pin once above the size gate, so the per-iteration join
+    // reads the pinned layout exchange-free instead of re-shuffling the
+    // edge set `iterations` times
+    val (edgesPinned, releaseEdges) = pinForLoop(edges, Seq(srcCol))
+    val outDeg = edgesPinned.groupBy(col(srcCol)).agg(sum(w).alias("__deg"))
     var ranks = nodes.select(col(idCol).alias("id"), lit(1.0 / n).alias("rank"))
       .join(outDeg.withColumnRenamed(srcCol, "id"), Seq("id"), "left")
       .localCheckpoint(true)
@@ -292,7 +346,7 @@ object Graph {
         .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
       val live = ranks.where(col("__deg").isNotNull)
       val contribs = live
-        .join(edges, live("id") === edges(srcCol))
+        .join(edgesPinned, live("id") === edgesPinned(srcCol))
         .select(col(dstCol).alias("id"),
           (col("rank") * w / col("__deg")).alias("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
@@ -307,6 +361,7 @@ object Graph {
           col("__deg"))
         .localCheckpoint(true)
     }
+    releaseEdges()
     ranks.select(col("id"), col("rank"))
   }
 
@@ -335,7 +390,8 @@ object Graph {
     // dangling test and contribution divisor are per-row column reads,
     // and the teleport vector needs no per-round join — the anti-join,
     // the degree join, and the pv join all leave the iteration
-    val outDeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
+    val (edgesPinned, releaseEdges) = pinForLoop(edges, Seq(srcCol))
+    val outDeg = edgesPinned.groupBy(col(srcCol)).agg(count(lit(1)).alias("__deg"))
     var ranks = nodes.select(col(idCol).alias("id"))
       .join(seeds.select(col(seedCol).alias("id"), lit(1.0 / sN).alias("__pv"))
         .distinct(), Seq("id"), "left")
@@ -348,7 +404,7 @@ object Graph {
         .agg(coalesce(sum(col("rank")), lit(0.0d)).alias("__dm"))
       val live = ranks.where(col("__deg").isNotNull)
       val contribs = live
-        .join(edges, live("id") === edges(srcCol))
+        .join(edgesPinned, live("id") === edgesPinned(srcCol))
         .select(col(dstCol).alias("id"), (col("rank") / col("__deg")).alias("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).alias("__c"))
       ranks = ranks
@@ -360,6 +416,7 @@ object Graph {
             .alias("rank"))
         .localCheckpoint(true)
     }
+    releaseEdges()
     ranks.select(col("id"), col("rank"))
   }
 
@@ -393,10 +450,13 @@ object Graph {
     // have v vote for its own label every round, diverging from "most
     // frequent label among its NEIGHBORS"
     val directed = raw.where(col("a") =!= col("b"))
-    val und = directed.unionByName(
+    // pinned on the per-round voting-join key (b): above the size gate
+    // the symmetrized edge set shuffles once instead of once per round
+    val (und, releaseUnd) = pinForLoop(
+      directed.unionByName(
         directed.select(col("b").alias("a"), col("a").alias("b")))
-      .distinct()
-      .localCheckpoint(true)
+        .distinct(),
+      Seq("b"), alwaysCache = true)
     // node set from the RAW endpoints: a node whose only edge is a
     // self-loop has no neighbors, so it keeps its own label — it must
     // stay in the output, just never receive votes
@@ -421,6 +481,7 @@ object Graph {
         .select(col("node"), coalesce(col("__vl"), col("node")).alias("label"))
         .localCheckpoint(true)
     }
+    releaseUnd()
     labels
   }
 
@@ -619,6 +680,8 @@ object Graph {
       wCol: String = "w"): DataFrame = {
     require(maxRounds > 0)
     val seedCol = seeds.columns.head
+    // edges are re-joined every relaxation round on srcCol — pin once
+    val (edgesPinned, releaseEdges) = pinForLoop(edges, Seq(srcCol))
     var dist = seeds
       .select(col(seedCol).alias("seed"), col(seedCol).alias("node"),
         lit(0.0d).alias("cost"))
@@ -632,7 +695,7 @@ object Graph {
         s"shortestPaths did not converge within $maxRounds rounds — " +
           "negative cycle, or raise maxRounds for a larger hop diameter")
       val relaxed = frontier.alias("f")
-        .join(edges.alias("e"), col("f.node") === col(s"e.$srcCol"))
+        .join(edgesPinned.alias("e"), col("f.node") === col(s"e.$srcCol"))
         .select(col("f.seed").alias("seed"), col(s"e.$dstCol").alias("node"),
           (col("f.cost") + col(s"e.$wCol").cast("double")).alias("cost"))
         .groupBy(col("seed"), col("node")).agg(min(col("cost")).alias("cost"))
@@ -659,6 +722,7 @@ object Graph {
       frontier = merged.where(col("__imp")).drop("__imp")
       dist = merged.drop("__imp")
     }
+    releaseEdges()
     dist
   }
 
@@ -712,6 +776,11 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val ids = nodes.select(col(idCol).alias("id")).localCheckpoint(true)
+    // the edge set is re-joined twice per iteration on two DIFFERENT
+    // keys (src for the auth update, dst for the hub update) — pin one
+    // copy per key above the size gate: 2 shuffles once vs 2 per round
+    val (edgesBySrc, releaseSrc) = pinForLoop(edges, Seq(srcCol))
+    val (edgesByDst, releaseDst) = pinForLoop(edges, Seq(dstCol))
     var scores = ids.select(col("id"), lit(1.0d).alias("hub"),
       lit(1.0d).alias("auth"))
     for (_ <- 0 until iterations) {
@@ -722,7 +791,7 @@ object Graph {
       // shuffle work. The total is an ungrouped agg over the checkpoint
       // (always exactly one row, coalesced to 0 on an edgeless graph)
       // broadcast into the normalize.
-      val aRaw = scores.join(edges, scores("id") === edges(srcCol))
+      val aRaw = scores.join(edgesBySrc, scores("id") === edgesBySrc(srcCol))
         .groupBy(col(dstCol).alias("id")).agg(sum(col("hub")).alias("__a"))
         .localCheckpoint(true)
       val aTot = aRaw.agg(coalesce(sum(col("__a")), lit(0.0d)).alias("__at"))
@@ -733,7 +802,7 @@ object Graph {
             .otherwise(lit(0.0d)).alias("auth"))
       // hub update reads the NEW authorities back over the same edges;
       // same two-reference shape, same nodes-bounded materialization
-      val hRaw = auth1.join(edges, auth1("id") === edges(dstCol))
+      val hRaw = auth1.join(edgesByDst, auth1("id") === edgesByDst(dstCol))
         .groupBy(col(srcCol).alias("id")).agg(sum(col("auth")).alias("__h"))
         .localCheckpoint(true)
       val hTot = hRaw.agg(coalesce(sum(col("__h")), lit(0.0d)).alias("__ht"))
@@ -745,6 +814,7 @@ object Graph {
           col("auth"))
         .localCheckpoint(true)
     }
+    releaseSrc(); releaseDst()
     scores.select(col("id"), col("hub"), col("auth"))
   }
 

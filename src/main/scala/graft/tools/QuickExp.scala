@@ -16,22 +16,36 @@ object QuickExp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the at-scale SMJ regime: no broadcast
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // experiment: index_build wall time (the Bench warm-up pass)
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      spark.read.parquet(s"$sfDir/nation.parquet").count()
-    } catch { case _: Throwable => () }
-    graft.SparkEntry.resetBuildTimings()
-    val t0 = System.nanoTime()
-    graft.SparkEntry.prebuildPersistedIndexes(spark, sfDir)
-    graft.SparkEntry.prebuildSharedFeatures(spark, sfDir)
-    println(f"[exp] index_build ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    graft.SparkEntry.indexBuildTimings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      println(f"[exp]   $k $v%.2fs")
-    }
+
+    // Evidence dump for the r17 loop co-partition pin: one pageRank-shaped
+    // round join (ranks x edges on src -> groupBy dst) with the edge side
+    // (a) raw and (b) pinned via Graph.pinForLoop under a forced gate.
+    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").alias("src"), col("o_custkey").alias("dst"))
+    val ranks = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").alias("id")).distinct()
+      .withColumn("rank", lit(1.0))
+
+    def round(e: DataFrame): DataFrame =
+      ranks.join(e, ranks("id") === e("src"))
+        .groupBy(col("dst")).agg(sum(col("rank")).alias("c"))
+
+    val before = round(edges)
+    before.collect()
+    println("==== BEFORE (raw edge side; re-shuffled every round) ====")
+    println(before.queryExecution.executedPlan.toString)
+
+    spark.conf.set("spark.graft.loop.copartition.minBytes", "0")
+    val (pinned, release) = graft.ops.Graph.pinForLoop(edges, Seq("src"))
+    val after = round(pinned)
+    after.collect()
+    println("==== AFTER (edge side pinned once via pinForLoop) ====")
+    println(after.queryExecution.executedPlan.toString)
+    release()
     spark.stop()
   }
 }

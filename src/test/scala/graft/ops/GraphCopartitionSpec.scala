@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The loop-invariant co-partitioning pin (Graph.pinForLoop): above the
+  * size gate the edge side of every iterative join is repartitioned on
+  * the per-round join key and cached ONCE, so the round joins reuse the
+  * layout exchange-free (guide §2.4). These specs force the gate with
+  * `spark.graft.loop.copartition.minBytes = 0` and pin (a) the plan
+  * mechanism — the pinned side enters a sort-merge join with no Exchange
+  * above its InMemoryTableScan — and (b) result equality between the
+  * gated and ungated regimes for every loop that uses the pin.
+  */
+class GraphCopartitionSpec extends SparkSpecBase {
+
+  private val GATE = "spark.graft.loop.copartition.minBytes"
+
+  private def withForcedGate[A](body: => A): A = {
+    spark.conf.set(GATE, "0")
+    try body finally spark.conf.unset(GATE)
+  }
+
+  private def withBroadcastOff[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pinned side joins exchange-free in the sort-merge regime") {
+    import spark.implicits._
+    withForcedGate { withBroadcastOff {
+      val edges = (1L to 500L).map(i => (i % 97, i)).toDF("src", "dst")
+      val (pinned, release) = Graph.pinForLoop(edges, Seq("src"))
+      try {
+        val labels = (0L until 97L).map(i => (i, 1.0)).toDF("id", "rank")
+        val j = labels.join(pinned, labels("id") === pinned("src"))
+          .groupBy(col("dst")).agg(sum(col("rank")))
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ regime:\n$plan")
+        assert(plan.contains("InMemoryTableScan"), s"expected pinned cache read:\n$plan")
+        // walk the plan text: no Exchange between the join and the
+        // InMemoryTableScan (the label side and the final agg may
+        // exchange; the pinned side must not)
+        val lines = plan.linesIterator.toSeq
+        val scanIdx = lines.indexWhere(_.contains("InMemoryTableScan"))
+        val joinIdx = lines.lastIndexWhere(_.contains("SortMergeJoin"), scanIdx)
+        assert(joinIdx >= 0, s"no SortMergeJoin above the cache scan:\n$plan")
+        val between = lines.slice(joinIdx + 1, scanIdx)
+        // the label side's Exchange sits in the join's FIRST child branch
+        // (marked ":"); the pinned side is the unmarked second branch
+        val pinnedSide = between.filterNot(_.trim.startsWith(":"))
+        assert(!pinnedSide.exists(_.contains("Exchange hashpartitioning")),
+          s"pinned side re-exchanged:\n$plan")
+      } finally release()
+    }}
+  }
+
+  test("below the gate and without alwaysCache the frame is untouched") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i % 7, i)).toDF("src", "dst")
+    val (pinned, release) = Graph.pinForLoop(edges, Seq("src"))
+    assert(pinned eq edges, "tiny frame must pass through identically")
+    release()
+  }
+
+  test("every pinned loop returns identical results with the gate forced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .toDF("src", "dst")
+      .where(col("src") =!= col("dst"))
+    val ccEdges = edges.select(col("src").alias("id_a"), col("dst").alias("id_b"))
+    val wEdges = edges.withColumn("w", (pmod(col("dst"), lit(3)) + 1).cast("double"))
+    val seeds = (0L until 10L).toDF("seed")
+
+    def runAll(): Seq[Seq[String]] = Seq(
+      Graph.connectedComponents(nodes, ccEdges, maxRounds = 100)
+        .orderBy("id").collect().map(_.toString).toSeq,
+      Graph.pageRank(nodes, edges, iterations = 3)
+        .select(col("id"), round(col("rank"), 9))
+        .orderBy("id").collect().map(_.toString).toSeq,
+      Graph.pageRank(nodes, wEdges, iterations = 3, weightCol = Some("w"))
+        .select(col("id"), round(col("rank"), 9))
+        .orderBy("id").collect().map(_.toString).toSeq,
+      Graph.personalizedPageRank(nodes, edges, seeds, iterations = 3)
+        .select(col("id"), round(col("rank"), 9))
+        .orderBy("id").collect().map(_.toString).toSeq,
+      Graph.hits(nodes, edges, iterations = 3)
+        .select(col("id"), round(col("hub"), 9), round(col("auth"), 9))
+        .orderBy("id").collect().map(_.toString).toSeq,
+      Graph.reachWithin(edges, seeds, maxHops = 4)
+        .orderBy("seed", "node").collect().map(_.toString).toSeq,
+      Graph.shortestPaths(wEdges, seeds, maxRounds = 50, wCol = "w")
+        .orderBy("seed", "node")
+        .select(col("seed"), col("node"), round(col("cost"), 9))
+        .collect().map(_.toString).toSeq,
+      Graph.labelPropagation(edges, iterations = 3)
+        .orderBy("node").collect().map(_.toString).toSeq)
+
+    val ungated = runAll()
+    val gated = withForcedGate { runAll() }
+    val names = Seq("connectedComponents", "pageRank", "pageRankWeighted",
+      "personalizedPageRank", "hits", "reachWithin", "shortestPaths",
+      "labelPropagation")
+    names.lazyZip(ungated).lazyZip(gated).foreach { (name, u, g) =>
+      assert(u == g, s"$name diverged under the forced co-partition gate")
+    }
+  }
+}
