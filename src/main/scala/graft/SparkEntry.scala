@@ -1270,16 +1270,19 @@ object SparkEntry {
 
     "q_equidepth_hist" -> ((s, dir) =>
       // equi-depth histogram (the optimizer-statistics / drift-monitoring
-      // primitive): ntile(8) over a deterministic total order, then one
-      // aggregate for per-bucket count and bounds. The ntile shuffle is a
-      // single global sort at bench scale; the 100 TB form swaps in
-      // percentile_approx cuts (cf. TopK.fractionGate) at the cost of
-      // exactness.
-      T(s, dir, "lineitem")
-        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(8).over(Window.orderBy(
-          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
-          .cast("long"))
+      // primitive): exact ntile(8) over a deterministic total order, then
+      // one aggregate for per-bucket count and bounds. The ntile is
+      // computed by GlobalRank.ntileExact — a PARALLEL range sort +
+      // rank-offset fold, bit-identical to the window form (the order is
+      // total: price ties break on orderkey+linenumber) — instead of the
+      // single-partition `ntile(8) OVER (ORDER BY ...)` window, which
+      // moves the whole table to one task at any scale (r17; the
+      // approximate 100 TB sibling remains q_equidepth_sketch).
+      ops.GlobalRank.ntileExact(
+          T(s, dir, "lineitem")
+            .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          8,
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).alias("n"),
           min(col("l_extendedprice")).alias("lo"),

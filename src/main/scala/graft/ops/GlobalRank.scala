@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranks over a TOTAL order without the single-partition
+  * window. `ntile(k) OVER (ORDER BY ...)` (and any other global-rank
+  * construct) makes WindowExec move every row to ONE task — the
+  * "serious performance degradation" warning, a non-starter past memory
+  * scale. The same assignment is exact and parallel as:
+  *
+  *  1. range-repartition + sort by the ordering columns (the parallel
+  *     sort — boundaries respect the total order, so partition i holds
+  *     ranks strictly before partition i+1);
+  *  2. `monotonically_increasing_id()` in that SAME stage: the id is
+  *     `pid << 33 | position`, so partition id and the within-partition
+  *     position come for free — no second exchange, no per-pid window —
+  *     with the frame eager-localCheckpointed ONCE so every consumer
+  *     reads the same materialized partitioning (two independently
+  *     executed range exchanges may sample different boundaries);
+  *  3. a partitions-count-sized census (one map-side-aggregated read of
+  *     the checkpointed blocks) turned into cumulative offsets with a
+  *     window over that TINY frame;
+  *  4. global rank = offset + position, broadcast-joined back by pid.
+  *
+  * The ordering must be TOTAL (no ties across the full column tuple):
+  * with ties the rank of tied rows would depend on partition placement.
+  * Callers break ties with a key column, exactly as they must for the
+  * window form to be deterministic at all.
+  */
+object GlobalRank {
+
+  /** `df` plus a `bucketCol` column carrying exactly
+    * `ntile(k) OVER (ORDER BY sortCols)` (SQL-standard semantics: the
+    * first n%k tiles get one extra row), computed with one PARALLEL
+    * range exchange instead of a single-partition window. Parallelism
+    * follows the session's shuffle-partition setting, so it derives
+    * from the environment, not a local constant.
+    */
+  def ntileExact(df: DataFrame, k: Int, sortCols: Seq[Column],
+      bucketCol: String = "bucket"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    // Size-gated, scale-adaptive (the pinForLoop / Par.spread convention):
+    // below `spark.graft.ntile.distributed.minBytes` (default 256 MB,
+    // plan-estimate) the single-partition window IS the cheapest exact
+    // form — one narrow exchange, one task, no checkpoint — so small
+    // frames keep it; past the gate the windowed form would funnel the
+    // whole frame through one task and the parallel rank takes over.
+    // Both forms produce IDENTICAL assignments (GlobalRankSpec pins it),
+    // so the gate moves cost, never results.
+    val minBytes = df.sparkSession.conf
+      .getOption("spark.graft.ntile.distributed.minBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes)
+      return df.withColumn(bucketCol,
+        ntile(k).over(Window.orderBy(sortCols: _*)).cast("long"))
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranked = rankExact(df, sortCols, parts)
+    // Integer division as columns: `/` on long columns is DOUBLE division
+    // (inexact near boundaries); (a - a%b)/b divides an exact multiple, so
+    // the double quotient is exact and integral. Operands are nonnegative
+    // row counts/ranks.
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    // SQL ntile: q = n/k rows per tile, the first r = n%k tiles take one
+    // extra. Closed form over the global rank (greatest(q,1) guards the
+    // n < k case, where every row resolves in the first branch).
+    val q = idiv(col("__n"), lit(k.toLong))
+    val r = pmod(col("__n"), lit(k.toLong))
+    val cut = r * (q + lit(1L))
+    val bucket = when(col("__rank") <= cut,
+        idiv(col("__rank") - 1, q + lit(1L)) + 1)
+      .otherwise(r + idiv(col("__rank") - cut - 1, greatest(q, lit(1L))) + 1)
+    ranked
+      .withColumn(bucketCol, bucket.cast("long"))
+      .drop("__rank", "__n")
+  }
+
+  /** `df` plus `__rank` (1-based global rank under `sortCols`, exact)
+    * and `__n` (total row count). One full-data range exchange; the
+    * per-partition row census rides the same exchange (ReuseExchange)
+    * and is offsets-folded on a partitions-sized frame.
+    */
+  private[ops] def rankExact(df: DataFrame, sortCols: Seq[Column],
+      parts: Int): DataFrame = {
+    // The id is assigned in the sorted stage itself: pid << 33 | position.
+    // Eager localCheckpoint: the census below and the rank join both read
+    // these rows, and they must see the SAME partitioning — two
+    // independently executed range exchanges can sample DIFFERENT
+    // boundaries (the range sampler's seed derives from the RDD id), which
+    // would misalign the census's __pid counts with the data's. The
+    // checkpoint materializes the sorted frame exactly once; both
+    // consumers read blocks (and the duplicate scan+shuffle AQE stage
+    // reuse may or may not have deduplicated is gone outright).
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__pos", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__mid")
+      .localCheckpoint(true)
+    // partitions-sized census -> cumulative offsets; the single-partition
+    // window here is over <= `parts` rows, never data
+    val offs = sorted.groupBy(col("__pid")).agg(count(lit(1)).alias("__c"))
+    val tiny = offs
+      .withColumn("__off",
+        sum(col("__c")).over(Window.orderBy(col("__pid"))) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__n"))
+    sorted
+      .join(broadcast(tiny), Seq("__pid"))
+      .withColumn("__rank", col("__off") + col("__pos") + 1)
+      .drop("__pid", "__pos", "__off")
+  }
+}

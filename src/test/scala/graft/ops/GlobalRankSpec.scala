@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[GlobalRank.ntileExact]] must be BIT-IDENTICAL to the
+  * single-partition `ntile(k) OVER (ORDER BY ...)` window it replaces —
+  * the declared q_equidepth_hist keeps its oracle only if the
+  * distributed form reproduces SQL ntile semantics (first n%k tiles one
+  * row larger) over the same total order.
+  */
+class GlobalRankSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def check(n: Int, k: Int, parts: Int): Unit = {
+    // adversarial shape: heavy ties on the leading sort column (forces
+    // tie-breaks through the key), values interleaved across insert order
+    val df = (0 until n).map(i => ((i * 7919) % 13, i.toLong))
+      .toDF("v", "id")
+      .repartition(parts) // scatter input so placement can't fake ranks
+    val sortCols = Seq(col("v"), col("id"))
+    val expected = df.withColumn("bucket",
+        ntile(k).over(Window.orderBy(sortCols: _*)).cast("long"))
+      .select(col("v"), col("id"), col("bucket"))
+    // gate forced OPEN: the distributed path must match the window form
+    // on frames of any size (the gate default would route these tiny
+    // fixtures to the window form and test nothing)
+    spark.conf.set("spark.graft.ntile.distributed.minBytes", "0")
+    try {
+      val got = GlobalRank.ntileExact(df, k, sortCols)
+        .select(col("v"), col("id"), col("bucket"))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"ntileExact mismatch at n=$n k=$k parts=$parts")
+    } finally spark.conf.unset("spark.graft.ntile.distributed.minBytes")
+    // gate default (256 MB): small frames take the single-partition
+    // window path — identical assignment, no checkpoint job
+    val gated = GlobalRank.ntileExact(df, k, sortCols)
+      .select(col("v"), col("id"), col("bucket"))
+    assert(gated.exceptAll(expected).isEmpty && expected.exceptAll(gated).isEmpty,
+      s"gated ntileExact mismatch at n=$n k=$k parts=$parts")
+  }
+
+  test("ntileExact matches the window form: even split") { check(64, 8, 5) }
+
+  test("ntileExact matches the window form: ragged split (n % k != 0)") {
+    check(61, 8, 5) // first 5 tiles take 8 rows, the rest 7
+  }
+
+  test("ntileExact matches the window form: n < k (q = 0 branch)") {
+    check(5, 8, 3) // every row its own tile, tiles 6..8 empty
+  }
+
+  test("ntileExact matches the window form: single input partition") {
+    check(40, 4, 1)
+  }
+
+  test("rankExact assigns exact contiguous global ranks") {
+    val df = (0 until 101).map(i => ((i * 31) % 7, i.toLong)).toDF("v", "id")
+    val ranked = GlobalRank.rankExact(df, Seq(col("v"), col("id")), 6)
+    val expected = df.withColumn("__rank",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("v"), col("id"), col("__rank"))
+    val got = ranked.select(col("v"), col("id"), col("__rank"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(ranked.select(col("__n")).distinct().as[Long].collect().toSeq == Seq(101L))
+  }
+}
