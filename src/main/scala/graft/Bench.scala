@@ -73,8 +73,8 @@ object Bench {
     // StdoutOutput + showSuccess=false, so the JSON line is now the bare
     // LAST line of stdout). Budget: keep the line under ~1950 chars so the
     // whole object sits inside the tail with margin. Compact form:
-    // deci-second values (full precision lives in bench_out.json), query
-    // names without the uniform "q_" prefix, numeric sf.
+    // deci-second values (full precision lives in bench_out.json), full
+    // query names (the contract forbids renames), numeric sf.
     def fmt1(v: Double) = f"$v%.1f"
     val sfNum = raw".*?sf([0-9.]+)/?$$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(_.toDoubleOption.isDefined).getOrElse("\"" + sfDir + "\"")
@@ -89,7 +89,7 @@ object Bench {
     // CHEAPEST per-query entries (the expensive ones carry the signal)
     // until the line fits, and say how many were dropped. bench_out.json
     // always has the full map.
-    var kept = results.map { case (k, v) => (k.stripPrefix("q_"), v) }
+    var kept = results
     var omitted = 0
     while (line(kept, omitted).length > 1950 && kept.nonEmpty) {
       val minIdx = kept.zipWithIndex.minBy(_._1._2)._2
