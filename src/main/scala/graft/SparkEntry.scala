@@ -3945,12 +3945,22 @@ object SparkEntry {
         .select(col("o_custkey"),
           datediff(col("__ref"), col("__last")).alias("recency_days"),
           col("frequency"), col("__m"))
-      val r = ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-      val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-      val m = ntile(4).over(Window.orderBy(col("__m").desc, col("o_custkey")))
-      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      // quartiles via GlobalRank.ntileExact: below the size gate this IS
+      // the three ntile windows (one task each — fine on a census that
+      // fits); above it each becomes a parallel range sort with the
+      // closed-form tile, so no single task ever holds the customer
+      // census (spec-pinned identical assignments either way)
+      val tiled = Seq(
+          ("r", Seq(col("recency_days"), col("o_custkey"))),
+          ("f", Seq(col("frequency").desc, col("o_custkey"))),
+          ("m", Seq(col("__m").desc, col("o_custkey"))))
+        .foldLeft(base) { case (df, (name, order)) =>
+          ops.GlobalRank.ntileExact(df, 4, order, name)
+        }
+      tiled.select(col("o_custkey"), col("recency_days"), col("frequency"),
           Rounding.roundAway(col("__m").cast("double") / 100, 2).alias("monetary"),
-          r.alias("r"), f.alias("f"), m.alias("m"))
+          col("r").cast("int").alias("r"), col("f").cast("int").alias("f"),
+          col("m").cast("int").alias("m"))
         .withColumn("segment", concat(col("r").cast("string"),
           col("f").cast("string"), col("m").cast("string")))
         .orderBy(col("o_custkey"))

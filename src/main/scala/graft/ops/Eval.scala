@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Size gate for the census-window operators ([[rocAuc]], [[ksTest]]):
+    * below `spark.graft.censusprefix.distributed.minBytes` (plan
+    * estimate, default 256 MB) the single-partition window over the
+    * census is the cheapest exact form; above it the sketch-cut parallel
+    * prefix sum ([[QuantileSketch.prefixSumByCuts]]) takes over. The
+    * same scale-adaptive convention as GlobalRank.ntileExact — the gate
+    * moves cost, never results.
+    */
+  private def censusUnderGate(census: DataFrame): Boolean = {
+    val minBytes = census.sparkSession.conf
+      .getOption("spark.graft.censusprefix.distributed.minBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    census.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes
+  }
+
   /** ROC AUC via the Mann–Whitney rank statistic with midranks for ties:
     *
     *   AUC = (sum of positive midranks − P(P+1)/2) / (P · N)
@@ -43,11 +58,20 @@ object Eval {
       .groupBy(col(scoreCol).alias("__s"))
       .agg(count(lit(1)).alias("__cnt"),
         sum(col(labelCol).cast("long")).alias("__pos"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    census
+    // cumBelow = exclusive prefix sum of __cnt in __s order. The census is
+    // usually far under the gate (distinct ROUNDED scores); when it isn't
+    // (high-precision scores at corpus scale), the single-partition window
+    // becomes the straggler and the sketch-cut parallel prefix sum takes
+    // over — exact either way (__s is unique by construction).
+    val withBelow =
+      if (censusUnderGate(census)) {
+        val w = Window.orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        census.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      } else QuantileSketch.prefixSumByCuts(census, "__s", "__cnt", "__below")
+    withBelow
       .select(col("__cnt"), col("__pos"),
-        (coalesce(sum(col("__cnt")).over(w), lit(0L)).cast("double") +
+        (col("__below").cast("double") +
           (col("__cnt") + 1).cast("double") / 2).alias("__midrank"))
       .agg(sum(col("__pos").cast("double") * col("__midrank")).alias("__rp"),
         sum(col("__pos")).alias("n_pos"),
@@ -103,11 +127,22 @@ object Eval {
       .groupBy(col(valueCol).alias("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).alias("__ca"),
         sum(when(col(groupCol) === b, 1L).otherwise(0L)).alias("__cb"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    census
-      .select(sum(col("__ca")).over(w).alias("__cuma"),
-        sum(col("__cb")).over(w).alias("__cumb"))
+    // The ECDF prefix sums run over the DISTINCT-VALUE census. Continuous
+    // values make that census corpus-sized, so past the gate the
+    // single-partition window yields to one sketch-cut parallel prefix
+    // pass carrying both running counts (exact: __v is unique).
+    val cums =
+      if (censusUnderGate(census)) {
+        val w = Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        census.select(sum(col("__ca")).over(w).alias("__cuma"),
+          sum(col("__cb")).over(w).alias("__cumb"))
+      } else
+        QuantileSketch.prefixSumsByCuts(census, "__v",
+            Seq("__ca" -> "__pa", "__cb" -> "__pb"))
+          .select((col("__pa") + col("__ca")).alias("__cuma"),
+            (col("__pb") + col("__cb")).alias("__cumb"))
+    cums
       .crossJoin(broadcast(census.agg(sum(col("__ca")).alias("n_a"),
         sum(col("__cb")).alias("n_b"))))
       .groupBy(col("n_a"), col("n_b"))
@@ -185,20 +220,22 @@ object Eval {
     *
     * Bucketing uses ntile over (`scoreCol`, `tieCol`) — the tie column
     * (a unique id) makes the assignment total-order deterministic.
-    * Plan: two ntile windows (per-group and global — the global one runs
-    * over rows, so at extreme scale substitute a percentile-sketch cut
-    * table; the GROUP side is the skew-prone one and stays windowed),
-    * one `buckets`-row broadcast join back. Output: input columns plus
-    * `bucket` and `norm` (the matched global bucket median, round-6).
+    * Plan: the per-group ntile window plus the GLOBAL tile via
+    * [[GlobalRank.ntileExact]] (the single-partition window below its
+    * size gate, a parallel range sort above it — identical assignments
+    * either way; the GROUP side is the skew-prone one and stays
+    * windowed), one `buckets`-row broadcast join back. Output: input
+    * columns plus `bucket` and `norm` (the matched global bucket
+    * median, round-6).
     */
   def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
       tieCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val byGroup = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol), col(tieCol))
-    val global = Window.orderBy(col(scoreCol), col(tieCol))
-    val globalMedians = df
-      .select(col(scoreCol), ntile(buckets).over(global).alias("bucket"))
+    val globalMedians = GlobalRank.ntileExact(
+        df.select(col(scoreCol), col(tieCol)),
+        buckets, Seq(col(scoreCol), col(tieCol)), "bucket")
       .groupBy(col("bucket"))
       .agg(Rounding.roundAway(median(col(scoreCol)), 6).alias("norm"))
     df.withColumn("bucket", ntile(buckets).over(byGroup))

@@ -91,7 +91,19 @@ object QuantileSketch {
     * one task.
     */
   def prefixSumByCuts(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String, buckets: Int = 64, accuracy: Int = 10000): DataFrame = {
+      outCol: String, buckets: Int = 64, accuracy: Int = 10000): DataFrame =
+    prefixSumsByCuts(df, orderCol, Seq(valueCol -> outCol), buckets, accuracy)
+
+  /** [[prefixSumByCuts]] for SEVERAL value columns at once: one cut
+    * sketch, one bucket assignment, one buckets-sized census, one
+    * partitioned window pass carrying all the running sums — where the
+    * one-column form would pay the sketch + census machinery per column.
+    * `cols` maps each input value column to its output prefix column.
+    */
+  def prefixSumsByCuts(df: DataFrame, orderCol: String,
+      cols: Seq[(String, String)], buckets: Int = 64,
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "at least one (valueCol, outCol) pair required")
     // The bucketed frame is referenced TWICE below (base census + join
     // side), so the cut array must be a single fixed value, not a
     // subtree evaluated once per reference: percentile_approx's partial
@@ -109,27 +121,31 @@ object QuantileSketch {
        else array(collected.map(lit(_)): _*)).alias("__cuts"))
     val b = assignBuckets(df, orderCol, cuts, "__psb")
     // per-bucket base offsets: a buckets-sized census, exclusive-summed
-    // on the DRIVER (<= `buckets` longs — the same bounded-state
-    // convention as the collected cuts) and attached as a literal map.
-    // Joining `b` back against an aggregate of itself would be a
-    // self-derived join — its colliding attribute ids miscompile the
+    // on the DRIVER (<= `buckets` longs per column — the same
+    // bounded-state convention as the collected cuts) and attached as a
+    // literal map. Joining `b` back against an aggregate of itself would
+    // be a self-derived join — its colliding attribute ids miscompile the
     // downstream window (observed as a runtime binding failure) — and a
     // window above such a join is worse; the literal sidesteps both.
-    val binSums = b.groupBy(col("__psb"))
-      .agg(sum(col(valueCol)).alias("__bsum"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = binSums.zip(binSums.scanLeft(0L)(_ + _._2))
-      .map { case ((bucket, _), base) => bucket -> base }
-    val baseExpr =
-      if (bases.isEmpty) lit(0L)
-      else element_at(
-        map(bases.flatMap { case (k0, v0) => Seq(lit(k0), lit(v0)) }: _*),
-        col("__psb"))
+    val aggs = cols.map { case (v, _) => sum(col(v)).alias(s"__bsum_$v") }
+    val binRows = b.groupBy(col("__psb"))
+      .agg(aggs.head, aggs.drop(1): _*)
+      .collect().sortBy(_.getLong(0))
     val wIn = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    b.withColumn(outCol,
-        baseExpr + coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
-      .drop("__psb")
+    cols.zipWithIndex.foldLeft(b) { case (acc, ((v, outCol), i)) =>
+      val binSums = binRows.map(r =>
+        r.getLong(0) -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      val bases = binSums.zip(binSums.scanLeft(0L)(_ + _._2))
+        .map { case ((bucket, _), base) => bucket -> base }
+      val baseExpr =
+        if (bases.isEmpty) lit(0L)
+        else element_at(
+          map(bases.flatMap { case (k0, v0) => Seq(lit(k0), lit(v0)) }: _*),
+          col("__psb"))
+      acc.withColumn(outCol,
+        baseExpr + coalesce(sum(col(v)).over(wIn), lit(0L)))
+    }.drop("__psb")
   }
 
   /** Certify the sketch cuts of `scoreCol` against exact integer rank
